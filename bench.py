@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion via the noop sink (all columns
+computed, no output cost) — ``count()`` would let Catalyst prune the plan
+and overstate throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+from mapreduce_stockheadlines_spark.session import get_spark
+
+HEADLINE_QUERIES = [
+    "q01_filter_project",
+    "q02_group_agg",
+    "q03_topk_rank",
+    "q09_window_partitioned",
+    "q13_tokenize_count",
+    "q15_word_count_analogue",
+    "q19_large_join",
+    "q21_tumbling_window",
+    "q22_dedup",
+    "x01_dedup_exact",
+    "x03_minhash_signature",
+    "x06_embedding_neardup",
+    "x07_ann_topk",
+    "x09_quality_score",
+    "x14_session_window",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE_QUERIES:
+        spec = ALL_QUERIES[name]
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm once (JIT, IO cache)
+        t0 = time.time()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_elapsed",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

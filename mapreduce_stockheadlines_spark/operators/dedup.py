@@ -1,0 +1,178 @@
+"""Deduplication operators (§2.2 extension; absent in the reference).
+
+Scale design (100 TB): exact dedup is a hash groupBy (shuffle on a fixed-
+width digest, not the document bytes); MinHash+LSH bounds the candidate
+space to same-bucket pairs so the verify join never goes quadratic; SimHash
+gives a 64-bit fingerprint whose Hamming-ball lookup is a band join.
+
+MinHash here is hash-function-portable: the per-token hash is
+``md5(seed || ':' || token)`` and the signature component is the *lexical
+minimum* of those hex digests — identical in any engine with md5
+(DuckDB oracle parity), and distribution-equivalent to integer min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_array
+
+
+def exact_dedup(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per key under a total
+    order. ``dropDuplicates`` picks an arbitrary survivor; a row_number
+    window with explicit tiebreakers makes the survivor reproducible."""
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup via digest groupBy: shuffle key is the 32-byte
+    md5, not the document text."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), id_col)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct pairs — the set representation used by Jaccard
+    and MinHash."""
+    return (
+        df.select(id_col, F.explode(tokens_array(text_col)).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: column ``mh{i}`` = min(md5(i || ':' || token)).
+
+    One groupBy produces the whole signature (num_hashes aggregates in a
+    single pass); no per-hash shuffle.
+    """
+    toks = doc_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows each; docs sharing any band key become a
+    candidate pair. The band key is a digest, so the self-join shuffles
+    fixed-width keys; output is distinct (id_a < id_b) pairs."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs from the (id, token) set
+    table: |A∩B| via token-equijoin, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.withColumnRenamed(id_col, "id_a")
+    tb = toks.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint (engine-native xxhash64; Spark-only —
+    no cross-engine oracle, covered by unit/property tests instead).
+
+    Per doc: hash every token to 64 bits, sum ±1 per bit position weighted
+    by token frequency, sign → fingerprint bit. Implemented with explode +
+    one groupBy over (doc, bit) then a pivot-free conditional sum — all
+    JVM-side expressions.
+    """
+    toks = df.select(
+        id_col, F.explode(tokens_array(text_col)).alias("token")
+    )
+    hashed = toks.select(id_col, F.xxhash64("token").alias("h"))
+    bits = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        id_col,
+        "bit",
+        F.when(
+            F.expr("shiftright(h, CAST(bit AS INT)) & CAST(1 AS BIGINT)") == 1, 1
+        )
+        .otherwise(-1)
+        .alias("contrib"),
+    )
+    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

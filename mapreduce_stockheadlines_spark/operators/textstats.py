@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines (§2.2 extension):
+language ID, quality scoring, token counting, fingerprinting.
+
+All pure column expressions (whole-stage codegen) — no Python in the hot
+path — and deterministic, so every one has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens_array
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
+# (a simplification of the GPT-2 pre-tokenizer split).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Minimal per-language marker words for the n-gram/marker heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+}
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)).cast(
+        "bigint"
+    )
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def non_letter_count(text: Column | str) -> Column:
+    """Number of chars outside [a-z ] after lowercasing (punct+digit mass)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(F.lower(text), "[a-z ]", "")).cast("bigint")
+
+
+def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """How many of the marker words occur (word-boundary match)."""
+    text = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hit = F.lit(0)
+    for m in markers:
+        hit = hit + F.when(padded.contains(f" {m} "), 1).otherwise(0)
+    return hit
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score each language by marker hits, pick the
+    argmax (ties broken by language code ASC via the ordered CASE chain).
+    A real system would use char n-gram profiles; the *operator shape*
+    (per-doc scoring + deterministic argmax, all codegen) is the contract.
+    """
+    scores = {lang: marker_hits(text_col, ms) for lang, ms in LANG_MARKERS.items()}
+    best = None
+    for lang in sorted(scores):  # asc language code = deterministic tiebreak
+        s = scores[lang]
+        if best is None:
+            best = (F.lit(lang), s)
+        else:
+            best_lang, best_score = best
+            best = (
+                F.when(s > best_score, F.lit(lang)).otherwise(best_lang),
+                F.greatest(s, best_score),
+            )
+    pred, score = best
+    return df.select(
+        id_col,
+        F.when(score > 0, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
+        score.cast("int").alias("marker_score"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score from length / punctuation / stop-word
+    signals — the standard cheap pre-filter in LLM data pipelines."""
+    toks = tokens_array(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "bigint"
+    )
+    # Components rounded to 4dp BEFORE combining so the composite score is
+    # computed from identical doubles in any engine (oracle parity).
+    punct_ratio = F.round(non_letter_count(text_col) / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    len_component = F.round(F.least(n_tokens, F.lit(200)) / F.lit(200.0), 4)
+    score = F.round(
+        0.4 * len_component + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 4
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_obs"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (stable under reflow), plus an 8-hex-char short key for banding."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return df.select(
+        id_col,
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp8"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

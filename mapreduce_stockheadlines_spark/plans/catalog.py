@@ -1,0 +1,56 @@
+"""Table catalog over the driver-provided parquet test data (TESTDATA.md).
+
+The reference's only 'catalog' is a positional CSV path argument
+(/root/reference/src/StockCount.java:80). Here sources are columnar parquet
+— Catalyst gets predicate pushdown, column pruning and partition pruning
+for free on every scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; parquet scan → FileSourceScanExec with
+    pushdown/pruning.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; read nanos as long (legacy conf) and
+    convert to a microsecond timestamp column (exact: source values are
+    microsecond-resolution).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer div: double division would lose precision above 2^53 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() entry points."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,660 @@
+"""Core declared query set (SURVEY.md §2.3 Q01-Q22).
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL for the DuckDB oracle. Conventions that make
+the driver's order-insensitive value-hash match:
+
+- every computed column aliased identically on both sides;
+- double aggregates rounded (ROUND(x, 2/4)) on both sides;
+- rank/grouping columns cast to the same width (INT) on both sides;
+- DuckDB integer SUM/COUNT-CASE cast to BIGINT (DuckDB widens to HUGEINT);
+- timestamps compared under UTC (session.apply_runtime_conf pins the tz).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, remove_stopwords, stopwords_df, tokens_array
+from .catalog import table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+
+
+def _stopword_in_list() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# --- Q01 scan / filter / project (O1,O3,O4) --------------------------------
+
+def q01_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate + projection pushed to the parquet scan (PushedFilters /
+    2-column ReadSchema visible in .explain)."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q01_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 45
+ORDER BY l_orderkey, l_linenumber
+"""
+
+# --- Q02 hash aggregation (O10,O11 + §2.2 agg breadth) ---------------------
+
+def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_tax").alias("max_tax"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q02_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       min(l_discount) AS min_disc,
+       max(l_tax) AS max_tax
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --- Q03 global sort / rank / top-k (O12,O13,O14) --------------------------
+
+def q03_topk_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Count per supplier → TakeOrderedAndProject top-100 with row_number.
+    The rank window runs over the aggregated table (cardinality = #distinct
+    suppliers), not the raw rows — the scale fix for the reference's
+    single-reducer sort (StockCount.java:37-66)."""
+    li = table(spark, sf, "lineitem")
+    counted = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+        .limit(100)
+    )
+
+
+Q03_SQL = """
+WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS INTEGER) AS rank
+FROM c ORDER BY rank LIMIT 100
+"""
+
+# --- Q04 inner equi-join + agg ---------------------------------------------
+
+def q04_join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q04_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+# --- Q05 broadcast dim join ------------------------------------------------
+
+def q05_join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-dim join pinned to BroadcastHashJoin — region is tiny at any
+    scale factor; no shuffle of nation."""
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+Q05_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+# --- Q06 left outer join (NULL-preserving count) ---------------------------
+
+def q06_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 350000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "sum_big"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q06_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+       round(sum(coalesce(o_totalprice, 0)), 2) AS sum_big
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+# --- Q07 left semi join (EXISTS) -------------------------------------------
+
+def q07_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+ORDER BY c_custkey
+"""
+
+# --- Q08 left anti join (NOT EXISTS; O9 analogue) --------------------------
+
+def q08_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    urgent = table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q08_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+# --- Q09 partitioned window ranking ----------------------------------------
+
+def q09_window_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q09_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER w AS INTEGER) AS rn,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+# --- Q10 window frame (running sum) ----------------------------------------
+
+def q10_window_frame(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("run_sum"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+# --- Q11 exact distinct aggregation ----------------------------------------
+
+def q11_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q11_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# --- Q12 set operations ----------------------------------------------------
+
+def q12_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).orderBy("custkey")
+
+
+Q12_UNION_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+ORDER BY custkey
+"""
+
+
+def q12_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+Q12_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+ORDER BY custkey
+"""
+
+
+def q12_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    a = c.select(F.col("c_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b.distinct()).distinct().orderBy("custkey")
+
+
+Q12_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+"""
+
+# --- Q13 string pipeline: clean/tokenize/count (O6,O7,O8) ------------------
+
+def q13_tokenize_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens_array("text")).alias("token"))
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+        .limit(100)
+    )
+
+
+Q13_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+  FROM documents
+), kept AS (SELECT token FROM toks WHERE length(token) > 0),
+c AS (SELECT token, count(*) AS cnt FROM kept GROUP BY token)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank
+FROM c ORDER BY rank LIMIT 100
+"""
+
+# --- Q14 StockCount analogue (O10-O15 full pipeline) -----------------------
+
+def q14_stock_count_analogue(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference job 1 shape on the oracle tables: frequency of a
+    categorical column, rank, formatted '<rank>: <key>, <cnt>' line
+    (StockCount.java:63)."""
+    p = table(spark, sf, "part")
+    counted = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("p_brand"))
+    ranked = counted.withColumn("rank", F.row_number().over(w).cast("int"))
+    return ranked.select(
+        "rank",
+        "p_brand",
+        "cnt",
+        F.concat(
+            F.col("rank").cast("string"),
+            F.lit(": "),
+            F.col("p_brand"),
+            F.lit(", "),
+            F.col("cnt").cast("string"),
+        ).alias("line"),
+    ).orderBy("rank")
+
+
+Q14_SQL = """
+WITH c AS (SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand),
+r AS (SELECT p_brand, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, p_brand) AS INTEGER) AS rank
+      FROM c)
+SELECT rank, p_brand, cnt,
+       CAST(rank AS VARCHAR) || ': ' || p_brand || ', ' || CAST(cnt AS VARCHAR) AS line
+FROM r ORDER BY rank
+"""
+
+# --- Q15 WordCount analogue (adds O9 stop-word anti-join + O14 top-100) ----
+
+def q15_word_count_analogue(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens_array("text")).alias("token"))
+    kept = remove_stopwords(toks, stopwords_df(spark))
+    counted = kept.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+        .limit(100)
+    )
+
+
+Q15_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+  FROM documents
+), kept AS (
+  SELECT token FROM toks
+  WHERE length(token) > 0 AND token NOT IN ({_stopword_in_list()})
+), c AS (SELECT token, count(*) AS cnt FROM kept GROUP BY token)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank
+FROM c ORDER BY rank LIMIT 100
+"""
+
+# --- Q16 rollup + grouping id ----------------------------------------------
+
+def q16_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+    return rolled.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        "n_cust",
+        "sum_bal",
+        "gid",
+    ).orderBy("gid", "r_name", "n_name")
+
+
+Q16_SQL = """
+SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal,
+       CAST(grouping_id(r_name, n_name) AS INTEGER) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY gid, r_name, n_name
+"""
+
+# --- Q17 date/time functions ------------------------------------------------
+
+def q17_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.select(
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+        .groupBy("month_start", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("month_start")
+    )
+
+
+Q17_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month_start,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1, 2 ORDER BY month_start
+"""
+
+# --- Q18 conditional aggregation -------------------------------------------
+
+def q18_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_rev"),
+            F.sum(returned).cast("bigint").alias("n_returned"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q18_SQL = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS returned_rev,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       count(*) AS n_total
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+# --- Q19 large-large join (sort-merge scale path) --------------------------
+
+def q19_large_join(spark: SparkSession, sf: str) -> DataFrame:
+    """lineitem ⋈ orders on orderkey: both sides large → Catalyst picks
+    sort-merge (or shuffled hash under AQE); co-partitioned on the join key."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q19_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# --- Q20 post-aggregation filter (HAVING) ----------------------------------
+
+def q20_having(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .filter(F.col("cnt") > 300)
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    )
+
+
+Q20_SQL = """
+SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_partkey HAVING count(*) > 300
+ORDER BY cnt DESC, l_partkey
+"""
+
+# --- Q21 tumbling window aggregation (streaming analogue, batch-checked) ---
+
+def q21_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """F.window(ts, '5 minutes') — the same expression Structured Streaming
+    uses; batch mode makes it oracle-checkable (epoch-aligned buckets)."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+        .orderBy("bucket_start")
+    )
+
+
+Q21_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+         AS bucket_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY bucket_start
+"""
+
+# --- Q22 deterministic dedup -----------------------------------------------
+
+def q22_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicates with a *deterministic* survivor: first row per
+    (user_id, event_type) under (ts, event_id) order — reproducible where
+    dropDuplicates is arbitrary."""
+    from ..operators.dedup import exact_dedup
+
+    e = table(spark, sf, "events")
+    return (
+        exact_dedup(e, ["user_id", "event_type"], ["ts", "event_id"])
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+Q22_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+CORE_QUERIES: dict[str, QuerySpec] = {
+    "q01_filter_project": QuerySpec(q01_filter_project, Q01_SQL),
+    "q02_group_agg": QuerySpec(q02_group_agg, Q02_SQL),
+    "q03_topk_rank": QuerySpec(q03_topk_rank, Q03_SQL),
+    "q04_join_inner_agg": QuerySpec(q04_join_inner_agg, Q04_SQL),
+    "q05_join_broadcast_dim": QuerySpec(q05_join_broadcast_dim, Q05_SQL),
+    "q06_join_left_outer": QuerySpec(q06_join_left_outer, Q06_SQL),
+    "q07_join_semi": QuerySpec(q07_join_semi, Q07_SQL),
+    "q08_join_anti": QuerySpec(q08_join_anti, Q08_SQL),
+    "q09_window_partitioned": QuerySpec(q09_window_partitioned, Q09_SQL),
+    "q10_window_frame": QuerySpec(q10_window_frame, Q10_SQL),
+    "q11_count_distinct": QuerySpec(q11_count_distinct, Q11_SQL),
+    "q12_union_all": QuerySpec(q12_union_all, Q12_UNION_SQL),
+    "q12_intersect": QuerySpec(q12_intersect, Q12_INTERSECT_SQL),
+    "q12_except": QuerySpec(q12_except, Q12_EXCEPT_SQL),
+    "q13_tokenize_count": QuerySpec(q13_tokenize_count, Q13_SQL),
+    "q14_stock_count_analogue": QuerySpec(q14_stock_count_analogue, Q14_SQL),
+    "q15_word_count_analogue": QuerySpec(q15_word_count_analogue, Q15_SQL),
+    "q16_rollup": QuerySpec(q16_rollup, Q16_SQL),
+    "q17_date_functions": QuerySpec(q17_date_functions, Q17_SQL),
+    "q18_conditional_agg": QuerySpec(q18_conditional_agg, Q18_SQL),
+    "q19_large_join": QuerySpec(q19_large_join, Q19_SQL),
+    "q20_having": QuerySpec(q20_having, Q20_SQL),
+    "q21_tumbling_window": QuerySpec(q21_tumbling_window, Q21_SQL),
+    "q22_dedup": QuerySpec(q22_dedup, Q22_SQL),
+}

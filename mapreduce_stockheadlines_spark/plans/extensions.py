@@ -1,0 +1,426 @@
+"""LLM-data-pipeline extension queries (§2.2 'Planned'; BASELINE.json
+north-star): dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+embedding near-dup), similarity search, multimodal plumbing, text analysis,
+streaming-analogue windows.
+
+Everything deterministic enough to cross-check runs against a DuckDB
+oracle, including MinHash (portable md5-lexmin construction — see
+operators/dedup.py). Engine-native-hash ops (SimHash/xxhash64) and the
+decode stub are rows-only checks, flagged with ``oracle=None``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens_array
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import textstats as TS
+from .catalog import table
+from .core import QuerySpec
+
+_TOKS_CTE = """
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+"""
+
+# --- x01 exact content-hash dedup -------------------------------------------
+
+def x01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return D.content_hash_dedup(docs, "text", "doc_id").orderBy("keep_id")
+
+
+X01_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+# --- x02 n-gram (unigram-set) Jaccard on consecutive doc pairs --------------
+
+def x02_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = D.doc_tokens(docs, "doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return D.jaccard_pairs(toks, pairs).orderBy("id_a")
+
+
+X02_SQL = f"""
+WITH toks AS ({_TOKS_CTE}),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+          FROM pairs p
+          JOIN toks ta ON ta.doc_id = p.id_a
+          JOIN toks tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+          GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       round(coalesce(i.n_inter, 0) * 1.0
+             / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+ORDER BY p.id_a
+"""
+
+# --- x03 MinHash signatures (portable md5-lexmin construction) --------------
+
+def x03_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return D.minhash_signature(docs, "doc_id", "text", num_hashes=8).orderBy(
+        "doc_id"
+    )
+
+
+_MH_COLS = ",\n       ".join(
+    f"min(md5('{i}:' || token)) AS mh{i}" for i in range(8)
+)
+X03_SQL = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id,
+       {_MH_COLS}
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+
+# --- x04 MinHash LSH candidate pairs ----------------------------------------
+
+def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=8)
+    return D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+X04_SQL = f"""
+WITH toks AS ({_TOKS_CTE}),
+sig AS (SELECT doc_id, {_MH_COLS} FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, unnest([
+    '0:' || md5(mh0 || '|' || mh1),
+    '1:' || md5(mh2 || '|' || mh3),
+    '2:' || md5(mh4 || '|' || mh5),
+    '3:' || md5(mh6 || '|' || mh7)
+  ]) AS bucket FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+# --- x05 SimHash (engine-native hash → rows-only check) ---------------------
+
+def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return D.simhash64(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- x06 embedding cosine near-dup pairs ------------------------------------
+
+def x06_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return S.neardup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+X06_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.35
+ORDER BY id_a, id_b
+"""
+
+# --- x07 ANN: brute-force cosine top-k --------------------------------------
+
+def x07_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(queries, emb, k=10).orderBy("query_id", "rank")
+
+
+X07_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (SELECT query_id, neighbor_id,
+                  list_cosine_similarity(qv, cv) AS sim
+           FROM q, c WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+# --- x08 language ID (marker heuristic) -------------------------------------
+
+def x08_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return TS.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _marker_sum(lang: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN position(' {m} ' IN padded) > 0 THEN 1 ELSE 0 END)"
+        for m in TS.LANG_MARKERS[lang]
+    )
+    return f"({terms})"
+
+
+X08_SQL = f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+s AS (SELECT doc_id,
+             {_marker_sum('de')} AS s_de,
+             {_marker_sum('en')} AS s_en,
+             {_marker_sum('es')} AS s_es,
+             {_marker_sum('fr')} AS s_fr
+      FROM p),
+fold AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+                CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                     WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                     WHEN s_en > s_de THEN 'en'
+                     ELSE 'de' END AS best_lang,
+                greatest(s_de, s_en, s_es, s_fr) AS best_score
+         FROM s)
+SELECT doc_id,
+       CASE WHEN best_score > 0 THEN best_lang ELSE 'unknown' END AS pred_lang,
+       CAST(best_score AS INTEGER) AS marker_score
+FROM fold ORDER BY doc_id
+"""
+
+# --- x09 quality score -------------------------------------------------------
+
+def x09_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return TS.quality_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+X09_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN token IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS n_stop
+        FROM toks GROUP BY doc_id),
+comp AS (
+  SELECT d.doc_id,
+         CAST(a.n_tokens AS BIGINT) AS n_tokens,
+         CAST(length(d.text) AS BIGINT) AS n_chars_obs,
+         round(CAST(length(regexp_replace(lower(d.text), '[a-z ]', '', 'g'))
+                    AS DOUBLE) / greatest(length(d.text), 1), 4) AS punct_ratio,
+         round(CAST(a.n_stop AS DOUBLE) / greatest(a.n_tokens, 1), 4)
+           AS stop_ratio,
+         round(CAST(least(a.n_tokens, 200) AS DOUBLE)
+               / CAST(200.0 AS DOUBLE), 4) AS len_component
+  FROM documents d JOIN agg a ON a.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, n_chars_obs, punct_ratio, stop_ratio,
+       round(CAST(0.4 AS DOUBLE) * len_component
+             + CAST(0.3 AS DOUBLE) * stop_ratio
+             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4)
+         AS quality
+FROM comp ORDER BY doc_id
+"""
+
+# --- x10 token counting ------------------------------------------------------
+
+def x10_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    per_doc = docs.select(
+        "source",
+        TS.whitespace_token_count("text").alias("ws"),
+        TS.bpe_ish_token_count("text").alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+X10_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> length(x) > 0)) AS ws,
+         len(regexp_extract_all(text, '{TS.BPE_ISH_PATTERN}')) AS bpe
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+# --- x11 document fingerprint -------------------------------------------------
+
+def x11_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return TS.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+
+
+X11_SQL = """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp8,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM n ORDER BY doc_id
+"""
+
+# --- x12 multimodal metadata (binary column plumbing, oracle-checked) --------
+
+def x12_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("event_id") < 200)
+    media = M.attach_binary(e, "props", "event_id", mime="application/json")
+    meta = M.media_meta(media)
+    k = e.select(
+        F.col("event_id").cast("long").alias("media_id"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+    return meta.join(k, "media_id").orderBy("media_id")
+
+
+X12_SQL = """
+SELECT CAST(event_id AS BIGINT) AS media_id,
+       'application/json' AS mime,
+       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
+       md5(props) AS content_hash,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+FROM events WHERE event_id < 200 ORDER BY media_id
+"""
+
+# --- x13 multimodal decode stub (mapInPandas; rows-only) ----------------------
+
+def x13_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("event_id") < 200)
+    media = M.attach_binary(e, "props", "event_id", mime="image/fake")
+    return M.decode_media(media).orderBy("media_id")
+
+
+# --- x14 session windows (batch analogue of streaming sessionization) --------
+
+def x14_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+X14_SQL = """
+WITH o AS (SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT *, CASE WHEN prev IS NULL
+                       OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM o),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+# --- x15 sliding windows -------------------------------------------------------
+
+def x15_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+        .orderBy("bucket_start")
+    )
+
+
+X15_SQL = """
+WITH b AS (
+  SELECT unnest([
+    make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300) * 1000000),
+    make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
+  ]) AS bucket_start, value
+  FROM events)
+SELECT bucket_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM b GROUP BY bucket_start ORDER BY bucket_start
+"""
+
+# --- x16 approximate aggregates (tolerance-checked, not hash-matched) ---------
+
+def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) + approx percentile — excluded from
+    hash-match per SURVEY.md §2.3; property-tested vs exact in unit tests."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- x17 LSH-bucketed near-dup (scale path; recall<1 → rows-only) -------------
+
+def x17_lsh_bucketed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return S.lsh_bucketed_pairs(
+        emb, dim=64, n_planes=6, threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
+EXT_QUERIES: dict[str, QuerySpec] = {
+    "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
+    "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
+    "x03_minhash_signature": QuerySpec(x03_minhash_signature, X03_SQL),
+    "x04_minhash_lsh_pairs": QuerySpec(x04_minhash_lsh_pairs, X04_SQL),
+    "x05_simhash": QuerySpec(x05_simhash, None),
+    "x06_embedding_neardup": QuerySpec(x06_embedding_neardup, X06_SQL),
+    "x07_ann_topk": QuerySpec(x07_ann_topk, X07_SQL),
+    "x08_lang_id": QuerySpec(x08_lang_id, X08_SQL),
+    "x09_quality_score": QuerySpec(x09_quality_score, X09_SQL),
+    "x10_token_count": QuerySpec(x10_token_count, X10_SQL),
+    "x11_fingerprint": QuerySpec(x11_fingerprint, X11_SQL),
+    "x12_multimodal_meta": QuerySpec(x12_multimodal_meta, X12_SQL),
+    "x13_multimodal_decode": QuerySpec(x13_multimodal_decode, None),
+    "x14_session_window": QuerySpec(x14_session_window, X14_SQL),
+    "x15_sliding_window": QuerySpec(x15_sliding_window, X15_SQL),
+    "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),
+    "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, None),
+}

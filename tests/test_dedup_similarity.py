@@ -1,0 +1,183 @@
+"""Tests for dedup / similarity / textstats / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.functions.vectors import as_double, cosine
+from mapreduce_stockheadlines_spark.operators import dedup as D
+from mapreduce_stockheadlines_spark.operators import multimodal as M
+from mapreduce_stockheadlines_spark.operators import similarity as S
+from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+            (2, "completely different words entirely unrelated sentence"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], ["k", "v"]
+    )
+    out = D.exact_dedup(df, ["k"], ["v"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 2: "z"}
+
+
+def test_content_hash_dedup_groups_exact_dups(spark):
+    out = D.content_hash_dedup(docs_df(spark), "text", "doc_id")
+    rows = {r.keep_id: r.n_copies for r in out.collect()}
+    assert rows[0] == 2  # docs 0 and 3 identical, min id kept
+    assert rows[1] == 1 and rows[2] == 1
+
+
+def test_minhash_identical_docs_identical_signature(spark):
+    sig = D.minhash_signature(docs_df(spark), "doc_id", "text", num_hashes=8)
+    rows = {r.doc_id: tuple(r[f"mh{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[0] == rows[3]
+    assert rows[0] != rows[2]
+
+
+def test_lsh_pairs_catch_exact_dups(spark):
+    sig = D.minhash_signature(docs_df(spark), "doc_id", "text", num_hashes=8)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(sig, "doc_id", 8, 4).collect()
+    }
+    assert (0, 3) in pairs  # exact dups always collide in every band
+
+
+def test_jaccard_pairs_exact_values(spark):
+    df = docs_df(spark)
+    toks = D.doc_tokens(df, "doc_id", "text")
+    pairs = spark.createDataFrame([(0, 3), (0, 2), (0, 1)], ["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(toks, pairs).collect()}
+    assert got[(0, 3)] == 1.0
+    assert got[(0, 2)] == 0.0
+    # docs 0/1: 8 distinct tokens each, 7 shared → 7/9
+    assert math.isclose(got[(0, 1)], round(7 / 9, 4))
+
+
+def test_simhash_properties(spark):
+    out = D.simhash64(docs_df(spark), "doc_id", "text")
+    rows = {r.doc_id: r.simhash for r in out.collect()}
+    assert rows[0] == rows[3]  # identical docs → identical fingerprint
+    # near-dup should be closer in Hamming distance than unrelated doc
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(rows[0], rows[1]) < hamming(rows[0], rows[2])
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"]
+    )
+    sims = [
+        r.s
+        for r in df.select(
+            cosine(as_double("a"), as_double("b")).alias("s")
+        ).collect()
+    ]
+    assert math.isclose(sims[0], 1.0)
+    assert math.isclose(sims[1], 0.0)
+
+
+def test_cosine_topk_ranks(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.01]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = S.cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [3, 1]  # closest first
+    assert rows[0].rank == 1
+
+
+def test_lsh_bucketed_recall_of_exact_dup(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs(emb, dim=8, n_planes=4, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs  # identical vectors share every sign bucket
+    assert (0, 2) not in pairs
+
+
+def test_quality_score_ranges(spark):
+    out = TS.quality_score(docs_df(spark), "doc_id", "text")
+    for r in out.collect():
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stop_ratio <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, 42 times!",)], ["t"])
+    row = df.select(
+        TS.whitespace_token_count("t").alias("ws"),
+        TS.bpe_ish_token_count("t").alias("bpe"),
+    ).first()
+    assert row.ws == 4
+    # hello / world / , / 42 / times / !
+    assert row.bpe == 6
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "a  b\tc"), (1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.fp for r in TS.fingerprint(df, "doc_id", "text").collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    media = M.attach_binary(df, "text", "doc_id", mime="image/fake")
+    out = M.decode_media(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_bytes == 5
+    assert r.width > 0 and r.height > 0 and r.n_frames > 0
+    assert len(r.feature) == 8
+    # deterministic: same content → same fake decode
+    again = M.decode_media(media).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (again.width, again.height, again.n_frames)
+
+
+def test_multimodal_strict_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = M.attach_binary(df, "text", "doc_id")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        M.decode_media(media, strict=True).collect()
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """Approx aggregates: property-checked vs exact (SURVEY §2.3 exclusion)."""
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    approx = e.agg(F.approx_count_distinct("user_id").alias("a")).first().a
+    exact = e.agg(F.countDistinct("user_id").alias("e")).first().e
+    assert abs(approx - exact) / exact < 0.1

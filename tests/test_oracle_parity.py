@@ -1,0 +1,45 @@
+"""DuckDB-oracle parity tests (SURVEY.md §5.2.2) — every declared query
+with an oracle is executed on Spark and DuckDB at sf0.001 and compared the
+way the driver's t2 gate does (rowcount + schema + canonicalized values).
+
+The heavier sf0.01 sweep lives in scripts/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mapreduce_stockheadlines_spark.oracle_compare import compare
+from mapreduce_stockheadlines_spark.plans.catalog import TABLES
+from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+ORACLED = sorted(n for n, s in ALL_QUERIES.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in ALL_QUERIES.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    spec = ALL_QUERIES[name]
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    odf = con.sql(spec.oracle).fetchdf()
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    spec = ALL_QUERIES[name]
+    df = spec.builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

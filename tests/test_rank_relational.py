@@ -1,0 +1,79 @@
+"""Unit/property tests for rank pipeline (O10-O15) and relational wrappers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.operators import relational as R
+from mapreduce_stockheadlines_spark.operators.rank import (
+    count_by_key,
+    count_rank_format,
+    ranked,
+)
+
+
+def test_count_by_key_sums_to_rowcount(spark):
+    df = spark.createDataFrame([(k,) for k in "aabbbc"], ["k"])
+    counted = count_by_key(df, "k")
+    assert sum(r.cnt for r in counted.collect()) == df.count()
+
+
+def test_ranked_is_permutation_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("b", 3), ("a", 3), ("c", 5)], ["k", "cnt"]
+    )
+    rows = ranked(df, "k").orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    # count desc first, then key ASC on ties (engine policy, SURVEY §7.4)
+    assert [r.k for r in rows] == ["c", "a", "b"]
+
+
+def test_count_rank_format_line(spark):
+    df = spark.createDataFrame([("MS",)] * 3 + [("GS",)], ["stock"])
+    lines = [r.line for r in count_rank_format(df, "stock").collect()]
+    assert lines == ["1: MS, 3", "2: GS, 1"]
+
+
+def test_topk(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["x"])
+    top = R.topk(df, [F.desc("x")], 5)
+    assert [r.x for r in top.collect()] == [99, 98, 97, 96, 95]
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["x"])
+    assert R.union_all(a, b).count() == 7
+    assert sorted(r.x for r in R.intersect(a, b).collect()) == [2, 3]
+    assert sorted(r.x for r in R.except_(a, b).collect()) == [1, 2]
+
+
+def test_joins(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["id"])
+    assert R.join(left, right, "id").count() == 2
+    assert R.semi_join(left, right, "id").count() == 2
+    assert sorted(r.id for r in R.anti_join(left, right, "id").collect()) == [1]
+    # semi + anti partition the left side
+    assert (
+        R.semi_join(left, right, "id").count()
+        + R.anti_join(left, right, "id").count()
+        == left.count()
+    )
+
+
+def test_aggregate_alias_discipline(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], ["k", "v"])
+    out = R.aggregate(
+        df, ["k"], {"n": F.count(F.lit(1)), "sum_v": F.round(F.sum("v"), 2)}
+    )
+    assert set(out.columns) == {"k", "n", "sum_v"}
+    got = {r.k: (r.n, r.sum_v) for r in out.collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 3.0)}
+
+
+def test_having(spark):
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, ["k"])
+    g = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    out = R.having(g, F.col("cnt") > 3)
+    assert [r.k for r in out.collect()] == ["a"]

@@ -1,0 +1,145 @@
+"""Structured Streaming tests (SURVEY.md §7.4.5): windowed aggregations
+over a file-source stream match the batch equivalents; watermark drops a
+late fixture row; custom stateful operator runs.
+
+The reference has no streaming semantics to match (SURVEY.md §2.2) —
+Spark's documented semantics are normative, pinned here with
+deterministic event-time fixtures.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.plans.catalog import table
+from mapreduce_stockheadlines_spark.streaming.stateful import running_user_totals
+from mapreduce_stockheadlines_spark.streaming.windows import (
+    read_event_stream,
+    run_to_memory_sink,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a one-file parquet stream source (the raw test
+    file uses nano timestamps the stream schema can't declare)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(
+        str(d / "data")
+    )
+    yield str(d / "data")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _collect_memory(spark, name):
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, stream_dir):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = tumbling_counts(read_event_stream(spark, stream_dir))
+    q = run_to_memory_sink(stream, name, output_mode="complete")
+    try:
+        got = {
+            r.bucket_start: (r.n_events, r.sum_value)
+            for r in _collect_memory(spark, name).collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.col("w.start").alias("b"), "n", "s")
+    )
+    want = {r.b: (r.n, r.s) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_stream_runs(spark, stream_dir):
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    stream = session_counts(read_event_stream(spark, stream_dir))
+    q = run_to_memory_sink(stream, name, output_mode="complete")
+    try:
+        rows = _collect_memory(spark, name).collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_watermark_drops_late_row(spark, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark far past an old
+    window; batch 2's late row (event-time behind the watermark) must be
+    dropped in append mode."""
+    import pandas as pd
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def mk(rows):
+        return pd.DataFrame(rows, columns=cols)
+
+    early = mk(
+        [
+            (1, pd.Timestamp("2024-01-01 00:01:00"), 1, "a", 1.0, "{}"),
+            (2, pd.Timestamp("2024-01-01 03:00:00"), 1, "a", 1.0, "{}"),
+        ]
+    )
+    spark.createDataFrame(early).write.mode("overwrite").parquet(str(d / "b1"))
+
+    stream = tumbling_counts(
+        read_event_stream(spark, str(d / "b*")), watermark="10 minutes"
+    )
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = mk([(3, pd.Timestamp("2024-01-01 00:02:00"), 1, "a", 99.0, "{}")])
+        spark.createDataFrame(late).write.mode("overwrite").parquet(str(d / "b2"))
+        q.processAllAvailable()
+        rows = _collect_memory(spark, name).collect()
+    finally:
+        q.stop()
+    emitted = {r.bucket_start: r.n_events for r in rows}
+    # the 00:00 window was finalized by batch 1's watermark with exactly one
+    # event; the late row must not have re-opened or incremented it
+    import datetime
+
+    w0 = datetime.datetime(2024, 1, 1, 0, 0)
+    assert emitted.get(w0) == 1
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    stream = running_user_totals(read_event_stream(spark, stream_dir))
+    name = f"u_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = _collect_memory(spark, name).collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    totals = {r.user_id: r.n_events for r in rows}
+    assert all(n >= 1 for n in totals.values())

@@ -1,0 +1,66 @@
+"""Unit tests for text operators O5-O9 (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.functions.text import (
+    clean_text,
+    explode_tokens,
+    load_stopwords_file,
+    remove_stopwords,
+    stopwords_df,
+    tokens_array,
+)
+
+
+def test_clean_text_lower_then_strip(spark):
+    """O6 order pinned by WordCount.java:53: lower first, then [^a-zA-Z ]."""
+    df = spark.createDataFrame([("U.S. Co.'s Q3 EPS est $1.5M",)], ["t"])
+    out = df.select(clean_text("t").alias("c")).first().c
+    # 'U.S. Co.'s Q3 EPS est $1.5M' → each non-[a-zA-Z ] char becomes one space
+    assert out == "u s  co  s q  eps est     m"
+
+
+def test_tokens_array_drops_empties(spark):
+    df = spark.createDataFrame([("  A  b!! c  ",), ("",), ("123 !!",)], ["t"])
+    rows = df.select(tokens_array("t").alias("a")).collect()
+    assert rows[0].a == ["a", "b", "c"]
+    assert rows[1].a == []
+    assert rows[2].a == []
+
+
+def test_explode_tokens_one_row_per_token(spark):
+    df = spark.createDataFrame([("one two two",)], ["t"])
+    toks = [r.token for r in explode_tokens(df, "t").collect()]
+    assert sorted(toks) == ["one", "two", "two"]
+
+
+def test_stopword_file_crlf_no_trailing_newline(spark, tmp_path):
+    """A2 fixture quirks: CRLF endings, no trailing newline, mixed case and
+    padding neutralized by trim+lower (WordCount.java:34 behavior)."""
+    p = tmp_path / "stop.txt"
+    p.write_bytes(b"The\r\n  and  \r\nof")
+    stop = load_stopwords_file(spark, str(p))
+    assert sorted(r.word for r in stop.collect()) == ["and", "of", "the"]
+
+
+def test_remove_stopwords_anti_join(spark):
+    toks = spark.createDataFrame(
+        [("the",), ("market",), ("and",), ("rally",)], ["token"]
+    )
+    kept = remove_stopwords(toks, stopwords_df(spark))
+    assert sorted(r.token for r in kept.collect()) == ["market", "rally"]
+
+
+def test_anti_plus_semi_partition_input(spark):
+    """Property: anti-join + semi-join partition the token stream."""
+    toks = spark.createDataFrame(
+        [(w,) for w in ["the", "a", "x", "y", "the", "z"]], ["token"]
+    )
+    stop = stopwords_df(spark)
+    anti = remove_stopwords(toks, stop).count()
+    semi = toks.join(
+        F.broadcast(stop.withColumnRenamed("word", "token")), "token", "left_semi"
+    ).count()
+    assert anti + semi == toks.count()
