@@ -1,8 +1,20 @@
 """Similarity search over embedding columns (§2.2 extension).
 
-Baseline: brute-force cosine top-k — correct at any scale if the query set
-is small (broadcast) even when the corpus is huge; the scan is
-embarrassingly parallel and never shuffles the corpus.
+Baseline: brute-force cosine — exact at any scale. Both the all-pairs and
+top-k variants run the quadratic math as vectorized numpy matrix products
+inside Arrow-batched Pandas functions (the hot path is BLAS, not per-row
+expression evaluation):
+
+- ``neardup_pairs``: block-decomposed A·Bᵀ. Rows are hashed into fixed-size
+  blocks; each unordered block pair becomes one task holding at most two
+  blocks in memory. Shuffle volume is n·B rows (B = block count) and
+  per-task memory is bounded by ``block_rows`` regardless of total n —
+  the compute is inherently O(n²) (use ``lsh_bucketed_pairs`` as the
+  scale path), but no single task ever materializes more than two blocks.
+- ``cosine_topk``: the (small) query side is broadcast as one dense
+  matrix; the corpus streams through ``mapInPandas`` with a per-batch
+  local top-k, so only |queries|·k rows per batch reach the final
+  global top-k window. The corpus is never shuffled.
 
 Scale path: LSH-bucketed (random-hyperplane sign buckets) variant that
 prunes the candidate set before the exact re-rank, turning the cross
@@ -11,10 +23,25 @@ product into a bucket-equijoin.
 
 from __future__ import annotations
 
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list column into a dense float64 matrix, L2-normalized
+    row-wise (zero vectors stay zero → cosine 0, matching 0/||0|| guards)."""
+    m = np.array(list(series), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
 
 
 def cosine_topk(
@@ -26,21 +53,55 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
-    The query side is broadcast (BroadcastNestedLoopJoin over the corpus
-    scan — one pass, no corpus shuffle); ranking shuffles only
-    |queries| × |corpus| *scored* rows, and per-query top-k is a window
-    over a small partition count.
+    The query side is collected and broadcast as one normalized numpy
+    matrix (it is a query *set* — semantically small, like the build side
+    of a broadcast join); the corpus streams through ``mapInPandas`` in
+    Arrow batches. Each batch emits only its local top-k per query, so the
+    final global window ranks ≤ |queries|·k rows per batch instead of
+    |queries|·|corpus| scored rows.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    q_pdf = (
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            as_double(vec_col).alias("qv"),
+        )
+        .toPandas()
+        .sort_values("query_id")
     )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = _to_matrix(q_pdf["qv"])
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_c = pdf["neighbor_id"].to_numpy()
+            mat_c = _to_matrix(pdf["cv"])
+            sims = mat_q @ mat_c.T  # |Q| x batch
+            sims[ids_q[:, None] == ids_c[None, :]] = -np.inf  # mask self
+            kk = min(k, sims.shape[1])
+            # per-query local top-k: argpartition then exact sort of k items
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(ids_q, kk)
+            cols = part.ravel()
+            vals = np.take_along_axis(sims, part, axis=1).ravel()
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "query_id": rows[keep],
+                    "neighbor_id": ids_c[cols[keep]],
+                    "sim": vals[keep],
+                }
+            )
+
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
     )
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    scored = c.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -59,20 +120,63 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine > threshold.
+    """All (id_a < id_b) pairs with cosine > threshold — exact, blocked.
 
-    Brute-force variant for oracle checking; at scale use
-    ``lsh_bucketed_pairs`` to block before scoring.
+    Rows are hashed into B ≈ n/block_rows blocks; every unordered block
+    pair (pa ≤ pb) is one ``applyInPandas`` group whose task computes the
+    sub-matrix product with numpy. Per-task memory is ≤ 2·block_rows
+    vectors however large n grows; the replication factor of the
+    broadcast pair-map join is B per row. Brute force is O(n²) compute by
+    definition — ``lsh_bucketed_pairs`` is the sub-quadratic scale path.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    n = emb.count()
+    nblocks = max(1, math.ceil(n / block_rows))
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
+    ).withColumn("g", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int"))
+    pair_map = spark.createDataFrame(
+        [
+            (pa, pb, g)
+            for pa in range(nblocks)
+            for pb in range(pa, nblocks)
+            for g in ({pa, pb})
+        ],
+        "pa int, pb int, g int",
+    )
+    joined = base.join(F.broadcast(pair_map), "g")
+
+    def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        side_a = pdf[pdf["g"] == pa]
+        side_b = pdf[pdf["g"] == pb] if pa != pb else side_a
+        if len(side_a) == 0 or len(side_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids_a = side_a["id"].to_numpy()
+        ids_b = side_b["id"].to_numpy()
+        sims = _to_matrix(side_a["v"]) @ _to_matrix(side_b["v"]).T
+        if pa == pb:
+            # every unordered pair appears twice in the square matrix;
+            # keep the upper triangle (id_a < id_b) once
+            ia, ib = np.nonzero(
+                (sims > threshold) & (ids_a[:, None] < ids_b[None, :])
+            )
+            lo, hi = ids_a[ia], ids_b[ib]
+        else:
+            # cross-block: each unordered pair appears exactly once and only
+            # in this group — keep all, orient as (min, max)
+            ia, ib = np.nonzero(sims > threshold)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ia, ib]})
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
-        )
-        .filter(F.col("sim") > threshold)
+        joined.groupBy("pa", "pb")
+        .applyInPandas(score_block_pair, "id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
 

@@ -85,18 +85,23 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokens_array(text_col)
     n_tokens = F.size(toks).cast("bigint")
     n_chars = F.length(text_col).cast("bigint")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
-        "bigint"
-    )
+    # isin over >10 literals → Catalyst OptimizeIn rewrites to InSet:
+    # O(1) hash probe per token instead of scanning a literal array
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
     # Components rounded to 4dp BEFORE combining so the composite score is
     # computed from identical doubles in any engine (oracle parity).
     punct_ratio = F.round(non_letter_count(text_col) / F.greatest(n_chars, F.lit(1)), 4)
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
     len_component = F.round(F.least(n_tokens, F.lit(200)) / F.lit(200.0), 4)
-    score = F.round(
-        0.4 * len_component + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 4
-    )
+    # Weighted sum in exact integer fixed-point (x1e5): double rounding of
+    # 0.4*l+0.3*s+0.3*(1-p) at a .XXXX5 boundary is engine-dependent, so do
+    # HALF_UP on integers instead (q5 is the score x 100000, exactly).
+    l4 = F.round(len_component * 10000).cast("long")
+    s4 = F.round(stop_ratio * 10000).cast("long")
+    p4 = F.round(punct_ratio * 10000).cast("long")
+    q5 = 4 * l4 + 3 * s4 + 3 * (F.lit(10000) - p4)
+    q4 = F.floor(q5 / 10).cast("long") + F.when(q5 % 10 >= 5, 1).otherwise(0)
+    score = q4 / F.lit(10000.0)
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),

@@ -46,6 +46,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan-parallelized table load for CPU-heavy per-row pipelines (regex
+    tokenization, scoring): if the parquet scan yields fewer splits than
+    the cluster has slots (single-file/single-row-group inputs — true of
+    all local test files), round-robin repartition to default parallelism
+    so the expression work fans out. The shuffle moves only the scanned
+    bytes (small by construction when the split count is low); on real
+    multi-file/multi-row-group data the scan already splits and this is a
+    no-op returning the plain scan.
+    """
+    df = table(spark, sf_dir, name)
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= slots:
+        return df.repartition(slots)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, remove_stopwords, stopwords_df, tokens_array
-from .catalog import table
+from .catalog import parallel_table, table
 
 
 @dataclass(frozen=True)
@@ -353,7 +353,7 @@ ORDER BY custkey
 # --- Q13 string pipeline: clean/tokenize/count (O6,O7,O8) ------------------
 
 def q13_tokenize_count(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     toks = docs.select(F.explode(tokens_array("text")).alias("token"))
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
@@ -413,7 +413,7 @@ FROM r ORDER BY rank
 # --- Q15 WordCount analogue (adds O9 stop-word anti-join + O14 top-100) ----
 
 def q15_word_count_analogue(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     toks = docs.select(F.explode(tokens_array("text")).alias("token"))
     kept = remove_stopwords(toks, stopwords_df(spark))
     counted = kept.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))

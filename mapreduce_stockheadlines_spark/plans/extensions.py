@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import textstats as TS
-from .catalog import table
+from .catalog import parallel_table, table
 from .core import QuerySpec
 
 _TOKS_CTE = """
@@ -33,7 +33,7 @@ _TOKS_CTE = """
 # --- x01 exact content-hash dedup -------------------------------------------
 
 def x01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     return D.content_hash_dedup(docs, "text", "doc_id").orderBy("keep_id")
 
 
@@ -45,7 +45,7 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 # --- x02 n-gram (unigram-set) Jaccard on consecutive doc pairs --------------
 
 def x02_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     toks = D.doc_tokens(docs, "doc_id", "text")
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
@@ -76,7 +76,7 @@ ORDER BY p.id_a
 # --- x03 MinHash signatures (portable md5-lexmin construction) --------------
 
 def x03_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     return D.minhash_signature(docs, "doc_id", "text", num_hashes=8).orderBy(
         "doc_id"
     )
@@ -95,7 +95,7 @@ FROM toks GROUP BY doc_id ORDER BY doc_id
 # --- x04 MinHash LSH candidate pairs ----------------------------------------
 
 def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=8)
     return D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4).orderBy(
         "id_a", "id_b"
@@ -120,7 +120,7 @@ ORDER BY id_a, id_b
 # --- x05 SimHash (engine-native hash → rows-only check) ---------------------
 
 def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     return D.simhash64(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -169,7 +169,7 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 # --- x08 language ID (marker heuristic) -------------------------------------
 
 def x08_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     return TS.lang_id(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -205,7 +205,7 @@ FROM fold ORDER BY doc_id
 # --- x09 quality score -------------------------------------------------------
 
 def x09_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     return TS.quality_score(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -231,19 +231,23 @@ comp AS (
            AS stop_ratio,
          round(CAST(least(a.n_tokens, 200) AS DOUBLE)
                / CAST(200.0 AS DOUBLE), 4) AS len_component
-  FROM documents d JOIN agg a ON a.doc_id = d.doc_id)
+  FROM documents d JOIN agg a ON a.doc_id = d.doc_id),
+fx AS (
+  SELECT *, CAST(round(len_component * 10000) AS BIGINT) AS l4,
+            CAST(round(stop_ratio * 10000) AS BIGINT) AS s4,
+            CAST(round(punct_ratio * 10000) AS BIGINT) AS p4
+  FROM comp),
+q5t AS (SELECT *, 4 * l4 + 3 * s4 + 3 * (10000 - p4) AS q5 FROM fx)
 SELECT doc_id, n_tokens, n_chars_obs, punct_ratio, stop_ratio,
-       round(CAST(0.4 AS DOUBLE) * len_component
-             + CAST(0.3 AS DOUBLE) * stop_ratio
-             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4)
+       (q5 // 10 + CASE WHEN q5 % 10 >= 5 THEN 1 ELSE 0 END) / 10000.0
          AS quality
-FROM comp ORDER BY doc_id
+FROM q5t ORDER BY doc_id
 """
 
 # --- x10 token counting ------------------------------------------------------
 
 def x10_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     per_doc = docs.select(
         "source",
         TS.whitespace_token_count("text").alias("ws"),
@@ -276,7 +280,7 @@ FROM per_doc GROUP BY source ORDER BY source
 # --- x11 document fingerprint -------------------------------------------------
 
 def x11_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_table(spark, sf, "documents")
     return TS.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
 
 
