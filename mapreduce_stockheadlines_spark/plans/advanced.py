@@ -1,0 +1,281 @@
+"""Advanced relational queries (SURVEY.md §2.2 categories beyond the
+reference's surface): as-of join, bounded range join, cube, pivot,
+lag/lead/ntile windows, subqueries via the SQL entry point, JSON +
+array/map scalar functions.
+
+Every query is deterministic (unique-key total orderings, integer or
+pass-through-double aggregates only — no cross-engine float summation)
+and oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import temporal as TP
+from .catalog import register_views, table
+from .core import QuerySpec
+
+# --- q23 as-of join (backward, inclusive) -----------------------------------
+
+def q23_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Each click joins the same user's most recent purchase at-or-before
+    the click (union-and-fill construction, one shuffle — operators/
+    temporal.py). Right side deduplicated per (user_id, ts) by max
+    event_id so the as-of pick is deterministic."""
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    joined = TP.asof_join(
+        clicks,
+        purch,
+        key="user_id",
+        right_cols={"ts": "asof_ts", "value": "asof_value"},
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "asof_ts", "asof_value"
+    ).orderBy("event_id")
+
+
+Q23_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+# --- q24 bounded range join --------------------------------------------------
+
+def q24_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Clicks inside a 4-hour attribution window after a same-user purchase
+    — point-in-interval join bucketed to a (key, bucket) equi-join
+    (operators/temporal.py), never a cartesian fallback."""
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    joined = TP.range_join_bucketed(
+        clicks,
+        purch,
+        key="user_id",
+        point_col="click_ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_seconds=4 * 3600,
+    )
+    return joined.select(
+        "user_id", "purchase_id", "click_id", "start_ts", "click_ts"
+    ).orderBy("purchase_id", "click_id")
+
+
+Q24_SQL = """
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id AS purchase_id, user_id, ts AS start_ts
+          FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, c.click_id, p.start_ts, c.click_ts
+FROM purch p JOIN clicks c
+  ON c.user_id = p.user_id
+ AND c.click_ts >= p.start_ts
+ AND c.click_ts < p.start_ts + INTERVAL 4 HOUR
+ORDER BY p.purchase_id, c.click_id
+"""
+
+# --- q25 cube with GROUPING id ----------------------------------------------
+
+def q25_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one pass
+    (Catalyst Expand operator); aggregates are order-independent
+    (count/min/max) so the oracle hash is exact."""
+    o = table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+Q25_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER)
+         AS gid,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+# --- q26 pivot ---------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q26_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list (no extra distinct
+    scan to discover columns — the list is part of the plan) → one
+    hash aggregate; missing cells coalesced to 0."""
+    e = table(spark, sf, "events")
+    p = (
+        e.withColumn("day", F.dayofmonth("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("day")
+
+
+Q26_SQL = """
+SELECT CAST(day(ts) AS INTEGER) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+# --- q27 lag / lead / ntile windows ------------------------------------------
+
+def q27_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event sequence features: previous value, next event type,
+    raw delta (pass-through double arithmetic — bit-identical across
+    engines, no rounding needed), quartile by time order."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+            F.ntile(4).over(w).cast("int").alias("time_quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q27_SQL = """
+SELECT user_id, event_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(event_type) OVER w AS next_type,
+       value - lag(value) OVER w AS delta,
+       CAST(ntile(4) OVER w AS INTEGER) AS time_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+# --- q28 subqueries through the SQL entry point ------------------------------
+
+_Q28_SPARK_SQL = """
+WITH oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+            GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_mktsegment, oc.n_orders
+FROM customer c JOIN oc ON oc.o_custkey = c.c_custkey
+WHERE oc.n_orders > (SELECT avg(n_orders) FROM oc)
+  AND c.c_custkey IN (SELECT o_custkey FROM orders
+                      WHERE o_orderstatus = 'F')
+ORDER BY c.c_custkey
+"""
+
+
+def q28_subqueries(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery + IN subquery via ``spark.sql`` over registered
+    views — exercises the ad-hoc SQL surface (jobs/sql.py path); Catalyst
+    rewrites IN to a left-semi join and the scalar subquery to a
+    broadcast single-row join."""
+    register_views(spark, sf)
+    return spark.sql(_Q28_SPARK_SQL)
+
+
+Q28_SQL = _Q28_SPARK_SQL  # ANSI subset — identical text runs on DuckDB
+
+# --- q29 JSON + array/map scalar functions ------------------------------------
+
+def q29_json_array_map(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction + sequence/aggregate higher-order array fold +
+    map construction/lookup, aggregated with exact integer sums."""
+    e = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = k % 5 + 1
+    arr = F.sequence(F.lit(1), m)
+    tri = F.aggregate(arr, F.lit(0), lambda acc, x: acc + x)
+    mp = F.create_map(F.lit("k"), k)
+    per = e.select(
+        "event_type",
+        k.alias("k"),
+        tri.alias("tri"),
+        F.element_at(mp, "k").alias("mk"),
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum("tri").alias("sum_tri"),
+            F.sum("mk").alias("sum_map_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q29_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events),
+c AS (SELECT event_type, k, (k % 5 + 1) AS m FROM per)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(m * (m + 1) // 2) AS BIGINT) AS sum_tri,
+       CAST(sum(k) AS BIGINT) AS sum_map_k
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+ADV_QUERIES: dict[str, QuerySpec] = {
+    "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
+    "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
+    "q25_cube": QuerySpec(q25_cube, Q25_SQL),
+    "q26_pivot": QuerySpec(q26_pivot, Q26_SQL),
+    "q27_lag_lead": QuerySpec(q27_lag_lead, Q27_SQL),
+    "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
+    "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
+}

@@ -572,14 +572,14 @@ def q20_having(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
-        .filter(F.col("cnt") > 300)
+        .filter(F.col("cnt") > 30)
         .orderBy(F.desc("cnt"), F.asc("l_partkey"))
     )
 
 
 Q20_SQL = """
 SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
-FROM lineitem GROUP BY l_partkey HAVING count(*) > 300
+FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
 ORDER BY cnt DESC, l_partkey
 """
 

@@ -9,10 +9,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import apply_runtime_conf
+from .advanced import ADV_QUERIES
 from .core import CORE_QUERIES, QuerySpec
 from .extensions import EXT_QUERIES
 
-ALL_QUERIES: dict[str, QuerySpec] = {**CORE_QUERIES, **EXT_QUERIES}
+ALL_QUERIES: dict[str, QuerySpec] = {
+    **CORE_QUERIES,
+    **ADV_QUERIES,
+    **EXT_QUERIES,
+}
 
 
 def _wrap(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
