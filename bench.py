@@ -31,6 +31,8 @@ HEADLINE_QUERIES = [
     "q19_large_join",
     "q21_tumbling_window",
     "q22_dedup",
+    "q23_asof_join",
+    "q24_range_join",
     "x01_dedup_exact",
     "x03_minhash_signature",
     "x06_embedding_neardup",

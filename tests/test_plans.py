@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: assert the *plans*, not just results.
+
+At 100 TB the plan IS the product: a filter that doesn't reach the parquet
+scan, a dim join that doesn't broadcast, or a range join that falls back
+to a nested loop are 100x regressions invisible at test scale. Pin the
+plan properties that matter (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+
+def plan_of(spark, sf_dir: str, name: str) -> str:
+    df = ALL_QUERIES[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_and_projection_reach_the_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_filter_project")
+    assert "PushedFilters: [" in plan
+    # a pushed filter list that is not empty
+    assert "PushedFilters: []" not in plan
+    # column pruning: lineitem has 10 cols; the scan must not read them all
+    scan_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert scan_schema.count(":") <= 6  # few read columns, not the full table
+
+
+def test_q05_small_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q08_anti_join_is_hash_not_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q08_join_anti")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q03_topk_fuses_to_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_topk_rank")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_stopword_anti_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q15_word_count_analogue")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q19_large_join_never_degenerates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_large_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q24_range_join_is_equijoin_not_cartesian(spark, sf_dir):
+    """The whole point of the bucketed construction: a point-in-interval
+    join must compile to a hash join on (key, bucket), never to the
+    nested-loop fallback Spark uses for pure range predicates."""
+    plan = plan_of(spark, sf_dir, "q24_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q23_asof_join_is_single_key_shuffle(spark, sf_dir):
+    """Union-and-fill as-of: no join operator at all — one hash exchange
+    on the key feeding a window sort."""
+    plan = plan_of(spark, sf_dir, "q23_asof_join")
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert "Window" in plan
+
+
+def test_whole_stage_codegen_everywhere_core(spark, sf_dir):
+    """Core relational queries must stay inside codegen (no Python eval in
+    the hot path). AQE hides codegen spans in the pre-execution formatted
+    plan, so toggle it off just for the inspection."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q02_group_agg", "q04_join_inner_agg", "q17_date_functions"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "codegen id" in plan, name  # whole-stage codegen spans
+            assert "BatchEvalPython" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_aggregates_are_partial_then_final(spark, sf_dir):
+    """The combiner the reference never implemented (README.md:94-100):
+    partial HashAggregate before the exchange, final after."""
+    plan = plan_of(spark, sf_dir, "q02_group_agg")
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
