@@ -146,33 +146,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     no cross-engine oracle, covered by unit/property tests instead).
 
     Per doc: hash every token to 64 bits, sum ±1 per bit position weighted
-    by token frequency, sign → fingerprint bit. Implemented with explode +
-    one groupBy over (doc, bit) then a pivot-free conditional sum — all
-    JVM-side expressions.
+    by token frequency, sign → fingerprint bit. One groupBy with 64
+    conditional-sum aggregates — no per-bit row explosion (a naive
+    (doc, bit) explode is a 64x shuffle blowup), single partial+final
+    aggregation pass, all JVM-side codegen.
     """
-    toks = df.select(
+    hashed = df.select(
         id_col, F.explode(tokens_array(text_col)).alias("token")
-    )
-    hashed = toks.select(id_col, F.xxhash64("token").alias("h"))
-    bits = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "h",
-    ).select(
-        id_col,
-        "bit",
-        F.when(
-            F.expr("shiftright(h, CAST(bit AS INT)) & CAST(1 AS BIGINT)") == 1, 1
-        )
-        .otherwise(-1)
-        .alias("contrib"),
-    )
-    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return bit_sums.groupBy(id_col).agg(
+    ).select(id_col, F.xxhash64("token").alias("h"))
+    bit_aggs = [
         F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"_b{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select(id_col, fingerprint.alias("simhash"))

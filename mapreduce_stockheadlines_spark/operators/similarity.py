@@ -181,6 +181,109 @@ def neardup_pairs(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_centroids`` cells, probe only the ``n_probe`` cells nearest
+    each query, exact-rescore the candidates.
+
+    Scale path vs brute force: the candidate join prunes the corpus to
+    ~n_probe/n_centroids of its rows BEFORE any scoring work; the probe
+    table (|queries| x n_probe rows) broadcasts, so the corpus is never
+    shuffled — candidates flow straight into a vectorized rescore and a
+    per-query top-k window. Centroids are the ``n_centroids``
+    lowest-id corpus vectors (deterministic, no iterative training —
+    swap in k-means offline for production recall).
+
+    Recall < 1 by construction (rows-only check; recall is pinned by a
+    property test against the exact ``cosine_topk``).
+    """
+    spark = corpus.sparkSession
+    cent_pdf = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cent_mat = _to_matrix(cent_pdf["v"])
+    bc = spark.sparkContext.broadcast(cent_mat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _to_matrix(pdf["cv"])
+            # argmax picks the FIRST maximal centroid → deterministic ties
+            cl = np.argmax(m @ cmat.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {"cluster": cl, "neighbor_id": pdf["neighbor_id"], "cv": pdf["cv"]}
+            )
+
+    assigned = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).mapInPandas(assign, "cluster int, neighbor_id long, cv array<double>")
+
+    q_pdf = (
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            as_double(vec_col).alias("qv"),
+        )
+        .toPandas()
+        .sort_values("query_id")
+    )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = _to_matrix(q_pdf["qv"])
+    probe_order = np.argsort(-(q_mat @ cent_mat.T), axis=1)[:, :n_probe]
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(c))
+            for qid, row in zip(q_ids, probe_order)
+            for c in row
+        ],
+        "query_id long, cluster int",
+    )
+    bq = spark.sparkContext.broadcast(
+        {int(qid): q_mat[i] for i, qid in enumerate(q_ids)}
+    )
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qvs = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _to_matrix(pdf["cv"])
+            qm = np.stack([qvs[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.einsum("ij,ij->i", qm, m),
+                }
+            )
+
+    candidates = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = candidates.select("query_id", "neighbor_id", "cv").mapInPandas(
+        rescore, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG; no numpy dependency at
     plan-build time, reproducible across runs)."""

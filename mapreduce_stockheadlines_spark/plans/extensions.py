@@ -400,6 +400,16 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- x18 IVF approximate top-k (scale path; recall<1 → rows-only) -------------
+
+def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        queries, emb, k=10, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 # --- x17 LSH-bucketed near-dup (scale path; recall<1 → rows-only) -------------
 
 def x17_lsh_bucketed_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -427,4 +437,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x15_sliding_window": QuerySpec(x15_sliding_window, X15_SQL),
     "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),
     "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, None),
+    "x18_ivf_topk": QuerySpec(x18_ivf_topk, None),
 }

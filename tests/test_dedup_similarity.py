@@ -181,3 +181,30 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     approx = e.agg(F.approx_count_distinct("user_id").alias("a")).first().a
     exact = e.agg(F.countDistinct("user_id").alias("e")).first().e
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_ivf_topk_recall_and_exact_scoring(spark, sf_dir):
+    """IVF ANN: deterministic pipeline on a fixed dataset → recall is a
+    constant; pin it, and require every returned sim to equal the exact
+    brute-force cosine (the approximation may MISS neighbors, never
+    mis-score them)."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4).toPandas()
+    exact = cosine_topk(queries, emb, k=10).toPandas()
+
+    e_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    i_pairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert len(e_pairs & i_pairs) / len(e_pairs) >= 0.8  # observed 0.88
+
+    merged = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"))
+    assert (merged.sim_i == merged.sim_e).all()
+    # ranks are 1..n consecutive per query
+    for _, grp in ivf.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
