@@ -1,0 +1,127 @@
+"""Property-based tests (SURVEY.md §5.2 #4): randomized small tables →
+engine invariants that must hold for ANY input, not just fixtures.
+
+Hypothesis settings are tuned for Spark job latency: few examples, no
+deadline — each example is a distributed job, not a pure function call.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.functions.text import (
+    remove_stopwords,
+    stopwords_df,
+)
+from mapreduce_stockheadlines_spark.operators.dedup import (
+    content_hash_dedup,
+    exact_dedup,
+)
+from mapreduce_stockheadlines_spark.operators.rank import ranked
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.text(alphabet="abcde", min_size=1, max_size=3)
+rows = st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=40)
+
+
+@given(data=rows)
+@SLOW
+def test_group_counts_sum_to_rowcount(spark, data):
+    df = spark.createDataFrame(data, "k string, v int")
+    counted = df.groupBy("k").count()
+    assert sum(r["count"] for r in counted.collect()) == len(data)
+
+
+@given(data=rows)
+@SLOW
+def test_semi_and_anti_partition_the_input(spark, data):
+    df = spark.createDataFrame(data, "k string, v int")
+    side = spark.createDataFrame([("a",), ("c",)], "k string")
+    semi = df.join(side, "k", "left_semi")
+    anti = df.join(side, "k", "left_anti")
+    assert semi.count() + anti.count() == df.count()
+    # the two sides are disjoint by key
+    assert semi.select("k").intersect(anti.select("k")).count() == 0
+
+
+@given(data=st.lists(st.tuples(keys, st.integers(1, 50)), min_size=1, max_size=30))
+@SLOW
+def test_rank_is_permutation(spark, data):
+    counts = {}
+    for k, v in data:
+        counts[k] = counts.get(k, 0) + v
+    df = spark.createDataFrame(list(counts.items()), "k string, cnt long")
+    out = ranked(df, "k").collect()
+    assert sorted(r.rank for r in out) == list(range(1, len(counts) + 1))
+    # descending by count along rank order, key ASC on ties
+    by_rank = sorted(out, key=lambda r: r.rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.cnt, b.k) >= (b.cnt, a.k)
+
+
+@given(data=rows)
+@SLOW
+def test_running_sum_telescopes(spark, data):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(data)], "k string, v int, i int"
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("run", F.sum("v").over(w))
+    # final running value per key == total per key
+    finals = {
+        r.k: r.run
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.desc("i"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    totals = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert finals == totals
+
+
+@given(data=st.lists(st.tuples(st.integers(0, 5), keys), min_size=1, max_size=30))
+@SLOW
+def test_exact_dedup_keeps_one_per_key_and_subset_of_input(spark, data):
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(data)], "k int, t string, i int"
+    )
+    out = exact_dedup(df, ["k"], ["t", "i"]).collect()
+    assert len(out) == len({k for k, _ in data})
+    in_rows = {(r[0], r[1]) for r in ((k, t) for k, t in data)}
+    assert all((r.k, r.t) in in_rows for r in out)
+
+
+@given(data=st.lists(st.text(alphabet="xy ", max_size=6), min_size=1, max_size=20))
+@SLOW
+def test_content_hash_dedup_copies_sum_to_rowcount(spark, data):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id int, text string"
+    )
+    out = content_hash_dedup(df, "text", "doc_id").collect()
+    assert sum(r.n_copies for r in out) == len(data)
+    assert len(out) == len(set(data))
+
+
+@given(toks=st.lists(st.sampled_from(["the", "and", "zebra", "quark", "a"]), min_size=1, max_size=25))
+@SLOW
+def test_stopword_removal_only_removes_stopwords(spark, toks):
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    kept = [r.token for r in remove_stopwords(df, stopwords_df(spark)).collect()]
+    assert sorted(kept) == sorted(t for t in toks if t in ("zebra", "quark"))
