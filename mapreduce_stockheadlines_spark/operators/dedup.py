@@ -50,15 +50,39 @@ def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs where a shingle is a word n-gram —
+    the order-sensitive set representation (SURVEY.md 'shingle→minhash→
+    band→bucket-join'). Built array-side (transform over an index
+    sequence) so the Generate emits shingles directly, no self-join."""
+    toks = tokens_array(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        df.select(id_col, F.explode(shingles).alias("token"))
+        .distinct()
+    )
+
+
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """MinHash signature: column ``mh{i}`` = min(md5(i || ':' || token)).
 
     One groupBy produces the whole signature (num_hashes aggregates in a
-    single pass); no per-hash shuffle.
+    single pass); no per-hash shuffle. ``shingle_n`` switches the set
+    representation from unigram tokens to word n-gram shingles.
     """
-    toks = doc_tokens(df, id_col, text_col)
+    if shingle_n is not None:
+        toks = doc_shingles(df, id_col, text_col, n=shingle_n)
+    else:
+        toks = doc_tokens(df, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
             f"mh{i}"

@@ -400,6 +400,33 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- x19 MinHash over word-3-gram shingles ------------------------------------
+
+def x19_minhash_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    return D.minhash_signature(
+        docs, "doc_id", "text", num_hashes=8, shingle_n=3
+    ).orderBy("doc_id")
+
+
+_SHINGLE_CTE = r"""
+  SELECT DISTINCT doc_id, shingle AS token FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(l) - 2, 0) + 1),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+    FROM (SELECT doc_id, list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\s+'),
+                   t -> length(t) > 0) AS l
+          FROM documents))
+"""
+
+X19_SQL = f"""
+WITH toks AS ({_SHINGLE_CTE})
+SELECT doc_id,
+       {_MH_COLS}
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+
 # --- x18 IVF approximate top-k (scale path; recall<1 → rows-only) -------------
 
 def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -438,4 +465,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),
     "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, None),
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, None),
+    "x19_minhash_shingles": QuerySpec(x19_minhash_shingles, X19_SQL),
 }

@@ -88,6 +88,19 @@ def session_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    subset: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication: first-seen row per ``subset`` key wins;
+    state holds one entry per key and is evicted once the watermark
+    passes the key's event time — the streaming half of the engine's
+    dedup story (batch half: operators/dedup.py). The event-time column
+    must be in ``subset`` for state eviction to apply."""
+    return events.withWatermark("ts", watermark).dropDuplicates(subset)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ):

@@ -143,3 +143,22 @@ def test_stateful_running_totals(spark, stream_dir):
     assert len(rows) > 0
     totals = {r.user_id: r.n_events for r in rows}
     assert all(n >= 1 for n in totals.values())
+
+
+def test_streaming_dedup_first_seen_wins(spark, stream_dir):
+    from mapreduce_stockheadlines_spark.streaming.windows import streaming_dedup
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = streaming_dedup(
+        read_event_stream(spark, stream_dir), ["user_id", "event_type", "ts"]
+    )
+    q = run_to_memory_sink(stream, name, output_mode="append")
+    try:
+        got = _collect_memory(spark, name)
+        # source has no (user_id, event_type, ts) duplicates → identity,
+        # and the op must not drop anything that isn't a duplicate
+        n_distinct = got.select("user_id", "event_type", "ts").distinct().count()
+        assert got.count() == n_distinct
+        assert got.count() > 0
+    finally:
+        q.stop()
