@@ -270,6 +270,36 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- q30 exact percentiles ----------------------------------------------------
+
+def q30_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT percentiles (sort-based aggregate — distinct from the
+    approximate sketch in x16): linear-interpolated quantiles over an
+    integer-valued measure, so the interpolation arithmetic is identical
+    across engines."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q30_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 ADV_QUERIES: dict[str, QuerySpec] = {
     "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
@@ -278,4 +308,5 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q27_lag_lead": QuerySpec(q27_lag_lead, Q27_SQL),
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
     "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
+    "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),
 }

@@ -162,3 +162,29 @@ def test_streaming_dedup_first_seen_wins(spark, stream_dir):
         assert got.count() > 0
     finally:
         q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, stream_dir, tmp_path):
+    """Production sink pattern: each micro-batch lands via the batch
+    parquet writer (foreachBatch bridges streams to any batch sink)."""
+    out = str(tmp_path / "out")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    stream = tumbling_counts(read_event_stream(spark, stream_dir))
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    landed = spark.read.parquet(out)
+    assert landed.count() > 0
+    assert "batch_id" in landed.columns
+    assert landed.agg(F.sum("n_events")).first()[0] > 0
