@@ -102,6 +102,81 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel plumbing: Arrow-batched ``mapInPandas``, one row per
+    input row, target dimensions attached; the pixel resample itself is
+    stubbed (content passes through — a real kernel swaps in
+    PIL.Image.resize on the decoded buffer). Narrow op: no shuffle,
+    partitioning preserved."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                    "content": pdf["content"],  # stub: real kernel resamples
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame sampling: 1 → N table-generating ``mapInPandas`` — each media
+    row emits up to ``max_frames`` evenly-spaced frame rows with per-frame
+    features (deterministic fake features derived from the content digest
+    + frame index; a real kernel decodes and samples actual frames). The
+    output explodes rows but never shuffles."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, n_frames, _ = _fake_decode(content)
+                take = min(max_frames, n_frames)
+                for j in range(take):
+                    # evenly spaced: frame j of take over n_frames total
+                    frame_no = (j * n_frames) // max(take, 1)
+                    d = hashlib.md5(
+                        (content or b"") + bytes([frame_no % 256])
+                    ).digest()
+                    ids.append(mid)
+                    idxs.append(frame_no)
+                    feats.append([round(b / 255.0, 6) for b in d[:8]])
+            out = pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_feature": feats}
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    return df.mapInPandas(sample_batches, schema=FRAMES_SCHEMA)
+
+
 def media_meta(df: DataFrame) -> DataFrame:
     """Metadata-only path (no decode): byte length etc. as pure column
     expressions — stays in codegen, oracle-checkable."""

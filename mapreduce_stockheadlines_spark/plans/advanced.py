@@ -300,6 +300,59 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --- q31 grouping sets ---------------------------------------------------------
+
+_Q31_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER)
+         AS gid,
+       count(*) AS n_orders, min(o_totalprice) AS min_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q31_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (an arbitrary subset of the cube lattice —
+    one Expand pass, not a union of scans)."""
+    register_views(spark, sf)
+    return spark.sql(_Q31_SQL)
+
+
+Q31_SQL = _Q31_SQL  # ANSI — identical text runs on DuckDB
+
+# --- q32 full outer join --------------------------------------------------------
+
+def q32_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER: both null-extended sides survive (event users without a
+    matching customer id and vice versa)."""
+    e = table(spark, sf, "events")
+    c = table(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    joined = per_user.join(
+        c.select("c_custkey", "c_mktsegment"),
+        per_user["user_id"] == c["c_custkey"],
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("user_id", "c_custkey").alias("id"),
+        "n_events",
+        "c_mktsegment",
+    ).orderBy("id")
+
+
+Q32_SQL = """
+WITH per_user AS (SELECT user_id, count(*) AS n_events FROM events
+                  GROUP BY user_id),
+c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 300)
+SELECT coalesce(user_id, c_custkey) AS id, n_events, c_mktsegment
+FROM per_user FULL OUTER JOIN c ON user_id = c_custkey
+ORDER BY id
+"""
+
+
 ADV_QUERIES: dict[str, QuerySpec] = {
     "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
@@ -309,4 +362,6 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
     "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
     "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),
+    "q31_grouping_sets": QuerySpec(q31_grouping_sets, Q31_SQL),
+    "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),
 }

@@ -323,6 +323,15 @@ def x13_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+# --- x20 multimodal resize + frame sampling (stubbed kernels; rows-only) -----
+
+def x20_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("event_id") < 100)
+    media = M.attach_binary(e, "props", "event_id", mime="video/fake")
+    frames = M.sample_frames(media, max_frames=3)
+    return frames.orderBy("media_id", "frame_idx")
+
+
 # --- x14 session windows (batch analogue of streaming sessionization) --------
 
 def x14_session_window(spark: SparkSession, sf: str) -> DataFrame:
@@ -466,4 +475,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, None),
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, None),
     "x19_minhash_shingles": QuerySpec(x19_minhash_shingles, X19_SQL),
+    "x20_multimodal_frames": QuerySpec(x20_multimodal_frames, None),
 }

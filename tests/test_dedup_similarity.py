@@ -208,3 +208,32 @@ def test_ivf_topk_recall_and_exact_scoring(spark, sf_dir):
     # ranks are 1..n consecutive per query
     for _, grp in ivf.groupby("query_id"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_multimodal_resize_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    media = M.attach_binary(df, "text", "doc_id", mime="image/fake")
+    out = M.resize_media(media, 64, 48).collect()
+    assert len(out) == 2
+    assert all(r.width == 64 and r.height == 48 for r in out)
+    assert all(r.content is not None for r in out)
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([(1, "a video"), (2, "another")], ["doc_id", "text"])
+    media = M.attach_binary(df, "text", "doc_id", mime="video/fake")
+    frames = M.sample_frames(media, max_frames=3).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {1, 2}
+    for rows in by_media.values():
+        assert 1 <= len(rows) <= 3
+        assert all(len(r.frame_feature) == 8 for r in rows)
+        idxs = [r.frame_idx for r in rows]
+        assert idxs == sorted(set(idxs))  # distinct, increasing frame indices
+    # deterministic: same content → same frames
+    again = M.sample_frames(media, max_frames=3).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in again) == sorted(
+        (r.media_id, r.frame_idx) for r in frames
+    )
