@@ -1,0 +1,103 @@
+"""End-to-end training-data curation pipeline: the engine's LLM-pipeline
+operators composed the way a 100 TB pretraining-data job would use them.
+
+    documents
+      → exact dedup            (content-hash groupBy; digest shuffle key)
+      → near-dup removal       (MinHash 3-gram shingles → LSH banding →
+                                exact Jaccard verify > threshold → drop the
+                                higher doc_id of each verified pair)
+      → language filter        (marker lang-ID == target language)
+      → quality filter         (composite score ≥ threshold)
+      → token accounting       (whitespace + BPE-ish counts per doc)
+
+Every stage is a DataFrame→DataFrame function from operators/ — no
+driver-side materialization anywhere; the pipeline is one lazy plan and
+writes partitioned parquet.
+
+Usage:
+    python -m mapreduce_stockheadlines_spark.jobs.pipeline OUT_DIR \
+        [--sf-dir DIR] [--lang en] [--min-quality 0.5] [--jaccard 0.8]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import textstats as TS
+from ..plans.catalog import DEFAULT_SF_DIR, parallel_table
+from ..session import get_spark
+
+
+def curate(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The full curation plan over a (doc_id, text, ...) frame; returns the
+    surviving docs with quality/token columns attached."""
+    # 1. exact dedup: keep min doc_id per content hash
+    keep_exact = D.content_hash_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs = docs.join(keep_exact, "doc_id", "left_semi")
+
+    # 2. near-dup: shingle MinHash → LSH candidates → exact Jaccard verify;
+    #    drop the higher id of each confirmed pair
+    sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    cand = D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    shingles = D.doc_shingles(docs, "doc_id", "text", n=3)
+    verified = D.jaccard_pairs(shingles, cand).filter(
+        F.col("jaccard") > jaccard_threshold
+    )
+    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    docs = docs.join(drop, "doc_id", "left_anti")
+
+    # 3+4. language and quality gates
+    lang_df = TS.lang_id(docs, "doc_id", "text").filter(
+        F.col("pred_lang") == lang
+    )
+    docs = docs.join(lang_df.select("doc_id"), "doc_id", "left_semi")
+    q = TS.quality_score(docs, "doc_id", "text")
+    docs = docs.join(
+        q.filter(F.col("quality") >= min_quality).select("doc_id", "quality"),
+        "doc_id",
+    )
+
+    # 5. token accounting
+    return docs.select(
+        "*",
+        TS.whitespace_token_count("text").alias("n_ws_tokens"),
+        TS.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    args = ap.parse_args(argv)
+
+    spark: SparkSession = get_spark("pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = parallel_table(spark, args.sf_dir, "documents")
+    out = curate(
+        docs,
+        lang=args.lang,
+        min_quality=args.min_quality,
+        jaccard_threshold=args.jaccard,
+    )
+    out.write.mode("overwrite").partitionBy("source").parquet(args.out_dir)
+    kept = spark.read.parquet(args.out_dir).count()
+    print(f"kept {kept} docs -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

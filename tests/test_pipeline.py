@@ -1,0 +1,46 @@
+"""End-to-end curation pipeline invariants (jobs/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.jobs.pipeline import curate
+from mapreduce_stockheadlines_spark.operators import textstats as TS
+from mapreduce_stockheadlines_spark.plans.catalog import table
+
+
+def test_curate_invariants(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = curate(docs, lang="en", min_quality=0.4, jaccard_threshold=0.8)
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    # survivors are input rows
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(pdf.doc_id) <= in_ids
+    # no exact content duplicates survive
+    assert pdf.text.nunique() == len(pdf)
+    # every survivor passes the gates it was filtered on
+    assert (pdf.quality >= 0.4).all()
+    langs = {
+        r.doc_id: r.pred_lang
+        for r in TS.lang_id(docs, "doc_id", "text").collect()
+    }
+    assert all(langs[d] == "en" for d in pdf.doc_id)
+    # token columns are present and consistent
+    assert (pdf.n_ws_tokens > 0).all()
+    assert (pdf.n_bpe_tokens >= pdf.n_ws_tokens).all()
+
+
+def test_curate_drops_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "s"),
+        (2, base + " extra", "s"),  # near-dup of 1 (high shingle overlap)
+        (3, "completely different content about the weather in spring", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.5)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 2 dropped as near-dup of 1 (higher id loses); 1 and 3 survive
+    assert 2 not in ids
+    assert 1 in ids and 3 in ids

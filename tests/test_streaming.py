@@ -188,3 +188,31 @@ def test_foreach_batch_parquet_sink(spark, stream_dir, tmp_path):
     assert landed.count() > 0
     assert "batch_id" in landed.columns
     assert landed.agg(F.sum("n_events")).first()[0] > 0
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, stream_dir):
+    """The streaming attribution join must produce exactly the batch
+    range-join pairs (q24 semantics) once all data is processed."""
+    from mapreduce_stockheadlines_spark.plans.advanced import q24_range_join
+    from mapreduce_stockheadlines_spark.streaming.joins import attribution_join
+
+    src = read_event_stream(spark, stream_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(
+        attribution_join(clicks, purchases), name, output_mode="append"
+    )
+    try:
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in _collect_memory(spark, name).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in q24_range_join(spark, sf_dir).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
