@@ -353,6 +353,43 @@ ORDER BY id
 """
 
 
+# --- q33 math + date arithmetic scalar functions -------------------------------
+
+def q33_math_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar math (sqrt/abs/ceil/floor/mod/pow — IEEE-identical across
+    engines; no libm-dependent ln/exp in the hash-matched set) and date
+    arithmetic (datediff/date_add) over orders."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.sqrt("o_totalprice").alias("sqrt_price"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_delta"),
+        F.ceil("o_totalprice").cast("long").alias("ceil_price"),
+        F.floor("o_totalprice").cast("long").alias("floor_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.pow("o_totalprice", 2).alias("price_sq"),
+        F.datediff(
+            F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("int").alias("days_to_98"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    ).orderBy("o_orderkey")
+
+
+Q33_SQL = """
+SELECT o_orderkey,
+       sqrt(o_totalprice) AS sqrt_price,
+       abs(o_totalprice - 1000.0) AS abs_delta,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+       CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+       o_orderkey % 7 AS key_mod7,
+       pow(o_totalprice, 2) AS price_sq,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+            AS INTEGER) AS days_to_98,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
 ADV_QUERIES: dict[str, QuerySpec] = {
     "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
@@ -364,4 +401,5 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),
     "q31_grouping_sets": QuerySpec(q31_grouping_sets, Q31_SQL),
     "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),
+    "q33_math_date_functions": QuerySpec(q33_math_date_functions, Q33_SQL),
 }
