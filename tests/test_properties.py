@@ -24,6 +24,7 @@ from mapreduce_stockheadlines_spark.operators.rank import ranked
 SLOW = settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,  # CI determinism: same examples every run
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
