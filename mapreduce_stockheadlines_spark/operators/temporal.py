@@ -21,7 +21,7 @@ as compositions of shuffle-once DataFrame primitives (SURVEY.md §7.3):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -11,10 +11,10 @@ decode stub are rows-only checks, flagged with ``oracle=None``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens_array
+from ..functions.text import STOPWORDS
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
