@@ -237,3 +237,32 @@ def test_multimodal_frame_sampling(spark):
     assert sorted((r.media_id, r.frame_idx) for r in again) == sorted(
         (r.media_id, r.frame_idx) for r in frames
     )
+
+
+def test_neardup_pairs_blocking_is_invisible(spark, sf_dir):
+    """Forcing many blocks (block_rows << n → cross-block branch) must give
+    exactly the single-block result."""
+    from mapreduce_stockheadlines_spark.operators.similarity import neardup_pairs
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    one = neardup_pairs(emb, threshold=0.35, block_rows=100000).toPandas()
+    many = neardup_pairs(emb, threshold=0.35, block_rows=64).toPandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.sim))
+    assert key(one) == key(many)
+    assert len(one) > 0
+
+
+def test_cosine_topk_partitioning_is_invisible(spark, sf_dir):
+    """Per-batch local top-k must be exact regardless of how the corpus is
+    partitioned (many partitions → many local top-k merges)."""
+    from mapreduce_stockheadlines_spark.operators.similarity import cosine_topk
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    single = cosine_topk(queries, emb.coalesce(1), k=5).toPandas()
+    manyp = cosine_topk(queries, emb.repartition(16), k=5).toPandas()
+    key = lambda df: sorted(zip(df.query_id, df.neighbor_id, df.sim, df["rank"]))
+    assert key(single) == key(manyp)
+    assert len(single) == 3 * 5
