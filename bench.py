@@ -39,6 +39,9 @@ HEADLINE_QUERIES = [
     "x07_ann_topk",
     "x09_quality_score",
     "x14_session_window",
+    "x17_lsh_bucketed_neardup",
+    "x18_ivf_topk",
+    "x19_minhash_shingles",
 ]
 
 
