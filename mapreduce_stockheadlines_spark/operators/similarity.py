@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, dot
 
 
 def _to_matrix(series: pd.Series) -> np.ndarray:
@@ -323,21 +323,22 @@ def lsh_bucketed_pairs(
     recall with multiple tables / fewer planes)."""
     planes = _hyperplanes(dim, n_planes)
     bucketed = emb.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         as_double(vec_col).alias("v"),
         lsh_bucket(as_double(vec_col), planes).alias("bucket"),
     )
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
+
+    def score_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        sims = _to_matrix(pdf["v"]) @ _to_matrix(pdf["v"]).T
+        ia, ib = np.nonzero((sims > threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "sim": sims[ia, ib]}
+        )
+
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
-        .filter(F.col("sim") > threshold)
+        bucketed.groupBy("bucket")
+        .applyInPandas(score_bucket, "id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
         .distinct()
     )
