@@ -126,3 +126,60 @@ def test_stopword_removal_only_removes_stopwords(spark, toks):
     df = spark.createDataFrame([(t,) for t in toks], "token string")
     kept = [r.token for r in remove_stopwords(df, stopwords_df(spark)).collect()]
     assert sorted(kept) == sorted(t for t in toks if t in ("zebra", "quark"))
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@SLOW
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join vs pandas.merge_asof (independent reference): backward,
+    inclusive, per-key. Right side deduped per (key, ts) first (operator
+    contract)."""
+    import pandas as pd
+
+    from mapreduce_stockheadlines_spark.operators.temporal import asof_join
+
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    lrows = [
+        (i, k, t0 + timedelta(minutes=m)) for i, (k, m) in enumerate(left)
+    ]
+    seen = set()
+    rrows = []
+    for k, m, v in right:
+        if (k, m) not in seen:  # unique per (key, ts)
+            seen.add((k, m))
+            rrows.append((k, t0 + timedelta(minutes=m), float(v)))
+    ldf = spark.createDataFrame(lrows, "lid long, key string, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "key string, ts timestamp, val double")
+    got = {
+        r.lid: r.v
+        for r in asof_join(
+            ldf, rdf, key="key", right_cols={"val": "v"}
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["lid", "key", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["key", "ts", "val"]).sort_values("ts", kind="stable")
+    if len(rp):
+        exp_df = pd.merge_asof(
+            lp, rp, on="ts", by="key", direction="backward", allow_exact_matches=True
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.val) else float(r.val))
+            for r in exp_df.itertuples()
+        }
+    else:
+        exp = {int(r.lid): None for r in lp.itertuples()}
+    assert got == exp
