@@ -139,6 +139,66 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs from 64-bit SimHash fingerprints.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
+    bands — any pair within ``max_hamming`` bit flips shares at least one
+    identical band, so candidates come from an equi-join on (band index,
+    band bits) and only candidates pay the exact popcount(xor) verify.
+    All JVM-side expressions; the self-join shuffles fixed-width band
+    keys, never the documents.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = fp.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # band b = bits [b*width, (b+1)*width) (last band
+                        # takes the remainder bits)
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * width
+                        ).bitwiseAND(
+                            F.lit(
+                                -1
+                                if b == n_bands - 1
+                                else (1 << width) - 1
+                            ).cast("long")
+                        ).alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bits")
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "bits"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "bits"
+    )
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

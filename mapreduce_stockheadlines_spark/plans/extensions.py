@@ -124,6 +124,14 @@ def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash64(docs, "doc_id", "text").orderBy("doc_id")
 
 
+# --- x21 SimHash Hamming-banded near-dup pairs (engine-native hash) ----------
+
+def x21_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    fp = D.simhash64(docs, "doc_id", "text")
+    return D.simhash_neardup_pairs(fp, max_hamming=12).orderBy("id_a", "id_b")
+
+
 # --- x06 embedding cosine near-dup pairs ------------------------------------
 
 def x06_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -476,4 +484,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, None),
     "x19_minhash_shingles": QuerySpec(x19_minhash_shingles, X19_SQL),
     "x20_multimodal_frames": QuerySpec(x20_multimodal_frames, None),
+    "x21_simhash_neardup": QuerySpec(x21_simhash_neardup, None),
 }

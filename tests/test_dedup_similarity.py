@@ -266,3 +266,30 @@ def test_cosine_topk_partitioning_is_invisible(spark, sf_dir):
     key = lambda df: sorted(zip(df.query_id, df.neighbor_id, df.sim, df["rank"]))
     assert key(single) == key(manyp)
     assert len(single) == 3 * 5
+
+
+def test_simhash_neardup_banding(spark):
+    """Banded SimHash pairing: a near-identical pair is found, an unrelated
+    doc is not; reported hamming equals the true popcount(xor); and the
+    banding never fabricates pairs above the threshold."""
+    from mapreduce_stockheadlines_spark.operators.dedup import (
+        simhash64,
+        simhash_neardup_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river tonight"),
+        (3, "completely different text about financial markets and stock rallies"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    pairs = simhash_neardup_pairs(
+        simhash64(df, "doc_id", "text"), max_hamming=12
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert (1, 2) in got
+    true_ham = bin((fp[1] ^ fp[2]) & (2**64 - 1)).count("1")
+    assert got[(1, 2)] == true_ham <= 12
+    assert all(h <= 12 for h in got.values())
+    assert (1, 3) not in got and (2, 3) not in got
