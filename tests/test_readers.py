@@ -1,0 +1,60 @@
+"""Source reader tests (SURVEY.md §7.4 hard part #1): naive-split parity
+mode and proper-CSV mode must give DIFFERENT answers on the same quoted
+file — both are correct for their contract; tests pin each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.sources.readers import (
+    headlines_from_naive,
+    read_csv_naive,
+    read_csv_proper,
+    read_json,
+)
+
+QUOTED_CSV = [
+    "id,headline,date,stock",
+    '1,"Markets rally, tech leads",2020-01-01,MS',  # quoted comma
+    "2,Simple headline,2020-01-02,GLD",
+]
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+def test_modes_diverge_on_quoted_commas(spark, tmp_path):
+    path = _write(tmp_path, "quoted.csv", QUOTED_CSV)
+
+    proper = read_csv_proper(spark, path)
+    prow = proper.filter(F.col("id") == 1).first()
+    # proper mode honors quotes: comma inside the field, quotes stripped
+    assert prow.headline == "Markets rally, tech leads"
+    # proper mode skips the header → 2 data rows
+    assert proper.count() == 2
+
+    naive = headlines_from_naive(read_csv_naive(spark, path))
+    nrow = naive.filter(F.col("id") == "1").first()
+    # naive mode splits inside the quotes then re-joins fields 1..n-3:
+    # the quote characters SURVIVE (the reference never strips them)
+    assert nrow.headline == '"Markets rally, tech leads"'
+    # naive mode keeps the header line as data (>3-field guard passes)
+    assert naive.count() == 3
+    assert naive.filter(F.col("stock") == "stock").count() == 1
+
+
+def test_naive_mode_drops_short_rows(spark, tmp_path):
+    path = _write(tmp_path, "short.csv", ["1,too short", "2,a,b,c"])
+    naive = headlines_from_naive(read_csv_naive(spark, path))
+    assert [r.id for r in naive.collect()] == ["2"]
+
+
+def test_json_reader(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = read_json(spark, str(p))
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
