@@ -104,3 +104,10 @@ def test_aggregates_are_partial_then_final(spark, sf_dir):
     assert "partial_sum" in plan and "partial_count" in plan
     assert plan.count("HashAggregate") >= 2
     assert "hashpartitioning" in plan
+
+
+def test_q34_rank_filter_becomes_window_group_limit(spark, sf_dir):
+    """rank <= N over a partitioned window must push into WindowGroupLimit
+    (per-partition top-N heaps before the full window sort)."""
+    plan = plan_of(spark, sf_dir, "q34_topn_per_group")
+    assert "WindowGroupLimit" in plan
