@@ -41,17 +41,18 @@ def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct pairs — the set representation used by Jaccard
-    and MinHash."""
-    return (
-        df.select(id_col, F.explode(tokens_array(text_col)).alias("token"))
-        .distinct()
-    )
+def doc_tokens(
+    df: DataFrame, id_col: str, text_col: str, distinct: bool = True
+) -> DataFrame:
+    """(id, token) pairs — the set representation used by Jaccard (distinct)
+    and MinHash (``distinct=False``: min() dedupes for free, skipping a
+    shuffle)."""
+    out = df.select(id_col, F.explode(tokens_array(text_col)).alias("token"))
+    return out.distinct() if distinct else out
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, shingle) distinct pairs where a shingle is a word n-gram —
     the order-sensitive set representation (SURVEY.md 'shingle→minhash→
@@ -67,10 +68,8 @@ def doc_shingles(
     shingles = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
-    return (
-        df.select(id_col, F.explode(shingles).alias("token"))
-        .distinct()
-    )
+    out = df.select(id_col, F.explode(shingles).alias("token"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(
@@ -86,10 +85,13 @@ def minhash_signature(
     single pass); no per-hash shuffle. ``shingle_n`` switches the set
     representation from unigram tokens to word n-gram shingles.
     """
+    # No .distinct() before the aggregation: min() is duplicate-insensitive,
+    # and the distinct would cost a full extra shuffle of the token stream —
+    # partial aggregation already collapses duplicates map-side.
     if shingle_n is not None:
-        toks = doc_shingles(df, id_col, text_col, n=shingle_n)
+        toks = doc_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     else:
-        toks = doc_tokens(df, id_col, text_col)
+        toks = doc_tokens(df, id_col, text_col, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
             f"mh{i}"
