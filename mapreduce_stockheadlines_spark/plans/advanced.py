@@ -371,7 +371,13 @@ def q33_math_date_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.datediff(
             F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
         ).cast("int").alias("days_to_98"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        # cast("timestamp"): the driver widens oracle-side dates to
+        # timestamps but keeps Spark-side dates as datetime.date, so a raw
+        # DATE column can never hash-match (round-1 q33 vs q17 evidence —
+        # see oracle_compare.py docstring)
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
     ).orderBy("o_orderkey")
 
 
@@ -385,7 +391,7 @@ SELECT o_orderkey,
        pow(o_totalprice, 2) AS price_sq,
        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
             AS INTEGER) AS days_to_98,
-       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date
+       CAST(o_orderdate AS DATE) + 30 AS due_date
 FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """
 

@@ -16,7 +16,11 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from mapreduce_stockheadlines_spark.oracle_compare import compare
+from mapreduce_stockheadlines_spark.oracle_compare import (
+    arrow_type_kinds,
+    compare,
+    spark_type_kinds,
+)
 from mapreduce_stockheadlines_spark.plans.catalog import TABLES
 from mapreduce_stockheadlines_spark.session import get_spark
 
@@ -43,7 +47,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            spark_df = fn(spark, sf_dir)
+            skinds = spark_type_kinds(spark_df.schema)
+            sdf = spark_df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -53,12 +59,15 @@ def main() -> int:
             n_ok += 1
             continue
         try:
-            odf = con.sql(oracles[name]).fetchdf()
+            # .arrow() (not fetchdf) so DATE vs TIMESTAMP survives extraction
+            tbl = con.sql(oracles[name]).arrow()
+            okinds = arrow_type_kinds(tbl.schema)
+            odf = tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        problems = compare(sdf, odf)
+        problems = compare(sdf, odf, skinds, okinds)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1

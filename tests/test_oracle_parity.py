@@ -10,7 +10,11 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from mapreduce_stockheadlines_spark.oracle_compare import compare
+from mapreduce_stockheadlines_spark.oracle_compare import (
+    arrow_type_kinds,
+    compare,
+    spark_type_kinds,
+)
 from mapreduce_stockheadlines_spark.plans.catalog import TABLES
 from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
 
@@ -31,9 +35,12 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     spec = ALL_QUERIES[name]
-    sdf = spec.builder(spark, sf_dir).toPandas()
-    odf = con.sql(spec.oracle).fetchdf()
-    problems = compare(sdf, odf)
+    spark_df = spec.builder(spark, sf_dir)
+    skinds = spark_type_kinds(spark_df.schema)
+    sdf = spark_df.toPandas()
+    # .arrow() (not fetchdf) so DATE vs TIMESTAMP survives extraction
+    tbl = con.sql(spec.oracle).arrow()
+    problems = compare(sdf, tbl.to_pandas(), skinds, arrow_type_kinds(tbl.schema))
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
