@@ -10,15 +10,17 @@ expression evaluation):
   blocks in memory. Shuffle volume is n·B rows (B = block count) and
   per-task memory is bounded by ``block_rows`` regardless of total n —
   the compute is inherently O(n²) (use ``lsh_bucketed_pairs`` as the
-  scale path), but no single task ever materializes more than two blocks.
+  scale path), so the block count is hard-capped with an error rather
+  than letting an infeasible pair map grow without bound.
 - ``cosine_topk``: the (small) query side is broadcast as one dense
   matrix; the corpus streams through ``mapInPandas`` with a per-batch
   local top-k, so only |queries|·k rows per batch reach the final
   global top-k window. The corpus is never shuffled.
 
-Scale path: LSH-bucketed (random-hyperplane sign buckets) variant that
+Scale path: ``lsh_bucketed_pairs`` (random-hyperplane sign buckets)
 prunes the candidate set before the exact re-rank, turning the cross
-product into a bucket-equijoin.
+product into a bucket-equijoin — with the same block decomposition
+applied WITHIN each bucket so a hot bucket never becomes one giant task.
 """
 
 from __future__ import annotations
@@ -44,30 +46,49 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return m / norms
 
 
+def _collect_query_side(
+    queries: DataFrame, id_col: str, vec_col: str, max_query_rows: int, op: str
+) -> pd.DataFrame:
+    """Driver-side collect of the query set, bounded. The query side plays
+    the role of a broadcast build side and must be semantically small; the
+    limit(max+1) bounds the collect itself so a mistakenly-huge query
+    DataFrame fails with a clear error instead of a driver OOM."""
+    q_pdf = (
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            as_double(vec_col).alias("qv"),
+        )
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_query_rows:
+        raise ValueError(
+            f"{op}: query side exceeds max_query_rows={max_query_rows}; it is "
+            "collected to the driver and broadcast like a join build side. "
+            "Reduce the query set or raise max_query_rows explicitly."
+        )
+    return q_pdf.sort_values("query_id")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
     The query side is collected and broadcast as one normalized numpy
     matrix (it is a query *set* — semantically small, like the build side
-    of a broadcast join); the corpus streams through ``mapInPandas`` in
-    Arrow batches. Each batch emits only its local top-k per query, so the
-    final global window ranks ≤ |queries|·k rows per batch instead of
-    |queries|·|corpus| scored rows.
+    of a broadcast join; ``max_query_rows`` guards the collect); the
+    corpus streams through ``mapInPandas`` in Arrow batches. Each batch
+    emits only its local top-k per query, so the final global window
+    ranks ≤ |queries|·k rows per batch instead of |queries|·|corpus|
+    scored rows.
     """
-    q_pdf = (
-        queries.select(
-            F.col(id_col).cast("long").alias("query_id"),
-            as_double(vec_col).alias("qv"),
-        )
-        .toPandas()
-        .sort_values("query_id")
-    )
+    q_pdf = _collect_query_side(queries, id_col, vec_col, max_query_rows, "cosine_topk")
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _to_matrix(q_pdf["qv"])
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
@@ -115,41 +136,14 @@ def cosine_topk(
     )
 
 
-def neardup_pairs(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.8,
-    block_rows: int = 4096,
-) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine > threshold — exact, blocked.
+def _score_block_pair(threshold: float):
+    """applyInPandas kernel shared by ``neardup_pairs`` (group key =
+    (pa, pb)) and ``lsh_bucketed_pairs`` (group key = (bucket, pa, pb)):
+    numpy sub-matrix product over the two sub-blocks, upper triangle kept
+    once for the diagonal groups."""
 
-    Rows are hashed into B ≈ n/block_rows blocks; every unordered block
-    pair (pa ≤ pb) is one ``applyInPandas`` group whose task computes the
-    sub-matrix product with numpy. Per-task memory is ≤ 2·block_rows
-    vectors however large n grows; the replication factor of the
-    broadcast pair-map join is B per row. Brute force is O(n²) compute by
-    definition — ``lsh_bucketed_pairs`` is the sub-quadratic scale path.
-    """
-    n = emb.count()
-    nblocks = max(1, math.ceil(n / block_rows))
-    spark = emb.sparkSession
-    base = emb.select(
-        F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
-    ).withColumn("g", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int"))
-    pair_map = spark.createDataFrame(
-        [
-            (pa, pb, g)
-            for pa in range(nblocks)
-            for pb in range(pa, nblocks)
-            for g in ({pa, pb})
-        ],
-        "pa int, pb int, g int",
-    )
-    joined = base.join(F.broadcast(pair_map), "g")
-
-    def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pa, pb = key
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key[-2], key[-1]
         side_a = pdf[pdf["g"] == pa]
         side_b = pdf[pdf["g"] == pb] if pa != pb else side_a
         if len(side_a) == 0 or len(side_b) == 0:
@@ -174,9 +168,54 @@ def neardup_pairs(
             hi = np.maximum(ids_a[ia], ids_b[ib])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ia, ib]})
 
+    return score
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    block_rows: int = 4096,
+    max_blocks: int = 256,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine > threshold — exact, blocked.
+
+    Rows are hashed into B ≈ n/block_rows blocks; every unordered block
+    pair (pa ≤ pb) is one ``applyInPandas`` group whose task computes the
+    sub-matrix product with numpy. Per-task memory is ≤ 2·block_rows
+    vectors however large n grows; the replication factor of the
+    broadcast pair-map join is B per row.
+
+    The pair map is generated distributed (a range self-join, never a
+    driver-side Python list) and B is hard-capped: brute force is O(n²)
+    compute by definition, so beyond ``max_blocks`` blocks (≈1M rows at
+    the default block size) the right answer is a clear error pointing at
+    ``lsh_bucketed_pairs``, not a driver OOM after hours of shuffling.
+    """
+    n = emb.count()
+    nblocks = max(1, math.ceil(n / block_rows))
+    if nblocks > max_blocks:
+        raise ValueError(
+            f"neardup_pairs: {n} rows → {nblocks} blocks exceeds "
+            f"max_blocks={max_blocks}; exact all-pairs is O(n²) and "
+            "infeasible at this scale — use lsh_bucketed_pairs (sub-"
+            "quadratic) or raise max_blocks/block_rows deliberately."
+        )
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
+    ).withColumn("g", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int"))
+    pa = spark.range(nblocks).select(F.col("id").cast("int").alias("pa"))
+    pb = spark.range(nblocks).select(F.col("id").cast("int").alias("pb"))
+    pair_map = (
+        pa.join(pb, F.col("pa") <= F.col("pb"))
+        .withColumn("g", F.explode(F.array_distinct(F.array("pa", "pb"))))
+    )
+    joined = base.join(F.broadcast(pair_map), "g")
     return (
         joined.groupBy("pa", "pb")
-        .applyInPandas(score_block_pair, "id_a long, id_b long, sim double")
+        .applyInPandas(_score_block_pair(threshold), "id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
 
@@ -189,6 +228,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe only the ``n_probe`` cells nearest
@@ -200,7 +240,8 @@ def ivf_topk(
     shuffled — candidates flow straight into a vectorized rescore and a
     per-query top-k window. Centroids are the ``n_centroids``
     lowest-id corpus vectors (deterministic, no iterative training —
-    swap in k-means offline for production recall).
+    swap in k-means offline for production recall). The query-side
+    collect is bounded by ``max_query_rows``.
 
     Recall < 1 by construction (rows-only check; recall is pinned by a
     property test against the exact ``cosine_topk``).
@@ -232,14 +273,7 @@ def ivf_topk(
         as_double(vec_col).alias("cv"),
     ).mapInPandas(assign, "cluster int, neighbor_id long, cv array<double>")
 
-    q_pdf = (
-        queries.select(
-            F.col(id_col).cast("long").alias("query_id"),
-            as_double(vec_col).alias("qv"),
-        )
-        .toPandas()
-        .sort_values("query_id")
-    )
+    q_pdf = _collect_query_side(queries, id_col, vec_col, max_query_rows, "ivf_topk")
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _to_matrix(q_pdf["qv"])
     probe_order = np.argsort(-(q_mat @ cent_mat.T), axis=1)[:, :n_probe]
@@ -316,29 +350,70 @@ def lsh_bucketed_pairs(
     dim: int = 64,
     n_planes: int = 8,
     threshold: float = 0.8,
+    block_rows: int = 4096,
+    max_pair_map_rows: int = 1_000_000,
 ) -> DataFrame:
     """Scale path: bucket by hyperplane signs, score only same-bucket pairs
     (equijoin on bucket id → shuffle co-location, no cross product), then
     exact cosine verify. Recall < 1 by construction (documented; raise
-    recall with multiple tables / fewer planes)."""
+    recall with multiple tables / fewer planes).
+
+    Bounded tasks: a bucket is NEVER one task. A tiny per-bucket counts
+    aggregate (≤ 2^n_planes output rows) sizes ceil(bucket_size /
+    block_rows) sub-blocks per bucket; rows hash into sub-blocks and each
+    unordered sub-block pair (bucket, pa, pb) is its own ``applyInPandas``
+    group — per-task memory stays ≤ 2·block_rows vectors even for a hot
+    bucket (the same block decomposition as ``neardup_pairs``). The extra
+    counts pass is one cheap scan; the alternative is a straggler/OOM
+    task at 100× scale. If the pair map itself would exceed
+    ``max_pair_map_rows`` (buckets so large the within-bucket work is
+    quadratic-infeasible), fail with guidance to raise n_planes.
+
+    No trailing ``.distinct()``: each row lands in exactly one
+    (bucket, g) sub-block and each unordered pair in exactly one
+    (bucket, pa, pb) group, so the pair stream is duplicate-free by
+    construction — a distinct here would be a wasted full shuffle
+    (contrast lsh_candidate_pairs in dedup.py, where multi-band
+    membership makes the distinct necessary).
+    """
     planes = _hyperplanes(dim, n_planes)
+    spark = emb.sparkSession
     bucketed = emb.select(
         F.col(id_col).cast("long").alias("id"),
         as_double(vec_col).alias("v"),
         lsh_bucket(as_double(vec_col), planes).alias("bucket"),
     )
-
-    def score_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        sims = _to_matrix(pdf["v"]) @ _to_matrix(pdf["v"]).T
-        ia, ib = np.nonzero((sims > threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "sim": sims[ia, ib]}
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    blocks = {
+        int(r["bucket"]): max(1, math.ceil(r["n"] / block_rows)) for r in counts
+    }
+    n_pair_rows = sum(m * (m + 1) // 2 + m * m for m in blocks.values())
+    if n_pair_rows > max_pair_map_rows:
+        raise ValueError(
+            f"lsh_bucketed_pairs: pair map would hold {n_pair_rows} rows "
+            f"(> max_pair_map_rows={max_pair_map_rows}) — buckets are too "
+            "large for within-bucket all-pairs. Raise n_planes (smaller "
+            "buckets) or block_rows."
         )
-
+    mdf = spark.createDataFrame(
+        [(b, m) for b, m in blocks.items()], "bucket long, mb int"
+    )
+    pair_map = spark.createDataFrame(
+        [
+            (b, pa, pb, g)
+            for b, m in blocks.items()
+            for pa in range(m)
+            for pb in range(pa, m)
+            for g in ({pa, pb})
+        ],
+        "bucket long, pa int, pb int, g int",
+    )
+    base = bucketed.join(F.broadcast(mdf), "bucket").withColumn(
+        "g", F.pmod(F.xxhash64("id"), F.col("mb")).cast("int")
+    )
+    joined = base.join(F.broadcast(pair_map), ["bucket", "g"])
     return (
-        bucketed.groupBy("bucket")
-        .applyInPandas(score_bucket, "id_a long, id_b long, sim double")
+        joined.groupBy("bucket", "pa", "pb")
+        .applyInPandas(_score_block_pair(threshold), "id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
-        .distinct()
     )

@@ -53,10 +53,20 @@ def two_phase_count(df: DataFrame, key: str, n_salt: int = 8) -> DataFrame:
     """COUNT per key in two aggregation phases under a salt. Result is
     identical to ``groupBy(key).count()``; the intermediate keyspace is
     (key, salt) so no single reducer owns a hot key's full row set even
-    when partial aggregation is unavailable."""
+    when partial aggregation is unavailable.
+
+    The salt mixes spark_partition_id (spreads identical rows that sit in
+    different input partitions) with the row content (spreads a partition's
+    rows over salts). Both inputs are stable under task retry — a retried
+    partition recomputes the same rows with the same partition id — unlike
+    monotonically_increasing_id, whose values depend on launch order and
+    can double-count or drop rows when a partial stage recomputes."""
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int"),
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+            F.lit(n_salt),
+        ).cast("int"),
     )
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("count"))

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreduce_stockheadlines_spark.functions.vectors import as_double, cosine
@@ -293,3 +295,69 @@ def test_simhash_neardup_banding(spark):
     assert got[(1, 2)] == true_ham <= 12
     assert all(h <= 12 for h in got.values())
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_lsh_bucketed_block_decomposition_is_invisible(spark, sf_dir):
+    """Within-bucket sub-blocking (block_rows << bucket size → many
+    (bucket, pa, pb) tasks) must give exactly the one-block-per-bucket
+    result, with no duplicate pairs (no distinct in the plan)."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    one = lsh_bucketed_pairs(
+        emb, dim=64, n_planes=4, threshold=0.35, block_rows=100000
+    ).toPandas()
+    many = lsh_bucketed_pairs(
+        emb, dim=64, n_planes=4, threshold=0.35, block_rows=16
+    ).toPandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.sim))
+    assert key(one) == key(many)
+    assert len(one) > 0
+    # duplicate-free by construction, not by a distinct shuffle
+    assert len(many) == len(set(zip(many.id_a, many.id_b)))
+
+
+def test_neardup_pairs_block_cap_errors_clearly(spark, sf_dir):
+    """Beyond max_blocks the exact path must fail fast with guidance, not
+    build an infeasible O(B²) pair map."""
+    from mapreduce_stockheadlines_spark.operators.similarity import neardup_pairs
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="lsh_bucketed_pairs"):
+        neardup_pairs(emb, threshold=0.35, block_rows=8, max_blocks=4)
+
+
+def test_topk_query_side_collect_is_guarded(spark, sf_dir):
+    """The query side is collected to the driver like a broadcast build
+    side; an oversized query set must raise, not OOM."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(emb, emb, k=3, max_query_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_topk(emb, emb, k=3, max_query_rows=10)
+
+
+def test_lsh_pair_map_cap_errors_clearly(spark, sf_dir):
+    """Pathologically large buckets (here: forced by a tiny cap) must fail
+    with guidance to raise n_planes, not melt a task."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="n_planes"):
+        lsh_bucketed_pairs(
+            emb, dim=64, n_planes=2, threshold=0.35, block_rows=4,
+            max_pair_map_rows=10,
+        )
