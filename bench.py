@@ -29,19 +29,19 @@ HEADLINE_QUERIES = [
     "q13_tokenize_count",
     "q15_word_count_analogue",
     "q19_large_join",
-    "q21_tumbling_window",
+    "q21_time_windows",
     "q22_dedup",
     "q23_asof_join",
     "q24_range_join",
     "x01_dedup_exact",
-    "x03_minhash_signature",
+    "x03_minhash_signatures",
     "x06_embedding_neardup",
     "x07_ann_topk",
-    "x09_quality_score",
+    "x08_text_stats",
+    "x13_multimodal_pipeline",
     "x14_session_window",
     "x17_lsh_bucketed_neardup",
     "x18_ivf_topk",
-    "x19_minhash_shingles",
 ]
 
 

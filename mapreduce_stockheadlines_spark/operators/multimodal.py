@@ -146,9 +146,12 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
     """Frame sampling: 1 → N table-generating ``mapInPandas`` — each media
     row emits up to ``max_frames`` evenly-spaced frame rows with per-frame
-    features (deterministic fake features derived from the content digest
-    + frame index; a real kernel decodes and samples actual frames). The
-    output explodes rows but never shuffles."""
+    features (deterministic fake features; a real kernel decodes and
+    samples actual frames). The output explodes rows but never shuffles.
+
+    The fake per-frame digest is md5 over the STRING ``"<content-md5-hex>:
+    <frame_no>"`` (not over raw bytes) so the stub is expressible in ANSI
+    SQL and the whole pipeline stays oracle-checkable end to end."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -158,12 +161,11 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 _, _, n_frames, _ = _fake_decode(content)
                 take = min(max_frames, n_frames)
+                h = hashlib.md5(content or b"").hexdigest()
                 for j in range(take):
                     # evenly spaced: frame j of take over n_frames total
                     frame_no = (j * n_frames) // max(take, 1)
-                    d = hashlib.md5(
-                        (content or b"") + bytes([frame_no % 256])
-                    ).digest()
+                    d = hashlib.md5(f"{h}:{frame_no}".encode()).digest()
                     ids.append(mid)
                     idxs.append(frame_no)
                     feats.append([round(b / 255.0, 6) for b in d[:8]])

@@ -59,7 +59,17 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def except_(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset EXCEPT ALL (left multiplicities minus right's)."""
     return a.exceptAll(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL EXCEPT (DISTINCT): distinct rows of ``a`` not present in ``b``.
+
+    Correct even when ``a`` has duplicate rows — ``exceptAll(b).distinct()``
+    is NOT: a row appearing 3x left and 1x right survives the multiset
+    subtraction and the trailing distinct, where SQL EXCEPT drops it."""
+    return a.subtract(b)
 
 
 def having(df_grouped: DataFrame, predicate: Column) -> DataFrame:

@@ -169,39 +169,6 @@ SELECT CAST(day(ts) AS INTEGER) AS day,
 FROM events GROUP BY 1 ORDER BY day
 """
 
-# --- q27 lag / lead / ntile windows ------------------------------------------
-
-def q27_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-user event sequence features: previous value, next event type,
-    raw delta (pass-through double arithmetic — bit-identical across
-    engines, no rounding needed), quartile by time order."""
-    e = table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.select(
-            "user_id",
-            "event_id",
-            "value",
-            F.lag("value").over(w).alias("prev_value"),
-            F.lead("event_type").over(w).alias("next_type"),
-            (F.col("value") - F.lag("value").over(w)).alias("delta"),
-            F.ntile(4).over(w).cast("int").alias("time_quartile"),
-        )
-        .orderBy("event_id")
-    )
-
-
-Q27_SQL = """
-SELECT user_id, event_id, value,
-       lag(value) OVER w AS prev_value,
-       lead(event_type) OVER w AS next_type,
-       value - lag(value) OVER w AS delta,
-       CAST(ntile(4) OVER w AS INTEGER) AS time_quartile
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-ORDER BY event_id
-"""
-
 # --- q28 subqueries through the SQL entry point ------------------------------
 
 _Q28_SPARK_SQL = """
@@ -434,7 +401,6 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
     "q25_cube": QuerySpec(q25_cube, Q25_SQL),
     "q26_pivot": QuerySpec(q26_pivot, Q26_SQL),
-    "q27_lag_lead": QuerySpec(q27_lag_lead, Q27_SQL),
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
     "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
     "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),

@@ -245,20 +245,28 @@ SELECT * FROM (
 ) WHERE rn <= 3 ORDER BY o_custkey, rn
 """
 
-# --- Q10 window frame (running sum) ----------------------------------------
+# --- Q10 window frame + offset functions (running sum, lag/lead/ntile) -----
 
-def q10_window_frame(spark: SparkSession, sf: str) -> DataFrame:
+def q10_window_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame aggregate (running sum) and offset functions (lag/lead/
+    delta/ntile) over ONE partitioned sort — Catalyst evaluates all five
+    in a single Window operator, so merging them costs nothing beyond the
+    shared shuffle. Delta is pass-through double arithmetic
+    (bit-identical across engines, no rounding needed)."""
     o = table(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("run_sum"),
+            F.round(F.sum("o_totalprice").over(wf), 2).alias("run_sum"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_orderstatus").over(w).alias("next_status"),
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+                "delta"
+            ),
+            F.ntile(4).over(w).cast("int").alias("seq_quartile"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -268,8 +276,14 @@ Q10_SQL = """
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
-FROM orders ORDER BY o_custkey, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_orderstatus) OVER w AS next_status,
+       o_totalprice - lag(o_totalprice) OVER w AS delta,
+       CAST(ntile(4) OVER w AS INTEGER) AS seq_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
 """
 
 # --- Q11 exact distinct aggregation ----------------------------------------
@@ -292,62 +306,52 @@ SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
-# --- Q12 set operations ----------------------------------------------------
+# --- Q12 set operations (UNION ALL / INTERSECT / EXCEPT, tagged) -----------
 
-def q12_union_all(spark: SparkSession, sf: str) -> DataFrame:
+def q12_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """All three set operations in one tagged result (one CORRECTNESS row
+    covers the whole category). EXCEPT uses ``subtract`` — true EXCEPT
+    DISTINCT semantics even when the left side has duplicate rows
+    (``exceptAll(b).distinct()`` keeps left rows whose multiplicity
+    exceeds the right's, which only coincides with EXCEPT on unique
+    keys; pinned by test_rank_relational.py::test_except_semantics)."""
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("custkey")
     )
-    b = o.filter(F.col("o_totalprice") > 450000).select(
+    big = o.filter(F.col("o_totalprice") > 450000).select(
         F.col("o_custkey").alias("custkey")
     )
-    return a.unionByName(b).orderBy("custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    all_cust = c.select(F.col("c_custkey").alias("custkey"))
+    u = building.unionByName(big).withColumn("op", F.lit("union_all"))
+    i = urgent.intersect(high).withColumn("op", F.lit("intersect"))
+    e = all_cust.subtract(urgent).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).orderBy("op", "custkey")
 
 
-Q12_UNION_SQL = """
-SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+Q12_SQL = """
+SELECT 'union_all' AS op, custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000)
 UNION ALL
-SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
-ORDER BY custkey
-"""
-
-
-def q12_intersect(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders")
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return a.intersect(b).orderBy("custkey")
-
-
-Q12_INTERSECT_SQL = """
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-INTERSECT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
-ORDER BY custkey
-"""
-
-
-def q12_except(spark: SparkSession, sf: str) -> DataFrame:
-    c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
-    a = c.select(F.col("c_custkey").alias("custkey"))
-    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return a.exceptAll(b.distinct()).distinct().orderBy("custkey")
-
-
-Q12_EXCEPT_SQL = """
-SELECT c_custkey AS custkey FROM customer
-EXCEPT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-ORDER BY custkey
+SELECT 'intersect' AS op, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT 'except' AS op, custkey FROM (
+  SELECT c_custkey AS custkey FROM customer
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY op, custkey
 """
 
 # --- Q13 string pipeline: clean/tokenize/count (O6,O7,O8) ------------------
@@ -583,28 +587,54 @@ FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
 ORDER BY cnt DESC, l_partkey
 """
 
-# --- Q21 tumbling window aggregation (streaming analogue, batch-checked) ---
+# --- Q21 time windows: tumbling + sliding (streaming analogue) -------------
 
-def q21_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
-    """F.window(ts, '5 minutes') — the same expression Structured Streaming
-    uses; batch mode makes it oracle-checkable (epoch-aligned buckets)."""
+def q21_time_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """F.window(ts, ...) — the same expressions Structured Streaming uses;
+    batch mode makes them oracle-checkable (epoch-aligned buckets). One
+    tagged result covers both the tumbling (5 min) and sliding
+    (10 min / 5 min hop → each event lands in 2 buckets) shapes."""
     e = table(spark, sf, "events")
-    return (
-        e.groupBy(F.window("ts", "5 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+
+    def agg_windows(win, tag: str) -> DataFrame:
+        return (
+            e.groupBy(win.alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.lit(tag).alias("win_type"),
+                F.col("w.start").alias("bucket_start"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
-        .orderBy("bucket_start")
+
+    tumbling = agg_windows(F.window("ts", "5 minutes"), "tumbling_5m")
+    sliding = agg_windows(
+        F.window("ts", "10 minutes", "5 minutes"), "sliding_10m_5m"
     )
+    return tumbling.unionByName(sliding).orderBy("win_type", "bucket_start")
 
 
 Q21_SQL = """
-SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+SELECT 'tumbling_5m' AS win_type,
+       make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
          AS bucket_start,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM events GROUP BY 1 ORDER BY bucket_start
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'sliding_10m_5m' AS win_type, bucket_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT unnest([
+    make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300) * 1000000),
+    make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
+  ]) AS bucket_start, value
+  FROM events)
+GROUP BY bucket_start
+ORDER BY win_type, bucket_start
 """
 
 # --- Q22 deterministic dedup -----------------------------------------------
@@ -642,11 +672,9 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q07_join_semi": QuerySpec(q07_join_semi, Q07_SQL),
     "q08_join_anti": QuerySpec(q08_join_anti, Q08_SQL),
     "q09_window_partitioned": QuerySpec(q09_window_partitioned, Q09_SQL),
-    "q10_window_frame": QuerySpec(q10_window_frame, Q10_SQL),
+    "q10_window_functions": QuerySpec(q10_window_functions, Q10_SQL),
     "q11_count_distinct": QuerySpec(q11_count_distinct, Q11_SQL),
-    "q12_union_all": QuerySpec(q12_union_all, Q12_UNION_SQL),
-    "q12_intersect": QuerySpec(q12_intersect, Q12_INTERSECT_SQL),
-    "q12_except": QuerySpec(q12_except, Q12_EXCEPT_SQL),
+    "q12_set_ops": QuerySpec(q12_set_ops, Q12_SQL),
     "q13_tokenize_count": QuerySpec(q13_tokenize_count, Q13_SQL),
     "q14_stock_count_analogue": QuerySpec(q14_stock_count_analogue, Q14_SQL),
     "q15_word_count_analogue": QuerySpec(q15_word_count_analogue, Q15_SQL),
@@ -655,6 +683,6 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q18_conditional_agg": QuerySpec(q18_conditional_agg, Q18_SQL),
     "q19_large_join": QuerySpec(q19_large_join, Q19_SQL),
     "q20_having": QuerySpec(q20_having, Q20_SQL),
-    "q21_tumbling_window": QuerySpec(q21_tumbling_window, Q21_SQL),
+    "q21_time_windows": QuerySpec(q21_time_windows, Q21_SQL),
     "q22_dedup": QuerySpec(q22_dedup, Q22_SQL),
 }

@@ -18,6 +18,7 @@ from ..functions.text import STOPWORDS
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
+from ..operators import skew as SK
 from ..operators import textstats as TS
 from .catalog import parallel_table, table
 from .core import QuerySpec
@@ -73,23 +74,51 @@ LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 ORDER BY p.id_a
 """
 
-# --- x03 MinHash signatures (portable md5-lexmin construction) --------------
+# --- x03 MinHash signatures (portable md5-lexmin; unigram + 3-gram shingle) --
 
-def x03_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_table(spark, sf, "documents")
-    return D.minhash_signature(docs, "doc_id", "text", num_hashes=8).orderBy(
-        "doc_id"
-    )
-
+_SHINGLE_CTE = r"""
+  SELECT DISTINCT doc_id, shingle AS token FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(l) - 2, 0) + 1),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+    FROM (SELECT doc_id, list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\s+'),
+                   t -> length(t) > 0) AS l
+          FROM documents))
+"""
 
 _MH_COLS = ",\n       ".join(
     f"min(md5('{i}:' || token)) AS mh{i}" for i in range(8)
 )
+
+
+def x03_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Both set representations in one tagged result: unigram-token
+    signatures and word-3-gram-shingle signatures (the order-sensitive
+    variant — 'shingle→minhash→band→bucket-join'). Same single-groupBy
+    construction either way; min() absorbs duplicate tokens so there is
+    no distinct shuffle before the aggregation."""
+    docs = parallel_table(spark, sf, "documents")
+    uni = D.minhash_signature(docs, "doc_id", "text", num_hashes=8).withColumn(
+        "mode", F.lit("unigram")
+    )
+    sh = D.minhash_signature(
+        docs, "doc_id", "text", num_hashes=8, shingle_n=3
+    ).withColumn("mode", F.lit("shingle3"))
+    return uni.unionByName(sh).orderBy("mode", "doc_id")
+
+
 X03_SQL = f"""
-WITH toks AS ({_TOKS_CTE})
-SELECT doc_id,
+WITH toks AS ({_TOKS_CTE}),
+sh AS ({_SHINGLE_CTE})
+SELECT 'unigram' AS mode, doc_id,
        {_MH_COLS}
-FROM toks GROUP BY doc_id ORDER BY doc_id
+FROM toks GROUP BY doc_id
+UNION ALL
+SELECT 'shingle3' AS mode, doc_id,
+       {_MH_COLS}
+FROM sh GROUP BY doc_id
+ORDER BY mode, doc_id
 """
 
 # --- x04 MinHash LSH candidate pairs ----------------------------------------
@@ -117,16 +146,13 @@ FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """
 
-# --- x05 SimHash (engine-native hash → rows-only check) ---------------------
+# --- x05 SimHash fingerprint + Hamming-banded near-dup pairs ------------------
 
-def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_table(spark, sf, "documents")
-    return D.simhash64(docs, "doc_id", "text").orderBy("doc_id")
-
-
-# --- x21 SimHash Hamming-banded near-dup pairs (engine-native hash) ----------
-
-def x21_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+def x05_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash end to end: 64-bit fingerprints (engine-native xxhash64 →
+    no cross-engine oracle; rows-only check + unit/property tests) fed
+    into pigeonhole Hamming banding for candidate pairs with exact
+    popcount(xor) verify."""
     docs = parallel_table(spark, sf, "documents")
     fp = D.simhash64(docs, "doc_id", "text")
     return D.simhash_neardup_pairs(fp, max_hamming=12).orderBy("id_a", "id_b")
@@ -174,11 +200,17 @@ SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """
 
-# --- x08 language ID (marker heuristic) -------------------------------------
+# --- x08 per-doc text analysis: language ID + quality score -------------------
 
-def x08_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID (n-gram marker heuristic) and quality scoring
+    (length/punct/stopword components) joined per document — both are
+    pure codegen column expressions over the same scan; the join is on
+    the unique doc_id."""
     docs = parallel_table(spark, sf, "documents")
-    return TS.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+    lang = TS.lang_id(docs, "doc_id", "text")
+    qual = TS.quality_score(docs, "doc_id", "text")
+    return lang.join(qual, "doc_id").orderBy("doc_id")
 
 
 def _marker_sum(lang: str) -> str:
@@ -189,7 +221,7 @@ def _marker_sum(lang: str) -> str:
     return f"({terms})"
 
 
-X08_SQL = f"""
+_X08_LANG_BODY = f"""
 WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
 s AS (SELECT doc_id,
              {_marker_sum('de')} AS s_de,
@@ -207,18 +239,11 @@ fold AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
 SELECT doc_id,
        CASE WHEN best_score > 0 THEN best_lang ELSE 'unknown' END AS pred_lang,
        CAST(best_score AS INTEGER) AS marker_score
-FROM fold ORDER BY doc_id
+FROM fold
 """
 
-# --- x09 quality score -------------------------------------------------------
-
-def x09_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_table(spark, sf, "documents")
-    return TS.quality_score(docs, "doc_id", "text").orderBy("doc_id")
-
-
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
-X09_SQL = f"""
+_X08_QUALITY_BODY = f"""
 WITH toks AS (
   SELECT doc_id, token FROM (
     SELECT doc_id, unnest(string_split_regex(
@@ -249,7 +274,14 @@ q5t AS (SELECT *, 4 * l4 + 3 * s4 + 3 * (10000 - p4) AS q5 FROM fx)
 SELECT doc_id, n_tokens, n_chars_obs, punct_ratio, stop_ratio,
        (q5 // 10 + CASE WHEN q5 % 10 >= 5 THEN 1 ELSE 0 END) / 10000.0
          AS quality
-FROM q5t ORDER BY doc_id
+FROM q5t
+"""
+
+X08_SQL = f"""
+SELECT l.doc_id, l.pred_lang, l.marker_score,
+       q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality
+FROM ({_X08_LANG_BODY}) l JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
+ORDER BY l.doc_id
 """
 
 # --- x10 token counting ------------------------------------------------------
@@ -323,21 +355,87 @@ SELECT CAST(event_id AS BIGINT) AS media_id,
 FROM events WHERE event_id < 200 ORDER BY media_id
 """
 
-# --- x13 multimodal decode stub (mapInPandas; rows-only) ----------------------
+# --- x13 multimodal pipeline: binary → resize → decode → frame sampling ------
+#
+# The decode/resize KERNELS are stubs (no codec libs in this container;
+# deterministic md5-derived fakes) but the Spark plumbing — binary schema,
+# Arrow-batched mapInPandas, 1→N frame explosion, metadata join — is real,
+# and because the fakes are md5-derived they are expressible in ANSI SQL:
+# the whole pipeline is value-hash-checked against DuckDB (hex-parsing the
+# digest bytes), not just rows-only. Feature arrays are emitted as integer
+# byte CSVs: exact to recover (round(b/255,6)*255 rounds back to b for all
+# b in 0..255), hashable by the driver (raw array<float> crashed its
+# canonicalizer in round 1), and immune to float-to-string formatting
+# differences between engines.
 
-def x13_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+def _feature_bytes_csv(col_name: str):
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.col(col_name),
+            lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+        ),
+    )
+
+
+def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events").filter(F.col("event_id") < 200)
     media = M.attach_binary(e, "props", "event_id", mime="image/fake")
-    return M.decode_media(media).orderBy("media_id")
+    resized = M.resize_media(media, 64, 64).select("media_id", "content", "mime")
+    decoded = M.decode_media(resized)
+    frames = M.sample_frames(resized, max_frames=3)
+    return (
+        decoded.join(frames, "media_id")
+        .select(
+            "media_id",
+            "mime",
+            "n_bytes",
+            "width",
+            "height",
+            "n_frames",
+            _feature_bytes_csv("feature").alias("feature_bytes"),
+            "frame_idx",
+            _feature_bytes_csv("frame_feature").alias("frame_feature_bytes"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
 
 
-# --- x20 multimodal resize + frame sampling (stubbed kernels; rows-only) -----
+def _hexbyte(h: str, i: int) -> str:
+    """SQL expression for byte ``i`` (0-based) of a lowercase hex digest."""
+    p = 2 * i + 1
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1))"
+    )
 
-def x20_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events").filter(F.col("event_id") < 100)
-    media = M.attach_binary(e, "props", "event_id", mime="video/fake")
-    frames = M.sample_frames(media, max_frames=3)
-    return frames.orderBy("media_id", "frame_idx")
+
+_FEAT_CSV = " || ',' || ".join(
+    f"CAST({_hexbyte('h', i)} AS VARCHAR)" for i in range(3, 11)
+)
+_FRAME_FEAT_CSV = " || ',' || ".join(
+    f"CAST({_hexbyte('fh', i)} AS VARCHAR)" for i in range(0, 8)
+)
+
+X13_SQL = f"""
+WITH m AS (SELECT CAST(event_id AS BIGINT) AS media_id, md5(props) AS h,
+                  CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes
+           FROM events WHERE event_id < 200),
+d AS (SELECT media_id, h, n_bytes,
+             CAST(16 + {_hexbyte('h', 0)} % 240 AS INTEGER) AS width,
+             CAST(16 + {_hexbyte('h', 1)} % 240 AS INTEGER) AS height,
+             CAST(1 + {_hexbyte('h', 2)} % 8 AS INTEGER) AS n_frames,
+             {_FEAT_CSV} AS feature_bytes
+      FROM m),
+idx AS (SELECT *, least(3, n_frames) AS take,
+               unnest(generate_series(0, least(3, n_frames) - 1)) AS j
+        FROM d),
+fr AS (SELECT *, CAST((j * n_frames) // take AS INTEGER) AS frame_idx FROM idx),
+withfh AS (SELECT *, md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS fh FROM fr)
+SELECT media_id, 'image/fake' AS mime, n_bytes, width, height, n_frames,
+       feature_bytes, frame_idx, {_FRAME_FEAT_CSV} AS frame_feature_bytes
+FROM withfh ORDER BY media_id, frame_idx
+"""
 
 
 # --- x14 session windows (batch analogue of streaming sessionization) --------
@@ -375,32 +473,6 @@ SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
-# --- x15 sliding windows -------------------------------------------------------
-
-def x15_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events")
-    return (
-        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
-        .orderBy("bucket_start")
-    )
-
-
-X15_SQL = """
-WITH b AS (
-  SELECT unnest([
-    make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300) * 1000000),
-    make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
-  ]) AS bucket_start, value
-  FROM events)
-SELECT bucket_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM b GROUP BY bucket_start ORDER BY bucket_start
-"""
-
 # --- x16 approximate aggregates (tolerance-checked, not hash-matched) ---------
 
 def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
@@ -416,33 +488,6 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_type")
     )
 
-
-# --- x19 MinHash over word-3-gram shingles ------------------------------------
-
-def x19_minhash_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_table(spark, sf, "documents")
-    return D.minhash_signature(
-        docs, "doc_id", "text", num_hashes=8, shingle_n=3
-    ).orderBy("doc_id")
-
-
-_SHINGLE_CTE = r"""
-  SELECT DISTINCT doc_id, shingle AS token FROM (
-    SELECT doc_id, unnest(list_transform(
-             range(1, greatest(len(l) - 2, 0) + 1),
-             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
-    FROM (SELECT doc_id, list_filter(string_split_regex(
-                   regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\s+'),
-                   t -> length(t) > 0) AS l
-          FROM documents))
-"""
-
-X19_SQL = f"""
-WITH toks AS ({_SHINGLE_CTE})
-SELECT doc_id,
-       {_MH_COLS}
-FROM toks GROUP BY doc_id ORDER BY doc_id
-"""
 
 # --- x18 IVF approximate top-k (scale path; recall<1 → rows-only) -------------
 
@@ -463,26 +508,44 @@ def x17_lsh_bucketed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# --- x22 skew machinery: salted two-phase count --------------------------------
+
+def x22_skew_count(spark: SparkSession, sf: str) -> DataFrame:
+    """two_phase_count (operators/skew.py): COUNT per key via a salted
+    (key, salt) partial aggregation then re-aggregation — the explicit
+    fallback for aggregates without partial-agg support on skewed keys.
+    Result is identical to groupBy().count(), which is exactly the
+    oracle: the query hash-checks the skew machinery end to end."""
+    e = table(spark, sf, "events")
+    return (
+        SK.two_phase_count(e, "event_type")
+        .select("event_type", F.col("count").alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+X22_SQL = """
+SELECT event_type, count(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
-    "x03_minhash_signature": QuerySpec(x03_minhash_signature, X03_SQL),
+    "x03_minhash_signatures": QuerySpec(x03_minhash_signatures, X03_SQL),
     "x04_minhash_lsh_pairs": QuerySpec(x04_minhash_lsh_pairs, X04_SQL),
-    "x05_simhash": QuerySpec(x05_simhash, None),
+    "x05_simhash_neardup": QuerySpec(x05_simhash_neardup, None),
     "x06_embedding_neardup": QuerySpec(x06_embedding_neardup, X06_SQL),
     "x07_ann_topk": QuerySpec(x07_ann_topk, X07_SQL),
-    "x08_lang_id": QuerySpec(x08_lang_id, X08_SQL),
-    "x09_quality_score": QuerySpec(x09_quality_score, X09_SQL),
+    "x08_text_stats": QuerySpec(x08_text_stats, X08_SQL),
     "x10_token_count": QuerySpec(x10_token_count, X10_SQL),
     "x11_fingerprint": QuerySpec(x11_fingerprint, X11_SQL),
     "x12_multimodal_meta": QuerySpec(x12_multimodal_meta, X12_SQL),
-    "x13_multimodal_decode": QuerySpec(x13_multimodal_decode, None),
+    "x13_multimodal_pipeline": QuerySpec(x13_multimodal_pipeline, X13_SQL),
     "x14_session_window": QuerySpec(x14_session_window, X14_SQL),
-    "x15_sliding_window": QuerySpec(x15_sliding_window, X15_SQL),
     "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),
     "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, None),
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, None),
-    "x19_minhash_shingles": QuerySpec(x19_minhash_shingles, X19_SQL),
-    "x20_multimodal_frames": QuerySpec(x20_multimodal_frames, None),
-    "x21_simhash_neardup": QuerySpec(x21_simhash_neardup, None),
+    "x22_skew_count": QuerySpec(x22_skew_count, X22_SQL),
 }

@@ -48,6 +48,21 @@ def test_set_ops(spark):
     assert sorted(r.x for r in R.except_(a, b).collect()) == [1, 2]
 
 
+def test_except_semantics(spark):
+    """SQL EXCEPT with a duplicated left row: the row must vanish entirely
+    when it appears on the right — exceptAll(b).distinct() would keep it
+    (left multiplicity 3 minus right 1 leaves survivors), which only
+    coincides with EXCEPT when the left side is unique (round-1 q12 bug)."""
+    a = spark.createDataFrame([(1,), (2,), (2,), (2,), (3,)], ["x"])
+    b = spark.createDataFrame([(2,), (9,)], ["x"])
+    assert sorted(r.x for r in R.except_distinct(a, b).collect()) == [1, 3]
+    # the multiset variant, by contrast, keeps the surplus copies
+    assert sorted(r.x for r in R.except_(a, b).collect()) == [1, 2, 2, 3]
+    # and the round-1 construction is demonstrably NOT set-EXCEPT here
+    wrong = a.exceptAll(b.distinct()).distinct()
+    assert sorted(r.x for r in wrong.collect()) == [1, 2, 3]
+
+
 def test_joins(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
     right = spark.createDataFrame([(2,), (3,), (4,)], ["id"])
