@@ -53,12 +53,8 @@ def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
     return hit
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Marker-word language ID: score each language by marker hits, pick the
-    argmax (ties broken by language code ASC via the ordered CASE chain).
-    A real system would use char n-gram profiles; the *operator shape*
-    (per-doc scoring + deterministic argmax, all codegen) is the contract.
-    """
+def _lang_id_cols(text_col: str) -> list[Column]:
+    """pred_lang + marker_score as raw column expressions."""
     scores = {lang: marker_hits(text_col, ms) for lang, ms in LANG_MARKERS.items()}
     best = None
     for lang in sorted(scores):  # asc language code = deterministic tiebreak
@@ -72,16 +68,23 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.greatest(s, best_score),
             )
     pred, score = best
-    return df.select(
-        id_col,
+    return [
         F.when(score > 0, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
         score.cast("int").alias("marker_score"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Composite quality score from length / punctuation / stop-word
-    signals — the standard cheap pre-filter in LLM data pipelines."""
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score each language by marker hits, pick the
+    argmax (ties broken by language code ASC via the ordered CASE chain).
+    A real system would use char n-gram profiles; the *operator shape*
+    (per-doc scoring + deterministic argmax, all codegen) is the contract.
+    """
+    return df.select(id_col, *_lang_id_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list[Column]:
+    """Quality components + composite as raw column expressions."""
     toks = tokens_array(text_col)
     n_tokens = F.size(toks).cast("bigint")
     n_chars = F.length(text_col).cast("bigint")
@@ -102,14 +105,29 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     q5 = 4 * l4 + 3 * s4 + 3 * (F.lit(10000) - p4)
     q4 = F.floor(q5 / 10).cast("long") + F.when(q5 % 10 >= 5, 1).otherwise(0)
     score = q4 / F.lit(10000.0)
-    return df.select(
-        id_col,
+    return [
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_obs"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
-    )
+    ]
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score from length / punctuation / stop-word
+    signals — the standard cheap pre-filter in LLM data pipelines."""
+    return df.select(id_col, *_quality_cols(text_col))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """lang_id + quality_score fused into ONE projection over one scan.
+
+    Both operators are pure column expressions, so computing them together
+    costs a single pass with zero shuffle; the naive formulation —
+    ``lang_id(df).join(quality_score(df), id)`` — scans the table twice
+    and hash-shuffles both sides for the join, for identical output."""
+    return df.select(id_col, *_lang_id_cols(text_col), *_quality_cols(text_col))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

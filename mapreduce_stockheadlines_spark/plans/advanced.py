@@ -1,7 +1,7 @@
 """Advanced relational queries (SURVEY.md §2.2 categories beyond the
 reference's surface): as-of join, bounded range join, cube, pivot,
-lag/lead/ntile windows, subqueries via the SQL entry point, JSON +
-array/map scalar functions.
+subqueries via the SQL entry point, JSON + array/map scalar functions
+(lag/lead/ntile windows live in core q10_window_functions).
 
 Every query is deterministic (unique-key total orderings, integer or
 pass-through-double aggregates only — no cross-engine float summation)

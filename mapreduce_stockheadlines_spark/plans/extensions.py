@@ -204,13 +204,11 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 
 def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Language ID (n-gram marker heuristic) and quality scoring
-    (length/punct/stopword components) joined per document — both are
-    pure codegen column expressions over the same scan; the join is on
-    the unique doc_id."""
+    (length/punct/stopword components) per document — fused into one
+    projection over one scan (pure codegen, zero shuffle; see
+    operators/textstats.text_stats)."""
     docs = parallel_table(spark, sf, "documents")
-    lang = TS.lang_id(docs, "doc_id", "text")
-    qual = TS.quality_score(docs, "doc_id", "text")
-    return lang.join(qual, "doc_id").orderBy("doc_id")
+    return TS.text_stats(docs, "doc_id", "text").orderBy("doc_id")
 
 
 def _marker_sum(lang: str) -> str:

@@ -111,3 +111,29 @@ def test_q34_rank_filter_becomes_window_group_limit(spark, sf_dir):
     (per-partition top-N heaps before the full window sort)."""
     plan = plan_of(spark, sf_dir, "q34_topn_per_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_x08_text_stats_is_one_scan_no_join(spark, sf_dir):
+    """lang_id + quality fused into one projection: the per-doc stats must
+    NOT be computed as two scans joined on doc_id."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "x08_text_stats")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_q10_window_functions_share_one_window_operator(spark, sf_dir):
+    """Frame aggregate + lag/lead/delta/ntile over the same partitioned
+    sort must collapse into a single Window operator (one shuffle, one
+    sort — the point of merging the queries)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q10_window_functions")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_q12_set_ops_no_cartesian_or_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q12_set_ops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
