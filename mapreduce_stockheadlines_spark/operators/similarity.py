@@ -220,6 +220,75 @@ def neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iters: int = 3,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over L2-normalized vectors (spherical
+    k-means: assignment by max dot product = cosine).
+
+    Init is deterministic (the k lowest-id vectors). Each iteration is ONE
+    pass over the corpus: centroids broadcast (k×dim floats — tiny), each
+    Arrow batch computes its argmax assignments AND its per-cluster partial
+    vector sums locally (map-side combine — the treeAggregate shape), so
+    the only data movement is ≤ (k rows × dim) per batch into a driver
+    reduce. The corpus is never shuffled; nothing quadratic anywhere.
+    Empty clusters keep their previous centroid. Ties in argmax take the
+    first maximal centroid → deterministic given the partitioning.
+    """
+    spark = corpus.sparkSession
+    init_pdf = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .toPandas()
+    )
+    cent = _to_matrix(init_pdf["v"])
+    dim = cent.shape[1]
+    vecs = corpus.select(as_double(vec_col).alias("cv"))
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cmat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = _to_matrix(pdf["cv"])
+                cl = np.argmax(m @ cmat.T, axis=1)
+                sums = np.zeros_like(cmat)
+                np.add.at(sums, cl, m)
+                counts = np.bincount(cl, minlength=cmat.shape[0])
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype("int32"),
+                        "vsum": list(sums[nz]),
+                        "n": counts[nz].astype("int64"),
+                    }
+                )
+
+        partials = vecs.mapInPandas(
+            partial_sums, "cluster int, vsum array<double>, n long"
+        ).toPandas()
+        new_cent = cent.copy()
+        for cl, grp in partials.groupby("cluster"):
+            total = np.sum(np.stack(list(grp["vsum"])), axis=0)
+            n = int(grp["n"].sum())
+            if n > 0:
+                new_cent[int(cl)] = total / n
+        norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        cent = new_cent / norms
+
+    assert cent.shape == (min(k, len(init_pdf)), dim)
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -229,6 +298,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     max_query_rows: int = 65536,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe only the ``n_probe`` cells nearest
@@ -238,22 +308,29 @@ def ivf_topk(
     ~n_probe/n_centroids of its rows BEFORE any scoring work; the probe
     table (|queries| x n_probe rows) broadcasts, so the corpus is never
     shuffled — candidates flow straight into a vectorized rescore and a
-    per-query top-k window. Centroids are the ``n_centroids``
-    lowest-id corpus vectors (deterministic, no iterative training —
-    swap in k-means offline for production recall). The query-side
-    collect is bounded by ``max_query_rows``.
+    per-query top-k window. ``train_iters=0`` uses the ``n_centroids``
+    lowest-id corpus vectors as centroids (deterministic, zero training
+    cost); ``train_iters>0`` runs that many distributed Lloyd iterations
+    (``kmeans_centroids`` — one corpus pass each, map-side partial sums)
+    for better cell balance and recall. The query-side collect is bounded
+    by ``max_query_rows``.
 
     Recall < 1 by construction (rows-only check; recall is pinned by a
     property test against the exact ``cosine_topk``).
     """
     spark = corpus.sparkSession
-    cent_pdf = (
-        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .toPandas()
-    )
-    cent_mat = _to_matrix(cent_pdf["v"])
+    if train_iters > 0:
+        cent_mat = kmeans_centroids(
+            corpus, id_col, vec_col, k=n_centroids, n_iters=train_iters
+        )
+    else:
+        cent_pdf = (
+            corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .toPandas()
+        )
+        cent_mat = _to_matrix(cent_pdf["v"])
     bc = spark.sparkContext.broadcast(cent_mat)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

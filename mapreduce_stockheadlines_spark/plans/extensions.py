@@ -490,10 +490,14 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
 # --- x18 IVF approximate top-k (scale path; recall<1 → rows-only) -------------
 
 def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with k-means-trained centroids (2 distributed Lloyd iterations,
+    one corpus pass each with map-side partial sums) — probe-and-rescore
+    never shuffles the corpus; recall<1 → rows-only check, recall pinned
+    by property test vs exact cosine_topk."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(
-        queries, emb, k=10, n_centroids=16, n_probe=4
+        queries, emb, k=10, n_centroids=16, n_probe=4, train_iters=2
     ).orderBy("query_id", "rank")
 
 

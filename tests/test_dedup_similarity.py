@@ -361,3 +361,51 @@ def test_lsh_pair_map_cap_errors_clearly(spark, sf_dir):
             emb, dim=64, n_planes=2, threshold=0.35, block_rows=4,
             max_pair_map_rows=10,
         )
+
+
+def test_kmeans_centroids_properties(spark, sf_dir):
+    """Lloyd iterations over the normalized corpus: unit-norm output,
+    deterministic across runs, and strictly better (or equal) spherical
+    quantization error than the lowest-id init it starts from."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        _to_matrix,
+        kmeans_centroids,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    c0 = kmeans_centroids(emb, k=8, n_iters=0)
+    c3 = kmeans_centroids(emb, k=8, n_iters=3)
+    assert c3.shape == c0.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
+    assert np.array_equal(c3, kmeans_centroids(emb, k=8, n_iters=3))  # determinism
+
+    vecs = _to_matrix(emb.toPandas()["embedding"])
+    # mean max-cosine to nearest centroid = spherical k-means objective
+    obj = lambda c: float(np.mean(np.max(vecs @ c.T, axis=1)))
+    assert obj(c3) >= obj(c0) - 1e-12
+
+
+def test_ivf_trained_recall(spark, sf_dir):
+    """IVF with k-means-trained centroids keeps recall vs exact top-k at a
+    useful level (and runs the full train->assign->probe->rescore path)."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        queries, emb, k=10, n_centroids=16, n_probe=4, train_iters=2
+    ).toPandas()
+    exact = cosine_topk(queries, emb, k=10).toPandas()
+    by_q = lambda df: {
+        q: set(g.neighbor_id) for q, g in df.groupby("query_id")
+    }
+    iv, ex = by_q(ivf), by_q(exact)
+    recalls = [len(iv[q] & ex[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5
