@@ -510,17 +510,22 @@ def x17_lsh_bucketed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# --- x22 skew machinery: salted two-phase count --------------------------------
+# --- x22 skew machinery: salted join + salted two-phase count ------------------
 
 def x22_skew_count(spark: SparkSession, sf: str) -> DataFrame:
-    """two_phase_count (operators/skew.py): COUNT per key via a salted
-    (key, salt) partial aggregation then re-aggregation — the explicit
-    fallback for aggregates without partial-agg support on skewed keys.
-    Result is identical to groupBy().count(), which is exactly the
-    oracle: the query hash-checks the skew machinery end to end."""
+    """Both explicit skew fallbacks (operators/skew.py) under the value-
+    hash gate: ``salted_join`` (events⋈customer with the hot side salted
+    N ways, the build side replicated per salt — a hot key spreads over N
+    tasks) feeding ``two_phase_count`` (salted (key, salt) partial
+    aggregation, then re-aggregation). Results are identical to a plain
+    join + GROUP BY count, which is exactly the oracle."""
     e = table(spark, sf, "events")
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = SK.salted_join(e, c, "user_id", n_salt=8)
     return (
-        SK.two_phase_count(e, "event_type")
+        SK.two_phase_count(joined.select("event_type", "c_mktsegment"), "event_type")
         .select("event_type", F.col("count").alias("n_rows"))
         .orderBy("event_type")
     )
@@ -528,7 +533,8 @@ def x22_skew_count(spark: SparkSession, sf: str) -> DataFrame:
 
 X22_SQL = """
 SELECT event_type, count(*) AS n_rows
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY event_type ORDER BY event_type
 """
 
 

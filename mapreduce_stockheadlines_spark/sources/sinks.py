@@ -28,3 +28,8 @@ def write_text_single(df: DataFrame, path: str, mode: str = "overwrite") -> None
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — splittable at scale)."""
+    df.write.mode(mode).json(path)

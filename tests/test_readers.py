@@ -58,3 +58,61 @@ def test_json_reader(spark, tmp_path):
     p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     df = read_json(spark, str(p))
     assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_sink_round_trips(spark, tmp_path):
+    """Every sink format round-trips through its reader; partitioned
+    parquet lays out partition directories and the partition filter is
+    pruned at the scan (PartitionFilters), not applied post-read."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources.readers import (
+        read_csv_proper,
+        read_parquet,
+    )
+    from mapreduce_stockheadlines_spark.sources.sinks import (
+        write_csv,
+        write_json,
+        write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")], "id long, v string, p string"
+    )
+    rows = sorted((r.id, r.v, r.p) for r in df.collect())
+
+    pq = str(tmp_path / "pq")
+    write_parquet(df, pq, partition_by=["p"])
+    assert sorted(d for d in os.listdir(pq) if d.startswith("p=")) == ["p=x", "p=y"]
+    back = read_parquet(spark, pq).select("id", "v", "p")
+    assert sorted((r.id, r.v, r.p) for r in back.collect()) == rows
+    pruned = read_parquet(spark, pq).filter(F.col("p") == "y")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "p=" not in plan.split("Location")[0]
+    assert pruned.count() == 2
+
+    js = str(tmp_path / "js")
+    write_json(df, js)
+    back = read_json(spark, js).select("id", "v", "p")
+    assert sorted((r.id, r.v, r.p) for r in back.collect()) == rows
+
+    cs = str(tmp_path / "cs")
+    write_csv(df, cs)
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("p", T.StringType()),
+        ]
+    )
+    back = read_csv_proper(spark, cs, schema=schema)
+    assert sorted((r.id, r.v, r.p) for r in back.collect()) == rows
