@@ -201,6 +201,97 @@ def simhash_neardup_pairs(
     )
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an (id_a, id_b) near-dup pair graph:
+    every node gets ``cluster_id`` = the minimum id in its component —
+    the step that turns candidate PAIRS (LSH/SimHash/banding output) into
+    dedup groups.
+
+    Iterative min-label propagation with pointer-jumping compression:
+
+    - propagate: l(v) ← min(l(v), min over neighbors' labels) — one
+      shuffle on id per round (edges pre-oriented both ways once);
+    - compress:  l(v) ← l(l(v)) — pointer jumping, which collapses label
+      chains so long paths converge in far fewer than diameter rounds;
+    - stop when a round changes no label (an ``isEmpty`` on the diff).
+
+    Each round ends in ``localCheckpoint`` to truncate the lineage —
+    iterative plans otherwise grow exponentially in the optimizer. (On a
+    real cluster with a checkpoint dir, ``checkpoint`` gives the same
+    truncation with fault tolerance; large-star/small-star is the
+    published refinement if rounds themselves become the bottleneck.)
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        # pointer jumping: follow one's label's label
+        l2 = updated.select(
+            F.col("id").alias("_lid"), F.col("lbl").alias("_llbl")
+        )
+        compressed = (
+            updated.join(l2, updated["lbl"] == l2["_lid"], "left")
+            .select(
+                "id", F.coalesce("_llbl", F.col("lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        changed = compressed.alias("n").join(
+            labels.alias("o"),
+            (F.col("n.id") == F.col("o.id")) & (F.col("n.lbl") != F.col("o.lbl")),
+            "left_semi",
+        )
+        labels = compressed
+        if changed.isEmpty():
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """Corpus-level near-dup removal: cluster the pair graph and keep one
+    representative (min id) per component; rows never mentioned in a pair
+    pass through untouched (broadcast-friendly anti-join against the
+    non-representative set, which is at most the paired-node count —
+    tiny relative to the corpus)."""
+    clusters = neardup_clusters(pairs, max_iters=max_iters)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def jaccard_pairs(
     toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

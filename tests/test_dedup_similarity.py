@@ -409,3 +409,72 @@ def test_ivf_trained_recall(spark, sf_dir):
     iv, ex = by_q(ivf), by_q(exact)
     recalls = [len(iv[q] & ex[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def _uf_components(pairs):
+    """Driver-side union-find ground truth for small fixtures."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Min-label propagation must equal union-find components, including a
+    long chain (pointer jumping beats diameter-many rounds) and a star."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain 1..7
+        (10, 11), (10, 12), (10, 13),                     # star at 10
+        (20, 21),                                          # pair
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in D.neardup_clusters(pairs).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_dedup_by_pairs_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in D.dedup_by_pairs(docs, pairs, "doc_id").collect()
+    )
+    # components {1,2,3} -> keep 1; {5,6} -> keep 5; untouched 0,4,7 pass
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_neardup_clusters_end_to_end_lsh(spark, sf_dir):
+    """Full pipeline: LSH pairs -> components -> dedup; every removed row
+    is a non-min member of a pair-connected component."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = lsh_bucketed_pairs(emb, dim=64, n_planes=4, threshold=0.35)
+    edge_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    expect = _uf_components(edge_list)
+    got = {
+        r.id: r.cluster_id for r in D.neardup_clusters(pairs).collect()
+    }
+    assert got == expect
+    deduped = D.dedup_by_pairs(emb, pairs, "vec_id")
+    n_losers = sum(1 for x, root in expect.items() if x != root)
+    assert deduped.count() == emb.count() - n_losers
