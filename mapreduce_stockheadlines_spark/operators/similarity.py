@@ -411,7 +411,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-bucket expression: bit i = (v · plane_i) > 0 — random-hyperplane
-    LSH for cosine. Returns an int bucket id column."""
+    LSH for cosine. Returns an int bucket id column. The zip_with/
+    aggregate fold is interpreted (no codegen), but at a handful of planes
+    it still beats shipping the vectors through an Arrow round-trip just
+    to bucket them (measured on the sf0.1 embeddings)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -429,6 +432,7 @@ def lsh_bucketed_pairs(
     threshold: float = 0.8,
     block_rows: int = 4096,
     max_pair_map_rows: int = 1_000_000,
+    cache: bool = False,
 ) -> DataFrame:
     """Scale path: bucket by hyperplane signs, score only same-bucket pairs
     (equijoin on bucket id → shuffle co-location, no cross product), then
@@ -460,6 +464,14 @@ def lsh_bucketed_pairs(
         as_double(vec_col).alias("v"),
         lsh_bucket(as_double(vec_col), planes).alias("bucket"),
     )
+    if cache:
+        # cache=False (default) recomputes the bucket pass for the main
+        # query: a columnar scan + P plane dots is cheaper than writing and
+        # re-reading a row-format cache of the whole table (measured at
+        # sf0.1, and the same argument holds for a parquet source at scale).
+        # cache=True persists (MEMORY_AND_DISK) for expensive upstream
+        # plans where recompute is NOT a cheap scan.
+        bucketed = bucketed.persist()
     counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     blocks = {
         int(r["bucket"]): max(1, math.ceil(r["n"] / block_rows)) for r in counts
