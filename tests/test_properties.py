@@ -183,3 +183,39 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     else:
         exp = {int(r.lid): None for r in lp.itertuples()}
     assert got == exp
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_neardup_clusters_equal_union_find(spark, edges):
+    """For ANY pair graph, min-label propagation + pointer jumping must
+    produce exactly the union-find components (label = min id)."""
+    from mapreduce_stockheadlines_spark.operators.dedup import neardup_clusters
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
