@@ -4,15 +4,17 @@ operators composed the way a 100 TB pretraining-data job would use them.
     documents
       → exact dedup            (content-hash groupBy; digest shuffle key)
       → near-dup removal       (MinHash 3-gram shingles → LSH banding →
-                                exact Jaccard verify > threshold → drop the
-                                higher doc_id of each verified pair)
-      → language filter        (marker lang-ID == target language)
-      → quality filter         (composite score ≥ threshold)
+                                exact Jaccard verify > threshold →
+                                connected components over verified pairs →
+                                keep the min-id representative per group)
+      → language + quality     (ONE fused stats projection; filter both)
       → token accounting       (whitespace + BPE-ish counts per doc)
 
-Every stage is a DataFrame→DataFrame function from operators/ — no
-driver-side materialization anywhere; the pipeline is one lazy plan and
-writes partitioned parquet.
+Every stage is a DataFrame→DataFrame function from operators/; the only
+non-lazy step is the near-dup component stage (iterative label
+propagation checkpoints per round — inherent to transitive closure), and
+the per-round data is pair-graph-sized, not corpus-sized. Output is
+partitioned parquet.
 
 Usage:
     python -m mapreduce_stockheadlines_spark.jobs.pipeline OUT_DIR \
@@ -46,27 +48,24 @@ def curate(
     )
     docs = docs.join(keep_exact, "doc_id", "left_semi")
 
-    # 2. near-dup: shingle MinHash → LSH candidates → exact Jaccard verify;
-    #    drop the higher id of each confirmed pair
+    # 2. near-dup: shingle MinHash → LSH candidates → exact Jaccard verify
+    #    → connected components → one representative per group. Transitive:
+    #    A~B and B~C collapses {A,B,C} to A even though (A,C) was never a
+    #    candidate pair — per-pair drops would keep spurious survivors.
     sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     cand = D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
     shingles = D.doc_shingles(docs, "doc_id", "text", n=3)
     verified = D.jaccard_pairs(shingles, cand).filter(
         F.col("jaccard") > jaccard_threshold
     )
-    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    docs = docs.join(drop, "doc_id", "left_anti")
+    docs = D.dedup_by_pairs(docs, verified, "doc_id")
 
-    # 3+4. language and quality gates
-    lang_df = TS.lang_id(docs, "doc_id", "text").filter(
-        F.col("pred_lang") == lang
-    )
-    docs = docs.join(lang_df.select("doc_id"), "doc_id", "left_semi")
-    q = TS.quality_score(docs, "doc_id", "text")
-    docs = docs.join(
-        q.filter(F.col("quality") >= min_quality).select("doc_id", "quality"),
-        "doc_id",
-    )
+    # 3+4. language and quality gates from ONE fused stats projection
+    stats = TS.text_stats(docs, "doc_id", "text")
+    keep = stats.filter(
+        (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
+    ).select("doc_id", "quality")
+    docs = docs.join(keep, "doc_id")
 
     # 5. token accounting
     return docs.select(

@@ -44,3 +44,18 @@ def test_curate_drops_near_duplicates(spark):
     # 2 dropped as near-dup of 1 (higher id loses); 1 and 3 survive
     assert 2 not in ids
     assert 1 in ids and 3 in ids
+
+
+def test_curate_near_dup_removal_is_transitive(spark):
+    """A~B and B~C must collapse the whole chain to its min-id rep even if
+    (A, C) never verifies as a pair directly — the component stage, not
+    per-pair drops (which would keep a spurious survivor)."""
+    a = "the alpha and beta of the gamma is delta epsilon zeta eta theta"
+    b = a + " lambda mu"              # near-dup of a
+    c = b + " nu xi omicron"          # near-dup of b, farther from a
+    rows = [(1, a, "s"), (2, b, "s"), (3, c, "s"),
+            (4, "entirely different words about markets and weather", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.5)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [1, 4]
