@@ -240,6 +240,7 @@ def neardup_clusters(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -273,7 +274,15 @@ def neardup_clusters(
         )
         labels = compressed
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # silent partial labels would dedup WRONG groups — fail loudly
+        raise RuntimeError(
+            f"neardup_clusters did not reach a fixpoint in {max_iters} "
+            "rounds (pointer jumping converges in ~log2(component size); "
+            "raise max_iters for pathological graphs)"
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

@@ -478,3 +478,12 @@ def test_neardup_clusters_end_to_end_lsh(spark, sf_dir):
     deduped = D.dedup_by_pairs(emb, pairs, "vec_id")
     n_losers = sum(1 for x, root in expect.items() if x != root)
     assert deduped.count() == emb.count() - n_losers
+
+
+def test_neardup_clusters_raises_when_not_converged(spark):
+    """max_iters too small for the graph must raise, not silently return
+    partially-propagated labels that would dedup wrong groups."""
+    chain = [(i, i + 1) for i in range(0, 40)]  # long path
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        D.neardup_clusters(pairs, max_iters=1)
