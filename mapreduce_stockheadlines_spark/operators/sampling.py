@@ -1,0 +1,74 @@
+"""Deterministic sampling for training-data pipelines (§2.2 extension).
+
+``DataFrame.sample`` draws from a per-task RNG: re-executions, task
+retries, and partition-count changes all change WHICH rows survive — a
+silent poison for reproducible dataset builds. These operators derive the
+keep/assign decision from a hash of the row's KEY instead, so membership
+is a pure function of the data:
+
+- stable across retries/speculation and partitioning;
+- portable (md5 — any engine gives the same sample, so splits built by a
+  different system agree row-for-row);
+- mergeable: a row's split assignment never changes as the corpus grows.
+
+The hash bucket is the first 8 hex chars of md5(salt:key) scaled to
+[0, 1) — uniform for any key distribution, keys never co-located (no
+shuffle at all: sampling is a narrow filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 16 ** 8  # first 8 hex chars of the digest
+
+
+def hash_fraction(key: Column | str, salt: str = "") -> Column:
+    """Uniform [0, 1) value derived from md5(salt:key) — the primitive
+    behind all the samplers (kept JVM-side: conv() parses the hex)."""
+    key = F.col(key) if isinstance(key, str) else key
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")).cast("binary"))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / F.lit(
+        float(_BUCKETS)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Same input → same
+    sample, on any cluster, any partitioning, any engine with md5."""
+    return df.filter(hash_fraction(key, salt) < F.lit(fraction))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) with hash-disjoint membership: every row lands in
+    exactly one side, and a row's side never changes as data is added —
+    no leakage between refreshes of a growing corpus."""
+    h = hash_fraction(key, salt)
+    return (
+        df.filter(h >= F.lit(test_fraction)),
+        df.filter(h < F.lit(test_fraction)),
+    )
+
+
+def weighted_source_mix(
+    df: DataFrame, source_col: str, key: str,
+    weights: dict[str, float], salt: str = "mix",
+) -> DataFrame:
+    """Per-source downsampling to target mixture weights (the 'sample
+    Wikipedia at 3x, common-crawl at 0.3x' step of pretraining mixes,
+    for weights ≤ 1; upsampling is a separate explode-by-epochs concern).
+    Unlisted sources are dropped. One narrow filter — no shuffle, no
+    per-source scans."""
+    rate = None
+    for src, w in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(float(w))) if rate is None else rate.when(
+            cond, F.lit(float(w))
+        )
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return df.filter(hash_fraction(key, salt) < rate)
