@@ -1,0 +1,107 @@
+"""Sequence packing for LLM training (§2.2 extension): assign documents to
+fixed token-budget training sequences ("pack 2048-token contexts").
+
+Exact global bin packing is NP-hard and inherently serial; the practical
+distributed form packs WITHIN partitions:
+
+- rows are hash-repartitioned by id into a FIXED partition count, so the
+  grouping (and therefore the output) is a pure function of the data —
+  independent of the input's incoming partitioning, stable under retry;
+- each partition runs greedy first-fit-decreasing over its rows in Arrow
+  batches (sorted by (tokens desc, id) — deterministic tie order);
+- pack ids are (partition, local counter) encoded as one long, so they
+  are globally unique without any cross-partition coordination.
+
+Per-partition packing wastes at most a few percent of budget vs global
+(the standard trade in data pipelines); no shuffle beyond the one
+repartition, no driver involvement.
+
+Oversized documents (tokens > budget) get a pack of their own — flagged
+``truncate`` so a downstream tokenizer knows to split them; dropping
+them silently would bias the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACKED_SCHEMA = "id long, n_tokens long, pack_id long, truncate boolean"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    num_partitions: int = 64,
+    max_open_bins: int = 1024,
+) -> DataFrame:
+    """(id, n_tokens, pack_id, truncate): each id assigned to exactly one
+    pack; sum of n_tokens within a pack ≤ budget except single-doc
+    ``truncate`` packs.
+
+    ``max_open_bins`` bounds the first-fit scan: beyond it the OLDEST open
+    bin is closed (it is also the most-filled under FFD). This caps the
+    per-row cost at O(max_open_bins) — plain first-fit is O(rows²) per
+    partition when items cluster just above budget/2 — at a marginal
+    packing-efficiency cost."""
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+    ).repartition(num_partitions, F.col("id"))
+
+    def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in batches if len(pdf)]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True).sort_values(
+            ["n_tokens", "id"], ascending=[False, True], ignore_index=True
+        )
+        # partition id from any row's hash bucket is NOT available here;
+        # derive a collision-free namespace from the minimum id instead:
+        # pack_id = min_id_in_partition * 2^20 + local counter. Ids are
+        # per-partition-unique, so namespaces never collide.
+        namespace = int(pdf["id"].min()) << 20
+        next_bin = 0
+        open_bins: list[list[int]] = []  # [bin_index, remaining capacity]
+        assign: list[int] = []
+        truncate: list[bool] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                assign.append(next_bin)  # oversized: closed single-doc pack
+                next_bin += 1
+                truncate.append(True)
+                continue
+            # first fit over the open-bin window (first-fit-decreasing:
+            # rows arrive sorted by size desc)
+            for slot in open_bins:
+                if slot[1] >= n:
+                    slot[1] -= n
+                    assign.append(slot[0])
+                    break
+            else:
+                open_bins.append([next_bin, budget - n])
+                assign.append(next_bin)
+                next_bin += 1
+                if len(open_bins) > max_open_bins:
+                    open_bins.pop(0)  # close the oldest (most-filled) bin
+            truncate.append(False)
+        out = pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": [namespace + a for a in assign],
+                "truncate": truncate,
+            }
+        )
+        yield out
+
+    return base.mapInPandas(pack_partition, PACKED_SCHEMA)
