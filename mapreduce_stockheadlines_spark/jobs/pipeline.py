@@ -9,6 +9,10 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 keep the min-id representative per group)
       → language + quality     (ONE fused stats projection; filter both)
       → token accounting       (whitespace + BPE-ish counts per doc)
+      → sequence packing       (optional: per-partition FFD into token
+                                budgets — --pack-budget)
+      → train/test split       (optional: hash-disjoint, growth-stable —
+                                --test-fraction)
 
 Every stage is a DataFrame→DataFrame function from operators/; the only
 non-lazy step is the near-dup component stage (iterative label
@@ -18,7 +22,8 @@ partitioned parquet.
 
 Usage:
     python -m mapreduce_stockheadlines_spark.jobs.pipeline OUT_DIR \
-        [--sf-dir DIR] [--lang en] [--min-quality 0.5] [--jaccard 0.8]
+        [--sf-dir DIR] [--lang en] [--min-quality 0.5] [--jaccard 0.8] \
+        [--pack-budget 2048] [--test-fraction 0.1]
 """
 
 from __future__ import annotations
@@ -29,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import packing as PK
+from ..operators import sampling as SA
 from ..operators import textstats as TS
 from ..plans.catalog import DEFAULT_SF_DIR, parallel_table
 from ..session import get_spark
@@ -39,6 +46,7 @@ def curate(
     lang: str = "en",
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.8,
+    pack_budget: int | None = None,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
     surviving docs with quality/token columns attached."""
@@ -68,11 +76,22 @@ def curate(
     docs = docs.join(keep, "doc_id")
 
     # 5. token accounting
-    return docs.select(
+    docs = docs.select(
         "*",
         TS.whitespace_token_count("text").alias("n_ws_tokens"),
         TS.bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
+
+    # 6. (optional) pack surviving docs into fixed token-budget training
+    #    sequences; assignment joined back so rows keep their text
+    if pack_budget is not None:
+        assignment = PK.pack_sequences(
+            docs, "doc_id", "n_ws_tokens", budget=pack_budget
+        ).select("id", "pack_id", "truncate")
+        docs = docs.join(
+            assignment.withColumnRenamed("id", "doc_id"), "doc_id"
+        )
+    return docs
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -82,6 +101,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="pack docs into token-budget training sequences")
+    ap.add_argument("--test-fraction", type=float, default=None,
+                    help="hash-split a held-out set into <out>/test")
     args = ap.parse_args(argv)
 
     spark: SparkSession = get_spark("pipeline")
@@ -92,10 +115,23 @@ def main(argv: list[str] | None = None) -> None:
         lang=args.lang,
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard,
+        pack_budget=args.pack_budget,
     )
-    out.write.mode("overwrite").partitionBy("source").parquet(args.out_dir)
-    kept = spark.read.parquet(args.out_dir).count()
-    print(f"kept {kept} docs -> {args.out_dir}")
+    if args.test_fraction:
+        train, test = SA.train_test_split(out, "doc_id", args.test_fraction)
+        train.write.mode("overwrite").partitionBy("source").parquet(
+            f"{args.out_dir}/train"
+        )
+        test.write.mode("overwrite").partitionBy("source").parquet(
+            f"{args.out_dir}/test"
+        )
+        n_tr = spark.read.parquet(f"{args.out_dir}/train").count()
+        n_te = spark.read.parquet(f"{args.out_dir}/test").count()
+        print(f"kept {n_tr} train + {n_te} test docs -> {args.out_dir}")
+    else:
+        out.write.mode("overwrite").partitionBy("source").parquet(args.out_dir)
+        kept = spark.read.parquet(args.out_dir).count()
+        print(f"kept {kept} docs -> {args.out_dir}")
 
 
 if __name__ == "__main__":

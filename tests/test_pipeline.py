@@ -59,3 +59,25 @@ def test_curate_near_dup_removal_is_transitive(spark):
     out = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.5)
     ids = sorted(r.doc_id for r in out.select("doc_id").collect())
     assert ids == [1, 4]
+
+
+def test_curate_with_packing(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = curate(docs, lang="en", min_quality=0.4, pack_budget=256).toPandas()
+    assert "pack_id" in out.columns and "truncate" in out.columns
+    sums = out[~out["truncate"]].groupby("pack_id").n_ws_tokens.sum()
+    assert (sums <= 256).all()
+    assert out.doc_id.is_unique
+
+
+def test_pipeline_cli_split(spark, tmp_path):
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.3",
+          "--pack-budget", "512", "--test-fraction", "0.2"])
+    train = spark.read.parquet(f"{out}/train")
+    test = spark.read.parquet(f"{out}/test")
+    tr = {r.doc_id for r in train.select("doc_id").collect()}
+    te = {r.doc_id for r in test.select("doc_id").collect()}
+    assert tr and te and tr.isdisjoint(te)
