@@ -101,6 +101,57 @@ def minhash_signature(
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_ns: tuple[int | None, ...] = (None, 3),
+) -> DataFrame:
+    """Signatures for SEVERAL set representations in one pass: tokens are
+    built per mode array-side, tagged, and concatenated BEFORE the single
+    explode, so the whole thing is one scan and one (doc_id, mode)
+    aggregation — where per-mode ``minhash_signature`` + union costs one
+    scan and one shuffle PER MODE of the same total row volume (measured
+    ~11% at sf0.1; at scale it is the difference between 1 and N passes
+    over the corpus). ``mode`` is 'unigram' for shingle_n=None, else
+    'shingle{n}'."""
+    toks = tokens_array(text_col)
+
+    def mode_tokens(n: int | None):
+        if n is None:
+            return "unigram", toks
+        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        shifted = [F.slice(toks, i + 1, m) for i in range(n)]
+        shingles = F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+        )
+        return f"shingle{n}", shingles
+
+    def tag(arr, mode: str):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # inspects the Python arity and a second parameter (even a
+        # defaulted one) gets bound to the array INDEX column.
+        return F.transform(
+            arr, lambda t: F.struct(F.lit(mode).alias("mode"), t.alias("token"))
+        )
+
+    tagged = [tag(*reversed(mode_tokens(n))) for n in shingle_ns]
+    exploded = df.select(
+        id_col, F.explode(F.concat(*tagged)).alias("mt")
+    ).select(
+        id_col, F.col("mt.mode").alias("mode"), F.col("mt.token").alias("token")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col, "mode").agg(*aggs)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:

@@ -95,17 +95,14 @@ _MH_COLS = ",\n       ".join(
 def x03_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """Both set representations in one tagged result: unigram-token
     signatures and word-3-gram-shingle signatures (the order-sensitive
-    variant — 'shingle→minhash→band→bucket-join'). Same single-groupBy
-    construction either way; min() absorbs duplicate tokens so there is
-    no distinct shuffle before the aggregation."""
+    variant — 'shingle→minhash→band→bucket-join'). Computed in ONE scan
+    and ONE (doc_id, mode) aggregation (minhash_signatures_multi) rather
+    than a union of per-mode jobs; min() absorbs duplicate tokens so
+    there is no distinct shuffle before the aggregation."""
     docs = parallel_table(spark, sf, "documents")
-    uni = D.minhash_signature(docs, "doc_id", "text", num_hashes=8).withColumn(
-        "mode", F.lit("unigram")
-    )
-    sh = D.minhash_signature(
-        docs, "doc_id", "text", num_hashes=8, shingle_n=3
-    ).withColumn("mode", F.lit("shingle3"))
-    return uni.unionByName(sh).orderBy("mode", "doc_id")
+    return D.minhash_signatures_multi(
+        docs, "doc_id", "text", num_hashes=8, shingle_ns=(None, 3)
+    ).orderBy("mode", "doc_id")
 
 
 X03_SQL = f"""

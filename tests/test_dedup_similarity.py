@@ -50,6 +50,32 @@ def test_minhash_identical_docs_identical_signature(spark):
     assert rows[0] != rows[2]
 
 
+def test_minhash_multi_matches_per_mode(spark):
+    """The fused one-scan multi-mode operator must agree exactly with the
+    per-mode ``minhash_signature`` runs it replaces. Regression guard for
+    the F.transform lambda-arity trap: a two-parameter lambda (even with a
+    defaulted second arg) makes Spark bind the array index to it."""
+    df = docs_df(spark)
+    multi = D.minhash_signatures_multi(
+        df, "doc_id", "text", num_hashes=8, shingle_ns=(None, 3)
+    )
+    assert dict(multi.dtypes)["mode"] == "string"
+    got = {
+        (r.doc_id, r.mode): tuple(r[f"mh{i}"] for i in range(8))
+        for r in multi.collect()
+    }
+    uni = D.minhash_signature(df, "doc_id", "text", num_hashes=8)
+    sh = D.minhash_signature(df, "doc_id", "text", num_hashes=8, shingle_n=3)
+    want = {
+        (r.doc_id, "unigram"): tuple(r[f"mh{i}"] for i in range(8))
+        for r in uni.collect()
+    } | {
+        (r.doc_id, "shingle3"): tuple(r[f"mh{i}"] for i in range(8))
+        for r in sh.collect()
+    }
+    assert got == want
+
+
 def test_lsh_pairs_catch_exact_dups(spark):
     sig = D.minhash_signature(docs_df(spark), "doc_id", "text", num_hashes=8)
     pairs = {
