@@ -38,6 +38,8 @@ HEADLINE_QUERIES = [
     "x06_embedding_neardup",
     "x07_ann_topk",
     "x08_text_stats",
+    "x09_repetition_stats",
+    "x12_pii_redact",
     "x13_multimodal_pipeline",
     "x14_session_window",
     "x17_lsh_bucketed_neardup",

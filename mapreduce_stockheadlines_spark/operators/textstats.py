@@ -120,24 +120,132 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, *_quality_cols(text_col))
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """lang_id + quality_score fused into ONE projection over one scan.
+def text_stats(
+    df: DataFrame, id_col: str, text_col: str, *, include_fingerprint: bool = False
+) -> DataFrame:
+    """lang_id + quality_score (+ optionally fingerprint) fused into ONE
+    projection over one scan.
 
-    Both operators are pure column expressions, so computing them together
+    All components are pure column expressions, so computing them together
     costs a single pass with zero shuffle; the naive formulation —
     ``lang_id(df).join(quality_score(df), id)`` — scans the table twice
     and hash-shuffles both sides for the join, for identical output."""
-    return df.select(id_col, *_lang_id_cols(text_col), *_quality_cols(text_col))
+    cols = [*_lang_id_cols(text_col), *_quality_cols(text_col)]
+    if include_fingerprint:
+        cols += fingerprint_cols(text_col)
+    return df.select(id_col, *cols)
+
+
+def fingerprint_cols(text_col: str) -> list[Column]:
+    """fp / fp8 / norm_len as raw column expressions (fusable)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return [
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp8"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    ]
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (stable under reflow), plus an 8-hex-char short key for banding."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    fp = F.md5(norm.cast("binary"))
-    return df.select(
-        id_col,
-        fp.alias("fp"),
-        F.substring(fp, 1, 8).alias("fp8"),
-        F.length(norm).cast("bigint").alias("norm_len"),
+    return df.select(id_col, *fingerprint_cols(text_col))
+
+
+# PII patterns kept to syntax valid AND equivalent in both Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repetition,
+# ASCII \b word boundaries — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # IPv4 needs three dots, so a dotted phone (two dots) can never match.
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# Redaction order matters where patterns overlap (an SSN is also a
+# dash-phone shape? no — 3-2-4 vs 3-3-4 digit groups differ — but IP vs
+# dotted-phone prefixes share digits): apply in a fixed, documented order.
+PII_REDACTION_ORDER: tuple[str, ...] = ("email", "ip", "ssn", "phone")
+
+
+def pii_stats(
+    df: DataFrame, id_col: str, text_col: str, *, redact: bool = True
+) -> DataFrame:
+    """Per-document PII detection + redaction — the scrub step of a
+    training-data pipeline. Counts each PII class (regexp_count) and
+    rewrites the text with ``<CLASS>`` placeholders (regexp_replace), all
+    pure codegen expressions: one scan, zero shuffle, no Python in the
+    hot path, so it runs at full scan speed on any corpus size."""
+    text = F.col(text_col)
+    cols = [
+        F.regexp_count(text, F.lit(p)).cast("bigint").alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    out = df.select(id_col, text, *cols).withColumn(
+        "n_pii", total.cast("bigint")
+    )
+    if redact:
+        red = F.col(text_col)
+        for name in PII_REDACTION_ORDER:
+            red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+        out = out.withColumn("redacted", red)
+    return out.drop(text_col)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram_ns: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """Gopher-style repetition metrics per (document, n-gram order):
+    ``n_grams``, ``n_unique``, ``top_fraction`` (share of the most
+    frequent n-gram), ``dup_fraction`` (share of occurrences belonging to
+    n-grams seen more than once). High values mark boilerplate / looping
+    text that LLM-data pipelines drop.
+
+    One scan: every requested n-gram order is built array-side (zip of n
+    shifted slices — linear, no per-element ``slice``), tagged with its
+    mode, and concatenated before a SINGLE explode; then a two-level
+    codegen aggregation — (doc, mode, gram) counts, (doc, mode) rollup.
+    Work per row is bounded by document length, so the whole operator
+    scales linearly with corpus size; keys are (doc_id, ...) so there is
+    no skew regardless of corpus-wide token distribution."""
+    toks = tokens_array(text_col)
+
+    def grams(n: int):
+        if n == 1:
+            return toks
+        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        shifted = [F.slice(toks, i + 1, m) for i in range(n)]
+        return F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+        )
+
+    def tag(arr, mode: str):
+        # One-parameter lambda only: F.transform binds a second Python
+        # parameter (even defaulted) to the array index column.
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(mode).alias("mode"), g.alias("gram"))
+        )
+
+    tagged = [tag(grams(n), f"{n}gram") for n in ngram_ns]
+    exploded = df.select(
+        id_col, F.explode(F.concat(*tagged)).alias("mg")
+    ).select(id_col, F.col("mg.mode").alias("mode"), F.col("mg.gram").alias("gram"))
+    per_gram = exploded.groupBy(id_col, "mode", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_grams = F.sum("cnt").cast("bigint")
+    return per_gram.groupBy(id_col, "mode").agg(
+        n_grams.alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.round(F.max("cnt") / n_grams, 4).alias("top_fraction"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)) / n_grams, 4
+        ).alias("dup_fraction"),
     )

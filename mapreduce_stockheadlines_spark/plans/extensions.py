@@ -200,12 +200,15 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 # --- x08 per-doc text analysis: language ID + quality score -------------------
 
 def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Language ID (n-gram marker heuristic) and quality scoring
-    (length/punct/stopword components) per document — fused into one
-    projection over one scan (pure codegen, zero shuffle; see
+    """Language ID (n-gram marker heuristic), quality scoring
+    (length/punct/stopword components) and document fingerprint (md5 of
+    whitespace-normalized text) per document — fused into one projection
+    over one scan (pure codegen, zero shuffle; see
     operators/textstats.text_stats)."""
     docs = parallel_table(spark, sf, "documents")
-    return TS.text_stats(docs, "doc_id", "text").orderBy("doc_id")
+    return TS.text_stats(
+        docs, "doc_id", "text", include_fingerprint=True
+    ).orderBy("doc_id")
 
 
 def _marker_sum(lang: str) -> str:
@@ -272,10 +275,22 @@ SELECT doc_id, n_tokens, n_chars_obs, punct_ratio, stop_ratio,
 FROM q5t
 """
 
+_X08_FP_BODY = """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp8,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM n
+"""
+
 X08_SQL = f"""
 SELECT l.doc_id, l.pred_lang, l.marker_score,
-       q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality
-FROM ({_X08_LANG_BODY}) l JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
+       q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality,
+       f.fp, f.fp8, f.norm_len
+FROM ({_X08_LANG_BODY}) l
+JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
+JOIN ({_X08_FP_BODY}) f ON f.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
 
@@ -312,42 +327,122 @@ SELECT source, count(*) AS n_docs,
 FROM per_doc GROUP BY source ORDER BY source
 """
 
-# --- x11 document fingerprint -------------------------------------------------
+# --- x09 Gopher-style repetition metrics --------------------------------------
 
-def x11_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+def x09_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(doc, n-gram order) repetition metrics — the boilerplate /
+    looping-text filter of a training-data pipeline. All three n-gram
+    orders come from ONE scan + ONE explode (tagged concat, same trick as
+    x03) and a two-level codegen aggregation; per-row work is bounded by
+    document length, keys are doc-scoped → no corpus-level skew."""
     docs = parallel_table(spark, sf, "documents")
-    return TS.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+    return TS.repetition_stats(docs, "doc_id", "text", ngram_ns=(1, 2, 3)).orderBy(
+        "doc_id", "mode"
+    )
 
 
-X11_SQL = """
-WITH n AS (SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-           FROM documents)
-SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp8,
-       CAST(length(norm) AS BIGINT) AS norm_len
-FROM n ORDER BY doc_id
+X09_SQL = """
+WITH tl AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
+  FROM tl),
+ne AS (SELECT * FROM tok WHERE length(token) > 0),
+g AS (
+  SELECT doc_id, '1gram' AS mode, token AS gram FROM ne
+  UNION ALL
+  SELECT doc_id, '2gram' AS mode,
+         token || ' ' || lead(token, 1) OVER w AS gram
+  FROM ne WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(token, 1) OVER w IS NOT NULL
+  UNION ALL
+  SELECT doc_id, '3gram' AS mode,
+         token || ' ' || lead(token, 1) OVER w3 || ' ' || lead(token, 2) OVER w3
+           AS gram
+  FROM ne WINDOW w3 AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(token, 2) OVER w3 IS NOT NULL),
+pg AS (SELECT doc_id, mode, gram, count(*) AS cnt FROM g GROUP BY doc_id, mode, gram)
+SELECT doc_id, mode,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+         AS top_fraction,
+       round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE), 4) AS dup_fraction
+FROM pg GROUP BY doc_id, mode ORDER BY doc_id, mode
 """
 
-# --- x12 multimodal metadata (binary column plumbing, oracle-checked) --------
+# --- x12 PII detection + redaction --------------------------------------------
+#
+# The synthetic documents contain no natural PII, so the query plants
+# deterministic doc_id-derived PII (identically in both engines) before
+# running the operator — the detection/redaction expressions themselves
+# are the generic operators/textstats.pii_stats codegen path.
 
-def x12_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events").filter(F.col("event_id") < 200)
-    media = M.attach_binary(e, "props", "event_id", mime="application/json")
-    meta = M.media_meta(media)
-    k = e.select(
-        F.col("event_id").cast("long").alias("media_id"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+_PII_RE = TS.PII_PATTERNS
+
+
+def x12_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 250).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit(" call 555-014-4567")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" ssn 219-09-9999")).otherwise(F.lit("")),
     )
-    return meta.join(k, "media_id").orderBy("media_id")
+    stats = TS.pii_stats(
+        docs.select("doc_id", aug.alias("aug_text")), "doc_id", "aug_text"
+    )
+    return stats.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ip",
+        "n_pii",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_fp"),
+    ).orderBy("doc_id")
 
 
-X12_SQL = """
-SELECT CAST(event_id AS BIGINT) AS media_id,
-       'application/json' AS mime,
-       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
-       md5(props) AS content_hash,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
-FROM events WHERE event_id < 200 ORDER BY media_id
+X12_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' call 555-014-4567' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn 219-09-9999' ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_RE["email"]}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(t, '{_PII_RE["phone"]}')) AS BIGINT)
+           AS n_phone,
+         CAST(len(regexp_extract_all(t, '{_PII_RE["ssn"]}')) AS BIGINT) AS n_ssn,
+         CAST(len(regexp_extract_all(t, '{_PII_RE["ip"]}')) AS BIGINT) AS n_ip,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_RE["email"]}', '<EMAIL>', 'g'),
+               '{_PII_RE["ip"]}', '<IP>', 'g'),
+             '{_PII_RE["ssn"]}', '<SSN>', 'g'),
+           '{_PII_RE["phone"]}', '<PHONE>', 'g') AS redacted
+  FROM aug)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ip,
+       n_email + n_phone + n_ssn + n_ip AS n_pii,
+       md5(redacted) AS redacted_fp
+FROM c ORDER BY doc_id
 """
 
 # --- x13 multimodal pipeline: binary → resize → decode → frame sampling ------
@@ -374,17 +469,31 @@ def _feature_bytes_csv(col_name: str):
 
 
 def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """meta → resize → decode → frame-sample over a binary media column;
+    the metadata-only path (media_meta: codegen byte length + content
+    hash, no decode) and a typed-metadata JSON extract join in alongside
+    the Arrow-batched kernels, so the one query covers both the cheap
+    and the decode paths of the multimodal surface."""
     e = table(spark, sf, "events").filter(F.col("event_id") < 200)
     media = M.attach_binary(e, "props", "event_id", mime="image/fake")
+    meta = M.media_meta(media).select("media_id", "content_hash")
+    k = e.select(
+        F.col("event_id").cast("long").alias("media_id"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
     resized = M.resize_media(media, 64, 64).select("media_id", "content", "mime")
     decoded = M.decode_media(resized)
     frames = M.sample_frames(resized, max_frames=3)
     return (
         decoded.join(frames, "media_id")
+        .join(meta, "media_id")
+        .join(k, "media_id")
         .select(
             "media_id",
             "mime",
             "n_bytes",
+            "content_hash",
+            "k_value",
             "width",
             "height",
             "n_frames",
@@ -427,9 +536,13 @@ idx AS (SELECT *, least(3, n_frames) AS take,
         FROM d),
 fr AS (SELECT *, CAST((j * n_frames) // take AS INTEGER) AS frame_idx FROM idx),
 withfh AS (SELECT *, md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS fh FROM fr)
-SELECT media_id, 'image/fake' AS mime, n_bytes, width, height, n_frames,
-       feature_bytes, frame_idx, {_FRAME_FEAT_CSV} AS frame_feature_bytes
-FROM withfh ORDER BY media_id, frame_idx
+SELECT w.media_id, 'image/fake' AS mime, w.n_bytes,
+       w.h AS content_hash,
+       CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k_value,
+       w.width, w.height, w.n_frames,
+       w.feature_bytes, w.frame_idx, {_FRAME_FEAT_CSV} AS frame_feature_bytes
+FROM withfh w JOIN events e ON CAST(e.event_id AS BIGINT) = w.media_id
+ORDER BY w.media_id, w.frame_idx
 """
 
 
@@ -544,9 +657,9 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x06_embedding_neardup": QuerySpec(x06_embedding_neardup, X06_SQL),
     "x07_ann_topk": QuerySpec(x07_ann_topk, X07_SQL),
     "x08_text_stats": QuerySpec(x08_text_stats, X08_SQL),
+    "x09_repetition_stats": QuerySpec(x09_repetition_stats, X09_SQL),
     "x10_token_count": QuerySpec(x10_token_count, X10_SQL),
-    "x11_fingerprint": QuerySpec(x11_fingerprint, X11_SQL),
-    "x12_multimodal_meta": QuerySpec(x12_multimodal_meta, X12_SQL),
+    "x12_pii_redact": QuerySpec(x12_pii_redact, X12_SQL),
     "x13_multimodal_pipeline": QuerySpec(x13_multimodal_pipeline, X13_SQL),
     "x14_session_window": QuerySpec(x14_session_window, X14_SQL),
     "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),

@@ -150,6 +150,48 @@ def test_lsh_bucketed_recall_of_exact_dup(spark):
     assert (0, 2) not in pairs
 
 
+def test_pii_stats_detects_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.com or 555-123-4567 "
+                "ssn 219-09-9999 host 10.0.0.1"),
+            (1, "no pii here, just text with numbers 12345"),
+            (2, "two mails a@b.io c@d.org and dotted phone 555.123.4567"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in TS.pii_stats(df, "doc_id", "text").collect()}
+    assert (rows[0].n_email, rows[0].n_phone, rows[0].n_ssn, rows[0].n_ip) == (
+        1, 1, 1, 1,
+    )
+    assert rows[0].n_pii == 4
+    assert rows[0].redacted == "mail <EMAIL> or <PHONE> ssn <SSN> host <IP>"
+    assert rows[1].n_pii == 0 and "12345" in rows[1].redacted
+    assert rows[2].n_email == 2 and rows[2].n_phone == 1
+    assert "<EMAIL>" in rows[2].redacted and "<PHONE>" in rows[2].redacted
+    # an SSN (3-2-4 digit groups) must never count as a phone (3-3-4)
+    assert rows[0].n_phone == 1
+
+
+def test_repetition_stats_exact_values(spark):
+    df = spark.createDataFrame([(0, "a a a b")], ["doc_id", "text"])
+    rows = {
+        r.mode: r for r in TS.repetition_stats(df, "doc_id", "text").collect()
+    }
+    r1, r2, r3 = rows["1gram"], rows["2gram"], rows["3gram"]
+    assert (r1.n_grams, r1.n_unique, r1.top_fraction, r1.dup_fraction) == (
+        4, 2, 0.75, 0.75,
+    )
+    # bigrams: "a a","a a","a b"
+    assert (r2.n_grams, r2.n_unique, r2.top_fraction, r2.dup_fraction) == (
+        3, 2, 0.6667, 0.6667,
+    )
+    # trigrams: "a a a","a a b" — all unique
+    assert (r3.n_grams, r3.n_unique, r3.top_fraction, r3.dup_fraction) == (
+        2, 2, 0.5, 0.0,
+    )
+
+
 def test_quality_score_ranges(spark):
     out = TS.quality_score(docs_df(spark), "doc_id", "text")
     for r in out.collect():
