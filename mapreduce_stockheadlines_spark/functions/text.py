@@ -52,6 +52,22 @@ def tokens_array(col: Column | str) -> Column:
     return F.filter(F.split(clean_text(col), r"\s+"), lambda t: F.length(t) > 0)
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings.
+
+    Linear-time: zip of ``n`` shifted slices of the array (per-position
+    ``slice`` inside ``transform`` would be O(len) per element — measured
+    and rejected, see operators/dedup). ``n=1`` returns the array as-is."""
+    if n == 1:
+        return tokens
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    shifted = [F.slice(tokens, i + 1, m) for i in range(n)]
+    return F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+    )
+
+
 def explode_tokens(df: DataFrame, text_col: str, token_col: str = "token") -> DataFrame:
     """O7: one output row per token — Catalyst ``Generate`` (explode)."""
     return df.select(F.explode(tokens_array(text_col)).alias(token_col))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_array
+from ..functions.text import tokens_array, word_ngrams
 
 
 def exact_dedup(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
@@ -58,16 +58,7 @@ def doc_shingles(
     the order-sensitive set representation (SURVEY.md 'shingle→minhash→
     band→bucket-join'). Built array-side (transform over an index
     sequence) so the Generate emits shingles directly, no self-join."""
-    toks = tokens_array(text_col)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    # n shifted copies zipped elementwise: O(len) total work per doc. (A
-    # per-position slice inside transform is O(len) PER ELEMENT — measured
-    # ~10x slower on the sf0.1 documents table.)
-    shifted = [F.slice(toks, i + 1, m) for i in range(n)]
-    zipped = F.arrays_zip(*shifted)
-    shingles = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
-    )
+    shingles = word_ngrams(tokens_array(text_col), n)
     out = df.select(id_col, F.explode(shingles).alias("token"))
     return out.distinct() if distinct else out
 
@@ -121,13 +112,7 @@ def minhash_signatures_multi(
     def mode_tokens(n: int | None):
         if n is None:
             return "unigram", toks
-        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        shifted = [F.slice(toks, i + 1, m) for i in range(n)]
-        shingles = F.transform(
-            F.arrays_zip(*shifted),
-            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
-        )
-        return f"shingle{n}", shingles
+        return f"shingle{n}", word_ngrams(toks, n)
 
     def tag(arr, mode: str):
         # NB: the lambda must take exactly ONE parameter — F.transform

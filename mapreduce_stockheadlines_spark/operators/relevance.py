@@ -1,0 +1,138 @@
+"""Term-relevance operators: TF-IDF top terms and BM25 scoring.
+
+Classic lexical relevance for training-data pipelines (keyword extraction,
+query-document scoring, lexical retrieval baselines). Both operators are
+pure DataFrame compositions — explode, two aggregations, one many-to-one
+join, a window top-k — no Python in the hot path.
+
+Scale notes (100 TB contract):
+- Corpus stats (document frequency, avg length) are token-keyed
+  aggregations of the SAME exploded (doc, token) stream the term
+  frequencies come from — one explode feeds both, Spark reuses the scan.
+- The tf⋈df join is many-to-one on ``token``; document frequency is one
+  row per vocabulary term, orders of magnitude smaller than the tf
+  stream, so AQE broadcasts it for realistic vocabularies and falls back
+  to a shuffle join (still no skew amplification: a hot token is one
+  build row) when the vocabulary itself is huge.
+- Top-k per document compiles to WindowGroupLimit (rank pushdown), so no
+  task ever materializes a full per-doc term list sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_array
+
+__all__ = ["term_frequencies", "doc_frequencies", "tfidf_top_terms", "bm25_scores"]
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term) → tf over the standard cleaned token stream."""
+    return (
+        df.select(id_col, F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def doc_frequencies(tf: DataFrame, id_col: str) -> DataFrame:
+    """term → number of documents containing it (from the tf stream, which
+    is already distinct per (doc, term) — no extra distinct shuffle)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+
+def _n_docs(df: DataFrame, id_col: str) -> DataFrame:
+    """One-row document count, cross-joined (broadcast) where needed."""
+    return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)``, ties broken by term
+    ascending (deterministic output)."""
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = doc_frequencies(tf, id_col)
+    n = _n_docs(df, id_col)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (Robertson-Spärck
+    Jones, always positive), ``score = Σ idf * tf(k1+1) /
+    (tf + k1(1 - b + b·len/avglen))``. Documents matching no query term
+    are omitted (a LEFT join + zero-fill would keep them; retrieval
+    semantics drop them)."""
+    tf = term_frequencies(df, id_col, text_col)
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    dfreq = doc_frequencies(tf, id_col)
+    n = _n_docs(df, id_col)
+    qt = tf.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], ["term"]
+    )
+    idf = (
+        dfreq.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens_array
+from ..functions.text import STOPWORDS, tokens_array, word_ngrams
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
 # (a simplification of the GPT-2 pre-tokenizer split).
@@ -217,14 +217,7 @@ def repetition_stats(
     toks = tokens_array(text_col)
 
     def grams(n: int):
-        if n == 1:
-            return toks
-        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        shifted = [F.slice(toks, i + 1, m) for i in range(n)]
-        return F.transform(
-            F.arrays_zip(*shifted),
-            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
-        )
+        return word_ngrams(toks, n)
 
     def tag(arr, mode: str):
         # One-parameter lambda only: F.transform binds a second Python
@@ -248,4 +241,50 @@ def repetition_stats(
         F.round(
             F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)) / n_grams, 4
         ).alias("dup_fraction"),
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    DISTINCT word n-grams that also occur anywhere in a benchmark corpus
+    (the standard decontamination signal for pretraining data — docs with
+    high containment of an eval set's n-grams get dropped).
+
+    Shape at scale: the benchmark gram set is deduplicated once
+    (aggregation proportional to BENCHMARK size, which is small), then
+    LEFT-joined onto the corpus's distinct (doc, gram) stream on the gram
+    string — a many-to-one equi-join Spark broadcasts for realistic
+    benchmark sizes. The corpus is scanned once; per-row work is bounded
+    by document length; keys are (doc, gram) → no corpus-level skew.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(tokens_array(bench_text_col), n)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.lit(1).alias("hit"))
+    )
+    doc_grams = (
+        df.select(
+            id_col, F.explode(word_ngrams(tokens_array(text_col), n)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))  # distinct grams per doc
+        .drop("_occ")
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    n_grams = F.count(F.lit(1)).cast("bigint")
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint")
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_distinct_grams"),
+        n_hit.alias("n_contaminated"),
+        F.round(n_hit / n_grams, 4).alias("containment"),
     )

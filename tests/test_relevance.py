@@ -1,0 +1,146 @@
+"""TF-IDF / BM25 relevance operators: hand-checked values on tiny input
+plus full cross-engine pinning vs DuckDB over the real documents table."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.operators import relevance as R
+
+
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry dates"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_tfidf_hand_values(spark):
+    out = R.tfidf_top_terms(tiny_docs(spark), "doc_id", "text", k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # N=3. doc 0: apple tf=2 df=1 → 2*(ln(4/2)+1); banana tf=1 df=2 → ln(4/3)+1
+    r00 = rows[(0, 1)]
+    assert r00.term == "apple" and r00.tf == 2 and r00.df == 1
+    assert r00.score == round(2 * (math.log(4 / 2) + 1), 4)
+    assert rows[(0, 2)].term == "banana"
+    # doc 2: cherry tf=3 dominates dates tf=1
+    assert rows[(2, 1)].term == "cherry" and rows[(2, 2)].term == "dates"
+
+
+def test_tfidf_tie_broken_by_term_asc(spark):
+    df = spark.createDataFrame([(0, "zebra apple")], ["doc_id", "text"])
+    rows = R.tfidf_top_terms(df, "doc_id", "text", k=2).orderBy("rank").collect()
+    assert [r.term for r in rows] == ["apple", "zebra"]  # equal scores
+
+
+def test_bm25_hand_values(spark):
+    out = R.bm25_scores(
+        tiny_docs(spark), "doc_id", "text", ["cherry", "banana"], k1=1.2, b=0.75
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}  # doc 0 matches banana only
+    assert rows[0].n_matched_terms == 1
+    assert rows[1].n_matched_terms == 2
+    # doc 2 has tf=3 of the rarer-weighted cherry and is longest
+    n, k1, b = 3, 1.2, 0.75
+    dls = {0: 3.0, 1: 2.0, 2: 4.0}
+    avgdl = sum(dls.values()) / 3
+
+    def idf(df_):
+        return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    def contrib(tf, df_, dl):
+        return idf(df_) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want2 = round(contrib(3, 2, dls[2]), 4)  # cherry df=2, tf=3 in doc 2
+    assert rows[2].bm25 == pytest.approx(want2, abs=1e-4)
+    want1 = round(contrib(1, 2, dls[1]) + contrib(1, 2, dls[1]), 4)
+    assert rows[1].bm25 == pytest.approx(want1, abs=1e-4)
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0),
+tf AS (SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, token),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) + 1), 4)
+           AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
+def test_tfidf_matches_duckdb_on_documents(spark, sf_dir):
+    got = [
+        (r.doc_id, r.rank, r.term, r.tf, r.df, r.score)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .transform(lambda d: R.tfidf_top_terms(d, "doc_id", "text", k=5))
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(t) for t in con.sql(TFIDF_ORACLE).fetchall()]
+    assert got == want
+
+
+def test_ngram_contamination_values(spark):
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over dogs"),  # shares a 3-gram run
+            (1, "completely unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], ["q_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in TS.ngram_contamination(
+            docs, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    # doc 0 grams: 5 distinct; bench grams: {the quick brown, quick brown fox,
+    # brown fox sleeps} → hits = {the quick brown, quick brown fox} = 2
+    assert out[0].n_distinct_grams == 5
+    assert out[0].n_contaminated == 2
+    assert out[0].containment == 0.4
+    assert out[1].n_contaminated == 0 and out[1].containment == 0.0
+
+
+def test_ngram_contamination_duplicate_grams_counted_once(spark):
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame([(0, "a b c a b c a b c")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, "a b c")], ["q_id", "text"])
+    r = TS.ngram_contamination(docs, bench, "doc_id", "text", n=3).first()
+    # distinct 3-grams of doc 0: {a b c, b c a, c a b} — "a b c" repeats
+    assert r.n_distinct_grams == 3
+    assert r.n_contaminated == 1
+    assert r.containment == 0.3333
