@@ -50,3 +50,14 @@ def attribution_join(
             """
         ),
     ).select("p_user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+
+    The static side is re-read per micro-batch (picking up dimension
+    updates) and needs no watermark — only stream-stream joins buffer
+    state. Broadcast the dim side explicitly: at scale the dimension is
+    orders of magnitude smaller than the stream, and a shuffle join would
+    re-partition every micro-batch."""
+    return stream.join(F.broadcast(dim), key, "left")

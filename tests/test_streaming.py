@@ -216,3 +216,32 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, stream_dir):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream_dir):
+    """Stream-static dim join: streamed events enriched with the customer
+    dimension must equal the batch broadcast join (q05 shape)."""
+    from mapreduce_stockheadlines_spark.streaming.joins import enrich_with_dim
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = read_event_stream(spark, stream_dir).select("event_id", "user_id")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(
+        enrich_with_dim(src, dim, "user_id"), name, output_mode="append"
+    )
+    try:
+        got = {
+            (r.event_id, r.c_mktsegment)
+            for r in _collect_memory(spark, name).collect()
+        }
+    finally:
+        q.stop()
+    batch_src = table(spark, sf_dir, "events").select("event_id", "user_id")
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in batch_src.join(dim, "user_id", "left").collect()
+    }
+    assert got == want
+    assert len(got) > 0
