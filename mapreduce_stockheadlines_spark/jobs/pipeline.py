@@ -7,12 +7,16 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 exact Jaccard verify > threshold →
                                 connected components over verified pairs →
                                 keep the min-id representative per group)
+      → PII redaction          (codegen regex scrub; keeps n_pii)
       → language + quality     (ONE fused stats projection; filter both)
       → token accounting       (whitespace + BPE-ish counts per doc)
       → sequence packing       (optional: per-partition FFD into token
                                 budgets — --pack-budget)
       → train/test split       (optional: hash-disjoint, growth-stable —
                                 --test-fraction)
+      → decontamination        (optional, with a split: drop train docs
+                                whose distinct-3-gram containment in the
+                                held-out set exceeds --max-containment)
 
 Every stage is a DataFrame→DataFrame function from operators/; the only
 non-lazy step is the near-dup component stage (iterative label
@@ -68,7 +72,15 @@ def curate(
     )
     docs = D.dedup_by_pairs(docs, verified, "doc_id")
 
-    # 3+4. language and quality gates from ONE fused stats projection
+    # 3. PII scrub BEFORE scoring (quality should judge what ships):
+    #    text becomes the redacted version, the detection count rides
+    #    along — both raw column expressions, so this is a zero-shuffle
+    #    rewrite inside the same projection, not a join
+    docs = docs.withColumn("n_pii", TS.pii_count("text")).withColumn(
+        "text", TS.pii_redacted("text")
+    )
+
+    # 4+5. language and quality gates from ONE fused stats projection
     stats = TS.text_stats(docs, "doc_id", "text")
     keep = stats.filter(
         (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
@@ -105,6 +117,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="pack docs into token-budget training sequences")
     ap.add_argument("--test-fraction", type=float, default=None,
                     help="hash-split a held-out set into <out>/test")
+    ap.add_argument("--max-containment", type=float, default=None,
+                    help="with --test-fraction: drop train docs whose "
+                         "distinct-3-gram containment in the held-out set "
+                         "exceeds this fraction (decontamination)")
     args = ap.parse_args(argv)
 
     spark: SparkSession = get_spark("pipeline")
@@ -119,6 +135,14 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.test_fraction:
         train, test = SA.train_test_split(out, "doc_id", args.test_fraction)
+        if args.max_containment is not None:
+            # decontaminate train against the held-out set: the test side
+            # is small → its distinct gram set broadcasts
+            cont = TS.ngram_contamination(train, test, "doc_id", "text", n=3)
+            dirty = cont.filter(
+                F.col("containment") > args.max_containment
+            ).select("doc_id")
+            train = train.join(dirty, "doc_id", "left_anti")
         train.write.mode("overwrite").partitionBy("source").parquet(
             f"{args.out_dir}/train"
         )

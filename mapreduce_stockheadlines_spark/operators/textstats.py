@@ -170,6 +170,25 @@ PII_PATTERNS: dict[str, str] = {
 PII_REDACTION_ORDER: tuple[str, ...] = ("email", "ip", "ssn", "phone")
 
 
+def pii_count(text_col: Column | str) -> Column:
+    """Total PII matches across all classes — a raw column expression."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    total = None
+    for p in PII_PATTERNS.values():
+        c = F.regexp_count(text, F.lit(p)).cast("bigint")
+        total = c if total is None else total + c
+    return total
+
+
+def pii_redacted(text_col: Column | str) -> Column:
+    """Text with every PII class replaced by its ``<CLASS>`` placeholder —
+    a raw column expression (fusable into any projection, zero shuffle)."""
+    red = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name in PII_REDACTION_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+    return red
+
+
 def pii_stats(
     df: DataFrame, id_col: str, text_col: str, *, redact: bool = True
 ) -> DataFrame:
@@ -183,18 +202,11 @@ def pii_stats(
         F.regexp_count(text, F.lit(p)).cast("bigint").alias(f"n_{name}")
         for name, p in PII_PATTERNS.items()
     ]
-    total = None
-    for name in PII_PATTERNS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
     out = df.select(id_col, text, *cols).withColumn(
-        "n_pii", total.cast("bigint")
+        "n_pii", pii_count(text_col).cast("bigint")
     )
     if redact:
-        red = F.col(text_col)
-        for name in PII_REDACTION_ORDER:
-            red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
-        out = out.withColumn("redacted", red)
+        out = out.withColumn("redacted", pii_redacted(text_col))
     return out.drop(text_col)
 
 

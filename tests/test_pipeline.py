@@ -81,3 +81,34 @@ def test_pipeline_cli_split(spark, tmp_path):
     tr = {r.doc_id for r in train.select("doc_id").collect()}
     te = {r.doc_id for r in test.select("doc_id").collect()}
     assert tr and te and tr.isdisjoint(te)
+
+
+def test_curate_scrubs_pii(spark):
+    rows = [
+        (1, "the market news today reach me at alice@corp.example.com for "
+            "more details about the quarterly earnings and the outlook", "s"),
+        (2, "entirely different words about sports and the weather today "
+            "with no sensitive content at all in the entire text", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.5
+    ).collect()}
+    assert out[1].n_pii == 1
+    assert "<EMAIL>" in out[1].text and "alice@" not in out[1].text
+    assert out[2].n_pii == 0
+
+
+def test_pipeline_cli_decontaminate(spark, tmp_path):
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+          "--test-fraction", "0.3", "--max-containment", "0.15"])
+    train = spark.read.parquet(f"{out}/train")
+    test = spark.read.parquet(f"{out}/test")
+    # decontamination holds: no surviving train doc has >15% of its
+    # distinct 3-grams inside the held-out set
+    cont = TS.ngram_contamination(train, test, "doc_id", "text", n=3)
+    assert cont.filter(F.col("containment") > 0.15).count() == 0
+    assert train.count() > 0 and test.count() > 0
