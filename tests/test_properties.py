@@ -219,3 +219,62 @@ def test_neardup_clusters_equal_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+# Free-ish text with embedded digits/symbols so PII regexes get exercised
+pii_text = st.lists(
+    st.sampled_from(
+        ["word", "a@b.co", "10.1.2.3", "555-123-4567", "219-09-9999",
+         "x", "42", "...", "a@@b", "1.2.3"]
+    ),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(data=st.lists(st.tuples(st.integers(0, 30), pii_text),
+                     min_size=1, max_size=15, unique_by=lambda t: t[0]))
+@SLOW
+def test_pii_redaction_idempotent_and_complete(spark, data):
+    """Redacting twice equals redacting once, and a redacted text
+    re-scanned for PII reports zero matches (placeholders contain no
+    digits or @-addresses)."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        pii_count,
+        pii_redacted,
+    )
+
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        pii_redacted("text").alias("once"),
+        pii_redacted(pii_redacted("text")).alias("twice"),
+    ).withColumn("residual", pii_count(F.col("once")))
+    for r in out.collect():
+        assert r.once == r.twice
+        assert r.residual == 0
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 30),
+              st.lists(st.sampled_from("ab"), min_size=0, max_size=10)
+              .map(" ".join)),
+    min_size=1, max_size=10, unique_by=lambda t: t[0]))
+@SLOW
+def test_repetition_stats_invariants(spark, data):
+    """For any doc: fractions in [0,1]; n_unique ≤ n_grams; dup_fraction
+    is 0 iff every gram is unique; top_fraction ≥ 1/n_unique."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    for r in repetition_stats(df, "doc_id", "text").collect():
+        assert 1 <= r.n_unique <= r.n_grams
+        assert 0.0 <= r.top_fraction <= 1.0
+        assert 0.0 <= r.dup_fraction <= 1.0
+        if r.n_unique == r.n_grams:
+            assert r.dup_fraction == 0.0
+        else:
+            assert r.dup_fraction > 0.0
+        assert r.top_fraction >= round(1.0 / r.n_unique, 4) - 1e-9
