@@ -248,14 +248,17 @@ SELECT * FROM (
 # --- Q10 window frame + offset functions (running sum, lag/lead/ntile) -----
 
 def q10_window_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame aggregate (running sum) and offset functions (lag/lead/
-    delta/ntile) over ONE partitioned sort — Catalyst evaluates all five
-    in a single Window operator, so merging them costs nothing beyond the
-    shared shuffle. Delta is pass-through double arithmetic
+    """Frame aggregate (running sum), offset functions (lag/lead/delta/
+    ntile), rank distributions (percent_rank/cume_dist) and boundary
+    values (first/last) over ONE partitioned sort — Catalyst evaluates
+    all of them in a single Window operator (plan-pinned), so merging
+    costs nothing beyond the shared shuffle. Delta / percent_rank /
+    cume_dist are pass-through double arithmetic on identical operands
     (bit-identical across engines, no rounding needed)."""
     o = table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         o.select(
             "o_custkey",
@@ -267,6 +270,10 @@ def q10_window_functions(spark: SparkSession, sf: str) -> DataFrame:
                 "delta"
             ),
             F.ntile(4).over(w).cast("int").alias("seq_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wfull).alias("last_price"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -280,7 +287,14 @@ SELECT o_custkey, o_orderkey,
        lag(o_totalprice) OVER w AS prev_price,
        lead(o_orderstatus) OVER w AS next_status,
        o_totalprice - lag(o_totalprice) OVER w AS delta,
-       CAST(ntile(4) OVER w AS INTEGER) AS seq_quartile
+       CAST(ntile(4) OVER w AS INTEGER) AS seq_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_totalprice) OVER (
+         w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+       last_value(o_totalprice) OVER (
+         w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderkey
