@@ -399,3 +399,43 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return sums.select(id_col, fingerprint.alias("simhash"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Edit-distance verification of CANDIDATE pairs (never all-pairs):
+    levenshtein distance plus a length-normalized similarity
+    ``1 - dist / max(len_a, len_b)`` per (id_a, id_b).
+
+    The O(len²)-per-pair DP runs JVM-side (builtin levenshtein) and only
+    on the candidate set a banding/LSH stage produced, so total cost is
+    candidates × bounded-doc-length² — the same contract as
+    ``jaccard_pairs``. ``max_distance`` filters verified pairs."""
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b").cast("bigint")
+    out = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_distance"),
+            F.round(
+                F.lit(1.0)
+                - dist
+                / F.greatest(
+                    F.length("text_a"), F.length("text_b"), F.lit(1)
+                ),
+                4,
+            ).alias("edit_similarity"),
+        )
+    )
+    if max_distance is not None:
+        out = out.filter(F.col("edit_distance") <= max_distance)
+    return out

@@ -46,12 +46,18 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 # --- x02 n-gram (unigram-set) Jaccard on consecutive doc pairs --------------
 
 def x02_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-pair verification metrics (adjacent-id pairs as the
+    candidate set): exact token Jaccard AND levenshtein edit distance /
+    normalized similarity — the two standard verify signals after a
+    banding stage, both candidate-scoped equi-joins."""
     docs = parallel_table(spark, sf, "documents")
     toks = D.doc_tokens(docs, "doc_id", "text")
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    return D.jaccard_pairs(toks, pairs).orderBy("id_a")
+    jac = D.jaccard_pairs(toks, pairs)
+    ed = D.edit_distance_pairs(docs, pairs, "doc_id", "text")
+    return jac.join(ed, ["id_a", "id_b"]).orderBy("id_a")
 
 
 X02_SQL = f"""
@@ -66,10 +72,16 @@ inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
           GROUP BY p.id_a, p.id_b)
 SELECT p.id_a, p.id_b,
        round(coalesce(i.n_inter, 0) * 1.0
-             / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+             / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       round(1.0 - levenshtein(da.text, db.text)
+             / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE),
+             4) AS edit_similarity
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 ORDER BY p.id_a
 """

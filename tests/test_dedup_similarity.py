@@ -555,3 +555,22 @@ def test_neardup_clusters_raises_when_not_converged(spark):
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="fixpoint"):
         D.neardup_clusters(pairs, max_iters=1)
+
+
+def test_edit_distance_pairs_values(spark):
+    docs = spark.createDataFrame(
+        [(0, "kitten"), (1, "sitting"), (2, "kitten")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["id_a", "id_b"])
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in D.edit_distance_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    assert rows[(0, 1)].edit_distance == 3  # classic kitten→sitting
+    assert rows[(0, 1)].edit_similarity == round(1 - 3 / 7, 4)
+    assert rows[(0, 2)].edit_distance == 0
+    assert rows[(0, 2)].edit_similarity == 1.0
+    capped = D.edit_distance_pairs(
+        docs, pairs, "doc_id", "text", max_distance=1
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in capped] == [(0, 2)]
