@@ -431,24 +431,23 @@ def lsh_bucketed_pairs(
     n_planes: int = 8,
     threshold: float = 0.8,
     block_rows: int = 4096,
-    max_pair_map_rows: int = 1_000_000,
-    cache: bool = False,
 ) -> DataFrame:
     """Scale path: bucket by hyperplane signs, score only same-bucket pairs
     (equijoin on bucket id → shuffle co-location, no cross product), then
     exact cosine verify. Recall < 1 by construction (documented; raise
     recall with multiple tables / fewer planes).
 
-    Bounded tasks: a bucket is NEVER one task. A tiny per-bucket counts
-    aggregate (≤ 2^n_planes output rows) sizes ceil(bucket_size /
-    block_rows) sub-blocks per bucket; rows hash into sub-blocks and each
-    unordered sub-block pair (bucket, pa, pb) is its own ``applyInPandas``
-    group — per-task memory stays ≤ 2·block_rows vectors even for a hot
-    bucket (the same block decomposition as ``neardup_pairs``). The extra
-    counts pass is one cheap scan; the alternative is a straggler/OOM
-    task at 100× scale. If the pair map itself would exceed
-    ``max_pair_map_rows`` (buckets so large the within-bucket work is
-    quadratic-infeasible), fail with guidance to raise n_planes.
+    Bounded tasks, all inside ONE lazy plan: a bucket is NEVER one task.
+    A window count per bucket sizes ceil(bucket_size / block_rows)
+    sub-blocks; rows hash into sub-blocks and each row explodes to the
+    ``mb`` unordered sub-block pairs it participates in, so each
+    (bucket, pa, pb) pair is its own ``applyInPandas`` group — per-task
+    memory stays ≤ 2·block_rows vectors even for a hot bucket (the same
+    block decomposition as ``neardup_pairs``). There is NO driver-side
+    counts collect and NO materialized pair map: the earlier design's
+    separate sizing job + broadcast pair-map DataFrame (and its driver
+    row cap) are replaced by plan-native expressions, removing a driver
+    sync point and an O(Σ blocks²) driver allocation entirely.
 
     No trailing ``.distinct()``: each row lands in exactly one
     (bucket, g) sub-block and each unordered pair in exactly one
@@ -458,51 +457,41 @@ def lsh_bucketed_pairs(
     membership makes the distinct necessary).
     """
     planes = _hyperplanes(dim, n_planes)
-    spark = emb.sparkSession
     bucketed = emb.select(
         F.col(id_col).cast("long").alias("id"),
         as_double(vec_col).alias("v"),
         lsh_bucket(as_double(vec_col), planes).alias("bucket"),
     )
-    if cache:
-        # cache=False (default) recomputes the bucket pass for the main
-        # query: a columnar scan + P plane dots is cheaper than writing and
-        # re-reading a row-format cache of the whole table (measured at
-        # sf0.1, and the same argument holds for a parquet source at scale).
-        # cache=True persists (MEMORY_AND_DISK) for expensive upstream
-        # plans where recompute is NOT a cheap scan.
-        bucketed = bucketed.persist()
-    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    blocks = {
-        int(r["bucket"]): max(1, math.ceil(r["n"] / block_rows)) for r in counts
-    }
-    n_pair_rows = sum(m * (m + 1) // 2 + m * m for m in blocks.values())
-    if n_pair_rows > max_pair_map_rows:
-        raise ValueError(
-            f"lsh_bucketed_pairs: pair map would hold {n_pair_rows} rows "
-            f"(> max_pair_map_rows={max_pair_map_rows}) — buckets are too "
-            "large for within-bucket all-pairs. Raise n_planes (smaller "
-            "buckets) or block_rows."
-        )
-    mdf = spark.createDataFrame(
-        [(b, m) for b, m in blocks.items()], "bucket long, mb int"
+    wb = Window.partitionBy("bucket")
+    base = bucketed.withColumn(
+        "mb", F.ceil(F.count(F.lit(1)).over(wb) / block_rows).cast("int")
+    ).withColumn("g", F.pmod(F.xxhash64("id"), F.col("mb")).cast("int"))
+    # every sub-block pair this row's g participates in: (min(g,p), max(g,p))
+    # for p in 0..mb-1 — p == g yields the diagonal group once
+    expanded = base.select(
+        "bucket",
+        "id",
+        "v",
+        "g",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("mb") - 1),
+                lambda p: F.struct(
+                    F.least(F.col("g"), p).alias("pa"),
+                    F.greatest(F.col("g"), p).alias("pb"),
+                ),
+            )
+        ).alias("pp"),
+    ).select(
+        "bucket",
+        "id",
+        "v",
+        "g",
+        F.col("pp.pa").alias("pa"),
+        F.col("pp.pb").alias("pb"),
     )
-    pair_map = spark.createDataFrame(
-        [
-            (b, pa, pb, g)
-            for b, m in blocks.items()
-            for pa in range(m)
-            for pb in range(pa, m)
-            for g in ({pa, pb})
-        ],
-        "bucket long, pa int, pb int, g int",
-    )
-    base = bucketed.join(F.broadcast(mdf), "bucket").withColumn(
-        "g", F.pmod(F.xxhash64("id"), F.col("mb")).cast("int")
-    )
-    joined = base.join(F.broadcast(pair_map), ["bucket", "g"])
     return (
-        joined.groupBy("bucket", "pa", "pb")
+        expanded.groupBy("bucket", "pa", "pb")
         .applyInPandas(_score_block_pair(threshold), "id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
