@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens_array, word_ngrams
+from ..functions.text import (
+    STOPWORDS,
+    normalized_text,
+    text_word_ngrams,
+    tokens_array,
+)
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
 # (a simplification of the GPT-2 pre-tokenizer split).
@@ -219,32 +224,27 @@ def repetition_stats(
     n-grams seen more than once). High values mark boilerplate / looping
     text that LLM-data pipelines drop.
 
-    One scan: every requested n-gram order is built array-side (zip of n
-    shifted slices — linear, no per-element ``slice``), tagged with its
-    mode, and concatenated before a SINGLE explode; then a two-level
-    codegen aggregation — (doc, mode, gram) counts, (doc, mode) rollup.
-    Work per row is bounded by document length, so the whole operator
-    scales linearly with corpus size; keys are (doc_id, ...) so there is
-    no skew regardless of corpus-wide token distribution."""
-    toks = tokens_array(text_col)
-
-    def grams(n: int):
-        return word_ngrams(toks, n)
-
-    def tag(arr, mode: str):
-        # One-parameter lambda only: F.transform binds a second Python
-        # parameter (even defaulted) to the array index column.
-        return F.transform(
-            arr, lambda g: F.struct(F.lit(mode).alias("mode"), g.alias("gram"))
-        )
-
-    tagged = [tag(grams(n), f"{n}gram") for n in ngram_ns]
-    exploded = df.select(
-        id_col, F.explode(F.concat(*tagged)).alias("mg")
-    ).select(id_col, F.col("mg.mode").alias("mode"), F.col("mg.gram").alias("gram"))
-    per_gram = exploded.groupBy(id_col, "mode", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    One scan: every requested n-gram order is extracted straight from the
+    single-space-normalized text by a zero-width lookahead regex
+    (``text_word_ngrams`` — plain codegen string function; the former HOF
+    build of tagged structs was interpreted per element and measured ~5x
+    slower), concatenated before a SINGLE explode; the order tag is
+    recovered from the gram's space count (tokens contain no spaces by
+    construction), so nothing but flat strings flows through the Generate.
+    Then a two-level codegen aggregation — (doc, mode, gram) counts,
+    (doc, mode) rollup. Work per row is bounded by document length, so the
+    whole operator scales linearly with corpus size; keys are (doc_id, ...)
+    so there is no skew regardless of corpus-wide token distribution."""
+    norm = normalized_text(text_col)
+    arrays = [text_word_ngrams(norm, n) for n in ngram_ns]
+    exploded = df.select(id_col, F.explode(F.concat(*arrays)).alias("gram"))
+    n_spaces = F.length("gram") - F.length(
+        F.replace(F.col("gram"), F.lit(" "), F.lit(""))
     )
+    mode = F.concat((n_spaces + 1).cast("string"), F.lit("gram"))
+    per_gram = exploded.select(id_col, mode.alias("mode"), "gram").groupBy(
+        id_col, "mode", "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     n_grams = F.sum("cnt").cast("bigint")
     return per_gram.groupBy(id_col, "mode").agg(
         n_grams.alias("n_grams"),
@@ -279,14 +279,17 @@ def ngram_contamination(
     bench_text_col = bench_text_col or text_col
     bench_grams = (
         benchmark.select(
-            F.explode(word_ngrams(tokens_array(bench_text_col), n)).alias("gram")
+            F.explode(
+                text_word_ngrams(normalized_text(bench_text_col), n)
+            ).alias("gram")
         )
         .groupBy("gram")
         .agg(F.lit(1).alias("hit"))
     )
     doc_grams = (
         df.select(
-            id_col, F.explode(word_ngrams(tokens_array(text_col), n)).alias("gram")
+            id_col,
+            F.explode(text_word_ngrams(normalized_text(text_col), n)).alias("gram"),
         )
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("_occ"))  # distinct grams per doc
