@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_array, word_ngrams
+from ..functions.text import normalized_text, text_word_ngrams, tokens_array
 
 
 def exact_dedup(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
@@ -56,9 +56,10 @@ def doc_shingles(
 ) -> DataFrame:
     """(id, shingle) distinct pairs where a shingle is a word n-gram —
     the order-sensitive set representation (SURVEY.md 'shingle→minhash→
-    band→bucket-join'). Built array-side (transform over an index
-    sequence) so the Generate emits shingles directly, no self-join."""
-    shingles = word_ngrams(tokens_array(text_col), n)
+    band→bucket-join'). Extracted straight from normalized text by a
+    lookahead regex (codegen, no interpreted HOF) so the Generate emits
+    shingles directly, no self-join."""
+    shingles = text_word_ngrams(normalized_text(text_col), n)
     out = df.select(id_col, F.explode(shingles).alias("token"))
     return out.distinct() if distinct else out
 
@@ -99,35 +100,33 @@ def minhash_signatures_multi(
     num_hashes: int = 8,
     shingle_ns: tuple[int | None, ...] = (None, 3),
 ) -> DataFrame:
-    """Signatures for SEVERAL set representations in one pass: tokens are
-    built per mode array-side, tagged, and concatenated BEFORE the single
-    explode, so the whole thing is one scan and one (doc_id, mode)
-    aggregation — where per-mode ``minhash_signature`` + union costs one
-    scan and one shuffle PER MODE of the same total row volume (measured
-    ~11% at sf0.1; at scale it is the difference between 1 and N passes
-    over the corpus). ``mode`` is 'unigram' for shingle_n=None, else
-    'shingle{n}'."""
-    toks = tokens_array(text_col)
-
-    def mode_tokens(n: int | None):
-        if n is None:
-            return "unigram", toks
-        return f"shingle{n}", word_ngrams(toks, n)
-
-    def tag(arr, mode: str):
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # inspects the Python arity and a second parameter (even a
-        # defaulted one) gets bound to the array INDEX column.
-        return F.transform(
-            arr, lambda t: F.struct(F.lit(mode).alias("mode"), t.alias("token"))
-        )
-
-    tagged = [tag(*reversed(mode_tokens(n))) for n in shingle_ns]
-    exploded = df.select(
-        id_col, F.explode(F.concat(*tagged)).alias("mt")
-    ).select(
-        id_col, F.col("mt.mode").alias("mode"), F.col("mt.token").alias("token")
+    """Signatures for SEVERAL set representations in one pass: every mode's
+    grams are extracted from the normalized text (lookahead regex, pure
+    codegen) and concatenated BEFORE the single explode, so the whole thing
+    is one scan and one (doc_id, mode) aggregation — where per-mode
+    ``minhash_signature`` + union costs one scan and one shuffle PER MODE
+    of the same total row volume; at scale it is the difference between 1
+    and N passes over the corpus. The mode tag is recovered from the
+    gram's space count (tokens contain no spaces), so only flat strings
+    flow through the Generate — the former per-element struct tagging was
+    an interpreted HOF and measured ~1.6x slower. ``mode`` is 'unigram'
+    for shingle_n=None, else 'shingle{n}'."""
+    widths = [1 if n is None else n for n in shingle_ns]
+    if len(set(widths)) != len(widths):
+        raise ValueError(f"shingle_ns modes must have distinct widths: {shingle_ns}")
+    norm = normalized_text(text_col)
+    arrays = [text_word_ngrams(norm, w) for w in widths]
+    exploded = df.select(id_col, F.explode(F.concat(*arrays)).alias("token"))
+    spaces = F.length("token") - F.length(
+        F.replace(F.col("token"), F.lit(" "), F.lit(""))
     )
+    mode = F.lit(None).cast("string")  # unreachable: widths cover all grams
+    for n in shingle_ns:
+        label = "unigram" if n is None else f"shingle{n}"
+        mode = F.when(spaces + 1 == (1 if n is None else n), F.lit(label)).otherwise(
+            mode
+        )
+    exploded = exploded.select(id_col, mode.alias("mode"), "token")
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
             f"mh{i}"
