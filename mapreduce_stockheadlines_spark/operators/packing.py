@@ -33,6 +33,60 @@ from pyspark.sql import functions as F
 PACKED_SCHEMA = "id long, n_tokens long, pack_id long, truncate boolean"
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token-count chunks —
+    the complement of ``pack_sequences`` (split-long + pack-short is how a
+    corpus becomes fixed-length training contexts).
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text) where chunk i
+    covers whitespace tokens [i*stride, i*stride + chunk_tokens) and
+    stride = chunk_tokens - overlap; the last chunk may be short, empty
+    documents produce no chunks, and every token appears in at least one
+    chunk.
+
+    All codegen collection expressions (sequence/explode/slice/
+    array_join): per-row work is O(doc length), nothing shuffles — a chunk
+    stage fuses into whatever scan precedes it at any corpus size."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_documents: chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n = F.size("__toks")
+    # integer ceil((n - overlap) / stride), floored at 1 — doubles are
+    # exact here (token counts << 2^53) and match the oracle's `//`
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    chunked = base.select(
+        "id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("__toks", F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunked.select(
+        "id",
+        "chunk_id",
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -7,7 +7,10 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from mapreduce_stockheadlines_spark.operators.packing import pack_sequences
+from mapreduce_stockheadlines_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
 from mapreduce_stockheadlines_spark.operators.textstats import (
     whitespace_token_count,
 )
@@ -69,3 +72,97 @@ def test_packing_rejects_bad_budget(spark, sf_dir):
     counted = _docs_with_counts(spark, sf_dir)
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(counted, "doc_id", "n_tokens", 0)
+
+
+# --- document chunking ---------------------------------------------------
+
+CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(greatest((n - {overlap} + {stride} - 1) // {stride},
+                               1))) AS chunk_id
+  FROM nz)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[chunk_id * {stride} + 1 :
+                     chunk_id * {stride} + {chunk}]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {stride} + 1 :
+                            chunk_id * {stride} + {chunk}], ' ')
+         AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def test_chunking_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),   # 7 tokens
+            (1, "x"),               # shorter than one chunk
+            (2, "   "),             # whitespace-only: no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = [
+        (r.id, r.chunk_id, r.chunk_text)
+        for r in out.orderBy("id", "chunk_id").collect()
+    ]
+    # stride 3: starts 0, 3; ceil((7-1)/3) = 2 chunks for doc 0
+    assert rows == [
+        (0, 0, "a b c d"),
+        (0, 1, "d e f g"),
+        (1, 0, "x"),
+    ]
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    chunked = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    got = chunked.groupBy("id").agg(
+        F.sum("n_chunk_tokens").alias("sum_chunk"),
+        F.max(F.col("chunk_id") * (64 - 8) + F.col("n_chunk_tokens")).alias(
+            "max_end"
+        ),
+    )
+    counted = _docs_with_counts(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    joined = got.join(
+        counted.withColumnRenamed("doc_id", "id"), "id", "full"
+    ).collect()
+    for r in joined:
+        assert r.sum_chunk is not None and r.n_tokens is not None  # same docs
+        assert r.max_end == r.n_tokens  # last chunk ends at the last token
+        assert r.sum_chunk >= r.n_tokens  # overlap only adds coverage
+
+
+def test_chunking_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    docs = table(spark, sf_dir, "documents")
+    got = [
+        (r.id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, "doc_id", "text", 32, 4)
+        .orderBy("id", "chunk_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = CHUNK_ORACLE.format(chunk=32, overlap=4, stride=28)
+    want = [tuple(t) for t in con.sql(sql).fetchall()]
+    assert got == want
+
+
+def test_chunking_rejects_bad_params(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, "doc_id", "text", 0, 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "doc_id", "text", 8, 8)
