@@ -87,3 +87,10 @@ def read_json(spark: SparkSession, path: str,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning surface as parquet (the
+    second mainstream columnar format; useful when upstream Hive/Trino
+    pipelines hand over ORC instead of parquet)."""
+    return spark.read.orc(path)

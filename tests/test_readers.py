@@ -116,3 +116,32 @@ def test_sink_round_trips(spark, tmp_path):
     )
     back = read_csv_proper(spark, cs, schema=schema)
     assert sorted((r.id, r.v, r.p) for r in back.collect()) == rows
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trips and its scan takes predicate pushdown like parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources.readers import read_orc
+    from mapreduce_stockheadlines_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")], "id long, v string, p string"
+    )
+    oc = str(tmp_path / "oc")
+    write_orc(df, oc, partition_by=["p"])
+    back = read_orc(spark, oc)
+    assert sorted((r.id, r.v, r.p) for r in back.collect()) == sorted(
+        (r.id, r.v, r.p) for r in df.collect()
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        read_orc(spark, oc).filter((F.col("p") == "y") & (F.col("id") > 1)).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    assert "PushedFilters: [" in plan and "GreaterThan(id,1)" in plan
