@@ -438,3 +438,28 @@ def edit_distance_pairs(
     if max_distance is not None:
         out = out.filter(F.col("edit_distance") <= max_distance)
     return out
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest exact dedup: drop rows of ``new_df`` whose content
+    hash already exists in the historical index ``seen`` (one column,
+    ``text_hash``), then dedup within the batch itself.
+
+    Returns (surviving rows, updated index). The probe is an anti-join on
+    the fixed-width digest — with a bucketed/partitioned index table the
+    join co-locates by digest and never rescans historical TEXT, which is
+    the property that keeps day-N ingest cost proportional to day-N data,
+    not corpus size."""
+    hashed = new_df.withColumn(
+        "text_hash", F.md5(F.col(text_col).cast("binary"))
+    )
+    fresh = hashed if seen is None else hashed.join(seen, "text_hash", "left_anti")
+    survivors = exact_dedup(fresh, ["text_hash"], [id_col])
+    new_index = survivors.select("text_hash")
+    new_index = new_index if seen is None else seen.unionByName(new_index)
+    return survivors.drop("text_hash"), new_index

@@ -72,3 +72,45 @@ def weighted_source_mix(
         )
     rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return df.filter(hash_fraction(key, salt) < rate)
+
+
+def deterministic_shuffle(df: DataFrame, key: str, salt: str = "shuffle") -> DataFrame:
+    """Global pseudo-random training order: sort by md5(salt:key). The
+    order is a pure function of the data (reproducible runs; change
+    ``salt`` per epoch for a fresh permutation) and the sort key is
+    uniformly distributed, so Spark's range partitioner splits it evenly —
+    the pathological skew of sorting by a natural key never appears.
+
+    One range-partitioned sort — exactly what a 100 TB corpus shuffle
+    costs on any engine; writing the result partitioned preserves the
+    order as file order."""
+    key_c = F.col(key).cast("string")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key_c).cast("binary"))
+    return df.orderBy(h, key_c)  # key tiebreak: total order even on collision
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_top: float,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the top ``keep_top`` fraction of rows by ``score_col`` (the
+    'drop the worst 20% by quality score' pipeline stage).
+
+    The threshold is ONE approx_percentile aggregate (t-digest sketch:
+    fixed memory, one pass, mergeable across partitions) cross-joined back
+    as a broadcast scalar — the corpus itself is never shuffled or
+    sorted; total cost is a scan plus a narrow filter, at any scale."""
+    if not 0.0 < keep_top <= 1.0:
+        raise ValueError("quantile_threshold_filter: need 0 < keep_top <= 1")
+    thr = df.agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - keep_top), F.lit(int(1.0 / relative_error))
+        ).alias("__thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -580,3 +580,23 @@ def test_edit_distance_pairs_values(spark):
         docs, pairs, "doc_id", "text", max_distance=1
     ).collect()
     assert [(r.id_a, r.id_b) for r in capped] == [(0, 2)]
+
+
+def test_incremental_dedup(spark):
+    day1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    survivors1, index1 = D.incremental_dedup(day1, None, "doc_id", "text")
+    assert sorted(r.doc_id for r in survivors1.collect()) == [1, 2]
+    assert index1.count() == 2
+
+    day2 = spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma"), (6, "gamma")], ["doc_id", "text"]
+    )
+    survivors2, index2 = D.incremental_dedup(day2, index1, "doc_id", "text")
+    # 'alpha' already seen on day 1; within-batch 'gamma' dedups to min id
+    assert sorted(r.doc_id for r in survivors2.collect()) == [5]
+    assert index2.count() == 3
+    # replay of the same batch against the updated index yields nothing
+    survivors3, _ = D.incremental_dedup(day2, index2, "doc_id", "text")
+    assert survivors3.count() == 0

@@ -95,3 +95,46 @@ def test_hash_fraction_portable_to_duckdb(spark, sf_dir):
         ).fetchall()
     ]
     assert spark_ids == duck_ids and len(spark_ids) > 0
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(docs, "doc_id").collect()]
+    b = [
+        r.doc_id
+        for r in deterministic_shuffle(docs.repartition(7), "doc_id").collect()
+    ]
+    assert a == b  # pure function of the data, not of partitioning
+    assert sorted(a) == sorted(r.doc_id for r in docs.collect())  # permutation
+    assert a != sorted(a)  # actually shuffled
+    c = [
+        r.doc_id
+        for r in deterministic_shuffle(docs, "doc_id", salt="epoch2").collect()
+    ]
+    assert c != a and sorted(c) == sorted(a)  # new salt, new permutation
+
+
+def test_quantile_threshold_filter(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    kept = quantile_threshold_filter(docs, "score", keep_top=0.25)
+    n, k = docs.count(), kept.count()
+    assert 0.2 * n <= k <= 0.3 * n  # approx quantile: near the target rate
+    # everything kept scores >= everything dropped
+    min_kept = kept.agg(F.min("score")).first()[0]
+    dropped = docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+    max_dropped = dropped.agg(F.max("score")).first()[0]
+    assert min_kept >= max_dropped
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_top"):
+        quantile_threshold_filter(docs, "score", keep_top=0.0)
