@@ -9,6 +9,12 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 keep the min-id representative per group)
       → PII redaction          (codegen regex scrub; keeps n_pii)
       → language + quality     (ONE fused stats projection; filter both)
+      → quantile gate          (optional: keep the top fraction by
+                                quality via one t-digest sketch —
+                                --keep-top)
+      → chunking               (optional: split long docs into
+                                overlapping fixed-token windows —
+                                --chunk-tokens/--chunk-overlap)
       → token accounting       (whitespace + BPE-ish counts per doc)
       → sequence packing       (optional: per-partition FFD into token
                                 budgets — --pack-budget)
@@ -51,6 +57,9 @@ def curate(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.8,
     pack_budget: int | None = None,
+    keep_top: float | None = None,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 16,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
     surviving docs with quality/token columns attached."""
@@ -87,6 +96,31 @@ def curate(
     ).select("doc_id", "quality")
     docs = docs.join(keep, "doc_id")
 
+    # 5b. (optional) relative quality gate on top of the absolute one:
+    #     keep the best keep_top fraction (one sketch, no corpus shuffle)
+    if keep_top is not None:
+        docs = SA.quantile_threshold_filter(docs, "quality", keep_top)
+
+    # 5c. (optional) split long docs into overlapping fixed-token chunks;
+    #     chunks inherit the parent's metadata and a composite id
+    #     (parent << 20 | chunk index — doc ids stay well below 2^43)
+    if chunk_tokens is not None:
+        meta = docs.drop("text")
+        chunks = PK.chunk_documents(
+            docs, "doc_id", "text", chunk_tokens, chunk_overlap
+        ).withColumnRenamed("id", "parent_doc_id")
+        docs = chunks.join(
+            meta.withColumnRenamed("doc_id", "parent_doc_id"), "parent_doc_id"
+        ).select(
+            (F.col("parent_doc_id") * (1 << 20) + F.col("chunk_id")).alias(
+                "doc_id"
+            ),
+            "parent_doc_id",
+            "chunk_id",
+            F.col("chunk_text").alias("text"),
+            *[c for c in meta.columns if c != "doc_id"],
+        )
+
     # 5. token accounting
     docs = docs.select(
         "*",
@@ -115,6 +149,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="pack docs into token-budget training sequences")
+    ap.add_argument("--keep-top", type=float, default=None,
+                    help="keep only this top fraction by quality score")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="split docs into fixed-token chunks of this size")
+    ap.add_argument("--chunk-overlap", type=int, default=16,
+                    help="token overlap between adjacent chunks")
+    ap.add_argument("--shuffle-output", action="store_true",
+                    help="write output in deterministic hash-shuffled order")
     ap.add_argument("--test-fraction", type=float, default=None,
                     help="hash-split a held-out set into <out>/test")
     ap.add_argument("--max-containment", type=float, default=None,
@@ -132,7 +174,12 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard,
         pack_budget=args.pack_budget,
+        keep_top=args.keep_top,
+        chunk_tokens=args.chunk_tokens,
+        chunk_overlap=args.chunk_overlap,
     )
+    if args.shuffle_output:
+        out = SA.deterministic_shuffle(out, "doc_id")
     if args.test_fraction:
         train, test = SA.train_test_split(out, "doc_id", args.test_fraction)
         if args.max_containment is not None:

@@ -112,3 +112,30 @@ def test_pipeline_cli_decontaminate(spark, tmp_path):
     cont = TS.ngram_contamination(train, test, "doc_id", "text", n=3)
     assert cont.filter(F.col("containment") > 0.15).count() == 0
     assert train.count() > 0 and test.count() > 0
+
+
+def test_curate_with_quantile_gate_and_chunking(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    base = curate(docs, lang="en", min_quality=0.0)
+    out = curate(
+        docs,
+        lang="en",
+        min_quality=0.0,
+        keep_top=0.5,
+        chunk_tokens=32,
+        chunk_overlap=4,
+    ).toPandas()
+    n_base = base.count()
+    # quantile gate kept roughly half the quality distribution
+    n_parents = out.parent_doc_id.nunique()
+    assert 0.4 * n_base <= n_parents <= 0.6 * n_base
+    # every chunk respects the token budget and ids are composite
+    assert (out.n_ws_tokens <= 32).all()
+    assert (out.doc_id == out.parent_doc_id * (1 << 20) + out.chunk_id).all()
+    # chunks carry the parent's metadata columns
+    assert {"source", "quality", "n_pii"} <= set(out.columns)
+    # quality survived the gate
+    thr = base.toPandas().quality.quantile(0.5)
+    assert out.quality.min() >= thr - 0.05
