@@ -1,0 +1,94 @@
+"""Continuous curated ingest: a document stream deduplicated against the
+corpus-so-far and quality-gated, micro-batch by micro-batch.
+
+This is the streaming face of the batch curation pipeline
+(jobs/pipeline.py): each micro-batch probes a persistent content-digest
+index (anti-join on the fixed-width md5 — historical TEXT is never
+rescanned), survivors pass the fused language/quality gate, and both the
+curated output and the index delta are APPENDED — day-N cost is
+proportional to day-N data, not corpus size.
+
+Exactly-once note: ``foreachBatch`` gives at-least-once on retry; the
+appends here are made idempotent per micro-batch by writing each batch's
+files under a ``batch_id={id}`` subdirectory and overwriting it, the
+standard idempotent-foreachBatch recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.dedup import exact_dedup
+from ..operators.textstats import text_stats
+
+
+def curated_ingest_sink(
+    out_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str | None = None,
+    min_quality: float | None = None,
+):
+    """Build a ``foreachBatch`` function: dedup each micro-batch against
+    the persistent digest index at ``index_dir``, apply the optional
+    language/quality gate, append survivors to ``out_dir`` and their
+    digests to the index."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn(
+            "text_hash", F.md5(F.col(text_col).cast("binary"))
+        )
+        try:
+            # plain anti-join on the digest: AQE broadcasts while the
+            # index is small and shuffles fixed-width keys once it isn't
+            # (never force-broadcast a corpus-lifetime index)
+            seen = spark.read.parquet(index_dir)
+            fresh = hashed.join(seen, "text_hash", "left_anti")
+        except AnalysisException:  # first batch: no index yet
+            fresh = hashed
+        survivors = exact_dedup(fresh, ["text_hash"], [id_col])
+        if lang is not None or min_quality is not None:
+            stats = text_stats(survivors, id_col, text_col)
+            cond = F.lit(True)
+            if lang is not None:
+                cond = cond & (F.col("pred_lang") == lang)
+            if min_quality is not None:
+                cond = cond & (F.col("quality") >= min_quality)
+            survivors = survivors.join(
+                stats.filter(cond).select(id_col), id_col, "left_semi"
+            )
+        # per-batch subdir + overwrite = idempotent under micro-batch retry
+        survivors.drop("text_hash").write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        survivors.select("text_hash").write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
+def run_curated_ingest(
+    stream_df: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    **gate_kwargs,
+):
+    """Start the curated-ingest stream (availableNow trigger: drain what
+    is currently available, then stop — the batch-refresh deployment
+    mode; drop the trigger for continuous ingest)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            curated_ingest_sink(out_dir, index_dir, **gate_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

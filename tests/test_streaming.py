@@ -245,3 +245,45 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_curated_ingest_dedups_across_batches(spark, tmp_path):
+    """Two micro-batch rounds through the curated-ingest sink: batch 2's
+    repeats of batch-1 content are dropped by the persistent digest
+    index, within-batch dups collapse, and the index grows by exactly
+    the new distinct contents."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+
+    def run_round(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / tag))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        run_curated_ingest(stream, out, idx, ck)
+
+    run_round([(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")], "r1")
+    got1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]  # within-batch dup collapsed
+
+    run_round([(4, "alpha doc"), (5, "gamma doc"), (6, "gamma doc")], "r2")
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 5]  # cross-batch dup dropped via the index
+    texts = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha doc", "beta doc", "gamma doc"]
+    assert spark.read.parquet(idx).count() == 3
