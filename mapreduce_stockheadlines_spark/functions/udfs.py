@@ -1,0 +1,76 @@
+"""Arrow-vectorized UDF extension points (§2.2 UDF surface).
+
+The engine's rule is built-ins first — every core operator is pure
+Catalyst — but a complete engine needs the user extension surface. These
+are the two remaining pandas-UDF flavors not already exercised elsewhere
+(mapInPandas: operators/multimodal.py, packing.py, similarity.py;
+applyInPandasWithState: streaming/stateful.py):
+
+- SCALAR pandas UDF (Arrow batch in, Arrow batch out, one row per row);
+- GROUPED_AGG pandas UDF (a user-defined aggregate usable inside
+  ``groupBy().agg`` and unpartitioned windows).
+
+Both move data JVM→Python in Arrow columnar batches — ~10-100x the
+throughput of row-at-a-time Python UDFs — and both aggregate/transform
+with numpy inside the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# pandas_udf registration needs a live SparkSession, so the udf objects
+# are built on first use (import of this module must stay session-free).
+_CACHE: dict[str, object] = {}
+
+
+def normalize_vec(col: Column | str) -> Column:
+    """Unit-L2-normalize an embedding column (the standard prep before
+    cosine ANN: normalized vectors reduce cosine to a dot product).
+    Vectorized scalar pandas UDF: each Arrow batch becomes one numpy
+    matrix; zero vectors pass through unchanged (norm clamped to 1)."""
+    if "normalize_vec" not in _CACHE:
+
+        @pandas_udf("array<float>")
+        def _normalize(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack(vecs.to_numpy())
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            out = mat / np.maximum(norms, 1e-30)
+            return pd.Series(list(out.astype(np.float32)))
+
+        _CACHE["normalize_vec"] = _normalize
+    return _CACHE["normalize_vec"](col)
+
+
+def weighted_mean(value_col: Column | str, weight_col: Column | str) -> Column:
+    """User-defined aggregate: sum(v*w)/sum(w) over the group (e.g. a
+    token-count-weighted mean quality per source — the corpus-level
+    number that an unweighted mean misstates when doc lengths vary).
+    GROUPED_AGG pandas UDF: partial batches aggregate Python-side, but
+    grouping/shuffle stay in the JVM."""
+    if "weighted_mean" not in _CACHE:
+
+        @pandas_udf("double")
+        def _wmean(values: pd.Series, weights: pd.Series) -> float:
+            w = weights.to_numpy(dtype="float64")
+            v = values.to_numpy(dtype="float64")
+            tot = w.sum()
+            return float((v * w).sum() / tot) if tot > 0 else float("nan")
+
+        _CACHE["weighted_mean"] = _wmean
+    return _CACHE["weighted_mean"](value_col, weight_col)
+
+
+def weighted_mean_expr(value_col: str, weight_col: str) -> Column:
+    """The same weighted mean as a pure-codegen expression — the engine
+    default; ``weighted_mean`` exists for aggregation logic a built-in
+    composition cannot express."""
+    num = F.sum(F.col(value_col) * F.col(weight_col))
+    den = F.sum(weight_col)
+    return num / den
