@@ -137,3 +137,59 @@ def test_q12_set_ops_no_cartesian_or_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q12_set_ops")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _plan_df(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_chunking_is_narrow_no_exchange(spark, sf_dir):
+    """Chunking must fuse into the scan: a Generate over codegen
+    expressions, zero shuffles."""
+    from mapreduce_stockheadlines_spark.operators.packing import chunk_documents
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    plan = _plan_df(
+        chunk_documents(table(spark, sf_dir, "documents"), "doc_id", "text", 64, 8)
+    )
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_filter_never_shuffles_the_corpus(spark, sf_dir):
+    """The threshold side is one sketch aggregate broadcast back; the
+    corpus side must stay a scan + filter (no Exchange on the data path,
+    no sort)."""
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    plan = _plan_df(quantile_threshold_filter(docs, "score", 0.5))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar side
+    assert "Sort" not in plan  # no global sort of the corpus
+    # only shuffle allowed: the single-partition agg of the sketch
+    # (BroadcastExchange ships the scalar, it is not a data shuffle)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1 and "SinglePartition" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_deterministic_shuffle_is_range_partitioned(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    plan = _plan_df(
+        deterministic_shuffle(table(spark, sf_dir, "documents"), "doc_id")
+    )
+    assert "rangepartitioning" in plan  # even split of the uniform hash key
