@@ -63,13 +63,31 @@ def headlines_from_naive(df: DataFrame) -> DataFrame:
 
 
 def read_csv_proper(
-    spark: SparkSession, path: str, schema: T.StructType | None = HEADLINES_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = HEADLINES_SCHEMA,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Correct-CSV mode: quoted fields honored, header skipped, explicit
-    schema (inference available by passing schema=None)."""
+    schema (inference available by passing schema=None).
+
+    ``mode`` is Spark's parse mode — PERMISSIVE (malformed fields null),
+    DROPMALFORMED (row dropped), FAILFAST (job fails). With PERMISSIVE,
+    ``corrupt_col`` names a string column APPENDED to the schema that
+    captures each malformed row's raw text for quarantine/audit (the
+    malformed-row-FILTER pathology of the reference — SURVEY §2.1 O3 —
+    becomes an explicit, recoverable policy here)."""
     reader = spark.read.option("header", "true").option("quote", '"').option(
         "escape", '"'
-    )
+    ).option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col capture requires an explicit schema")
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -145,3 +145,35 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters: [" in plan
     assert "PushedFilters: [" in plan and "GreaterThan(id,1)" in plan
+
+
+def test_csv_parse_modes(spark, tmp_path):
+    """PERMISSIVE captures malformed rows in a quarantine column,
+    DROPMALFORMED silently drops them, FAILFAST raises."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.sources.readers import read_csv_proper
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,n\n1,10\n2,not_a_number\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("n", T.LongType())]
+    )
+
+    cap = read_csv_proper(
+        spark, str(p), schema=schema, corrupt_col="_corrupt"
+    ).collect()
+    by_id = {r.id: r for r in cap}
+    assert by_id[1].n == 10 and by_id[1]._corrupt is None
+    assert by_id[2].n is None and by_id[2]._corrupt == "2,not_a_number"
+    assert by_id[3].n == 30
+
+    dropped = read_csv_proper(
+        spark, str(p), schema=schema, mode="DROPMALFORMED"
+    ).collect()
+    assert sorted(r.id for r in dropped) == [1, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv_proper(spark, str(p), schema=schema, mode="FAILFAST").collect()
