@@ -42,3 +42,27 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-by-column parquet layout: range-repartition on the column,
+    sort within each partition, write one file per partition.
+
+    The point is DATA SKIPPING at read time: each output file covers a
+    narrow, (near-)disjoint range of ``cluster_by``, so a pushed-down
+    range/equality filter prunes whole files from the parquet footer
+    min/max statistics before any IO — the cheap single-column cousin of
+    Z-ordering, and the difference between scanning 100 TB and scanning
+    one file for a selective predicate. (Range boundaries come from a
+    sample sort; boundary values may straddle two files.)"""
+    out = df.repartitionByRange(
+        *( [num_files] if num_files is not None else [] ),
+        cluster_by,
+    ).sortWithinPartitions(cluster_by)
+    out.write.mode(mode).parquet(path)

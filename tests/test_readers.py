@@ -177,3 +177,43 @@ def test_csv_parse_modes(spark, tmp_path):
 
     with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_csv_proper(spark, str(p), schema=schema, mode="FAILFAST").collect()
+
+
+def test_clustered_write_enables_file_skipping(spark, tmp_path):
+    """write_clustered must produce files whose footer min/max ranges of
+    the cluster column are (near-)disjoint — the property file-level data
+    skipping needs — and a selective filter must be pushed to the scan."""
+    import glob
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources.sinks import write_clustered
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, "id", num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: a range predicate prunes whole files
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        spark.read.parquet(out).filter(F.col("id") < 100).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,100)]" in plan
