@@ -217,3 +217,25 @@ def test_clustered_write_enables_file_skipping(spark, tmp_path):
         spark.read.parquet(out).filter(F.col("id") < 100).explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters: [IsNotNull(id), LessThan(id,100)]" in plan
+
+
+def test_convert_job_csv_to_partitioned_parquet(spark, tmp_path):
+    from mapreduce_stockheadlines_spark.jobs.convert import convert
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,grp,v\n1,a,x\n2,b,y\n3,a,z\n")
+    out = str(tmp_path / "out_pq")
+    convert(spark, str(src), out, in_format="csv", partition_by="grp")
+    back = spark.read.parquet(out)
+    assert sorted((r.id, r.grp, r.v) for r in back.collect()) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "a", "z"),
+    ]
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("grp=")) == [
+        "grp=a", "grp=b",
+    ]
+
+    out2 = str(tmp_path / "out_orc")
+    convert(spark, str(src), out2, in_format="csv", out_format="orc")
+    assert spark.read.orc(out2).count() == 3
