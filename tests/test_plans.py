@@ -193,3 +193,48 @@ def test_deterministic_shuffle_is_range_partitioned(spark, sf_dir):
         deterministic_shuffle(table(spark, sf_dir, "documents"), "doc_id")
     )
     assert "rangepartitioning" in plan  # even split of the uniform hash key
+
+
+# --- plan guard (runtime linter) ----------------------------------------
+
+
+def test_plan_guard_catches_cartesian(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.guard import (
+        PlanGuardError,
+        assert_scalable,
+        check_plan,
+    )
+
+    a = table(spark, sf_dir, "nation")
+    b = table(spark, sf_dir, "region")
+    bad = a.crossJoin(b)
+    assert check_plan(bad)  # non-empty violations
+    with pytest.raises(PlanGuardError, match="NestedLoop|Cartesian"):
+        assert_scalable(bad)
+
+
+def test_plan_guard_passes_shipped_queries(spark, sf_dir):
+    """Every registry query must satisfy the default guard. Documented
+    exception: x06's block pair map is a <=max_blocks^2 range join over
+    BLOCK INDICES (spark.range x spark.range, never corpus rows), where
+    the nested-loop join is bounded and correct."""
+    from mapreduce_stockheadlines_spark.plans.guard import check_plan
+
+    for name, spec in ALL_QUERIES.items():
+        if name == "x06_embedding_neardup":
+            continue
+        df = spec.builder(spark, sf_dir)
+        violations = check_plan(df)
+        assert not violations, f"{name}: {violations}"
+
+
+def test_plan_guard_shuffle_cap_and_pushdown(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.guard import check_plan
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
+    assert check_plan(q, max_shuffles=1, require_pushed_filters=True) == []
+    assert check_plan(q, max_shuffles=0)  # the agg shuffle is counted
