@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_array
 
-__all__ = ["term_frequencies", "doc_frequencies", "tfidf_top_terms", "bm25_scores"]
+__all__ = [
+    "term_frequencies",
+    "doc_frequencies",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "vocabulary",
+    "oov_stats",
+]
 
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -135,4 +142,51 @@ def bm25_scores(
             F.round(F.sum("contrib"), 4).alias("bm25"),
             F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
         )
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, top_v: int | None = None) -> DataFrame:
+    """Corpus vocabulary: (term, freq, term_id) with ids assigned by rank
+    (freq DESC, term ASC — fully deterministic), optionally truncated to
+    the ``top_v`` most frequent terms. The tokenizer-building step of a
+    training pipeline.
+
+    One explode + one token-keyed aggregation (map-side partial combine
+    absorbs each partition's repeats); the rank is a window over the
+    VOCABULARY (one row per distinct term — millions, not corpus-scale),
+    sorted once. ``row_number`` over a global window is a single-task
+    sort of the vocab only, acceptable for real vocab sizes; shard by
+    first character if a vocabulary ever outgrows one task."""
+    freqs = (
+        df.select(F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = freqs.withColumn("term_id", F.row_number().over(w).cast("bigint"))
+    return ranked.filter(F.col("term_id") <= top_v) if top_v else ranked
+
+
+def oov_stats(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Per-document out-of-vocabulary stats against a vocabulary table:
+    (id, n_tokens, n_oov, oov_rate). High OOV marks encoding junk or
+    domain mismatch; the corpus-level mean tracks tokenizer coverage.
+
+    The token stream LEFT-joins the vocabulary on term — one row per
+    vocab term on the build side, so it broadcasts for real vocab sizes —
+    then one (doc) aggregation. Corpus scanned once, no skew (keys are
+    doc-scoped)."""
+    toks = df.select(id_col, F.explode(tokens_array(text_col)).alias("term"))
+    hit = vocab.select("term", F.lit(1).alias("__in_vocab"))
+    joined = toks.join(F.broadcast(hit), "term", "left")
+    n_tokens = F.count(F.lit(1)).cast("bigint")
+    n_oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return joined.groupBy(id_col).agg(
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(n_oov / n_tokens, 4).alias("oov_rate"),
     )

@@ -144,3 +144,57 @@ def test_ngram_contamination_duplicate_grams_counted_once(spark):
     assert r.n_distinct_grams == 3
     assert r.n_contaminated == 1
     assert r.containment == 0.3333
+
+
+VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0),
+f AS (SELECT token AS term, CAST(count(*) AS BIGINT) AS freq
+      FROM toks GROUP BY token),
+r AS (SELECT term, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT)
+               AS term_id
+      FROM f)
+SELECT term, freq, term_id FROM r WHERE term_id <= 50 ORDER BY term_id
+"""
+
+
+def test_vocabulary_matches_duckdb(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.relevance import vocabulary
+
+    got = [
+        (r.term, r.freq, r.term_id)
+        for r in vocabulary(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "text", top_v=50
+        )
+        .orderBy("term_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(t) for t in con.sql(VOCAB_ORACLE).fetchall()]
+    assert got == want
+
+
+def test_oov_stats_hand_values(spark):
+    from mapreduce_stockheadlines_spark.operators.relevance import (
+        oov_stats,
+        vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "apple zebra")], ["doc_id", "text"]
+    )
+    vocab = vocabulary(docs, "text", top_v=2)  # apple(3), banana(1)
+    terms = {r.term for r in vocab.collect()}
+    assert terms == {"apple", "banana"}
+    rows = {r.doc_id: r for r in oov_stats(docs, "doc_id", "text", vocab).collect()}
+    assert rows[0].n_tokens == 3 and rows[0].n_oov == 0 and rows[0].oov_rate == 0.0
+    assert rows[1].n_tokens == 2 and rows[1].n_oov == 1 and rows[1].oov_rate == 0.5
