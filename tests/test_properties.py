@@ -278,3 +278,42 @@ def test_repetition_stats_invariants(spark, data):
         else:
             assert r.dup_fraction > 0.0
         assert r.top_fraction >= round(1.0 / r.n_unique, 4) - 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.integers(2, 8),
+    overlap=st.integers(0, 3),
+)
+@SLOW
+def test_chunking_reconstructs_tokens(spark, docs, chunk, overlap):
+    """For ANY document: dropping each non-first chunk's overlap prefix
+    and concatenating reconstructs the original token sequence exactly,
+    and every chunk except the last is full-size."""
+    from mapreduce_stockheadlines_spark.operators.packing import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in by_doc  # empty doc: no chunks
+            continue
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        pieces = [r.chunk_text.split(" ") for r in rows]
+        rebuilt = pieces[0] + [t for p in pieces[1:] for t in p[overlap:]]
+        assert rebuilt == toks
+        for p in pieces[:-1]:
+            assert len(p) == chunk  # only the last chunk may be short
+        assert all(r.n_chunk_tokens == len(p) for r, p in zip(rows, pieces))
