@@ -310,3 +310,38 @@ def ngram_contamination(
         n_hit.alias("n_contaminated"),
         F.round(n_hit / n_grams, 4).alias("containment"),
     )
+
+
+# --- HTML / markup stripping --------------------------------------------------
+
+# Entity map covers the named entities that matter at corpus scale;
+# numeric entities decode via the generic pattern below.
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+)
+
+
+def strip_html(text_col: Column | str) -> Column:
+    """Plain text from HTML-ish markup: drop <script>/<style> subtrees
+    (their text is never prose), strip remaining tags and comments,
+    decode the common entities, collapse whitespace.
+
+    The web-corpus prep step (WET-style extraction). Pure codegen
+    regexp_replace chain — no parser, no Python — which is the right
+    trade for bulk corpus cleaning; rows needing real DOM fidelity
+    should route to a parser UDF instead."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    # (?is): case-insensitive, dot matches newline — Java regex, also RE2
+    t = F.regexp_replace(t, r"(?is)<script\b.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -64,3 +64,24 @@ def test_anti_plus_semi_partition_input(spark):
         F.broadcast(stop.withColumnRenamed("word", "token")), "token", "left_semi"
     ).count()
     assert anti + semi == toks.count()
+
+
+def test_strip_html(spark):
+    from mapreduce_stockheadlines_spark.operators.textstats import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (0, "<html><body><p>Hello <b>world</b></p></body></html>"),
+            (1, "<script>var x = 1;</script>keep <style>p{}</style>this"),
+            (2, "A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+            (3, "<!-- comment -->text<br/>lines\n\n  spaced"),
+            (4, "no markup at all"),
+        ],
+        ["id", "html"],
+    )
+    got = {r.id: r.t for r in df.select("id", strip_html("html").alias("t")).collect()}
+    assert got[0] == "Hello world"
+    assert got[1] == "keep this"
+    assert got[2] == 'A & B <tag> "q" \'s\' end'
+    assert got[3] == "text lines spaced"
+    assert got[4] == "no markup at all"
