@@ -26,12 +26,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", default=None, help="parquet output path")
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--explain", action="store_true", help="print the plan too")
+    ap.add_argument("--guard", action="store_true",
+                    help="refuse plans with scale anti-patterns "
+                         "(cartesian/nested-loop joins)")
     args = ap.parse_args(argv)
 
     spark = get_spark("sql")
     spark.sparkContext.setLogLevel("ERROR")
     register_views(spark, args.sf_dir)
     df = spark.sql(args.query)
+    if args.guard:
+        from ..plans.guard import assert_scalable
+
+        assert_scalable(df)  # raises PlanGuardError before any execution
     if args.explain:
         df.explain("formatted")
     if args.output:

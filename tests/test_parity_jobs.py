@@ -164,3 +164,19 @@ def test_stock_count_golden_invariants_replay(spark):
     assert [(r.stock, r.cnt) for r in top] == [
         ("MS", 1174), ("MRK", 1141), ("MU", 1096),
     ]
+
+
+def test_sql_cli_guard_rejects_cartesian(spark, capsys):
+    import pytest
+
+    from mapreduce_stockheadlines_spark.jobs.sql import main as sql_main
+    from mapreduce_stockheadlines_spark.plans.guard import PlanGuardError
+
+    # clean query passes and prints
+    sql_main(["SELECT r_name FROM region ORDER BY r_name",
+              "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"])
+    assert "AFRICA" in capsys.readouterr().out
+
+    with pytest.raises(PlanGuardError, match="Cartesian|NestedLoop"):
+        sql_main(["SELECT * FROM region, nation",
+                  "--sf-dir", "/root/testdata/sf0.001", "--guard"])
