@@ -66,3 +66,58 @@ def write_clustered(
         cluster_by,
     ).sortWithinPartitions(cluster_by)
     out.write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) parquet layout over MULTIPLE columns: each
+    column is bucketed into 2^bits equal-width bins between its global
+    min/max, the bin indices' bits are interleaved into one sort key, and
+    files are range-written on that key.
+
+    Where ``write_clustered`` gives perfect skipping on ONE column (every
+    other column's per-file range stays full-width), the Morton key keeps
+    every file's bounding box small in ALL ordered dimensions, so range
+    filters on any of them — or several at once — prune files from the
+    footer stats. Cost: two tiny min/max aggregates + one range shuffle,
+    identical to the single-column layout. (Equal-width binning is the
+    simple variant; swap in percentile boundaries for heavily skewed
+    columns.)"""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("write_zordered: need >= 2 columns (else write_clustered)")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    row = df.agg(*aggs).first()  # one tiny driver row, like a broadcast side
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for c in cols:
+        lo = float(row[f"min_{c}"])
+        hi = float(row[f"max_{c}"])
+        if hi <= lo:
+            bucket_cols.append(F.lit(0).cast("long"))
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+        ) - 1
+        bucket_cols.append(
+            F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, b in enumerate(bucket_cols):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, i * len(cols) + ci)
+    out = df.withColumn("__z", z)
+    out = out.repartitionByRange(
+        *( [num_files] if num_files is not None else [] ), "__z"
+    ).sortWithinPartitions("__z").drop("__z")
+    out.write.mode(mode).parquet(path)

@@ -239,3 +239,58 @@ def test_convert_job_csv_to_partitioned_parquet(spark, tmp_path):
     out2 = str(tmp_path / "out_orc")
     convert(spark, str(src), out2, in_format="csv", out_format="orc")
     assert spark.read.orc(out2).count() == 3
+
+
+def test_zordered_write_bounds_every_dimension(spark, tmp_path):
+    """Morton layout: every file's bounding box must be narrow in BOTH
+    ordered columns, where the single-column clustered layout leaves the
+    second column full-width in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources.sinks import (
+        write_clustered,
+        write_zordered,
+    )
+
+    n = 1 << 14
+    df = spark.range(0, n).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+
+    def file_ranges(path, col_idx):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    zo = str(tmp_path / "zo")
+    write_zordered(df, zo, ["x", "y"], bits=7, num_files=16)
+    cl = str(tmp_path / "cl")
+    write_clustered(df.select("x", "y"), cl, "x", num_files=16)
+
+    # z-order: both dimensions' per-file spans well below the full domain
+    # for the typical file (a file straddling a major curve boundary can
+    # span wide in one dim — that's inherent to the space-filling curve,
+    # so assert the distribution, not the max)
+    x_spans = sorted(file_ranges(zo, 0))
+    y_spans = sorted(file_ranges(zo, 1))
+    assert len(x_spans) == 16
+    assert x_spans[len(x_spans) // 2] <= 127 * 0.55  # median file is tight
+    assert y_spans[len(y_spans) // 2] <= 127 * 0.55
+    assert sum(x_spans) / 16 <= 127 * 0.65
+    assert sum(y_spans) / 16 <= 127 * 0.65
+    # clustered-by-x: x is tight but y stays (near) full-width in EVERY
+    # file — the contrast that motivates the Morton layout
+    y_spans_cl = file_ranges(cl, 1)
+    assert min(y_spans_cl) > 127 * 0.9
+    # round trip
+    assert spark.read.parquet(zo).count() == n
