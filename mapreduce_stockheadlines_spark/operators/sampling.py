@@ -114,3 +114,60 @@ def quantile_threshold_filter(
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key: str, fraction: float, salt: str = "strat"
+) -> DataFrame:
+    """EXACT per-stratum sampling: every stratum keeps exactly
+    ``ceil(fraction * n_stratum)`` rows (the plain hash filter's count
+    wanders binomially — fatal for small strata that must stay
+    represented). Rows are ranked inside each stratum by md5(salt:key)
+    (key tiebreak) and the lowest ranks survive, so the choice is still
+    deterministic, partition-invariant, and portable across engines.
+
+    Cost: one hash shuffle on the stratum column + a per-stratum sort
+    (a row_number window). A stratum is one window partition — the usual
+    trade of exact stratification; for a pathologically hot stratum,
+    fall back to ``deterministic_sample`` within it (approximate) or
+    pre-split the stratum key. Growth caveat: adding rows to a stratum
+    re-ranks it, so membership is stable only for a fixed snapshot —
+    use ``deterministic_sample`` when grow-stability matters more than
+    exact counts.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("stratified_sample: need 0 < fraction <= 1")
+    key_c = F.col(key).cast("string")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key_c).cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(h, key_c)
+    wn = Window.partitionBy(strata_col)
+    quota = F.ceil(F.count(F.lit(1)).over(wn) * F.lit(float(fraction)))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_q", quota)
+        .filter(F.col("_rn") <= F.col("_q"))
+        .drop("_rn", "_q")
+    )
+
+
+def group_split(
+    df: DataFrame, group_col: str, test_fraction: float = 0.1, salt: str = "gsplit"
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe (train, test): the hash is taken over the GROUP key,
+    so every row of a group lands on the same side. This is the split
+    that near-duplicate-aware pipelines need — split on the doc id and
+    two near-identical documents straddle the boundary, leaking test
+    content into training; split on the dedup cluster representative
+    (``neardup_clusters``'s ``rep``), the URL domain, or the author, and
+    the whole correlated group moves together.
+
+    Same guarantees as ``train_test_split`` (deterministic, partition-
+    invariant, grow-stable, no shuffle — a narrow filter on a hash of
+    the group column)."""
+    h = hash_fraction(group_col, salt)
+    return (
+        df.filter(h >= F.lit(test_fraction)),
+        df.filter(h < F.lit(test_fraction)),
+    )

@@ -138,3 +138,107 @@ def test_quantile_threshold_filter(spark, sf_dir):
 
     with pytest.raises(ValueError, match="keep_top"):
         quantile_threshold_filter(docs, "score", keep_top=0.0)
+
+
+# --- stratified sampling ------------------------------------------------------
+
+
+def test_stratified_exact_quota_per_stratum(spark, sf_dir):
+    import math
+
+    from mapreduce_stockheadlines_spark.operators.sampling import stratified_sample
+
+    cust = table(spark, sf_dir, "customer")
+    frac = 0.25
+    out = stratified_sample(cust, "c_mktsegment", "c_custkey", frac)
+    got = {r.c_mktsegment: r["count"] for r in out.groupBy("c_mktsegment").count().collect()}
+    sizes = {
+        r.c_mktsegment: r["count"]
+        for r in cust.groupBy("c_mktsegment").count().collect()
+    }
+    # exact ceil(n * frac) per stratum; every stratum represented
+    assert got == {k: math.ceil(n * frac) for k, n in sizes.items()}
+
+
+def test_stratified_partition_invariant_and_vs_duckdb(spark, sf_dir):
+    """Membership is a pure function of the data: repartitioning doesn't
+    change it, and DuckDB ranking by the same md5 picks the same rows."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.sampling import stratified_sample
+
+    cust = table(spark, sf_dir, "customer")
+    a = sorted(
+        r.c_custkey
+        for r in stratified_sample(cust, "c_mktsegment", "c_custkey", 0.2).collect()
+    )
+    b = sorted(
+        r.c_custkey
+        for r in stratified_sample(
+            cust.repartition(13), "c_mktsegment", "c_custkey", 0.2
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT c_custkey FROM (
+              SELECT c_custkey,
+                     row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5('strat:' || CAST(c_custkey AS VARCHAR)),
+                                CAST(c_custkey AS VARCHAR)) AS rn,
+                     count(*) OVER (PARTITION BY c_mktsegment) AS n
+              FROM customer)
+            WHERE rn <= ceil(n * 0.2)
+            """
+        ).fetchall()
+    )
+    assert a == want
+
+
+# --- leakage-safe group split -------------------------------------------------
+
+
+def test_group_split_keeps_groups_together(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sampling import group_split
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "grp", F.col("doc_id") % 50
+    )
+    train, test = group_split(docs, "grp", test_fraction=0.3)
+    tr_g = {r.grp for r in train.select("grp").distinct().collect()}
+    te_g = {r.grp for r in test.select("grp").distinct().collect()}
+    assert tr_g.isdisjoint(te_g)
+    assert train.count() + test.count() == docs.count()
+    assert len(te_g) > 0
+
+
+def test_group_split_blocks_neardup_leakage(spark):
+    """The composition that motivates the operator: split on the dedup
+    cluster representative and no near-dup pair straddles train/test."""
+    from mapreduce_stockheadlines_spark.operators.dedup import neardup_clusters
+    from mapreduce_stockheadlines_spark.operators.sampling import group_split
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 100, 2)]          # 50 two-node clusters
+        + [(150, 151), (151, 152), (152, 153)],          # one chain
+        "id_a long, id_b long",
+    )
+    clusters = neardup_clusters(pairs)
+    with_rep = docs.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("rep", F.coalesce("cluster_id", F.col("doc_id")))
+    train, test = group_split(with_rep, "rep", test_fraction=0.4)
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    assert tr.isdisjoint(te) and tr | te == {r.doc_id for r in docs.collect()}
+    for a, b in [(i, i + 1) for i in range(0, 100, 2)] + [(150, 151), (151, 152), (152, 153)]:
+        assert (a in tr) == (b in tr), f"pair ({a},{b}) straddles the split"
