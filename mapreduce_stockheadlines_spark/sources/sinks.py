@@ -44,6 +44,42 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     writer.orc(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_mb)`` files and return that count.
+
+    Streaming sinks, partitioned writes and incremental merges all leave
+    behind file counts that grow without bound; at 100 TB the resulting
+    listing/open overhead (and the one-task-per-tiny-split scheduling
+    tax) dominates scan time, so periodic compaction is table-stakes
+    maintenance. Sizing reads the directory's byte total from the
+    filesystem (Hadoop ``getContentSummary`` — works on HDFS/S3A/local
+    alike), never by scanning the data.
+
+    ``shuffle=False`` (default) uses ``coalesce`` — a narrow, shuffle-
+    free merge of input splits into output tasks, the cheapest rewrite;
+    output sizes mirror input distribution, so with pathologically
+    skewed input files pass ``shuffle=True`` for an even round-robin
+    ``repartition`` at the cost of one full shuffle."""
+    import math
+
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -238,3 +238,59 @@ def test_plan_guard_shuffle_cap_and_pushdown(spark, sf_dir):
     q = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
     assert check_plan(q, max_shuffles=1, require_pushed_filters=True) == []
     assert check_plan(q, max_shuffles=0)  # the agg shuffle is counted
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """enable_runtime_filtering + a selective dim filter must inject a
+    bloom_filter_agg on the dim side and a might_contain probe on the
+    fact side's scan — the shuffle-join analogue of broadcast pruning."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.session import enable_runtime_filtering
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # tiny thresholds so the rule fires on test-sized scans; kill
+        # broadcast so the join is shuffle-based (where the filter applies)
+        enable_runtime_filtering(spark, "100GB", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # result must be identical to the unfiltered-plan answer
+        n_with = j.collect()[0]["count"]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n_plain = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()[0]["count"]
+    )
+    assert n_with == n_plain

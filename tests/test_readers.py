@@ -294,3 +294,38 @@ def test_zordered_write_bounds_every_dimension(spark, tmp_path):
     assert min(y_spans_cl) > 127 * 0.9
     # round trip
     assert spark.read.parquet(zo).count() == n
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction must size the output from directory bytes (ceil of
+    total/target), preserve every row, and default to the shuffle-free
+    coalesce path."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 20_000).withColumn("payload", F.md5(F.col("id").cast("string")))
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_file_mb=1)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n
+    assert n < 64  # 64 tiny files sum to ~1-2 MB → a handful of outputs
+    got = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert got == list(range(20_000))
+
+
+def test_compact_parquet_shuffle_mode_balances(spark, tmp_path):
+    from mapreduce_stockheadlines_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 1000).write.parquet(src)
+    n = compact_parquet(spark, src, dst, target_file_mb=1024, shuffle=True)
+    assert n == 1
+    assert spark.read.parquet(dst).count() == 1000
