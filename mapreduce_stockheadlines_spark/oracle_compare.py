@@ -100,8 +100,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if getattr(dt.dtype, "tz", None) is not None:
                 dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = dt.astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
         elif df[c].dtype == object:
             sample = df[c].dropna()
             if len(sample) and all(
@@ -151,11 +149,13 @@ def compare(
         for c in s.columns:
             a, b = s[c], o[c]
             if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-                bad = ~(
-                    np.isclose(
-                        a.fillna(1e300), b.fillna(1e300), rtol=1e-9, atol=1e-9
-                    )
-                )
+                # EXACT bit equality, not isclose: the driver's value hash is
+                # sensitive to last-ULP libm divergence (round-2 q33 evidence:
+                # pow() differed by 1 ULP on one row and hash-failed while the
+                # old rtol=1e-9 check here passed). Hash-matched queries must
+                # only emit floats from correctly-rounded IEEE ops (+ - * /
+                # sqrt fma) so exact equality is achievable.
+                bad = (a.fillna(1e300).values != b.fillna(1e300).values)
             else:
                 bad = ~(a.fillna("<NULL>") == b.fillna("<NULL>")).values
             if bad.any():

@@ -323,9 +323,9 @@ ORDER BY id
 # --- q33 math + date arithmetic scalar functions -------------------------------
 
 def q33_math_date_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalar math (sqrt/abs/ceil/floor/mod/pow — IEEE-identical across
-    engines; no libm-dependent ln/exp in the hash-matched set) and date
-    arithmetic (datediff/date_add) over orders."""
+    """Scalar math (sqrt/abs/ceil/floor/mod/multiply — IEEE-identical
+    across engines; no libm-dependent pow/ln/exp in the hash-matched set)
+    and date arithmetic (datediff/date_add) over orders."""
     o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
     return o.select(
         "o_orderkey",
@@ -334,7 +334,11 @@ def q33_math_date_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.ceil("o_totalprice").cast("long").alias("ceil_price"),
         F.floor("o_totalprice").cast("long").alias("floor_price"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
-        F.pow("o_totalprice", 2).alias("price_sq"),
+        # x*x, NOT pow(x, 2): IEEE multiply is correctly rounded and
+        # bit-identical everywhere, while Java Math.pow and C libm pow
+        # disagree in the last ULP for some inputs (round-2 q33 hash-fail:
+        # 72362.86^2 -> ...886400 on Spark vs ...886399 on DuckDB).
+        (F.col("o_totalprice") * F.col("o_totalprice")).alias("price_sq"),
         F.datediff(
             F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
         ).cast("int").alias("days_to_98"),
@@ -355,7 +359,7 @@ SELECT o_orderkey,
        CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
        CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
        o_orderkey % 7 AS key_mod7,
-       pow(o_totalprice, 2) AS price_sq,
+       o_totalprice * o_totalprice AS price_sq,
        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
             AS INTEGER) AS days_to_98,
        CAST(o_orderdate AS DATE) + 30 AS due_date

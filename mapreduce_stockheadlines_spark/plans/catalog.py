@@ -33,16 +33,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; parquet scan → FileSourceScanExec with
     pushdown/pruning.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read nanos as long (legacy conf) and
-    convert to a microsecond timestamp column (exact: source values are
-    microsecond-resolution).
+    ``events.parquet`` has shipped with two physical ``ts`` encodings
+    across testdata generations: TIMESTAMP(NANOS) (which Spark's parquet
+    reader rejects by default — read nanos as long via the legacy conf and
+    convert; exact, the source values are microsecond-resolution) and
+    TIMESTAMP(MICROS) without timezone (reads as TIMESTAMP_NTZ — cast to
+    the session-timezone TimestampType, identity wall-clock under the
+    UTC session this engine pins). Adapt to whichever the file has.
     """
     if name == "events":
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div: double division would lose precision above 2^53 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div: double division would lose precision above 2^53 ns
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
