@@ -353,7 +353,10 @@ def ivf_topk(
     q_pdf = _collect_query_side(queries, id_col, vec_col, max_query_rows, "ivf_topk")
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _to_matrix(q_pdf["qv"])
-    probe_order = np.argsort(-(q_mat @ cent_mat.T), axis=1)[:, :n_probe]
+    # stable sort: equal-similarity centroids keep index order, so probe
+    # sets are deterministic and reproducible by the SQL oracle's
+    # (sim DESC, idx ASC) ranking
+    probe_order = np.argsort(-(q_mat @ cent_mat.T), axis=1, kind="stable")[:, :n_probe]
     probes = spark.createDataFrame(
         [
             (int(qid), int(c))

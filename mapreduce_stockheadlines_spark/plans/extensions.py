@@ -609,21 +609,96 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- x18 IVF approximate top-k (scale path; recall<1 → rows-only) -------------
+# --- x18 IVF approximate top-k (scale path) -----------------------------------
+#
+# The registry query uses train_iters=0 (deterministic lowest-id centroids)
+# so the ENTIRE probe-and-rescore pipeline is expressible in ANSI SQL and
+# value-hash-checked against DuckDB — assignment argmax (first-max tie),
+# probe ranking (stable sort), candidate pruning and exact rescore all
+# included. The k-means-trained variant (train_iters>0, distributed Lloyd
+# with map-side partial sums) is pinned by test_ivf_trained_recall /
+# test_kmeans_centroids_properties instead (float centroid averaging is
+# engine-summation-order-specific, not cross-engine hashable).
 
 def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF with k-means-trained centroids (2 distributed Lloyd iterations,
-    one corpus pass each with map-side partial sums) — probe-and-rescore
-    never shuffles the corpus; recall<1 → rows-only check, recall pinned
-    by property test vs exact cosine_topk."""
+    """IVF probe-and-rescore: coarse-quantize the corpus into 16 cells
+    (deterministic lowest-id centroids), probe the 4 cells nearest each
+    query, exact-rescore only those candidates. The corpus is never
+    shuffled; the probe table broadcasts."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(
-        queries, emb, k=10, n_centroids=16, n_probe=4, train_iters=2
+        queries, emb, k=10, n_centroids=16, n_probe=4, train_iters=0
     ).orderBy("query_id", "rank")
 
 
-# --- x17 LSH-bucketed near-dup (scale path; recall<1 → rows-only) -------------
+X18_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+asg AS (
+  SELECT vec_id AS neighbor_id, v AS cv, idx AS cluster FROM (
+    SELECT e.vec_id, e.v, c.idx,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                                       c.idx) AS rn
+    FROM e CROSS JOIN cent c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, idx AS cluster FROM (
+    SELECT q.query_id, c.idx,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                       c.idx) AS rn
+    FROM q CROSS JOIN cent c)
+  WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.neighbor_id, a.cv
+         FROM probes p JOIN asg a ON a.cluster = p.cluster
+         WHERE a.neighbor_id <> p.query_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(q.qv, c.cv) AS sim
+           FROM cand c JOIN q ON q.query_id = c.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+# --- x17 LSH-bucketed near-dup (scale path) ------------------------------------
+#
+# The hyperplanes are deterministic (seeded LCG, plan-build-time Python
+# floats), so the full pipeline — sign-bucket assignment, same-bucket
+# candidate join, exact cosine verify — is reproducible in SQL by inlining
+# the plane constants as literals (repr() round-trips every double
+# exactly; both engines parse to the identical bit pattern). Recall < 1
+# vs the exact all-pairs x06 remains by construction, but the query's own
+# RESULT is exact and value-hash-checked.
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+_X17_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(S._hyperplanes(64, 6))
+)
+
+X17_SQL = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT id, v, {_X17_BUCKET} AS bucket FROM e)
+SELECT a.id AS id_a, c.id AS id_b,
+       round(list_cosine_similarity(a.v, c.v), 4) AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+WHERE list_cosine_similarity(a.v, c.v) > 0.35
+ORDER BY id_a, id_b
+"""
+
 
 def x17_lsh_bucketed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
@@ -675,7 +750,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x13_multimodal_pipeline": QuerySpec(x13_multimodal_pipeline, X13_SQL),
     "x14_session_window": QuerySpec(x14_session_window, X14_SQL),
     "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),
-    "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, None),
-    "x18_ivf_topk": QuerySpec(x18_ivf_topk, None),
+    "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, X17_SQL),
+    "x18_ivf_topk": QuerySpec(x18_ivf_topk, X18_SQL),
     "x22_skew_count": QuerySpec(x22_skew_count, X22_SQL),
 }
