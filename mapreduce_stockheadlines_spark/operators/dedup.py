@@ -369,24 +369,54 @@ def jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint (engine-native xxhash64; Spark-only —
-    no cross-engine oracle, covered by unit/property tests instead).
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash: str = "native"
+) -> DataFrame:
+    """64-bit SimHash fingerprint.
 
     Per doc: hash every token to 64 bits, sum ±1 per bit position weighted
     by token frequency, sign → fingerprint bit. One groupBy with 64
     conditional-sum aggregates — no per-bit row explosion (a naive
     (doc, bit) explode is a 64x shuffle blowup), single partial+final
     aggregation pass, all JVM-side codegen.
+
+    ``hash="native"`` uses xxhash64 (fastest, engine-specific bits);
+    ``hash="portable"`` derives the 64 bits from the first 8 bytes of
+    md5(token) (bit i = bit i%8 of hex byte i//8), the same construction
+    the cross-engine DuckDB oracle reproduces — identical fingerprint
+    SIGNS on any engine with md5, at the cost of the md5 + hex parse per
+    token. Only the per-bit signs matter downstream (hamming distances
+    are packing-invariant).
     """
-    hashed = df.select(
-        id_col, F.explode(tokens_array(text_col)).alias("token")
-    ).select(id_col, F.xxhash64("token").alias("h"))
+    toks = df.select(id_col, F.explode(tokens_array(text_col)).alias("token"))
+    if hash == "portable":
+        m = F.md5(F.col("token"))
+        hashed = toks.select(
+            F.col(id_col),
+            *[
+                F.conv(F.substring(m, 2 * j + 1, 2), 16, 10)
+                .cast("int")
+                .alias(f"_byte{j}")
+                for j in range(8)
+            ],
+        )
+
+        def bit_set(i: int):
+            return (
+                F.shiftright(F.col(f"_byte{i // 8}"), i % 8).bitwiseAND(F.lit(1))
+                == 1
+            )
+
+    elif hash == "native":
+        hashed = toks.select(F.col(id_col), F.xxhash64("token").alias("h"))
+
+        def bit_set(i: int):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1
+
+    else:
+        raise ValueError(f"simhash64: unknown hash mode {hash!r}")
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"_b{i}")
+        F.sum(F.when(bit_set(i), 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(64)
     ]
     sums = hashed.groupBy(id_col).agg(*bit_aggs)
