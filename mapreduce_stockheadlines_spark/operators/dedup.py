@@ -370,7 +370,7 @@ def jaccard_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, hash: str = "native"
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "native"
 ) -> DataFrame:
     """64-bit SimHash fingerprint.
 
@@ -380,8 +380,8 @@ def simhash64(
     (doc, bit) explode is a 64x shuffle blowup), single partial+final
     aggregation pass, all JVM-side codegen.
 
-    ``hash="native"`` uses xxhash64 (fastest, engine-specific bits);
-    ``hash="portable"`` derives the 64 bits from the first 8 bytes of
+    ``hash_mode="native"`` uses xxhash64 (fastest, engine-specific bits);
+    ``hash_mode="portable"`` derives the 64 bits from the first 8 bytes of
     md5(token) (bit i = bit i%8 of hex byte i//8), the same construction
     the cross-engine DuckDB oracle reproduces — identical fingerprint
     SIGNS on any engine with md5, at the cost of the md5 + hex parse per
@@ -389,7 +389,7 @@ def simhash64(
     are packing-invariant).
     """
     toks = df.select(id_col, F.explode(tokens_array(text_col)).alias("token"))
-    if hash == "portable":
+    if hash_mode == "portable":
         m = F.md5(F.col("token"))
         hashed = toks.select(
             F.col(id_col),
@@ -407,14 +407,14 @@ def simhash64(
                 == 1
             )
 
-    elif hash == "native":
+    elif hash_mode == "native":
         hashed = toks.select(F.col(id_col), F.xxhash64("token").alias("h"))
 
         def bit_set(i: int):
             return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1
 
     else:
-        raise ValueError(f"simhash64: unknown hash mode {hash!r}")
+        raise ValueError(f"simhash64: unknown hash mode {hash_mode!r}")
     bit_aggs = [
         F.sum(F.when(bit_set(i), 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(64)

@@ -4,9 +4,11 @@ embedding near-dup), similarity search, multimodal plumbing, text analysis,
 streaming-analogue windows.
 
 Everything deterministic enough to cross-check runs against a DuckDB
-oracle, including MinHash (portable md5-lexmin construction — see
-operators/dedup.py). Engine-native-hash ops (SimHash/xxhash64) and the
-decode stub are rows-only checks, flagged with ``oracle=None``.
+oracle, including MinHash (portable md5-lexmin construction) and SimHash
+(portable md5-bit construction — see operators/dedup.py). Only the
+approximate-sketch query (x16) keeps its approx outputs out of the hash:
+it hash-checks a tolerance CONTRACT (exact values + within-bound flags)
+instead.
 """
 
 from __future__ import annotations
@@ -30,6 +32,26 @@ _TOKS_CTE = """
     FROM documents
   ) WHERE length(token) > 0
 """
+
+# Non-distinct variant: SimHash weights bit votes by token FREQUENCY, so
+# duplicate tokens must survive (x05); everything else set-typed uses
+# _TOKS_CTE above.
+_RAWTOKS_CTE = """
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+"""
+
+
+def _hexbyte(h: str, i: int) -> str:
+    """SQL expression for byte ``i`` (0-based) of a lowercase hex digest."""
+    p = 2 * i + 1
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1))"
+    )
 
 # --- x01 exact content-hash dedup -------------------------------------------
 
@@ -156,14 +178,56 @@ ORDER BY id_a, id_b
 """
 
 # --- x05 SimHash fingerprint + Hamming-banded near-dup pairs ------------------
+#
+# hash_mode="portable": token bits come from md5 (bit i = bit i%8 of digest
+# byte i//8 — operators/dedup.simhash64), so the ENTIRE pipeline
+# (fingerprint signs → pigeonhole bands → popcount(xor) verify) is
+# reproducible in ANSI SQL and value-hash-checked. The oracle carries the
+# fingerprint as a 64-char '0'/'1' string (bit i at position i+1): band b
+# equality = substring equality, hamming = DuckDB's hamming() mismatch
+# count — no BIGINT sign/overflow traps. The xxhash64 "native" mode stays
+# the fast path for engine-internal use (unit/property-tested).
+
+_X05_BYTES = ",\n         ".join(f"{_hexbyte('h', j)} AS b{j}" for j in range(8))
+_X05_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN (b{i // 8} >> {i % 8}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
+)
+_X05_BITS = " || ".join(
+    f"(CASE WHEN s{i} > 0 THEN '1' ELSE '0' END)" for i in range(64)
+)
+# max_hamming=12 -> 13 bands of width 64//13=4; the last band takes the
+# remaining 16 bits [48, 64) — mirrors simhash_neardup_pairs exactly.
+_X05_BUCKETS = ", ".join(
+    f"'{b}:' || substr(bits, {4 * b + 1}, {4 if b < 12 else 16})"
+    for b in range(13)
+)
+
+X05_SQL = f"""
+WITH rawtoks AS ({_RAWTOKS_CTE}),
+tb AS (SELECT doc_id,
+         {_X05_BYTES}
+       FROM (SELECT doc_id, md5(token) AS h FROM rawtoks)),
+sums AS (SELECT doc_id,
+         {_X05_SUMS}
+       FROM tb GROUP BY doc_id),
+fp AS (SELECT doc_id, {_X05_BITS} AS bits FROM sums),
+bands AS (SELECT doc_id, bits, unnest([{_X05_BUCKETS}]) AS bucket FROM fp)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(hamming(a.bits, b.bits) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE hamming(a.bits, b.bits) <= 12
+ORDER BY id_a, id_b
+"""
+
 
 def x05_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash end to end: 64-bit fingerprints (engine-native xxhash64 →
-    no cross-engine oracle; rows-only check + unit/property tests) fed
+    """SimHash end to end: 64-bit portable (md5-derived) fingerprints fed
     into pigeonhole Hamming banding for candidate pairs with exact
-    popcount(xor) verify."""
+    popcount(xor) verify — cross-engine value-hash-checked against the
+    bitstring reconstruction above."""
     docs = parallel_table(spark, sf, "documents")
-    fp = D.simhash64(docs, "doc_id", "text")
+    fp = D.simhash64(docs, "doc_id", "text", hash_mode="portable")
     return D.simhash_neardup_pairs(fp, max_hamming=12).orderBy("id_a", "id_b")
 
 
@@ -517,15 +581,6 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _hexbyte(h: str, i: int) -> str:
-    """SQL expression for byte ``i`` (0-based) of a lowercase hex digest."""
-    p = 2 * i + 1
-    return (
-        f"((strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * 16 + "
-        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1))"
-    )
-
-
 _FEAT_CSV = " || ',' || ".join(
     f"CAST({_hexbyte('h', i)} AS VARCHAR)" for i in range(3, 11)
 )
@@ -740,7 +795,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
     "x03_minhash_signatures": QuerySpec(x03_minhash_signatures, X03_SQL),
     "x04_minhash_lsh_pairs": QuerySpec(x04_minhash_lsh_pairs, X04_SQL),
-    "x05_simhash_neardup": QuerySpec(x05_simhash_neardup, None),
+    "x05_simhash_neardup": QuerySpec(x05_simhash_neardup, X05_SQL),
     "x06_embedding_neardup": QuerySpec(x06_embedding_neardup, X06_SQL),
     "x07_ann_topk": QuerySpec(x07_ann_topk, X07_SQL),
     "x08_text_stats": QuerySpec(x08_text_stats, X08_SQL),

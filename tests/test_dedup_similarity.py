@@ -107,6 +107,38 @@ def test_simhash_properties(spark):
     assert hamming(rows[0], rows[1]) < hamming(rows[0], rows[2])
 
 
+def test_simhash_portable_matches_md5_reference(spark):
+    """hash_mode="portable" pins the exact bit construction the x05 DuckDB
+    oracle reproduces: bit i = bit i%8 of md5-digest byte i//8, votes
+    weighted by token frequency, sign > 0 → bit set. Checked against an
+    independent hashlib.md5 reimplementation (ADVICE r3)."""
+    import hashlib
+    import re
+
+    def ref_fp(text: str) -> int:
+        toks = [t for t in re.sub("[^a-zA-Z ]", " ", text.lower()).split() if t]
+        sums = [0] * 64
+        for t in toks:
+            d = hashlib.md5(t.encode()).digest()
+            for i in range(64):
+                sums[i] += 1 if (d[i // 8] >> (i % 8)) & 1 else -1
+        fp = sum(1 << i for i in range(64) if sums[i] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp  # signed 64-bit
+
+    df = docs_df(spark)
+    got = {
+        r.doc_id: r.simhash
+        for r in D.simhash64(df, "doc_id", "text", hash_mode="portable").collect()
+    }
+    want = {r.doc_id: ref_fp(r.text) for r in df.collect()}
+    assert got == want
+
+
+def test_simhash_unknown_mode_raises(spark):
+    with pytest.raises(ValueError, match="unknown hash mode"):
+        D.simhash64(docs_df(spark), "doc_id", "text", hash_mode="sha9")
+
+
 def test_cosine_expression(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"]
