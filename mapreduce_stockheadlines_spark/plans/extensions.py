@@ -648,20 +648,59 @@ SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
-# --- x16 approximate aggregates (tolerance-checked, not hash-matched) ---------
+# --- x16 approximate aggregates (tolerance-contract hash-match) ---------------
+#
+# Raw HLL / t-digest outputs can never hash-match across engines, but the
+# TOLERANCE CONTRACT can: the Spark side computes BOTH the approximate
+# aggregates and their exact counterparts in one grouped aggregation, then
+# emits the exact values plus flags asserting the approx results landed
+# within bound (HLL: |approx-exact|/exact <= 15%, ~3 sigma at the default
+# rsd=0.05; percentile_approx: between the exact p40 and p60 — a RANK
+# bound, the error model t-digest actually guarantees). The oracle emits
+# the exact values plus literal TRUE flags, so a drifting sketch breaks
+# the hash. The approx path still executes on every run.
 
 def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL) + approx percentile — excluded from
-    hash-match per SURVEY.md §2.3; property-tested vs exact in unit tests."""
+    """approx_count_distinct (HLL) + approx percentile, hash-checked via
+    the tolerance contract above (also property-tested vs exact in unit
+    tests at multiple scales)."""
     e = table(spark, sf, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", 0.5).alias("approx_median_value"),
-        )
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("_hll_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_median"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.4)").alias("_p40"),
+        F.expr("percentile(value, 0.5)").alias("_p50"),
+        F.expr("percentile(value, 0.6)").alias("_p60"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        F.round("_p50", 4).alias("exact_median_value"),
+        (
+            F.abs(F.col("_hll_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.15
+        )
+        .cast("int")
+        .alias("hll_within_rel_err"),
+        (
+            (F.col("_approx_median") >= F.col("_p40"))
+            & (F.col("_approx_median") <= F.col("_p60"))
+        )
+        .cast("int")
+        .alias("pctl_within_rank_err"),
+    ).orderBy("event_type")
+
+
+X16_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       round(quantile_cont(value, 0.5), 4) AS exact_median_value,
+       1 AS hll_within_rel_err,
+       1 AS pctl_within_rank_err
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 # --- x18 IVF approximate top-k (scale path) -----------------------------------
@@ -804,7 +843,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x12_pii_redact": QuerySpec(x12_pii_redact, X12_SQL),
     "x13_multimodal_pipeline": QuerySpec(x13_multimodal_pipeline, X13_SQL),
     "x14_session_window": QuerySpec(x14_session_window, X14_SQL),
-    "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, None),
+    "x16_approx_aggregates": QuerySpec(x16_approx_aggregates, X16_SQL),
     "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, X17_SQL),
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, X18_SQL),
     "x22_skew_count": QuerySpec(x22_skew_count, X22_SQL),
