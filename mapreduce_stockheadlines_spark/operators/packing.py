@@ -32,6 +32,65 @@ from pyspark.sql import functions as F
 
 PACKED_SCHEMA = "id long, n_tokens long, pack_id long, truncate boolean"
 
+# pack_id = namespace + local bin counter, namespace = min_id_in_partition
+# << PACK_ID_BITS. 2^24 bins per partition; _assign_bins raises before a
+# counter overflow could silently collide into the next id's namespace.
+PACK_ID_BITS = 24
+
+
+def _assign_bins(
+    sizes: list[int],
+    budget: int,
+    max_open_bins: int,
+    max_bins: int = 1 << PACK_ID_BITS,
+) -> tuple[list[int], list[bool]]:
+    """First-fit-decreasing bin assignment over an open-bin window.
+
+    ``sizes`` must arrive sorted descending (FFD). Returns (bin index,
+    truncate flag) per item. Raises rather than exceed ``max_bins`` — a
+    silent overflow would collide pack ids across namespaces (VERDICT
+    r3); at the default 2^24 that means >16M packs in ONE partition,
+    i.e. the partition count, not this encoding, needs raising.
+    """
+    next_bin = 0
+    open_bins: list[list[int]] = []  # [bin_index, remaining capacity]
+    assign: list[int] = []
+    truncate: list[bool] = []
+    for n in sizes:
+        n = int(n)
+        if n > budget:
+            if next_bin >= max_bins:
+                raise RuntimeError(
+                    f"pack_sequences: partition needs more than {max_bins} "
+                    "packs; raise num_partitions (pack-id namespace is "
+                    f"{PACK_ID_BITS} bits per partition)"
+                )
+            assign.append(next_bin)  # oversized: closed single-doc pack
+            next_bin += 1
+            truncate.append(True)
+            continue
+        # first fit over the open-bin window (first-fit-decreasing:
+        # rows arrive sorted by size desc)
+        for slot in open_bins:
+            if slot[1] >= n:
+                slot[1] -= n
+                assign.append(slot[0])
+                break
+        else:
+            if next_bin >= max_bins:
+                raise RuntimeError(
+                    f"pack_sequences: partition needs more than {max_bins} "
+                    "packs; raise num_partitions (pack-id namespace is "
+                    f"{PACK_ID_BITS} bits per partition)"
+                )
+            open_bins.append([next_bin, budget - n])
+            assign.append(next_bin)
+            next_bin += 1
+            if len(open_bins) > max_open_bins:
+                open_bins.pop(0)  # close the oldest (most-filled) bin
+        truncate.append(False)
+    return assign, truncate
+
 
 def chunk_documents(
     df: DataFrame,
@@ -120,34 +179,21 @@ def pack_sequences(
         )
         # partition id from any row's hash bucket is NOT available here;
         # derive a collision-free namespace from the minimum id instead:
-        # pack_id = min_id_in_partition * 2^20 + local counter. Ids are
-        # per-partition-unique, so namespaces never collide.
-        namespace = int(pdf["id"].min()) << 20
-        next_bin = 0
-        open_bins: list[list[int]] = []  # [bin_index, remaining capacity]
-        assign: list[int] = []
-        truncate: list[bool] = []
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if n > budget:
-                assign.append(next_bin)  # oversized: closed single-doc pack
-                next_bin += 1
-                truncate.append(True)
-                continue
-            # first fit over the open-bin window (first-fit-decreasing:
-            # rows arrive sorted by size desc)
-            for slot in open_bins:
-                if slot[1] >= n:
-                    slot[1] -= n
-                    assign.append(slot[0])
-                    break
-            else:
-                open_bins.append([next_bin, budget - n])
-                assign.append(next_bin)
-                next_bin += 1
-                if len(open_bins) > max_open_bins:
-                    open_bins.pop(0)  # close the oldest (most-filled) bin
-            truncate.append(False)
+        # pack_id = min_id_in_partition * 2^PACK_ID_BITS + local counter.
+        # Ids are per-partition-unique, so namespaces never collide;
+        # _assign_bins raises before the counter can spill into the next
+        # namespace. The shifted namespace must itself fit a long: ids up
+        # to 2^(63-PACK_ID_BITS) — checked loudly, not wrapped.
+        min_id = int(pdf["id"].min())
+        if min_id < 0 or min_id >= 1 << (63 - PACK_ID_BITS):
+            raise RuntimeError(
+                f"pack_sequences: id {min_id} outside [0, 2^{63 - PACK_ID_BITS})"
+                " — pack-id namespace (min_id << PACK_ID_BITS) would overflow"
+            )
+        namespace = min_id << PACK_ID_BITS
+        assign, truncate = _assign_bins(
+            [int(n) for n in pdf["n_tokens"]], budget, max_open_bins
+        )
         out = pd.DataFrame(
             {
                 "id": pdf["id"],

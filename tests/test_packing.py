@@ -166,3 +166,29 @@ def test_chunking_rejects_bad_params(spark, sf_dir):
         chunk_documents(docs, "doc_id", "text", 0, 0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, "doc_id", "text", 8, 8)
+
+
+def test_assign_bins_overflow_raises():
+    """The pack-id namespace guard must fail loudly, never wrap into the
+    next partition's namespace (VERDICT r3). Exercised directly with a
+    tiny max_bins: 5 single-bin items into a 4-bin namespace."""
+    from mapreduce_stockheadlines_spark.operators.packing import _assign_bins
+
+    # fits exactly: 4 items, each fills one bin
+    assign, trunc = _assign_bins([10, 10, 10, 10], 10, 1024, max_bins=4)
+    assert assign == [0, 1, 2, 3] and trunc == [False] * 4
+    with pytest.raises(RuntimeError, match="pack-id namespace"):
+        _assign_bins([10, 10, 10, 10, 10], 10, 1024, max_bins=4)
+    # oversized (truncate) path hits the same guard
+    with pytest.raises(RuntimeError, match="pack-id namespace"):
+        _assign_bins([99, 99, 99, 99, 99], 10, 1024, max_bins=4)
+
+
+def test_pack_sequences_id_range_guard(spark):
+    """Ids at/above 2^39 would overflow the shifted namespace — loud error."""
+    df = spark.createDataFrame(
+        [(1 << 40, 5), (2, 5)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=16, num_partitions=2)
+    with pytest.raises(Exception, match="namespace"):
+        packed.collect()
