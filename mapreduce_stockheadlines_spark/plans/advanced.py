@@ -325,10 +325,14 @@ ORDER BY id
 def q33_math_date_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar math (sqrt/abs/ceil/floor/mod/multiply — IEEE-identical
     across engines; no libm-dependent pow/ln/exp in the hash-matched set)
-    and date arithmetic (datediff/date_add) over orders."""
+    and date arithmetic (datediff/date_add/date_trunc/year) over orders.
+    Subsumes the former q17_date_functions' scalar date surface (round-4
+    consolidation; its aggregation shape is covered by q02/q16/q21)."""
     o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
     return o.select(
         "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
         F.sqrt("o_totalprice").alias("sqrt_price"),
         F.abs(F.col("o_totalprice") - 1000.0).alias("abs_delta"),
         F.ceil("o_totalprice").cast("long").alias("ceil_price"),
@@ -354,6 +358,8 @@ def q33_math_date_functions(spark: SparkSession, sf: str) -> DataFrame:
 
 Q33_SQL = """
 SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
        sqrt(o_totalprice) AS sqrt_price,
        abs(o_totalprice - 1000.0) AS abs_delta,
        CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,

@@ -493,29 +493,11 @@ ORDER BY gid, r_name, n_name
 
 # --- Q17 date/time functions ------------------------------------------------
 
-def q17_date_functions(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders")
-    return (
-        o.select(
-            F.date_trunc("month", "o_orderdate").alias("month_start"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
-            "o_totalprice",
-        )
-        .groupBy("month_start", "o_year")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
-        .orderBy("month_start")
-    )
-
-
-Q17_SQL = """
-SELECT date_trunc('month', o_orderdate) AS month_start,
-       CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
-FROM orders GROUP BY 1, 2 ORDER BY month_start
-"""
+# q17_date_functions was consolidated into q33_math_date_functions
+# (plans/advanced.py) in round 4 — date_trunc/year now appear there as
+# scalar columns, and the month-grouped aggregation shape it also carried
+# is covered by q02/q16/q21. The freed registry slot (driver caps the
+# registry at 50) went to x23_merge_diff (incremental-maintenance trio).
 
 # --- Q18 conditional aggregation -------------------------------------------
 
@@ -693,7 +675,6 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q14_stock_count_analogue": QuerySpec(q14_stock_count_analogue, Q14_SQL),
     "q15_word_count_analogue": QuerySpec(q15_word_count_analogue, Q15_SQL),
     "q16_rollup": QuerySpec(q16_rollup, Q16_SQL),
-    "q17_date_functions": QuerySpec(q17_date_functions, Q17_SQL),
     "q18_conditional_agg": QuerySpec(q18_conditional_agg, Q18_SQL),
     "q19_large_join": QuerySpec(q19_large_join, Q19_SQL),
     "q20_having": QuerySpec(q20_having, Q20_SQL),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
 from ..operators import dedup as D
+from ..operators import merge as MG
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import skew as SK
@@ -828,6 +829,70 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY event_type ORDER BY event_type
 """
 
+# --- x23 incremental maintenance: MERGE upsert → snapshot diff (CDC) ----------
+#
+# The incremental-maintenance trio (operators/merge.py) under the value-
+# hash gate: a deterministic delta (updates for custkey%10==0, deletes for
+# %100==7, inserts at key+1_000_000 for %200==3 — the three residue
+# classes are pairwise disjoint) is MERGEd into customer, then
+# snapshot_diff extracts the CDC stream between the original and merged
+# versions. The oracle states the EXPECTED diff directly from the residue
+# classes — an independent formulation, not a SQL transliteration of the
+# operators. scd2_from_changes, the third member, is DuckDB-pinned in
+# tests/test_merge.py (its interval output is window-shaped, covered
+# there at full column width).
+
+
+def x23_merge_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """merge_upsert (one full-outer key join; update/insert/delete in a
+    single pass) + snapshot_diff (null-safe full-outer compare → I/U/D
+    rows). Both scale shapes: one key-hash exchange per side, codegen
+    compare, no second scan of the target."""
+    cust = table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    updates = cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = cust.filter(k % 100 == 7).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.lit(True).alias("is_delete"),
+    )
+    inserts = cust.filter(k % 200 == 3).select(
+        (k + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    delta = updates.unionByName(deletes).unionByName(inserts)
+    merged = MG.merge_upsert(cust, delta, ["c_custkey"], delete_col="is_delete")
+    return MG.snapshot_diff(cust, merged, ["c_custkey"]).orderBy("c_custkey")
+
+
+X23_SQL = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)
+SELECT c_custkey, 'U' AS change,
+       c_name AS old_c_name, c_acctbal AS old_c_acctbal,
+       c_mktsegment AS old_c_mktsegment,
+       c_name AS new_c_name, round(c_acctbal + 100.0, 2) AS new_c_acctbal,
+       'UPDATED' AS new_c_mktsegment
+FROM base WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, 'D', c_name, c_acctbal, c_mktsegment, NULL, NULL, NULL
+FROM base WHERE c_custkey % 100 = 7
+UNION ALL
+SELECT c_custkey + 1000000, 'I', NULL, NULL, NULL,
+       'new-' || c_name, 0.0, 'NEW'
+FROM base WHERE c_custkey % 200 = 3
+ORDER BY c_custkey
+"""
+
 
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
@@ -847,4 +912,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x17_lsh_bucketed_neardup": QuerySpec(x17_lsh_bucketed_neardup, X17_SQL),
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, X18_SQL),
     "x22_skew_count": QuerySpec(x22_skew_count, X22_SQL),
+    "x23_merge_diff": QuerySpec(x23_merge_diff, X23_SQL),
 }

@@ -89,7 +89,7 @@ def test_whole_stage_codegen_everywhere_core(spark, sf_dir):
     plan, so toggle it off just for the inspection."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for name in ("q02_group_agg", "q04_join_inner_agg", "q17_date_functions"):
+        for name in ("q02_group_agg", "q04_join_inner_agg", "q33_math_date_functions"):
             plan = plan_of(spark, sf_dir, name)
             assert "codegen id" in plan, name  # whole-stage codegen spans
             assert "BatchEvalPython" not in plan, name
