@@ -714,6 +714,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 # with map-side partial sums) is pinned by test_ivf_trained_recall /
 # test_kmeans_centroids_properties instead (float centroid averaging is
 # engine-summation-order-specific, not cross-engine hashable).
+#
+# ACCEPTED RISK (ADVICE r3, same class as x06/x07): ranks, cluster
+# assignments and x17's bucket signs compare unrounded doubles produced
+# by two float implementations (numpy BLAS normalized dot vs DuckDB
+# list_cosine_similarity; Spark sequential fold vs list_dot_product). A
+# near-tie similarity or near-zero plane projection could in principle
+# flip a rank/cluster/bucket between engines and fail the hash spuriously.
+# The synthetic embeddings have no exact ties and a wide margin at every
+# decision point (x06/x07/x17/x18 have hash-matched at every SF each
+# round); rounding before ranking would mask REAL regressions in the
+# similarity kernels, so the unrounded compare is kept deliberately.
 
 def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe-and-rescore: coarse-quantize the corpus into 16 cells
