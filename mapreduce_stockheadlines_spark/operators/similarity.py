@@ -416,8 +416,12 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-bucket expression: bit i = (v · plane_i) > 0 — random-hyperplane
     LSH for cosine. Returns an int bucket id column. The zip_with/
     aggregate fold is interpreted (no codegen), but at a handful of planes
-    it still beats shipping the vectors through an Arrow round-trip just
-    to bucket them (measured on the sf0.1 embeddings)."""
+    it still beats the alternatives — both measured on the sf0.1
+    embeddings: an Arrow round-trip just to bucket (slower; ships every
+    vector to Python), and a literal-weight element_at multiply-add chain
+    (384 scalar terms for 6 planes x 64 dims — 2x SLOWER end to end,
+    round-4 measurement: the giant expression tree trips codegen's size
+    fallbacks and interprets worse than the fold)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
