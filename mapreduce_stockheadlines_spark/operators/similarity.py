@@ -416,17 +416,46 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-bucket expression: bit i = (v · plane_i) > 0 — random-hyperplane
     LSH for cosine. Returns an int bucket id column. The zip_with/
     aggregate fold is interpreted (no codegen), but at a handful of planes
-    it still beats the alternatives — both measured on the sf0.1
-    embeddings: an Arrow round-trip just to bucket (slower; ships every
-    vector to Python), and a literal-weight element_at multiply-add chain
-    (384 scalar terms for 6 planes x 64 dims — 2x SLOWER end to end,
-    round-4 measurement: the giant expression tree trips codegen's size
-    fallbacks and interprets worse than the fold)."""
+    it still beats the alternatives — all measured on the sf0.1
+    embeddings (round 4): the Arrow round-trip (below) loses until
+    ~10-12 planes, and a literal-weight element_at multiply-add chain
+    (384 scalar terms for 6 planes x 64 dims) is 2x SLOWER end to end —
+    the giant expression tree trips codegen's size fallbacks and
+    interprets worse than the fold. ``lsh_bucketed_pairs`` switches to
+    ``lsh_bucket_arrow`` at LSH_ARROW_MIN_PLANES."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bit = F.when(dot(vec_col, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         bucket = bucket + bit
+    return bucket
+
+
+# Fold-vs-Arrow crossover, measured sf0.1/64-dim: fold 0.19s vs arrow
+# 0.26s at 6 planes; fold 0.31s vs arrow 0.23s at 16 (fold cost is linear
+# in planes, the BLAS matmul nearly flat — the gap only widens beyond).
+LSH_ARROW_MIN_PLANES = 12
+
+
+def lsh_bucket_arrow(planes: list[list[float]]):
+    """Arrow-batched bucket assignment: all plane projections in ONE BLAS
+    matmul (V @ Pᵀ) per batch — the scale path for many-plane/multi-table
+    LSH where the interpreted fold's per-plane cost dominates (see
+    measurement above). Returns a callable: column -> long bucket column.
+
+    Sign agreement with the fold is exact except where a projection is
+    within float-summation error of 0 (BLAS vs sequential order) — a
+    measure-zero disagreement that only perturbs which bucket a
+    borderline vector lands in, i.e. recall noise well below the
+    recall<1 the banding scheme already accepts."""
+    P = np.array(planes, dtype=np.float64).T  # dim x n_planes
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(s: pd.Series) -> pd.Series:
+        V = np.array(list(s), dtype=np.float64)
+        return pd.Series(((V @ P) > 0) @ weights)
+
     return bucket
 
 
@@ -464,10 +493,15 @@ def lsh_bucketed_pairs(
     membership makes the distinct necessary).
     """
     planes = _hyperplanes(dim, n_planes)
+    bucket_col = (
+        lsh_bucket_arrow(planes)(as_double(vec_col))
+        if n_planes >= LSH_ARROW_MIN_PLANES
+        else lsh_bucket(as_double(vec_col), planes)
+    )
     bucketed = emb.select(
         F.col(id_col).cast("long").alias("id"),
         as_double(vec_col).alias("v"),
-        lsh_bucket(as_double(vec_col), planes).alias("bucket"),
+        bucket_col.alias("bucket"),
     )
     wb = Window.partitionBy("bucket")
     base = bucketed.withColumn(

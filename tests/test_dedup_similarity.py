@@ -182,6 +182,41 @@ def test_lsh_bucketed_recall_of_exact_dup(spark):
     assert (0, 2) not in pairs
 
 
+def test_lsh_arrow_bucket_agrees_with_fold(spark, sf_dir):
+    """The Arrow matmul path (used at >= LSH_ARROW_MIN_PLANES) must assign
+    the same sign buckets as the interpreted fold on the test embeddings
+    (which have margin at every projection — the only admissible
+    disagreement is a projection within float-summation error of 0)."""
+    from mapreduce_stockheadlines_spark.functions.vectors import as_double
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = S._hyperplanes(64, 16)
+    both = emb.select(
+        "vec_id",
+        S.lsh_bucket(as_double("embedding"), planes).alias("fold"),
+        S.lsh_bucket_arrow(planes)(as_double("embedding")).alias("arrow"),
+    )
+    assert both.filter(F.col("fold") != F.col("arrow")).count() == 0
+
+
+def test_lsh_bucketed_many_planes_uses_arrow_path(spark):
+    """>= LSH_ARROW_MIN_PLANES must still produce correct pairs through
+    the Arrow assignment (identical vectors collide, opposites don't)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs(
+            emb, dim=8, n_planes=S.LSH_ARROW_MIN_PLANES, threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
 def test_pii_stats_detects_and_redacts(spark):
     df = spark.createDataFrame(
         [
