@@ -64,14 +64,32 @@ def doc_shingles(
     return out.distinct() if distinct else out
 
 
+def _minhash_agg(i: int, hash_mode: str):
+    """One signature slot: min over the set of hash_i(token).
+
+    ``portable``: md5 of the salt-prefixed token (lexicographic min over
+    hex digests) — reproducible in any engine with md5, used by every
+    oracle-checked query. ``native``: xxhash64 → long min — one 64-bit
+    hash instead of a 128-bit digest + hex string per (token, i); the
+    cheap path for engine-internal dedup at corpus scale."""
+    salted = F.concat(F.lit(f"{i}:"), F.col("token"))
+    if hash_mode == "portable":
+        return F.min(F.md5(salted.cast("binary"))).alias(f"mh{i}")
+    if hash_mode == "native":
+        return F.min(F.xxhash64(salted)).alias(f"mh{i}")
+    raise ValueError(f"minhash: unknown hash mode {hash_mode!r}")
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 8,
     shingle_n: int | None = None,
+    hash_mode: str = "portable",
 ) -> DataFrame:
-    """MinHash signature: column ``mh{i}`` = min(md5(i || ':' || token)).
+    """MinHash signature: column ``mh{i}`` = min(hash_i(token)) — md5 or
+    xxhash64 per ``hash_mode`` (see _minhash_agg).
 
     One groupBy produces the whole signature (num_hashes aggregates in a
     single pass); no per-hash shuffle. ``shingle_n`` switches the set
@@ -84,12 +102,7 @@ def minhash_signature(
         toks = doc_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     else:
         toks = doc_tokens(df, id_col, text_col, distinct=False)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
-            f"mh{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    aggs = [_minhash_agg(i, hash_mode) for i in range(num_hashes)]
     return toks.groupBy(id_col).agg(*aggs)
 
 
@@ -99,6 +112,7 @@ def minhash_signatures_multi(
     text_col: str,
     num_hashes: int = 8,
     shingle_ns: tuple[int | None, ...] = (None, 3),
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Signatures for SEVERAL set representations in one pass: every mode's
     grams are extracted from the normalized text (lookahead regex, pure
@@ -127,12 +141,7 @@ def minhash_signatures_multi(
             mode
         )
     exploded = exploded.select(id_col, mode.alias("mode"), "token")
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")).cast("binary"))).alias(
-            f"mh{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    aggs = [_minhash_agg(i, hash_mode) for i in range(num_hashes)]
     return exploded.groupBy(id_col, "mode").agg(*aggs)
 
 

@@ -76,6 +76,35 @@ def test_minhash_multi_matches_per_mode(spark):
     assert got == want
 
 
+def test_minhash_native_mode_properties(spark):
+    """hash_mode="native" (xxhash64 longs — the corpus-scale fast path)
+    must keep the MinHash invariants: identical docs collide on every
+    slot, unrelated docs don't, LSH banding still finds the exact dup,
+    and the multi-mode operator agrees with the per-mode runs."""
+    df = docs_df(spark)
+    sig = D.minhash_signature(df, "doc_id", "text", num_hashes=8,
+                              hash_mode="native")
+    assert dict(sig.dtypes)["mh0"] == "bigint"
+    rows = {r.doc_id: tuple(r[f"mh{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[0] == rows[3]
+    assert rows[0] != rows[2]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(sig, "doc_id", 8, 4).collect()
+    }
+    assert (0, 3) in pairs
+    multi = {
+        (r.doc_id, r.mode): tuple(r[f"mh{i}"] for i in range(8))
+        for r in D.minhash_signatures_multi(
+            df, "doc_id", "text", num_hashes=8, shingle_ns=(None,),
+            hash_mode="native"
+        ).collect()
+    }
+    assert multi[(0, "unigram")] == rows[0]
+    with pytest.raises(ValueError, match="unknown hash mode"):
+        D.minhash_signature(df, "doc_id", "text", hash_mode="sha9")
+
+
 def test_lsh_pairs_catch_exact_dups(spark):
     sig = D.minhash_signature(docs_df(spark), "doc_id", "text", num_hashes=8)
     pairs = {
