@@ -317,3 +317,34 @@ def test_chunking_reconstructs_tokens(spark, docs, chunk, overlap):
         for p in pieces[:-1]:
             assert len(p) == chunk  # only the last chunk may be short
         assert all(r.n_chunk_tokens == len(p) for r, p in zip(rows, pieces))
+
+
+# _assign_bins is a pure function (no Spark job per example), so it gets
+# full-strength hypothesis coverage unlike the SLOW-tuned tests above.
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), max_size=60),
+    budget=st.integers(min_value=1, max_value=30),
+    max_open_bins=st.integers(min_value=1, max_value=8),
+)
+def test_assign_bins_invariants(sizes, budget, max_open_bins):
+    """For ANY item mix: every item is assigned exactly once; bin loads
+    never exceed the budget except single-item truncate packs; truncate
+    is flagged iff the item alone exceeds the budget; bin indices are
+    dense from 0."""
+    from mapreduce_stockheadlines_spark.operators.packing import _assign_bins
+
+    ordered = sorted(sizes, reverse=True)  # FFD precondition
+    assign, truncate = _assign_bins(ordered, budget, max_open_bins)
+    assert len(assign) == len(ordered) and len(truncate) == len(ordered)
+    loads: dict[int, int] = {}
+    members: dict[int, int] = {}
+    for n, b, t in zip(ordered, assign, truncate):
+        assert t == (n > budget)
+        loads[b] = loads.get(b, 0) + n
+        members[b] = members.get(b, 0) + 1
+    for b, load in loads.items():
+        assert load <= budget or members[b] == 1  # oversized packs are alone
+    if assign:
+        used = sorted(set(assign))
+        assert used == list(range(len(used)))  # dense ids from 0
