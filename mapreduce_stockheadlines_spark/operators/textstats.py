@@ -345,3 +345,95 @@ def strip_html(text_col: Column | str) -> Column:
     for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# --- URL / domain curation (C4/RefinedWeb-style source filtering) -----------
+#
+# Web-corpus pipelines filter documents by the domains they reference
+# (adult/spam/SEO blocklists) before any content-quality pass. Three
+# codegen pieces: URL extraction (regexp_extract_all), host + registered-
+# domain normalization (string functions on each match), and a broadcast
+# anti-join against a blocklist table — the same join shape as the
+# reference's stop-word filter (SURVEY.md O9), applied per-document via
+# an exploded (doc, domain) edge table. No Python, no UDFs; at 100 TB
+# the only shuffle is the (small) exploded edge table's anti-join, and
+# Catalyst broadcasts the blocklist side.
+
+URL_PATTERN = r"https?://[^\s/?#]+[^\s]*"
+
+
+def extract_url_hosts(text_col: Column | str) -> Column:
+    """array<string> of lowercase hosts for every URL in the text:
+    scheme and userinfo stripped, then port, path, query, fragment cut."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    urls = F.regexp_extract_all(t, F.lit(URL_PATTERN), 0)
+    return F.transform(
+        urls,
+        lambda u: F.lower(
+            F.regexp_replace(
+                F.regexp_replace(u, r"^https?://(?:[^@/\s]+@)?", ""),
+                r"[:/?#].*$",
+                "",
+            )
+        ),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two labels of a host ('a.b.news.example.com' →
+    'example.com') — the blocklist granularity. Public-suffix-list
+    fidelity (co.uk etc.) is a lookup-table refinement over this same
+    expression; two labels is the standard first cut."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc URL signals: n_urls, distinct registered domains
+    referenced, and url_char_ratio (URL bytes / doc bytes — link-farm
+    pages score high). One codegen projection, zero shuffle."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    hosts = extract_url_hosts(text_col)
+    url_len = F.aggregate(
+        F.transform(urls, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(urls).cast("int").alias("n_urls"),
+        F.array_sort(
+            F.array_distinct(F.transform(hosts, registered_domain))
+        ).alias("domains"),
+        F.round(
+            url_len / F.greatest(F.length(text_col), F.lit(1)), 4
+        ).alias("url_char_ratio"),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: DataFrame,
+) -> DataFrame:
+    """Drop every document referencing ANY blocked registered domain.
+
+    ``blocklist`` is a one-column domain table (semantically small — it
+    plays the stop-word side-table role and is explicitly broadcast).
+    Shape: explode the per-doc domain set, inner-join the broadcast
+    blocklist, anti-join the matching doc ids back. The blocked-id set
+    is corpus-derived and therefore NOT forced broadcast — one blocked
+    popular domain could make it huge; AQE picks broadcast when it is
+    actually small, and the fallback is a plain key-hash anti-join."""
+    dom_col = blocklist.columns[0]
+    edges = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(extract_url_hosts(text_col), registered_domain)
+            )
+        ).alias("_domain"),
+    )
+    blocked_ids = edges.join(
+        F.broadcast(blocklist.withColumnRenamed(dom_col, "_domain")),
+        "_domain",
+    ).select(id_col)
+    return df.join(blocked_ids.distinct(), id_col, "left_anti")

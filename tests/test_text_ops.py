@@ -85,3 +85,58 @@ def test_strip_html(spark):
     assert got[2] == 'A & B <tag> "q" \'s\' end'
     assert got[3] == "text lines spaced"
     assert got[4] == "no markup at all"
+
+
+def test_url_stats_and_domain_blocklist(spark):
+    """URL extraction / host+registered-domain normalization / blocklist
+    filtering on planted URLs, DuckDB-pinned for the counts and domains
+    (same oracle style as the PII query: the operator expressions are
+    generic; the fixture makes them non-trivial)."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        filter_blocked_domains,
+        url_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "see https://a.news.example.com/x?q=1 and http://user@spam.biz:8080/p"),
+            (1, "no links at all"),
+            (2, "dup https://Example.COM/a https://sub.example.com/b end"),
+            (3, "edge https://spam.biz trailing"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in url_stats(df, "doc_id", "text").collect()}
+    assert (got[0].n_urls, got[0].domains) == (2, ["example.com", "spam.biz"])
+    assert (got[1].n_urls, got[1].domains, got[1].url_char_ratio) == (0, [], 0.0)
+    assert (got[2].n_urls, got[2].domains) == (2, ["example.com"])  # case+subdomain fold
+    assert got[3].domains == ["spam.biz"]
+
+    # cross-check n_urls/url_char_ratio against DuckDB's regexp machinery
+    con = duckdb.connect()
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            r"""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s/?#]+[^\s]*')) AS INTEGER),
+                   round(CAST(coalesce(len(list_aggregate(list_transform(
+                          regexp_extract_all(text, 'https?://[^\s/?#]+[^\s]*'),
+                          x -> repeat('.', length(x))), 'string_agg', '')), 0) AS DOUBLE)
+                         / greatest(length(text), 1), 4)
+            FROM d"""
+        ).fetchall()
+    }
+    for did, r in got.items():
+        assert (r.n_urls, r.url_char_ratio) == want[did], did
+
+    block = spark.createDataFrame([("spam.biz",)], ["domain"])
+    kept = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(df, "doc_id", "text", block).collect()
+    )
+    assert kept == [1, 2]  # 0 and 3 reference spam.biz
