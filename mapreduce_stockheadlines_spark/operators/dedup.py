@@ -502,3 +502,70 @@ def incremental_dedup(
     new_index = survivors.select("text_hash")
     new_index = new_index if seen is None else seen.unionByName(new_index)
     return survivors.drop("text_hash"), new_index
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_occurrences: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the MassiveText/Gopher
+    boilerplate filter): a line appearing in more than
+    ``max_doc_occurrences`` DISTINCT documents is boilerplate (headers,
+    footers, cookie banners, licence blurbs) and is dropped from every
+    document; lines shorter than ``min_line_chars`` are exempt (blank
+    separators and one-character lines are structure, not boilerplate).
+
+    Output: (id, text, n_lines_removed) with surviving lines rejoined in
+    original order.
+
+    Scale shape: one posexplode; the global line census aggregates a
+    32-byte digest (never line text) with map-side partials; the census
+    probe joins back on the digest — the census side carries one row per
+    DISTINCT line so AQE broadcasts it when small and skew-handles the
+    hot boilerplate digests when not; reassembly is one groupBy(id) with
+    array_sort over (pos, line) structs. Document text crosses the wire
+    once (the explode's own shuffle into the reassembly aggregation).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn(
+        "_dig",
+        F.when(
+            F.length("line") >= min_line_chars,
+            F.md5(F.col("line").cast("binary")),
+        ),  # NULL digest = exempt line, never counted, never joined
+    )
+    census = (
+        lines.filter(F.col("_dig").isNotNull())
+        .groupBy("_dig")
+        .agg(F.count_distinct(id_col).alias("_n_docs"))
+        .filter(F.col("_n_docs") > max_doc_occurrences)
+        .select("_dig", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(census, "_dig", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.sum(F.col("_boiler").cast("int")).alias("n_lines_removed"),
+        )
+        .na.fill({"n_lines_removed": 0})
+    )

@@ -696,3 +696,51 @@ def test_incremental_dedup(spark):
     # replay of the same batch against the updated index yields nothing
     survivors3, _ = D.incremental_dedup(day2, index2, "doc_id", "text")
     assert survivors3.count() == 0
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """Lines shared across >1 doc vanish from every doc; unique lines and
+    short exempt lines survive in original order. DuckDB-pinned."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [
+            (0, "COOKIE BANNER\nreal content zero\n\nCOPYRIGHT FOOTER"),
+            (1, "COOKIE BANNER\nreal content one\nCOPYRIGHT FOOTER"),
+            (2, "standalone doc\nnothing shared here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in D.line_dedup(df, "doc_id", "text", min_line_chars=1).collect()
+    }
+    assert out[0] == ("real content zero\n", 2)  # blank line exempt (len 0 < 1)
+    assert out[1] == ("real content one", 2)
+    assert out[2] == ("standalone doc\nnothing shared here", 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?)", [(r.doc_id, r.text) for r in df.collect()]
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM d),
+            census AS (SELECT line FROM lines WHERE length(line) >= 1
+                       GROUP BY line HAVING count(DISTINCT doc_id) > 1)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(c.line) AS BIGINT) AS n_removed
+            FROM lines l LEFT JOIN census c USING (line)
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert out == want
