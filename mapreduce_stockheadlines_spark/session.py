@@ -111,3 +111,56 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     # code reads nano-timestamp parquet (VERDICT r3).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def conf_for_scale(
+    input_bytes: int,
+    executors: int,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    shuffle_fraction: float = 1.0,
+    target_partition_bytes: int = 128 << 20,
+) -> dict[str, str]:
+    """Size the partition-count confs for a target corpus + cluster shape
+    — the arithmetic behind 'partitions must fit in executor memory':
+
+    - scan side: ``files.maxPartitionBytes`` = the target partition size
+      (split generation; 128 MB rides the parquet row-group sweet spot);
+    - shuffle side: initial partition count = expected shuffle volume
+      (``input_bytes x shuffle_fraction`` — pass the post-filter
+      fraction when filters precede the first exchange) divided by the
+      target size, floored at 2 tasks per core slot so the cluster is
+      never under-subscribed on small inputs. AQE coalesces DOWN from
+      there at runtime, which is why the count goes into
+      ``initialPartitionNum`` (and the static conf as the non-AQE
+      fallback) — oversizing is self-correcting, undersizing is not.
+
+    Raises when the target partition size cannot fit ~4 live copies in a
+    task's memory share (shuffle read + dual buffers + object overhead)
+    — at that point the CLUSTER shape is the problem and silently
+    emitting spill-prone confs would hide it.
+
+    100 TB on 1000 executors x 4 cores: 819,200 initial shuffle
+    partitions, 8,000 slot floor — exactly the regime Spark's AQE docs
+    target (pick large, let coalescing fix it).
+    """
+    if input_bytes <= 0 or executors <= 0 or cores_per_executor <= 0:
+        raise ValueError("conf_for_scale: sizes and counts must be positive")
+    per_task_bytes = (executor_mem_gb << 30) // cores_per_executor
+    if target_partition_bytes * 4 > per_task_bytes:
+        raise ValueError(
+            f"conf_for_scale: {target_partition_bytes >> 20} MB partitions "
+            f"need ~4x headroom but a task's memory share is only "
+            f"{per_task_bytes >> 20} MB; add memory/executors or shrink "
+            "target_partition_bytes"
+        )
+    slots = executors * cores_per_executor
+    by_size = -(-int(input_bytes * shuffle_fraction) // target_partition_bytes)
+    partitions = max(2 * slots, by_size)
+    return {
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.shuffle.partitions": str(partitions),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            partitions
+        ),
+    }
