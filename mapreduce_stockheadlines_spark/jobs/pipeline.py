@@ -2,6 +2,10 @@
 operators composed the way a 100 TB pretraining-data job would use them.
 
     documents
+      → domain blocklist       (optional: drop docs referencing blocked
+                                registered domains — --blocked-domains)
+      → boilerplate strip      (optional: corpus-level repeated-line
+                                removal BEFORE dedup — --strip-boilerplate)
       → exact dedup            (content-hash groupBy; digest shuffle key)
       → near-dup removal       (MinHash 3-gram shingles → LSH banding →
                                 exact Jaccard verify > threshold →
@@ -60,9 +64,26 @@ def curate(
     keep_top: float | None = None,
     chunk_tokens: int | None = None,
     chunk_overlap: int = 16,
+    blocked_domains: DataFrame | None = None,
+    strip_boilerplate: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
     surviving docs with quality/token columns attached."""
+    # 0a. (optional) domain blocklist — first: the cheapest corpus-
+    #     shrinking gate, and every later stage gets the smaller corpus
+    if blocked_domains is not None:
+        docs = TS.filter_blocked_domains(docs, "doc_id", "text", blocked_domains)
+
+    # 0b. (optional) corpus-level boilerplate line removal — BEFORE doc
+    #     dedup: shared headers/footers both mask exact dups (different
+    #     boilerplate, same content) and inflate near-dup similarity
+    #     (same boilerplate, different content)
+    if strip_boilerplate:
+        cleaned = D.line_dedup(docs, "doc_id", "text")
+        docs = docs.drop("text").join(
+            cleaned.select("doc_id", "text"), "doc_id"
+        )
+
     # 1. exact dedup: keep min doc_id per content hash
     keep_exact = D.content_hash_dedup(docs, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
@@ -155,6 +176,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="split docs into fixed-token chunks of this size")
     ap.add_argument("--chunk-overlap", type=int, default=16,
                     help="token overlap between adjacent chunks")
+    ap.add_argument("--blocked-domains", default=None,
+                    help="text file of blocked registered domains (one "
+                         "per line); docs referencing any are dropped")
+    ap.add_argument("--strip-boilerplate", action="store_true",
+                    help="remove lines repeated across >1 documents "
+                         "before dedup (corpus-level boilerplate filter)")
     ap.add_argument("--shuffle-output", action="store_true",
                     help="write output in deterministic hash-shuffled order")
     ap.add_argument("--test-fraction", type=float, default=None,
@@ -168,6 +195,13 @@ def main(argv: list[str] | None = None) -> None:
     spark: SparkSession = get_spark("pipeline")
     spark.sparkContext.setLogLevel("ERROR")
     docs = parallel_table(spark, args.sf_dir, "documents")
+    blocked = None
+    if args.blocked_domains:
+        blocked = (
+            spark.read.text(args.blocked_domains)
+            .select(F.lower(F.trim("value")).alias("domain"))
+            .filter(F.length("domain") > 0)
+        )
     out = curate(
         docs,
         lang=args.lang,
@@ -177,6 +211,8 @@ def main(argv: list[str] | None = None) -> None:
         keep_top=args.keep_top,
         chunk_tokens=args.chunk_tokens,
         chunk_overlap=args.chunk_overlap,
+        blocked_domains=blocked,
+        strip_boilerplate=args.strip_boilerplate,
     )
     if args.shuffle_output:
         out = SA.deterministic_shuffle(out, "doc_id")

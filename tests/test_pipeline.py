@@ -139,3 +139,35 @@ def test_curate_with_quantile_gate_and_chunking(spark, sf_dir):
     # quality survived the gate
     thr = base.toPandas().quality.quantile(0.5)
     assert out.quality.min() >= thr - 0.05
+
+
+def test_curate_blocklist_and_boilerplate_stages(spark):
+    """The optional leading stages: a doc referencing a blocked domain is
+    dropped outright; cross-doc repeated lines vanish BEFORE dedup, so
+    two docs identical except for their (different) boilerplate headers
+    collapse to one survivor."""
+    rows = [
+        (1, "HEADER X\nthe quick brown fox jumps over the lazy dog", "s"),
+        (2, "HEADER Y\nthe slow green turtle walks under the happy sun", "s"),
+        (3, "HEADER X\nsee https://bad.example.net/x for the details", "s"),
+        (4, "HEADER X\nHEADER Y\nthe completely different content about the weather", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    blocked = spark.createDataFrame([("example.net",)], ["domain"])
+    out = curate(
+        docs,
+        lang="en",
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        blocked_domains=blocked,
+        strip_boilerplate=True,
+    )
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 3: blocked domain — removed BEFORE the line census, so only the
+    # surviving docs define boilerplate: X repeats in 1+4, Y in 2+4 ->
+    # both stripped everywhere; each doc's own content line is unique
+    # (a cross-doc repeated content line would be stripped too — that IS
+    # the operator's contract) so 1, 2, 4 all survive, headerless
+    assert ids == [1, 2, 4]
+    texts = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    assert not any("HEADER" in t for t in texts.values())
