@@ -294,3 +294,25 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         .collect()[0]["count"]
     )
     assert n_with == n_plain
+
+
+def test_domain_blocklist_plan_broadcasts_blocklist(spark, sf_dir):
+    """filter_blocked_domains: the blocklist side must broadcast (it is
+    the stop-word-table role); no cartesian/NLJ anywhere; the final
+    doc-id anti-join is deliberately NOT forced broadcast (corpus-derived
+    side), so the plan may choose either join there."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        filter_blocked_domains,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    block = spark.createDataFrame([("example.com",), ("spam.biz",)], ["domain"])
+    df = filter_blocked_domains(docs, "doc_id", "text", block)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
