@@ -52,3 +52,62 @@ def count_rank_format(df: DataFrame, key: str, fmt: str = "%d: %s, %d",
     return r.select(
         F.format_string(fmt, F.col("rank"), F.col(key), F.col("cnt")).alias("line")
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "global_id",
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Dense 0-based global row ids WITHOUT a single-partition global
+    sort — the id-assignment step of corpus construction, where
+    ``row_number().over(Window.orderBy(...))`` would funnel 100 TB
+    through one task.
+
+    Order is unsigned-xxhash64-of-key order (a deterministic shuffle
+    order, like ``sampling.deterministic_shuffle``), keys tie-broken by
+    value; ``key_col`` must be unique per row for ids to be well-defined.
+
+    Construction: bucket = the hash's top ``bucket_bits`` bits (so
+    (bucket ASC, hash ASC) IS global unsigned-hash order and ids are
+    INVARIANT to the bucket count — pinned in tests); per-bucket counts
+    aggregate map-side down to 2^bucket_bits rows for a driver-held
+    cumulative-offset table (broadcast back); final id = bucket offset +
+    row_number within the bucket's window. Everything is a pure function
+    of the DATA — no partitioner boundary sampling, no
+    spark_partition_id — so re-execution of any stage reproduces the
+    same ids. Cost: one tiny counts job + ONE corpus shuffle (the
+    bucket-partitioned window); per-task sort is n / 2^bucket_bits rows
+    (raise bucket_bits at larger scale).
+    """
+    if not 1 <= bucket_bits <= 30:
+        raise ValueError("assign_global_ids: bucket_bits must be in [1, 30]")
+    h = F.xxhash64(F.col(key_col))
+    # top bits of the UNSIGNED hash: sign bit becomes the bucket's MSB,
+    # and within a bucket every hash shares that sign, so signed ordering
+    # within a bucket equals unsigned ordering — bucket-count-invariant.
+    bucket = F.shiftrightunsigned(h, 64 - bucket_bits).cast("int")
+    with_b = df.withColumn("_bucket", bucket)
+    counts = {
+        r._bucket: r.n
+        for r in with_b.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # ≤ 2^bucket_bits rows — broadcast-side sized
+    }
+    spark = df.sparkSession
+    running = 0
+    rows = []
+    for b in sorted(counts):
+        rows.append((b, running))
+        running += counts[b]
+    offsets = spark.createDataFrame(rows, "_bucket int, _offset long")
+    w = Window.partitionBy("_bucket").orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        with_b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            id_col,
+            (F.col("_offset") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_bucket", "_offset")
+    )

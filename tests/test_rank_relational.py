@@ -92,3 +92,47 @@ def test_having(spark):
     g = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
     out = R.having(g, F.col("cnt") > 3)
     assert [r.k for r in out.collect()] == ["a"]
+
+
+def test_assign_global_ids_dense_and_bucket_invariant(spark, sf_dir):
+    """Ids are a dense 0..n-1 bijection, deterministic across reruns, and
+    INVARIANT to the bucket count (the top-bits bucketing preserves
+    global unsigned-hash order) — the property that makes the operator a
+    drop-in for a global row_number without its single-task sort."""
+    from mapreduce_stockheadlines_spark.operators.rank import assign_global_ids
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    a = assign_global_ids(docs, "doc_id", bucket_bits=3)
+    ids = sorted(r.global_id for r in a.collect())
+    assert ids == list(range(n))  # dense bijection
+    b = {r.doc_id: r.global_id
+         for r in assign_global_ids(docs, "doc_id", bucket_bits=7).collect()}
+    assert {r.doc_id: r.global_id for r in a.collect()} == b  # bucket-invariant
+
+
+def test_assign_global_ids_no_single_partition_sort(spark, sf_dir):
+    """The plan must shuffle on the bucket hash — never funnel the corpus
+    into a SinglePartition exchange the way a global-order Window does."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mapreduce_stockheadlines_spark.operators.rank import assign_global_ids
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    df = assign_global_ids(
+        table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(_bucket" in plan
+    assert "SinglePartition" not in plan
+
+    from mapreduce_stockheadlines_spark.operators.rank import assign_global_ids as g
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_bits"):
+        g(table(spark, sf_dir, "documents"), "doc_id", bucket_bits=0)
