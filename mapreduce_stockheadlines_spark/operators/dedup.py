@@ -520,7 +520,13 @@ def line_dedup(
     separators and one-character lines are structure, not boilerplate).
 
     Output: (id, text, n_lines_removed) with surviving lines rejoined in
-    original order.
+    original order. NULL text is treated as '' (the doc survives with
+    empty text rather than vanishing — posexplode of a NULL array emits
+    no rows, which would silently drop the doc from the output and, in
+    curate()'s inner join, from the corpus). ``sep`` is used verbatim:
+    it is regex-quoted (\\Q...\\E) for the split side so metacharacter
+    separators ('.', '|') split literally, matching the literal
+    array_join on the rebuild side.
 
     Scale shape: one posexplode; the global line census aggregates a
     32-byte digest (never line text) with map-side partials; the census
@@ -530,9 +536,13 @@ def line_dedup(
     array_sort over (pos, line) structs. Document text crosses the wire
     once (the explode's own shuffle into the reassembly aggregation).
     """
+    # java.util.regex.Pattern.quote: literal-quote sep for the regex split
+    sep_quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_quoted)
+        ).alias("pos", "line"),
     ).withColumn(
         "_dig",
         F.when(

@@ -379,12 +379,138 @@ def extract_url_hosts(text_col: Column | str) -> Column:
     )
 
 
+# Snapshot subset of the Mozilla Public Suffix List (publicsuffix.org,
+# MPL-2.0 public data): the ICANN-section TWO-LABEL suffix rules under
+# which most registrations live (co.uk, com.au, co.jp, ...). Hosts whose
+# last two labels match one of these have a THREE-label registered domain
+# ('news.bbc.co.uk' → 'bbc.co.uk'); everything else falls back to the
+# standard two-label cut (the PSL's implicit '*' default rule). Wildcard
+# (*.ck), exception (!www.ck) and deeper 3-label rules are outside this
+# snapshot and resolve through the fallback — extend the tuple to grow
+# coverage; the lookup mechanism (a substring probe against one literal
+# blob, identical in the DuckDB oracle) does not change.
+PSL_ICANN_2LABEL: tuple[str, ...] = (
+    # uk
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk",
+    # jp
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # au
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    # nz
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "kiwi.nz",
+    "maori.nz", "net.nz", "org.nz", "school.nz",
+    # br
+    "art.br", "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    # in
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    # za
+    "ac.za", "co.za", "edu.za", "gov.za", "net.za", "org.za", "web.za",
+    # cn
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    # kr
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    # tw / hk / sg
+    "club.tw", "com.tw", "edu.tw", "game.tw", "gov.tw", "idv.tw",
+    "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    # mx / ar / co / pe / ve / cl / uy / ec
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar", "net.ar",
+    "org.ar", "tur.ar",
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co", "org.co",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    "com.ve", "edu.ve", "gob.ve", "mil.ve", "net.ve", "org.ve", "web.ve",
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "info.ec",
+    "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    # ru / ua / pl / tr / il
+    "ac.ru", "com.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "msk.ru",
+    "net.ru", "org.ru", "pp.ru", "spb.ru",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua", "kyiv.ua",
+    "net.ua", "org.ua",
+    "biz.pl", "com.pl", "edu.pl", "gov.pl", "info.pl", "net.pl",
+    "org.pl", "waw.pl",
+    "av.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr", "gen.tr",
+    "gov.tr", "info.tr", "mil.tr", "name.tr", "net.tr", "org.tr",
+    "tel.tr", "tv.tr", "web.tr",
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    # th / id / my / ph / vn
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my",
+    "org.my",
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    # eg / sa / ae / ke / ng
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
+    "net.eg", "org.eg", "sci.eg",
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "pub.sa", "sch.sa",
+    "ac.ae", "co.ae", "gov.ae", "mil.ae", "net.ae", "org.ae", "sch.ae",
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng", "mobi.ng",
+    "name.ng", "net.ng", "org.ng", "sch.ng",
+    # ca provinces / fr / es / pt / gr / at / hu / ro / se / no
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
+    "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca",
+    "yk.ca",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    "ac.at", "co.at", "gv.at", "or.at", "priv.at",
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro",
+    "org.ro", "rec.ro", "store.ro", "tm.ro", "www.ro",
+    "ac.se", "org.se", "pp.se", "tm.se",
+    "dep.no", "herad.no", "mil.no", "priv.no", "stat.no",
+    # it / be
+    "edu.it", "gov.it",
+    "ac.be",
+)
+
+# One literal '|'-delimited blob: membership is a substring probe
+# ("|co.uk|" in blob) — a single ~2.5 KB constant in the codegen'd plan
+# (a 250-branch CASE or 250-element array literal would bloat the
+# expression tree; see the LSH literal-expansion lesson in similarity.py).
+_PSL_BLOB = "|" + "|".join(PSL_ICANN_2LABEL) + "|"
+
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
 def registered_domain(host: Column) -> Column:
-    """Last two labels of a host ('a.b.news.example.com' →
-    'example.com') — the blocklist granularity. Public-suffix-list
-    fidelity (co.uk etc.) is a lookup-table refinement over this same
-    expression; two labels is the standard first cut."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    """Registered (registrable) domain of a host under the PSL snapshot
+    above: 'a.b.news.example.com' → 'example.com', 'news.bbc.co.uk' →
+    'bbc.co.uk' — the blocklist granularity. Non-domain hosts pass
+    through unchanged rather than degrading into junk keys: dotless
+    hosts (localhost, bare intranet names) and IPv4 literals return
+    themselves, so IP-based blocklist entries can match; a trailing
+    FQDN dot is stripped first. A host that IS a listed public suffix
+    ('co.uk' alone) also passes through unchanged."""
+    h = F.regexp_replace(host, r"\.$", "")
+    last2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    on_psl = F.contains(
+        F.lit(_PSL_BLOB), F.concat(F.lit("|"), last2, F.lit("|"))
+    )
+    return (
+        F.when(~h.contains("."), h)
+        .when(h.rlike(_IPV4_RE), h)
+        .when(on_psl & (last3 != F.lit("")), last3)
+        .otherwise(last2)
+    )
 
 
 def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -744,3 +744,19 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
         ).fetchall()
     }
     assert out == want
+
+
+def test_line_dedup_null_text_and_metachar_sep(spark):
+    """ADVICE r4: null-text docs survive (as '') instead of vanishing
+    into the posexplode; a regex-metacharacter sep splits literally."""
+    df = spark.createDataFrame(
+        [(0, "shared|unique zero"), (1, "shared|unique one"), (2, None)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in D.line_dedup(df, "doc_id", "text", sep="|").collect()
+    }
+    assert out[0] == ("unique zero", 1)
+    assert out[1] == ("unique one", 1)
+    assert out[2] == ("", 0)  # doc present, text coalesced to ''

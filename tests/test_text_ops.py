@@ -140,3 +140,49 @@ def test_url_stats_and_domain_blocklist(spark):
         for r in filter_blocked_domains(df, "doc_id", "text", block).collect()
     )
     assert kept == [1, 2]  # 0 and 3 reference spam.biz
+
+
+def test_registered_domain_psl_and_host_edges(spark):
+    """PSL snapshot lookup ('news.bbc.co.uk' → 'bbc.co.uk') plus the host
+    pathologies from ADVICE r4: dotless hosts and IPv4 literals pass
+    through unchanged (IP blocklist entries can match), trailing FQDN
+    dot stripped, bare public suffix unchanged."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        filter_blocked_domains,
+        registered_domain,
+    )
+
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),  # bare public suffix: no registrable part
+        ("a.b.news.example.com", "example.com"),  # default 2-label rule
+        ("shop.example.com.au", "example.com.au"),
+        ("localhost", "localhost"),
+        ("intranet-box", "intranet-box"),
+        ("192.168.0.1", "192.168.0.1"),
+        ("example.com.", "example.com"),  # trailing FQDN dot
+        ("deep.sub.example.co.jp", "example.co.jp"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = [
+        r.d
+        for r in df.select(registered_domain(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+    # an IP blocklist entry now matches (pre-PSL it truncated to '0.1')
+    docs = spark.createDataFrame(
+        [
+            (0, "fetch http://192.168.0.1/data now"),
+            (1, "read https://news.bbc.co.uk/story"),
+            (2, "clean https://fine.example.org/page"),
+        ],
+        ["doc_id", "text"],
+    )
+    block = spark.createDataFrame([("192.168.0.1",), ("bbc.co.uk",)], ["domain"])
+    kept = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(docs, "doc_id", "text", block).collect()
+    )
+    assert kept == [2]
