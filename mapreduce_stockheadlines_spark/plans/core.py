@@ -55,11 +55,17 @@ ORDER BY l_orderkey, l_linenumber
 # --- Q02 hash aggregation (O10,O11 + §2.2 agg breadth) ---------------------
 
 def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Agg breadth in one grouped aggregation: count/sum/avg/min/max plus
+    exact COUNT DISTINCT (q11_count_distinct folded in here in round 5 —
+    Catalyst expands the distinct aggregate into the standard two-phase
+    partial/final plan alongside the others; the freed registry slot
+    went to x24_url_curation)."""
     li = table(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.min("l_discount").alias("min_disc"),
@@ -72,6 +78,7 @@ def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
 Q02_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
+       count(DISTINCT l_suppkey) AS n_supp,
        round(sum(l_quantity), 2) AS sum_qty,
        round(avg(l_extendedprice), 2) AS avg_price,
        min(l_discount) AS min_disc,
@@ -302,23 +309,10 @@ ORDER BY o_custkey, o_orderkey
 
 # --- Q11 exact distinct aggregation ----------------------------------------
 
-def q11_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_cust"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-Q11_SQL = """
-SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
-       count(*) AS n_orders
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
+# q11_count_distinct was consolidated into q02_group_agg in round 5 (same
+# pattern as q17→q33 in round 4): COUNT(DISTINCT ...) now runs there next
+# to the plain aggregates. The freed registry slot (driver caps the
+# registry at 50) went to x24_url_curation (plans/extensions.py).
 
 # --- Q12 set operations (UNION ALL / INTERSECT / EXCEPT, tagged) -----------
 
@@ -460,6 +454,11 @@ FROM c ORDER BY rank LIMIT 100
 # --- Q16 rollup + grouping id ----------------------------------------------
 
 def q16_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup + grouping id, with a post-aggregation HAVING filter
+    (q20_having folded in here in round 5: ``n_cust > 50`` drops the
+    under-populated nation-level rows while every region/total row
+    survives — the filter does real work at every SF; the freed
+    registry slot went to x25_line_dedup)."""
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region")
@@ -470,7 +469,7 @@ def q16_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         F.grouping_id().cast("int").alias("gid"),
-    )
+    ).filter(F.col("n_cust") > 50)
     return rolled.select(
         F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
         F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
@@ -488,6 +487,7 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
+HAVING count(*) > 50
 ORDER BY gid, r_name, n_name
 """
 
@@ -564,24 +564,10 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 # --- Q20 post-aggregation filter (HAVING) ----------------------------------
 
-def q20_having(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_partkey")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-        .filter(F.col("cnt") > 30)
-        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
-    )
-
-
-Q20_SQL = """
-SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
-FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
-ORDER BY cnt DESC, l_partkey
-"""
+# q20_having was consolidated into q16_rollup in round 5: the post-
+# aggregation filter (HAVING) now runs there over the rollup output,
+# where it drops real rows at every SF. The freed registry slot (driver
+# caps the registry at 50) went to x25_line_dedup (plans/extensions.py).
 
 # --- Q21 time windows: tumbling + sliding (streaming analogue) -------------
 
@@ -669,7 +655,6 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q08_join_anti": QuerySpec(q08_join_anti, Q08_SQL),
     "q09_window_partitioned": QuerySpec(q09_window_partitioned, Q09_SQL),
     "q10_window_functions": QuerySpec(q10_window_functions, Q10_SQL),
-    "q11_count_distinct": QuerySpec(q11_count_distinct, Q11_SQL),
     "q12_set_ops": QuerySpec(q12_set_ops, Q12_SQL),
     "q13_tokenize_count": QuerySpec(q13_tokenize_count, Q13_SQL),
     "q14_stock_count_analogue": QuerySpec(q14_stock_count_analogue, Q14_SQL),
@@ -677,7 +662,6 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q16_rollup": QuerySpec(q16_rollup, Q16_SQL),
     "q18_conditional_agg": QuerySpec(q18_conditional_agg, Q18_SQL),
     "q19_large_join": QuerySpec(q19_large_join, Q19_SQL),
-    "q20_having": QuerySpec(q20_having, Q20_SQL),
     "q21_time_windows": QuerySpec(q21_time_windows, Q21_SQL),
     "q22_dedup": QuerySpec(q22_dedup, Q22_SQL),
 }

@@ -905,6 +905,207 @@ ORDER BY c_custkey
 """
 
 
+# --- x24 URL/domain curation: url_stats + blocklist filter --------------------
+#
+# The synthetic documents contain no URLs, so the query plants
+# deterministic doc_id-derived URLs (identically in both engines — the
+# x12 PII pattern) covering every host pathology the operator handles:
+# plain .com hosts, userinfo+port, a PSL 2-label-suffix host WITH a
+# trailing FQDN dot (news.siteN.co.uk.), IPv4 literals, and a dotless
+# host. The oracle re-implements the registered-domain resolution —
+# including the longest-match probe against the SAME PSL snapshot blob
+# (textstats._PSL_BLOB) — in DuckDB SQL, so the lookup itself is
+# cross-engine verified, not hardcoded per planted host. The blocklist
+# exercises all three match classes: a plain 2-label domain
+# (spam-net.biz), a PSL 3-label registered domain (site3.co.uk — under
+# the pre-PSL 2-label cut this entry could never match), and an IPv4
+# literal (192.168.18.9 — pre-ADVICE-fix it was truncated to '18.9').
+
+_X24_BLOCKLIST = ("spam-net.biz", "site3.co.uk", "192.168.18.9")
+
+
+def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://media"), (did % 5).cast("string"),
+        F.lit(".newshub"), (did % 13).cast("string"),
+        F.lit(".com/a/"), did.cast("string"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" via http://tracker@ads"), (did % 3).cast("string"),
+                F.lit(".spam-net.biz:8080/c?x="), did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit(" mirror https://news.site"), (did % 7).cast("string"),
+                F.lit(".co.uk./m"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" raw http://192.168."), (did % 45).cast("string"),
+                F.lit(".9/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" dev http://localhost:8000/s")).otherwise(
+            F.lit("")
+        ),
+    )
+    aug_docs = docs.select("doc_id", aug.alias("text"))
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _X24_BLOCKLIST], ["domain"]
+    )
+    stats = TS.url_stats(aug_docs, "doc_id", "text")
+    kept = TS.filter_blocked_domains(
+        aug_docs, "doc_id", "text", blocklist
+    ).select("doc_id", F.lit(1).alias("kept"))
+    return (
+        stats.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_urls",
+            F.concat_ws(",", "domains").alias("domains_csv"),
+            "url_char_ratio",
+            F.coalesce("kept", F.lit(0)).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_X24_AUG_SQL = """
+  SELECT doc_id,
+         text || ' see https://media' || CAST(doc_id % 5 AS VARCHAR)
+              || '.newshub' || CAST(doc_id % 13 AS VARCHAR)
+              || '.com/a/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' via http://tracker@ads' || CAST(doc_id % 3 AS VARCHAR)
+                      || '.spam-net.biz:8080/c?x=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' mirror https://news.site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.co.uk./m'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' raw http://192.168.' || CAST(doc_id % 45 AS VARCHAR)
+                      || '.9/x'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' dev http://localhost:8000/s'
+                 ELSE '' END AS t
+  FROM documents
+"""
+
+X24_SQL = rf"""
+WITH aug AS ({_X24_AUG_SQL}),
+u AS (SELECT doc_id, t,
+             regexp_extract_all(t, 'https?://[^\s/?#]+[^\s]*') AS us
+      FROM aug),
+stats AS (SELECT doc_id,
+                 CAST(len(us) AS INTEGER) AS n_urls,
+                 round(CAST(coalesce(len(list_aggregate(list_transform(
+                          us, x -> repeat('.', length(x))), 'string_agg', '')),
+                        0) AS DOUBLE) / greatest(length(t), 1), 4)
+                   AS url_char_ratio
+          FROM u),
+hosts AS (SELECT doc_id,
+                 regexp_replace(lower(regexp_replace(regexp_replace(
+                   x, '^https?://([^@/\s]+@)?', ''), '[:/?#].*$', '')),
+                   '\.$', '') AS h
+          FROM (SELECT doc_id, unnest(us) AS x FROM u)),
+rd AS (SELECT doc_id,
+              CASE WHEN strpos(h, '.') = 0 THEN h
+                   WHEN regexp_matches(h, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$')
+                     THEN h
+                   WHEN strpos('{TS._PSL_BLOB}', '|' || l2 || '|') > 0
+                        AND l3 <> '' THEN l3
+                   ELSE l2 END AS dom
+       FROM (SELECT doc_id, h,
+                    regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS l2,
+                    regexp_extract(h, '([^.]+\.[^.]+\.[^.]+)$', 1) AS l3
+             FROM hosts)),
+doms AS (SELECT doc_id,
+                array_to_string(list_sort(list(DISTINCT dom)), ',')
+                  AS domains_csv
+         FROM rd GROUP BY doc_id),
+blocked AS (SELECT DISTINCT doc_id FROM rd
+            WHERE dom IN ('spam-net.biz', 'site3.co.uk', '192.168.18.9'))
+SELECT s.doc_id, s.n_urls, coalesce(d.domains_csv, '') AS domains_csv,
+       s.url_char_ratio,
+       CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM stats s
+LEFT JOIN doms d ON d.doc_id = s.doc_id
+LEFT JOIN blocked b ON b.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+# --- x25 corpus-level repeated-line removal (MassiveText boilerplate) ---------
+#
+# The synthetic documents are single-line, so the query plants a
+# deterministic multi-line structure: a 3-variant nav header (each
+# variant shared by ~n/3 docs → boilerplate), the original text (unique
+# per doc at the correctness SF; if texts ever collide both engines
+# agree), a per-doc unique footer, a subscribe banner in every even doc
+# (boilerplate), and a 2-char 'ok' line in every 5th doc that is SHARED
+# but exempt under min_line_chars=3. Output carries an md5 fingerprint
+# of the cleaned text (x12's redacted_fp pattern) rather than the text
+# itself.
+
+def x25_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.lit("NAV HEADER v"), (did % 3).cast("string"), F.lit("\n"),
+        F.col("text"), F.lit("\n"),
+        F.lit("unique footer "), did.cast("string"),
+        F.when(did % 2 == 0, F.lit("\nSUBSCRIBE NOW")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("\nok")).otherwise(F.lit("")),
+    )
+    cleaned = D.line_dedup(
+        docs.select("doc_id", aug.alias("text")),
+        "doc_id",
+        "text",
+        min_line_chars=3,
+    )
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_fp"),
+        "n_lines_removed",
+        F.length("text").cast("int").alias("n_chars_kept"),
+    ).orderBy("doc_id")
+
+
+X25_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         'NAV HEADER v' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
+         || text || chr(10)
+         || 'unique footer ' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'SUBSCRIBE NOW'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok' ELSE '' END AS t
+  FROM documents),
+lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS pos
+          FROM aug),
+census AS (SELECT line FROM lines WHERE length(line) >= 3
+           GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+out AS (SELECT doc_id,
+               coalesce(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
+                                   chr(10) ORDER BY pos), '') AS t2,
+               CAST(count(c.line) AS BIGINT) AS n_lines_removed
+        FROM lines l LEFT JOIN census c USING (line)
+        GROUP BY doc_id)
+SELECT doc_id, md5(t2) AS text_fp, n_lines_removed,
+       CAST(length(t2) AS INTEGER) AS n_chars_kept
+FROM out ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -924,4 +1125,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x18_ivf_topk": QuerySpec(x18_ivf_topk, X18_SQL),
     "x22_skew_count": QuerySpec(x22_skew_count, X22_SQL),
     "x23_merge_diff": QuerySpec(x23_merge_diff, X23_SQL),
+    "x24_url_curation": QuerySpec(x24_url_curation, X24_SQL),
+    "x25_line_dedup": QuerySpec(x25_line_dedup, X25_SQL),
 }
