@@ -183,6 +183,23 @@ def test_vocabulary_matches_duckdb(spark, sf_dir):
     assert got == want
 
 
+def test_vocabulary_no_single_partition_window(spark, sf_dir):
+    """VERDICT r4 #3: term-id assignment must use the bucketed-rank
+    shape — no SinglePartition exchange anywhere in the vocab plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mapreduce_stockheadlines_spark.operators.relevance import vocabulary
+
+    df = vocabulary(spark.read.parquet(f"{sf_dir}/documents.parquet"), "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_fb" in plan
+
+
 def test_oov_stats_hand_values(spark):
     from mapreduce_stockheadlines_spark.operators.relevance import (
         oov_stats,
