@@ -1,21 +1,31 @@
 """Multimodal columns (§2.2 extension): image/audio/video as opaque
 ``binary`` columns + typed metadata structs.
 
-The decode/feature-extract step needs codec libraries not present in this
-environment, so the *decode kernel* is stubbed (deterministic fake derived
-from the content digest, or ``NotImplementedError`` in strict mode) while
-the Spark-side plumbing is real and tested: binary schema, Arrow-batched
-``mapInPandas``, per-batch vectorization, partition-preserving shape.
+Two decode tiers. Formats with a pure-numpy decoder are decoded FOR REAL
+— PPM (P6, the netpbm raw-RGB format) and uncompressed 24-bit BMP, both
+parseable with struct + frombuffer, no codec library — including real
+pixel features and a real nearest-neighbor resample. Compressed formats
+(JPEG/PNG/audio/video) need codec libraries not present in this
+environment, so their kernel stays stubbed (deterministic fake derived
+from the content digest, or ``NotImplementedError`` in strict mode).
+Either way the Spark-side plumbing is identical and real: binary schema,
+Arrow-batched ``mapInPandas``, per-batch vectorization,
+partition-preserving shape.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+MIME_PPM = "image/x-portable-pixmap"
+MIME_BMP = "image/bmp"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -50,6 +60,88 @@ def attach_binary(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _decode_ppm_p6(content: bytes) -> np.ndarray:
+    """Pure-numpy PPM (P6) decode → uint8 pixel array (H, W, 3).
+
+    Header grammar: ``P6 <ws> width <ws> height <ws> maxval <one ws>``
+    with ``#``-comments allowed between tokens; raw RGB bytes follow.
+    8-bit (maxval <= 255) only — the overwhelmingly common case."""
+    if not content or not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM (missing magic)")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(content[start:pos]))
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    need = width * height * 3
+    px = np.frombuffer(content, dtype=np.uint8, count=-1, offset=pos)
+    if px.size < need:
+        raise ValueError("truncated PPM raster")
+    return px[:need].reshape(height, width, 3)
+
+
+def _encode_ppm_p6(px: np.ndarray) -> bytes:
+    height, width = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (width, height) + px.astype(np.uint8).tobytes()
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Pure-numpy uncompressed 24-bit BMP decode → uint8 (H, W, 3) RGB.
+
+    BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: rows are padded to
+    4-byte multiples, stored bottom-up when height > 0, channels BGR."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP (missing magic)")
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    _hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    _planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up, h_abs = height > 0, abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    raw = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h_abs, offset=data_off
+    ).reshape(h_abs, row_bytes)
+    px = raw[:, : width * 3].reshape(h_abs, width, 3)[..., ::-1]  # BGR→RGB
+    return px[::-1] if bottom_up else px
+
+
+def _pixel_feature(px: np.ndarray) -> list[float]:
+    """8-dim feature from real pixels, all components in [0, 1]:
+    per-channel means, gray mean/std/min/max, bright-pixel fraction."""
+    a = px.astype(np.float64) / 255.0
+    gray = a.mean(axis=2)
+    vals = [
+        a[..., 0].mean(),
+        a[..., 1].mean(),
+        a[..., 2].mean(),
+        gray.mean(),
+        gray.std(),
+        gray.min(),
+        gray.max(),
+        (gray > gray.mean()).mean(),
+    ]
+    return [round(float(v), 6) for v in vals]
+
+
+# mime → pure-numpy pixel decoder; everything else hits the stub tier
+REAL_DECODERS = {MIME_PPM: _decode_ppm_p6, MIME_BMP: _decode_bmp}
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake decoder (this container has no codec libs).
 
@@ -71,20 +163,34 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas``.
 
-    Batch shape: whole Arrow record batches in, vectorized per-batch work,
-    one output row per input row; partitioning is preserved (narrow op, no
-    shuffle). ``strict=True`` raises NotImplementedError where the real
-    codec would run.
+    Rows whose mime has a pure-numpy decoder (``REAL_DECODERS``: PPM P6,
+    uncompressed 24-bit BMP) are decoded for real — header-parsed
+    width/height and an 8-dim pixel-statistics feature. Other mimes use
+    the deterministic digest-derived fake; ``strict=True`` raises
+    NotImplementedError for them instead (where a real codec would run).
+    Batch shape: whole Arrow record batches in, vectorized per-batch
+    work, one output row per input row; partitioning is preserved
+    (narrow op, no shuffle).
     """
+
+    def decode_one(content, mime) -> tuple[int, int, int, list[float]]:
+        decoder = REAL_DECODERS.get(mime)
+        if decoder is not None:
+            px = decoder(content)
+            return px.shape[1], px.shape[0], 1, _pixel_feature(px)
+        if strict:
+            raise NotImplementedError(
+                f"decode of mime {mime!r} requires codec libraries "
+                "(PIL/ffmpeg) not available in this environment"
+            )
+        return _fake_decode(content)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL/ffmpeg) "
-                    "not available in this environment"
-                )
-            decoded = pdf["content"].map(_fake_decode)
+            decoded = [
+                decode_one(c, m)
+                for c, m in zip(pdf["content"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -92,10 +198,18 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     "n_bytes": pdf["content"].map(
                         lambda b: 0 if b is None else len(b)
                     ).astype("int64"),
-                    "width": decoded.map(lambda t: t[0]).astype("int32"),
-                    "height": decoded.map(lambda t: t[1]).astype("int32"),
-                    "n_frames": decoded.map(lambda t: t[2]).astype("int32"),
-                    "feature": decoded.map(lambda t: t[3]),
+                    "width": pd.Series(
+                        [t[0] for t in decoded], index=pdf.index
+                    ).astype("int32"),
+                    "height": pd.Series(
+                        [t[1] for t in decoded], index=pdf.index
+                    ).astype("int32"),
+                    "n_frames": pd.Series(
+                        [t[2] for t in decoded], index=pdf.index
+                    ).astype("int32"),
+                    "feature": pd.Series(
+                        [t[3] for t in decoded], index=pdf.index
+                    ),
                 }
             )
 
@@ -122,21 +236,40 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel plumbing: Arrow-batched ``mapInPandas``, one row per
-    input row, target dimensions attached; the pixel resample itself is
-    stubbed (content passes through — a real kernel swaps in
-    PIL.Image.resize on the decoded buffer). Narrow op: no shuffle,
-    partitioning preserved."""
+    """Resize via Arrow-batched ``mapInPandas``, one row per input row,
+    target dimensions attached. Decodable mimes (PPM/BMP) are REALLY
+    resampled — nearest-neighbor index selection on the decoded pixel
+    array — and re-encoded as P6 (mime follows the content). Other
+    mimes pass content through unchanged (a real kernel swaps in
+    PIL.Image.resize there). Narrow op: no shuffle, partitioning
+    preserved."""
+
+    def resize_one(content, mime) -> tuple[bytes, str]:
+        decoder = REAL_DECODERS.get(mime)
+        if decoder is None:
+            return content, mime  # stub tier: pass-through
+        px = decoder(content)
+        h, w = px.shape[:2]
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return _encode_ppm_p6(px[rows][:, cols]), MIME_PPM
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            resized = [
+                resize_one(c, m) for c, m in zip(pdf["content"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "mime": pdf["mime"],
+                    "mime": pd.Series(
+                        [t[1] for t in resized], index=pdf.index
+                    ),
                     "width": width,
                     "height": height,
-                    "content": pdf["content"],  # stub: real kernel resamples
+                    "content": pd.Series(
+                        [t[0] for t in resized], index=pdf.index
+                    ),
                 }
             ).astype({"width": "int32", "height": "int32"})
 
