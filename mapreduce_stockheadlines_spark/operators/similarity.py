@@ -100,19 +100,32 @@ def cosine_topk(
                 continue
             ids_c = pdf["neighbor_id"].to_numpy()
             mat_c = _to_matrix(pdf["cv"])
-            sims = mat_q @ mat_c.T  # |Q| x batch
+            # rank on the 4dp-rounded sim with neighbor_id tiebreak — the
+            # SAME order the final window and the SQL oracle use, so the
+            # local cut can never discard a row the global rounded order
+            # would have ranked ahead of a kept one
+            sims = np.round(mat_q @ mat_c.T, 4)  # |Q| x batch
             sims[ids_q[:, None] == ids_c[None, :]] = -np.inf  # mask self
             kk = min(k, sims.shape[1])
-            # per-query local top-k: argpartition then exact sort of k items
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(ids_q, kk)
-            cols = part.ravel()
-            vals = np.take_along_axis(sims, part, axis=1).ravel()
+            rows, cols, vals = [], [], []
+            for qi in range(sims.shape[0]):
+                # argpartition prefilter by value, then an exact
+                # (sim DESC, id ASC) lexsort of every candidate tying
+                # the k-th value — boundary ties resolve identically
+                # to the global order
+                part = np.argpartition(-sims[qi], kk - 1)[:kk]
+                kth = sims[qi][part].min()
+                cand = np.nonzero(sims[qi] >= kth)[0]
+                order = cand[np.lexsort((ids_c[cand], -sims[qi][cand]))][:kk]
+                rows.extend([ids_q[qi]] * len(order))
+                cols.extend(order)
+                vals.extend(sims[qi][order])
+            vals = np.asarray(vals, dtype=np.float64)
             keep = np.isfinite(vals)
             yield pd.DataFrame(
                 {
-                    "query_id": rows[keep],
-                    "neighbor_id": ids_c[cols[keep]],
+                    "query_id": np.asarray(rows, dtype=np.int64)[keep],
+                    "neighbor_id": ids_c[np.asarray(cols, dtype=np.int64)[keep]],
                     "sim": vals[keep],
                 }
             )
@@ -152,7 +165,13 @@ def _score_block_pair(threshold: float):
             )
         ids_a = side_a["id"].to_numpy()
         ids_b = side_b["id"].to_numpy()
-        sims = _to_matrix(side_a["v"]) @ _to_matrix(side_b["v"]).T
+        # the THRESHOLD decision compares the 4dp-rounded sim — the same
+        # value the operator emits — so a sim within float-summation
+        # error of the cut can't be kept by one engine and dropped by
+        # the other (the x06/x17 oracles round identically)
+        sims = np.round(
+            _to_matrix(side_a["v"]) @ _to_matrix(side_b["v"]).T, 4
+        )
         if pa == pb:
             # every unordered pair appears twice in the square matrix;
             # keep the upper triangle (id_a < id_b) once
@@ -339,8 +358,11 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             m = _to_matrix(pdf["cv"])
-            # argmax picks the FIRST maximal centroid → deterministic ties
-            cl = np.argmax(m @ cmat.T, axis=1).astype("int32")
+            # 4dp-rounded similarities, argmax picks the FIRST maximal
+            # centroid → a near-tie between cells resolves to the lower
+            # index in BOTH engines (the oracle ranks by
+            # (round(sim,4) DESC, idx)), not by float noise
+            cl = np.argmax(np.round(m @ cmat.T, 4), axis=1).astype("int32")
             yield pd.DataFrame(
                 {"cluster": cl, "neighbor_id": pdf["neighbor_id"], "cv": pdf["cv"]}
             )
@@ -353,10 +375,13 @@ def ivf_topk(
     q_pdf = _collect_query_side(queries, id_col, vec_col, max_query_rows, "ivf_topk")
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _to_matrix(q_pdf["qv"])
-    # stable sort: equal-similarity centroids keep index order, so probe
-    # sets are deterministic and reproducible by the SQL oracle's
-    # (sim DESC, idx ASC) ranking
-    probe_order = np.argsort(-(q_mat @ cent_mat.T), axis=1, kind="stable")[:, :n_probe]
+    # 4dp-rounded + stable sort: equal-rounded-similarity centroids keep
+    # index order, so probe sets are deterministic and reproducible by
+    # the SQL oracle's (round(sim,4) DESC, idx ASC) ranking even when
+    # two cells are within float noise of each other
+    probe_order = np.argsort(
+        -np.round(q_mat @ cent_mat.T, 4), axis=1, kind="stable"
+    )[:, :n_probe]
     probes = spark.createDataFrame(
         [
             (int(qid), int(c))
@@ -380,7 +405,9 @@ def ivf_topk(
                 {
                     "query_id": pdf["query_id"],
                     "neighbor_id": pdf["neighbor_id"],
-                    "sim": np.einsum("ij,ij->i", qm, m),
+                    # emit the 4dp-rounded sim so the rank window below
+                    # orders on exactly the value the oracle ranks on
+                    "sim": np.round(np.einsum("ij,ij->i", qm, m), 4),
                 }
             )
 
@@ -426,7 +453,13 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec_col, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        # sign decided on the 4dp-rounded projection: a projection within
+        # float-summation noise of 0 buckets identically in the fold, the
+        # Arrow matmul path, and the SQL oracle
+        bit = F.when(
+            F.round(dot(vec_col, plane), 4) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(0)
         bucket = bucket + bit
     return bucket
 
@@ -443,18 +476,19 @@ def lsh_bucket_arrow(planes: list[list[float]]):
     LSH where the interpreted fold's per-plane cost dominates (see
     measurement above). Returns a callable: column -> long bucket column.
 
-    Sign agreement with the fold is exact except where a projection is
-    within float-summation error of 0 (BLAS vs sequential order) — a
-    measure-zero disagreement that only perturbs which bucket a
-    borderline vector lands in, i.e. recall noise well below the
-    recall<1 the banding scheme already accepts."""
+    Signs are decided on the 4dp-rounded projections (same as the fold
+    and the SQL oracle), so BLAS-vs-sequential summation-order noise on
+    a near-zero projection cannot flip a bucket between paths or
+    engines; a projection would need to straddle the rounding boundary
+    itself to disagree, which the rounding makes a deterministic,
+    engine-independent event."""
     P = np.array(planes, dtype=np.float64).T  # dim x n_planes
     weights = (1 << np.arange(len(planes))).astype(np.int64)
 
     @F.pandas_udf("long")
     def bucket(s: pd.Series) -> pd.Series:
         V = np.array(list(s), dtype=np.float64)
-        return pd.Series(((V @ P) > 0) @ weights)
+        return pd.Series((np.round(V @ P, 4) > 0) @ weights)
 
     return bucket
 

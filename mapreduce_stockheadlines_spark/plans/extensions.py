@@ -244,8 +244,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 4) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) > 0.35
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) > 0.35
 ORDER BY id_a, id_b
 """
 
@@ -263,14 +263,14 @@ WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings),
 scored AS (SELECT query_id, neighbor_id,
-                  list_cosine_similarity(qv, cv) AS sim
+                  round(list_cosine_similarity(qv, cv), 4) AS sim
            FROM q, c WHERE neighbor_id <> query_id),
 r AS (SELECT query_id, neighbor_id, sim,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id)
                   AS INTEGER) AS rank
       FROM scored)
-SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+SELECT query_id, neighbor_id, sim, rank
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """
 
@@ -715,16 +715,13 @@ FROM events GROUP BY event_type ORDER BY event_type
 # test_kmeans_centroids_properties instead (float centroid averaging is
 # engine-summation-order-specific, not cross-engine hashable).
 #
-# ACCEPTED RISK (ADVICE r3, same class as x06/x07): ranks, cluster
-# assignments and x17's bucket signs compare unrounded doubles produced
-# by two float implementations (numpy BLAS normalized dot vs DuckDB
-# list_cosine_similarity; Spark sequential fold vs list_dot_product). A
-# near-tie similarity or near-zero plane projection could in principle
-# flip a rank/cluster/bucket between engines and fail the hash spuriously.
-# The synthetic embeddings have no exact ties and a wide margin at every
-# decision point (x06/x07/x17/x18 have hash-matched at every SF each
-# round); rounding before ranking would mask REAL regressions in the
-# similarity kernels, so the unrounded compare is kept deliberately.
+# Float robustness (closed in round 5, ADVICE r3 item): EVERY
+# cross-engine float decision — threshold cuts (x06/x17), rank order
+# (x07/x18), cluster assignment and probe selection (x18), hyperplane
+# signs (x17) — is made on the 4dp-ROUNDED similarity/projection in
+# both engines, with index/id tiebreaks after it. A near-tie inside
+# float-summation noise therefore resolves identically everywhere,
+# while any real kernel regression ≥ 1e-4 still breaks the hash.
 
 def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe-and-rescore: coarse-quantize the corpus into 16 cells
@@ -746,7 +743,8 @@ asg AS (
   SELECT vec_id AS neighbor_id, v AS cv, idx AS cluster FROM (
     SELECT e.vec_id, e.v, c.idx,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                              ORDER BY round(list_cosine_similarity(e.v, c.v),
+                                             4) DESC,
                                        c.idx) AS rn
     FROM e CROSS JOIN cent c)
   WHERE rn = 1),
@@ -755,7 +753,8 @@ probes AS (
   SELECT query_id, idx AS cluster FROM (
     SELECT q.query_id, c.idx,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                              ORDER BY round(list_cosine_similarity(q.qv, c.v),
+                                             4) DESC,
                                        c.idx) AS rn
     FROM q CROSS JOIN cent c)
   WHERE rn <= 4),
@@ -763,14 +762,14 @@ cand AS (SELECT p.query_id, a.neighbor_id, a.cv
          FROM probes p JOIN asg a ON a.cluster = p.cluster
          WHERE a.neighbor_id <> p.query_id),
 scored AS (SELECT c.query_id, c.neighbor_id,
-                  list_cosine_similarity(q.qv, c.cv) AS sim
+                  round(list_cosine_similarity(q.qv, c.cv), 4) AS sim
            FROM cand c JOIN q ON q.query_id = c.query_id),
 r AS (SELECT query_id, neighbor_id, sim,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id)
                   AS INTEGER) AS rank
       FROM scored)
-SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+SELECT query_id, neighbor_id, sim, rank
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """
 
@@ -790,7 +789,7 @@ def _plane_literal(plane: list[float]) -> str:
 
 
 _X17_BUCKET = " + ".join(
-    f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) > 0"
+    f"(CASE WHEN round(list_dot_product(v, {_plane_literal(p)}), 4) > 0"
     f" THEN {1 << i} ELSE 0 END)"
     for i, p in enumerate(S._hyperplanes(64, 6))
 )
@@ -801,7 +800,7 @@ b AS (SELECT id, v, {_X17_BUCKET} AS bucket FROM e)
 SELECT a.id AS id_a, c.id AS id_b,
        round(list_cosine_similarity(a.v, c.v), 4) AS sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
-WHERE list_cosine_similarity(a.v, c.v) > 0.35
+WHERE round(list_cosine_similarity(a.v, c.v), 4) > 0.35
 ORDER BY id_a, id_b
 """
 
