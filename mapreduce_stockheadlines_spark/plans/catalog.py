@@ -28,13 +28,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Probe caches, keyed by resolved file path / (path, slots). Plan-build
-# probes (events ts encoding, scan split count) are metadata-only but each
-# costs a driver round trip; per-path caching pins the decision outside
-# any timed region and makes repeated query builds (bench best-of-N,
-# correctness sweeps) probe-free after the first build.
-_EVENTS_TS_KIND: dict[str, str] = {}
-_SCAN_SPLITS: dict[str, int] = {}
+# Probe caches. Plan-build probes (events ts encoding, scan split count)
+# are metadata-only but each costs a driver round trip; caching pins the
+# decision outside any timed region and makes repeated query builds
+# (bench best-of-N, correctness sweeps) probe-free after the first build.
+# Keyed by (path, mtime_ns, size) — NOT path alone (ADVICE r4): if the
+# parquet at a path is regenerated with a different ts encoding or split
+# count within one Python process, a path-keyed cache would silently
+# apply the wrong conversion. A directory-shaped parquet output keys on
+# the directory stat plus its newest child mtime.
+_EVENTS_TS_KIND: dict[tuple, str] = {}
+_SCAN_SPLITS: dict[tuple, int] = {}
+
+
+def _probe_key(path: str) -> tuple:
+    """(path, mtime_ns, size) stat key; directories fold in the newest
+    direct child so file replacement inside a dir invalidates too."""
+    try:
+        st = os.stat(path)
+        mtime, size = st.st_mtime_ns, st.st_size
+        if os.path.isdir(path):
+            for entry in os.scandir(path):
+                cst = entry.stat()
+                mtime = max(mtime, cst.st_mtime_ns)
+                size += cst.st_size
+    except OSError:
+        return (path, None, None)
+    return (path, mtime, size)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,7 +77,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         path = f"{sf_dir}/{name}.parquet"
         df = spark.read.parquet(path)
-        kind = _EVENTS_TS_KIND.get(path)
+        key = _probe_key(path)
+        kind = _EVENTS_TS_KIND.get(key)
         if kind is None:
             ts_type = df.schema["ts"].dataType
             kind = (
@@ -67,7 +88,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 if isinstance(ts_type, T.TimestampNTZType)
                 else "timestamp"
             )
-            _EVENTS_TS_KIND[path] = kind
+            _EVENTS_TS_KIND[key] = kind
         if kind == "nanos_long":
             # integer div: double division would lose precision above 2^53 ns
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -89,11 +110,14 @@ def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = table(spark, sf_dir, name)
     slots = spark.sparkContext.defaultParallelism
-    path = f"{sf_dir}/{name}.parquet"
-    splits = _SCAN_SPLITS.get(path)
+    # split count also depends on the scan conf, not just the file
+    key = _probe_key(f"{sf_dir}/{name}.parquet") + (
+        spark.conf.get("spark.sql.files.maxPartitionBytes"),
+    )
+    splits = _SCAN_SPLITS.get(key)
     if splits is None:
         splits = df.rdd.getNumPartitions()
-        _SCAN_SPLITS[path] = splits
+        _SCAN_SPLITS[key] = splits
     if splits * 2 <= slots:
         return df.repartition(slots)
     return df
