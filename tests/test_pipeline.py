@@ -171,3 +171,101 @@ def test_curate_blocklist_and_boilerplate_stages(spark):
     assert ids == [1, 2, 4]
     texts = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
     assert not any("HEADER" in t for t in texts.values())
+
+
+def _curate_pinned_output(spark):
+    """The fixed-flag full-chain run the content pin is computed over:
+    blocklist + boilerplate strip + exact dedup + near-dup + PII +
+    lang/quality + chunking + token accounting + packing + hash split +
+    decontamination — every stage from VERDICT r4 #7, all deterministic
+    (packing sorts within hash-partitioned groups; no approx sketches).
+    Planted doc_id-derived URLs and line structure give the blocklist
+    and boilerplate stages real work on the URL-free synthetic docs."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import curate
+    from mapreduce_stockheadlines_spark.operators import sampling as SA
+    from mapreduce_stockheadlines_spark.plans.catalog import parallel_table
+
+    docs = parallel_table(spark, "/root/testdata/sf0.01", "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.lit("NAV HEADER v"), (did % 3).cast("string"), F.lit("\n"),
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("\nsee http://ads"), (did % 3).cast("string"),
+                F.lit(".spam-net.biz/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\nfooter "), did.cast("string"),
+    )
+    docs = docs.withColumn("text", aug)
+    blocked = spark.createDataFrame([("spam-net.biz",)], ["domain"])
+    out = curate(
+        docs,
+        lang="en",
+        min_quality=0.3,
+        jaccard_threshold=0.8,
+        chunk_tokens=64,
+        chunk_overlap=8,
+        pack_budget=256,
+        blocked_domains=blocked,
+        strip_boilerplate=True,
+    )
+    train, test = SA.train_test_split(out, "doc_id", 0.2)
+    cont = TS.ngram_contamination(train, test, "doc_id", "text", n=3)
+    dirty = cont.filter(F.col("containment") > 0.5).select("doc_id")
+    train = train.join(dirty, "doc_id", "left_anti")
+    return train, test
+
+
+def _canonical_digest(split_frames) -> str:
+    """sha256 over the sorted canonical rows of every (tag, DataFrame)."""
+    import hashlib
+
+    lines = []
+    for tag, df in split_frames:
+        rows = df.select(
+            "doc_id",
+            "parent_doc_id",
+            "chunk_id",
+            F.md5(F.col("text").cast("binary")).alias("text_fp"),
+            "source",
+            F.round("quality", 4).alias("q"),
+            "n_pii",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "pack_id",
+            "truncate",
+        ).collect()
+        lines.extend(
+            f"{tag}|{r.doc_id}|{r.parent_doc_id}|{r.chunk_id}|{r.text_fp}|"
+            f"{r.source}|{r.q}|{r.n_pii}|{r.n_ws_tokens}|{r.n_bpe_tokens}|"
+            f"{r.pack_id}|{r.truncate}"
+            for r in rows
+        )
+    return hashlib.sha256("\n".join(sorted(lines)).encode()).hexdigest()
+
+
+def test_curate_end_to_end_content_pin(spark):
+    """VERDICT r4 #7: the COMPOSITION is pinned, not just the stages —
+    this digest moves if any stage's semantics drift (survivor sets,
+    redacted text, chunk boundaries, pack assignment, split membership,
+    decontamination). Recompute deliberately after an intended semantic
+    change:
+
+        python - <<'PY'
+        from tests.test_pipeline import _curate_pinned_output, _canonical_digest
+        from mapreduce_stockheadlines_spark.session import get_spark
+        spark = get_spark('pin')
+        tr, te = _curate_pinned_output(spark)
+        print(_canonical_digest([('train', tr), ('test', te)]))
+        PY
+    """
+    train, test = _curate_pinned_output(spark)
+    n_train, n_test = train.count(), test.count()
+    assert n_train > 0 and n_test > 0
+    digest = _canonical_digest([("train", train), ("test", test)])
+    assert digest == (
+        "7d8acb562e9c86687231616955eedfb35c46a8eb4555ae403b9277a8a677f7fd"
+    )
