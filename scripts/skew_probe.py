@@ -1,0 +1,261 @@
+"""Adversarial skew probe (VERDICT r4 #6): synthesize a skewed corpus —
+one domain referenced by 30% of docs, one boilerplate line in 50% of
+docs, one hot LSH bucket — and record per-stage task/partition-size
+evidence for how each curation path absorbs it.
+
+What the probe demonstrates (and the README scale section records):
+
+1. line_dedup census: the hot digest (one line in 50% of docs) does NOT
+   pile into one task, because count_distinct(doc) expands to a
+   two-level aggregate whose first exchange partitions by
+   (digest, doc_id) — the hot digest spreads over every partition and
+   only its already-distinct (digest, doc) pairs converge afterwards.
+   Evidence: rows-per-partition distribution at both exchange keys.
+2. blocklist filter: the skewed key (domain) only ever appears on the
+   broadcast side of the edge join — the anti-join back to the corpus
+   shuffles on doc_id, which is unique by construction, so a 30%-hot
+   domain cannot skew any exchange. Evidence: executed plan shows the
+   blocklist broadcast + rows-per-partition of the anti-join key.
+3. lsh_bucketed_pairs: a hot bucket (30% of vectors) is sub-block
+   decomposed inside the plan; no applyInPandas group ever receives
+   more than 2·block_rows vectors. Evidence: max group input size vs
+   the bound.
+4. AQE skew-split: with a genuinely skewed shuffle join (hot user_id,
+   thresholds scaled to the probe's data volume the way 256 MB relates
+   to real partitions at 100 TB), the session's AQE config does fire —
+   the executed plan carries AQEShuffleRead(skewed) markers.
+
+Usage: python scripts/skew_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.operators import dedup as D
+from mapreduce_stockheadlines_spark.operators import similarity as S
+from mapreduce_stockheadlines_spark.operators import textstats as TS
+from mapreduce_stockheadlines_spark.plans.catalog import table
+from mapreduce_stockheadlines_spark.session import get_spark
+
+
+def partition_stats(df, label: str) -> str:
+    sizes = sorted(
+        r.n
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import statistics
+
+    med = statistics.median(sizes) if sizes else 0
+    line = (
+        f"{label}: partitions={len(sizes)} min={sizes[0] if sizes else 0} "
+        f"median={med} max={sizes[-1] if sizes else 0} "
+        f"max/median={round(sizes[-1] / med, 2) if med else 'n/a'}"
+    )
+    print(line)
+    return line
+
+
+def executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # distribution measurements want the RAW hash partitioning — AQE
+    # would coalesce these probe-sized shuffles into one partition and
+    # hide the distribution being measured (re-enabled for section 4)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    # skewed corpus: hot domain in 30% of docs, hot boilerplate line in 50%
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 10 < 3,
+            F.concat(
+                F.lit(" via https://the-hot-domain.com/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0, F.lit("\nHOT SHARED BOILERPLATE LINE")
+        ).otherwise(F.lit("")),
+        F.lit("\nunique tail "),
+        did.cast("string"),
+    )
+    skewed = docs.select("doc_id", aug.alias("text"))
+    n = skewed.count()
+    print(f"=== skew probe over {n} docs ({sf_dir}) ===")
+
+    # --- 1. line_dedup census under a 50%-hot line ---------------------
+    lines = skewed.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).withColumn("dig", F.md5(F.col("line").cast("binary")))
+    # first-level exchange key of the count_distinct expansion
+    partition_stats(
+        lines.repartition(32, "dig", "doc_id"),
+        "census level-1 exchange (digest, doc_id)",
+    )
+    # the naive single-level key, for contrast (what a groupBy(dig)
+    # WITHOUT the distinct expansion would shuffle)
+    partition_stats(
+        lines.repartition(32, "dig"),
+        "naive single-level exchange (digest)   ",
+    )
+    # what actually enters the digest-keyed second exchange: the
+    # map-side partial count emits ONE row per (source partition,
+    # digest) — the hot digest contributes at most #partitions rows
+    # however many docs contain it
+    distinct_pairs = (
+        lines.select("dig", "doc_id").repartition(32, "dig", "doc_id").distinct()
+    )
+    level2_in = distinct_pairs.groupBy(
+        F.spark_partition_id().alias("p"), "dig"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hot_rows = (
+        level2_in.groupBy("dig")
+        .agg(F.count(F.lit(1)).alias("partial_rows"))
+        .agg(F.max("partial_rows"))
+        .first()[0]
+    )
+    print(
+        f"census level-2 exchange input: map-side partial count emits "
+        f"<= {hot_rows} rows for the hottest digest (bound: #partitions=32)"
+    )
+    out = D.line_dedup(skewed, "doc_id", "text")
+    removed = out.agg(F.sum("n_lines_removed")).first()[0]
+    assert removed >= n // 2, "hot boilerplate line must be removed"
+    print(f"line_dedup removed {removed} lines across {n} docs — correct")
+
+    # --- 2. blocklist anti-join under a 30%-hot domain -----------------
+    block = spark.createDataFrame([("the-hot-domain.com",)], ["domain"])
+    kept = TS.filter_blocked_domains(skewed, "doc_id", "text", block)
+    plan = executed_plan(kept)
+    n_kept = kept.count()
+    assert n_kept == n - sum(1 for i in range(n) if i % 10 < 3)
+    print(
+        f"blocklist kept {n_kept}/{n}; broadcast of blocklist side in "
+        f"plan: {'BroadcastHashJoin' in plan or 'BroadcastExchange' in plan}"
+    )
+    edges = skewed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    TS.extract_url_hosts("text"), TS.registered_domain
+                )
+            )
+        ).alias("domain"),
+    )
+    partition_stats(
+        edges.repartition(32, "domain"),
+        "edge table by DOMAIN (the skewed key — broadcast-only, never shuffled)",
+    )
+    partition_stats(
+        edges.repartition(32, "doc_id"),
+        "anti-join exchange by DOC_ID (the key that actually shuffles)",
+    )
+
+    # --- 3. hot LSH bucket: sub-block decomposition bound --------------
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    n_emb = emb.count()
+    vec_type = emb.schema["embedding"].dataType
+    hot = (
+        emb.limit(n_emb // 3)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.lit([float(x) for x in first]).cast(vec_type).alias("embedding"),
+        )
+    )
+    skewed_emb = emb.unionByName(hot)
+    block_rows = 256
+    planes = S._hyperplanes(64, 6)
+    bucketed = skewed_emb.select(
+        F.col("vec_id").alias("id"),
+        S.as_double("embedding").alias("v"),
+        S.lsh_bucket(S.as_double("embedding"), planes).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket")
+    base = bucketed.withColumn(
+        "mb", F.ceil(F.count(F.lit(1)).over(wb) / block_rows).cast("int")
+    ).withColumn("g", F.pmod(F.xxhash64("id"), F.col("mb")).cast("int"))
+    grp = base.groupBy("bucket", "g").agg(F.count(F.lit(1)).alias("rows"))
+    stats = grp.agg(
+        F.max("rows").alias("max_rows"), F.count(F.lit(1)).alias("n_groups")
+    ).first()
+    hot_bucket_size = (
+        bucketed.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    )
+    print(
+        f"hot LSH bucket holds {hot_bucket_size}/{n_emb + n_emb // 3} vectors; "
+        f"sub-blocks={stats.n_groups}, max rows per sub-block="
+        f"{stats.max_rows} (bound: ~{block_rows}; per-task pair group "
+        f"≤ 2·{block_rows} vectors)"
+    )
+    assert stats.max_rows <= 2 * block_rows
+
+    # --- 4. AQE skew-split fires on a genuinely skewed shuffle join ----
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    # force a shuffle join (both the static and the adaptive planner's
+    # broadcast thresholds) so the skew reader is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        # repartition(16): the single-file local scan yields ONE map
+        # task, and AQE's skew reader subdivides a skewed partition at
+        # MAP-OUTPUT granularity — with one mapper there is nothing to
+        # subdivide. Real 100 TB inputs have thousands of mappers; the
+        # fan-out recreates that precondition at probe scale.
+        e = table(spark, sf_dir, "events").repartition(16)
+        hot_e = e.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 6, F.lit(7)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        c = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        j = hot_e.join(c, "user_id").select("event_id", "c_mktsegment")
+        j.collect()  # execute THIS QueryExecution so AQE finalizes it
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        fired = "skewed" in plan
+        print(f"AQE skew-split fired on hot-key join: {fired}")
+        for line in plan.splitlines():
+            if "skewed" in line:
+                print("  " + line.strip()[:110])
+                break
+        assert fired, "AQE skew reader did not fire"
+    finally:
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    print("=== probe complete ===")
+
+
+if __name__ == "__main__":
+    main()
