@@ -66,9 +66,14 @@ def curate(
     chunk_overlap: int = 16,
     blocked_domains: DataFrame | None = None,
     strip_boilerplate: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
-    surviving docs with quality/token columns attached."""
+    surviving docs with quality/token columns attached.
+    ``reliable_checkpoint=True`` makes the near-dup component rounds
+    checkpoint to the configured checkpoint dir (fault-tolerant on a
+    real cluster) instead of executor-local blocks — call
+    ``spark.sparkContext.setCheckpointDir(...)`` first."""
     # 0a. (optional) domain blocklist — first: the cheapest corpus-
     #     shrinking gate, and every later stage gets the smaller corpus
     if blocked_domains is not None:
@@ -100,7 +105,9 @@ def curate(
     verified = D.jaccard_pairs(shingles, cand).filter(
         F.col("jaccard") > jaccard_threshold
     )
-    docs = D.dedup_by_pairs(docs, verified, "doc_id")
+    docs = D.dedup_by_pairs(
+        docs, verified, "doc_id", reliable_checkpoint=reliable_checkpoint
+    )
 
     # 3. PII scrub BEFORE scoring (quality should judge what ships):
     #    text becomes the redacted version, the detection count rides
@@ -179,6 +186,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--blocked-domains", default=None,
                     help="text file of blocked registered domains (one "
                          "per line); docs referencing any are dropped")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="checkpoint dir for the near-dup component "
+                         "rounds (fault-tolerant reliable checkpoints "
+                         "instead of executor-local blocks)")
     ap.add_argument("--strip-boilerplate", action="store_true",
                     help="remove lines repeated across >1 documents "
                          "before dedup (corpus-level boilerplate filter)")
@@ -194,6 +205,8 @@ def main(argv: list[str] | None = None) -> None:
 
     spark: SparkSession = get_spark("pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = parallel_table(spark, args.sf_dir, "documents")
     blocked = None
     if args.blocked_domains:
@@ -213,6 +226,7 @@ def main(argv: list[str] | None = None) -> None:
         chunk_overlap=args.chunk_overlap,
         blocked_domains=blocked,
         strip_boilerplate=args.strip_boilerplate,
+        reliable_checkpoint=bool(args.checkpoint_dir),
     )
     if args.shuffle_output:
         out = SA.deterministic_shuffle(out, "doc_id")

@@ -248,6 +248,7 @@ def simhash_neardup_pairs(
 def neardup_clusters(
     pairs: DataFrame,
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over an (id_a, id_b) near-dup pair graph:
     every node gets ``cluster_id`` = the minimum id in its component —
@@ -262,13 +263,23 @@ def neardup_clusters(
       chains so long paths converge in far fewer than diameter rounds;
     - stop when a round changes no label (an ``isEmpty`` on the diff).
 
-    Each round ends in ``localCheckpoint`` to truncate the lineage —
-    iterative plans otherwise grow exponentially in the optimizer. (On a
-    real cluster with a checkpoint dir, ``checkpoint`` gives the same
-    truncation with fault tolerance; large-star/small-star is the
-    published refinement if rounds themselves become the bottleneck.)
+    Each round ends in a checkpoint to truncate the lineage — iterative
+    plans otherwise grow exponentially in the optimizer. By default
+    that is ``localCheckpoint`` (executor-local blocks, no extra
+    config — right for a single machine and for tests). On a real
+    cluster set ``reliable_checkpoint=True`` AND configure
+    ``spark.sparkContext.setCheckpointDir(...)`` first: rounds then
+    write to the checkpoint dir, so a lost executor replays from the
+    last round instead of recomputing the whole iteration history
+    (localCheckpoint blocks die with their executor).
+    Large-star/small-star is the published refinement if rounds
+    themselves become the bottleneck.
     """
-    edges = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(
@@ -276,13 +287,11 @@ def neardup_clusters(
             )
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iters):
@@ -304,12 +313,11 @@ def neardup_clusters(
         l2 = updated.select(
             F.col("id").alias("_lid"), F.col("lbl").alias("_llbl")
         )
-        compressed = (
+        compressed = _ckpt(
             updated.join(l2, updated["lbl"] == l2["_lid"], "left")
             .select(
                 "id", F.coalesce("_llbl", F.col("lbl")).alias("lbl")
             )
-            .localCheckpoint()
         )
         changed = compressed.alias("n").join(
             labels.alias("o"),
@@ -331,14 +339,21 @@ def neardup_clusters(
 
 
 def dedup_by_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Corpus-level near-dup removal: cluster the pair graph and keep one
     representative (min id) per component; rows never mentioned in a pair
     pass through untouched (broadcast-friendly anti-join against the
     non-representative set, which is at most the paired-node count —
-    tiny relative to the corpus)."""
-    clusters = neardup_clusters(pairs, max_iters=max_iters)
+    tiny relative to the corpus). ``reliable_checkpoint`` passes through
+    to ``neardup_clusters`` (set a checkpoint dir first)."""
+    clusters = neardup_clusters(
+        pairs, max_iters=max_iters, reliable_checkpoint=reliable_checkpoint
+    )
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )

@@ -173,6 +173,25 @@ def test_curate_blocklist_and_boilerplate_stages(spark):
     assert not any("HEADER" in t for t in texts.values())
 
 
+def test_curate_reliable_checkpoint_path(spark, tmp_path):
+    """reliable_checkpoint=True routes the component rounds through the
+    configured checkpoint dir (fault-tolerant) with identical results."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    a = "the alpha and beta of the gamma is delta epsilon zeta eta theta"
+    rows = [(1, a, "s"), (2, a + " lambda mu", "s"),
+            (3, "entirely different words about markets and weather", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.5,
+        reliable_checkpoint=True,
+    )
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [1, 3]
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))  # checkpoints actually written
+
+
 def _curate_pinned_output(spark):
     """The fixed-flag full-chain run the content pin is computed over:
     blocklist + boilerplate strip + exact dedup + near-dup + PII +
