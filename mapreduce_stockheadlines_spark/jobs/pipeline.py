@@ -109,20 +109,28 @@ def curate(
         docs, verified, "doc_id", reliable_checkpoint=reliable_checkpoint
     )
 
-    # 3. PII scrub BEFORE scoring (quality should judge what ships):
-    #    text becomes the redacted version, the detection count rides
-    #    along — both raw column expressions, so this is a zero-shuffle
-    #    rewrite inside the same projection, not a join
-    docs = docs.withColumn("n_pii", TS.pii_count("text")).withColumn(
-        "text", TS.pii_redacted("text")
-    )
-
-    # 4+5. language and quality gates from ONE fused stats projection
+    # 3+4. language and quality gates from ONE fused stats projection,
+    #    computed on the RAW text, then PII scrub on the survivors.
+    #    Order matters for plan health, not just cost: the stats
+    #    projection references `text` ~25 times (markers + quality
+    #    components), and Spark's filter pushdown inlines whatever
+    #    expression `text` is bound to into every one of those
+    #    references. Bound to the raw ATTRIBUTE that inlining is free;
+    #    bound to the redaction chain (the old order) it multiplied the
+    #    4-level regex ~25x per row and generated a >64 KB method that
+    #    tripped janino into disabling whole-stage codegen for the
+    #    whole stage (observed round 5 — and a nondeterministic
+    #    barrier column does NOT stop the pushdown in Spark 4).
+    #    Redacting after the gates is also strictly less work: the
+    #    regex chain runs only on rows that survived.
     stats = TS.text_stats(docs, "doc_id", "text")
     keep = stats.filter(
         (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
     ).select("doc_id", "quality")
     docs = docs.join(keep, "doc_id")
+    docs = docs.withColumn("n_pii", TS.pii_count("text")).withColumn(
+        "text", TS.pii_redacted("text")
+    )
 
     # 5b. (optional) relative quality gate on top of the absolute one:
     #     keep the best keep_top fraction (one sketch, no corpus shuffle)
