@@ -442,14 +442,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-bucket expression: bit i = (v · plane_i) > 0 — random-hyperplane
     LSH for cosine. Returns an int bucket id column. The zip_with/
-    aggregate fold is interpreted (no codegen), but at a handful of planes
-    it still beats the alternatives — all measured on the sf0.1
-    embeddings (round 4): the Arrow round-trip (below) loses until
-    ~10-12 planes, and a literal-weight element_at multiply-add chain
-    (384 scalar terms for 6 planes x 64 dims) is 2x SLOWER end to end —
-    the giant expression tree trips codegen's size fallbacks and
-    interprets worse than the fold. ``lsh_bucketed_pairs`` switches to
-    ``lsh_bucket_arrow`` at LSH_ARROW_MIN_PLANES."""
+    aggregate fold is interpreted (no codegen) and loses to the Arrow
+    matmul kernel in isolation, but WINS inside lsh_bucketed_pairs
+    because it keeps the bucket column JVM-side across the sizing
+    window and sub-block explode (see the LSH_ARROW_MIN_PLANES
+    measurements — pipeline, not kernel, decides). A literal-weight
+    element_at multiply-add chain stays off the table regardless: 384
+    scalar terms for 6 planes x 64 dims tripped codegen's size
+    fallbacks and ran 2x slower (round-4 measurement)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -464,9 +464,18 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
-# Fold-vs-Arrow crossover, measured sf0.1/64-dim: fold 0.19s vs arrow
-# 0.26s at 6 planes; fold 0.31s vs arrow 0.23s at 16 (fold cost is linear
-# in planes, the BLAS matmul nearly flat — the gap only widens beyond).
+# Fold-vs-Arrow, re-measured sf0.1/64-dim in round 5 after the 4dp
+# sign-rounding landed in both paths. In ISOLATION the Arrow matmul now
+# wins at every plane count (bucket-only: fold 0.67s vs arrow 0.23s at
+# 6 planes, 0.87s vs 0.22s at 12 — the per-plane round() made the
+# interpreted fold strictly worse). But inside the FULL
+# lsh_bucketed_pairs pipeline the pandas_udf bucket column inserts
+# ArrowEvalPython stages around the sizing window / sub-block explode
+# and the whole query runs 1.8x SLOWER (x17 at sf0.1: 1.47s fold vs
+# 2.66s arrow), so the JVM-side fold stays the default at low plane
+# counts — the context cost of a Python-evaluated column outweighs its
+# kernel win. Both numbers kept here so the next tuning pass measures
+# the pipeline, not the kernel.
 LSH_ARROW_MIN_PLANES = 12
 
 
