@@ -818,6 +818,29 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out == want
 
 
+def test_line_dedup_paragraph_granularity(spark):
+    """sep='\\n\\n' turns the line filter into a PARAGRAPH filter (the
+    RefinedWeb-style unit): a multi-line paragraph shared across docs is
+    dropped whole, and single newlines inside surviving paragraphs are
+    untouched."""
+    shared = "cookie notice line one\nline two of the notice"
+    df = spark.createDataFrame(
+        [
+            (0, shared + "\n\n" + "unique zero body\nwith two lines"),
+            (1, shared + "\n\n" + "unique one body"),
+            (2, "standalone doc\n\nwith its own paragraphs"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in D.line_dedup(df, "doc_id", "text", sep="\n\n").collect()
+    }
+    assert out[0] == ("unique zero body\nwith two lines", 1)
+    assert out[1] == ("unique one body", 1)
+    assert out[2] == ("standalone doc\n\nwith its own paragraphs", 0)
+
+
 def test_line_dedup_null_text_and_metachar_sep(spark):
     """ADVICE r4: null-text docs survive (as '') instead of vanishing
     into the posexplode; a regex-metacharacter sep splits literally."""
