@@ -11,8 +11,15 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 exact Jaccard verify > threshold →
                                 connected components over verified pairs →
                                 keep the min-id representative per group)
-      → PII redaction          (codegen regex scrub; keeps n_pii)
-      → language + quality     (ONE fused stats projection; filter both)
+      → dup-window gate        (optional: drop docs whose cross-doc
+                                duplicated-token-window fraction exceeds
+                                --max-dup-window-fraction)
+      → language + quality     (ONE fused stats projection over the RAW
+                                text; filter both — see the inlining
+                                note at the stats stage for why the
+                                gates run before redaction)
+      → PII redaction          (codegen regex scrub of the survivors;
+                                keeps n_pii)
       → quantile gate          (optional: keep the top fraction by
                                 quality via one t-digest sketch —
                                 --keep-top)
@@ -66,6 +73,8 @@ def curate(
     chunk_overlap: int = 16,
     blocked_domains: DataFrame | None = None,
     strip_boilerplate: bool = False,
+    max_dup_window_fraction: float | None = None,
+    dup_window_tokens: int = 8,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
@@ -108,6 +117,19 @@ def curate(
     docs = D.dedup_by_pairs(
         docs, verified, "doc_id", reliable_checkpoint=reliable_checkpoint
     )
+
+    # 2b. (optional) cross-doc duplicated-window gate: drops docs whose
+    #     prose is mostly shared with other docs even though neither
+    #     exact nor near-dup removal caught them (rewrapped/partially
+    #     edited copies — the substring-dedup signal)
+    if max_dup_window_fraction is not None:
+        dupf = D.duplicated_window_fraction(
+            docs, "doc_id", "text", window_tokens=dup_window_tokens
+        )
+        clean = dupf.filter(
+            F.col("dup_fraction") <= max_dup_window_fraction
+        ).select("doc_id")
+        docs = docs.join(clean, "doc_id", "left_semi")
 
     # 3+4. language and quality gates from ONE fused stats projection,
     #    computed on the RAW text, then PII scrub on the survivors.
@@ -194,6 +216,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--blocked-domains", default=None,
                     help="text file of blocked registered domains (one "
                          "per line); docs referencing any are dropped")
+    ap.add_argument("--max-dup-window-fraction", type=float, default=None,
+                    help="drop docs whose fraction of cross-doc "
+                         "duplicated token windows exceeds this")
+    ap.add_argument("--dup-window-tokens", type=int, default=8,
+                    help="token-window width for the duplicated-window "
+                         "gate")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="checkpoint dir for the near-dup component "
                          "rounds (fault-tolerant reliable checkpoints "
@@ -234,6 +262,8 @@ def main(argv: list[str] | None = None) -> None:
         chunk_overlap=args.chunk_overlap,
         blocked_domains=blocked,
         strip_boilerplate=args.strip_boilerplate,
+        max_dup_window_fraction=args.max_dup_window_fraction,
+        dup_window_tokens=args.dup_window_tokens,
         reliable_checkpoint=bool(args.checkpoint_dir),
     )
     if args.shuffle_output:

@@ -594,3 +594,72 @@ def line_dedup(
         )
         .na.fill({"n_lines_removed": 0})
     )
+
+
+def duplicated_window_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+    min_doc_occurrences: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-window fraction — the substring-dedup
+    signal (Lee et al. 2022, 'Deduplicating Training Data Makes
+    Language Models Better') at token-window granularity: for each doc,
+    the fraction of its DISTINCT ``window_tokens``-gram windows that
+    occur in at least ``min_doc_occurrences`` distinct documents.
+    Output: (id, n_windows, n_dup_windows, dup_fraction); docs shorter
+    than one window report (0, 0, 0.0). Filtering on ``dup_fraction``
+    drops mostly-duplicated prose that exact/line dedup misses:
+    ``line_dedup`` removes VERBATIM shared lines, this catches shared
+    passages that rewrapping or small edits moved off line boundaries.
+
+    Scale shape: one explode (lookahead-regex n-grams, codegen) with
+    windows digested to 32 bytes in the SAME projection, so every
+    shuffle carries digests, never window text. The (id, digest)
+    distinct and the census count both partially aggregate map-side:
+    after the distinct, the census's per-partition partials emit at
+    most #partitions rows per digest however many docs share a window
+    (the skew-probed line_dedup census property). The duplicated-window
+    side of the probe join is one row per distinct duplicated window —
+    AQE broadcasts it when small.
+    """
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                text_word_ngrams(normalized_text(text_col), window_tokens)
+            ).alias("_w"),
+        )
+        .select(id_col, F.md5(F.col("_w").cast("binary")).alias("_dig"))
+        .distinct()
+    )
+    census = (
+        wins.groupBy("_dig")
+        # plain count, not count_distinct: wins is already distinct on
+        # (id, digest), and the map-side partial count gives the same
+        # hot-digest absorption without the distinct-expansion pass
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_doc_occurrences)
+        .select("_dig", F.lit(1).alias("_dup"))
+    )
+    per_doc = (
+        wins.join(census, "_dig", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
+        )
+    )
+    # docs with zero windows vanish in the explode — restore with zeros
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_windows": 0, "n_dup_windows": 0, "dup_fraction": 0.0})
+    )

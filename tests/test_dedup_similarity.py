@@ -818,6 +818,68 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out == want
 
 
+def test_duplicated_window_fraction_duckdb_pin(spark):
+    """Cross-doc duplicated-window signal: hand-built docs with a shared
+    passage that line boundaries would miss; full result pinned against
+    a DuckDB reimplementation of the window census."""
+    import duckdb
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon unique zero tail words here"),
+        # doc 1 shares the 'alpha beta gamma delta epsilon' passage but
+        # nothing is line-identical (no newlines at all)
+        (1, "prefix one alpha beta gamma delta epsilon and more text"),
+        (2, "completely different content with no shared passages at all"),
+        (3, "tiny"),  # shorter than one window → zero windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+        for r in D.duplicated_window_fraction(
+            df, "doc_id", "text", window_tokens=3
+        ).collect()
+    }
+    assert got[3] == (0, 0, 0.0)
+    assert got[2][1] == 0
+    assert got[0][1] > 0 and got[1][1] > 0  # the shared passage registers
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'),
+                       '\s+'), t -> length(t) > 0) AS l
+              FROM d),
+            wins AS (
+              SELECT DISTINCT doc_id,
+                     md5(w) AS dig
+              FROM (SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(l) - 2, 0) + 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS w
+                    FROM toks)),
+            census AS (SELECT dig FROM wins GROUP BY dig
+                       HAVING count(*) >= 2),
+            per AS (SELECT w.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_windows,
+                           CAST(count(c.dig) AS BIGINT) AS n_dup,
+                           round(CAST(count(c.dig) AS DOUBLE) / count(*), 4)
+                             AS frac
+                    FROM wins w LEFT JOIN census c USING (dig)
+                    GROUP BY w.doc_id)
+            SELECT d.doc_id, coalesce(n_windows, 0), coalesce(n_dup, 0),
+                   coalesce(frac, 0.0)
+            FROM d LEFT JOIN per ON per.doc_id = d.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_line_dedup_paragraph_granularity(spark):
     """sep='\\n\\n' turns the line filter into a PARAGRAPH filter (the
     RefinedWeb-style unit): a multi-line paragraph shared across docs is

@@ -173,6 +173,28 @@ def test_curate_blocklist_and_boilerplate_stages(spark):
     assert not any("HEADER" in t for t in texts.values())
 
 
+def test_curate_dup_window_gate(spark):
+    """The duplicated-window gate drops a rewrapped partial copy that
+    survives both exact and near-dup (Jaccard) removal."""
+    shared = "the quarterly earnings call revealed strong growth across all segments"
+    rows = [
+        (1, shared + " while analysts noted some concerns about margins", "s"),
+        # doc 2: mostly the shared passage plus DISTINCT framing — below
+        # the 0.8 Jaccard near-dup bar but mostly duplicated windows
+        (2, "breaking report " + shared + " more below", "s"),
+        (3, "entirely unrelated discussion of weather patterns and sports", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.95)
+    assert sorted(r.doc_id for r in base.select("doc_id").collect()) == [1, 2, 3]
+    gated = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.95,
+        max_dup_window_fraction=0.5, dup_window_tokens=3,
+    )
+    ids = sorted(r.doc_id for r in gated.select("doc_id").collect())
+    assert 3 in ids and 2 not in ids  # mostly-shared doc dropped
+
+
 def test_curate_reliable_checkpoint_path(spark, tmp_path):
     """reliable_checkpoint=True routes the component rounds through the
     configured checkpoint dir (fault-tolerant) with identical results."""
