@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from ..operators.dedup import exact_dedup
-from ..operators.textstats import text_stats
+from ..operators.textstats import filter_blocked_domains, text_stats
 
 
 def curated_ingest_sink(
@@ -31,14 +31,24 @@ def curated_ingest_sink(
     text_col: str = "text",
     lang: str | None = None,
     min_quality: float | None = None,
+    blocked_domains: list[str] | None = None,
 ):
-    """Build a ``foreachBatch`` function: dedup each micro-batch against
-    the persistent digest index at ``index_dir``, apply the optional
-    language/quality gate, append survivors to ``out_dir`` and their
-    digests to the index."""
+    """Build a ``foreachBatch`` function: drop docs referencing blocked
+    registered domains (optional — first, the cheapest batch-shrinking
+    gate, mirroring the batch pipeline's stage order), dedup each
+    micro-batch against the persistent digest index at ``index_dir``,
+    apply the optional language/quality gate, append survivors to
+    ``out_dir`` and their digests to the index. ``blocked_domains`` is
+    a plain list (PSL-registered domains or IPv4 literals); it plays
+    the broadcast side-table role per micro-batch."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if blocked_domains:
+            bl = spark.createDataFrame(
+                [(d,) for d in blocked_domains], ["domain"]
+            )
+            batch_df = filter_blocked_domains(batch_df, id_col, text_col, bl)
         hashed = batch_df.withColumn(
             "text_hash", F.md5(F.col(text_col).cast("binary"))
         )

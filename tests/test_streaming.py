@@ -287,3 +287,41 @@ def test_curated_ingest_dedups_across_batches(spark, tmp_path):
     texts = sorted(r.text for r in spark.read.parquet(out).collect())
     assert texts == ["alpha doc", "beta doc", "gamma doc"]
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_curated_ingest_domain_blocklist(spark, tmp_path):
+    """The streaming ingest applies the domain blocklist (with PSL
+    resolution) before the dedup index probe — blocked docs never enter
+    the corpus OR the digest index."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    rows = [
+        (1, "clean doc with no links"),
+        (2, "spam via https://track.evil-ads.co.uk/c"),  # PSL 3-label match
+        (3, "also clean content here"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "r1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream, out, idx, ck, blocked_domains=["evil-ads.co.uk"]
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
+    assert spark.read.parquet(idx).count() == 2  # blocked doc not indexed
