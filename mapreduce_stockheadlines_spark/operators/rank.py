@@ -34,12 +34,45 @@ def count_by_key(df: DataFrame, key: str, count_col: str = "cnt") -> DataFrame:
 def ranked(df: DataFrame, key: str, count_col: str = "cnt",
            rank_col: str = "rank", limit: int | None = None) -> DataFrame:
     """O12+O13(+O14): order by count desc (key asc tiebreak) and assign
-    row_number ranks; optional top-k."""
-    w = Window.orderBy(F.desc(count_col), F.asc(key))
-    out = df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+    row_number ranks; optional top-k. Neither path funnels the full
+    table through one task (round 5 — previously both did, documented
+    as acceptable for aggregated tables; a token table at 100 TB is
+    still billions of distinct keys, the reference's own single-reducer
+    bottleneck shape):
+
+    - ``limit`` set: top-k FIRST via orderBy+limit (compiles to
+      TakeOrderedAndProject — per-partition heaps, no global sort, no
+      window over the full table), then row_number over the k
+      survivors — that window is bounded by ``limit``, not the data.
+    - full output: ``bucketed_row_number`` with the same monotone
+      (count-tier, key-prefix) bucketing vocabulary() uses — string
+      keys sub-bucket the hot low-count tiers by first character
+      (order-consistent: within one exact count the order IS key ASC);
+      non-string keys bucket by count tier alone (hot exact-count tiers
+      of a numeric-keyed table were already aggregated once, and a
+      sub-bucket expression must be monotone in the key's own order).
+    """
     if limit is not None:
-        out = out.orderBy(F.desc(count_col), F.asc(key)).limit(limit)
-    return out
+        top = df.orderBy(F.desc(count_col), F.asc(key)).limit(limit)
+        w = Window.orderBy(F.desc(count_col), F.asc(key))
+        return top.withColumn(rank_col, F.row_number().over(w).cast("int"))
+    from pyspark.sql import types as T
+
+    cnt = F.col(count_col)
+    tier = (
+        F.when(cnt > 255, -F.floor(F.log2(cnt)))
+        .otherwise(256 - cnt)
+        .cast("int")
+    )
+    if isinstance(df.schema[key].dataType, T.StringType):
+        sub = F.when(cnt > 255, F.lit("")).otherwise(F.substring(key, 1, 1))
+    else:
+        sub = F.lit("")
+    b = df.withColumn("_rtier", tier).withColumn("_rsub", sub)
+    out = bucketed_row_number(
+        b, ["_rtier", "_rsub"], [cnt.desc(), F.col(key).asc()], rank_col
+    ).drop("_rtier", "_rsub")
+    return out.withColumn(rank_col, F.col(rank_col).cast("int"))
 
 
 def count_rank_format(df: DataFrame, key: str, fmt: str = "%d: %s, %d",

@@ -90,18 +90,16 @@ ORDER BY l_returnflag, l_linestatus
 # --- Q03 global sort / rank / top-k (O12,O13,O14) --------------------------
 
 def q03_topk_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """Count per supplier → TakeOrderedAndProject top-100 with row_number.
-    The rank window runs over the aggregated table (cardinality = #distinct
-    suppliers), not the raw rows — the scale fix for the reference's
-    single-reducer sort (StockCount.java:37-66)."""
+    """Count per supplier → top-100 via TakeOrderedAndProject, THEN
+    row_number over only the 100 survivors (operators/rank.ranked,
+    round 5) — no window ever sees the full aggregated table, the scale
+    fix for the reference's single-reducer sort
+    (StockCount.java:37-66)."""
+    from ..operators.rank import ranked
+
     li = table(spark, sf, "lineitem")
     counted = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("l_suppkey"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("int"))
-        .orderBy("rank")
-        .limit(100)
-    )
+    return ranked(counted, "l_suppkey", limit=100).orderBy("rank")
 
 
 Q03_SQL = """
@@ -365,15 +363,12 @@ ORDER BY op, custkey
 # --- Q13 string pipeline: clean/tokenize/count (O6,O7,O8) ------------------
 
 def q13_tokenize_count(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import ranked
+
     docs = parallel_table(spark, sf, "documents")
     toks = docs.select(F.explode(tokens_array("text")).alias("token"))
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("int"))
-        .orderBy("rank")
-        .limit(100)
-    )
+    return ranked(counted, "token", limit=100).orderBy("rank")
 
 
 Q13_SQL = """
@@ -393,11 +388,14 @@ FROM c ORDER BY rank LIMIT 100
 def q14_stock_count_analogue(spark: SparkSession, sf: str) -> DataFrame:
     """Reference job 1 shape on the oracle tables: frequency of a
     categorical column, rank, formatted '<rank>: <key>, <cnt>' line
-    (StockCount.java:63)."""
+    (StockCount.java:63). Full ranked output — the rank comes from the
+    bucketed row_number construction (no SinglePartition window even
+    over a billion-key table, round 5)."""
+    from ..operators.rank import ranked as _ranked
+
     p = table(spark, sf, "part")
     counted = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("p_brand"))
-    ranked = counted.withColumn("rank", F.row_number().over(w).cast("int"))
+    ranked = _ranked(counted, "p_brand")
     return ranked.select(
         "rank",
         "p_brand",
@@ -425,16 +423,13 @@ FROM r ORDER BY rank
 # --- Q15 WordCount analogue (adds O9 stop-word anti-join + O14 top-100) ----
 
 def q15_word_count_analogue(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import ranked
+
     docs = parallel_table(spark, sf, "documents")
     toks = docs.select(F.explode(tokens_array("text")).alias("token"))
     kept = remove_stopwords(toks, stopwords_df(spark))
     counted = kept.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("int"))
-        .orderBy("rank")
-        .limit(100)
-    )
+    return ranked(counted, "token", limit=100).orderBy("rank")
 
 
 Q15_SQL = f"""

@@ -50,8 +50,21 @@ def test_q08_anti_join_is_hash_not_loop(spark, sf_dir):
 
 
 def test_q03_topk_fuses_to_take_ordered(spark, sf_dir):
+    """Top-k-then-rank (round 5): the limit compiles to
+    TakeOrderedAndProject over the aggregated table and NO window — and
+    therefore no exchange of any kind — ever sees the full table."""
     plan = plan_of(spark, sf_dir, "q03_topk_rank")
     assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q14_full_rank_has_no_single_partition(spark, sf_dir):
+    """Full ranked output uses the bucketed row_number construction —
+    the reference's single-reducer sort shape must not appear even in
+    its own analogue query."""
+    plan = plan_of(spark, sf_dir, "q14_stock_count_analogue")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_rtier" in plan
 
 
 def test_q15_stopword_anti_join_broadcasts(spark, sf_dir):
