@@ -145,13 +145,17 @@ def minhash_signatures_multi(
     return exploded.groupBy(id_col, "mode").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def signature_bands(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands of
-    ``num_hashes/bands`` rows each; docs sharing any band key become a
-    candidate pair. The band key is a digest, so the self-join shuffles
-    fixed-width keys; output is distinct (id_a < id_b) pairs."""
+    """(id, bucket) band-digest rows from a MinHash signature table:
+    the signature splits into ``bands`` bands of ``num_hashes/bands``
+    components, each digested (with its band index) to one fixed-width
+    bucket key. This is both the self-join side of
+    ``lsh_candidate_pairs`` and the persistent-index representation for
+    incremental near-dup (streaming/ingest.py): a band index stored as
+    (bucket, id, signature) rows is probed by equi-join on ``bucket``,
+    so day-N candidate generation shuffles digests, never text."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -162,7 +166,7 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
-    stacked = banded.select(
+    return banded.select(
         id_col,
         F.explode(
             F.array(
@@ -173,6 +177,52 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+
+
+def signature_agreement(
+    pairs: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs from their MinHash
+    signatures alone: the fraction of agreeing signature components is
+    an unbiased Jaccard estimator (granularity 1/num_hashes — coarse at
+    8 hashes; raise num_hashes where the verdict matters). ``pairs``
+    has (id_a, id_b); ``sig_a``/``sig_b`` are signature tables keyed by
+    those ids. Nothing re-reads document text — the verify an
+    incremental pipeline can afford when historical text is cold."""
+    a = sig_a.select(
+        F.col(sig_a.columns[0]).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    b = sig_b.select(
+        F.col(sig_b.columns[0]).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows each; docs sharing any band key become a
+    candidate pair. The band key is a digest, so the self-join shuffles
+    fixed-width keys; output is distinct (id_a < id_b) pairs."""
+    stacked = signature_bands(sig, id_col, num_hashes, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

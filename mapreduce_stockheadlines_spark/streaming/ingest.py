@@ -20,8 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from ..operators.dedup import exact_dedup
+from ..operators.dedup import (
+    dedup_by_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    signature_agreement,
+    signature_bands,
+)
 from ..operators.textstats import filter_blocked_domains, text_stats
+
+_NEARDUP_HASHES = 8
+_NEARDUP_BANDS = 4
 
 
 def curated_ingest_sink(
@@ -32,15 +42,31 @@ def curated_ingest_sink(
     lang: str | None = None,
     min_quality: float | None = None,
     blocked_domains: list[str] | None = None,
+    neardup_threshold: float | None = None,
+    neardup_index_dir: str | None = None,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
     gate, mirroring the batch pipeline's stage order), dedup each
     micro-batch against the persistent digest index at ``index_dir``,
+    optionally near-dedup it against a persistent MinHash BAND index,
     apply the optional language/quality gate, append survivors to
-    ``out_dir`` and their digests to the index. ``blocked_domains`` is
-    a plain list (PSL-registered domains or IPv4 literals); it plays
-    the broadcast side-table role per micro-batch."""
+    ``out_dir`` and their digests/bands to the indexes.
+    ``blocked_domains`` is a plain list (PSL-registered domains or IPv4
+    literals); it plays the broadcast side-table role per micro-batch.
+
+    Incremental near-dup (``neardup_threshold`` + ``neardup_index_dir``
+    both set): each batch computes 3-gram-shingle MinHash signatures,
+    probes the band index by bucket equi-join for candidates (recall
+    bounded by the banding scheme, like any LSH), verifies candidates
+    by SIGNATURE AGREEMENT (estimated Jaccard — historical text is
+    never re-read; the index holds (bucket, id, signature) rows), and
+    drops batch docs whose estimate meets the threshold against any
+    indexed doc. Within-batch near-dups collapse to the min-id
+    representative through the same banding + agreement verify. Day-N
+    cost is proportional to day-N data plus matched candidates — the
+    scale contract of the exact-dedup index, extended to near-dups.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -61,6 +87,64 @@ def curated_ingest_sink(
         except AnalysisException:  # first batch: no index yet
             fresh = hashed
         survivors = exact_dedup(fresh, ["text_hash"], [id_col])
+
+        sig = None
+        if neardup_threshold is not None and neardup_index_dir is not None:
+            sig = minhash_signature(
+                survivors, id_col, text_col,
+                num_hashes=_NEARDUP_HASHES, shingle_n=3,
+            )
+            # within-batch near-dups → min-id representative
+            cand = lsh_candidate_pairs(
+                sig, id_col, num_hashes=_NEARDUP_HASHES, bands=_NEARDUP_BANDS
+            )
+            verified = signature_agreement(
+                cand.select(
+                    F.col("id_a"), F.col("id_b")
+                ),
+                sig,
+                sig,
+                num_hashes=_NEARDUP_HASHES,
+            ).filter(F.col("est_jaccard") >= neardup_threshold)
+            survivors = dedup_by_pairs(survivors, verified, id_col)
+            sig = sig.join(
+                survivors.select(id_col), id_col, "left_semi"
+            )
+            bands = signature_bands(
+                sig, id_col, num_hashes=_NEARDUP_HASHES, bands=_NEARDUP_BANDS
+            )
+            try:
+                idx = spark.read.parquet(neardup_index_dir)
+                hits = (
+                    bands.join(
+                        idx.select(
+                            "bucket",
+                            F.col(id_col).alias("id_b"),
+                            *[f"mh{i}" for i in range(_NEARDUP_HASHES)],
+                        ),
+                        "bucket",
+                    )
+                    .select(F.col(id_col).alias("id_a"), "id_b")
+                    .distinct()
+                )
+                est = signature_agreement(
+                    hits,
+                    sig,
+                    idx.select(
+                        id_col, *[f"mh{i}" for i in range(_NEARDUP_HASHES)]
+                    ).distinct(),
+                    num_hashes=_NEARDUP_HASHES,
+                )
+                dupes = (
+                    est.filter(F.col("est_jaccard") >= neardup_threshold)
+                    .select(F.col("id_a").alias(id_col))
+                    .distinct()
+                )
+                survivors = survivors.join(dupes, id_col, "left_anti")
+                sig = sig.join(dupes, id_col, "left_anti")
+            except AnalysisException:  # first batch: no band index yet
+                pass
+
         if lang is not None or min_quality is not None:
             stats = text_stats(survivors, id_col, text_col)
             cond = F.lit(True)
@@ -78,6 +162,19 @@ def curated_ingest_sink(
         survivors.select("text_hash").write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
+        if sig is not None:
+            # band index rows for FINAL survivors only (post-gates):
+            # (bucket, id, signature) — probed by bucket, verified by
+            # signature, text never stored
+            final_sig = sig.join(
+                survivors.select(id_col), id_col, "left_semi"
+            )
+            signature_bands(
+                final_sig, id_col,
+                num_hashes=_NEARDUP_HASHES, bands=_NEARDUP_BANDS,
+            ).join(final_sig, id_col).write.mode("overwrite").parquet(
+                f"{neardup_index_dir}/batch_id={batch_id}"
+            )
 
     return write_batch
 

@@ -289,6 +289,64 @@ def test_curated_ingest_dedups_across_batches(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 3
 
 
+def test_curated_ingest_incremental_neardup(spark, tmp_path):
+    """Incremental near-dup: a later batch's near-copy of an already-
+    ingested doc is dropped by the persistent band-index probe +
+    signature-agreement verify (historical text never re-read), and
+    within-batch near-dups collapse to the min-id representative."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    bidx = str(tmp_path / "bandidx")
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog while markets rally "
+        "and analysts watch the quarterly numbers with growing interest"
+    )
+    other = (
+        "completely different prose about mountain weather patterns and "
+        "the migration of birds across the northern hemisphere in autumn"
+    )
+
+    def run_round(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / tag))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        run_curated_ingest(
+            stream, out, idx, ck,
+            neardup_threshold=0.5, neardup_index_dir=bidx,
+        )
+
+    # within-batch: 5 is a near-copy of 1 → min-id 1 survives
+    run_round([(1, base), (2, other), (5, base + " tonight")], "r1")
+    got1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]
+
+    # cross-batch: 7 is a near-copy of the INDEXED doc 1 → dropped via
+    # the band probe; 8 is genuinely new → kept
+    fresh = (
+        "a wholly original report on deep sea exploration vessels and "
+        "their autonomous mapping instruments deployed this season"
+    )
+    run_round([(7, base + " again soon"), (8, fresh)], "r2")
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 8]
+
+
 def test_curated_ingest_domain_blocklist(spark, tmp_path):
     """The streaming ingest applies the domain blocklist (with PSL
     resolution) before the dedup index probe — blocked docs never enter
