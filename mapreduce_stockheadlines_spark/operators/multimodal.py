@@ -48,6 +48,34 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+_MAGIC_MIMES = (
+    ("5036", MIME_PPM),          # 'P6'
+    ("424D", MIME_BMP),          # 'BM'
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),   # 'GIF8'
+    ("52494646", "audio/x-riff"),  # RIFF container (WAV/AVI/WebP outer)
+    ("664C6143", "audio/flac"),  # 'fLaC'
+    ("25504446", "application/pdf"),
+)
+
+
+def detect_mime(content_col) -> "F.Column":
+    """Magic-byte mime sniff as a pure codegen expression (hex-prefix
+    compare on the first bytes — no UDF, no decode): routes unknown
+    blobs to the right decode tier. Unrecognized content falls back to
+    application/octet-stream (the stub tier)."""
+    content = (
+        F.col(content_col) if isinstance(content_col, str) else content_col
+    )
+    h = F.hex(F.substring(content, 1, 8))
+    expr = None
+    for prefix, mime in _MAGIC_MIMES:
+        cond = h.startswith(prefix)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    return expr.otherwise("application/octet-stream")
+
+
 def attach_binary(df: DataFrame, text_col: str, id_col: str,
                   mime: str = "application/octet-stream") -> DataFrame:
     """Make a media table from any string column: UTF-8 encode → binary

@@ -392,6 +392,38 @@ def test_multimodal_real_ppm_bmp_decode(spark):
         M._decode_bmp(b"BM" + b"\x00" * 60)  # zero bpp
 
 
+def test_multimodal_detect_mime_and_sniffed_decode(spark):
+    """Magic-byte sniffing routes blobs to the right decode tier: a PPM
+    with no declared mime decodes for real once detect_mime labels it;
+    PNG/JPEG magic is recognized (stub tier); junk falls back to
+    octet-stream."""
+    import numpy as np
+
+    px = np.full((2, 2, 3), 7, np.uint8)
+    ppm = M._encode_ppm_p6(px)
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n rest")),
+        (3, bytearray(b"\xff\xd8\xff\xe0 jfif")),
+        (4, bytearray(b"just some text")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    sniffed = df.withColumn("mime", M.detect_mime("content"))
+    got = {r.media_id: r.mime for r in sniffed.collect()}
+    assert got == {
+        1: M.MIME_PPM,
+        2: "image/png",
+        3: "image/jpeg",
+        4: "application/octet-stream",
+    }
+    import pytest
+
+    decoded = {r.media_id: r for r in M.decode_media(sniffed).collect()}
+    assert (decoded[1].width, decoded[1].height) == (2, 2)  # real decode
+    assert decoded[1].feature == pytest.approx(M._pixel_feature(px), rel=1e-6)
+    assert decoded[2].n_frames >= 1  # stub tier still works
+
+
 def test_multimodal_real_resize_nearest_neighbor(spark):
     """Decodable mimes are really resampled: upsampling a known 2x3 PPM
     to 6x4 duplicates pixels by nearest-neighbor index selection and
