@@ -563,3 +563,84 @@ def filter_blocked_domains(
         "_domain",
     ).select(id_col)
     return df.join(blocked_ids.distinct(), id_col, "left_anti")
+
+
+def _hashed_weight(token: Column, salt: str) -> Column:
+    """Deterministic per-token weight in [-1, 1): first 8 hex chars of
+    md5(salt:token) scaled — the sampling hash_fraction primitive mapped
+    onto a symmetric range. Portable (md5 + hex parse), so the hashed
+    model mode is reproducible in any engine."""
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), token).cast("binary"))
+    frac = F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    return frac * 2.0 - 1.0
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame | None = None,
+    salt: str = "clf",
+) -> DataFrame:
+    """fastText-shaped linear bag-of-words document classifier — the
+    quality-classifier filtering stage of CCNet/DCLM-style pipelines
+    (score each doc with a cheap linear model, keep the high scorers).
+
+    Output per document: ``n_tokens``, ``n_hit`` (tokens with a model
+    weight), ``logit`` (mean token weight, 4dp), ``clf_score``
+    (sigmoid(logit), 4dp).
+
+    Two model sources:
+
+    - ``weights`` — a real exported model as a (token, weight) table.
+      Vocabulary tables are small by construction (≤ a few M rows), so it
+      ships as a broadcast LEFT join against the exploded token stream;
+      OOV tokens contribute weight 0 (and are excluded from ``n_hit``).
+    - ``weights=None`` — the hashing trick with md5-derived weights
+      (``_hashed_weight``): every token has a weight, no table at all.
+      This is the deterministic stand-in for a trained model in an
+      environment with no model artifact — and doubles as the
+      cross-engine oracle mode, since md5 is portable.
+
+    Scale shape: tokenize → explode → (optional broadcast join) → one
+    groupBy(id). Partial aggregation collapses each doc's tokens map-side
+    (a doc's tokens are co-located by construction — they come from one
+    row), so the shuffle carries ~one row per document, never the token
+    stream. All expressions are codegen; no Python in the path.
+
+    Float contract (plans/extensions.py float-robustness note): the mean
+    is rounded to 4dp BEFORE the sigmoid and the sigmoid result rounded
+    to 4dp, so both engines feed exp() identical doubles and a sub-ulp
+    libm difference cannot flip the rounded output.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_array(text_col)).alias("token")
+    )
+    if weights is None:
+        w = _hashed_weight(F.col("token"), salt)
+        scored = toks.select(id_col, w.alias("w"), F.lit(1).alias("hit"))
+    else:
+        tok_col, w_col = weights.columns[0], weights.columns[1]
+        wtab = F.broadcast(
+            weights.select(
+                F.col(tok_col).alias("token"), F.col(w_col).alias("_w")
+            )
+        )
+        joined = toks.join(wtab, "token", "left")
+        scored = joined.select(
+            id_col,
+            F.coalesce("_w", F.lit(0.0)).alias("w"),
+            F.when(F.col("_w").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+        F.round(F.avg("w"), 4).alias("logit"),
+    )
+    logit = F.col("logit")
+    sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4)
+    return agg.select(
+        id_col, "n_tokens", "n_hit", "logit", sig.alias("clf_score")
+    )

@@ -178,44 +178,50 @@ FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
 GROUP BY c_custkey ORDER BY c_custkey
 """
 
-# --- Q07 left semi join (EXISTS) -------------------------------------------
+# --- Q07 left semi + left anti join (EXISTS / NOT EXISTS; O9 analogue) -----
 
-def q07_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+def q07_join_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Both existence-join types in one tagged query (the q12 set-ops
+    consolidation pattern — round 5, its freed slot went to
+    x26_classifier_score in plans/extensions.py): a left SEMI join
+    (customers WITH a >450k order) unioned with a left ANTI join
+    (customers with NO urgent order), tagged. Catalyst plans each branch
+    independently — the tag union loses neither the
+    BroadcastHashJoin(LeftSemi) nor the (LeftAnti) physical shape, both
+    still pinned in test_plans.py."""
     c = table(spark, sf, "customer")
     big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
-    return (
-        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-Q07_SQL = """
-SELECT c_custkey, c_name FROM customer
-WHERE EXISTS (SELECT 1 FROM orders
-              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
-ORDER BY c_custkey
-"""
-
-# --- Q08 left anti join (NOT EXISTS; O9 analogue) --------------------------
-
-def q08_join_anti(spark: SparkSession, sf: str) -> DataFrame:
-    c = table(spark, sf, "customer")
     urgent = table(spark, sf, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    return (
-        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(
+            F.lit("semi").alias("side"),
+            "c_custkey",
+            "c_name",
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
     )
+    anti = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("side"), "c_custkey", "c_name", "c_mktsegment"
+        )
+    )
+    return semi.unionAll(anti).orderBy("side", "c_custkey")
 
 
-Q08_SQL = """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
+Q07_SQL = """
+SELECT 'semi' AS side, c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+UNION ALL
+SELECT 'anti' AS side, c_custkey, c_name, c_mktsegment FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-ORDER BY c_custkey
+ORDER BY side, c_custkey
 """
 
 # --- Q09 partitioned window ranking ----------------------------------------
@@ -646,8 +652,7 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q04_join_inner_agg": QuerySpec(q04_join_inner_agg, Q04_SQL),
     "q05_join_broadcast_dim": QuerySpec(q05_join_broadcast_dim, Q05_SQL),
     "q06_join_left_outer": QuerySpec(q06_join_left_outer, Q06_SQL),
-    "q07_join_semi": QuerySpec(q07_join_semi, Q07_SQL),
-    "q08_join_anti": QuerySpec(q08_join_anti, Q08_SQL),
+    "q07_join_semi_anti": QuerySpec(q07_join_semi_anti, Q07_SQL),
     "q09_window_partitioned": QuerySpec(q09_window_partitioned, Q09_SQL),
     "q10_window_functions": QuerySpec(q10_window_functions, Q10_SQL),
     "q12_set_ops": QuerySpec(q12_set_ops, Q12_SQL),

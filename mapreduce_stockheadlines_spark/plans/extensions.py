@@ -1105,6 +1105,47 @@ FROM out ORDER BY doc_id
 """
 
 
+# --- x26 linear quality-classifier scoring (CCNet/DCLM filter stage) ---------
+#
+# Hashed-model mode: every token's weight derives from md5 (portable), so
+# the oracle re-computes the full model — tokenize, per-token weight,
+# mean logit, sigmoid — in DuckDB rather than trusting planted constants.
+# The weights-table mode (a real exported model via broadcast join) is
+# pinned separately in tests/test_text_ops.py.
+
+def x26_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear bag-of-words classifier score per document (hashed-feature
+    mode): tokenize → md5-derived weight per token → one groupBy(doc)
+    for (count, mean logit) → sigmoid. Shuffle carries ~one row per doc
+    (map-side partial agg collapses each doc's tokens); everything
+    codegen (operators/textstats.classifier_score)."""
+    docs = parallel_table(spark, sf, "documents")
+    return TS.classifier_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+X26_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+           t -> t <> '')) AS token
+  FROM documents),
+w AS (SELECT doc_id,
+             CAST(('0x' || substr(md5('clf:' || token), 1, 8)) AS BIGINT)
+               / 4294967296.0 * 2 - 1 AS w
+      FROM toks),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               round(avg(w), 4) AS logit
+        FROM w GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_hit, logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS clf_score
+FROM agg ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -1126,4 +1167,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x23_merge_diff": QuerySpec(x23_merge_diff, X23_SQL),
     "x24_url_curation": QuerySpec(x24_url_curation, X24_SQL),
     "x25_line_dedup": QuerySpec(x25_line_dedup, X25_SQL),
+    "x26_classifier_score": QuerySpec(x26_classifier_score, X26_SQL),
 }

@@ -42,8 +42,11 @@ def test_q05_small_dim_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_q08_anti_join_is_hash_not_loop(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q08_join_anti")
+def test_q07_semi_and_anti_joins_are_hash_not_loop(spark, sf_dir):
+    """The tag-union consolidation (round 5) must keep BOTH existence-join
+    physical shapes — hash semi and hash anti, no loop fallback."""
+    plan = plan_of(spark, sf_dir, "q07_join_semi_anti")
+    assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -186,3 +186,58 @@ def test_registered_domain_psl_and_host_edges(spark):
         for r in filter_blocked_domains(docs, "doc_id", "text", block).collect()
     )
     assert kept == [2]
+
+
+def test_classifier_score_weights_table_mode(spark):
+    """Real-model path: (token, weight) table via broadcast join; OOV
+    tokens contribute 0 and are excluded from n_hit. Checked against a
+    hand-computed logit/sigmoid."""
+    import math
+
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good bad unknown"),
+            (2, "zzz qqq"),  # fully OOV -> logit 0, score 0.5
+        ],
+        ["doc_id", "text"],
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.0), ("bad", -1.0)], ["token", "weight"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in classifier_score(docs, "doc_id", "text", weights=weights)
+        .collect()
+    }
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_hit) == (4, 3)
+    expect_logit = round((2.0 + 2.0 - 1.0 + 0.0) / 4, 4)
+    assert r1.logit == expect_logit
+    assert r1.clf_score == round(1 / (1 + math.exp(-expect_logit)), 4)
+    r2 = rows[2]
+    assert (r2.n_tokens, r2.n_hit, r2.logit, r2.clf_score) == (2, 0, 0.0, 0.5)
+
+
+def test_classifier_score_weights_join_broadcasts(spark):
+    """The model table must ship as a broadcast — the token stream is the
+    corpus and must never shuffle for the lookup."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    weights = spark.createDataFrame([("a", 1.0)], ["token", "weight"])
+    df = classifier_score(docs, "doc_id", "text", weights=weights)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
