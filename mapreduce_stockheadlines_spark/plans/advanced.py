@@ -105,14 +105,31 @@ FROM purch p JOIN clicks c
 ORDER BY p.purchase_id, c.click_id
 """
 
-# --- q25 cube with GROUPING id ----------------------------------------------
+# --- q25 cube + explicit grouping sets with GROUPING id ----------------------
 
-def q25_cube(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE over (status, priority) — all 4 grouping sets in one pass
-    (Catalyst Expand operator); aggregates are order-independent
-    (count/min/max) so the oracle hash is exact."""
+_Q25_GS_SQL = """
+SELECT 'gs' AS src, o_orderstatus, o_orderpriority,
+       CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER)
+         AS gid,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+def q25_cube_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one pass —
+    tag-unioned with an explicit GROUPING SETS lattice subset (the former
+    q31, consolidated round 5; its freed registry slot went to
+    x27_quantize_embeddings in plans/extensions.py). Each branch keeps
+    its own Catalyst Expand shape: the cube via the DataFrame API, the
+    grouping sets via the spark.sql entry over registered views (that
+    entry-path coverage is part of what q31 pinned). Aggregates are
+    order-independent (count/min/max) so the oracle hash is exact."""
     o = table(spark, sf, "orders")
-    return (
+    cube = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
@@ -120,18 +137,33 @@ def q25_cube(spark: SparkSession, sf: str) -> DataFrame:
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+        .select(
+            F.lit("cube").alias("src"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "gid",
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
+    register_views(spark, sf)
+    gs = spark.sql(_Q25_GS_SQL)
+    return cube.unionAll(gs).orderBy(
+        "src", "gid", "o_orderstatus", "o_orderpriority"
     )
 
 
-Q25_SQL = """
-SELECT o_orderstatus, o_orderpriority,
+Q25_SQL = f"""
+SELECT 'cube' AS src, o_orderstatus, o_orderpriority,
        CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER)
          AS gid,
        count(*) AS n_orders,
        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-ORDER BY gid, o_orderstatus, o_orderpriority
+UNION ALL
+{_Q25_GS_SQL}
+ORDER BY src, gid, o_orderstatus, o_orderpriority
 """
 
 # --- q26 pivot ---------------------------------------------------------------
@@ -269,27 +301,6 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 # --- q31 grouping sets ---------------------------------------------------------
 
-_Q31_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER)
-         AS gid,
-       count(*) AS n_orders, min(o_totalprice) AS min_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                        (o_orderstatus, o_orderpriority))
-ORDER BY gid, o_orderstatus, o_orderpriority
-"""
-
-
-def q31_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Explicit GROUPING SETS (an arbitrary subset of the cube lattice —
-    one Expand pass, not a union of scans)."""
-    register_views(spark, sf)
-    return spark.sql(_Q31_SQL)
-
-
-Q31_SQL = _Q31_SQL  # ANSI — identical text runs on DuckDB
-
 # --- q32 full outer join --------------------------------------------------------
 
 def q32_full_outer(spark: SparkSession, sf: str) -> DataFrame:
@@ -409,12 +420,11 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
 ADV_QUERIES: dict[str, QuerySpec] = {
     "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
-    "q25_cube": QuerySpec(q25_cube, Q25_SQL),
+    "q25_cube_grouping_sets": QuerySpec(q25_cube_grouping_sets, Q25_SQL),
     "q26_pivot": QuerySpec(q26_pivot, Q26_SQL),
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
     "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
     "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),
-    "q31_grouping_sets": QuerySpec(q31_grouping_sets, Q31_SQL),
     "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),
     "q33_math_date_functions": QuerySpec(q33_math_date_functions, Q33_SQL),
     "q34_topn_per_group": QuerySpec(q34_topn_per_group, Q34_SQL),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
 from ..operators import dedup as D
+from ..operators import embeddings as EB
 from ..operators import merge as MG
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -1146,6 +1147,53 @@ FROM agg ORDER BY doc_id
 """
 
 
+# --- x27 symmetric int8 embedding quantization --------------------------------
+#
+# All arithmetic is exactly-specified IEEE double (float32 widening,
+# division, ties-away-from-zero round), so the int8 codes hash-match
+# bit-for-bit across engines with no planted data; only the RMSE fold is
+# rounded (4dp float contract). The codes ship as a csv string because
+# the compare canonicalizes scalars, not arrays.
+
+def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of the embedding column plus
+    per-vector reconstruction RMSE — one narrow projection over the
+    scan, zero shuffle (operators/embeddings.py)."""
+    emb = table(spark, sf, "embeddings")
+    q = EB.quantize_embeddings(emb, "vec_id", "embedding")
+    q = EB.quantization_error(q, "embedding", "qvec", "scale")
+    return q.select(
+        "vec_id",
+        F.size("qvec").cast("int").alias("n_dims"),
+        F.col("scale"),
+        F.concat_ws(",", F.transform("qvec", lambda c: c.cast("string"))).alias(
+            "q_csv"
+        ),
+        "rmse",
+    ).orderBy("vec_id")
+
+
+X27_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS sc
+      FROM (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS am
+            FROM v)),
+q AS (SELECT vec_id, e, sc,
+             list_transform(e, x -> CAST(round(x / sc) AS TINYINT)) AS qv
+      FROM s)
+SELECT vec_id,
+       CAST(len(qv) AS INTEGER) AS n_dims,
+       sc AS scale,
+       array_to_string(qv, ',') AS q_csv,
+       round(sqrt(list_sum(list_transform(e, (x, i) ->
+               (x - qv[i] * sc) * (x - qv[i] * sc)))
+             / greatest(len(e), 1)), 4) AS rmse
+FROM q ORDER BY vec_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -1168,4 +1216,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x24_url_curation": QuerySpec(x24_url_curation, X24_SQL),
     "x25_line_dedup": QuerySpec(x25_line_dedup, X25_SQL),
     "x26_classifier_score": QuerySpec(x26_classifier_score, X26_SQL),
+    "x27_quantize_embeddings": QuerySpec(x27_quantize_embeddings, X27_SQL),
 }

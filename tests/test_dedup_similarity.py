@@ -949,3 +949,90 @@ def test_line_dedup_null_text_and_metachar_sep(spark):
     assert out[0] == ("unique zero", 1)
     assert out[1] == ("unique one", 1)
     assert out[2] == ("", 0)  # doc present, text coalesced to ''
+
+
+def test_int8_quantization_roundtrip_and_bounds(spark):
+    """Symmetric int8 quantizer: codes within [-127, 127], per-element
+    reconstruction error ≤ scale/2, exact roundtrip when values sit on
+    the grid, zero-vector guarded (operators/embeddings.py)."""
+    from mapreduce_stockheadlines_spark.operators import embeddings as EB
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),      # absmax 1.0, grid-aligned-ish
+        (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+        (2, [127.0, -127.0, 63.5, 1.0]),  # scale exactly 1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = EB.quantize_embeddings(df, "vec_id", "embedding")
+    q = EB.quantization_error(q, "embedding", "qvec", "scale")
+    got = {r.vec_id: r for r in q.collect()}
+
+    # zero vector: scale guard kicks in, all codes 0, rmse 0
+    assert got[1].scale == 1.0
+    assert got[1].qvec == [0, 0, 0, 0]
+    assert got[1].rmse == 0.0
+
+    # scale-1 vector roundtrips exactly (values on the int grid; 63.5
+    # rounds HALF_UP away from zero to 64)
+    assert got[2].scale == 1.0
+    assert got[2].qvec == [127, -127, 64, 1]
+
+    for r in got.values():
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        deq = [c * r.scale for c in r.qvec]
+        orig = dict(rows)[r.vec_id]
+        assert all(
+            abs(x - d) <= r.scale / 2 + 1e-12 for x, d in zip(orig, deq)
+        )
+
+
+def test_quantization_is_shuffle_free(spark):
+    """Quantize + error is a single narrow projection — the plan must
+    contain no Exchange of any kind."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mapreduce_stockheadlines_spark.operators import embeddings as EB
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    q = EB.quantization_error(
+        EB.quantize_embeddings(df, "vec_id", "embedding"),
+        "embedding", "qvec", "scale",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_dequantize_feeds_cosine_rescore(spark):
+    """Dequantized int8 vectors keep cosine structure: the quantized
+    corpus ranks neighbors the same as the float corpus on a spread-out
+    toy set (the two-phase ANN contract: coarse int8 scan, exact
+    rescore)."""
+    import math
+
+    from mapreduce_stockheadlines_spark.operators import embeddings as EB
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    deq = EB.dequantize_embeddings(
+        EB.quantize_embeddings(df, "vec_id", "embedding"),
+        "qvec", "scale", out_col="deq",
+    ).collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    by_id = {r.vec_id: r.deq for r in deq}
+    # neighbor order of vec 0: vec 1 before vec 2, in both spaces
+    assert cos(by_id[0], by_id[1]) > cos(by_id[0], by_id[2])
