@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_array
+from ..functions.text import tokens_array, word_ngrams
 
 __all__ = [
     "term_frequencies",
@@ -32,6 +32,8 @@ __all__ = [
     "bm25_scores",
     "vocabulary",
     "oov_stats",
+    "train_bigram_lm",
+    "lm_perplexity",
 ]
 
 
@@ -213,4 +215,137 @@ def oov_stats(
         n_tokens.alias("n_tokens"),
         n_oov.alias("n_oov"),
         F.round(n_oov / n_tokens, 4).alias("oov_rate"),
+    )
+
+
+# --- bigram language-model perplexity (CCNet-style LM filtering) ------------
+
+_BOS = "<s>"  # cannot collide: real tokens are [a-z]+ only
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, 'w1 w2') bigram stream with a BOS sentinel so the first real
+    token is conditioned too. The space-joined string IS the model key
+    (tokens contain no spaces); w1 recovers as the prefix before the
+    space. Docs with zero tokens emit no bigrams and drop out of
+    scoring — both engines agree (pinned)."""
+    padded = F.concat(F.array(F.lit(_BOS)), tokens_array(text_col))
+    return df.select(
+        id_col, F.explode(word_ngrams(padded, 2)).alias("bigram")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Add-k-smoothed bigram LM over the corpus — the KenLM-filtering
+    stage of CCNet-style pipelines, reduced to its Spark-native core
+    (count-based estimation; backoff weights are a modeling refinement,
+    not a distribution-shape change).
+
+    Returns ``(lm, ctx, vocab_size)``:
+
+    - ``lm``:  (bigram, w1, logp) with
+      ``logp = round(ln((c12 + k) / (c1 + k·V)), 4)`` — rounded so any
+      engine's libm agrees on the stored value;
+    - ``ctx``: (w1, c1) context counts, for scoring bigrams the model
+      has never seen (held-out docs);
+    - ``vocab_size``: one-row (v) — distinct predicted-token count.
+
+    Scale shape: one explode feeds ONE bigram census; context counts and
+    the vocabulary size are aggregations OF that census (vocab²-bounded
+    rows, never the corpus stream again). All model tables are
+    corpus-derived — none is force-broadcast; AQE picks broadcast when
+    the vocabulary is actually small."""
+    grams = _doc_bigrams(df, id_col, text_col)
+    bg = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    bg = bg.withColumn("w1", F.split("bigram", " ")[0]).withColumn(
+        "w2", F.split("bigram", " ")[1]
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab_size = bg.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+    lm = (
+        bg.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "bigram",
+            "w1",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(add_k))
+                    / (F.col("c1") + F.lit(add_k) * F.col("v"))
+                ),
+                4,
+            ).alias("logp"),
+        )
+    )
+    return lm, ctx, vocab_size
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: DataFrame,
+    ctx: DataFrame,
+    vocab_size: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under a bigram LM:
+    ``ppl = round(exp(-mean(logp)), 4)`` over the doc's BOS-padded
+    bigrams. The standard CCNet quality signal — low perplexity ≈
+    fluent text, extreme values flag junk.
+
+    Unseen bigrams (scoring held-out docs) back off to the smoothed
+    floor ``ln(k / (c1 + k·V))`` via the context table; an unseen
+    CONTEXT gets ``c1 = 0`` (the uniform ``ln(1/V)`` floor). Join
+    shape: the doc-bigram stream joins the model on the bigram string —
+    many-to-one against a vocab²-bounded build side, AQE-broadcast for
+    realistic models; a hot bigram is one build row, so no skew
+    amplification."""
+    grams = _doc_bigrams(df, id_col, text_col)
+    scored = (
+        grams.join(lm.select("bigram", "logp"), "bigram", "left")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab_size))
+        .withColumn(
+            "logp_eff",
+            F.coalesce(
+                "logp",
+                F.round(
+                    F.log(
+                        F.lit(add_k)
+                        / (
+                            F.coalesce("c1", F.lit(0))
+                            + F.lit(add_k) * F.col("v")
+                        )
+                    ),
+                    4,
+                ),
+            ),
+        )
+    )
+    # The per-gram logps are 4dp-rounded, i.e. exact multiples of 1e-4 —
+    # so the mean is computed in integer 1e-4 units (exact, order-free
+    # sum + HALF_UP integer division), not a float avg: a float sum's
+    # order-dependent last ulp can flip the 4dp rounding of the mean
+    # (observed once in 500 docs), and summation order differs across
+    # engines. Same fixed-point trick as textstats._quality_cols.
+    logp4 = F.round(F.col("logp_eff") * 10000).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(logp4).alias("s4"),
+    )
+    avg4 = F.expr(
+        "cast((2 * abs(s4) + n_bigrams) div (2 * n_bigrams) as long)"
+    ) * F.signum("s4").cast("long")
+    return (
+        agg.withColumn("avg_logp", avg4 / F.lit(10000.0))
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 4))
+        .drop("s4")
     )

@@ -215,3 +215,110 @@ def test_oov_stats_hand_values(spark):
     rows = {r.doc_id: r for r in oov_stats(docs, "doc_id", "text", vocab).collect()}
     assert rows[0].n_tokens == 3 and rows[0].n_oov == 0 and rows[0].oov_rate == 0.0
     assert rows[1].n_tokens == 2 and rows[1].n_oov == 1 and rows[1].oov_rate == 0.5
+
+
+# --- bigram LM perplexity ----------------------------------------------------
+
+def test_bigram_lm_hand_values(spark):
+    """Hand-checked add-k bigram model on a two-doc corpus."""
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b a")], ["doc_id", "text"]
+    )
+    lm, ctx, v = R.train_bigram_lm(docs, "doc_id", "text", add_k=0.5)
+    # bigrams: doc0: <s> a, a b; doc1: <s> a, a b, b a
+    # c12: '<s> a'=2, 'a b'=2, 'b a'=1; c1: <s>=2, a=2, b=1; V={a,b}=2
+    vv = v.collect()[0].v
+    assert vv == 2
+    lm_rows = {r.bigram: r.logp for r in lm.collect()}
+    k = 0.5
+    assert lm_rows["<s> a"] == round(math.log((2 + k) / (2 + k * 2)), 4)
+    assert lm_rows["b a"] == round(math.log((1 + k) / (1 + k * 2)), 4)
+
+    ppl = {
+        r.doc_id: r
+        for r in R.lm_perplexity(docs, lm, ctx, v, "doc_id", "text").collect()
+    }
+    # doc 0: mean of logp('<s> a'), logp('a b')
+    want_mean = round(
+        (lm_rows["<s> a"] + lm_rows["a b"]) / 2, 4
+    )
+    assert ppl[0].n_bigrams == 2
+    assert ppl[0].avg_logp == want_mean
+    assert ppl[0].ppl == round(math.exp(-want_mean), 4)
+
+
+def test_lm_perplexity_unseen_bigram_backoff(spark):
+    """Held-out doc: unseen bigram under a seen context uses the smoothed
+    floor k/(c1+kV); an unseen context falls to the uniform 1/V floor."""
+    train = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    lm, ctx, v = R.train_bigram_lm(train, "doc_id", "text", add_k=0.5)
+    held = spark.createDataFrame([(9, "a a zz")], ["doc_id", "text"])
+    out = R.lm_perplexity(held, lm, ctx, v, "doc_id", "text").collect()[0]
+    k, vv = 0.5, 2  # V = {a, b}
+    # grams: '<s> a' (seen), 'a a' (unseen, ctx a has c1=1), 'a zz'
+    # (unseen, ctx a), ...wait 'a zz': ctx 'a' seen; 'zz' never predicted
+    logp_sa = round(math.log((1 + k) / (1 + k * vv)), 4)
+    floor_a = round(math.log(k / (1 + k * vv)), 4)
+    want_mean = round((logp_sa + floor_a + floor_a) / 3, 4)
+    assert out.n_bigrams == 3
+    assert out.avg_logp == want_mean
+    assert out.ppl == round(math.exp(-want_mean), 4)
+
+
+LM_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+           t -> t <> '')) AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks),
+bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+       FROM grams GROUP BY bigram),
+bgx AS (SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2
+        FROM bg),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgx GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bgx),
+lm AS (SELECT bigram,
+              round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 4) AS logp
+       FROM bgx JOIN ctx USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(logp * 10000) AS BIGINT)) AS BIGINT) AS s4
+        FROM grams JOIN lm USING (bigram)
+        GROUP BY doc_id),
+-- exact fixed-point mean (1e-4 units): order-free integer sum + HALF_UP
+-- integer division, mirroring the Spark side
+fx AS (SELECT doc_id, n_bigrams,
+              ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
+                * sign(s4) / 10000.0 AS avg_logp
+       FROM agg)
+SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+FROM fx ORDER BY doc_id
+"""
+
+
+def test_lm_perplexity_matches_duckdb_on_documents(spark, sf_dir):
+    """Full cross-engine pin of train + self-score over the real
+    documents table: DuckDB re-derives the entire model."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm, ctx, v = R.train_bigram_lm(docs, "doc_id", "text", add_k=0.5)
+    got = [
+        (r.doc_id, r.n_bigrams, r.avg_logp, r.ppl)
+        for r in R.lm_perplexity(docs, lm, ctx, v, "doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(t) for t in con.sql(LM_PPL_ORACLE).fetchall()]
+    assert got == want
