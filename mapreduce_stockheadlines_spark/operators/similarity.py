@@ -546,14 +546,30 @@ def lsh_bucketed_pairs(
         as_double(vec_col).alias("v"),
         bucket_col.alias("bucket"),
     )
-    wb = Window.partitionBy("bucket")
-    base = bucketed.withColumn(
+    return _within_group_pairs(bucketed, threshold, block_rows, "bucket")
+
+
+def _within_group_pairs(
+    grouped: DataFrame,
+    threshold: float,
+    block_rows: int,
+    group_col: str,
+) -> DataFrame:
+    """Same-group cosine pairs over (id, v, ``group_col``) with the
+    plan-native sub-block decomposition (see ``lsh_bucketed_pairs``, the
+    original call site; ``semantic_neardup_pairs`` groups by k-means
+    cluster instead of LSH bucket): a window count sizes each group's
+    sub-blocks lazily, rows explode to their sub-block pairs, and each
+    (group, pa, pb) is one bounded ``applyInPandas`` task — a hot group
+    is never one task."""
+    wb = Window.partitionBy(group_col)
+    base = grouped.withColumn(
         "mb", F.ceil(F.count(F.lit(1)).over(wb) / block_rows).cast("int")
     ).withColumn("g", F.pmod(F.xxhash64("id"), F.col("mb")).cast("int"))
     # every sub-block pair this row's g participates in: (min(g,p), max(g,p))
     # for p in 0..mb-1 — p == g yields the diagonal group once
     expanded = base.select(
-        "bucket",
+        group_col,
         "id",
         "v",
         "g",
@@ -567,7 +583,7 @@ def lsh_bucketed_pairs(
             )
         ).alias("pp"),
     ).select(
-        "bucket",
+        group_col,
         "id",
         "v",
         "g",
@@ -575,7 +591,81 @@ def lsh_bucketed_pairs(
         F.col("pp.pb").alias("pb"),
     )
     return (
-        expanded.groupBy("bucket", "pa", "pb")
+        expanded.groupBy(group_col, "pa", "pb")
         .applyInPandas(_score_block_pair(threshold), "id_a long, id_b long, sim double")
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023): k-means the
+    corpus into semantic cells, compare only WITHIN a cell — near-dups
+    land in the same cell because they are near the same centroid, so
+    the quadratic work shrinks from n² to Σ|cell|² while staying exact
+    cosine (not a hash approximation) inside each cell.
+
+    Scale shape: ``kmeans_centroids`` (one pass per iteration, map-side
+    partial sums, corpus never shuffled) → broadcast-centroid argmax
+    assignment in one Arrow pass (the IVF assign kernel) → the shared
+    sub-block decomposition, so a mega-cell decomposes into bounded
+    tasks instead of one straggler. Recall < 1 by construction (a dup
+    pair split across a cell boundary is missed — raise ``n_clusters``
+    quality via ``train_iters``, or lower ``n_clusters`` toward 1 which
+    degrades to exact ``neardup_pairs``); pinned by a recall property
+    test against the exact path."""
+    spark = emb.sparkSession
+    cent_mat = kmeans_centroids(
+        emb, id_col, vec_col, k=n_clusters, n_iters=train_iters
+    )
+    bc = spark.sparkContext.broadcast(cent_mat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _to_matrix(pdf["v"])
+            # 4dp-rounded argmax, first maximal centroid on ties — the
+            # deterministic assignment contract shared with ivf_topk
+            cl = np.argmax(np.round(m @ cmat.T, 4), axis=1).astype("int32")
+            yield pd.DataFrame({"cluster": cl, "id": pdf["id"], "v": pdf["v"]})
+
+    assigned = emb.select(
+        F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
+    ).mapInPandas(assign, "cluster int, id long, v array<double>")
+    return _within_group_pairs(assigned, threshold, block_rows, "cluster")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    block_rows: int = 4096,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Corpus-level semantic deduplication: drop all but one
+    representative (min id) of every semantic near-dup group —
+    ``semantic_neardup_pairs`` → connected components → anti-join
+    (the ``dedup_by_pairs`` composition; transitive chains collapse to
+    one survivor even when the endpoints' similarity is below
+    threshold, the standard component semantics of this repo's dedup
+    family)."""
+    from .dedup import dedup_by_pairs
+
+    pairs = semantic_neardup_pairs(
+        emb, id_col, vec_col, threshold, n_clusters, train_iters, block_rows
+    )
+    return dedup_by_pairs(
+        emb, pairs, id_col, reliable_checkpoint=reliable_checkpoint
     )

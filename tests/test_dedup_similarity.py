@@ -1036,3 +1036,61 @@ def test_dequantize_feeds_cosine_rescore(spark):
     by_id = {r.vec_id: r.deq for r in deq}
     # neighbor order of vec 0: vec 1 before vec 2, in both spaces
     assert cos(by_id[0], by_id[1]) > cos(by_id[0], by_id[2])
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup -----------------------------
+
+def test_semantic_dedup_removes_planted_copies(spark, sf_dir):
+    """Exact copies of real embedding vectors (ids offset by 10000) land
+    in the SAME k-means cell by construction (identical vector → same
+    argmax), so every original/copy pair has cosine 1.0 within a cell:
+    semantic_dedup must keep exactly the originals."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(copies)
+    survivors = S.semantic_dedup(
+        both, "vec_id", "embedding",
+        threshold=0.99, n_clusters=4, train_iters=1, block_rows=16,
+    )
+    ids = sorted(r.vec_id for r in survivors.select("vec_id").collect())
+    orig = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert ids == orig  # every copy dropped, every original kept
+
+
+def test_semantic_pairs_subset_of_exact_with_full_recall_on_copies(spark, sf_dir):
+    """Cluster-scoped pairs are a SUBSET of the exact all-pairs output
+    (same threshold, same rounding), and the planted-copy pairs — which
+    cannot cross a cell boundary — are all recalled."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(copies)
+    sem = {
+        (r.id_a, r.id_b)
+        for r in S.semantic_neardup_pairs(
+            both, "vec_id", "embedding",
+            threshold=0.9, n_clusters=4, train_iters=1, block_rows=16,
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.neardup_pairs(
+            both, "vec_id", "embedding", threshold=0.9, block_rows=16
+        ).collect()
+    }
+    assert sem <= exact
+    planted = {
+        (r.vec_id, r.vec_id + 10000) for r in emb.select("vec_id").collect()
+    }
+    assert planted <= sem
