@@ -157,3 +157,54 @@ def write_zordered(
         *( [num_files] if num_files is not None else [] ), "__z"
     ).sortWithinPartitions("__z").drop("__z")
     out.write.mode(mode).parquet(path)
+
+
+def write_parquet_partitioned_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    files_per_partition: int = 1,
+    key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet with a BOUNDED file count per partition
+    directory.
+
+    A plain ``partitionBy`` write emits one file per (task × directory)
+    combination: with default parallelism every date directory of an
+    events table gets up to ``shuffle.partitions`` small files, and the
+    small-file problem ``compact_parquet`` exists to clean up is created
+    at write time. Pre-shuffling on (partition cols, split) routes each
+    directory's rows to at most ``files_per_partition`` tasks, so every
+    directory gets at most that many files in ONE write — no compaction
+    pass needed afterwards.
+
+    ``split`` is ``xxhash64(key) % files_per_partition`` — deterministic
+    (retries/speculation write identical layouts, unlike a rand() salt);
+    ``key`` defaults to the first non-partition column. With
+    ``files_per_partition=1`` the split column is constant and skipped:
+    the shuffle is on the partition columns alone.
+    """
+    from pyspark.sql import functions as F
+
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    part_cols = [F.col(c) for c in partition_by]
+    if files_per_partition == 1:
+        out = df.repartition(*part_cols)
+    else:
+        if key is None:
+            non_part = [c for c in df.columns if c not in partition_by]
+            if not non_part:
+                raise ValueError(
+                    "write_parquet_partitioned_sized: no non-partition "
+                    "column to derive the split key from; pass key="
+                )
+            key = non_part[0]
+        split = F.pmod(
+            F.xxhash64(F.col(key)), F.lit(files_per_partition)
+        ).alias("__split")
+        out = df.withColumn("__split", split).repartition(
+            *part_cols, F.col("__split")
+        ).drop("__split")
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)

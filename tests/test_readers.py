@@ -329,3 +329,37 @@ def test_compact_parquet_shuffle_mode_balances(spark, tmp_path):
     n = compact_parquet(spark, src, dst, target_file_mb=1024, shuffle=True)
     assert n == 1
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_partitioned_sized_write_bounds_files_per_dir(spark, tmp_path):
+    """Every partition directory gets at most files_per_partition parquet
+    files in one write (no post-hoc compaction), and content round-trips."""
+    import glob
+
+    from mapreduce_stockheadlines_spark.sources.sinks import (
+        write_parquet_partitioned_sized,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("day"), F.col("id").alias("v")
+    )
+    dst = str(tmp_path / "sized")
+    write_parquet_partitioned_sized(
+        df, dst, partition_by=["day"], files_per_partition=2, key="v"
+    )
+    day_dirs = glob.glob(f"{dst}/day=*")
+    assert len(day_dirs) == 5
+    for d in day_dirs:
+        n = len(glob.glob(f"{d}/*.parquet"))
+        assert 1 <= n <= 2, f"{d} has {n} files"
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 1000 * 999 // 2
+
+    # files_per_partition=1 → exactly one file per directory
+    dst1 = str(tmp_path / "sized1")
+    write_parquet_partitioned_sized(
+        df, dst1, partition_by=["day"], files_per_partition=1
+    )
+    for d in glob.glob(f"{dst1}/day=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
