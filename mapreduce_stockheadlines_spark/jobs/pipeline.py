@@ -20,6 +20,10 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 gates run before redaction)
       → PII redaction          (codegen regex scrub of the survivors;
                                 keeps n_pii)
+      → model quality gates    (optional: linear-classifier score floor
+                                --min-clf-score [--clf-weights] and
+                                bigram-LM perplexity ceiling
+                                --max-perplexity)
       → quantile gate          (optional: keep the top fraction by
                                 quality via one t-digest sketch —
                                 --keep-top)
@@ -56,6 +60,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import packing as PK
+from ..operators import relevance as RV
 from ..operators import sampling as SA
 from ..operators import textstats as TS
 from ..plans.catalog import DEFAULT_SF_DIR, parallel_table
@@ -75,6 +80,10 @@ def curate(
     strip_boilerplate: bool = False,
     max_dup_window_fraction: float | None = None,
     dup_window_tokens: int = 8,
+    min_clf_score: float | None = None,
+    clf_weights: DataFrame | None = None,
+    max_perplexity: float | None = None,
+    lm_model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
@@ -154,6 +163,27 @@ def curate(
         "text", TS.pii_redacted("text")
     )
 
+    # 4b. (optional) model-based quality gates — after the cheap heuristic
+    #     gates (classifier/LM work runs only on heuristic survivors):
+    #     a linear bag-of-words classifier score floor (real weight table
+    #     via broadcast join, or the hashed stand-in model), and a bigram
+    #     LM perplexity ceiling (CCNet-style; pass a pretrained
+    #     ``lm_model`` = train_bigram_lm(...) of a CLEAN corpus — the
+    #     default self-train flags only the corpus's own outliers)
+    if min_clf_score is not None:
+        clf = TS.classifier_score(docs, "doc_id", "text", weights=clf_weights)
+        good = clf.filter(F.col("clf_score") >= min_clf_score).select("doc_id")
+        docs = docs.join(good, "doc_id", "left_semi")
+    if max_perplexity is not None:
+        lm, ctx, v = (
+            lm_model
+            if lm_model is not None
+            else RV.train_bigram_lm(docs, "doc_id", "text")
+        )
+        ppl = RV.lm_perplexity(docs, lm, ctx, v, "doc_id", "text")
+        fluent = ppl.filter(F.col("ppl") <= max_perplexity).select("doc_id")
+        docs = docs.join(fluent, "doc_id", "left_semi")
+
     # 5b. (optional) relative quality gate on top of the absolute one:
     #     keep the best keep_top fraction (one sketch, no corpus shuffle)
     if keep_top is not None:
@@ -222,6 +252,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dup-window-tokens", type=int, default=8,
                     help="token-window width for the duplicated-window "
                          "gate")
+    ap.add_argument("--min-clf-score", type=float, default=None,
+                    help="drop docs whose linear-classifier score is "
+                         "below this (hashed model, or --clf-weights)")
+    ap.add_argument("--clf-weights", default=None,
+                    help="TSV of 'token<TAB>weight' model rows for the "
+                         "classifier gate")
+    ap.add_argument("--max-perplexity", type=float, default=None,
+                    help="drop docs whose bigram-LM perplexity exceeds "
+                         "this (self-trained model)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="checkpoint dir for the near-dup component "
                          "rounds (fault-tolerant reliable checkpoints "
@@ -264,6 +303,15 @@ def main(argv: list[str] | None = None) -> None:
         strip_boilerplate=args.strip_boilerplate,
         max_dup_window_fraction=args.max_dup_window_fraction,
         dup_window_tokens=args.dup_window_tokens,
+        min_clf_score=args.min_clf_score,
+        clf_weights=(
+            spark.read.option("sep", "\t")
+            .schema("token string, weight double")
+            .csv(args.clf_weights)
+            if args.clf_weights
+            else None
+        ),
+        max_perplexity=args.max_perplexity,
         reliable_checkpoint=bool(args.checkpoint_dir),
     )
     if args.shuffle_output:

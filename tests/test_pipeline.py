@@ -310,3 +310,52 @@ def test_curate_end_to_end_content_pin(spark):
     assert digest == (
         "7d8acb562e9c86687231616955eedfb35c46a8eb4555ae403b9277a8a677f7fd"
     )
+
+
+def test_curate_model_quality_gates(spark):
+    """The classifier floor (real weight table) and the perplexity
+    ceiling drop exactly the documents the standalone operators flag —
+    and the gates compose with the rest of the pipeline."""
+    from mapreduce_stockheadlines_spark.operators import relevance as RV
+    from mapreduce_stockheadlines_spark.operators import textstats as TSX
+
+    fluent = (
+        "the market is strong and the outlook for the quarter is good "
+        "because the earnings of the company are strong"
+    )
+    junky = "zxqj vvkw qqpl mmtr zzed ghrw zxqj vvkw qqpl mmtr"
+    rows = [
+        (1, fluent, "a"),
+        (2, "the market is weak but the outlook for the year is fair "
+            "because the earnings of the sector are stable", "a"),
+        (3, junky, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = spark.createDataFrame(
+        [("market", 2.0), ("outlook", 2.0), ("earnings", 2.0),
+         ("zxqj", -5.0), ("vvkw", -5.0)],
+        ["token", "weight"],
+    )
+
+    # expected survivors from the standalone operators, same settings
+    clf = TSX.classifier_score(docs, "doc_id", "text", weights=weights)
+    clf_pass = {r.doc_id for r in clf.filter(F.col("clf_score") >= 0.5).collect()}
+    lm, ctx, v = RV.train_bigram_lm(docs, "doc_id", "text")
+    ppl = RV.lm_perplexity(docs, lm, ctx, v, "doc_id", "text")
+    ppl_vals = {r.doc_id: r.ppl for r in ppl.collect()}
+    cut = sorted(ppl_vals.values())[1]  # keep the two most fluent
+    ppl_pass = {d for d, p in ppl_vals.items() if p <= cut}
+
+    out = curate(
+        docs,
+        lang="en",
+        min_quality=0.0,
+        min_clf_score=0.5,
+        clf_weights=weights,
+        max_perplexity=cut,
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    # lang gate: all three docs must come through it identically, so the
+    # model gates alone decide — junk doc 3 is out on both signals
+    assert 3 not in got
+    assert got == clf_pass & ppl_pass & {1, 2, 3}
