@@ -1158,8 +1158,9 @@ FROM agg ORDER BY doc_id
 def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric max-abs int8 quantization of the embedding column plus
     per-vector reconstruction RMSE — one narrow projection over the
-    scan, zero shuffle (operators/embeddings.py)."""
-    emb = table(spark, sf, "embeddings")
+    scan, zero data shuffle (operators/embeddings.py; parallel_table
+    fans the single-file test scan out across slots)."""
+    emb = parallel_table(spark, sf, "embeddings")
     q = EB.quantize_embeddings(emb, "vec_id", "embedding")
     q = EB.quantization_error(q, "embedding", "qvec", "scale")
     return q.select(
