@@ -28,7 +28,11 @@ from ..operators.dedup import (
     signature_agreement,
     signature_bands,
 )
-from ..operators.textstats import filter_blocked_domains, text_stats
+from ..operators.textstats import (
+    classifier_score,
+    filter_blocked_domains,
+    text_stats,
+)
 
 _NEARDUP_HASHES = 8
 _NEARDUP_BANDS = 4
@@ -44,6 +48,8 @@ def curated_ingest_sink(
     blocked_domains: list[str] | None = None,
     neardup_threshold: float | None = None,
     neardup_index_dir: str | None = None,
+    min_clf_score: float | None = None,
+    clf_weights: list[tuple[str, float]] | None = None,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
@@ -154,6 +160,23 @@ def curated_ingest_sink(
                 cond = cond & (F.col("quality") >= min_quality)
             survivors = survivors.join(
                 stats.filter(cond).select(id_col), id_col, "left_semi"
+            )
+        if min_clf_score is not None:
+            # linear-classifier gate, mirroring the batch pipeline's
+            # model-gate stage: weight table (tiny — broadcast inside
+            # classifier_score) or the hashed stand-in model
+            wtab = (
+                batch_df.sparkSession.createDataFrame(
+                    list(clf_weights), ["token", "weight"]
+                )
+                if clf_weights
+                else None
+            )
+            clf = classifier_score(survivors, id_col, text_col, weights=wtab)
+            survivors = survivors.join(
+                clf.filter(F.col("clf_score") >= min_clf_score).select(id_col),
+                id_col,
+                "left_semi",
             )
         # per-batch subdir + overwrite = idempotent under micro-batch retry
         survivors.drop("text_hash").write.mode("overwrite").parquet(

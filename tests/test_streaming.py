@@ -383,3 +383,43 @@ def test_curated_ingest_domain_blocklist(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 3]
     assert spark.read.parquet(idx).count() == 2  # blocked doc not indexed
+
+
+def test_curated_ingest_classifier_gate(spark, tmp_path):
+    """The streaming ingest applies the linear-classifier gate with a
+    provided weight table: low-scoring docs are dropped and never enter
+    the digest index (stream/batch parity for the model-gate stage)."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    rows = [
+        (1, "great insightful analysis of markets"),
+        (2, "spammy spammy spammy junk junk"),
+        (3, "more insightful market analysis"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "r1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream, out, idx, ck,
+        min_clf_score=0.5,
+        clf_weights=[("insightful", 3.0), ("spammy", -3.0), ("junk", -3.0)],
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
+    assert spark.read.parquet(idx).count() == 2  # gated doc not indexed
