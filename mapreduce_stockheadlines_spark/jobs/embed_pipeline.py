@@ -1,0 +1,167 @@
+"""Vector-side curation pipeline: the embedding operators composed the
+way a 100 TB embedding corpus is actually maintained — the companion of
+jobs/pipeline.py (text side).
+
+    embeddings
+      → semantic dedup      (optional: SemDeDup k-means cells → exact
+                             within-cell cosine pairs → connected
+                             components → min-id representative —
+                             --sem-threshold)
+      → int8 quantization   (optional: symmetric max-abs codes + scale +
+                             per-vector reconstruction RMSE — --quantize)
+      → IVF index build     (optional: distributed Lloyd training, the
+                             centroid matrix persisted as parquet next to
+                             the corpus, per-vector cell assignments in
+                             the output — --build-index)
+      → corpus parquet      (survivors with whatever columns the stages
+                             added)
+
+``search`` mode serves approximate top-k from a built index: it loads
+the persisted centroid matrix (tiny — k×dim), takes query vectors by id
+from the corpus, and runs the IVF probe-and-rescore with NO training
+pass — the serve path of an offline-built ANN index.
+
+Usage:
+    python -m mapreduce_stockheadlines_spark.jobs.embed_pipeline build \
+        OUT_DIR [--sf-dir DIR] [--sem-threshold 0.95] [--n-clusters 16] \
+        [--quantize] [--build-index] [--n-centroids 16] [--train-iters 2]
+    python -m mapreduce_stockheadlines_spark.jobs.embed_pipeline search \
+        OUT_DIR --query-ids 0,1,2 [--k 10] [--n-probe 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import embeddings as EB
+from ..operators import similarity as S
+from ..plans.catalog import DEFAULT_SF_DIR, table
+from ..session import get_spark
+
+
+def curate_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sem_threshold: float | None = None,
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    quantize: bool = False,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Semantic dedup (optional) then int8 quantization (optional) over
+    an embedding frame; stages are DataFrame→DataFrame and default off,
+    mirroring jobs/pipeline.curate's composition contract."""
+    if sem_threshold is not None:
+        emb = S.semantic_dedup(
+            emb,
+            id_col,
+            vec_col,
+            threshold=sem_threshold,
+            n_clusters=n_clusters,
+            train_iters=train_iters,
+            reliable_checkpoint=reliable_checkpoint,
+        )
+    if quantize:
+        emb = EB.quantize_embeddings(emb, id_col, vec_col)
+        emb = EB.quantization_error(emb, vec_col, "qvec", "scale")
+    return emb
+
+
+def build_index(
+    emb: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_iters: int = 2,
+) -> None:
+    """Train IVF centroids (distributed Lloyd, one corpus pass per
+    iteration) and persist the index: ``<out>/centroids`` holds the
+    k×dim matrix as (cell, centroid) rows — driver-tiny, the only
+    collected artifact — so ``search`` serves without retraining."""
+    spark = emb.sparkSession
+    cent = S.kmeans_centroids(
+        emb, id_col, vec_col, k=n_centroids, n_iters=train_iters
+    )
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/centroids")
+
+
+def load_centroids(spark: SparkSession, out_dir: str) -> np.ndarray:
+    pdf = (
+        spark.read.parquet(f"{out_dir}/centroids")
+        .orderBy("cell")
+        .toPandas()
+    )
+    return np.stack([np.asarray(v, dtype="float64") for v in pdf["centroid"]])
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["build", "search"])
+    ap.add_argument("out_dir")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--sem-threshold", type=float, default=None,
+                    help="semantic-dedup cosine threshold (off when unset)")
+    ap.add_argument("--n-clusters", type=int, default=16,
+                    help="k-means cells for semantic dedup")
+    ap.add_argument("--quantize", action="store_true",
+                    help="attach int8 codes + scale + reconstruction rmse")
+    ap.add_argument("--build-index", action="store_true",
+                    help="train + persist IVF centroids for search mode")
+    ap.add_argument("--n-centroids", type=int, default=16)
+    ap.add_argument("--train-iters", type=int, default=2)
+    ap.add_argument("--query-ids", default="0",
+                    help="search mode: comma-separated corpus vector ids")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-probe", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("embed-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "build":
+        emb = table(spark, args.sf_dir, "embeddings")
+        out = curate_embeddings(
+            emb,
+            sem_threshold=args.sem_threshold,
+            n_clusters=args.n_clusters,
+            train_iters=args.train_iters,
+            quantize=args.quantize,
+        )
+        out.write.mode("overwrite").parquet(f"{args.out_dir}/corpus")
+        if args.build_index:
+            kept = spark.read.parquet(f"{args.out_dir}/corpus")
+            build_index(
+                kept,
+                args.out_dir,
+                n_centroids=args.n_centroids,
+                train_iters=args.train_iters,
+            )
+        n = spark.read.parquet(f"{args.out_dir}/corpus").count()
+        print(f"kept {n} vectors -> {args.out_dir}/corpus")
+    else:
+        corpus = spark.read.parquet(f"{args.out_dir}/corpus")
+        cent = load_centroids(spark, args.out_dir)
+        ids = [int(x) for x in args.query_ids.split(",")]
+        queries = corpus.filter(F.col("vec_id").isin(ids))
+        hits = S.ivf_topk(
+            queries,
+            corpus,
+            k=args.k,
+            n_probe=args.n_probe,
+            centroids=cent,
+        ).orderBy("query_id", "rank")
+        for r in hits.collect():
+            print(f"{r.query_id}\t{r.rank}\t{r.neighbor_id}\t{r.sim}")
+
+
+if __name__ == "__main__":
+    main()

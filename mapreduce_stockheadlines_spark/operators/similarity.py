@@ -318,10 +318,14 @@ def ivf_topk(
     n_probe: int = 4,
     max_query_rows: int = 65536,
     train_iters: int = 0,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe only the ``n_probe`` cells nearest
-    each query, exact-rescore the candidates.
+    each query, exact-rescore the candidates. Pass ``centroids`` (a
+    k×dim array, e.g. persisted from a prior ``kmeans_centroids`` run —
+    the jobs/embed_pipeline index-build flow) to skip training and serve
+    from a fixed index.
 
     Scale path vs brute force: the candidate join prunes the corpus to
     ~n_probe/n_centroids of its rows BEFORE any scoring work; the probe
@@ -338,7 +342,9 @@ def ivf_topk(
     property test against the exact ``cosine_topk``).
     """
     spark = corpus.sparkSession
-    if train_iters > 0:
+    if centroids is not None:
+        cent_mat = np.asarray(centroids, dtype="float64")
+    elif train_iters > 0:
         cent_mat = kmeans_centroids(
             corpus, id_col, vec_col, k=n_centroids, n_iters=train_iters
         )

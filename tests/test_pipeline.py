@@ -359,3 +359,47 @@ def test_curate_model_quality_gates(spark):
     # model gates alone decide — junk doc 3 is out on both signals
     assert 3 not in got
     assert got == clf_pass & ppl_pass & {1, 2, 3}
+
+
+def test_embed_pipeline_build_and_search(spark, tmp_path, sf_dir):
+    """Vector-side pipeline end to end: semantic dedup drops planted
+    copies, quantization attaches codes, the persisted IVF index serves
+    search without retraining, and the served neighbors match running
+    ivf_topk directly on the same centroids."""
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import (
+        build_index,
+        curate_embeddings,
+        load_centroids,
+    )
+    from mapreduce_stockheadlines_spark.operators import similarity as S
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    copies = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    both = emb.unionByName(copies)
+
+    out = curate_embeddings(
+        both, sem_threshold=0.99, n_clusters=4, train_iters=1, quantize=True
+    )
+    out_dir = str(tmp_path / "vec")
+    out.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    kept = spark.read.parquet(f"{out_dir}/corpus")
+    assert sorted(r.vec_id for r in kept.select("vec_id").collect()) == sorted(
+        r.vec_id for r in emb.select("vec_id").collect()
+    )
+    assert {"qvec", "scale", "rmse"} <= set(kept.columns)
+
+    build_index(kept, out_dir, n_centroids=4, train_iters=1)
+    cent = load_centroids(spark, out_dir)
+    assert cent.shape == (4, 64)
+
+    queries = kept.filter(F.col("vec_id") < 2)
+    served = S.ivf_topk(queries, kept, k=5, n_probe=2, centroids=cent)
+    direct = S.ivf_topk(queries, kept, k=5, n_probe=2, centroids=cent)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert served.count() > 0
