@@ -1094,3 +1094,23 @@ def test_semantic_pairs_subset_of_exact_with_full_recall_on_copies(spark, sf_dir
         (r.vec_id, r.vec_id + 10000) for r in emb.select("vec_id").collect()
     }
     assert planted <= sem
+
+
+def test_semantic_pairs_hot_cell_decomposes_to_bounded_tasks(spark):
+    """A degenerate corpus where EVERY vector lands in one k-means cell:
+    the shared sub-block decomposition must still produce the complete
+    pair set (the hot cell is never one task — same contract the LSH
+    path pins)."""
+    import math as _m
+
+    rows = [(i, [1.0, float(i % 3) * 1e-4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.semantic_neardup_pairs(
+        df, "vec_id", "embedding",
+        threshold=0.999, n_clusters=2, train_iters=1, block_rows=4,
+    ).collect()
+    # all 40 near-identical vectors share a cell; at threshold .999 all
+    # C(40,2) pairs must surface despite block_rows=4 (100 sub-block
+    # groups, max 8 vectors per task)
+    assert len(pairs) == _m.comb(40, 2)
+    assert all(r.id_a < r.id_b for r in pairs)

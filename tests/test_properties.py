@@ -348,3 +348,38 @@ def test_assign_bins_invariants(sizes, budget, max_open_bins):
     if assign:
         used = sorted(set(assign))
         assert used == list(range(len(used)))  # dense ids from 0
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_int8_quantization_error_bound_property(spark, vecs):
+    """For ANY vector set: codes in [-127, 127] and per-element
+    reconstruction error <= scale/2 (the symmetric-quantizer contract)."""
+    from mapreduce_stockheadlines_spark.operators import embeddings as EB
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = EB.quantize_embeddings(df, "vec_id", "embedding").collect()
+    for r in got:
+        orig = vecs[r.vec_id]
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        assert all(
+            abs(x - c * r.scale) <= r.scale / 2 + 1e-9
+            for x, c in zip(orig, r.qvec)
+        )
