@@ -2,12 +2,14 @@
 ``binary`` columns + typed metadata structs.
 
 Two decode tiers. Formats with a pure-numpy decoder are decoded FOR REAL
-— PPM (P6, the netpbm raw-RGB format) and uncompressed 24-bit BMP, both
-parseable with struct + frombuffer, no codec library — including real
-pixel features and a real nearest-neighbor resample. Compressed formats
-(JPEG/PNG/audio/video) need codec libraries not present in this
-environment, so their kernel stays stubbed (deterministic fake derived
-from the content digest, or ``NotImplementedError`` in strict mode).
+— PPM (P6, the netpbm raw-RGB format) and uncompressed 24-bit BMP for
+images, RIFF 16-bit-PCM WAV for audio, all parseable with struct +
+frombuffer, no codec library — including real pixel/PCM features and a
+real nearest-neighbor resample (images) / windowed frame sampling
+(audio). Compressed formats (JPEG/PNG/MP3/video) need codec libraries
+not present in this environment, so their kernel stays stubbed
+(deterministic fake derived from the content digest, or
+``NotImplementedError`` in strict mode).
 Either way the Spark-side plumbing is identical and real: binary schema,
 Arrow-batched ``mapInPandas``, per-batch vectorization,
 partition-preserving shape.
@@ -26,6 +28,7 @@ from pyspark.sql import types as T
 
 MIME_PPM = "image/x-portable-pixmap"
 MIME_BMP = "image/bmp"
+MIME_WAV = "audio/wav"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -69,10 +72,18 @@ def detect_mime(content_col) -> "F.Column":
         F.col(content_col) if isinstance(content_col, str) else content_col
     )
     h = F.hex(F.substring(content, 1, 8))
+    # RIFF is a container: bytes 9-12 name the form ('WAVE' → audio/wav);
+    # other forms (AVI, WebP's outer) keep the generic container mime
+    riff_form = F.hex(F.substring(content, 9, 4))
     expr = None
     for prefix, mime in _MAGIC_MIMES:
         cond = h.startswith(prefix)
-        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+        val = (
+            F.when(riff_form == "57415645", MIME_WAV).otherwise(mime)
+            if prefix == "52494646"
+            else F.lit(mime)
+        )
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     return expr.otherwise("application/octet-stream")
 
 
@@ -166,8 +177,64 @@ def _pixel_feature(px: np.ndarray) -> list[float]:
     return [round(float(v), 6) for v in vals]
 
 
+def _decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-struct/numpy WAV (RIFF PCM) decode → (sample_rate, n_channels,
+    samples[n_frames, n_channels] int16).
+
+    Walks the RIFF chunk list for ``fmt `` (must be format 1 = integer
+    PCM, 16-bit) and ``data``; chunks are word-aligned (odd sizes pad one
+    byte). No codec involved — WAV PCM is a plain header + raw samples,
+    the audio analogue of PPM/BMP."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit integer PCM WAV supported")
+    raw = np.frombuffer(data, dtype="<i2")
+    n_frames = raw.size // max(n_channels, 1)
+    return sample_rate, n_channels, raw[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def _audio_feature(rate: int, samples: np.ndarray) -> list[float]:
+    """8-dim feature from real PCM samples: duration (s), rms, mean abs,
+    peak (all amplitudes normalized to [0, 1]), zero-crossing rate,
+    per-half energies, silence fraction."""
+    a = samples.astype(np.float64) / 32768.0
+    mono = a.mean(axis=1) if a.ndim == 2 else a
+    n = max(mono.size, 1)
+    half = n // 2 or 1
+    zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) / n
+    vals = [
+        n / max(rate, 1),
+        float(np.sqrt(np.mean(mono**2))),
+        float(np.abs(mono).mean()),
+        float(np.abs(mono).max(initial=0.0)),
+        zc,
+        float(np.sqrt(np.mean(mono[:half] ** 2))),
+        float(np.sqrt(np.mean(mono[half:] ** 2))) if mono[half:].size else 0.0,
+        float((np.abs(mono) < 1e-3).mean()),
+    ]
+    return [round(v, 6) for v in vals]
+
+
 # mime → pure-numpy pixel decoder; everything else hits the stub tier
 REAL_DECODERS = {MIME_PPM: _decode_ppm_p6, MIME_BMP: _decode_bmp}
+# mime → pure-struct audio decoder (its own tier: different meta mapping)
+AUDIO_DECODERS = {MIME_WAV: _decode_wav}
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
@@ -206,6 +273,18 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
         if decoder is not None:
             px = decoder(content)
             return px.shape[1], px.shape[0], 1, _pixel_feature(px)
+        audio = AUDIO_DECODERS.get(mime)
+        if audio is not None:
+            # audio rows overload the image columns, documented mapping:
+            # width = sample_rate, height = n_channels, n_frames = PCM
+            # frames (per channel), feature = _audio_feature
+            rate, nch, samples = audio(content)
+            return (
+                rate,
+                nch,
+                int(min(samples.shape[0], 2**31 - 1)),
+                _audio_feature(rate, samples),
+            )
         if strict:
             raise NotImplementedError(
                 f"decode of mime {mime!r} requires codec libraries "
@@ -307,8 +386,11 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
     """Frame sampling: 1 → N table-generating ``mapInPandas`` — each media
     row emits up to ``max_frames`` evenly-spaced frame rows with per-frame
-    features (deterministic fake features; a real kernel decodes and
-    samples actual frames). The output explodes rows but never shuffles.
+    features. WAV rows (when a ``mime`` column is present) sample REAL
+    evenly-spaced PCM windows with per-window audio features
+    (``frame_idx`` = window start frame); other mimes emit deterministic
+    fake features (a real kernel decodes and samples actual video
+    frames). The output explodes rows but never shuffles.
 
     The fake per-frame digest is md5 over the STRING ``"<content-md5-hex>:
     <frame_no>"`` (not over raw bytes) so the stub is expressible in ANSI
@@ -319,7 +401,32 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
 
         for pdf in batches:
             ids, idxs, feats = [], [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            mimes = (
+                pdf["mime"]
+                if "mime" in pdf.columns
+                else pd.Series([None] * len(pdf), index=pdf.index)
+            )
+            for mid, content, mime in zip(
+                pdf["media_id"], pdf["content"], mimes
+            ):
+                if mime in AUDIO_DECODERS:
+                    # REAL audio frames: up to max_frames evenly-spaced
+                    # windows of the PCM stream, per-window rms features
+                    rate, _nch, samples = AUDIO_DECODERS[mime](content)
+                    take = min(max_frames, max(1, samples.shape[0]))
+                    bounds = np.linspace(
+                        0, samples.shape[0], take + 1, dtype=np.int64
+                    )
+                    for j in range(take):
+                        win = samples[bounds[j] : bounds[j + 1]]
+                        ids.append(mid)
+                        idxs.append(int(bounds[j]))
+                        feats.append(
+                            _audio_feature(rate, win)
+                            if win.size
+                            else [0.0] * 8
+                        )
+                    continue
                 _, _, n_frames, _ = _fake_decode(content)
                 take = min(max_frames, n_frames)
                 h = hashlib.md5(content or b"").hexdigest()
