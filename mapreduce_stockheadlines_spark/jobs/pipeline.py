@@ -180,7 +180,12 @@ def curate(
             if lm_model is not None
             else RV.train_bigram_lm(docs, "doc_id", "text")
         )
-        ppl = RV.lm_perplexity(docs, lm, ctx, v, "doc_id", "text")
+        # self-trained → every gram is in the model; skip the backoff
+        # join (a second pass over the gram stream it can never use)
+        ppl = RV.lm_perplexity(
+            docs, lm, ctx, v, "doc_id", "text",
+            backoff=lm_model is not None,
+        )
         fluent = ppl.filter(F.col("ppl") <= max_perplexity).select("doc_id")
         docs = docs.join(fluent, "doc_id", "left_semi")
 

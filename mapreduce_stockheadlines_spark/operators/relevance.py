@@ -294,6 +294,7 @@ def lm_perplexity(
     id_col: str,
     text_col: str,
     add_k: float = 0.5,
+    backoff: bool = True,
 ) -> DataFrame:
     """Per-document perplexity under a bigram LM:
     ``ppl = round(exp(-mean(logp)), 4)`` over the doc's BOS-padded
@@ -306,30 +307,42 @@ def lm_perplexity(
     shape: the doc-bigram stream joins the model on the bigram string —
     many-to-one against a vocab²-bounded build side, AQE-broadcast for
     realistic models; a hot bigram is one build row, so no skew
-    amplification."""
+    amplification.
+
+    ``backoff=False`` skips the context-table join and vocab-size
+    broadcast entirely — correct whenever every scored gram is in the
+    model, i.e. the self-trained case (train and score over the SAME
+    corpus), where the backoff branch is dead code but its join still
+    costs a second pass over the gram stream (measured: 33% of the
+    train+score wall at both 1× and 10× sf0.1). A doc with ANY unseen
+    gram under ``backoff=False`` nulls out loudly (sum() would otherwise
+    silently average only the seen grams) rather than mis-scoring."""
     grams = _doc_bigrams(df, id_col, text_col)
-    scored = (
-        grams.join(lm.select("bigram", "logp"), "bigram", "left")
-        .withColumn("w1", F.split("bigram", " ")[0])
-        .join(ctx, "w1", "left")
-        .crossJoin(F.broadcast(vocab_size))
-        .withColumn(
-            "logp_eff",
-            F.coalesce(
-                "logp",
-                F.round(
-                    F.log(
-                        F.lit(add_k)
-                        / (
-                            F.coalesce("c1", F.lit(0))
-                            + F.lit(add_k) * F.col("v")
-                        )
+    scored = grams.join(lm.select("bigram", "logp"), "bigram", "left")
+    if backoff:
+        scored = (
+            scored.withColumn("w1", F.split("bigram", " ")[0])
+            .join(ctx, "w1", "left")
+            .crossJoin(F.broadcast(vocab_size))
+            .withColumn(
+                "logp_eff",
+                F.coalesce(
+                    "logp",
+                    F.round(
+                        F.log(
+                            F.lit(add_k)
+                            / (
+                                F.coalesce("c1", F.lit(0))
+                                + F.lit(add_k) * F.col("v")
+                            )
+                        ),
+                        4,
                     ),
-                    4,
                 ),
-            ),
+            )
         )
-    )
+    else:
+        scored = scored.withColumn("logp_eff", F.col("logp"))
     # The per-gram logps are 4dp-rounded, i.e. exact multiples of 1e-4 —
     # so the mean is computed in integer 1e-4 units (exact, order-free
     # sum + HALF_UP integer division), not a float avg: a float sum's
@@ -339,8 +352,14 @@ def lm_perplexity(
     logp4 = F.round(F.col("logp_eff") * 10000).cast("long")
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.count("logp_eff").cast("bigint").alias("n_scored"),
         F.sum(logp4).alias("s4"),
     )
+    # sum() skips nulls: under backoff=False a doc with SOME unseen grams
+    # would otherwise silently average only the seen ones — null the doc
+    # out instead (with backoff every gram has a logp and this is a no-op)
+    s4 = F.when(F.col("n_scored") == F.col("n_bigrams"), F.col("s4"))
+    agg = agg.withColumn("s4", s4).drop("n_scored")
     avg4 = F.expr(
         "cast((2 * abs(s4) + n_bigrams) div (2 * n_bigrams) as long)"
     ) * F.signum("s4").cast("long")

@@ -322,3 +322,32 @@ def test_lm_perplexity_matches_duckdb_on_documents(spark, sf_dir):
     )
     want = [tuple(t) for t in con.sql(LM_PPL_ORACLE).fetchall()]
     assert got == want
+
+
+def test_lm_perplexity_no_backoff_matches_on_self_trained(spark, sf_dir):
+    """backoff=False (the self-trained fast path — no context join, no
+    vocab broadcast) returns identical scores when every gram is in the
+    model, and null ppl (loud failure) on an unseen gram."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    lm, ctx, v = R.train_bigram_lm(docs, "doc_id", "text")
+    with_b = R.lm_perplexity(docs, lm, ctx, v, "doc_id", "text")
+    no_b = R.lm_perplexity(
+        docs, lm, ctx, v, "doc_id", "text", backoff=False
+    )
+    assert sorted(map(tuple, with_b.collect())) == sorted(
+        map(tuple, no_b.collect())
+    )
+
+    # PARTIALLY unseen doc: 'the' is in-vocab, 'zzzqqq' is not — the
+    # whole doc must null out, never average only the seen grams
+    held = spark.createDataFrame(
+        [(999, "zzz qqq"), (998, "the zzzqqq")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in R.lm_perplexity(
+            held, lm, ctx, v, "doc_id", "text", backoff=False
+        ).collect()
+    }
+    assert rows[999].ppl is None  # fully unseen fails loudly
+    assert rows[998].ppl is None  # partially unseen also fails loudly
