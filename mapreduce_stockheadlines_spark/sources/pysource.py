@@ -1,0 +1,153 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a synthetic analyst-headlines connector, batch + streaming.
+
+The reference's only source is a CSV on HDFS
+(/root/reference/src/StockCount.java:80); real deployments also pull
+from APIs/feeds Spark has no built-in connector for. Spark 4's Python
+DataSource API is the idiomatic extension point — this module
+implements it end to end:
+
+- **batch**: ``spark.read.format("headlines").option("rows", N)`` —
+  the reader plans ``numPartitions`` independent ``InputPartition``
+  splits, so generation (in production: API page fetches) fans out
+  across executors instead of funneling through the driver;
+- **streaming**: ``spark.readStream.format("headlines")`` — a
+  micro-batch ``DataSourceStreamReader`` with monotone integer offsets
+  (``rowsPerBatch`` per trigger), the shape any cursor/offset-based
+  feed adapter takes.
+
+Rows are a pure function of their index (md5-seeded picks — no RNG
+state), so any split plan, retry, or speculative re-read yields
+identical data: the same determinism contract as operators/sampling.
+The generated schema mirrors the reference's ``analyst_ratings.csv``
+(id, headline, date, stock), so the parity jobs run on it unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "id long, headline string, date string, stock string"
+
+_TICKERS = (
+    "AAPL", "MSFT", "GOOG", "AMZN", "TSLA", "NVDA", "META", "NFLX",
+    "AMD", "INTC", "GLD", "MS",
+)
+_SUBJECTS = (
+    "markets", "tech stocks", "the fed", "oil prices", "gold",
+    "retail sales", "housing", "earnings", "the dollar", "treasuries",
+)
+_VERBS = (
+    "rally", "slump", "surge", "steady", "climb", "dip", "rebound",
+    "stall", "soar", "slide",
+)
+_TAILS = (
+    "as investors weigh outlook", "after earnings beat", "on rate fears",
+    "amid strong demand", "despite weak guidance", "to record highs",
+    "as volatility returns", "on upbeat data",
+)
+
+
+def _pick(seq: Sequence[str], digest: bytes, slot: int) -> str:
+    return seq[digest[slot] % len(seq)]
+
+
+def _row(i: int) -> tuple[int, str, str, str]:
+    """Row ``i`` of the synthetic feed — a pure function of ``i``."""
+    d = hashlib.md5(f"headline:{i}".encode()).digest()
+    headline = (
+        f"{_pick(_SUBJECTS, d, 0)} {_pick(_VERBS, d, 1)} "
+        f"{_pick(_TAILS, d, 2)}"
+    )
+    day = 1 + (d[3] | (d[4] << 8)) % 365
+    month, dom = 1 + (day - 1) // 31, 1 + (day - 1) % 31
+    date = f"2020-{month:02d}-{dom:02d}"
+    return i, headline, date, _pick(_TICKERS, d, 5)
+
+
+class _Batch(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class HeadlinesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("numPartitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        """Split the row range into independent generation tasks — the
+        connector-side analogue of file splits: parallelism is planned
+        here, not recovered by a repartition after a driver read."""
+        n, p = self.n_rows, max(1, self.n_parts)
+        bounds = [n * i // p for i in range(p + 1)]
+        return [
+            _Batch(bounds[i], bounds[i + 1])
+            for i in range(p)
+            if bounds[i] < bounds[i + 1]
+        ]
+
+    def read(self, partition: _Batch) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class HeadlinesStreamReader(DataSourceStreamReader):
+    """Monotone integer offsets, ``rowsPerBatch`` rows per trigger —
+    the cursor-based feed adapter shape. Offsets are JSON dicts per the
+    API contract; ``commit`` is a no-op because rows are recomputable
+    from their index (replay-safe by construction)."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 10**9))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.rows_per_batch, self.max_rows)
+        return {"index": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return [_Batch(start["index"], end["index"])]
+
+    def read(self, partition: _Batch) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def deserializeOffset(self, s: str) -> dict:
+        return json.loads(s)
+
+
+class HeadlinesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "headlines"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> HeadlinesReader:
+        return HeadlinesReader(self.options)
+
+    def streamReader(self, schema) -> HeadlinesStreamReader:
+        return HeadlinesStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format('headlines')``."""
+    spark.dataSource.register(HeadlinesDataSource)
