@@ -423,3 +423,62 @@ def test_curated_ingest_classifier_gate(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 3]
     assert spark.read.parquet(idx).count() == 2  # gated doc not indexed
+
+
+def test_embedding_ingest_incremental_neardup(spark, tmp_path):
+    """Vector-side incremental dedup: batch 2's near-copy of a batch-1
+    vector is dropped by probing the persistent QUANTIZED index (exact
+    cosine on dequantized int8 codes); distinct vectors survive;
+    within-batch copies collapse to the min id."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        embedding_ingest_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def unit(seed):
+        rng = np.random.RandomState(seed)
+        v = rng.randn(64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    v1, v2, v3 = unit(1), unit(2), unit(3)
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two distinct vectors + a within-batch exact copy of v1
+    spark.createDataFrame(
+        [(1, v1), (2, v2), (10, v1)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    sink = embedding_ingest_sink(
+        str(tmp_path / "out"), str(tmp_path / "idx"), threshold=0.98
+    )
+    b1 = spark.read.schema(schema).parquet(str(src / "b1"))
+    sink(b1, 0)
+    got1 = sorted(
+        r.vec_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got1 == [1, 2]  # within-batch copy 10 collapsed to min id 1
+
+    # batch 2: near-copy of v1 (tiny perturbation) + a fresh vector
+    near = [x + 1e-4 for x in v1]
+    spark.createDataFrame([(20, near), (21, v3)], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    b2 = spark.read.schema(schema).parquet(str(src / "b2"))
+    sink(b2, 1)
+    got2 = sorted(
+        r.vec_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got2 == [1, 2, 21]  # 20 matched history through the index
+
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert sorted(r.vec_id for r in idx.collect()) == [1, 2, 21]
+    assert {"bucket", "qvec", "scale"} <= set(idx.columns)  # quantized rows
