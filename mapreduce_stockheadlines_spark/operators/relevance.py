@@ -237,7 +237,7 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def train_bigram_lm(
     df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Add-k-smoothed bigram LM over the corpus — the KenLM-filtering
     stage of CCNet-style pipelines, reduced to its Spark-native core
     (count-based estimation; backoff weights are a modeling refinement,
@@ -250,7 +250,11 @@ def train_bigram_lm(
       engine's libm agrees on the stored value;
     - ``ctx``: (w1, c1) context counts, for scoring bigrams the model
       has never seen (held-out docs);
-    - ``vocab_size``: one-row (v) — distinct predicted-token count.
+    - ``vocab_size``: the distinct predicted-token count, collected as
+      a plain int (a bounded one-row job — the same semantically-small
+      scalar class as a broadcast build side; embedding it as a literal
+      keeps every downstream plan free of the BroadcastNestedLoopJoin a
+      1-row crossJoin degrades to, which the plan guard forbids).
 
     Scale shape: one explode feeds ONE bigram census; context counts and
     the vocabulary size are aggregations OF that census (vocab²-bounded
@@ -265,23 +269,19 @@ def train_bigram_lm(
         "w2", F.split("bigram", " ")[1]
     )
     ctx = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
-    vocab_size = bg.agg(
-        F.countDistinct("w2").cast("bigint").alias("v")
+    vocab_size = int(
+        bg.agg(F.countDistinct("w2").cast("bigint").alias("v")).first()["v"]
     )
-    lm = (
-        bg.join(ctx, "w1")
-        .crossJoin(F.broadcast(vocab_size))
-        .select(
-            "bigram",
-            "w1",
-            F.round(
-                F.log(
-                    (F.col("c12") + F.lit(add_k))
-                    / (F.col("c1") + F.lit(add_k) * F.col("v"))
-                ),
-                4,
-            ).alias("logp"),
-        )
+    lm = bg.join(ctx, "w1").select(
+        "bigram",
+        "w1",
+        F.round(
+            F.log(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.lit(vocab_size))
+            ),
+            4,
+        ).alias("logp"),
     )
     return lm, ctx, vocab_size
 
@@ -290,7 +290,7 @@ def lm_perplexity(
     df: DataFrame,
     lm: DataFrame,
     ctx: DataFrame,
-    vocab_size: DataFrame,
+    vocab_size: int,
     id_col: str,
     text_col: str,
     add_k: float = 0.5,
@@ -323,7 +323,6 @@ def lm_perplexity(
         scored = (
             scored.withColumn("w1", F.split("bigram", " ")[0])
             .join(ctx, "w1", "left")
-            .crossJoin(F.broadcast(vocab_size))
             .withColumn(
                 "logp_eff",
                 F.coalesce(
@@ -333,7 +332,7 @@ def lm_perplexity(
                             F.lit(add_k)
                             / (
                                 F.coalesce("c1", F.lit(0))
-                                + F.lit(add_k) * F.col("v")
+                                + F.lit(add_k) * F.lit(int(vocab_size))
                             )
                         ),
                         4,

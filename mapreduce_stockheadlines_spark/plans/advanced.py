@@ -384,39 +384,6 @@ FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """
 
 
-# --- q34 top-N per group -------------------------------------------------------
-
-def q34_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-3 orders per market segment: rank filter over a partitioned
-    window. Catalyst pushes the `rank <= N` predicate into a
-    WindowGroupLimit (per-partition top-N heaps before the full sort) —
-    asserted in tests/test_plans.py."""
-    o = table(spark, sf, "orders")
-    c = table(spark, sf, "customer")
-    seg = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        "c_mktsegment", "o_orderkey", "o_totalprice"
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        seg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 3)
-        .orderBy("c_mktsegment", "rnk")
-    )
-
-
-Q34_SQL = """
-SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
-  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
-         CAST(row_number() OVER (PARTITION BY c.c_mktsegment
-                                 ORDER BY o.o_totalprice DESC, o.o_orderkey)
-              AS INTEGER) AS rnk
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
-"""
-
-
 ADV_QUERIES: dict[str, QuerySpec] = {
     "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
@@ -427,5 +394,4 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),
     "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),
     "q33_math_date_functions": QuerySpec(q33_math_date_functions, Q33_SQL),
-    "q34_topn_per_group": QuerySpec(q34_topn_per_group, Q34_SQL),
 }

@@ -227,33 +227,64 @@ ORDER BY side, c_custkey
 # --- Q09 partitioned window ranking ----------------------------------------
 
 def q09_window_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned-window top-N in BOTH family shapes, tag-unioned (the
+    round-5 consolidation pattern; the former q34's registry slot went
+    to x28_lm_perplexity in plans/extensions.py): ranking straight off a
+    scan partitioned by customer, and ranking after a fact⋈dim join
+    partitioned by market segment — the latter is the branch whose
+    `rank <= N` filter must compile to WindowGroupLimit (per-partition
+    top-N heaps before any full sort; pinned in test_plans.py). Each
+    branch computes row_number/rank/dense_rank in ONE Window operator."""
     o = table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.select(
-            "o_custkey",
+
+    def ranked(df, part_col):
+        w = Window.partitionBy(part_col).orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return df.select(
+            F.col(part_col).cast("string").alias("grp"),
             "o_orderkey",
             "o_totalprice",
             F.row_number().over(w).cast("int").alias("rn"),
             F.rank().over(w).cast("int").alias("rnk"),
             F.dense_rank().over(w).cast("int").alias("drnk"),
-        )
-        .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        ).filter(F.col("rn") <= 3)
+
+    by_cust = ranked(o, "o_custkey").select(F.lit("cust").alias("side"), "*")
+    c = table(spark, sf, "customer")
+    seg = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
     )
+    by_seg = ranked(seg, "c_mktsegment").select(
+        F.lit("seg").alias("side"), "*"
+    )
+    return by_cust.unionAll(by_seg).orderBy("side", "grp", "rn")
 
 
 Q09_SQL = """
-SELECT * FROM (
+SELECT 'cust' AS side, CAST(o_custkey AS VARCHAR) AS grp,
+       o_orderkey, o_totalprice, rn, rnk, drnk
+FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          CAST(row_number() OVER w AS INTEGER) AS rn,
          CAST(rank() OVER w AS INTEGER) AS rnk,
          CAST(dense_rank() OVER w AS INTEGER) AS drnk
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-) WHERE rn <= 3 ORDER BY o_custkey, rn
+) WHERE rn <= 3
+UNION ALL
+SELECT 'seg' AS side, c_mktsegment AS grp,
+       o_orderkey, o_totalprice, rn, rnk, drnk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         CAST(row_number() OVER w AS INTEGER) AS rn,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WINDOW w AS (PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey)
+) WHERE rn <= 3
+ORDER BY side, grp, rn
 """
 
 # --- Q10 window frame + offset functions (running sum, lag/lead/ntile) -----

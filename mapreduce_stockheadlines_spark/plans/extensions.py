@@ -21,6 +21,7 @@ from ..operators import dedup as D
 from ..operators import embeddings as EB
 from ..operators import merge as MG
 from ..operators import multimodal as M
+from ..operators import relevance as RV
 from ..operators import similarity as S
 from ..operators import skew as SK
 from ..operators import textstats as TS
@@ -1195,6 +1196,65 @@ FROM q ORDER BY vec_id
 """
 
 
+# --- x28 bigram-LM perplexity (CCNet/KenLM-style LM quality filtering) --------
+#
+# Train + self-score over the documents table; the oracle re-derives the
+# ENTIRE model in DuckDB SQL — tokenization, BOS padding, bigram census,
+# context counts, vocab size, add-k smoothing, the 4dp-rounded logps,
+# and the exact fixed-point doc mean (see operators/relevance.py for why
+# a float avg cannot be the cross-engine contract). backoff=True keeps
+# the unseen-gram join path oracle-executed even though self-scoring
+# never takes it.
+
+def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document bigram-LM perplexity, model self-trained on the
+    corpus: one gram census (train) + one gram→model join (score);
+    model tables vocab²-bounded, never the corpus again
+    (operators/relevance.train_bigram_lm / lm_perplexity)."""
+    docs = parallel_table(spark, sf, "documents")
+    lm, ctx, v = RV.train_bigram_lm(docs, "doc_id", "text", add_k=0.5)
+    return RV.lm_perplexity(docs, lm, ctx, v, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+X28_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+           t -> t <> '')) AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks),
+bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+       FROM grams GROUP BY bigram),
+bgx AS (SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2
+        FROM bg),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgx GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bgx),
+lm AS (SELECT bigram,
+              round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 4) AS logp
+       FROM bgx JOIN ctx USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(logp * 10000) AS BIGINT)) AS BIGINT) AS s4
+        FROM grams JOIN lm USING (bigram)
+        GROUP BY doc_id),
+fx AS (SELECT doc_id, n_bigrams,
+              ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
+                * sign(s4) / 10000.0 AS avg_logp
+       FROM agg)
+SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+FROM fx ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -1218,4 +1278,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x25_line_dedup": QuerySpec(x25_line_dedup, X25_SQL),
     "x26_classifier_score": QuerySpec(x26_classifier_score, X26_SQL),
     "x27_quantize_embeddings": QuerySpec(x27_quantize_embeddings, X27_SQL),
+    "x28_lm_perplexity": QuerySpec(x28_lm_perplexity, X28_SQL),
 }

@@ -122,11 +122,12 @@ def test_aggregates_are_partial_then_final(spark, sf_dir):
     assert "hashpartitioning" in plan
 
 
-def test_q34_rank_filter_becomes_window_group_limit(spark, sf_dir):
+def test_q09_rank_filter_becomes_window_group_limit(spark, sf_dir):
     """rank <= N over a partitioned window must push into WindowGroupLimit
-    (per-partition top-N heaps before the full window sort)."""
-    plan = plan_of(spark, sf_dir, "q34_topn_per_group")
-    assert "WindowGroupLimit" in plan
+    (per-partition top-N heaps before the full window sort) — both
+    tag-union branches of the consolidated window query keep it."""
+    plan = plan_of(spark, sf_dir, "q09_window_partitioned")
+    assert plan.count("WindowGroupLimit") >= 2
 
 
 def test_x08_text_stats_is_one_scan_no_join(spark, sf_dir):

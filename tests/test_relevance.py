@@ -227,8 +227,7 @@ def test_bigram_lm_hand_values(spark):
     lm, ctx, v = R.train_bigram_lm(docs, "doc_id", "text", add_k=0.5)
     # bigrams: doc0: <s> a, a b; doc1: <s> a, a b, b a
     # c12: '<s> a'=2, 'a b'=2, 'b a'=1; c1: <s>=2, a=2, b=1; V={a,b}=2
-    vv = v.collect()[0].v
-    assert vv == 2
+    assert v == 2
     lm_rows = {r.bigram: r.logp for r in lm.collect()}
     k = 0.5
     assert lm_rows["<s> a"] == round(math.log((2 + k) / (2 + k * 2)), 4)
@@ -254,6 +253,7 @@ def test_lm_perplexity_unseen_bigram_backoff(spark):
     lm, ctx, v = R.train_bigram_lm(train, "doc_id", "text", add_k=0.5)
     held = spark.createDataFrame([(9, "a a zz")], ["doc_id", "text"])
     out = R.lm_perplexity(held, lm, ctx, v, "doc_id", "text").collect()[0]
+    assert v == 2
     k, vv = 0.5, 2  # V = {a, b}
     # grams: '<s> a' (seen), 'a a' (unseen, ctx a has c1=1), 'a zz'
     # (unseen, ctx a), ...wait 'a zz': ctx 'a' seen; 'zz' never predicted
