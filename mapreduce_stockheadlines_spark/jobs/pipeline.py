@@ -20,6 +20,9 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 gates run before redaction)
       → PII redaction          (codegen regex scrub of the survivors;
                                 keeps n_pii)
+      → repetition gate        (optional: drop looping/boilerplate docs by
+                                within-doc duplicate-n-gram share —
+                                --max-dup-ngram-fraction, Gopher rule)
       → model quality gates    (optional: linear-classifier score floor
                                 --min-clf-score [--clf-weights] and
                                 bigram-LM perplexity ceiling
@@ -83,7 +86,9 @@ def curate(
     min_clf_score: float | None = None,
     clf_weights: DataFrame | None = None,
     max_perplexity: float | None = None,
-    lm_model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    lm_model: tuple[DataFrame, DataFrame, int] | None = None,
+    max_dup_ngram_fraction: float | None = None,
+    rep_ngram_n: int = 3,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
@@ -162,6 +167,18 @@ def curate(
     docs = docs.withColumn("n_pii", TS.pii_count("text")).withColumn(
         "text", TS.pii_redacted("text")
     )
+
+    # 4a. (optional) Gopher repetition gate: drop looping/boilerplate
+    #     docs whose duplicate-n-gram share exceeds the ceiling (the
+    #     within-doc counterpart of the cross-doc dup-window gate above)
+    if max_dup_ngram_fraction is not None:
+        rep = TS.repetition_stats(
+            docs, "doc_id", "text", ngram_ns=(rep_ngram_n,)
+        )
+        ok = rep.filter(
+            F.col("dup_fraction") <= max_dup_ngram_fraction
+        ).select("doc_id")
+        docs = docs.join(ok, "doc_id", "left_semi")
 
     # 4b. (optional) model-based quality gates — after the cheap heuristic
     #     gates (classifier/LM work runs only on heuristic survivors):
@@ -257,6 +274,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dup-window-tokens", type=int, default=8,
                     help="token-window width for the duplicated-window "
                          "gate")
+    ap.add_argument("--max-dup-ngram-fraction", type=float, default=None,
+                    help="drop docs whose within-doc duplicate-n-gram "
+                         "share exceeds this (Gopher repetition rule)")
+    ap.add_argument("--rep-ngram-n", type=int, default=3,
+                    help="n-gram order for the repetition gate")
     ap.add_argument("--min-clf-score", type=float, default=None,
                     help="drop docs whose linear-classifier score is "
                          "below this (hashed model, or --clf-weights)")
@@ -317,6 +339,8 @@ def main(argv: list[str] | None = None) -> None:
             else None
         ),
         max_perplexity=args.max_perplexity,
+        max_dup_ngram_fraction=args.max_dup_ngram_fraction,
+        rep_ngram_n=args.rep_ngram_n,
         reliable_checkpoint=bool(args.checkpoint_dir),
     )
     if args.shuffle_output:

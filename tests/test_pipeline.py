@@ -403,3 +403,30 @@ def test_embed_pipeline_build_and_search(spark, tmp_path, sf_dir):
         map(tuple, direct.collect())
     )
     assert served.count() > 0
+
+
+def test_curate_repetition_gate(spark):
+    """The Gopher repetition gate drops the looping doc and keeps
+    normal prose, matching the standalone repetition_stats decision."""
+    from mapreduce_stockheadlines_spark.operators import textstats as TSX
+
+    loop = "the market is up " * 20
+    prose = (
+        "the market closed higher today while energy shares lagged and "
+        "investors rotated into defensive sectors before the fed meeting"
+    )
+    docs = spark.createDataFrame(
+        [(1, prose, "a"), (2, loop, "a")],
+        "doc_id long, text string, source string",
+    )
+    rep = {
+        r.doc_id: r.dup_fraction
+        for r in TSX.repetition_stats(
+            docs, "doc_id", "text", ngram_ns=(3,)
+        ).collect()
+    }
+    assert rep[2] > 0.9 and rep[1] < 0.5
+    out = curate(
+        docs, lang="en", min_quality=0.0, max_dup_ngram_fraction=0.5
+    )
+    assert [r.doc_id for r in out.select("doc_id").collect()] == [1]
