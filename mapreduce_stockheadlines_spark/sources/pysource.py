@@ -151,3 +151,101 @@ class HeadlinesDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration: ``spark.read.format('headlines')``."""
     spark.dataSource.register(HeadlinesDataSource)
+
+
+# --- manifest-committing JSONL sink (custom Python DataSourceWriter) ---------
+#
+# Spark's built-in file sinks publish files as tasks finish; a reader
+# listing the directory mid-job (or after a failed job) sees partial
+# output. This writer demonstrates the OTHER half of the Python
+# DataSource API — the two-phase commit protocol: tasks write shards and
+# return commit messages, the DRIVER publishes a _MANIFEST.json naming
+# exactly the committed shards in one atomic rename, and readers that go
+# through the manifest never observe a torn write. (The same protocol
+# slot would carry idempotency keys for an external API sink.)
+#
+# Storage note: tasks open plain ``open()`` paths, so shard files land
+# on the filesystem VISIBLE TO THE EXECUTOR — correct on local[...] and
+# on any shared mount (NFS/FUSE-S3); on a real cluster with only object
+# storage, swap the two ``open`` calls for an fsspec/boto put of the
+# same paths — the commit protocol (shard messages → driver manifest)
+# is unchanged, which is the part this module exists to demonstrate.
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _ShardCommit:
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        # fixed per-partition filename: a task retry overwrites its own
+        # shard instead of leaking a duplicate (idempotent re-execution)
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        manifest = {
+            "shards": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
+        return JsonlManifestWriter(self.options)
+
+
+def read_manifest(spark, path: str):
+    """Read ONLY the shards the manifest committed — uncommitted or
+    leftover files in the directory are invisible, which is the entire
+    point of the two-phase publish."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    shards = [os.path.join(path, s) for s in manifest["shards"]]
+    return spark.read.json(shards)
+
+
+def register_sinks(spark) -> None:
+    spark.dataSource.register(JsonlManifestDataSource)

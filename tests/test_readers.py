@@ -439,3 +439,40 @@ def test_python_datasource_stream_offsets(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 120  # maxRows caps the offset exactly
     assert got.select("id").distinct().count() == 120
+
+
+def test_python_datasource_manifest_writer(spark, tmp_path):
+    """Custom Python DataSourceWriter: tasks write per-partition shards,
+    the driver publishes _MANIFEST.json atomically, and the manifest
+    reader ignores files the commit never blessed."""
+    from mapreduce_stockheadlines_spark.sources.pysource import (
+        read_manifest,
+        register_sinks,
+    )
+
+    register_sinks(spark)
+    out = str(tmp_path / "jsonl")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    ).repartition(4)
+    df.write.format("jsonl_manifest").option("path", out).mode(
+        "append"
+    ).save()
+
+    import glob
+    import json as _json
+    import os
+
+    shards = sorted(glob.glob(f"{out}/part-*.jsonl"))
+    assert len(shards) == 4
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["n_rows"] == 100
+    assert manifest["shards"] == [os.path.basename(s) for s in shards]
+
+    # a torn/uncommitted leftover file is invisible through the manifest
+    with open(os.path.join(out, "part-junk.jsonl"), "w") as f:
+        f.write('{"id": 9999, "grp": 0}\n')
+    back = read_manifest(spark, out)
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).first()[0] == 100 * 99 // 2
