@@ -1202,9 +1202,11 @@ FROM q ORDER BY vec_id
 # ENTIRE model in DuckDB SQL — tokenization, BOS padding, bigram census,
 # context counts, vocab size, add-k smoothing, the 4dp-rounded logps,
 # and the exact fixed-point doc mean (see operators/relevance.py for why
-# a float avg cannot be the cross-engine contract). backoff=True keeps
-# the unseen-gram join path oracle-executed even though self-scoring
-# never takes it.
+# a float avg cannot be the cross-engine contract). backoff=False — the
+# self-trained fast path — because the oracle's gram→lm join IS the
+# no-backoff semantics (every gram is in the model by construction);
+# the backoff branch is pinned by the held-out tests in
+# tests/test_relevance.py.
 
 def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document bigram-LM perplexity, model self-trained on the
@@ -1213,9 +1215,9 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     (operators/relevance.train_bigram_lm / lm_perplexity)."""
     docs = parallel_table(spark, sf, "documents")
     lm, ctx, v = RV.train_bigram_lm(docs, "doc_id", "text", add_k=0.5)
-    return RV.lm_perplexity(docs, lm, ctx, v, "doc_id", "text").orderBy(
-        "doc_id"
-    )
+    return RV.lm_perplexity(
+        docs, lm, ctx, v, "doc_id", "text", backoff=False
+    ).orderBy("doc_id")
 
 
 X28_SQL = """
