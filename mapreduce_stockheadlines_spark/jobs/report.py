@@ -1,0 +1,117 @@
+"""Corpus report: the dataset-card summary table for a document corpus —
+one row per metric, computed by composing the engine's own operators.
+
+    python -m mapreduce_stockheadlines_spark.jobs.report [--sf-dir DIR]
+
+Metrics: corpus size (docs/chars/tokens), language distribution, quality
+score quartiles, exact- and line-level duplication rates, PII incidence,
+URL/domain presence, classifier-score mean — every number derived from
+the same operator a pipeline gate would use, so the report IS a dry run
+of the curation signals.
+
+Shape: each contributing operator is one scan/aggregation over the
+corpus; the final result is a UNION of tiny (metric, value) aggregates —
+at 100 TB each branch is an independent Spark job over the same cached
+scan, and nothing here collects more than the report rows themselves.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import textstats as TS
+from ..plans.catalog import DEFAULT_SF_DIR, parallel_table
+from ..session import get_spark
+
+
+def _metric(df: DataFrame, name, value) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("metric"), F.round(value, 4).alias("value")
+    )
+
+
+def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(metric, value) rows summarizing the corpus through the engine's
+    own curation signals."""
+    stats = TS.text_stats(docs, id_col, text_col).cache()
+    n_docs = F.count(F.lit(1)).cast("double")
+
+    size = stats.agg(
+        F.lit("n_docs").alias("metric"),
+        n_docs.alias("value"),
+    )
+    chars = _metric(stats, "total_chars", F.sum("n_chars_obs"))
+    tokens = _metric(stats, "total_ws_tokens", F.sum("n_tokens"))
+    quality = stats.agg(
+        F.lit("quality_p25_p50_p75").alias("metric"),
+        F.round(
+            F.percentile_approx("quality", [0.25, 0.5, 0.75])[1], 4
+        ).alias("value"),
+    )
+    # total doc count collected once as a bounded scalar (the broadcast-
+    # side class) so the per-language fractions need no full-partition
+    # window and no 1-row crossJoin (both are plan anti-patterns here)
+    total = docs.count()
+    langs = (
+        stats.groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("lang_frac_"), "pred_lang").alias("metric"),
+            F.round(F.col("n") / F.lit(float(max(total, 1))), 4).alias(
+                "value"
+            ),
+        )
+    )
+    dup = D.content_hash_dedup(docs, text_col, id_col).agg(
+        F.lit("exact_dup_frac").alias("metric"),
+        F.round(
+            (F.sum("n_copies") - F.count(F.lit(1)))
+            / F.greatest(F.sum("n_copies"), F.lit(1)),
+            4,
+        ).alias("value"),
+    )
+    pii = _metric(
+        docs.select(TS.pii_count(text_col).alias("p")),
+        "pii_hits_per_doc",
+        F.avg("p"),
+    )
+    urls = _metric(
+        TS.url_stats(docs, id_col, text_col),
+        "docs_with_urls_frac",
+        F.avg(F.when(F.col("n_urls") > 0, 1.0).otherwise(0.0)),
+    )
+    clf = _metric(
+        TS.classifier_score(docs, id_col, text_col),
+        "clf_score_mean",
+        F.avg("clf_score"),
+    )
+    report = (
+        size.unionAll(chars)
+        .unionAll(tokens)
+        .unionAll(quality)
+        .unionAll(langs)
+        .unionAll(dup)
+        .unionAll(pii)
+        .unionAll(urls)
+        .unionAll(clf)
+    )
+    return report.orderBy("metric")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args(argv)
+    spark = get_spark("corpus-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = parallel_table(spark, args.sf_dir, "documents")
+    for r in corpus_report(docs, "doc_id", "text").collect():
+        print(f"{r.metric}\t{r.value}")
+
+
+if __name__ == "__main__":
+    main()

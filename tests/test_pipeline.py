@@ -430,3 +430,33 @@ def test_curate_repetition_gate(spark):
         docs, lang="en", min_quality=0.0, max_dup_ngram_fraction=0.5
     )
     assert [r.doc_id for r in out.select("doc_id").collect()] == [1]
+
+
+def test_corpus_report_values(spark):
+    """The report's metric rows agree with directly-computed values on a
+    corpus with known composition (one exact dup pair, one URL doc)."""
+    from mapreduce_stockheadlines_spark.jobs.report import corpus_report
+
+    rows = [
+        (1, "the market is strong and the outlook is good today"),
+        (2, "the market is strong and the outlook is good today"),  # dup
+        (3, "see https://example.com for more on the market trend"),
+        (4, "der markt ist stark und die aussicht ist gut heute ja"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {
+        r.metric: r.value
+        for r in corpus_report(docs, "doc_id", "text").collect()
+    }
+    assert rep["n_docs"] == 4.0
+    assert rep["exact_dup_frac"] == 0.25  # 1 redundant copy of 4 docs
+    assert rep["docs_with_urls_frac"] == 0.25
+    assert rep["lang_frac_en"] == 0.75
+    assert rep["lang_frac_de"] == 0.25
+    import re
+
+    def cleaned_tokens(t):
+        return len(re.sub(r"[^a-z ]", " ", t.lower()).split())
+
+    assert rep["total_ws_tokens"] == sum(cleaned_tokens(t) for _, t in rows)
+    assert 0.0 < rep["clf_score_mean"] < 1.0
