@@ -175,10 +175,15 @@ def curate(
         rep = TS.repetition_stats(
             docs, "doc_id", "text", ngram_ns=(rep_ngram_n,)
         )
-        ok = rep.filter(
-            F.col("dup_fraction") <= max_dup_ngram_fraction
+        # anti-join on the FLAGGED set, not semi-join on the passing set:
+        # a doc shorter than rep_ngram_n tokens emits no stats row at
+        # all, and a semi-join would silently drop it even though its
+        # duplicate share is trivially zero — gates only act on positive
+        # evidence (same contract as the model gates below)
+        looping = rep.filter(
+            F.col("dup_fraction") > max_dup_ngram_fraction
         ).select("doc_id")
-        docs = docs.join(ok, "doc_id", "left_semi")
+        docs = docs.join(looping, "doc_id", "left_anti")
 
     # 4b. (optional) model-based quality gates — after the cheap heuristic
     #     gates (classifier/LM work runs only on heuristic survivors):
@@ -189,8 +194,10 @@ def curate(
     #     default self-train flags only the corpus's own outliers)
     if min_clf_score is not None:
         clf = TS.classifier_score(docs, "doc_id", "text", weights=clf_weights)
-        good = clf.filter(F.col("clf_score") >= min_clf_score).select("doc_id")
-        docs = docs.join(good, "doc_id", "left_semi")
+        # zero-token docs have no score row; flag-and-anti-join keeps
+        # them (an undefined score is not evidence of low quality)
+        low = clf.filter(F.col("clf_score") < min_clf_score).select("doc_id")
+        docs = docs.join(low, "doc_id", "left_anti")
     if max_perplexity is not None:
         lm, ctx, v = (
             lm_model
@@ -203,8 +210,11 @@ def curate(
             docs, lm, ctx, v, "doc_id", "text",
             backoff=lm_model is not None,
         )
-        fluent = ppl.filter(F.col("ppl") <= max_perplexity).select("doc_id")
-        docs = docs.join(fluent, "doc_id", "left_semi")
+        # flag-and-anti-join: token-less docs (no bigram rows) and docs
+        # the no-backoff path cannot score (null ppl) pass through
+        # rather than being silently converted into drops
+        junk = ppl.filter(F.col("ppl") > max_perplexity).select("doc_id")
+        docs = docs.join(junk, "doc_id", "left_anti")
 
     # 5b. (optional) relative quality gate on top of the absolute one:
     #     keep the best keep_top fraction (one sketch, no corpus shuffle)

@@ -46,16 +46,23 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     chars = _metric(stats, "total_chars", F.sum("n_chars_obs"))
     tokens = _metric(stats, "total_ws_tokens", F.sum("n_tokens"))
-    quality = stats.agg(
-        F.lit("quality_p25_p50_p75").alias("metric"),
-        F.round(
-            F.percentile_approx("quality", [0.25, 0.5, 0.75])[1], 4
-        ).alias("value"),
-    )
-    # total doc count collected once as a bounded scalar (the broadcast-
-    # side class) so the per-language fractions need no full-partition
-    # window and no 1-row crossJoin (both are plan anti-patterns here)
-    total = docs.count()
+    # all three quartiles as separate rows (a single row named p25_p50_
+    # p75 that carried only the median was the round-5 review's finding)
+    quartiles = [
+        stats.agg(
+            F.lit(f"quality_p{int(q * 100)}").alias("metric"),
+            F.round(
+                F.percentile_approx("quality", q), 4
+            ).alias("value"),
+        )
+        for q in (0.25, 0.5, 0.75)
+    ]
+    # doc count collected once as a bounded scalar (the broadcast-side
+    # class) so the per-language fractions need no full-partition window
+    # and no 1-row crossJoin; counted off the CACHED stats frame — the
+    # raw corpus is not scanned a second time for a number already in
+    # hand
+    total = stats.count()
     langs = (
         stats.groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -89,17 +96,22 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "clf_score_mean",
         F.avg("clf_score"),
     )
+    report = size.unionAll(chars).unionAll(tokens)
+    for q in quartiles:
+        report = report.unionAll(q)
     report = (
-        size.unionAll(chars)
-        .unionAll(tokens)
-        .unionAll(quality)
-        .unionAll(langs)
+        report.unionAll(langs)
         .unionAll(dup)
         .unionAll(pii)
         .unionAll(urls)
         .unionAll(clf)
-    )
-    return report.orderBy("metric")
+    ).orderBy("metric")
+    # the report is ~a dozen rows: materialize it, then release the
+    # cached per-doc stats instead of pinning executor memory for the
+    # rest of the session
+    rows = report.collect()
+    stats.unpersist()
+    return docs.sparkSession.createDataFrame(rows, report.schema)
 
 
 def main(argv: list[str] | None = None) -> None:

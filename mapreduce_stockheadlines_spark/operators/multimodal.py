@@ -212,7 +212,11 @@ def _decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
 def _audio_feature(rate: int, samples: np.ndarray) -> list[float]:
     """8-dim feature from real PCM samples: duration (s), rms, mean abs,
     peak (all amplitudes normalized to [0, 1]), zero-crossing rate,
-    per-half energies, silence fraction."""
+    per-half energies, silence fraction. A zero-sample input (empty
+    data chunk / empty window) yields all-zeros, never NaN (np.mean of
+    an empty slice is NaN + a RuntimeWarning)."""
+    if samples.size == 0:
+        return [0.0] * 8
     a = samples.astype(np.float64) / 32768.0
     mono = a.mean(axis=1) if a.ndim == 2 else a
     n = max(mono.size, 1)
@@ -277,8 +281,17 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
         if audio is not None:
             # audio rows overload the image columns, documented mapping:
             # width = sample_rate, height = n_channels, n_frames = PCM
-            # frames (per channel), feature = _audio_feature
-            rate, nch, samples = audio(content)
+            # frames (per channel), feature = _audio_feature.
+            # detect_mime routes ANY RIFF/WAVE blob here, but only
+            # 16-bit integer PCM decodes — float32/24-bit/ADPCM WAVs are
+            # VALID files this tier cannot read, so non-strict mode must
+            # fall back to the stub rather than kill the task
+            try:
+                rate, nch, samples = audio(content)
+            except (ValueError, struct.error):
+                if strict:
+                    raise
+                return _fake_decode(content)
             return (
                 rate,
                 nch,
@@ -409,10 +422,18 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             for mid, content, mime in zip(
                 pdf["media_id"], pdf["content"], mimes
             ):
+                samples = None
                 if mime in AUDIO_DECODERS:
                     # REAL audio frames: up to max_frames evenly-spaced
-                    # windows of the PCM stream, per-window rms features
-                    rate, _nch, samples = AUDIO_DECODERS[mime](content)
+                    # windows of the PCM stream, per-window rms features;
+                    # undecodable WAV variants (float32/ADPCM/truncated)
+                    # fall through to the fake tier — sample_frames has
+                    # no strict mode and must not kill the task
+                    try:
+                        rate, _nch, samples = AUDIO_DECODERS[mime](content)
+                    except (ValueError, struct.error):
+                        samples = None
+                if samples is not None:
                     take = min(max_frames, max(1, samples.shape[0]))
                     bounds = np.linspace(
                         0, samples.shape[0], take + 1, dtype=np.int64

@@ -63,14 +63,17 @@ def _pick(seq: Sequence[str], digest: bytes, slot: int) -> str:
 
 def _row(i: int) -> tuple[int, str, str, str]:
     """Row ``i`` of the synthetic feed — a pure function of ``i``."""
+    import datetime as _dt
+
     d = hashlib.md5(f"headline:{i}".encode()).digest()
     headline = (
         f"{_pick(_SUBJECTS, d, 0)} {_pick(_VERBS, d, 1)} "
         f"{_pick(_TAILS, d, 2)}"
     )
-    day = 1 + (d[3] | (d[4] << 8)) % 365
-    month, dom = 1 + (day - 1) // 31, 1 + (day - 1) % 31
-    date = f"2020-{month:02d}-{dom:02d}"
+    # real calendar arithmetic: a naive 31-day-month grid fabricates
+    # dates like 2020-02-30 that to_date() nulls (or ANSI mode rejects)
+    day = (d[3] | (d[4] << 8)) % 366  # 2020 is a leap year
+    date = (_dt.date(2020, 1, 1) + _dt.timedelta(days=day)).isoformat()
     return i, headline, date, _pick(_TICKERS, d, 5)
 
 
@@ -120,7 +123,7 @@ class HeadlinesStreamReader(DataSourceStreamReader):
         return {"index": self._pos}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        return [_Batch(start["index"], end["index"])]
+        return [_Batch(start["index"], max(start["index"], end["index"]))]
 
     def read(self, partition: _Batch) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
@@ -130,7 +133,14 @@ class HeadlinesStreamReader(DataSourceStreamReader):
         pass
 
     def deserializeOffset(self, s: str) -> dict:
-        return json.loads(s)
+        # restart recovery: a fresh reader instance counts from 0, but
+        # the checkpoint may hand back a later offset — adopting it here
+        # keeps latestOffset() monotone ABOVE the committed position, so
+        # a restarted stream never re-plans (and re-serves) rows below
+        # the checkpoint
+        d = json.loads(s)
+        self._pos = max(self._pos, d["index"])
+        return d
 
 
 class HeadlinesDataSource(DataSource):
@@ -178,6 +188,7 @@ from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
 @dataclass
 class _ShardCommit(WriterCommitMessage):
+    tmpname: str
     filename: str
     n_rows: int
 
@@ -191,21 +202,33 @@ class JsonlManifestWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        # attempt-UNIQUE temp file: with speculation (or a zombie first
+        # attempt still flushing while its retry runs) two attempts of
+        # one partition must never interleave writes into one file — the
+        # driver settles exactly ONE blessed attempt per partition at
+        # commit time via atomic rename
+        tmpname = f".part-{pid:05d}-attempt{tc.taskAttemptId()}.tmp"
         name = f"part-{pid:05d}.jsonl"
         os.makedirs(self.path, exist_ok=True)
-        # fixed per-partition filename: a task retry overwrites its own
-        # shard instead of leaking a duplicate (idempotent re-execution)
         n = 0
-        with open(os.path.join(self.path, name), "w") as f:
+        with open(os.path.join(self.path, tmpname), "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        return _ShardCommit(filename=name, n_rows=n)
+        return _ShardCommit(tmpname=tmpname, filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
         import os
 
+        # settle shards first (rename is atomic on one filesystem), then
+        # publish the manifest naming exactly the settled files
+        for m in messages:
+            os.replace(
+                os.path.join(self.path, m.tmpname),
+                os.path.join(self.path, m.filename),
+            )
         manifest = {
             "shards": sorted(m.filename for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
@@ -220,7 +243,7 @@ class JsonlManifestWriter(DataSourceWriter):
 
         for m in messages:
             try:
-                os.remove(os.path.join(self.path, m.filename))
+                os.remove(os.path.join(self.path, m.tmpname))
             except OSError:
                 pass
 

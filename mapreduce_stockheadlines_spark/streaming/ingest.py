@@ -38,6 +38,20 @@ _NEARDUP_HASHES = 8
 _NEARDUP_BANDS = 4
 
 
+def _history(spark, index_dir: str, batch_id: int):
+    """Read a persistent per-batch-partitioned index EXCLUDING rows the
+    current batch id wrote: foreachBatch is at-least-once, and on a
+    replay the batch's own previously-written rows would otherwise match
+    every row of the batch and wipe it out (output AND index) — the
+    replayed overwrite would then persist the loss. Filtering on the
+    discovered ``batch_id`` partition column restores true idempotency;
+    the filter prunes whole partitions, so no historical data is read
+    twice."""
+    return spark.read.parquet(index_dir).filter(
+        F.col("batch_id") < F.lit(batch_id)
+    )
+
+
 def curated_ingest_sink(
     out_dir: str,
     index_dir: str,
@@ -88,8 +102,10 @@ def curated_ingest_sink(
             # plain anti-join on the digest: AQE broadcasts while the
             # index is small and shuffles fixed-width keys once it isn't
             # (never force-broadcast a corpus-lifetime index)
-            seen = spark.read.parquet(index_dir)
-            fresh = hashed.join(seen, "text_hash", "left_anti")
+            seen = _history(spark, index_dir, batch_id)
+            fresh = hashed.join(
+                seen.select("text_hash"), "text_hash", "left_anti"
+            )
         except AnalysisException:  # first batch: no index yet
             fresh = hashed
         survivors = exact_dedup(fresh, ["text_hash"], [id_col])
@@ -120,7 +136,7 @@ def curated_ingest_sink(
                 sig, id_col, num_hashes=_NEARDUP_HASHES, bands=_NEARDUP_BANDS
             )
             try:
-                idx = spark.read.parquet(neardup_index_dir)
+                idx = _history(spark, neardup_index_dir, batch_id)
                 hits = (
                     bands.join(
                         idx.select(
@@ -267,8 +283,9 @@ def embedding_ingest_sink(
         ).withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
 
         # 1. probe history: bucket equi-join, exact cosine on dequantized
+        #    (the current batch's own replayed rows excluded — _history)
         try:
-            index = spark.read.parquet(index_dir)
+            index = _history(spark, index_dir, batch_id)
             cand = batch.join(
                 index.select(
                     "bucket",

@@ -1188,3 +1188,49 @@ def test_multimodal_real_wav_decode_and_frames(spark):
         df2.select(M.detect_mime("content").alias("m")).collect()[0].m
         == "audio/x-riff"
     )
+
+
+def test_multimodal_undecodable_wav_falls_back_not_crashes(spark):
+    """A VALID float32 WAV (format 3) that the 16-bit-PCM tier cannot
+    read must hit the stub in non-strict decode_media and the fake tier
+    in sample_frames — never kill the task; strict mode still raises.
+    An empty-data PCM yields zero features, not NaN."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    # minimal RIFF/WAVE with fmt format=3 (IEEE float) and a data chunk
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", 8) + b"\x00" * 8
+    wav_f32 = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_f32))], "media_id long, content binary"
+    )
+    sniffed = df.withColumn("mime", M.detect_mime("content"))
+    assert sniffed.collect()[0].mime == M.MIME_WAV  # routed to audio tier
+
+    out = M.decode_media(sniffed).collect()[0]  # non-strict: stub values
+    assert out.n_frames >= 1 and len(out.feature) == 8
+    with pytest.raises(Exception):
+        M.decode_media(sniffed, strict=True).collect()
+
+    frames = M.sample_frames(sniffed, max_frames=2).collect()
+    assert len(frames) >= 1  # fake tier served it
+
+    # empty-data 16-bit PCM: real tier, zero features, no NaN
+    fmt16 = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body16 = b"fmt " + _struct.pack("<I", len(fmt16)) + fmt16
+    body16 += b"data" + _struct.pack("<I", 0)
+    wav_empty = (
+        b"RIFF" + _struct.pack("<I", 4 + len(body16)) + b"WAVE" + body16
+    )
+    df2 = spark.createDataFrame(
+        [(2, bytearray(wav_empty), M.MIME_WAV)], schema=M.MEDIA_SCHEMA
+    )
+    out2 = M.decode_media(df2, strict=True).collect()[0]
+    assert out2.n_frames == 0
+    assert out2.feature == [0.0] * 8
+    assert not any(np.isnan(out2.feature))

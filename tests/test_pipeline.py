@@ -398,11 +398,15 @@ def test_embed_pipeline_build_and_search(spark, tmp_path, sf_dir):
 
     queries = kept.filter(F.col("vec_id") < 2)
     served = S.ivf_topk(queries, kept, k=5, n_probe=2, centroids=cent)
-    direct = S.ivf_topk(queries, kept, k=5, n_probe=2, centroids=cent)
-    assert sorted(map(tuple, served.collect())) == sorted(
-        map(tuple, direct.collect())
+    # the REAL parity claim: persisted-and-loaded centroids must serve
+    # the same neighbors as training fresh with identical parameters
+    # (kmeans init is deterministic), so load_centroids round-trips
+    direct = S.ivf_topk(
+        queries, kept, k=5, n_probe=2, n_centroids=4, train_iters=1
     )
-    assert served.count() > 0
+    got = sorted(map(tuple, served.collect()))
+    assert got == sorted(map(tuple, direct.collect()))
+    assert len(got) > 0
 
 
 def test_curate_repetition_gate(spark):
@@ -449,6 +453,8 @@ def test_corpus_report_values(spark):
         for r in corpus_report(docs, "doc_id", "text").collect()
     }
     assert rep["n_docs"] == 4.0
+    assert {"quality_p25", "quality_p50", "quality_p75"} <= set(rep)
+    assert rep["quality_p25"] <= rep["quality_p50"] <= rep["quality_p75"]
     assert rep["exact_dup_frac"] == 0.25  # 1 redundant copy of 4 docs
     assert rep["docs_with_urls_frac"] == 0.25
     assert rep["lang_frac_en"] == 0.75
@@ -460,3 +466,28 @@ def test_corpus_report_values(spark):
 
     assert rep["total_ws_tokens"] == sum(cleaned_tokens(t) for _, t in rows)
     assert 0.0 < rep["clf_score_mean"] < 1.0
+
+
+def test_gates_pass_unscorable_docs(spark):
+    """Docs the scorers cannot score — shorter than the n-gram order,
+    zero tokens after cleaning — must PASS the repetition/classifier/
+    perplexity gates (gates act on positive evidence only), never be
+    silently dropped by a missing aggregate row. The lang gate is held
+    open (these docs read as 'unknown') to isolate the model gates."""
+    docs = spark.createDataFrame(
+        [
+            (2, "ok", "a"),            # 1 token: no 3-gram stats row
+            (3, "2024 +5% !!", "a"),   # 0 tokens after cleaning
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate(
+        docs,
+        lang="unknown",
+        min_quality=0.0,
+        max_dup_ngram_fraction=0.5,
+        min_clf_score=0.0,
+        max_perplexity=1e9,
+    )
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert got == [2, 3]  # every unscoring gate passes them through

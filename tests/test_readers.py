@@ -476,3 +476,58 @@ def test_python_datasource_manifest_writer(spark, tmp_path):
     back = read_manifest(spark, out)
     assert back.count() == 100
     assert back.agg(F.sum("id")).first()[0] == 100 * 99 // 2
+
+
+def test_python_datasource_stream_restart_resumes_offsets(spark, tmp_path):
+    """A second run over the SAME checkpoint must resume from the
+    committed offset, not regress to 0 and re-serve old rows."""
+    from mapreduce_stockheadlines_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    import time
+
+    def run_until(n_rows):
+        stream = (
+            spark.readStream.format("headlines")
+            .option("rowsPerBatch", 30)
+            .option("maxRows", 90)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= n_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+
+    run_until(30)   # first run: at least one committed batch
+    run_until(90)   # restart with a fresh reader instance, same ckpt
+    got = spark.read.parquet(out)
+    assert got.count() == 90
+    assert got.select("id").distinct().count() == 90  # no re-served rows
+
+
+def test_python_datasource_feed_dates_are_valid(spark):
+    """Every generated date must survive a strict to_date cast — the
+    naive month grid used to fabricate 2020-02-30-style dates."""
+    from mapreduce_stockheadlines_spark.sources.pysource import register
+
+    register(spark)
+    df = spark.read.format("headlines").option("rows", 3000).load()
+    parsed = df.select(F.to_date("date").alias("d"))
+    assert parsed.filter(F.col("d").isNull()).count() == 0

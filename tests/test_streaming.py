@@ -482,3 +482,70 @@ def test_embedding_ingest_incremental_neardup(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert sorted(r.vec_id for r in idx.collect()) == [1, 2, 21]
     assert {"bucket", "qvec", "scale"} <= set(idx.columns)  # quantized rows
+
+
+def test_curated_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id must leave
+    output and index exactly as after the first run — the batch's own
+    previously-written digests must not dedup it against itself."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    sink = curated_ingest_sink(out, idx)
+    b1 = spark.createDataFrame([(1, "first doc"), (2, "second doc")], schema)
+    b2 = spark.createDataFrame([(3, "third doc"), (1, "first doc")], schema)
+    sink(b1, 0)
+    sink(b2, 1)
+    want = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert want == [1, 2, 3]  # cross-batch dup of doc 1's text dropped
+
+    sink(b2, 1)  # replay after a simulated pre-checkpoint crash
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == want  # nothing lost, nothing duplicated
+    assert spark.read.parquet(idx).count() == 3
+
+
+def test_embedding_ingest_replay_is_idempotent(spark, tmp_path):
+    """Same at-least-once contract for the vector-side sink: a replayed
+    batch must not wipe itself out against its own index rows."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        embedding_ingest_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def unit(seed):
+        rng = np.random.RandomState(seed)
+        v = rng.randn(64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    sink = embedding_ingest_sink(out, idx, threshold=0.98)
+    b1 = spark.createDataFrame([(1, unit(1))], schema)
+    b2 = spark.createDataFrame([(2, unit(2))], schema)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay
+    got = sorted(
+        r.vec_id for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 2]
+    assert sorted(r.vec_id for r in spark.read.parquet(idx).collect()) == [1, 2]
