@@ -254,6 +254,32 @@ def main() -> None:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # --- 5. classifier scoring with a hot token ------------------------
+    # one token in EVERY doc ("the"-style): the (doc) aggregation keys on
+    # doc_id, not token, so corpus-wide token frequency cannot skew the
+    # exchange — each doc still reduces to ~one shuffle row
+    hot_docs = docs.select(
+        "doc_id",
+        F.concat(F.lit("the the the the "), F.col("text")).alias("text"),
+    )
+    clf = TS.classifier_score(hot_docs, "doc_id", "text")
+    partition_stats(
+        clf.withColumn("_x", F.lit(1)), "classifier post-agg rows"
+    )
+
+    # --- 6. bigram-LM gram→model join with a hot bigram ----------------
+    # a bigram present in half the corpus is ONE build-side row; the
+    # probe stream shuffles on the bigram string but the hot key's build
+    # row broadcasts/replicates, so probe rows distribute by their own
+    # volume — measure the scored stream's partition spread
+    from mapreduce_stockheadlines_spark.operators import relevance as RV
+
+    lm, ctx, v = RV.train_bigram_lm(hot_docs, "doc_id", "text")
+    ppl = RV.lm_perplexity(hot_docs, lm, ctx, v, "doc_id", "text",
+                           backoff=False)
+    partition_stats(ppl, "lm_perplexity per-doc rows")
+    print(f"lm model rows={lm.count()} (vocab-bounded), vocab={v}")
+
     print("=== probe complete ===")
 
 
