@@ -43,6 +43,10 @@ from mapreduce_stockheadlines_spark.plans.catalog import table
 from mapreduce_stockheadlines_spark.session import get_spark
 
 
+class _SkipAqe(Exception):
+    """Sentinel: AQE section needs >= sf0.1 volume to be meaningful."""
+
+
 def partition_stats(df, label: str) -> str:
     sizes = sorted(
         r.n
@@ -210,6 +214,13 @@ def main() -> None:
     assert stats.max_rows <= 2 * block_rows
 
     # --- 4. AQE skew-split fires on a genuinely skewed shuffle join ----
+    # thresholds below are scaled for the sf0.1 probe volume; at tiny SFs
+    # even the hot partition undershoots them and the assertion would
+    # false-negative, so the section needs the documented default scale
+    run_aqe = n >= 2000
+    if not run_aqe:
+        print("AQE section skipped: needs >= sf0.1 volume "
+              f"(have {n} docs; run without an sf_dir argument)")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set(
@@ -222,6 +233,8 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
+        if not run_aqe:
+            raise _SkipAqe
         # repartition(16): the single-file local scan yields ONE map
         # task, and AQE's skew reader subdivides a skewed partition at
         # MAP-OUTPUT granularity — with one mapper there is nothing to
@@ -247,6 +260,8 @@ def main() -> None:
                 print("  " + line.strip()[:110])
                 break
         assert fired, "AQE skew reader did not fire"
+    except _SkipAqe:
+        pass
     finally:
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
