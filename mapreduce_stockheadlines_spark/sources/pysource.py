@@ -123,6 +123,15 @@ class HeadlinesStreamReader(DataSourceStreamReader):
         return {"index": self._pos}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # restart recovery, part 1: planning (including the re-execution
+        # of the last uncommitted batch) is the first call that shows a
+        # fresh reader instance the checkpointed offsets — adopt them so
+        # a later latestOffset() can never regress below a planned end.
+        # (The Python runner protocol never invokes deserializeOffset —
+        # offsets cross the wire as plain json.loads — so recovery MUST
+        # ride on partitions()/commit().) The max() guard also no-ops a
+        # batch whose logged end regressed before this fix existed.
+        self._pos = max(self._pos, start["index"], end["index"])
         return [_Batch(start["index"], max(start["index"], end["index"]))]
 
     def read(self, partition: _Batch) -> Iterator[tuple]:
@@ -130,17 +139,10 @@ class HeadlinesStreamReader(DataSourceStreamReader):
             yield _row(i)
 
     def commit(self, end: dict) -> None:
-        pass
+        # restart recovery, part 2: adopt committed positions too
+        self._pos = max(self._pos, end["index"])
 
-    def deserializeOffset(self, s: str) -> dict:
-        # restart recovery: a fresh reader instance counts from 0, but
-        # the checkpoint may hand back a later offset — adopting it here
-        # keeps latestOffset() monotone ABOVE the committed position, so
-        # a restarted stream never re-plans (and re-serves) rows below
-        # the checkpoint
-        d = json.loads(s)
-        self._pos = max(self._pos, d["index"])
-        return d
+
 
 
 class HeadlinesDataSource(DataSource):

@@ -479,44 +479,59 @@ def test_python_datasource_manifest_writer(spark, tmp_path):
 
 
 def test_python_datasource_stream_restart_resumes_offsets(spark, tmp_path):
-    """A second run over the SAME checkpoint must resume from the
-    committed offset, not regress to 0 and re-serve old rows."""
+    """Restart from a PARTIAL checkpoint (stopped right after the first
+    batch commit, later batches planned but uncommitted) must resume
+    without re-serving: the Python runner protocol never calls
+    deserializeOffset, so a fresh reader instance recovers its position
+    through partitions()/commit() — without that, latestOffset() starts
+    back at 0, writes a REGRESSED offset into the log, and the next
+    batch re-serves previously-delivered rows (observed: 30 duplicate
+    ids before the fix)."""
+    import os
+    import time
+
     from mapreduce_stockheadlines_spark.sources.pysource import register
 
     register(spark)
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
 
-    import time
-
-    def run_until(n_rows):
+    def make_query(trigger_s):
         stream = (
             spark.readStream.format("headlines")
             .option("rowsPerBatch", 30)
             .option("maxRows", 90)
             .load()
         )
-        q = (
+        return (
             stream.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ck)
-            .trigger(processingTime="1 seconds")
+            .trigger(processingTime=f"{trigger_s} seconds")
             .start()
         )
-        try:
-            deadline = time.time() + 120
-            while time.time() < deadline:
-                try:
-                    if spark.read.parquet(out).count() >= n_rows:
-                        break
-                except Exception:
-                    pass
-                time.sleep(1)
-        finally:
-            q.stop()
 
-    run_until(30)   # first run: at least one committed batch
-    run_until(90)   # restart with a fresh reader instance, same ckpt
+    # run 1: a slow trigger, stopped as soon as batch 0 commits — the
+    # checkpoint is left with a planned-but-uncommitted later batch
+    q = make_query(5)
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.exists(f"{ck}/commits/0"):
+        time.sleep(0.2)
+    q.stop()
+
+    # run 2: fresh reader instance, same checkpoint — drain to maxRows
+    q2 = make_query(1)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 90:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q2.stop()
     got = spark.read.parquet(out)
     assert got.count() == 90
     assert got.select("id").distinct().count() == 90  # no re-served rows
