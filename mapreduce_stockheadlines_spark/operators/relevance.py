@@ -34,6 +34,7 @@ __all__ = [
     "oov_stats",
     "train_bigram_lm",
     "lm_perplexity",
+    "apply_vocabulary",
 ]
 
 
@@ -366,4 +367,53 @@ def lm_perplexity(
         agg.withColumn("avg_logp", avg4 / F.lit(10000.0))
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 4))
         .drop("s4")
+    )
+
+
+def apply_vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Tokenize documents INTO ID SEQUENCES under a ``vocabulary()``
+    table — the encode step between vocabulary building and sequence
+    packing that turns text into model-ready token ids.
+
+    Output: (id, ``token_ids`` array<int> in original token order,
+    ``n_tokens``, ``n_unk``). OOV tokens map to ``unk_id`` (vocabulary()
+    ids start at 1, so the default 0 is reserved and unambiguous).
+
+    Shape: posexplode keeps each token's position → broadcast-class join
+    against the vocab (one build row per term — AQE broadcasts real
+    vocabularies, and a hot token is one build row, no skew
+    amplification) → one groupBy(doc) reassembles the sequence with
+    ``array_sort`` over (pos, id) structs. The shuffle carries one row
+    per token once, doc-keyed — the same contract as every per-doc
+    aggregation here."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_array(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(
+        vocab.select("term", F.col("term_id").cast("int").alias("_tid")),
+        "term",
+        "left",
+    )
+    tid = F.coalesce("_tid", F.lit(unk_id))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_tid").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
     )

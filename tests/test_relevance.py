@@ -351,3 +351,72 @@ def test_lm_perplexity_no_backoff_matches_on_self_trained(spark, sf_dir):
     }
     assert rows[999].ppl is None  # fully unseen fails loudly
     assert rows[998].ppl is None  # partially unseen also fails loudly
+
+
+# --- vocabulary application (text → token-id sequences) ----------------------
+
+def test_apply_vocabulary_round_trip(spark):
+    """Encoding under vocabulary() round-trips: decoding the id
+    sequences through the inverted vocab reproduces the token stream in
+    order; OOV tokens map to the reserved unk id and are counted."""
+    train = spark.createDataFrame(
+        [(0, "apple banana apple cherry"), (1, "banana banana dates")],
+        ["doc_id", "text"],
+    )
+    vocab = R.vocabulary(train, "text")
+    id2term = {r.term_id: r.term for r in vocab.collect()}
+    assert 0 not in id2term  # vocabulary ids start at 1: unk=0 is free
+
+    docs = spark.createDataFrame(
+        [(7, "apple dates zebra apple")], ["doc_id", "text"]
+    )
+    enc = R.apply_vocabulary(docs, "doc_id", "text", vocab).collect()[0]
+    assert enc.n_tokens == 4 and enc.n_unk == 1  # 'zebra' is OOV
+    decoded = [id2term.get(i, "<unk>") for i in enc.token_ids]
+    assert decoded == ["apple", "dates", "<unk>", "apple"]
+
+
+APPLY_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id,
+           unnest(l) AS token,
+           generate_subscripts(l, 1) AS pos
+    FROM (SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+                 t -> t <> '') AS l
+          FROM documents))),
+enc AS (SELECT t.doc_id,
+               list(coalesce(v.term_id, 0) ORDER BY t.pos) AS token_ids,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.term_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unk
+        FROM toks t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id)
+SELECT doc_id, array_to_string(token_ids, ' ') AS ids_str, n_tokens, n_unk
+FROM enc ORDER BY doc_id
+"""
+
+
+def test_apply_vocabulary_matches_duckdb(spark, sf_dir):
+    """Full cross-engine pin over the real documents table: DuckDB
+    re-derives the encoded sequences from the SAME exported vocab."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = R.vocabulary(docs, "text")
+    got = [
+        (r.doc_id, " ".join(map(str, r.token_ids)), r.n_tokens, r.n_unk)
+        for r in R.apply_vocabulary(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    vpdf = vocab.select(
+        F.col("term").alias("token"), "term_id"
+    ).toPandas()
+    con.register("vocab", vpdf)
+    want = [tuple(t) for t in con.sql(APPLY_VOCAB_ORACLE).fetchall()]
+    assert got == want
