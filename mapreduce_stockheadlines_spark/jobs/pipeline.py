@@ -34,6 +34,10 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 overlapping fixed-token windows —
                                 --chunk-tokens/--chunk-overlap)
       → token accounting       (whitespace + BPE-ish counts per doc)
+      → vocabulary encode      (optional: top-V vocab built on survivors,
+                                ordered token-id sequences attached —
+                                --encode-vocab-top; packing then budgets
+                                by encoded length)
       → sequence packing       (optional: per-partition FFD into token
                                 budgets — --pack-budget)
       → train/test split       (optional: hash-disjoint, growth-stable —
@@ -89,6 +93,7 @@ def curate(
     lm_model: tuple[DataFrame, DataFrame, int] | None = None,
     max_dup_ngram_fraction: float | None = None,
     rep_ngram_n: int = 3,
+    encode_vocab_top: int | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
@@ -248,11 +253,34 @@ def curate(
         TS.bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
 
+    # 5d. (optional) encode: build a top-V vocabulary ON THE SURVIVORS
+    #     and attach ordered token-id sequences (+ true token/unk
+    #     counts) — the model-ready representation; packing below then
+    #     budgets by REAL encoded length instead of the whitespace proxy
+    if encode_vocab_top is not None:
+        vocab = RV.vocabulary(docs, "text", top_v=encode_vocab_top)
+        enc = RV.apply_vocabulary(docs, "doc_id", "text", vocab).select(
+            "doc_id",
+            "token_ids",
+            F.col("n_tokens").alias("n_vocab_tokens"),
+            "n_unk",
+        )
+        # LEFT join: zero-token docs have no encode row but keep flowing
+        docs = docs.join(enc, "doc_id", "left")
+
     # 6. (optional) pack surviving docs into fixed token-budget training
     #    sequences; assignment joined back so rows keep their text
     if pack_budget is not None:
+        count_col = (
+            "n_vocab_tokens" if encode_vocab_top is not None else "n_ws_tokens"
+        )
+        pack_in = (
+            docs.na.fill({count_col: 0})
+            if encode_vocab_top is not None
+            else docs
+        )
         assignment = PK.pack_sequences(
-            docs, "doc_id", "n_ws_tokens", budget=pack_budget
+            pack_in, "doc_id", count_col, budget=pack_budget
         ).select("id", "pack_id", "truncate")
         docs = docs.join(
             assignment.withColumnRenamed("id", "doc_id"), "doc_id"
@@ -284,6 +312,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dup-window-tokens", type=int, default=8,
                     help="token-window width for the duplicated-window "
                          "gate")
+    ap.add_argument("--encode-vocab-top", type=int, default=None,
+                    help="build a top-V vocabulary on the survivors and "
+                         "attach token-id sequences; packing budgets by "
+                         "encoded length")
     ap.add_argument("--max-dup-ngram-fraction", type=float, default=None,
                     help="drop docs whose within-doc duplicate-n-gram "
                          "share exceeds this (Gopher repetition rule)")
@@ -351,6 +383,7 @@ def main(argv: list[str] | None = None) -> None:
         max_perplexity=args.max_perplexity,
         max_dup_ngram_fraction=args.max_dup_ngram_fraction,
         rep_ngram_n=args.rep_ngram_n,
+        encode_vocab_top=args.encode_vocab_top,
         reliable_checkpoint=bool(args.checkpoint_dir),
     )
     if args.shuffle_output:

@@ -491,3 +491,42 @@ def test_gates_pass_unscorable_docs(spark):
     )
     got = sorted(r.doc_id for r in out.select("doc_id").collect())
     assert got == [2, 3]  # every unscoring gate passes them through
+
+
+def test_curate_encode_and_pack_by_encoded_length(spark):
+    """--encode-vocab-top attaches ordered token-id sequences and makes
+    packing budget by encoded length: every doc's token_ids length
+    equals its n_vocab_tokens, ids beyond top-V collapse to unk 0, and
+    no pack exceeds the budget in encoded tokens."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (
+            i,
+            "the market and the outlook of "
+            + " ".join(words[j % 6] for j in range(i, i + 5)),
+            "a",
+        )
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs,
+        lang="en",
+        min_quality=0.0,
+        encode_vocab_top=4,
+        pack_budget=30,
+    ).collect()
+    assert out  # survivors exist (identical texts dedup to 3 variants)
+    for r in out:
+        assert len(r.token_ids) == r.n_vocab_tokens
+        assert r.n_unk == sum(1 for t in r.token_ids if t == 0)
+        assert max(r.token_ids) <= 4  # top-V cap: everything else unk
+    # per-pack encoded totals respect the budget (modulo the packer's
+    # oversize-doc truncate flag)
+    from collections import defaultdict
+
+    packs = defaultdict(int)
+    for r in out:
+        if not r.truncate:
+            packs[r.pack_id] += r.n_vocab_tokens
+    assert packs and all(total <= 30 for total in packs.values())
