@@ -258,6 +258,23 @@ def curate(
     #     counts) — the model-ready representation; packing below then
     #     budgets by REAL encoded length instead of the whitespace proxy
     if encode_vocab_top is not None:
+        if encode_vocab_top < 1:
+            # vocabulary() treats 0 as "no cap" (falsy) — a user asking
+            # for top-0 would silently get the FULL vocab; negatives
+            # would map everything to unk. Both are config errors.
+            raise ValueError(
+                f"encode_vocab_top must be >= 1, got {encode_vocab_top}"
+            )
+        # materialize the survivors ONCE before encoding: vocabulary()'s
+        # bucketed rank does a driver counts collect, i.e. plan-build
+        # EXECUTES the whole curation chain — and without a barrier the
+        # vocab build, the enc-join left side, apply_vocabulary's
+        # explode and the packer input would each recompute that chain
+        # from scratch (~4 full-corpus passes at scale). Same
+        # checkpoint policy as the near-dup component rounds.
+        docs = (
+            docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
+        )
         vocab = RV.vocabulary(docs, "text", top_v=encode_vocab_top)
         enc = RV.apply_vocabulary(docs, "doc_id", "text", vocab).select(
             "doc_id",
@@ -265,8 +282,17 @@ def curate(
             F.col("n_tokens").alias("n_vocab_tokens"),
             "n_unk",
         )
-        # LEFT join: zero-token docs have no encode row but keep flowing
-        docs = docs.join(enc, "doc_id", "left")
+        # LEFT join + fills: token-LESS docs (digits/punctuation only)
+        # have no encode row; they keep flowing with an EMPTY sequence,
+        # not NULL model-ready columns a consumer would trip over
+        docs = (
+            docs.join(enc, "doc_id", "left")
+            .withColumn(
+                "token_ids",
+                F.coalesce("token_ids", F.array().cast("array<int>")),
+            )
+            .na.fill({"n_vocab_tokens": 0, "n_unk": 0})
+        )
 
     # 6. (optional) pack surviving docs into fixed token-budget training
     #    sequences; assignment joined back so rows keep their text
@@ -274,13 +300,8 @@ def curate(
         count_col = (
             "n_vocab_tokens" if encode_vocab_top is not None else "n_ws_tokens"
         )
-        pack_in = (
-            docs.na.fill({count_col: 0})
-            if encode_vocab_top is not None
-            else docs
-        )
         assignment = PK.pack_sequences(
-            pack_in, "doc_id", count_col, budget=pack_budget
+            docs, "doc_id", count_col, budget=pack_budget
         ).select("id", "pack_id", "truncate")
         docs = docs.join(
             assignment.withColumnRenamed("id", "doc_id"), "doc_id"

@@ -269,6 +269,11 @@ def main() -> None:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # sections 5/6 measure partition spread — restore the no-coalesce
+    # regime sections 1-3 declared (section 4 re-enabled coalescing for
+    # the AQE demonstration and must not leak into these measurements)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
     # --- 5. classifier scoring with a hot token ------------------------
     # one token in EVERY doc ("the"-style): the (doc) aggregation keys on
     # doc_id, not token, so corpus-wide token frequency cannot skew the
@@ -278,12 +283,11 @@ def main() -> None:
         F.concat(F.lit("the the the the "), F.col("text")).alias("text"),
     )
     clf = TS.classifier_score(hot_docs, "doc_id", "text")
-    partition_stats(
-        clf.withColumn("_x", F.lit(1)), "classifier post-agg rows"
-    )
+    partition_stats(clf, "classifier post-agg rows")
 
     # --- 6. bigram-LM gram→model join with a hot bigram ----------------
-    # a bigram present in half the corpus is ONE build-side row; the
+    # the hot bigram ('the the', planted in EVERY doc above) is ONE
+    # build-side row however many docs carry it; the
     # probe stream shuffles on the bigram string but the hot key's build
     # row broadcasts/replicates, so probe rows distribute by their own
     # volume — measure the scored stream's partition spread

@@ -530,3 +530,33 @@ def test_curate_encode_and_pack_by_encoded_length(spark):
         if not r.truncate:
             packs[r.pack_id] += r.n_vocab_tokens
     assert packs and all(total <= 30 for total in packs.values())
+
+
+def test_curate_encode_tokenless_doc_gets_empty_sequence(spark):
+    """A surviving doc with NO [a-z] tokens gets an EMPTY token_ids
+    array and zero counts — never NULL model-ready columns — and
+    encode_vocab_top < 1 is rejected outright (vocabulary() would treat
+    0 as 'no cap')."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the market and the outlook are good", "a"),
+            (2, "1234 --- 5678 !!", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curate(
+            docs, lang="unknown", min_quality=0.0, encode_vocab_top=10
+        )
+        .filter(F.col("doc_id") == 2)
+        .collect()
+    }
+    if 2 in out:  # survives the open gates
+        assert out[2].token_ids == []
+        assert out[2].n_vocab_tokens == 0 and out[2].n_unk == 0
+
+    with pytest.raises(ValueError, match="encode_vocab_top"):
+        curate(docs, encode_vocab_top=0)
