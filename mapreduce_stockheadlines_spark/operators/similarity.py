@@ -675,3 +675,55 @@ def semantic_dedup(
     return dedup_by_pairs(
         emb, pairs, id_col, reliable_checkpoint=reliable_checkpoint
     )
+
+
+def lsh_bucketed_pairs_multi(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    threshold: float = 0.8,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Multi-table hyperplane LSH: the standard recall knob for
+    ``lsh_bucketed_pairs``. A single table misses a near-dup pair
+    whenever ANY of its ``n_planes`` hyperplanes separates the two
+    vectors (miss probability (1 - (1-θ/π)^p) per table); ``n_tables``
+    independent tables (seed-varied hyperplanes) make the miss
+    probability the PRODUCT of per-table misses — e.g. a pair a single
+    8-plane table catches with 0.7 probability survives 2 tables with
+    0.91, 3 with 0.97.
+
+    Cost shape: the corpus replicates ``n_tables``× into the ONE
+    bucket-hash exchange (bucket keys are table-prefixed so tables never
+    mix), and each (table, bucket) decomposes into the same bounded
+    sub-block tasks as the single-table path. The trailing ``distinct``
+    IS required here — a pair can surface in several tables (contrast
+    the single-table path's duplicate-free-by-construction stream, see
+    ``lsh_bucketed_pairs``); it shuffles only the pair stream, which is
+    output-sized, not corpus-sized."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        bucket_col = (
+            lsh_bucket_arrow(planes)(as_double(vec_col))
+            if n_planes >= LSH_ARROW_MIN_PLANES
+            else lsh_bucket(as_double(vec_col), planes)
+        )
+        tables.append(
+            emb.select(
+                F.col(id_col).cast("long").alias("id"),
+                as_double(vec_col).alias("v"),
+                F.concat(F.lit(f"{t}:"), bucket_col.cast("string")).alias(
+                    "bucket"
+                ),
+            )
+        )
+    bucketed = tables[0]
+    for tdf in tables[1:]:
+        bucketed = bucketed.unionAll(tdf)
+    return _within_group_pairs(
+        bucketed, threshold, block_rows, "bucket"
+    ).distinct()

@@ -1234,3 +1234,49 @@ def test_multimodal_undecodable_wav_falls_back_not_crashes(spark):
     assert out2.n_frames == 0
     assert out2.feature == [0.0] * 8
     assert not any(np.isnan(out2.feature))
+
+
+def test_multi_table_lsh_recall_dominates_single_table(spark, sf_dir):
+    """Adding tables can only ADD candidate pairs: multi-table output is
+    a superset of the single-table pairs (same seed for table 0), a
+    subset of the exact all-pairs, and catches at least as many of the
+    planted perturbed near-dups."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(30)
+    pdf = base.toPandas()
+    rows = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in pdf.itertuples()]
+    # perturbed near-copies: high-but-not-1 cosine so hyperplanes CAN
+    # separate them (exact copies would be caught by any table)
+    for vid, vec in list(rows):
+        v = np.asarray(vec)
+        p = v + rng.randn(len(v)) * 0.08 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((vid + 10000, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(dim=64, n_planes=8, threshold=0.9, block_rows=16)
+    single = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs(df, "vec_id", "embedding", **kw).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs_multi(
+            df, "vec_id", "embedding", n_tables=3, **kw
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, block_rows=16
+        ).collect()
+    }
+    assert single <= multi <= exact
+    planted = {(v, v + 10000) for v, _ in rows if v < 10000}
+    rec_single = len(single & planted) / len(planted)
+    rec_multi = len(multi & planted) / len(planted)
+    assert rec_multi >= rec_single
+    assert rec_multi > 0.5  # three 8-plane tables catch most 0.9+ pairs
