@@ -309,6 +309,24 @@ def curate(
     return docs
 
 
+def _write_partitioned(df: DataFrame, path: str, args) -> None:
+    """Source-partitioned parquet; with --files-per-partition the sized
+    writer bounds files per directory at write time (sinks module),
+    otherwise the plain partitionBy write."""
+    if args.files_per_partition:
+        from ..sources.sinks import write_parquet_partitioned_sized
+
+        write_parquet_partitioned_sized(
+            df,
+            path,
+            partition_by=["source"],
+            files_per_partition=args.files_per_partition,
+            key="doc_id",
+        )
+    else:
+        df.write.mode("overwrite").partitionBy("source").parquet(path)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out_dir")
@@ -358,6 +376,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--strip-boilerplate", action="store_true",
                     help="remove lines repeated across >1 documents "
                          "before dedup (corpus-level boilerplate filter)")
+    ap.add_argument("--files-per-partition", type=int, default=None,
+                    help="bound parquet files per source= directory in "
+                         "the output (pre-shuffled sized write instead "
+                         "of one file per task per directory)")
     ap.add_argument("--shuffle-output", action="store_true",
                     help="write output in deterministic hash-shuffled order")
     ap.add_argument("--test-fraction", type=float, default=None,
@@ -419,17 +441,13 @@ def main(argv: list[str] | None = None) -> None:
                 F.col("containment") > args.max_containment
             ).select("doc_id")
             train = train.join(dirty, "doc_id", "left_anti")
-        train.write.mode("overwrite").partitionBy("source").parquet(
-            f"{args.out_dir}/train"
-        )
-        test.write.mode("overwrite").partitionBy("source").parquet(
-            f"{args.out_dir}/test"
-        )
+        _write_partitioned(train, f"{args.out_dir}/train", args)
+        _write_partitioned(test, f"{args.out_dir}/test", args)
         n_tr = spark.read.parquet(f"{args.out_dir}/train").count()
         n_te = spark.read.parquet(f"{args.out_dir}/test").count()
         print(f"kept {n_tr} train + {n_te} test docs -> {args.out_dir}")
     else:
-        out.write.mode("overwrite").partitionBy("source").parquet(args.out_dir)
+        _write_partitioned(out, args.out_dir, args)
         kept = spark.read.parquet(args.out_dir).count()
         print(f"kept {kept} docs -> {args.out_dir}")
 

@@ -125,3 +125,51 @@ def numeric_histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+def profile_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row profile of an ``array<float>`` embedding column — the
+    sanity pass before any similarity/quantization work: dimension
+    consistency (a ragged corpus breaks every matmul kernel), null/empty
+    counts, L2-norm quartiles (≈1.0 everywhere ⟹ vectors are
+    pre-normalized and dot product IS cosine — the assumption the
+    similarity operators document), and the fraction of zero vectors.
+
+    One scan, one aggregation; the per-row norm is a codegen
+    fold (functions/vectors.dot), no Python."""
+    from ..functions.vectors import l2_norm
+
+    vec = F.col(vec_col)
+    norm = F.when(
+        vec.isNotNull() & (F.size(vec) > 0), F.round(l2_norm(as_d(vec)), 4)
+    )
+    dims = F.when(vec.isNotNull(), F.size(vec))
+    return df.select(
+        dims.alias("_d"), norm.alias("_nrm"), vec.isNull().alias("_isnull")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_isnull").cast("int")).cast("bigint").alias("n_null"),
+        F.count_distinct("_d").cast("bigint").alias("n_distinct_dims"),
+        F.min("_d").cast("int").alias("min_dim"),
+        F.max("_d").cast("int").alias("max_dim"),
+        F.round(F.percentile_approx("_nrm", 0.25), 4).alias("norm_p25"),
+        F.round(F.percentile_approx("_nrm", 0.5), 4).alias("norm_p50"),
+        F.round(F.percentile_approx("_nrm", 0.75), 4).alias("norm_p75"),
+        # fraction of NON-NULL vectors that are zero: null norms must
+        # stay null so avg() skips them (an otherwise(0) would silently
+        # count null rows in the denominator)
+        F.round(
+            F.avg(
+                F.when(F.col("_nrm") == 0.0, 1.0).when(
+                    F.col("_nrm").isNotNull(), 0.0
+                )
+            ),
+            4,
+        ).alias("zero_vec_frac"),
+    )
+
+
+def as_d(vec: Column) -> Column:
+    return vec.cast("array<double>")

@@ -560,3 +560,20 @@ def test_curate_encode_tokenless_doc_gets_empty_sequence(spark):
 
     with pytest.raises(ValueError, match="encode_vocab_top"):
         curate(docs, encode_vocab_top=0)
+
+
+def test_pipeline_cli_sized_output(spark, tmp_path):
+    """--files-per-partition bounds parquet files per source= directory
+    in the CLI output."""
+    import glob
+
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+          "--files-per-partition", "2"])
+    dirs = glob.glob(f"{out}/source=*")
+    assert dirs
+    for d in dirs:
+        n = len(glob.glob(f"{d}/*.parquet"))
+        assert 1 <= n <= 2, f"{d} has {n} files"

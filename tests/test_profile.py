@@ -123,3 +123,51 @@ def test_histogram_vs_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_profile_embeddings_matches_duckdb(spark, sf_dir):
+    """Embedding-column profile pinned against DuckDB over the real
+    table, plus hand-checked edge rows (null / empty / zero vector)."""
+    from mapreduce_stockheadlines_spark.operators.profile import (
+        profile_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = profile_embeddings(emb, "embedding").collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.sql(
+        """
+        WITH n AS (SELECT CASE WHEN embedding IS NOT NULL
+                                AND len(embedding) > 0
+                   THEN round(sqrt(list_sum(list_transform(
+                          CAST(embedding AS DOUBLE[]), x -> x * x))), 4)
+                   END AS nrm,
+                   CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS d
+            FROM embeddings)
+        SELECT count(*) AS n_rows,
+               CAST(count(DISTINCT d) AS BIGINT) AS n_distinct_dims,
+               CAST(min(d) AS INTEGER) AS min_dim,
+               round(quantile_cont(nrm, 0.5), 4) AS norm_p50
+        FROM n
+        """
+    ).fetchone()
+    assert got.n_rows == want[0]
+    assert got.n_distinct_dims == want[1]
+    assert got.min_dim == want[2]
+    # percentile_approx vs quantile_cont: same to within the sketch's
+    # resolution on a smooth norm distribution
+    assert abs(got.norm_p50 - want[3]) < 0.05
+    assert got.n_null == 0 and got.zero_vec_frac == 0.0
+
+    edge = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    e = profile_embeddings(edge, "embedding").collect()[0]
+    assert (e.n_rows, e.n_null) == (3, 1)
+    assert e.zero_vec_frac == 0.5  # one of the two non-null vectors
+    assert e.norm_p75 == 5.0  # the 3-4-5 vector
