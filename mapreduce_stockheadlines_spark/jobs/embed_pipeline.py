@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="train + persist IVF centroids for search mode")
     ap.add_argument("--n-centroids", type=int, default=16)
     ap.add_argument("--train-iters", type=int, default=2)
+    ap.add_argument("--profile", action="store_true",
+                    help="build mode: print the embedding-column profile "
+                         "(dims, norm quartiles, zero-vec rate) before "
+                         "any vector work — the ragged-corpus / "
+                         "unnormalized-corpus sanity gate")
     ap.add_argument("--query-ids", default="0",
                     help="search mode: comma-separated corpus vector ids")
     ap.add_argument("--k", type=int, default=10)
@@ -129,6 +134,12 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.mode == "build":
         emb = table(spark, args.sf_dir, "embeddings")
+        if args.profile:
+            from ..operators.profile import profile_embeddings
+
+            prof = profile_embeddings(emb, "embedding").collect()[0]
+            for k, v in prof.asDict().items():
+                print(f"profile.{k}\t{v}")
         out = curate_embeddings(
             emb,
             sem_threshold=args.sem_threshold,

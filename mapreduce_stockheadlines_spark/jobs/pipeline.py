@@ -369,6 +369,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-perplexity", type=float, default=None,
                     help="drop docs whose bigram-LM perplexity exceeds "
                          "this (self-trained model)")
+    ap.add_argument("--target-corpus-gb", type=float, default=None,
+                    help="apply conf_for_scale partition sizing for this "
+                         "corpus size (with --executors/--cores) before "
+                         "running — the 100 TB arithmetic, user-facing")
+    ap.add_argument("--executors", type=int, default=1)
+    ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="checkpoint dir for the near-dup component "
                          "rounds (fault-tolerant reliable checkpoints "
@@ -392,6 +398,17 @@ def main(argv: list[str] | None = None) -> None:
 
     spark: SparkSession = get_spark("pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.target_corpus_gb is not None:
+        from ..session import conf_for_scale
+
+        sized = conf_for_scale(
+            int(args.target_corpus_gb * (1 << 30)),
+            executors=args.executors,
+            cores_per_executor=args.cores,
+        )
+        for k, v in sized.items():
+            spark.conf.set(k, v)
+        print("conf_for_scale:", sized)
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = parallel_table(spark, args.sf_dir, "documents")
