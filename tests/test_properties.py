@@ -383,3 +383,100 @@ def test_int8_quantization_error_bound_property(spark, vecs):
             abs(x - c * r.scale) <= r.scale / 2 + 1e-9
             for x, c in zip(orig, r.qvec)
         )
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_classifier_hashed_score_recomputed_in_python(spark, texts):
+    """For ANY corpus the hashed-mode classifier score equals a direct
+    Python recomputation of the md5-weight model (same tokenization,
+    same rounding contract)."""
+    import hashlib
+    import math
+    import re
+
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        classifier_score,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in classifier_score(df, "doc_id", "text").collect()}
+
+    def weight(tok):
+        h = hashlib.md5(f"clf:{tok}".encode()).hexdigest()
+        return int(h[:8], 16) / 16**8 * 2 - 1
+
+    for i, t in rows:
+        toks = re.sub(r"[^a-z ]", " ", t.lower()).split()
+        if not toks:
+            assert i not in got  # no tokens -> no score row
+            continue
+        logit = round(sum(weight(x) for x in toks) / len(toks), 4)
+        assert got[i].n_tokens == len(toks)
+        assert got[i].logit == logit
+        assert got[i].clf_score == round(1 / (1 + math.exp(-logit)), 4)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=16),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lm_perplexity_recomputed_in_python(spark, texts):
+    """For ANY corpus the self-trained bigram perplexity equals a direct
+    Python recomputation: add-k counts, 4dp logps, exact fixed-point
+    mean, exp — the whole contract."""
+    import math
+    import re
+    from collections import Counter
+
+    from mapreduce_stockheadlines_spark.operators import relevance as RV
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm, ctx, v = RV.train_bigram_lm(df, "doc_id", "text", add_k=0.5)
+    got = {
+        r.doc_id: r
+        for r in RV.lm_perplexity(df, lm, ctx, v, "doc_id", "text").collect()
+    }
+
+    def toks(t):
+        return ["<s>"] + re.sub(r"[^a-z ]", " ", t.lower()).split()
+
+    grams = Counter()
+    for _, t in rows:
+        tt = toks(t)
+        grams.update(zip(tt, tt[1:]))
+    c1 = Counter()
+    for (w1, _), n in grams.items():
+        c1[w1] += n
+    vv = len({w2 for _, w2 in grams})
+    assert v == vv
+
+    for i, t in rows:
+        tt = toks(t)
+        pairs = list(zip(tt, tt[1:]))
+        if not pairs:
+            assert i not in got
+            continue
+        logps = [
+            round(math.log((grams[p] + 0.5) / (c1[p[0]] + 0.5 * vv)), 4)
+            for p in pairs
+        ]
+        s4 = sum(round(lp * 10000) for lp in logps)
+        n = len(pairs)
+        avg4 = (2 * abs(s4) + n) // (2 * n) * (1 if s4 > 0 else -1 if s4 < 0 else 0)
+        avg = avg4 / 10000.0
+        assert got[i].n_bigrams == n
+        assert got[i].avg_logp == avg
+        assert got[i].ppl == round(math.exp(-avg), 4)
