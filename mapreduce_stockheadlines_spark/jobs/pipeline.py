@@ -312,16 +312,27 @@ def curate(
 def _write_partitioned(df: DataFrame, path: str, args) -> None:
     """Source-partitioned parquet; with --files-per-partition the sized
     writer bounds files per directory at write time (sinks module),
-    otherwise the plain partitionBy write."""
+    otherwise the plain partitionBy write. When --shuffle-output is also
+    set, the sized path re-sorts each task by the SAME md5 order
+    deterministic_shuffle produced — its repartition would otherwise
+    silently discard the documented reproducible training order."""
     if args.files_per_partition:
         from ..sources.sinks import write_parquet_partitioned_sized
 
+        sort_within = None
+        if args.shuffle_output:
+            key_c = F.col("doc_id").cast("string")
+            sort_within = [
+                F.md5(F.concat(F.lit("shuffle:"), key_c).cast("binary")),
+                key_c,
+            ]
         write_parquet_partitioned_sized(
             df,
             path,
             partition_by=["source"],
             files_per_partition=args.files_per_partition,
             key="doc_id",
+            sort_within=sort_within,
         )
     else:
         df.write.mode("overwrite").partitionBy("source").parquet(path)
@@ -375,6 +386,11 @@ def main(argv: list[str] | None = None) -> None:
                          "running — the 100 TB arithmetic, user-facing")
     ap.add_argument("--executors", type=int, default=1)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--executor-mem-gb", type=int, default=16,
+                    help="per-executor memory for the sizing arithmetic "
+                         "(wide executors need more than the default 16)")
+    ap.add_argument("--target-partition-mb", type=int, default=128,
+                    help="target partition size for the sizing arithmetic")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="checkpoint dir for the near-dup component "
                          "rounds (fault-tolerant reliable checkpoints "
@@ -405,6 +421,8 @@ def main(argv: list[str] | None = None) -> None:
             int(args.target_corpus_gb * (1 << 30)),
             executors=args.executors,
             cores_per_executor=args.cores,
+            executor_mem_gb=args.executor_mem_gb,
+            target_partition_bytes=args.target_partition_mb << 20,
         )
         for k, v in sized.items():
             spark.conf.set(k, v)

@@ -139,27 +139,41 @@ def profile_embeddings(
 
     One scan, one aggregation; the per-row norm is a codegen
     fold (functions/vectors.dot), no Python."""
-    from ..functions.vectors import l2_norm
+    from ..functions.vectors import as_double, l2_norm
 
     vec = F.col(vec_col)
+    # empty (size-0) non-null vectors ARE zero vectors: norm 0, counted
+    # in both n_empty and zero_vec_frac's numerator AND denominator
     norm = F.when(
-        vec.isNotNull() & (F.size(vec) > 0), F.round(l2_norm(as_d(vec)), 4)
-    )
+        vec.isNotNull() & (F.size(vec) > 0), F.round(l2_norm(as_double(vec)), 4)
+    ).when(vec.isNotNull(), F.lit(0.0))
     dims = F.when(vec.isNotNull(), F.size(vec))
+    # ONE percentile sketch for all three quartiles (three separate
+    # calls each maintain their own summaries — 3x the update cost) and
+    # approx distinct for dims: an exact count_distinct mixed into this
+    # aggregate would plan an Expand over every scanned row — the cost
+    # profile_table's docstring exists to warn about (dim cardinality is
+    # tiny, so HLL is exact in practice anyway)
+    q = F.percentile_approx(
+        "_nrm", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
     return df.select(
         dims.alias("_d"), norm.alias("_nrm"), vec.isNull().alias("_isnull")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("_isnull").cast("int")).cast("bigint").alias("n_null"),
-        F.count_distinct("_d").cast("bigint").alias("n_distinct_dims"),
+        F.sum(F.when(F.col("_d") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.approx_count_distinct("_d").cast("bigint").alias("n_distinct_dims"),
         F.min("_d").cast("int").alias("min_dim"),
         F.max("_d").cast("int").alias("max_dim"),
-        F.round(F.percentile_approx("_nrm", 0.25), 4).alias("norm_p25"),
-        F.round(F.percentile_approx("_nrm", 0.5), 4).alias("norm_p50"),
-        F.round(F.percentile_approx("_nrm", 0.75), 4).alias("norm_p75"),
-        # fraction of NON-NULL vectors that are zero: null norms must
-        # stay null so avg() skips them (an otherwise(0) would silently
-        # count null rows in the denominator)
+        F.round(q[0], 4).alias("norm_p25"),
+        F.round(q[1], 4).alias("norm_p50"),
+        F.round(q[2], 4).alias("norm_p75"),
+        # fraction of NON-NULL vectors that are zero: null norms stay
+        # null so avg() skips them (an otherwise(0) would silently count
+        # null rows in the denominator)
         F.round(
             F.avg(
                 F.when(F.col("_nrm") == 0.0, 1.0).when(
@@ -169,7 +183,3 @@ def profile_embeddings(
             4,
         ).alias("zero_vec_frac"),
     )
-
-
-def as_d(vec: Column) -> Column:
-    return vec.cast("array<double>")

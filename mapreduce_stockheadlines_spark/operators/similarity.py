@@ -704,7 +704,11 @@ def lsh_bucketed_pairs_multi(
     the single-table path's duplicate-free-by-construction stream, see
     ``lsh_bucketed_pairs``); it shuffles only the pair stream, which is
     output-sized, not corpus-sized."""
-    tables = []
+    # ONE corpus scan: every table's bucket is computed in the same
+    # projection and a single explode replicates rows n_tables× — a
+    # per-table select + union would re-read and re-decode the source
+    # once per table for identical output
+    bucket_cols = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
         bucket_col = (
@@ -712,18 +716,19 @@ def lsh_bucketed_pairs_multi(
             if n_planes >= LSH_ARROW_MIN_PLANES
             else lsh_bucket(as_double(vec_col), planes)
         )
-        tables.append(
-            emb.select(
-                F.col(id_col).cast("long").alias("id"),
-                as_double(vec_col).alias("v"),
-                F.concat(F.lit(f"{t}:"), bucket_col.cast("string")).alias(
-                    "bucket"
-                ),
-            )
+        bucket_cols.append(
+            F.concat(F.lit(f"{t}:"), bucket_col.cast("string"))
         )
-    bucketed = tables[0]
-    for tdf in tables[1:]:
-        bucketed = bucketed.unionAll(tdf)
-    return _within_group_pairs(
-        bucketed, threshold, block_rows, "bucket"
-    ).distinct()
+    bucketed = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(vec_col).alias("v"),
+        F.explode(F.array(*bucket_cols)).alias("bucket"),
+    )
+    # dedup on PAIR IDENTITY, not (pair, sim): the same pair scored in
+    # two tables sits in differently-composed sub-matrices, and a
+    # last-ulp BLAS difference at a 4dp boundary could emit two sims —
+    # distinct() on all columns would then keep both rows
+    return (
+        _within_group_pairs(bucketed, threshold, block_rows, "bucket")
+        .dropDuplicates(["id_a", "id_b"])
+    )

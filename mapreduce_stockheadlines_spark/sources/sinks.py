@@ -166,6 +166,7 @@ def write_parquet_partitioned_sized(
     files_per_partition: int = 1,
     key: str | None = None,
     mode: str = "overwrite",
+    sort_within: list | None = None,
 ) -> None:
     """Hive-partitioned parquet with a BOUNDED file count per partition
     directory.
@@ -184,6 +185,13 @@ def write_parquet_partitioned_sized(
     ``key`` defaults to the first non-partition column. With
     ``files_per_partition=1`` the split column is constant and skipped:
     the shuffle is on the partition columns alone.
+
+    ``sort_within``: column expressions to sort each task's rows by
+    before writing. The repartition destroys any upstream global order
+    (rows land in shuffle-arrival order) — callers that just produced a
+    deterministic order (``sampling.deterministic_shuffle``) must pass
+    its sort key here or the written file order is neither that order
+    nor stable across reruns.
     """
     from pyspark.sql import functions as F
 
@@ -207,4 +215,10 @@ def write_parquet_partitioned_sized(
         out = df.withColumn("__split", split).repartition(
             *part_cols, F.col("__split")
         ).drop("__split")
+    if sort_within:
+        # partition columns lead the sort: the dynamic-partition writer
+        # requires rows ordered by the partition columns and would
+        # insert its OWN (unstable) sort otherwise, scrambling the
+        # caller's order within each file
+        out = out.sortWithinPartitions(*part_cols, *sort_within)
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)

@@ -577,3 +577,24 @@ def test_pipeline_cli_sized_output(spark, tmp_path):
     for d in dirs:
         n = len(glob.glob(f"{d}/*.parquet"))
         assert 1 <= n <= 2, f"{d} has {n} files"
+
+
+def test_pipeline_cli_shuffle_plus_sized_output_preserves_order(spark, tmp_path):
+    """--shuffle-output + --files-per-partition must keep the md5
+    training order WITHIN each written file (the sized repartition
+    would otherwise discard it silently)."""
+    import glob
+    import hashlib
+
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+          "--files-per-partition", "2", "--shuffle-output"])
+
+    def md5key(doc_id):
+        return hashlib.md5(f"shuffle:{doc_id}".encode()).hexdigest()
+
+    for f in glob.glob(f"{out}/source=*/*.parquet"):
+        ids = [r.doc_id for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids, key=lambda d: (md5key(d), str(d)))

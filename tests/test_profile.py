@@ -164,10 +164,12 @@ def test_profile_embeddings_matches_duckdb(spark, sf_dir):
     assert got.n_null == 0 and got.zero_vec_frac == 0.0
 
     edge = spark.createDataFrame(
-        [(1, [0.0, 0.0]), (2, None), (3, [3.0, 4.0])],
+        [(1, [0.0, 0.0]), (2, None), (3, [3.0, 4.0]), (4, [])],
         "vec_id long, embedding array<double>",
     )
     e = profile_embeddings(edge, "embedding").collect()[0]
-    assert (e.n_rows, e.n_null) == (3, 1)
-    assert e.zero_vec_frac == 0.5  # one of the two non-null vectors
+    assert (e.n_rows, e.n_null, e.n_empty) == (4, 1, 1)
+    # empty vectors count as zero vectors: 2 of the 3 non-null rows
+    assert e.zero_vec_frac == round(2 / 3, 4)
     assert e.norm_p75 == 5.0  # the 3-4-5 vector
+    assert e.min_dim == 0  # the empty vector

@@ -367,7 +367,7 @@ def test_assign_bins_invariants(sizes, budget, max_open_bins):
         max_size=6,
     )
 )
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@SLOW
 def test_int8_quantization_error_bound_property(spark, vecs):
     """For ANY vector set: codes in [-127, 127] and per-element
     reconstruction error <= scale/2 (the symmetric-quantizer contract)."""
@@ -392,7 +392,7 @@ def test_int8_quantization_error_bound_property(spark, vecs):
         max_size=6,
     )
 )
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@SLOW
 def test_classifier_hashed_score_recomputed_in_python(spark, texts):
     """For ANY corpus the hashed-mode classifier score equals a direct
     Python recomputation of the md5-weight model (same tokenization,
@@ -431,7 +431,7 @@ def test_classifier_hashed_score_recomputed_in_python(spark, texts):
         max_size=5,
     )
 )
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@SLOW
 def test_lm_perplexity_recomputed_in_python(spark, texts):
     """For ANY corpus the self-trained bigram perplexity equals a direct
     Python recomputation: add-k counts, 4dp logps, exact fixed-point
