@@ -379,7 +379,12 @@ def main(argv: list[str] | None = None) -> None:
                          "classifier gate")
     ap.add_argument("--max-perplexity", type=float, default=None,
                     help="drop docs whose bigram-LM perplexity exceeds "
-                         "this (self-trained model)")
+                         "this (self-trained, or --lm-dir for a "
+                         "pretrained artifact)")
+    ap.add_argument("--lm-dir", default=None,
+                    help="save_bigram_lm artifact dir: gate with this "
+                         "pretrained model (full backoff) instead of "
+                         "self-training")
     ap.add_argument("--target-corpus-gb", type=float, default=None,
                     help="apply conf_for_scale partition sizing for this "
                          "corpus size (with --executors/--cores) before "
@@ -459,6 +464,9 @@ def main(argv: list[str] | None = None) -> None:
             else None
         ),
         max_perplexity=args.max_perplexity,
+        lm_model=(
+            RV.load_bigram_lm(spark, args.lm_dir) if args.lm_dir else None
+        ),
         max_dup_ngram_fraction=args.max_dup_ngram_fraction,
         rep_ngram_n=args.rep_ngram_n,
         encode_vocab_top=args.encode_vocab_top,

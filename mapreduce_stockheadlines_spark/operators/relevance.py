@@ -35,6 +35,8 @@ __all__ = [
     "train_bigram_lm",
     "lm_perplexity",
     "apply_vocabulary",
+    "save_bigram_lm",
+    "load_bigram_lm",
 ]
 
 
@@ -417,3 +419,28 @@ def apply_vocabulary(
             .alias("n_unk"),
         )
     )
+
+
+def save_bigram_lm(
+    lm: DataFrame, ctx: DataFrame, vocab_size: int, path: str
+) -> None:
+    """Persist a trained bigram LM as parquet artifacts — the offline
+    half of the CCNet deployment shape (train once on a clean reference
+    corpus, gate many corpora/streams against it). Layout:
+    ``<path>/lm`` (bigram, w1, logp), ``<path>/ctx`` (w1, c1),
+    ``<path>/meta`` (one row: v, add-k baked into the logps)."""
+    lm.write.mode("overwrite").parquet(f"{path}/lm")
+    ctx.write.mode("overwrite").parquet(f"{path}/ctx")
+    lm.sparkSession.createDataFrame(
+        [(int(vocab_size),)], "v long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bigram_lm(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """Inverse of ``save_bigram_lm``; the returned triple feeds
+    ``lm_perplexity`` (full backoff — a loaded model scores corpora it
+    never saw)."""
+    lm = spark.read.parquet(f"{path}/lm")
+    ctx = spark.read.parquet(f"{path}/ctx")
+    v = int(spark.read.parquet(f"{path}/meta").first()["v"])
+    return lm, ctx, v

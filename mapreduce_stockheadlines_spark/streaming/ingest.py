@@ -64,6 +64,8 @@ def curated_ingest_sink(
     neardup_index_dir: str | None = None,
     min_clf_score: float | None = None,
     clf_weights: list[tuple[str, float]] | None = None,
+    max_perplexity: float | None = None,
+    lm_dir: str | None = None,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
@@ -194,6 +196,30 @@ def curated_ingest_sink(
                 id_col,
                 "left_semi",
             )
+        if max_perplexity is not None:
+            # perplexity gate against a PRETRAINED model (lm_dir — the
+            # CCNet deployment shape: train offline on a clean reference
+            # corpus via relevance.save_bigram_lm, gate the stream
+            # online with full backoff for never-seen grams). Training
+            # per micro-batch would give every batch its own model and
+            # incomparable scores, so a model artifact is required.
+            if lm_dir is None:
+                raise ValueError(
+                    "max_perplexity needs lm_dir (a save_bigram_lm "
+                    "artifact); per-batch self-training is not a "
+                    "meaningful streaming gate"
+                )
+            from ..operators.relevance import (
+                lm_perplexity,
+                load_bigram_lm,
+            )
+
+            lm, ctx, v = load_bigram_lm(spark, lm_dir)
+            ppl = lm_perplexity(
+                survivors, lm, ctx, v, id_col, text_col
+            )
+            junk = ppl.filter(F.col("ppl") > max_perplexity).select(id_col)
+            survivors = survivors.join(junk, id_col, "left_anti")
         # per-batch subdir + overwrite = idempotent under micro-batch retry
         survivors.drop("text_hash").write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"

@@ -549,3 +549,77 @@ def test_embedding_ingest_replay_is_idempotent(spark, tmp_path):
     )
     assert got == [1, 2]
     assert sorted(r.vec_id for r in spark.read.parquet(idx).collect()) == [1, 2]
+
+
+def test_curated_ingest_perplexity_gate_with_pretrained_lm(spark, tmp_path):
+    """The streaming ingest gates on perplexity under a PRETRAINED
+    persisted model: fluent docs (in-distribution with the reference
+    corpus) pass, gibberish is dropped, and the gate refuses to run
+    without a model artifact."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import relevance as RV
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+        run_curated_ingest,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the market closed higher today and the outlook is good"),
+            (2, "the market closed lower today and the outlook is weak"),
+            (3, "the fed kept rates steady and the market is calm"),
+        ],
+        ["doc_id", "text"],
+    )
+    lm, ctx, v = RV.train_bigram_lm(ref, "doc_id", "text")
+    lm_dir = str(tmp_path / "lm")
+    RV.save_bigram_lm(lm, ctx, v, lm_dir)
+    lm2, ctx2, v2 = RV.load_bigram_lm(spark, lm_dir)
+    assert v2 == v  # artifact round-trips
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (10, "the market closed higher today and the outlook is good"),
+        (11, "zq xv bn wk pj dh fm rt zq xv"),
+    ]
+    # pick a cut between the two docs' perplexities under the model
+    ppl = {
+        r.doc_id: r.ppl
+        for r in RV.lm_perplexity(
+            spark.createDataFrame(rows, schema), lm2, ctx2, v2,
+            "doc_id", "text",
+        ).collect()
+    }
+    assert ppl[11] > ppl[10]
+    cut = (ppl[10] + ppl[11]) / 2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+        max_perplexity=cut,
+        lm_dir=lm_dir,
+    )
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [10]
+
+    with pytest.raises(ValueError, match="lm_dir"):
+        curated_ingest_sink("x", "y", max_perplexity=100.0)(
+            spark.createDataFrame(rows, schema), 0
+        )
