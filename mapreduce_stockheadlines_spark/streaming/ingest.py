@@ -90,6 +90,8 @@ def curated_ingest_sink(
     scale contract of the exact-dedup index, extended to near-dups.
     """
 
+    _lm_cache: list = []  # one artifact load per sink lifetime
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if blocked_domains:
@@ -214,7 +216,11 @@ def curated_ingest_sink(
                 load_bigram_lm,
             )
 
-            lm, ctx, v = load_bigram_lm(spark, lm_dir)
+            # load the artifact once per sink, not once per micro-batch
+            # (the closure cell caches the lazy plans + the vocab scalar)
+            if not _lm_cache:
+                _lm_cache.append(load_bigram_lm(spark, lm_dir))
+            lm, ctx, v = _lm_cache[0]
             ppl = lm_perplexity(
                 survivors, lm, ctx, v, id_col, text_col
             )
