@@ -37,6 +37,7 @@ __all__ = [
     "apply_vocabulary",
     "save_bigram_lm",
     "load_bigram_lm",
+    "doc_bigrams",
 ]
 
 
@@ -226,7 +227,7 @@ def oov_stats(
 _BOS = "<s>"  # cannot collide: real tokens are [a-z]+ only
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, 'w1 w2') bigram stream with a BOS sentinel so the first real
     token is conditioned too. The space-joined string IS the model key
     (tokens contain no spaces); w1 recovers as the prefix before the
@@ -239,7 +240,11 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+    grams: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Add-k-smoothed bigram LM over the corpus — the KenLM-filtering
     stage of CCNet-style pipelines, reduced to its Spark-native core
@@ -263,8 +268,14 @@ def train_bigram_lm(
     the vocabulary size are aggregations OF that census (vocab²-bounded
     rows, never the corpus stream again). All model tables are
     corpus-derived — none is force-broadcast; AQE picks broadcast when
-    the vocabulary is actually small."""
-    grams = _doc_bigrams(df, id_col, text_col)
+    the vocabulary is actually small.
+
+    ``grams``: a pre-built (id, bigram) stream (``doc_bigrams``) — for
+    the train-then-self-score composition, materialize it once
+    (localCheckpoint) and pass it to BOTH functions, halving the
+    tokenize+explode passes over the corpus."""
+    if grams is None:
+        grams = doc_bigrams(df, id_col, text_col)
     bg = grams.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
     )
@@ -298,6 +309,7 @@ def lm_perplexity(
     text_col: str,
     add_k: float = 0.5,
     backoff: bool = True,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document perplexity under a bigram LM:
     ``ppl = round(exp(-mean(logp)), 4)`` over the doc's BOS-padded
@@ -319,8 +331,11 @@ def lm_perplexity(
     costs a second pass over the gram stream (measured: 33% of the
     train+score wall at both 1× and 10× sf0.1). A doc with ANY unseen
     gram under ``backoff=False`` nulls out loudly (sum() would otherwise
-    silently average only the seen grams) rather than mis-scoring."""
-    grams = _doc_bigrams(df, id_col, text_col)
+    silently average only the seen grams) rather than mis-scoring.
+    ``grams``: share a materialized stream with training (see
+    train_bigram_lm)."""
+    if grams is None:
+        grams = doc_bigrams(df, id_col, text_col)
     scored = grams.join(lm.select("bigram", "logp"), "bigram", "left")
     if backoff:
         scored = (

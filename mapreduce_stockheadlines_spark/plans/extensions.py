@@ -1214,9 +1214,15 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     model tables vocab²-bounded, never the corpus again
     (operators/relevance.train_bigram_lm / lm_perplexity)."""
     docs = parallel_table(spark, sf, "documents")
-    lm, ctx, v = RV.train_bigram_lm(docs, "doc_id", "text", add_k=0.5)
+    # ONE tokenize+explode pass for train AND score: the gram stream is
+    # materialized once (localCheckpoint) and shared — without it both
+    # halves re-run the scan+regex pipeline independently
+    grams = RV.doc_bigrams(docs, "doc_id", "text").localCheckpoint()
+    lm, ctx, v = RV.train_bigram_lm(
+        docs, "doc_id", "text", add_k=0.5, grams=grams
+    )
     return RV.lm_perplexity(
-        docs, lm, ctx, v, "doc_id", "text", backoff=False
+        docs, lm, ctx, v, "doc_id", "text", backoff=False, grams=grams
     ).orderBy("doc_id")
 
 
