@@ -204,16 +204,28 @@ def curate(
         low = clf.filter(F.col("clf_score") < min_clf_score).select("doc_id")
         docs = docs.join(low, "doc_id", "left_anti")
     if max_perplexity is not None:
-        lm, ctx, v = (
-            lm_model
-            if lm_model is not None
-            else RV.train_bigram_lm(docs, "doc_id", "text")
-        )
+        grams = None
+        if lm_model is not None:
+            lm, ctx, v = lm_model
+        else:
+            # self-train: materialize ONE gram stream and share it
+            # between training and scoring (halves the tokenize+explode
+            # passes — same policy as the near-dup checkpoints)
+            grams = RV.doc_bigrams(docs, "doc_id", "text")
+            grams = (
+                grams.checkpoint()
+                if reliable_checkpoint
+                else grams.localCheckpoint()
+            )
+            lm, ctx, v = RV.train_bigram_lm(
+                docs, "doc_id", "text", grams=grams
+            )
         # self-trained → every gram is in the model; skip the backoff
         # join (a second pass over the gram stream it can never use)
         ppl = RV.lm_perplexity(
             docs, lm, ctx, v, "doc_id", "text",
             backoff=lm_model is not None,
+            grams=grams,
         )
         # flag-and-anti-join: token-less docs (no bigram rows) and docs
         # the no-backoff path cannot score (null ppl) pass through
