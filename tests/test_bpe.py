@@ -1,0 +1,216 @@
+"""BPE tokenizer: trainer pinned against a naive reference
+implementation, encode/train consistency, corpus application, and the
+census against DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_stockheadlines_spark.operators import bpe as B
+
+EOW = "</w>"
+
+
+# --- naive reference (independent code path: full recount per merge) -------
+
+
+def ref_train(word_freqs: dict[str, int], num_merges: int):
+    """Sennrich BPE with a full pair recount every merge — O(V) per
+    merge, deliberately different bookkeeping from the incremental
+    trainer it checks."""
+    seqs = {w: tuple(list(w) + [EOW]) for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            for p in zip(seq, seq[1:]):
+                counts[p] = counts.get(p, 0) + word_freqs[w]
+        live = [(c, p) for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        best = min(live, key=lambda cp: (-cp[0], cp[1]))[1]
+        merges.append(best)
+        seqs = {w: tuple(B._merge_seq(list(s), *best)) for w, s in seqs.items()}
+    return merges, seqs
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    """Replay merges in rank order — the definitional segmentation."""
+    seq = list(word) + [EOW]
+    for a, b in merges:
+        seq = B._merge_seq(seq, a, b)
+    return seq
+
+
+# --- trainer ---------------------------------------------------------------
+
+
+CORPUS = [
+    (1, "low lower lowest low low"),
+    (2, "new newer newest new"),
+    (3, "wide wider widest new low"),
+    (4, ""),
+    (5, None),
+]
+
+
+def _census_dict(spark, df, text_col="text"):
+    return {
+        r["word"]: r["freq"]
+        for r in B.word_census(df, text_col).collect()
+    }
+
+
+def test_train_matches_naive_reference(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges, alphabet = B.train_bpe(df, "text", 10)
+    ref_merges, _ = ref_train(_census_dict(spark, df), 10)
+    assert merges == ref_merges
+    assert len(merges) == 10
+    assert alphabet == sorted(set("".join(w for w in _census_dict(spark, df))) | {EOW})
+
+
+def test_train_stops_when_pairs_exhausted(spark):
+    df = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    merges, _ = B.train_bpe(df, "text", 100)
+    # "ab</w>" fully merges in 2 steps; nothing co-occurs after that
+    assert len(merges) == 2
+    assert B._encode_word("ab", {p: i for i, p in enumerate(merges)}) == [
+        "ab" + EOW
+    ]
+
+
+def test_encode_reproduces_training_segmentation(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges, _ = B.train_bpe(df, "text", 15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in _census_dict(spark, df):
+        assert B._encode_word(w, ranks) == ref_encode(w, merges), w
+
+
+def test_encode_round_trips_any_word(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges, _ = B.train_bpe(df, "text", 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["low", "lowest", "unseenword", "z"]:
+        assert "".join(B._encode_word(w, ranks)) == w + EOW
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+def test_train_property_incremental_equals_naive(words, n_merges):
+    """The incremental trainer's inverted-index bookkeeping equals the
+    full-recount reference on arbitrary corpora — driver-side only
+    (ref_train vs the same loop train_bpe runs after its collect)."""
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    ref_merges, ref_seqs = ref_train(freqs, n_merges)
+    merges, alphabet = B._train_merges(sorted(freqs.items()), n_merges)
+    assert merges == ref_merges
+    assert alphabet == sorted(set("".join(freqs)) | {EOW})
+    # and encode-by-rank reproduces the training segmentation
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in freqs:
+        assert tuple(B._encode_word(w, ranks)) == ref_seqs[w], (w, merges)
+
+
+def test_word_census_matches_duckdb(spark, sf_dir):
+    got = {
+        (r["word"], r["freq"])
+        for r in B.word_census(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "text", 50
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (w, f)
+        for w, f in con.execute(
+            f"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(regexp_replace(
+                lower(text), '[^a-zA-Z ]', ' ', 'g')), ' +')) AS word
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            )
+            SELECT word, count(*) AS freq FROM toks WHERE word <> ''
+            GROUP BY word ORDER BY freq DESC, word ASC LIMIT 50
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+# --- vocabulary + encoding over the corpus ---------------------------------
+
+
+def test_bpe_vocabulary_layout(spark):
+    vocab = B.bpe_vocabulary(spark, [("a", "b"), ("ab", EOW)], ["a", "b", EOW])
+    rows = {r["piece"]: r["piece_id"] for r in vocab.collect()}
+    # alphabet first (sorted order as given), merges appended in order
+    assert rows == {"a": 1, "b": 2, EOW: 3, "ab": 4, "ab" + EOW: 5}
+
+
+def test_bpe_vocabulary_dedups_repeated_pieces(spark):
+    vocab = B.bpe_vocabulary(spark, [("a", "b")], ["a", "b", "ab"])
+    rows = {r["piece"]: r["piece_id"] for r in vocab.collect()}
+    assert rows == {"a": 1, "b": 2, "ab": 3}  # merge result keeps first id
+
+
+def test_apply_bpe_matches_per_doc_reference(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges, alphabet = B.train_bpe(df, "text", 12)
+    got = {
+        r["doc_id"]: (r["pieces"], r["n_words"], r["n_pieces"])
+        for r in B.apply_bpe(df, "doc_id", "text", merges).collect()
+    }
+    for doc_id, text in CORPUS:
+        words = [w for w in (text or "").lower().split() if w]
+        want = [p for w in words for p in ref_encode(w, merges)]
+        pieces, n_words, n_pieces = got[doc_id]
+        assert pieces == want, doc_id
+        assert n_words == len(words)
+        assert n_pieces == len(want)
+    # token-less docs survive with empty sequences
+    assert got[4] == ([], 0, 0)
+    assert got[5] == ([], 0, 0)
+
+
+def test_apply_bpe_emits_ids_under_vocabulary(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges, alphabet = B.train_bpe(df, "text", 12)
+    ids = {
+        r["piece"]: r["piece_id"]
+        for r in B.bpe_vocabulary(spark, merges, alphabet).collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in B.apply_bpe(
+            df, "doc_id", "text", merges, piece_ids=ids
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["piece_token_ids"] == [ids[p] for p in r1["pieces"]]
+    assert out[4]["piece_token_ids"] == []
+    # unknown piece -> 0: encode a word with a symbol outside the vocab
+    enc = B.encode_word_types(
+        spark.createDataFrame([("qxz",)], ["word"]), merges, piece_ids=ids
+    ).collect()[0]
+    assert 0 in enc["ids"] and "".join(enc["pieces"]) == "qxz" + EOW
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges, alphabet = B.train_bpe(df, "text", 7)
+    B.save_bpe(spark, merges, alphabet, str(tmp_path / "bpe"))
+    m2, a2 = B.load_bpe(spark, str(tmp_path / "bpe"))
+    assert m2 == merges and a2 == alphabet
