@@ -38,6 +38,11 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 ordered token-id sequences attached —
                                 --encode-vocab-top; packing then budgets
                                 by encoded length)
+      → BPE encode             (optional alternative: subword tokenizer
+                                self-trained on survivors or loaded from
+                                a save_bpe artifact — --encode-bpe-merges
+                                / --bpe-dir; packing budgets by piece
+                                count)
       → sequence packing       (optional: per-partition FFD into token
                                 budgets — --pack-budget)
       → train/test split       (optional: hash-disjoint, growth-stable —
@@ -65,6 +70,7 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe as BP
 from ..operators import dedup as D
 from ..operators import packing as PK
 from ..operators import relevance as RV
@@ -94,6 +100,8 @@ def curate(
     max_dup_ngram_fraction: float | None = None,
     rep_ngram_n: int = 3,
     encode_vocab_top: int | None = None,
+    bpe_merges: int | None = None,
+    bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
@@ -306,12 +314,50 @@ def curate(
             .na.fill({"n_vocab_tokens": 0, "n_unk": 0})
         )
 
+    # 5e. (optional) BPE encode: subword piece sequences instead of the
+    #     word-level vocabulary — self-trained on the survivors
+    #     (bpe_merges) or a pretrained save_bpe artifact (bpe_model,
+    #     the deployment shape). Mutually exclusive with
+    #     encode_vocab_top: packing budgets by ONE encoded length.
+    if bpe_merges is not None or bpe_model is not None:
+        if encode_vocab_top is not None:
+            raise ValueError(
+                "choose one encode stage: encode_vocab_top (word-level) "
+                "or bpe_merges/bpe_model (subword)"
+            )
+        # same barrier rationale as the vocabulary encode: train_bpe's
+        # census collect executes the chain — materialize survivors once
+        docs = (
+            docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
+        )
+        if bpe_model is not None:
+            merges, alphabet = bpe_model
+        else:
+            merges, alphabet = BP.train_bpe(docs, "text", bpe_merges)
+        enc = BP.apply_bpe(
+            docs,
+            "doc_id",
+            "text",
+            merges,
+            piece_ids=BP.piece_id_map(merges, alphabet),
+        ).select(
+            "doc_id",
+            "piece_token_ids",
+            F.col("n_pieces").alias("n_bpe_pieces"),
+        )
+        # apply_bpe restores token-less docs with empty sequences, so
+        # this is a 1:1 inner join — no doc can drop here
+        docs = docs.join(enc, "doc_id")
+
     # 6. (optional) pack surviving docs into fixed token-budget training
     #    sequences; assignment joined back so rows keep their text
     if pack_budget is not None:
-        count_col = (
-            "n_vocab_tokens" if encode_vocab_top is not None else "n_ws_tokens"
-        )
+        if encode_vocab_top is not None:
+            count_col = "n_vocab_tokens"
+        elif bpe_merges is not None or bpe_model is not None:
+            count_col = "n_bpe_pieces"
+        else:
+            count_col = "n_ws_tokens"
         assignment = PK.pack_sequences(
             docs, "doc_id", count_col, budget=pack_budget
         ).select("id", "pack_id", "truncate")
@@ -378,6 +424,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="build a top-V vocabulary on the survivors and "
                          "attach token-id sequences; packing budgets by "
                          "encoded length")
+    ap.add_argument("--encode-bpe-merges", type=int, default=None,
+                    help="train a BPE tokenizer (this many merges) on "
+                         "the survivors and attach subword piece-id "
+                         "sequences; packing budgets by piece count. "
+                         "Mutually exclusive with --encode-vocab-top")
+    ap.add_argument("--bpe-dir", default=None,
+                    help="save_bpe artifact dir: encode with this "
+                         "pretrained tokenizer instead of self-training")
     ap.add_argument("--max-dup-ngram-fraction", type=float, default=None,
                     help="drop docs whose within-doc duplicate-n-gram "
                          "share exceeds this (Gopher repetition rule)")
@@ -482,6 +536,10 @@ def main(argv: list[str] | None = None) -> None:
         max_dup_ngram_fraction=args.max_dup_ngram_fraction,
         rep_ngram_n=args.rep_ngram_n,
         encode_vocab_top=args.encode_vocab_top,
+        bpe_merges=args.encode_bpe_merges,
+        bpe_model=(
+            BP.load_bpe(spark, args.bpe_dir) if args.bpe_dir else None
+        ),
         reliable_checkpoint=bool(args.checkpoint_dir),
     )
     if args.shuffle_output:

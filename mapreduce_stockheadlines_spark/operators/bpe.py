@@ -50,6 +50,7 @@ __all__ = [
     "word_census",
     "train_bpe",
     "bpe_vocabulary",
+    "piece_id_map",
     "encode_word_types",
     "apply_bpe",
     "save_bpe",
@@ -150,24 +151,30 @@ def _train_merges(
     return merges, alphabet
 
 
+def piece_id_map(
+    merges: list[tuple[str, str]], alphabet: list[str]
+) -> dict[str, int]:
+    """piece → 1-based id: the alphabet in given order, then each
+    merge's joined symbol in merge order — the standard BPE vocab
+    layout. 0 stays the unk/pad reservation (matching
+    ``relevance.vocabulary``); a merged symbol equal to an earlier
+    piece keeps the first id."""
+    ids: dict[str, int] = {}
+    for p in list(alphabet) + [a + b for a, b in merges]:
+        if p not in ids:
+            ids[p] = len(ids) + 1
+    return ids
+
+
 def bpe_vocabulary(
     spark: SparkSession,
     merges: list[tuple[str, str]],
     alphabet: list[str],
 ) -> DataFrame:
-    """Piece vocabulary as (piece, piece_id): the alphabet in sorted
-    order, then each merge's joined symbol in merge order — the standard
-    BPE vocab layout. Ids are 1-based (0 stays the unk/pad reservation,
-    matching ``relevance.vocabulary``); a merged symbol that equals an
-    earlier piece keeps the first id (dedup by first occurrence)."""
-    pieces: list[str] = []
-    seen: set[str] = set()
-    for p in list(alphabet) + [a + b for a, b in merges]:
-        if p not in seen:
-            seen.add(p)
-            pieces.append(p)
+    """``piece_id_map`` as a (piece, piece_id) DataFrame."""
+    ids = piece_id_map(merges, alphabet)
     return spark.createDataFrame(
-        [(p, i + 1) for i, p in enumerate(pieces)],
+        sorted(ids.items(), key=lambda kv: kv[1]),
         "piece string, piece_id int",
     )
 

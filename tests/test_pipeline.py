@@ -598,3 +598,75 @@ def test_pipeline_cli_shuffle_plus_sized_output_preserves_order(spark, tmp_path)
     for f in glob.glob(f"{out}/source=*/*.parquet"):
         ids = [r.doc_id for r in spark.read.parquet(f).collect()]
         assert ids == sorted(ids, key=lambda d: (md5key(d), str(d)))
+
+
+def test_curate_bpe_encode_and_pack_by_piece_count(spark):
+    """--encode-bpe-merges attaches subword piece-id sequences: every
+    doc's piece_token_ids length equals n_bpe_pieces, pieces
+    concatenate back to the doc's tokens, packing budgets by piece
+    count, and combining the two encode stages is rejected."""
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import bpe as B
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (
+            i,
+            "the market and the outlook of "
+            + " ".join(words[j % 6] for j in range(i, i + 5)),
+            "a",
+        )
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs,
+        lang="en",
+        min_quality=0.0,
+        bpe_merges=20,
+        pack_budget=60,
+    ).collect()
+    assert out
+    merges, alphabet = B.train_bpe(
+        curate(docs, lang="en", min_quality=0.0), "text", 20
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    ids = B.piece_id_map(merges, alphabet)
+    for r in out:
+        assert len(r.piece_token_ids) == r.n_bpe_pieces
+        toks = [w for w in r.text.lower().split() if w]
+        want = [ids[p] for w in toks for p in B._encode_word(w, ranks)]
+        assert r.piece_token_ids == want
+    from collections import defaultdict
+
+    packs = defaultdict(int)
+    for r in out:
+        if not r.truncate:
+            packs[r.pack_id] += r.n_bpe_pieces
+    assert packs and all(total <= 60 for total in packs.values())
+
+    with pytest.raises(ValueError, match="one encode stage"):
+        curate(docs, encode_vocab_top=5, bpe_merges=5)
+
+
+def test_pipeline_cli_bpe_artifact_round_trip(spark, tmp_path):
+    """Train + save a BPE artifact, then run the pipeline CLI with
+    --bpe-dir: the pretrained tokenizer encodes the corpus and the
+    output carries piece-id sequences."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+    from mapreduce_stockheadlines_spark.operators import bpe as B
+
+    ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, alphabet = B.train_bpe(ref, "text", 30)
+    bpe_dir = str(tmp_path / "bpe")
+    B.save_bpe(spark, merges, alphabet, bpe_dir)
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+          "--bpe-dir", bpe_dir])
+    got = spark.read.parquet(out)
+    rows = got.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert len(r.piece_token_ids) == r.n_bpe_pieces
