@@ -114,14 +114,60 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.sparkSession.createDataFrame(rows, report.schema)
 
 
+def corpus_drift_report(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """(metric, value) drift rows between two corpora (a new crawl vs
+    the last, train vs eval, source A vs B before mixing):
+    ``js_divergence`` (token-distribution Jensen-Shannon, [0, ln 2]),
+    ``vocab_jaccard`` (shared-term fraction), and the ``top_k`` terms
+    explaining the drift as ``js_top_<term>`` rows. Built on
+    ``profile.token_divergence`` — two censuses, one vocab-sized
+    full-outer join, tiny aggregates."""
+    from ..operators.profile import token_divergence
+
+    div = token_divergence(docs_a, docs_b, text_col)
+    total = div.agg(
+        F.lit("js_divergence").alias("metric"),
+        F.round(F.sum("js_contrib"), 4).alias("value"),
+    )
+    both = F.when((F.col("c_a") > 0) & (F.col("c_b") > 0), 1.0).otherwise(0.0)
+    vocab = div.agg(
+        F.lit("vocab_jaccard").alias("metric"),
+        F.round(F.avg(both), 4).alias("value"),
+    )
+    top = (
+        div.orderBy(F.desc("js_contrib"), F.asc("term"))
+        .limit(top_k)
+        .select(
+            F.concat(F.lit("js_top_"), "term").alias("metric"),
+            F.round("js_contrib", 4).alias("value"),
+        )
+    )
+    return total.unionAll(vocab).unionAll(top)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument(
+        "--compare-dir",
+        default=None,
+        help="second corpus dir: append token-distribution drift metrics "
+        "(JS divergence, vocab overlap, top diverging terms) vs --sf-dir",
+    )
     args = ap.parse_args(argv)
     spark = get_spark("corpus-report")
     spark.sparkContext.setLogLevel("ERROR")
     docs = parallel_table(spark, args.sf_dir, "documents")
-    for r in corpus_report(docs, "doc_id", "text").collect():
+    report = corpus_report(docs, "doc_id", "text")
+    if args.compare_dir:
+        other = parallel_table(spark, args.compare_dir, "documents")
+        report = report.unionAll(corpus_drift_report(docs, other))
+    for r in report.collect():
         print(f"{r.metric}\t{r.value}")
 
 

@@ -183,3 +183,66 @@ def profile_embeddings(
             4,
         ).alias("zero_vec_frac"),
     )
+
+
+def token_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term distribution drift between two corpora: the Jensen-
+    Shannon divergence decomposition over unigram token distributions —
+    the dataset-QA check run between corpus versions (did this crawl
+    shift?), between train and eval (is the eval in-distribution?), or
+    across sources before mixing.
+
+    Output: one row per term in EITHER corpus with counts (``c_a``,
+    ``c_b``), probabilities (``p_a``, ``p_b``), and ``js_contrib`` —
+    the term's additive contribution to JS(P‖Q) with log base e, using
+    the 0·ln(0/x) = 0 convention; ``SUM(js_contrib)`` is the corpus JS
+    divergence, bounded by [0, ln 2] with 0 = identical distributions
+    and ln 2 = disjoint vocabularies (pinned in tests). Order by
+    ``js_contrib DESC`` for the terms that explain the drift.
+
+    Scale shape: each corpus is one tokenize+explode + one term-keyed
+    aggregation with map-side partials (the word_census shape, never
+    the corpus again); the two vocab-sized count tables meet in ONE
+    full-outer join on term; totals attach via two broadcast single-row
+    cross joins. Nothing corpus-sized crosses the wire after the two
+    censuses.
+    """
+    from ..functions.text import tokens_array
+
+    def census(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_array(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"c_{tag}"))
+        )
+
+    ca, cb = census(df_a, "a"), census(df_b, "b")
+    tot_a = ca.agg(F.sum("c_a").alias("_ta"))
+    tot_b = cb.agg(F.sum("c_b").alias("_tb"))
+    joined = (
+        ca.join(cb, "term", "full_outer")
+        .na.fill({"c_a": 0, "c_b": 0})
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p = F.col("c_a") / F.col("_ta")
+    q = F.col("c_b") / F.col("_tb")
+    m = (p + q) / 2
+    half_pl = F.when(
+        F.col("c_a") > 0, 0.5 * p * F.log(p / m)
+    ).otherwise(F.lit(0.0))
+    half_ql = F.when(
+        F.col("c_b") > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "term",
+        "c_a",
+        "c_b",
+        p.alias("p_a"),
+        q.alias("p_b"),
+        (half_pl + half_ql).alias("js_contrib"),
+    )

@@ -670,3 +670,47 @@ def test_pipeline_cli_bpe_artifact_round_trip(spark, tmp_path):
     assert rows
     for r in rows:
         assert len(r.piece_token_ids) == r.n_bpe_pieces
+
+
+def test_corpus_drift_report_values(spark):
+    """Drift rows: JS divergence matches a hand computation, vocab
+    Jaccard counts shared terms, top rows name the diverging terms."""
+    import math
+
+    from mapreduce_stockheadlines_spark.jobs.report import (
+        corpus_drift_report,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta alpha beta")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma")], "doc_id long, text string"
+    )
+    rep = {r.metric: r.value for r in corpus_drift_report(a, b).collect()}
+    # hand JS: P = {alpha .5, beta .5}; Q = {alpha .5, beta .25, gamma .25}
+    def js(p, q):
+        terms = set(p) | set(q)
+        s = 0.0
+        for t in terms:
+            pi, qi = p.get(t, 0.0), q.get(t, 0.0)
+            m = (pi + qi) / 2
+            if pi:
+                s += 0.5 * pi * math.log(pi / m)
+            if qi:
+                s += 0.5 * qi * math.log(qi / m)
+        return s
+
+    want = js(
+        {"alpha": 0.5, "beta": 0.5},
+        {"alpha": 0.5, "beta": 0.25, "gamma": 0.25},
+    )
+    assert rep["js_divergence"] == round(want, 4)
+    assert rep["vocab_jaccard"] == round(2 / 3, 4)
+    # gamma (disjoint) and beta (shifted) carry the drift
+    assert "js_top_gamma" in rep and "js_top_beta" in rep
+    assert rep["js_top_gamma"] >= rep["js_top_beta"] > 0
+    # identical corpora: zero divergence, full overlap
+    same = {r.metric: r.value for r in corpus_drift_report(a, a).collect()}
+    assert same["js_divergence"] == 0.0
+    assert same["vocab_jaccard"] == 1.0

@@ -173,3 +173,80 @@ def test_profile_embeddings_matches_duckdb(spark, sf_dir):
     assert e.zero_vec_frac == round(2 / 3, 4)
     assert e.norm_p75 == 5.0  # the 3-4-5 vector
     assert e.min_dim == 0  # the empty vector
+
+
+def test_token_divergence_identical_and_disjoint(spark):
+    import math
+
+    from mapreduce_stockheadlines_spark.operators.profile import (
+        token_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta beta gamma")], ["doc_id", "text"]
+    )
+    same = token_divergence(a, a).agg(F.sum("js_contrib")).collect()[0][0]
+    assert same == pytest.approx(0.0, abs=1e-12)
+
+    b = spark.createDataFrame([(1, "delta epsilon")], ["doc_id", "text"])
+    disjoint = token_divergence(a, b).agg(F.sum("js_contrib")).collect()[0][0]
+    assert disjoint == pytest.approx(math.log(2), abs=1e-12)
+
+    # symmetry: JS(a,b) == JS(b,a)
+    c = spark.createDataFrame(
+        [(1, "alpha alpha beta zeta")], ["doc_id", "text"]
+    )
+    ab = token_divergence(a, c).agg(F.sum("js_contrib")).collect()[0][0]
+    ba = token_divergence(c, a).agg(F.sum("js_contrib")).collect()[0][0]
+    assert 0 < ab < math.log(2)
+    assert ab == pytest.approx(ba, abs=1e-12)
+
+
+def test_token_divergence_matches_duckdb(spark, sf_dir):
+    """Full per-term decomposition vs an independent DuckDB
+    reimplementation over an even/odd doc_id split of documents."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.profile import (
+        token_divergence,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    got = {
+        r["term"]: (r["c_a"], r["c_b"], r["js_contrib"])
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id % 2 AS side, unnest(string_split_regex(
+            regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'),
+            '\\s+')) AS term
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), counts AS (
+          SELECT term,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+          FROM toks WHERE term <> '' GROUP BY term
+        ), tot AS (
+          SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM counts
+        )
+        SELECT term, c_a, c_b,
+               (CASE WHEN c_a > 0 THEN 0.5 * (c_a / ta) *
+                  ln((c_a / ta) / ((c_a / ta + c_b / tb) / 2)) ELSE 0 END)
+             + (CASE WHEN c_b > 0 THEN 0.5 * (c_b / tb) *
+                  ln((c_b / tb) / ((c_a / ta + c_b / tb) / 2)) ELSE 0 END)
+          AS js_contrib
+        FROM counts, tot
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for term, c_a, c_b, js in want:
+        g = got[term]
+        assert (g[0], g[1]) == (c_a, c_b), term
+        assert g[2] == pytest.approx(js, abs=1e-12), term
