@@ -110,6 +110,36 @@ def curate(
     checkpoint to the configured checkpoint dir (fault-tolerant on a
     real cluster) instead of executor-local blocks — call
     ``spark.sparkContext.setCheckpointDir(...)`` first."""
+    # config validation FIRST — the encode stages eagerly execute the
+    # whole curation chain (checkpoint barriers, census collects), so a
+    # config error surfacing there would come after the cluster already
+    # did the full multi-pass run
+    if (bpe_merges is not None or bpe_model is not None) and (
+        encode_vocab_top is not None
+    ):
+        raise ValueError(
+            "choose one encode stage: encode_vocab_top (word-level) "
+            "or bpe_merges/bpe_model (subword)"
+        )
+    if bpe_merges is not None and bpe_model is not None:
+        raise ValueError(
+            "bpe_merges (self-train) and bpe_model (pretrained artifact) "
+            "are mutually exclusive — silently preferring one would "
+            "mask a config error"
+        )
+    if bpe_merges is not None and bpe_merges < 1:
+        # range(0) would silently produce a merge-less (character-level)
+        # tokenizer — same silent-misconfiguration class as
+        # encode_vocab_top < 1 below
+        raise ValueError(f"bpe_merges must be >= 1, got {bpe_merges}")
+    if encode_vocab_top is not None and encode_vocab_top < 1:
+        # vocabulary() treats 0 as "no cap" (falsy) — a user asking for
+        # top-0 would silently get the FULL vocab; negatives would map
+        # everything to unk. Both are config errors.
+        raise ValueError(
+            f"encode_vocab_top must be >= 1, got {encode_vocab_top}"
+        )
+
     # 0a. (optional) domain blocklist — first: the cheapest corpus-
     #     shrinking gate, and every later stage gets the smaller corpus
     if blocked_domains is not None:
@@ -278,13 +308,6 @@ def curate(
     #     counts) — the model-ready representation; packing below then
     #     budgets by REAL encoded length instead of the whitespace proxy
     if encode_vocab_top is not None:
-        if encode_vocab_top < 1:
-            # vocabulary() treats 0 as "no cap" (falsy) — a user asking
-            # for top-0 would silently get the FULL vocab; negatives
-            # would map everything to unk. Both are config errors.
-            raise ValueError(
-                f"encode_vocab_top must be >= 1, got {encode_vocab_top}"
-            )
         # materialize the survivors ONCE before encoding: vocabulary()'s
         # bucketed rank does a driver counts collect, i.e. plan-build
         # EXECUTES the whole curation chain — and without a barrier the
@@ -320,11 +343,6 @@ def curate(
     #     the deployment shape). Mutually exclusive with
     #     encode_vocab_top: packing budgets by ONE encoded length.
     if bpe_merges is not None or bpe_model is not None:
-        if encode_vocab_top is not None:
-            raise ValueError(
-                "choose one encode stage: encode_vocab_top (word-level) "
-                "or bpe_merges/bpe_model (subword)"
-            )
         # same barrier rationale as the vocabulary encode: train_bpe's
         # census collect executes the chain — materialize survivors once
         docs = (

@@ -130,14 +130,19 @@ def corpus_drift_report(
     from ..operators.profile import token_divergence
 
     div = token_divergence(docs_a, docs_b, text_col)
+    # coalesce: two token-LESS corpora join to zero rows — their
+    # aggregates are NULL, but the right report values are defined
+    # (identical nothing: 0 divergence, full overlap)
     total = div.agg(
         F.lit("js_divergence").alias("metric"),
-        F.round(F.sum("js_contrib"), 4).alias("value"),
+        F.round(F.coalesce(F.sum("js_contrib"), F.lit(0.0)), 4).alias(
+            "value"
+        ),
     )
     both = F.when((F.col("c_a") > 0) & (F.col("c_b") > 0), 1.0).otherwise(0.0)
     vocab = div.agg(
         F.lit("vocab_jaccard").alias("metric"),
-        F.round(F.avg(both), 4).alias("value"),
+        F.round(F.coalesce(F.avg(both), F.lit(1.0)), 4).alias("value"),
     )
     top = (
         div.orderBy(F.desc("js_contrib"), F.asc("term"))

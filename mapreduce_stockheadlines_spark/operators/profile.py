@@ -201,7 +201,9 @@ def token_divergence(
     the term's additive contribution to JS(P‖Q) with log base e, using
     the 0·ln(0/x) = 0 convention; ``SUM(js_contrib)`` is the corpus JS
     divergence, bounded by [0, ln 2] with 0 = identical distributions
-    and ln 2 = disjoint vocabularies (pinned in tests). Order by
+    and ln 2 = disjoint vocabularies (pinned in tests); a token-less
+    corpus is treated as the zero measure, giving the defined limit
+    ln(2)/2 against any non-empty corpus. Order by
     ``js_contrib DESC`` for the terms that explain the drift.
 
     Scale shape: each corpus is one tokenize+explode + one term-keyed
@@ -221,16 +223,22 @@ def token_divergence(
         )
 
     ca, cb = census(df_a, "a"), census(df_b, "b")
-    tot_a = ca.agg(F.sum("c_a").alias("_ta"))
-    tot_b = cb.agg(F.sum("c_b").alias("_tb"))
+    # coalesce(sum, 0): a token-LESS corpus (empty, or text that cleans
+    # to nothing) has an empty census whose global sum is NULL — left
+    # alone it would NULL every probability and silently blank the
+    # report. With totals pinned to 0 its distribution is the zero
+    # measure: every term of the other corpus contributes 0.5·q·ln 2,
+    # so the divergence is the defined limit ln(2)/2.
+    tot_a = ca.agg(F.coalesce(F.sum("c_a"), F.lit(0)).alias("_ta"))
+    tot_b = cb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).alias("_tb"))
     joined = (
         ca.join(cb, "term", "full_outer")
         .na.fill({"c_a": 0, "c_b": 0})
         .crossJoin(F.broadcast(tot_a))
         .crossJoin(F.broadcast(tot_b))
     )
-    p = F.col("c_a") / F.col("_ta")
-    q = F.col("c_b") / F.col("_tb")
+    p = F.when(F.col("_ta") > 0, F.col("c_a") / F.col("_ta")).otherwise(0.0)
+    q = F.when(F.col("_tb") > 0, F.col("c_b") / F.col("_tb")).otherwise(0.0)
     m = (p + q) / 2
     half_pl = F.when(
         F.col("c_a") > 0, 0.5 * p * F.log(p / m)

@@ -650,20 +650,20 @@ def test_curate_bpe_encode_and_pack_by_piece_count(spark):
         curate(docs, encode_vocab_top=5, bpe_merges=5)
 
 
-def test_pipeline_cli_bpe_artifact_round_trip(spark, tmp_path):
+def test_pipeline_cli_bpe_artifact_round_trip(spark, tmp_path, sf_dir):
     """Train + save a BPE artifact, then run the pipeline CLI with
     --bpe-dir: the pretrained tokenizer encodes the corpus and the
     output carries piece-id sequences."""
     from mapreduce_stockheadlines_spark.jobs.pipeline import main
     from mapreduce_stockheadlines_spark.operators import bpe as B
 
-    ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges, alphabet = B.train_bpe(ref, "text", 30)
     bpe_dir = str(tmp_path / "bpe")
     B.save_bpe(spark, merges, alphabet, bpe_dir)
 
     out = str(tmp_path / "out")
-    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+    main([out, "--sf-dir", sf_dir, "--min-quality", "0.0",
           "--bpe-dir", bpe_dir])
     got = spark.read.parquet(out)
     rows = got.limit(5).collect()
@@ -714,3 +714,45 @@ def test_corpus_drift_report_values(spark):
     same = {r.metric: r.value for r in corpus_drift_report(a, a).collect()}
     assert same["js_divergence"] == 0.0
     assert same["vocab_jaccard"] == 1.0
+
+def test_curate_encode_config_errors_raise_before_any_work(spark):
+    """Conflicting/degenerate encode configs raise immediately — before
+    the eager encode barriers execute the curation chain."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the market is fine", "a")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="one encode stage"):
+        curate(docs, encode_vocab_top=5, bpe_merges=5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, bpe_merges=5, bpe_model=([], ["a"]))
+    with pytest.raises(ValueError, match="bpe_merges must be >= 1"):
+        curate(docs, bpe_merges=0)
+    with pytest.raises(ValueError, match="encode_vocab_top must be >= 1"):
+        curate(docs, encode_vocab_top=0)
+
+
+def test_corpus_drift_report_tokenless_corpora(spark):
+    """A token-less corpus is the zero measure: drift vs a real corpus
+    is the defined limit ln(2)/2, never NULL; two token-less corpora
+    report zero divergence and full overlap."""
+    import math
+
+    from mapreduce_stockheadlines_spark.jobs.report import (
+        corpus_drift_report,
+    )
+
+    full = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame(
+        [(1, "123 !!! 456")], "doc_id long, text string"
+    )
+    rep = {r.metric: r.value for r in corpus_drift_report(full, empty).collect()}
+    assert rep["js_divergence"] == round(math.log(2) / 2, 4)
+    assert rep["vocab_jaccard"] == 0.0
+    both = {r.metric: r.value for r in corpus_drift_report(empty, empty).collect()}
+    assert both["js_divergence"] == 0.0
+    assert both["vocab_jaccard"] == 1.0
