@@ -66,6 +66,7 @@ def curated_ingest_sink(
     clf_weights: list[tuple[str, float]] | None = None,
     max_perplexity: float | None = None,
     lm_dir: str | None = None,
+    bpe_dir: str | None = None,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
@@ -91,6 +92,7 @@ def curated_ingest_sink(
     """
 
     _lm_cache: list = []  # one artifact load per sink lifetime
+    _bpe_cache: list = []  # ditto for the BPE tokenizer
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -226,6 +228,22 @@ def curated_ingest_sink(
             )
             junk = ppl.filter(F.col("ppl") > max_perplexity).select(id_col)
             survivors = survivors.join(junk, id_col, "left_anti")
+        if bpe_dir is not None:
+            # encode survivors with a PRETRAINED BPE tokenizer (save_bpe
+            # artifact — training per micro-batch would give every batch
+            # its own incompatible piece ids, so like the LM gate this
+            # is artifact-only). Same per-sink model cache; encode cost
+            # stays word-TYPE-scoped inside apply_bpe.
+            from ..operators.bpe import apply_bpe, load_bpe, piece_id_map
+
+            if not _bpe_cache:
+                merges, alphabet = load_bpe(spark, bpe_dir)
+                _bpe_cache.append((merges, piece_id_map(merges, alphabet)))
+            merges, ids = _bpe_cache[0]
+            enc = apply_bpe(
+                survivors, id_col, text_col, merges, piece_ids=ids
+            ).select(id_col, "piece_token_ids", "n_pieces")
+            survivors = survivors.join(enc, id_col)
         # per-batch subdir + overwrite = idempotent under micro-batch retry
         survivors.drop("text_hash").write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"

@@ -623,3 +623,66 @@ def test_curated_ingest_perplexity_gate_with_pretrained_lm(spark, tmp_path):
         curated_ingest_sink("x", "y", max_perplexity=100.0)(
             spark.createDataFrame(rows, schema), 0
         )
+
+
+def test_curated_ingest_bpe_encode_with_pretrained_artifact(spark, tmp_path):
+    """The streaming ingest encodes survivors with a PRETRAINED BPE
+    artifact: output rows carry piece-id sequences consistent with the
+    artifact, and within-batch exact dups are still dropped first."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.operators import bpe as B
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the market closed higher today and the outlook is good"),
+            (2, "the market closed lower today and the outlook is weak"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges, alphabet = B.train_bpe(ref, "text", 25)
+    bpe_dir = str(tmp_path / "bpe")
+    B.save_bpe(spark, merges, alphabet, bpe_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (10, "the market closed higher today"),
+        (11, "the market closed higher today"),  # exact dup of 10
+        (12, "a wholly different note on commodities"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+        bpe_dir=bpe_dir,
+    )
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert sorted(out) == [10, 12]  # 11 deduped
+    ranks = {p: i for i, p in enumerate(merges)}
+    ids = B.piece_id_map(merges, alphabet)
+    for doc_id, text in [(10, rows[0][1]), (12, rows[2][1])]:
+        want = [
+            ids.get(p, 0)
+            for w in text.split()
+            for p in B._encode_word(w, ranks)
+        ]
+        assert out[doc_id].piece_token_ids == want
+        assert out[doc_id].n_pieces == len(want)
