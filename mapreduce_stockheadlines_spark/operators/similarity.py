@@ -732,3 +732,72 @@ def lsh_bucketed_pairs_multi(
         _within_group_pairs(bucketed, threshold, block_rows, "bucket")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def topk_eval(
+    approx: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int | None = None,
+) -> DataFrame:
+    """Retrieval-quality evaluation of an approximate top-k result
+    against exact ground truth — the acceptance gate for every ANN
+    trade-off here (``ivf_topk`` probes, LSH plane/table counts,
+    quantized rescoring): measure recall BEFORE trusting a cheaper
+    index at scale.
+
+    Inputs are two (query, neighbor, rank) result tables (the
+    ``cosine_topk``/``ivf_topk`` output shape); ``k`` truncates BOTH
+    sides to their top-k ranks first (evaluate recall@k of a deeper
+    result list). Output, one row per truth query:
+
+    - ``n_truth``/``n_hit``: truth rows, and how many the approx result
+      retrieved;
+    - ``recall``: n_hit / n_truth, 4dp;
+    - ``first_hit_rank``: the approx rank of the best-ranked retrieved
+      truth neighbor (NULL if none);
+    - ``reciprocal_rank``: 1 / first_hit_rank, 0.0 when nothing was
+      retrieved — AVG over the output is MRR.
+
+    Queries present in truth but entirely absent from the approx result
+    report recall 0, not a missing row (left-join restore). Scale
+    shape: one equi-join on (query, neighbor) between two result-sized
+    (≤ |queries|·k rows) tables plus two query-keyed aggregations —
+    nothing corpus-sized is touched."""
+    a = approx.select(
+        F.col(query_col).alias("_q"),
+        F.col(neighbor_col).alias("_n"),
+        F.col(rank_col).alias("_ar"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("_q"),
+        F.col(neighbor_col).alias("_n"),
+        F.col(rank_col).alias("_tr"),
+    )
+    if k is not None:
+        a = a.filter(F.col("_ar") <= k)
+        t = t.filter(F.col("_tr") <= k)
+    hits = t.join(a, ["_q", "_n"])
+    per_q_hits = hits.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.min("_ar").cast("bigint").alias("first_hit_rank"),
+    )
+    per_q_truth = t.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    return (
+        per_q_truth.join(per_q_hits, "_q", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            F.col("_q").alias(query_col),
+            "n_truth",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"),
+            "first_hit_rank",
+            F.round(
+                F.coalesce(1.0 / F.col("first_hit_rank"), F.lit(0.0)), 4
+            ).alias("reciprocal_rank"),
+        )
+    )

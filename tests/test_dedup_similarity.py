@@ -1280,3 +1280,88 @@ def test_multi_table_lsh_recall_dominates_single_table(spark, sf_dir):
     rec_multi = len(multi & planted) / len(planted)
     assert rec_multi >= rec_single
     assert rec_multi > 0.5  # three 8-plane tables catch most 0.9+ pairs
+
+
+def test_topk_eval_hand_values_and_duckdb(spark):
+    """topk_eval on a hand-built approx/truth pair: recall, first-hit
+    rank and MRR match hand computation AND an independent DuckDB
+    reimplementation; absent queries report recall 0."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.similarity import topk_eval
+
+    truth = spark.createDataFrame(
+        # q1: neighbors 10,11,12; q2: 20,21; q3: 30 (absent from approx)
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        # q1 found 11 (rank 1) and 12 (rank 3), missed 10; q2 found
+        # nothing real (99 is junk); q4 is noise with no truth row
+        [(1, 11, 1), (1, 99, 2), (1, 12, 3),
+         (2, 99, 1),
+         (4, 40, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {r.query_id: r for r in topk_eval(approx, truth).collect()}
+    assert sorted(got) == [1, 2, 3]  # truth queries only, q4 noise ignored
+    assert (got[1].n_truth, got[1].n_hit, got[1].recall) == (3, 2, 0.6667)
+    assert got[1].first_hit_rank == 1 and got[1].reciprocal_rank == 1.0
+    assert (got[2].n_hit, got[2].recall, got[2].reciprocal_rank) == (0, 0.0, 0.0)
+    assert got[2].first_hit_rank is None
+    assert (got[3].n_hit, got[3].reciprocal_rank) == (0, 0.0)
+
+    # k=1 truncation: only rank-1 rows on both sides
+    at1 = {r.query_id: r for r in topk_eval(approx, truth, k=1).collect()}
+    assert (at1[1].n_truth, at1[1].n_hit) == (1, 0)  # truth@1 is 10, missed
+
+    # DuckDB cross-check of the full decomposition
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1,10,1),(1,11,2),(1,12,3),(2,20,1),(2,21,2),(3,30,1)) v(query_id, neighbor_id, rank)")
+    con.execute("CREATE TABLE a AS SELECT * FROM (VALUES (1,11,1),(1,99,2),(1,12,3),(2,99,1),(4,40,1)) v(query_id, neighbor_id, rank)")
+    want = con.execute("""
+        SELECT t.query_id,
+               count(*) AS n_truth,
+               count(a.rank) AS n_hit,
+               round(count(a.rank) / count(*), 4) AS recall,
+               min(a.rank) AS first_hit_rank,
+               round(coalesce(1.0 / min(a.rank), 0.0), 4) AS rr
+        FROM t LEFT JOIN a USING (query_id, neighbor_id)
+        GROUP BY t.query_id
+    """).fetchall()
+    for q, n_truth, n_hit, recall, fhr, rr in want:
+        g = got[q]
+        assert (g.n_truth, g.n_hit) == (n_truth, n_hit)
+        assert g.recall == pytest.approx(float(recall), abs=1e-9)
+        assert g.first_hit_rank == fhr
+        assert g.reciprocal_rank == pytest.approx(float(rr), abs=1e-9)
+
+
+def test_topk_eval_on_real_ivf_vs_exact(spark, sf_dir):
+    """topk_eval measures ivf_topk against cosine_topk on the real
+    embeddings table: every recall is in [0,1], MRR consistent, and
+    the exact result evaluated against itself is perfect."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        topk_eval,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, vecs, k=5)
+    self_eval = topk_eval(exact, exact).collect()
+    assert self_eval and all(
+        r.recall == 1.0 and r.reciprocal_rank == 1.0 for r in self_eval
+    )
+    approx = ivf_topk(queries, vecs, k=5, n_centroids=4, n_probe=2)
+    ev = topk_eval(approx, exact).collect()
+    assert len(ev) == len(self_eval)
+    assert all(0.0 <= r.recall <= 1.0 for r in ev)
+    for r in ev:
+        if r.n_hit == 0:
+            assert r.reciprocal_rank == 0.0
+        else:
+            assert r.reciprocal_rank == round(1.0 / r.first_hit_rank, 4)
