@@ -477,3 +477,130 @@ def media_meta(df: DataFrame) -> DataFrame:
         F.length("content").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_hash"),
     )
+
+
+# --- perceptual hashing (image near-dup) ------------------------------------
+
+
+def _resample32(g: np.ndarray) -> np.ndarray:
+    """Area-mean resample of a 2-D grayscale array to exactly 32x32.
+
+    Integral-image (summed-area table) bin means over near-equal index
+    bins — the smooth downscale canonical pHash wants, pure numpy, any
+    input size; axes smaller than 32 are nearest-upsampled first."""
+    if g.shape[0] < 32:
+        g = g[(np.arange(32) * g.shape[0]) // 32, :]
+    if g.shape[1] < 32:
+        g = g[:, (np.arange(32) * g.shape[1]) // 32]
+    h, w = g.shape
+    re = (np.arange(33) * h) // 32
+    ce = (np.arange(33) * w) // 32
+    c = np.zeros((h + 1, w + 1))
+    c[1:, 1:] = g.cumsum(0).cumsum(1)
+    s = (
+        c[re[1:, None], ce[None, 1:]]
+        - c[re[:-1, None], ce[None, 1:]]
+        - c[re[1:, None], ce[None, :-1]]
+        + c[re[:-1, None], ce[None, :-1]]
+    )
+    area = (re[1:, None] - re[:-1, None]) * (ce[None, 1:] - ce[None, :-1])
+    return s / area
+
+
+_DCT32 = None  # built lazily once per worker
+
+
+def _phash64(px: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash (the pHash algorithm):
+    luma → 32x32 area-mean resample → 2-D DCT-II (matrix form) → the
+    8x8 low-frequency block → bit i set iff coefficient i exceeds the
+    median of the 63 non-DC coefficients (the DC bit is always 0 — it
+    encodes only overall brightness). Robust to resizing, small edits
+    and brightness shifts; output is a signed int64 compatible with the
+    SimHash banding machinery."""
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)
+        _DCT32 = np.cos(np.pi / 32 * np.outer(k, k + 0.5))
+    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    coef = _DCT32 @ _resample32(gray) @ _DCT32.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])
+    h = 0
+    for i in range(1, 64):
+        if block[i] > med:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def _fake_phash(content: bytes) -> int:
+    """Digest-derived stand-in for mimes without a real decoder:
+    identical bytes → identical hash (exact-dup-only matching), byte
+    changes randomize it — never a false near-match by construction."""
+    import hashlib
+
+    if content is None:
+        return 0
+    digest = hashlib.md5(content).digest()
+    return int.from_bytes(digest[:8], "little", signed=True)
+
+
+def image_phash(df: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, mime, phash) for a media table — the image-side
+    near-dup signature. Mimes with a real pure-numpy decoder (PPM P6,
+    uncompressed 24-bit BMP) hash their PIXELS, so the same image
+    stored in different formats produces the SAME phash (pinned in
+    tests); other mimes fall back to the digest stand-in
+    (``strict=True`` raises instead, where a codec library would run).
+
+    Arrow-batched ``mapInPandas``, narrow (no shuffle): media bytes
+    never cross the wire — downstream banding ships only the 8-byte
+    fingerprint. Feed the output to ``image_neardup_pairs`` (SimHash
+    pigeonhole banding + Hamming verify)."""
+
+    def hash_one(content, mime) -> int:
+        decoder = REAL_DECODERS.get(mime)
+        if decoder is not None:
+            return _phash64(decoder(content))
+        if strict:
+            raise NotImplementedError(
+                f"phash of mime {mime!r} requires codec libraries "
+                "(PIL/ffmpeg) not available in this environment"
+            )
+        return _fake_phash(content)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "phash": np.array(
+                        [
+                            hash_one(c, m)
+                            for c, m in zip(pdf["content"], pdf["mime"])
+                        ],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return df.select("media_id", "content", "mime").mapInPandas(
+        hash_batches, "media_id long, mime string, phash long"
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, strict: bool = False
+) -> DataFrame:
+    """Near-duplicate image pairs: pHash fingerprints → the SAME
+    pigeonhole band equi-join + popcount verify the text SimHash path
+    uses (``dedup.simhash_neardup_pairs``) — (id_a, id_b, hamming) with
+    hamming ≤ ``max_hamming``. One fingerprint pass over the media
+    (narrow), one band-key self-join; image bytes never shuffle."""
+    from .dedup import simhash_neardup_pairs
+
+    fp = image_phash(df, strict=strict).select(
+        F.col("media_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_neardup_pairs(fp, "media_id", max_hamming=max_hamming)

@@ -1365,3 +1365,106 @@ def test_topk_eval_on_real_ivf_vs_exact(spark, sf_dir):
             assert r.reciprocal_rank == 0.0
         else:
             assert r.reciprocal_rank == round(1.0 / r.first_hit_rank, 4)
+
+
+def _bmp_from_px(px):
+    """Encode (H, W, 3) RGB pixels as an uncompressed bottom-up 24-bit
+    BMP (independent of the decoder under test)."""
+    import struct
+
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytearray()
+        for p in row:
+            line += bytes([p[2], p[1], p[0]])  # BGR
+        line += b"\x00" * (row_bytes - len(line))
+        raster += line
+    size = 54 + len(raster)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return bytes(hdr + info + raster)
+
+
+def test_image_phash_invariances(spark):
+    """The DCT pHash is format-independent (same pixels as PPM and BMP
+    hash identically), robust to brightness shifts and resizing (small
+    hamming), and separates unrelated images (large hamming); the
+    digest fallback matches only identical bytes; strict raises."""
+    import numpy as np
+    import pytest
+
+    # smooth synthetic photos (sinusoidal patterns) — pHash is built for
+    # natural low-frequency content; white noise is its documented
+    # adversary (every bin-edge shift flips high-frequency energy)
+    y, x = np.mgrid[0:40, 0:56]
+
+    def img(fy, fx, ph):
+        r = 127 + 60 * np.sin(x / fx + ph) + 50 * np.cos(y / fy)
+        g = 127 + 40 * np.cos(x / (fx + 2)) + 60 * np.sin(y / fy + ph)
+        b = 127 + 50 * np.sin((x + y) / fx)
+        return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+    base = img(5, 7, 0.0)
+    bright = np.clip(base.astype(np.int16) + 12, 0, 255).astype(np.uint8)
+    # nearest-neighbor upscale 2x = same image at another resolution
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    other = img(3.2, 11, 2.0)
+
+    rows = [
+        (1, bytearray(M._encode_ppm_p6(base)), M.MIME_PPM),
+        (2, bytearray(_bmp_from_px(base)), M.MIME_BMP),
+        (3, bytearray(M._encode_ppm_p6(bright)), M.MIME_PPM),
+        (4, bytearray(M._encode_ppm_p6(up)), M.MIME_PPM),
+        (5, bytearray(M._encode_ppm_p6(other)), M.MIME_PPM),
+        (6, bytearray(b"opaque blob"), "image/png"),
+        (7, bytearray(b"opaque blob"), "image/png"),
+        (8, bytearray(b"other blob!"), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r.media_id: r.phash for r in M.image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[1] == got[2]  # format-independent: pixels, not bytes
+    assert ham(got[1], got[3]) <= 4   # brightness shift: near
+    assert ham(got[1], got[4]) <= 4   # rescale: near
+    assert ham(got[1], got[5]) > 16   # unrelated: far
+    assert got[6] == got[7] != got[8]  # digest fallback: exact-only
+    # pure-python reference of the hash pipeline on the base image
+    assert got[1] == M._phash64(base)
+
+    with pytest.raises(Exception, match="codec"):
+        M.image_phash(df, strict=True).collect()
+
+
+def test_image_neardup_pairs_bands_find_near_not_far(spark):
+    """The banded pairing surfaces (base, bright) and (base, rescaled)
+    within the hamming budget without pairing the unrelated image."""
+    import numpy as np
+
+    y, x = np.mgrid[0:32, 0:32]
+    base = np.clip(
+        np.stack(
+            [127 + 60 * np.sin(x / 6), 127 + 50 * np.cos(y / 4),
+             127 + 40 * np.sin((x + y) / 8)], -1
+        ), 0, 255,
+    ).astype(np.uint8)
+    bright = np.clip(base.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(11)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M._encode_ppm_p6(base)), M.MIME_PPM),
+            (2, bytearray(M._encode_ppm_p6(bright)), M.MIME_PPM),
+            (3, bytearray(M._encode_ppm_p6(other)), M.MIME_PPM),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in M.image_neardup_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)
