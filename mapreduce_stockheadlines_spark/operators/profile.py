@@ -213,16 +213,29 @@ def token_divergence(
     cross joins. Nothing corpus-sized crosses the wire after the two
     censuses.
     """
+    ca = token_census(df_a, text_col).withColumnRenamed("freq", "c_a")
+    cb = token_census(df_b, text_col).withColumnRenamed("freq", "c_b")
+    return census_divergence(ca, cb)
+
+
+def token_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, freq) unigram census — one tokenize+explode + one
+    term-keyed aggregation with map-side partials. Persist it
+    (parquet) as the reference artifact for streaming drift checks."""
     from ..functions.text import tokens_array
 
-    def census(df: DataFrame, tag: str) -> DataFrame:
-        return (
-            df.select(F.explode(tokens_array(text_col)).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias(f"c_{tag}"))
-        )
+    return (
+        df.select(F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
 
-    ca, cb = census(df_a, "a"), census(df_b, "b")
+
+def census_divergence(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """``token_divergence`` from two PRE-BUILT censuses — (term, c_a)
+    and (term, c_b) tables — for the artifact-vs-live comparisons where
+    one side is a persisted ``token_census`` (streaming drift gate).
+    Same output contract and zero-measure semantics."""
     # coalesce(sum, 0): a token-LESS corpus (empty, or text that cleans
     # to nothing) has an empty census whose global sum is NULL — left
     # alone it would NULL every probability and silently blank the

@@ -67,6 +67,8 @@ def curated_ingest_sink(
     max_perplexity: float | None = None,
     lm_dir: str | None = None,
     bpe_dir: str | None = None,
+    drift_census_dir: str | None = None,
+    max_js_divergence: float | None = None,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
@@ -93,9 +95,61 @@ def curated_ingest_sink(
 
     _lm_cache: list = []  # one artifact load per sink lifetime
     _bpe_cache: list = []  # ditto for the BPE tokenizer
+    _drift_cache: list = []  # ditto for the reference token census
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if drift_census_dir is not None:
+            # distribution-drift circuit breaker: compare THIS batch's
+            # token distribution against a persisted reference census
+            # (profile.token_census parquet — train-corpus or
+            # last-known-good). Metrics land in <out>/_drift/ (the
+            # leading underscore hides the dir from parquet discovery,
+            # so output readers never see them); with
+            # ``max_js_divergence`` set, a breaching batch is
+            # QUARANTINED — metrics recorded, nothing appended to the
+            # output or the dedup indexes — the upstream-went-bad guard
+            # (encoding corruption, wrong-source feed, language flip)
+            # that per-doc gates cannot catch.
+            from ..operators.profile import census_divergence, token_census
+
+            if not _drift_cache:
+                _drift_cache.append(
+                    spark.read.parquet(drift_census_dir).withColumnRenamed(
+                        "freq", "c_a"
+                    )
+                )
+            live = token_census(batch_df, text_col).withColumnRenamed(
+                "freq", "c_b"
+            )
+            div = census_divergence(_drift_cache[0], live)
+            row = div.agg(
+                F.coalesce(F.sum("js_contrib"), F.lit(0.0)).alias("js"),
+                F.coalesce(
+                    F.avg(
+                        F.when(
+                            (F.col("c_a") > 0) & (F.col("c_b") > 0), 1.0
+                        ).otherwise(0.0)
+                    ),
+                    F.lit(1.0),
+                ).alias("overlap"),
+            ).collect()[0]
+            breached = (
+                max_js_divergence is not None
+                and row["js"] > max_js_divergence
+            )
+            # batch_id rides on the partition directory (like the index
+            # writes) — a data column with the same name would collide
+            # with the inferred partition column on read
+            spark.createDataFrame(
+                [(float(row["js"]), float(row["overlap"]), bool(breached))],
+                "js_divergence double, vocab_jaccard double,"
+                " quarantined boolean",
+            ).write.mode("overwrite").parquet(
+                f"{out_dir}/_drift/batch_id={batch_id}"
+            )
+            if breached:
+                return
         if blocked_domains:
             bl = spark.createDataFrame(
                 [(d,) for d in blocked_domains], ["domain"]

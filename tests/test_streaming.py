@@ -686,3 +686,85 @@ def test_curated_ingest_bpe_encode_with_pretrained_artifact(spark, tmp_path):
         ]
         assert out[doc_id].piece_token_ids == want
         assert out[doc_id].n_pieces == len(want)
+
+
+def test_curated_ingest_drift_gate_quarantines_shifted_batch(spark, tmp_path):
+    """Per-micro-batch drift circuit breaker: an in-distribution batch
+    ingests normally with its JS divergence recorded under the hidden
+    _drift dir; a wildly shifted batch is quarantined — metrics row
+    flagged, nothing appended to output or the dedup index."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.operators.profile import token_census
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the market closed higher today and the outlook is good"),
+            (2, "the market closed lower today and the outlook is weak"),
+            (3, "the fed kept rates steady and the market is calm"),
+        ],
+        ["doc_id", "text"],
+    )
+    census_dir = str(tmp_path / "census")
+    token_census(ref, "text").write.parquet(census_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: in-distribution; batch 1: disjoint vocabulary (drifted)
+    spark.createDataFrame(
+        [(10, "the market closed higher today and the outlook is calm")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    common = dict(
+        out_dir=str(tmp_path / "out"),
+        index_dir=str(tmp_path / "idx"),
+        drift_census_dir=census_dir,
+        max_js_divergence=0.4,
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream, common["out_dir"], common["index_dir"],
+        str(tmp_path / "ck"),
+        drift_census_dir=census_dir, max_js_divergence=0.4,
+    )
+    spark.createDataFrame(
+        [(11, "zupt qarv blen wost juki prand smoke vexil drap noor")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    run_curated_ingest(
+        stream, common["out_dir"], common["index_dir"],
+        str(tmp_path / "ck"),
+        drift_census_dir=census_dir, max_js_divergence=0.4,
+    )
+
+    out_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(common["out_dir"]).collect()
+    )
+    assert out_ids == [10]  # drifted batch quarantined
+    drift = {
+        r.batch_id: r
+        for r in spark.read.parquet(f"{common['out_dir']}/_drift").collect()
+    }
+    assert len(drift) == 2
+    ok, bad = sorted(drift)  # first batch, second batch
+    assert not drift[ok].quarantined and drift[ok].js_divergence <= 0.4
+    assert drift[bad].quarantined and drift[bad].js_divergence > 0.4
+    assert drift[bad].vocab_jaccard == 0.0  # disjoint vocabulary
+    # the quarantined batch also left no digest in the dedup index
+    idx = spark.read.parquet(common["index_dir"])
+    assert idx.count() == 1
+    # and the hidden _drift dir does not leak into output reads
+    assert set(spark.read.parquet(common["out_dir"]).columns) == {
+        "doc_id", "text", "batch_id",
+    }
