@@ -27,6 +27,12 @@ Usage:
         [--quantize] [--build-index] [--n-centroids 16] [--train-iters 2]
     python -m mapreduce_stockheadlines_spark.jobs.embed_pipeline search \
         OUT_DIR --query-ids 0,1,2 [--k 10] [--n-probe 4]
+    python -m mapreduce_stockheadlines_spark.jobs.embed_pipeline eval \
+        OUT_DIR --query-ids 0,1,2 [--k 10] [--n-probe 4]
+
+``eval`` mode runs the same serve path AND exact brute force on the
+query set, then prints per-query recall@k / reciprocal rank plus macro
+means (``similarity.topk_eval``) — the index acceptance gate.
 """
 
 from __future__ import annotations
@@ -105,7 +111,7 @@ def load_centroids(spark: SparkSession, out_dir: str) -> np.ndarray:
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["build", "search"])
+    ap.add_argument("mode", choices=["build", "search", "eval"])
     ap.add_argument("out_dir")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--sem-threshold", type=float, default=None,
@@ -170,8 +176,28 @@ def main(argv: list[str] | None = None) -> None:
             n_probe=args.n_probe,
             centroids=cent,
         ).orderBy("query_id", "rank")
-        for r in hits.collect():
-            print(f"{r.query_id}\t{r.rank}\t{r.neighbor_id}\t{r.sim}")
+        if args.mode == "search":
+            for r in hits.collect():
+                print(f"{r.query_id}\t{r.rank}\t{r.neighbor_id}\t{r.sim}")
+            return
+        # eval: measure THIS index configuration (centroids + n_probe)
+        # against exact brute force on the same queries — recall@k and
+        # MRR per query plus macro means. The acceptance step before
+        # trusting an index at scale; tune --n-probe until the recall
+        # meets the bar.
+        exact = S.cosine_topk(queries, corpus, k=args.k)
+        ev = S.topk_eval(hits, exact).orderBy("query_id")
+        rows = ev.collect()
+        for r in rows:
+            print(
+                f"{r.query_id}\trecall={r.recall}\t"
+                f"first_hit_rank={r.first_hit_rank}\trr={r.reciprocal_rank}"
+            )
+        n = max(len(rows), 1)
+        print(
+            f"macro\trecall={round(sum(r.recall for r in rows) / n, 4)}\t"
+            f"mrr={round(sum(r.reciprocal_rank for r in rows) / n, 4)}"
+        )
 
 
 if __name__ == "__main__":

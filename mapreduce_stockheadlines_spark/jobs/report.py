@@ -164,10 +164,23 @@ def main(argv: list[str] | None = None) -> None:
         help="second corpus dir: append token-distribution drift metrics "
         "(JS divergence, vocab overlap, top diverging terms) vs --sf-dir",
     )
+    ap.add_argument(
+        "--save-census",
+        default=None,
+        help="also persist this corpus's token census (term, freq) as "
+        "parquet at this path — the reference artifact for the "
+        "streaming drift circuit breaker (drift_census_dir)",
+    )
     args = ap.parse_args(argv)
     spark = get_spark("corpus-report")
     spark.sparkContext.setLogLevel("ERROR")
     docs = parallel_table(spark, args.sf_dir, "documents")
+    if args.save_census:
+        from ..operators.profile import token_census
+
+        token_census(docs, "text").write.mode("overwrite").parquet(
+            args.save_census
+        )
     report = corpus_report(docs, "doc_id", "text")
     if args.compare_dir:
         other = parallel_table(spark, args.compare_dir, "documents")

@@ -756,3 +756,40 @@ def test_corpus_drift_report_tokenless_corpora(spark):
     both = {r.metric: r.value for r in corpus_drift_report(empty, empty).collect()}
     assert both["js_divergence"] == 0.0
     assert both["vocab_jaccard"] == 1.0
+
+
+def test_embed_pipeline_eval_cli(spark, tmp_path, sf_dir, capsys):
+    """eval mode prints per-query recall/rr plus macro lines, and the
+    perfect-recall case (n_probe = n_centroids = exhaustive probing)
+    reports recall 1.0 everywhere."""
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import main
+
+    out_dir = str(tmp_path / "vec")
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--n-centroids", "4", "--train-iters", "1"])
+    main(["eval", out_dir, "--query-ids", "0,1", "--k", "5",
+          "--n-probe", "4"])
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if "recall=" in ln
+    ]
+    assert len(lines) == 3  # 2 queries + macro
+    assert lines[-1].startswith("macro\trecall=1.0")
+    assert all("recall=1.0" in ln for ln in lines)
+
+
+def test_report_cli_save_census(spark, tmp_path, sf_dir, capsys):
+    """--save-census persists the (term, freq) census whose token total
+    equals the report's own total_ws_tokens row."""
+    from mapreduce_stockheadlines_spark.jobs.report import main
+
+    census = str(tmp_path / "census")
+    main(["--sf-dir", sf_dir, "--save-census", census])
+    out = capsys.readouterr().out
+    total = next(
+        float(ln.split("\t")[1])
+        for ln in out.splitlines()
+        if ln.startswith("total_ws_tokens")
+    )
+    got = spark.read.parquet(census).agg(F.sum("freq")).collect()[0][0]
+    assert float(got) == total
