@@ -119,6 +119,7 @@ def corpus_drift_report(
     docs_b: DataFrame,
     text_col: str = "text",
     top_k: int = 5,
+    div: DataFrame | None = None,
 ) -> DataFrame:
     """(metric, value) drift rows between two corpora (a new crawl vs
     the last, train vs eval, source A vs B before mixing):
@@ -126,23 +127,23 @@ def corpus_drift_report(
     ``vocab_jaccard`` (shared-term fraction), and the ``top_k`` terms
     explaining the drift as ``js_top_<term>`` rows. Built on
     ``profile.token_divergence`` — two censuses, one vocab-sized
-    full-outer join, tiny aggregates."""
-    from ..operators.profile import token_divergence
+    full-outer join, tiny aggregates; summary semantics come from the
+    shared ``profile.divergence_summary`` (one definition for this
+    report AND the streaming circuit breaker). Pass ``div`` (a prebuilt
+    divergence table, e.g. from a persisted census) to skip
+    re-censusing the corpora."""
+    from ..operators.profile import divergence_summary, token_divergence
 
-    div = token_divergence(docs_a, docs_b, text_col)
-    # coalesce: two token-LESS corpora join to zero rows — their
-    # aggregates are NULL, but the right report values are defined
-    # (identical nothing: 0 divergence, full overlap)
-    total = div.agg(
+    if div is None:
+        div = token_divergence(docs_a, docs_b, text_col)
+    summary = divergence_summary(div)
+    total = summary.select(
         F.lit("js_divergence").alias("metric"),
-        F.round(F.coalesce(F.sum("js_contrib"), F.lit(0.0)), 4).alias(
-            "value"
-        ),
+        F.col("js_divergence").alias("value"),
     )
-    both = F.when((F.col("c_a") > 0) & (F.col("c_b") > 0), 1.0).otherwise(0.0)
-    vocab = div.agg(
+    vocab = summary.select(
         F.lit("vocab_jaccard").alias("metric"),
-        F.round(F.coalesce(F.avg(both), F.lit(1.0)), 4).alias("value"),
+        F.col("vocab_jaccard").alias("value"),
     )
     top = (
         div.orderBy(F.desc("js_contrib"), F.asc("term"))
@@ -175,16 +176,29 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("corpus-report")
     spark.sparkContext.setLogLevel("ERROR")
     docs = parallel_table(spark, args.sf_dir, "documents")
+    census_a = None
     if args.save_census:
         from ..operators.profile import token_census
 
         token_census(docs, "text").write.mode("overwrite").parquet(
             args.save_census
         )
+        # the written artifact doubles as this corpus's census — the
+        # drift section below reads the vocab-sized parquet back instead
+        # of re-tokenizing the whole corpus a second time
+        census_a = spark.read.parquet(args.save_census)
     report = corpus_report(docs, "doc_id", "text")
     if args.compare_dir:
         other = parallel_table(spark, args.compare_dir, "documents")
-        report = report.unionAll(corpus_drift_report(docs, other))
+        div = None
+        if census_a is not None:
+            from ..operators.profile import census_divergence, token_census
+
+            div = census_divergence(
+                census_a.withColumnRenamed("freq", "c_a"),
+                token_census(other, "text").withColumnRenamed("freq", "c_b"),
+            )
+        report = report.unionAll(corpus_drift_report(docs, other, div=div))
     for r in report.collect():
         print(f"{r.metric}\t{r.value}")
 

@@ -526,9 +526,16 @@ def _phash64(px: np.ndarray) -> int:
     coef = _DCT32 @ _resample32(gray) @ _DCT32.T
     block = coef[:8, :8].ravel()
     med = np.median(block[1:])
+    # DC-scaled tolerance: a flat image's 63 non-DC coefficients are
+    # pure float rounding noise (~1e-13) — without the epsilon the bits
+    # would encode that noise and two identical solid frames could land
+    # 30 bits apart. Any coefficient within tol of the median counts as
+    # "not above": every flat image hashes to exactly 0, while real
+    # content (coefficients O(1)+) is unaffected.
+    tol = 1e-6 * max(1.0, abs(block[0]))
     h = 0
     for i in range(1, 64):
-        if block[i] > med:
+        if block[i] > med + tol:
             h |= 1 << i
     return h - (1 << 64) if h >= 1 << 63 else h
 
@@ -561,7 +568,15 @@ def image_phash(df: DataFrame, strict: bool = False) -> DataFrame:
     def hash_one(content, mime) -> int:
         decoder = REAL_DECODERS.get(mime)
         if decoder is not None:
-            return _phash64(decoder(content))
+            # corrupt/truncated/NULL content must not kill the task in
+            # non-strict mode — same contract as decode_media's tiers:
+            # fall back to the digest stand-in (exact-only matching)
+            try:
+                return _phash64(decoder(content))
+            except (ValueError, struct.error, TypeError):
+                if strict:
+                    raise
+                return _fake_phash(content)
         if strict:
             raise NotImplementedError(
                 f"phash of mime {mime!r} requires codec libraries "

@@ -267,3 +267,21 @@ def census_divergence(ca: DataFrame, cb: DataFrame) -> DataFrame:
         q.alias("p_b"),
         (half_pl + half_ql).alias("js_contrib"),
     )
+
+
+def divergence_summary(div: DataFrame) -> DataFrame:
+    """One row (``js_divergence``, ``vocab_jaccard``) summarizing a
+    ``token_divergence``/``census_divergence`` table, 4dp — the SINGLE
+    definition shared by the batch drift report and the streaming drift
+    circuit breaker (two copies would let the metric semantics drift
+    apart). Empty-join defaults: two token-less corpora are identical
+    nothing — 0 divergence, full overlap."""
+    both = F.when((F.col("c_a") > 0) & (F.col("c_b") > 0), 1.0).otherwise(0.0)
+    return div.agg(
+        F.round(F.coalesce(F.sum("js_contrib"), F.lit(0.0)), 4).alias(
+            "js_divergence"
+        ),
+        F.round(F.coalesce(F.avg(both), F.lit(1.0)), 4).alias(
+            "vocab_jaccard"
+        ),
+    )

@@ -111,7 +111,11 @@ def curated_ingest_sink(
             # output or the dedup indexes — the upstream-went-bad guard
             # (encoding corruption, wrong-source feed, language flip)
             # that per-doc gates cannot catch.
-            from ..operators.profile import census_divergence, token_census
+            from ..operators.profile import (
+                census_divergence,
+                divergence_summary,
+                token_census,
+            )
 
             if not _drift_cache:
                 _drift_cache.append(
@@ -122,27 +126,19 @@ def curated_ingest_sink(
             live = token_census(batch_df, text_col).withColumnRenamed(
                 "freq", "c_b"
             )
-            div = census_divergence(_drift_cache[0], live)
-            row = div.agg(
-                F.coalesce(F.sum("js_contrib"), F.lit(0.0)).alias("js"),
-                F.coalesce(
-                    F.avg(
-                        F.when(
-                            (F.col("c_a") > 0) & (F.col("c_b") > 0), 1.0
-                        ).otherwise(0.0)
-                    ),
-                    F.lit(1.0),
-                ).alias("overlap"),
+            row = divergence_summary(
+                census_divergence(_drift_cache[0], live)
             ).collect()[0]
             breached = (
                 max_js_divergence is not None
-                and row["js"] > max_js_divergence
+                and row["js_divergence"] > max_js_divergence
             )
             # batch_id rides on the partition directory (like the index
             # writes) — a data column with the same name would collide
             # with the inferred partition column on read
             spark.createDataFrame(
-                [(float(row["js"]), float(row["overlap"]), bool(breached))],
+                [(float(row["js_divergence"]), float(row["vocab_jaccard"]),
+                  bool(breached))],
                 "js_divergence double, vocab_jaccard double,"
                 " quarantined boolean",
             ).write.mode("overwrite").parquet(

@@ -1468,3 +1468,29 @@ def test_image_neardup_pairs_bands_find_near_not_far(spark):
              for r in M.image_neardup_pairs(df, max_hamming=6).collect()}
     assert (1, 2) in pairs
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_image_phash_flat_images_and_corrupt_content(spark):
+    """Flat images hash to exactly 0 (the DC-scaled epsilon keeps float
+    noise out of the bits, so brightness variants of solid frames are
+    hamming-0 near-dups), and corrupt/NULL decodable-mime content falls
+    back to the digest stand-in instead of killing the task; strict
+    still raises on corrupt content."""
+    import numpy as np
+    import pytest
+
+    g128 = np.full((40, 40, 3), 128, np.uint8)
+    g140 = np.full((40, 40, 3), 140, np.uint8)
+    rows = [
+        (1, bytearray(M._encode_ppm_p6(g128)), M.MIME_PPM),
+        (2, bytearray(M._encode_ppm_p6(g140)), M.MIME_PPM),
+        (3, bytearray(b"P6 truncated junk"), M.MIME_PPM),  # corrupt
+        (4, None, M.MIME_BMP),                              # NULL content
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r.media_id: r.phash for r in M.image_phash(df).collect()}
+    assert got[1] == got[2] == 0  # solid frames: identical, noise-free
+    assert got[3] == M._fake_phash(bytes(rows[2][1]))  # digest fallback
+    assert got[4] == 0  # NULL content -> fake hash of None
+    with pytest.raises(Exception):
+        M.image_phash(df.filter(F.col("media_id") == 3), strict=True).collect()
