@@ -74,3 +74,65 @@ def weighted_mean_expr(value_col: str, weight_col: str) -> Column:
     num = F.sum(F.col(value_col) * F.col(weight_col))
     den = F.sum(weight_col)
     return num / den
+
+
+def sentence_spans(df, id_col: str, text_col: str):
+    """One row per sentence: (id, sent_idx, sentence, n_chars) — the
+    Python UDTF flavor (Spark 4 table functions), completing the UDF
+    taxonomy: scalar/grouped-agg pandas UDF (above), mapInPandas
+    (multimodal/packing/similarity), applyInPandasWithState
+    (streaming/stateful) and now a LATERAL-correlated table function.
+
+    The UDTF registers once per session and applies via SQL LATERAL
+    correlation, so each input row fans out to a variable number of
+    output rows inside the JVM plan (Generate-like), with only the
+    eval() body in Python. For THIS particular logic the codegen twin
+    below is the engine default (same contract as
+    weighted_mean/weighted_mean_expr): a UDTF earns its Python cost
+    only when the per-row expansion logic cannot be expressed as
+    built-ins."""
+    from pyspark.sql.functions import udtf
+
+    if "sentence_udtf" not in _CACHE:
+
+        @udtf(returnType="sent_idx int, sentence string, n_chars int")
+        class _SentenceSplit:
+            def eval(self, text):
+                import re
+
+                if text is None:
+                    return
+                idx = 0
+                for part in re.split(r"(?<=[.!?])\s+", text):
+                    part = part.strip()
+                    if part:
+                        yield idx, part, len(part)
+                        idx += 1
+
+        _CACHE["sentence_udtf"] = _SentenceSplit
+    spark = df.sparkSession
+    spark.udtf.register("_engine_sentence_split", _CACHE["sentence_udtf"])
+    df.select(id_col, text_col).createOrReplaceTempView("_sentence_spans_in")
+    return spark.sql(
+        f"SELECT i.{id_col}, s.sent_idx, s.sentence, s.n_chars "
+        f"FROM _sentence_spans_in i, "
+        f"LATERAL _engine_sentence_split(i.{text_col}) s"
+    )
+
+
+def sentence_spans_expr(df, id_col: str, text_col: str):
+    """The same sentence fan-out as pure codegen — posexplode over a
+    lookbehind-regex split with trim + empty filter. Semantically
+    identical to the UDTF (pinned in tests); this is the hot-path
+    form."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"(?<=[.!?])\s+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sents).alias("sent_idx", "sentence"),
+    ).withColumn("n_chars", F.length("sentence").cast("int"))

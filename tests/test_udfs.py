@@ -79,3 +79,42 @@ def test_weighted_mean_on_documents(spark, sf_dir):
     assert len(got) > 0
     for r in got:
         assert r.udf_m == pytest.approx(r.expr_m, rel=1e-12)
+
+
+def test_sentence_spans_udtf_matches_codegen_twin(spark):
+    """The Python UDTF (SQL LATERAL table function) and its codegen
+    twin produce identical sentence fan-outs, including NULL-text and
+    sentence-less rows vanishing, and multi-space separators."""
+    from mapreduce_stockheadlines_spark.functions.udfs import (
+        sentence_spans,
+        sentence_spans_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second two!  Third three? trailing bit"),
+            (2, "no terminal punctuation at all"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.sent_idx, r.sentence, r.n_chars)
+        for r in sentence_spans(df, "doc_id", "text").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.sent_idx, r.sentence, r.n_chars)
+        for r in sentence_spans_expr(df, "doc_id", "text").collect()
+    )
+    assert got == want
+    assert got  # non-trivial
+    by_doc = {}
+    for doc, idx, sent, n in got:
+        by_doc.setdefault(doc, []).append(sent)
+        assert n == len(sent)
+    assert by_doc[1] == [
+        "First one.", "Second two!", "Third three?", "trailing bit"
+    ]
+    assert by_doc[2] == ["no terminal punctuation at all"]
+    assert 3 not in by_doc and 4 not in by_doc
