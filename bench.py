@@ -44,13 +44,14 @@ HEADLINE_QUERIES = [
     "x14_session_window",
     "x17_lsh_bucketed_neardup",
     "x18_ivf_topk",
-    # round 5 additions (suite grew by 5: r4→r5 headline totals compare
+    # round 5 additions (suite grew by 6: r4→r5 headline totals compare
     # on the shared 22, see README bench notes)
     "x24_url_curation",
     "x25_line_dedup",
     "x26_classifier_score",
     "x27_quantize_embeddings",
     "x28_lm_perplexity",
+    "x29_token_divergence",
 ]
 
 

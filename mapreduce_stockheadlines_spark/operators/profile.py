@@ -235,20 +235,27 @@ def census_divergence(ca: DataFrame, cb: DataFrame) -> DataFrame:
     """``token_divergence`` from two PRE-BUILT censuses — (term, c_a)
     and (term, c_b) tables — for the artifact-vs-live comparisons where
     one side is a persisted ``token_census`` (streaming drift gate).
-    Same output contract and zero-measure semantics."""
-    # coalesce(sum, 0): a token-LESS corpus (empty, or text that cleans
-    # to nothing) has an empty census whose global sum is NULL — left
-    # alone it would NULL every probability and silently blank the
-    # report. With totals pinned to 0 its distribution is the zero
-    # measure: every term of the other corpus contributes 0.5·q·ln 2,
-    # so the divergence is the defined limit ln(2)/2.
-    tot_a = ca.agg(F.coalesce(F.sum("c_a"), F.lit(0)).alias("_ta"))
-    tot_b = cb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).alias("_tb"))
+    Same output contract and zero-measure semantics.
+
+    Totals attach via an unpartitioned window over the JOINED census —
+    one single-partition pass over a VOCAB-sized table (the same
+    bounded-aggregated-table class as the engine's top-k rank windows;
+    a 1-row crossJoin would be lazier-looking but degrades to the
+    BroadcastNestedLoopJoin the plan guard forbids, and two separate
+    total-aggregation subplans would re-scan both censuses). A
+    token-less corpus has all-zero counts, so its total is 0 and its
+    distribution the zero measure: every term of the other corpus
+    contributes 0.5·q·ln 2 — the defined limit ln(2)/2."""
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     joined = (
         ca.join(cb, "term", "full_outer")
         .na.fill({"c_a": 0, "c_b": 0})
-        .crossJoin(F.broadcast(tot_a))
-        .crossJoin(F.broadcast(tot_b))
+        .withColumn("_ta", F.sum("c_a").over(w))
+        .withColumn("_tb", F.sum("c_b").over(w))
     )
     p = F.when(F.col("_ta") > 0, F.col("c_a") / F.col("_ta")).otherwise(0.0)
     q = F.when(F.col("_tb") > 0, F.col("c_b") / F.col("_tb")).otherwise(0.0)

@@ -533,46 +533,26 @@ ORDER BY gid, r_name, n_name
 
 # --- Q18 conditional aggregation -------------------------------------------
 
-def q18_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    return (
-        li.groupBy("l_linestatus")
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("l_returnflag") == "R",
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                    ).otherwise(0.0)
-                ),
-                2,
-            ).alias("returned_rev"),
-            F.sum(returned).cast("bigint").alias("n_returned"),
-            F.count(F.lit(1)).alias("n_total"),
-        )
-        .orderBy("l_linestatus")
-    )
+# q18_conditional_agg was consolidated into q19_large_join in round 5:
+# the CASE-WHEN conditional aggregates (returned revenue / returned
+# count) now compute there over o_orderpriority groups, where every
+# group mixes return flags so the conditionals stay non-degenerate
+# (folding into q02 — already grouped BY l_returnflag — would have made
+# the CASE all-or-nothing per group). The freed registry slot (driver
+# caps the registry at 50) went to x29_token_divergence
+# (plans/extensions.py).
 
-
-Q18_SQL = """
-SELECT l_linestatus,
-       round(sum(CASE WHEN l_returnflag = 'R'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-         AS returned_rev,
-       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_returned,
-       count(*) AS n_total
-FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
-"""
-
-# --- Q19 large-large join (sort-merge scale path) --------------------------
+# --- Q19 large-large join (sort-merge scale path) + conditional agg --------
 
 def q19_large_join(spark: SparkSession, sf: str) -> DataFrame:
     """lineitem ⋈ orders on orderkey: both sides large → Catalyst picks
-    sort-merge (or shuffled hash under AQE); co-partitioned on the join key."""
+    sort-merge (or shuffled hash under AQE); co-partitioned on the join
+    key. The aggregate set includes q18's folded-in conditional
+    aggregates (CASE-filtered sum/count alongside plain ones — the
+    partial/final plan carries them in the same exchange)."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
+    returned = F.col("l_returnflag") == "R"
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
@@ -581,6 +561,18 @@ def q19_large_join(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    F.when(
+                        returned,
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_rev"),
+            F.sum(F.when(returned, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returned"),
         )
         .orderBy("o_orderpriority")
     )
@@ -589,7 +581,12 @@ def q19_large_join(spark: SparkSession, sf: str) -> DataFrame:
 Q19_SQL = """
 SELECT o_orderpriority,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       count(*) AS n_items
+       count(*) AS n_items,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS returned_rev,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -691,7 +688,6 @@ CORE_QUERIES: dict[str, QuerySpec] = {
     "q14_stock_count_analogue": QuerySpec(q14_stock_count_analogue, Q14_SQL),
     "q15_word_count_analogue": QuerySpec(q15_word_count_analogue, Q15_SQL),
     "q16_rollup": QuerySpec(q16_rollup, Q16_SQL),
-    "q18_conditional_agg": QuerySpec(q18_conditional_agg, Q18_SQL),
     "q19_large_join": QuerySpec(q19_large_join, Q19_SQL),
     "q21_time_windows": QuerySpec(q21_time_windows, Q21_SQL),
     "q22_dedup": QuerySpec(q22_dedup, Q22_SQL),

@@ -1263,6 +1263,63 @@ FROM fx ORDER BY doc_id
 """
 
 
+# --- x29 token-distribution divergence (corpus drift under the oracle) -------
+
+def x29_token_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift: the per-term Jensen-Shannon decomposition between
+    the even- and odd-doc_id halves of documents
+    (operators/profile.token_divergence — two censuses, ONE vocab-sized
+    full-outer join, broadcast totals). Probabilities and the ln-based
+    js_contrib round to 6dp before hashing — the established
+    cross-engine float contract (x28's rounded logps; ln's last-ULP
+    libm divergence cannot move a 6dp rounding except within ~1e-19 of
+    a boundary)."""
+    from ..operators.profile import token_divergence
+
+    docs = parallel_table(spark, sf, "documents")
+    div = token_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    return div.select(
+        "term",
+        "c_a",
+        "c_b",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round("js_contrib", 6).alias("js_contrib"),
+    ).orderBy("term")
+
+
+X29_SQL = """
+WITH toks AS (
+  SELECT doc_id % 2 AS side,
+         unnest(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+')) AS term
+  FROM documents
+), kept AS (SELECT side, term FROM toks WHERE length(term) > 0),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM kept GROUP BY term
+), tot AS (
+  SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM counts
+)
+SELECT term, c_a, c_b,
+       round(c_a / ta, 6) AS p_a,
+       round(c_b / tb, 6) AS p_b,
+       round(
+         (CASE WHEN c_a > 0 THEN 0.5 * (c_a / ta) *
+            ln((c_a / ta) / ((c_a / ta + c_b / tb) / 2)) ELSE 0 END)
+       + (CASE WHEN c_b > 0 THEN 0.5 * (c_b / tb) *
+            ln((c_b / tb) / ((c_a / ta + c_b / tb) / 2)) ELSE 0 END), 6)
+         AS js_contrib
+FROM counts, tot
+ORDER BY term
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -1287,4 +1344,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x26_classifier_score": QuerySpec(x26_classifier_score, X26_SQL),
     "x27_quantize_embeddings": QuerySpec(x27_quantize_embeddings, X27_SQL),
     "x28_lm_perplexity": QuerySpec(x28_lm_perplexity, X28_SQL),
+    "x29_token_divergence": QuerySpec(x29_token_divergence, X29_SQL),
 }
