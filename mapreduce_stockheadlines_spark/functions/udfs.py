@@ -136,3 +136,53 @@ def sentence_spans_expr(df, id_col: str, text_col: str):
         F.col(id_col),
         F.posexplode(sents).alias("sent_idx", "sentence"),
     ).withColumn("n_chars", F.length("sentence").cast("int"))
+
+
+def normalize_unicode(
+    col: Column | str, form: str = "NFKC", strip_accents: bool = False
+) -> Column:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) and
+    optionally strip accents (NFKD → drop combining marks) — the
+    pre-tokenization cleanup multilingual/web corpora need before the
+    engine's ASCII tokenizer: full-width forms fold to ASCII
+    (ＡＢＣ→ABC under NFKC), composed/decomposed accents unify, and with
+    ``strip_accents`` 'café'→'cafe' so accented words survive
+    ``clean_text``'s ``[^a-zA-Z ]`` cut instead of splitting.
+
+    Arrow-batched scalar pandas UDF (no Spark builtin performs Unicode
+    normalization); accent-strip behavior matches DuckDB's
+    ``strip_accents`` on combining-mark accents (cross-engine pinned in
+    tests — base letters without decompositions, like 'ø', pass through
+    in BOTH engines). NULLs pass through."""
+    key = f"normalize_unicode:{form}:{strip_accents}"
+    if key not in _CACHE:
+        import unicodedata
+
+        @pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            def one(t):
+                if t is None:
+                    return None
+                out = unicodedata.normalize(form, t)
+                if strip_accents:
+                    # decompose at the caller's canonicality: NFD for
+                    # canonical forms (full-width etc. untouched — the
+                    # DuckDB strip_accents behavior), NFKD only when the
+                    # caller already asked for compatibility folding
+                    decomp = "NFD" if form in ("NFC", "NFD") else "NFKD"
+                    out = "".join(
+                        ch
+                        for ch in unicodedata.normalize(decomp, out)
+                        if not unicodedata.combining(ch)
+                    )
+                    # re-normalize: stripping marks can leave decomposed
+                    # sequences the caller's form would have composed
+                    out = unicodedata.normalize(
+                        form if form in ("NFC", "NFKC") else "NFC", out
+                    )
+                return out
+
+            return s.map(one)
+
+        _CACHE[key] = _norm
+    return _CACHE[key](F.col(col) if isinstance(col, str) else col)

@@ -2,6 +2,9 @@
 operators composed the way a 100 TB pretraining-data job would use them.
 
     documents
+      → unicode normalize      (optional: NFC/NFKC + accent strip before
+                                any tokenizer/digest touches the text —
+                                --normalize-unicode)
       → domain blocklist       (optional: drop docs referencing blocked
                                 registered domains — --blocked-domains)
       → boilerplate strip      (optional: corpus-level repeated-line
@@ -99,6 +102,7 @@ def curate(
     lm_model: tuple[DataFrame, DataFrame, int] | None = None,
     max_dup_ngram_fraction: float | None = None,
     rep_ngram_n: int = 3,
+    normalize_unicode_form: str | None = None,
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
@@ -138,6 +142,21 @@ def curate(
         # everything to unk. Both are config errors.
         raise ValueError(
             f"encode_vocab_top must be >= 1, got {encode_vocab_top}"
+        )
+
+    # 0. (optional) Unicode normalization — before EVERYTHING: the
+    #    ASCII tokenizer, the digests (composed vs decomposed accents
+    #    would hash as different docs), the regex gates. NFKC +
+    #    strip-accents is the web-corpus default (full-width→ASCII,
+    #    'café'→'cafe'). Arrow-batched, narrow.
+    if normalize_unicode_form is not None:
+        from ..functions.udfs import normalize_unicode
+
+        docs = docs.withColumn(
+            "text",
+            normalize_unicode(
+                "text", normalize_unicode_form, strip_accents=True
+            ),
         )
 
     # 0a. (optional) domain blocklist — first: the cheapest corpus-
@@ -442,6 +461,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="build a top-V vocabulary on the survivors and "
                          "attach token-id sequences; packing budgets by "
                          "encoded length")
+    ap.add_argument("--normalize-unicode", default=None, metavar="FORM",
+                    choices=["NFC", "NFKC", "NFD", "NFKD"],
+                    help="Unicode-normalize + strip accents before any "
+                         "other stage (NFKC recommended for web text)")
     ap.add_argument("--encode-bpe-merges", type=int, default=None,
                     help="train a BPE tokenizer (this many merges) on "
                          "the survivors and attach subword piece-id "
@@ -553,6 +576,7 @@ def main(argv: list[str] | None = None) -> None:
         ),
         max_dup_ngram_fraction=args.max_dup_ngram_fraction,
         rep_ngram_n=args.rep_ngram_n,
+        normalize_unicode_form=args.normalize_unicode,
         encode_vocab_top=args.encode_vocab_top,
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(

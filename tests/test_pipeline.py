@@ -793,3 +793,26 @@ def test_report_cli_save_census(spark, tmp_path, sf_dir, capsys):
     )
     got = spark.read.parquet(census).agg(F.sum("freq")).collect()[0][0]
     assert float(got) == total
+
+
+def test_curate_unicode_normalization_stage(spark):
+    """--normalize-unicode folds accents/width before digests and
+    tokenization: a composed-accent doc and its decomposed twin become
+    EXACT duplicates (one survives), and accented words survive the
+    ASCII tokenizer as their stripped forms."""
+    rows = [
+        (1, "café trading results for the market today", "s"),
+        (2, "café trading results for the market today", "s"),
+        (3, "a wholly different note about the weather", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.99,
+        normalize_unicode_form="NFKC",
+    )
+    got = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    assert sorted(got) == [1, 3]  # 2 collapsed into 1 as an exact dup
+    assert got[1].startswith("cafe trading")
+    # without normalization both variants survive exact dedup
+    base = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.99)
+    assert sorted(r.doc_id for r in base.select("doc_id").collect()) == [1, 2, 3]
