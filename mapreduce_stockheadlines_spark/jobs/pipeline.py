@@ -103,6 +103,7 @@ def curate(
     max_dup_ngram_fraction: float | None = None,
     rep_ngram_n: int = 3,
     normalize_unicode_form: str | None = None,
+    neardup_keep_best: bool = False,
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
@@ -190,9 +191,32 @@ def curate(
     verified = D.jaccard_pairs(shingles, cand).filter(
         F.col("jaccard") > jaccard_threshold
     )
-    docs = D.dedup_by_pairs(
-        docs, verified, "doc_id", reliable_checkpoint=reliable_checkpoint
-    )
+    if neardup_keep_best:
+        # best-quality survivor policy: score ONLY the paired docs
+        # (pair-graph-scoped — the quality projection runs over the
+        # handful of near-dup candidates, not the corpus; the corpus-
+        # wide quality column is computed later as always) and let
+        # dedup_by_pairs keep each cluster's best row
+        paired_ids = (
+            verified.select(F.col("id_a").alias("doc_id"))
+            .unionByName(verified.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        paired_q = TS.quality_score(
+            docs.join(paired_ids, "doc_id", "left_semi"), "doc_id", "text"
+        ).select("doc_id", F.col("quality").alias("_ndq"))
+        scored = docs.join(paired_q, "doc_id", "left")
+        docs = D.dedup_by_pairs(
+            scored,
+            verified,
+            "doc_id",
+            reliable_checkpoint=reliable_checkpoint,
+            keep_by="_ndq",
+        ).drop("_ndq")
+    else:
+        docs = D.dedup_by_pairs(
+            docs, verified, "doc_id", reliable_checkpoint=reliable_checkpoint
+        )
 
     # 2b. (optional) cross-doc duplicated-window gate: drops docs whose
     #     prose is mostly shared with other docs even though neither
@@ -461,6 +485,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="build a top-V vocabulary on the survivors and "
                          "attach token-id sequences; packing budgets by "
                          "encoded length")
+    ap.add_argument("--neardup-keep-best", action="store_true",
+                    help="near-dup clusters keep their highest-quality "
+                         "doc (scored over paired docs only) instead of "
+                         "the min id")
     ap.add_argument("--normalize-unicode", default=None, metavar="FORM",
                     choices=["NFC", "NFKC", "NFD", "NFKD"],
                     help="Unicode-normalize + strip accents before any "
@@ -577,6 +605,7 @@ def main(argv: list[str] | None = None) -> None:
         max_dup_ngram_fraction=args.max_dup_ngram_fraction,
         rep_ngram_n=args.rep_ngram_n,
         normalize_unicode_form=args.normalize_unicode,
+        neardup_keep_best=args.neardup_keep_best,
         encode_vocab_top=args.encode_vocab_top,
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(

@@ -394,18 +394,43 @@ def dedup_by_pairs(
     id_col: str,
     max_iters: int = 20,
     reliable_checkpoint: bool = False,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: cluster the pair graph and keep one
-    representative (min id) per component; rows never mentioned in a pair
-    pass through untouched (broadcast-friendly anti-join against the
+    representative per component; rows never mentioned in a pair pass
+    through untouched (broadcast-friendly anti-join against the
     non-representative set, which is at most the paired-node count —
     tiny relative to the corpus). ``reliable_checkpoint`` passes through
-    to ``neardup_clusters`` (set a checkpoint dir first)."""
+    to ``neardup_clusters`` (set a checkpoint dir first).
+
+    Survivor policy: min id by default (deterministic, metric-free).
+    ``keep_by`` names a COLUMN OF ``df`` (e.g. a quality score): each
+    cluster keeps its highest-``keep_by`` row instead, ties broken by
+    min id — the curation-grade policy (near-dup groups usually contain
+    one clean page and N mangled re-crawls; min-id keeps whichever
+    crawled first, keep_by keeps the best one). Cost: one extra
+    broadcast-class join of the CLUSTERED ids (paired nodes only)
+    against df's (id, keep_by) projection plus a window over groups of
+    cluster size — pair-graph-scoped, never corpus-wide."""
     clusters = neardup_clusters(
         pairs, max_iters=max_iters, reliable_checkpoint=reliable_checkpoint
     )
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
+    if keep_by is None:
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("_kb")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("_kb"), F.asc("id")
+    )
+    losers = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

@@ -1494,3 +1494,35 @@ def test_image_phash_flat_images_and_corrupt_content(spark):
     assert got[4] == 0  # NULL content -> fake hash of None
     with pytest.raises(Exception):
         M.image_phash(df.filter(F.col("media_id") == 3), strict=True).collect()
+
+
+def test_dedup_by_pairs_keep_by_policy(spark):
+    """keep_by survivor policy: each near-dup cluster keeps its
+    highest-scoring row (ties → min id) instead of the min id; unpaired
+    rows pass through; default min-id behavior unchanged."""
+    from mapreduce_stockheadlines_spark.operators.dedup import dedup_by_pairs
+
+    df = spark.createDataFrame(
+        # cluster {1,2,3}: best score on 3; cluster {10,11}: tie -> 10
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5), (99, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    best = sorted(
+        r.doc_id
+        for r in dedup_by_pairs(df, pairs, "doc_id", keep_by="quality").collect()
+    )
+    assert best == [2, 10, 99]  # {1,2,3}: 0.9 tie between 2,3 -> min id 2
+    minid = sorted(
+        r.doc_id for r in dedup_by_pairs(df, pairs, "doc_id").collect()
+    )
+    assert minid == [1, 10, 99]
+    # null scores lose to scored rows
+    dfn = spark.createDataFrame(
+        [(1, None), (2, 0.1)], "doc_id long, quality double"
+    )
+    pn = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = [r.doc_id for r in dedup_by_pairs(dfn, pn, "doc_id", keep_by="quality").collect()]
+    assert got == [2]

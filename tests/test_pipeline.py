@@ -816,3 +816,34 @@ def test_curate_unicode_normalization_stage(spark):
     # without normalization both variants survive exact dedup
     base = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.99)
     assert sorted(r.doc_id for r in base.select("doc_id").collect()) == [1, 2, 3]
+
+
+def test_curate_neardup_keep_best_policy(spark):
+    """--neardup-keep-best keeps each near-dup cluster's highest-quality
+    doc: a near-dup pair where the HIGHER id is the cleaner text keeps
+    that id (min-id default would keep the lower one)."""
+    clean = ("the quick brown fox jumps over the lazy dog near the "
+             "river and the meadow in the morning light")
+    # same content, mangled with junk punctuation -> lower quality score
+    dirty = clean + " ### $$$ %%% 123 456 789 000 111"
+    rows = [
+        (1, dirty, "s"),
+        (2, clean, "s"),
+        (3, "a wholly different report about markets and weather", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    best = sorted(
+        r.doc_id
+        for r in curate(
+            docs, lang="en", min_quality=0.0, jaccard_threshold=0.5,
+            neardup_keep_best=True,
+        ).select("doc_id").collect()
+    )
+    default = sorted(
+        r.doc_id
+        for r in curate(
+            docs, lang="en", min_quality=0.0, jaccard_threshold=0.5,
+        ).select("doc_id").collect()
+    )
+    assert default == [1, 3]  # min id wins
+    assert best == [2, 3]     # cleaner text wins
