@@ -619,3 +619,98 @@ def image_neardup_pairs(
         F.col("media_id"), F.col("phash").alias("simhash")
     )
     return simhash_neardup_pairs(fp, "media_id", max_hamming=max_hamming)
+
+
+def _audio_phash64(samples: np.ndarray) -> int:
+    """64-bit spectral perceptual hash for PCM audio: mono mix → 64
+    equal time frames → per-frame FFT log-power spectrum (rfft) → the
+    (frames × bins) log-spectrogram runs through the SAME pipeline as
+    the image pHash (integral-image 32×32 resample → DCT-II → 8×8
+    low-band median bits). Volume-invariant (log power shifts by a
+    constant, which the median threshold removes — like brightness for
+    images) and robust to small edits; silence hashes to exactly 0 (the
+    flat-image case). Raises ValueError on empty audio."""
+    if samples.size == 0:
+        raise ValueError("empty audio")
+    a = samples.astype(np.float64) / 32768.0
+    mono = a.mean(axis=1) if a.ndim == 2 else a
+    n_frames = 64
+    frame_len = max(len(mono) // n_frames, 1)
+    frames = mono[: frame_len * n_frames]
+    if len(frames) < n_frames:  # shorter than 64 samples: pad
+        frames = np.pad(frames, (0, n_frames - len(frames)))
+        frame_len = 1
+    spec = np.abs(
+        np.fft.rfft(frames.reshape(-1, frame_len), axis=1)
+    )
+    gram = np.log10(spec + 1e-10)
+    if gram.shape[1] == 1:
+        gram = np.repeat(gram, 2, axis=1)  # _resample32 needs 2-D extent
+    # reuse the image pipeline on the spectrogram "image" — scaled to a
+    # pseudo-pixel range only for the shared helper's contract; the
+    # median-bit step is scale-invariant anyway
+    lo, hi = gram.min(), gram.max()
+    span = hi - lo
+    if span <= 0:
+        return 0  # constant spectrogram (silence / pure DC): flat case
+    img = (gram - lo) / span * 255.0
+    return _phash64(np.repeat(img[:, :, None], 3, axis=2))
+
+
+def audio_phash(df: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, mime, phash) for audio rows — the WAV-tier sibling of
+    ``image_phash``: decodable audio (RIFF 16-bit PCM) hashes its
+    SPECTROGRAM, so re-encoded/volume-shifted copies collide; other
+    mimes (or corrupt/float/ADPCM WAVs in non-strict mode) fall back to
+    the digest stand-in. Feed to ``audio_neardup_pairs``."""
+
+    def hash_one(content, mime) -> int:
+        audio = AUDIO_DECODERS.get(mime)
+        if audio is not None:
+            try:
+                _rate, _nch, samples = audio(content)
+                return _audio_phash64(samples)
+            except (ValueError, struct.error, TypeError):
+                if strict:
+                    raise
+                return _fake_phash(content)
+        if strict:
+            raise NotImplementedError(
+                f"audio phash of mime {mime!r} requires codec libraries "
+                "not available in this environment"
+            )
+        return _fake_phash(content)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "phash": np.array(
+                        [
+                            hash_one(c, m)
+                            for c, m in zip(pdf["content"], pdf["mime"])
+                        ],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return df.select("media_id", "content", "mime").mapInPandas(
+        hash_batches, "media_id long, mime string, phash long"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, strict: bool = False
+) -> DataFrame:
+    """Near-duplicate audio pairs: spectral pHash → the shared SimHash
+    pigeonhole banding + popcount verify (same contract as
+    ``image_neardup_pairs``; audio bytes never shuffle)."""
+    from .dedup import simhash_neardup_pairs
+
+    fp = audio_phash(df, strict=strict).select(
+        F.col("media_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_neardup_pairs(fp, "media_id", max_hamming=max_hamming)

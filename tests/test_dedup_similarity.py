@@ -1526,3 +1526,52 @@ def test_dedup_by_pairs_keep_by_policy(spark):
     pn = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     got = [r.doc_id for r in dedup_by_pairs(dfn, pn, "doc_id", keep_by="quality").collect()]
     assert got == [2]
+
+
+def _wav_bytes(samples, rate=8000):
+    import struct as st
+
+    data = samples.astype("<i2").tobytes()
+    fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+              + b"data" + st.pack("<I", len(data)) + data)
+    return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_phash_and_neardup_pairs(spark):
+    """Spectral audio pHash: a volume-shifted copy of a tone hashes
+    identically (near-dup pair found), different content stays far,
+    silence hashes to 0, corrupt WAV falls back to the digest
+    stand-in, and strict raises."""
+    import numpy as np
+    import pytest
+
+    t = np.arange(8000) / 8000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    quiet = (tone * 0.3).astype(np.int16)
+    chirp = (np.sin(2 * np.pi * (200 + 1500 * t) * t) * 12000).astype(np.int16)
+    rows = [
+        (1, bytearray(_wav_bytes(tone)), M.MIME_WAV),
+        (2, bytearray(_wav_bytes(quiet)), M.MIME_WAV),
+        (3, bytearray(_wav_bytes(chirp)), M.MIME_WAV),
+        (4, bytearray(_wav_bytes(np.zeros(8000, np.int16))), M.MIME_WAV),
+        (5, bytearray(b"RIFF junk not a wav"), M.MIME_WAV),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r.media_id: r.phash for r in M.audio_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[1] == got[2]          # volume-invariant
+    assert ham(got[1], got[3]) > 16  # different content far
+    assert got[4] == 0               # silence: the flat case
+    assert got[5] == M._fake_phash(bytes(rows[4][1]))  # corrupt fallback
+    pairs = {(r.id_a, r.id_b)
+             for r in M.audio_neardup_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert not any({3} & set(p) for p in pairs)
+    with pytest.raises(Exception):
+        M.audio_phash(
+            df.filter(F.col("media_id") == 5), strict=True
+        ).collect()
