@@ -112,23 +112,40 @@ def sentence_spans(df, id_col: str, text_col: str):
         _CACHE["sentence_udtf"] = _SentenceSplit
     spark = df.sparkSession
     spark.udtf.register("_engine_sentence_split", _CACHE["sentence_udtf"])
-    df.select(id_col, text_col).createOrReplaceTempView("_sentence_spans_in")
-    return spark.sql(
-        f"SELECT i.{id_col}, s.sent_idx, s.sentence, s.n_chars "
-        f"FROM _sentence_spans_in i, "
-        f"LATERAL _engine_sentence_split(i.{text_col}) s"
-    )
+    # unique per-call view name: a fixed name would race across threads
+    # sharing one session (B's createOrReplaceTempView landing between
+    # A's registration and A's sql() would fan out B's rows)
+    import uuid
+
+    view = f"_sentence_spans_in_{uuid.uuid4().hex}"
+    df.select(id_col, text_col).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT i.`{id_col}`, s.sent_idx, s.sentence, s.n_chars "
+            f"FROM {view} i, "
+            f"LATERAL _engine_sentence_split(i.`{text_col}`) s"
+        )
+    finally:
+        # the returned plan is already resolved; the view need not outlive
+        # this call
+        spark.catalog.dropTempView(view)
 
 
 def sentence_spans_expr(df, id_col: str, text_col: str):
     """The same sentence fan-out as pure codegen — posexplode over a
     lookbehind-regex split with trim + empty filter. Semantically
-    identical to the UDTF (pinned in tests); this is the hot-path
-    form."""
+    identical to the UDTF (pinned in tests, incl. Unicode whitespace);
+    this is the hot-path form.
+
+    Unicode parity details: Python's ``\\s`` is Unicode-aware while
+    Java's defaults to ASCII, so the split and the edge-trim both carry
+    the ``(?U)`` (UNICODE_CHARACTER_CLASS) flag — a non-breaking space
+    after a period (common in web text) must split in BOTH forms, and
+    ``F.trim`` (space-only) would diverge from Python ``str.strip``."""
     sents = F.filter(
         F.transform(
-            F.split(F.col(text_col), r"(?<=[.!?])\s+"),
-            lambda s: F.trim(s),
+            F.split(F.col(text_col), r"(?U)(?<=[.!?])\s+"),
+            lambda s: F.regexp_replace(s, r"(?U)^\s+|\s+$", ""),
         ),
         lambda s: F.length(s) > 0,
     )
@@ -175,11 +192,12 @@ def normalize_unicode(
                         for ch in unicodedata.normalize(decomp, out)
                         if not unicodedata.combining(ch)
                     )
-                    # re-normalize: stripping marks can leave decomposed
-                    # sequences the caller's form would have composed
-                    out = unicodedata.normalize(
-                        form if form in ("NFC", "NFKC") else "NFC", out
-                    )
+                    # re-normalize to the CALLER'S form: stripping marks
+                    # can leave sequences the form would have (de)composed
+                    # differently — NFD callers must get NFD output
+                    # (e.g. Hangul Jamo survive the mark strip and would
+                    # otherwise recompose)
+                    out = unicodedata.normalize(form, out)
                 return out
 
             return s.map(one)

@@ -65,8 +65,17 @@ def shred_variant(
     N path walks over the SAME parsed value — the flatten step that
     turns a semi-structured payload into relational columns for the
     rest of the engine (joins, aggregations, oracles). The variant
-    column is dropped unless ``keep_variant``."""
+    column is dropped unless ``keep_variant``. An output name that
+    collides with a kept column raises HERE — the select would succeed
+    with duplicate names and fail with AMBIGUOUS_REFERENCE far from the
+    cause on first use."""
     cols = [c for c in df.columns if c != variant_col or keep_variant]
+    clash = set(fields) & set(cols)
+    if clash:
+        raise ValueError(
+            f"shred_variant: output names {sorted(clash)} collide with "
+            "existing columns — rename the field or drop the column first"
+        )
     extracted = [
         variant_field(variant_col, path, dtype).alias(name)
         for name, (path, dtype) in fields.items()

@@ -196,12 +196,15 @@ def curate(
         # (pair-graph-scoped — the quality projection runs over the
         # handful of near-dup candidates, not the corpus; the corpus-
         # wide quality column is computed later as always) and let
-        # dedup_by_pairs keep each cluster's best row
-        paired_ids = (
-            verified.select(F.col("id_a").alias("doc_id"))
-            .unionByName(verified.select(F.col("id_b").alias("doc_id")))
-            .distinct()
+        # dedup_by_pairs keep each cluster's best row. The clusters are
+        # computed ONCE here (checkpointed inside neardup_clusters) and
+        # reused both for the paired-id set and inside dedup_by_pairs —
+        # re-deriving either from `verified` would execute the whole
+        # MinHash→LSH→Jaccard subplan a second time.
+        clusters = D.neardup_clusters(
+            verified, reliable_checkpoint=reliable_checkpoint
         )
+        paired_ids = clusters.select(F.col("id").alias("doc_id"))
         paired_q = TS.quality_score(
             docs.join(paired_ids, "doc_id", "left_semi"), "doc_id", "text"
         ).select("doc_id", F.col("quality").alias("_ndq"))
@@ -210,8 +213,8 @@ def curate(
             scored,
             verified,
             "doc_id",
-            reliable_checkpoint=reliable_checkpoint,
             keep_by="_ndq",
+            clusters=clusters,
         ).drop("_ndq")
     else:
         docs = D.dedup_by_pairs(

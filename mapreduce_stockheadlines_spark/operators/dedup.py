@@ -395,6 +395,7 @@ def dedup_by_pairs(
     max_iters: int = 20,
     reliable_checkpoint: bool = False,
     keep_by: str | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: cluster the pair graph and keep one
     representative per component; rows never mentioned in a pair pass
@@ -411,10 +412,17 @@ def dedup_by_pairs(
     crawled first, keep_by keeps the best one). Cost: one extra
     broadcast-class join of the CLUSTERED ids (paired nodes only)
     against df's (id, keep_by) projection plus a window over groups of
-    cluster size — pair-graph-scoped, never corpus-wide."""
-    clusters = neardup_clusters(
-        pairs, max_iters=max_iters, reliable_checkpoint=reliable_checkpoint
-    )
+    cluster size — pair-graph-scoped, never corpus-wide.
+
+    ``clusters``: pass a precomputed ``neardup_clusters(pairs)`` result
+    to avoid re-deriving the pair graph when the caller already
+    materialized it (the pipeline's keep-best path scores exactly the
+    clustered ids — without this the MinHash→LSH→Jaccard subplan that
+    produced ``pairs`` would execute once per reference)."""
+    if clusters is None:
+        clusters = neardup_clusters(
+            pairs, max_iters=max_iters, reliable_checkpoint=reliable_checkpoint
+        )
     if keep_by is None:
         losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(id_col)

@@ -209,8 +209,9 @@ def token_divergence(
     Scale shape: each corpus is one tokenize+explode + one term-keyed
     aggregation with map-side partials (the word_census shape, never
     the corpus again); the two vocab-sized count tables meet in ONE
-    full-outer join on term; totals attach via two broadcast single-row
-    cross joins. Nothing corpus-sized crosses the wire after the two
+    full-outer join on term; totals attach via bucketed two-level sums
+    broadcast back (see ``census_divergence`` for the mechanism and why
+    not a 1-row crossJoin). Nothing corpus-sized crosses the wire after the two
     censuses.
     """
     ca = token_census(df_a, text_col).withColumnRenamed("freq", "c_a")
@@ -237,25 +238,43 @@ def census_divergence(ca: DataFrame, cb: DataFrame) -> DataFrame:
     one side is a persisted ``token_census`` (streaming drift gate).
     Same output contract and zero-measure semantics.
 
-    Totals attach via an unpartitioned window over the JOINED census —
-    one single-partition pass over a VOCAB-sized table (the same
-    bounded-aggregated-table class as the engine's top-k rank windows;
-    a 1-row crossJoin would be lazier-looking but degrades to the
-    BroadcastNestedLoopJoin the plan guard forbids, and two separate
-    total-aggregation subplans would re-scan both censuses). A
-    token-less corpus has all-zero counts, so its total is 0 and its
-    distribution the zero measure: every term of the other corpus
-    contributes 0.5·q·ln 2 — the defined limit ln(2)/2."""
+    Totals attach via a BUCKETED two-level sum: each census aggregates
+    per hash-bucket (256 rows, map-side partials), an unpartitioned
+    window runs over only that 256-row table (the static bucket axis
+    left-joins the sums so an EMPTY census still yields total 0 — the
+    zero-measure case), and the per-bucket totals broadcast-equi-join
+    back on the bucket key. No corpus- or vocab-sized table ever passes
+    through one partition, and no plan contains the
+    BroadcastNestedLoopJoin a 1-row crossJoin degrades to (Catalyst
+    constant-folds literal-key equi-joins back to BNLJ — measured; the
+    bucket key is hash-derived, so the join stays a BroadcastHashJoin).
+    A token-less corpus has total 0 and probability 0 everywhere: every
+    term of the other corpus contributes 0.5·q·ln 2 — the defined limit
+    ln(2)/2."""
     from pyspark.sql import Window
 
+    spark = ca.sparkSession
+    n_buckets = 256
+    bucket = lambda: F.pmod(F.xxhash64("term"), F.lit(n_buckets))  # noqa: E731
+    axis = spark.range(n_buckets).select(F.col("id").alias("_b"))
     w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+
+    def totals(cdf: DataFrame, count_col: str, alias: str) -> DataFrame:
+        per_bucket = cdf.groupBy(bucket().alias("_b")).agg(
+            F.sum(count_col).alias("_s")
+        )
+        full = axis.join(per_bucket, "_b", "left").na.fill({"_s": 0})
+        return full.select("_b", F.sum("_s").over(w).alias(alias))
+
+    tot = totals(ca, "c_a", "_ta").join(totals(cb, "c_b", "_tb"), "_b")
     joined = (
         ca.join(cb, "term", "full_outer")
         .na.fill({"c_a": 0, "c_b": 0})
-        .withColumn("_ta", F.sum("c_a").over(w))
-        .withColumn("_tb", F.sum("c_b").over(w))
+        .withColumn("_b", bucket())
+        .join(F.broadcast(tot), "_b")
+        .drop("_b")
     )
     p = F.when(F.col("_ta") > 0, F.col("c_a") / F.col("_ta")).otherwise(0.0)
     q = F.when(F.col("_tb") > 0, F.col("c_b") / F.col("_tb")).otherwise(0.0)

@@ -1269,7 +1269,8 @@ def x29_token_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus drift: the per-term Jensen-Shannon decomposition between
     the even- and odd-doc_id halves of documents
     (operators/profile.token_divergence — two censuses, ONE vocab-sized
-    full-outer join, broadcast totals). Probabilities and the ln-based
+    full-outer join, bucketed totals broadcast back — no vocab-sized
+    single-partition stage). Probabilities and the ln-based
     js_contrib round to 6dp before hashing — the established
     cross-engine float contract (x28's rounded logps; ln's last-ULP
     libm divergence cannot move a 6dp rounding except within ~1e-19 of
@@ -1305,17 +1306,24 @@ counts AS (
   FROM kept GROUP BY term
 ), tot AS (
   SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM counts
+), probs AS (
+  -- zero-measure contract: an empty half has total 0 and probability 0
+  -- everywhere (DuckDB x/0 is NULL, which would poison every term)
+  SELECT term, c_a, c_b,
+         CASE WHEN ta > 0 THEN c_a / ta ELSE 0.0 END AS pa,
+         CASE WHEN tb > 0 THEN c_b / tb ELSE 0.0 END AS pb
+  FROM counts, tot
 )
 SELECT term, c_a, c_b,
-       round(c_a / ta, 6) AS p_a,
-       round(c_b / tb, 6) AS p_b,
+       round(pa, 6) AS p_a,
+       round(pb, 6) AS p_b,
        round(
-         (CASE WHEN c_a > 0 THEN 0.5 * (c_a / ta) *
-            ln((c_a / ta) / ((c_a / ta + c_b / tb) / 2)) ELSE 0 END)
-       + (CASE WHEN c_b > 0 THEN 0.5 * (c_b / tb) *
-            ln((c_b / tb) / ((c_a / ta + c_b / tb) / 2)) ELSE 0 END), 6)
+         (CASE WHEN c_a > 0 AND pa > 0
+               THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+       + (CASE WHEN c_b > 0 AND pb > 0
+               THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END), 6)
          AS js_contrib
-FROM counts, tot
+FROM probs
 ORDER BY term
 """
 

@@ -1528,7 +1528,7 @@ def test_dedup_by_pairs_keep_by_policy(spark):
     assert got == [2]
 
 
-def _wav_bytes(samples, rate=8000):
+def _mono_wav_bytes(samples, rate=8000):
     import struct as st
 
     data = samples.astype("<i2").tobytes()
@@ -1551,10 +1551,10 @@ def test_audio_phash_and_neardup_pairs(spark):
     quiet = (tone * 0.3).astype(np.int16)
     chirp = (np.sin(2 * np.pi * (200 + 1500 * t) * t) * 12000).astype(np.int16)
     rows = [
-        (1, bytearray(_wav_bytes(tone)), M.MIME_WAV),
-        (2, bytearray(_wav_bytes(quiet)), M.MIME_WAV),
-        (3, bytearray(_wav_bytes(chirp)), M.MIME_WAV),
-        (4, bytearray(_wav_bytes(np.zeros(8000, np.int16))), M.MIME_WAV),
+        (1, bytearray(_mono_wav_bytes(tone)), M.MIME_WAV),
+        (2, bytearray(_mono_wav_bytes(quiet)), M.MIME_WAV),
+        (3, bytearray(_mono_wav_bytes(chirp)), M.MIME_WAV),
+        (4, bytearray(_mono_wav_bytes(np.zeros(8000, np.int16))), M.MIME_WAV),
         (5, bytearray(b"RIFF junk not a wav"), M.MIME_WAV),
     ]
     df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)

@@ -170,3 +170,39 @@ def test_normalize_unicode_matches_duckdb(spark):
         ).collect()
     }
     assert nfkc[3] == "ABC 12" and nfc[3] != "ABC 12"
+
+
+def test_sentence_spans_unicode_whitespace_parity(spark):
+    """UDTF and codegen twin agree on Unicode whitespace separators
+    (non-breaking space after a period — common in web text) and on
+    edge trimming."""
+    from mapreduce_stockheadlines_spark.functions.udfs import (
+        sentence_spans,
+        sentence_spans_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "One. Two done!  Three?"), (2, "  padded. tail  ")],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, sentence_spans(df, "doc_id", "text").collect()))
+    want = sorted(map(tuple, sentence_spans_expr(df, "doc_id", "text").collect()))
+    assert got == want
+    assert [s for d, i, s, n in got if d == 1] == ["One.", "Two done!", "Three?"]
+
+
+def test_normalize_unicode_preserves_decomposed_forms(spark):
+    """An NFD caller gets NFD output even with strip_accents (Hangul
+    Jamo survive the mark strip and must NOT recompose)."""
+    import unicodedata
+
+    from mapreduce_stockheadlines_spark.functions.udfs import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame([(1, "한 café")], "id long, t string")
+    out = df.select(
+        normalize_unicode("t", "NFD", strip_accents=True).alias("n")
+    ).collect()[0].n
+    assert out == unicodedata.normalize("NFD", "한 cafe")
+    assert out != unicodedata.normalize("NFC", "한 cafe")

@@ -91,3 +91,9 @@ def test_variant_strict_vs_tolerant(spark):
         v.select(
             variant_field("variant", "$.user", "long", strict=True).alias("bad")
         ).collect()
+
+
+def test_shred_variant_rejects_column_collision(spark):
+    v = _parsed(spark)
+    with pytest.raises(ValueError, match="collide"):
+        shred_variant(v, "variant", {"event_id": ("$.user.id", "long")})
