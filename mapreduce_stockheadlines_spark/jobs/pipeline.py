@@ -104,6 +104,7 @@ def curate(
     rep_ngram_n: int = 3,
     normalize_unicode_form: str | None = None,
     neardup_keep_best: bool = False,
+    token_budget: int | None = None,
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
@@ -349,6 +350,15 @@ def curate(
         TS.bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
 
+    # 5c. (optional) token-budget cut: keep the best-quality docs whose
+    #     token mass fills the training budget — the budget-denominated
+    #     sibling of the keep_top fraction gate (quality correlates
+    #     with length, so the two cuts differ materially)
+    if token_budget is not None:
+        docs = SA.token_budget_filter(
+            docs, "quality", "n_ws_tokens", token_budget
+        )
+
     # 5d. (optional) encode: build a top-V vocabulary ON THE SURVIVORS
     #     and attach ordered token-id sequences (+ true token/unk
     #     counts) — the model-ready representation; packing below then
@@ -488,6 +498,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="build a top-V vocabulary on the survivors and "
                          "attach token-id sequences; packing budgets by "
                          "encoded length")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="keep the best-quality docs whose whitespace-"
+                         "token mass fits this budget (never over)")
     ap.add_argument("--neardup-keep-best", action="store_true",
                     help="near-dup clusters keep their highest-quality "
                          "doc (scored over paired docs only) instead of "
@@ -609,6 +622,7 @@ def main(argv: list[str] | None = None) -> None:
         rep_ngram_n=args.rep_ngram_n,
         normalize_unicode_form=args.normalize_unicode,
         neardup_keep_best=args.neardup_keep_best,
+        token_budget=args.token_budget,
         encode_vocab_top=args.encode_vocab_top,
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(

@@ -171,3 +171,70 @@ def group_split(
         df.filter(h >= F.lit(test_fraction)),
         df.filter(h < F.lit(test_fraction)),
     )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Keep the highest-``score_col`` rows until their ``token_col``
+    sum fills ``budget`` tokens — the 'fill a 2T-token training budget
+    with the best documents' stage. ``quantile_threshold_filter`` keeps
+    a ROW fraction; training budgets are TOKEN-denominated, and quality
+    correlates with length, so the two cuts differ materially.
+
+    Mechanism (no global sort, corpus scanned once for the histogram
+    and once for the filter): equi-width histogram of the score range
+    with SUM(tokens) per bin (one aggregation, ≤ ``n_bins`` rows),
+    driver-side suffix-sum picks the lowest bin whose
+    best-scores-down-to-here token mass still fits the budget, and the
+    bin's lower edge broadcasts back as the threshold. Granularity: the
+    kept mass undershoots the budget by at most one bin's tokens
+    (deterministic; when even the single BEST bin overflows the budget
+    the result is EMPTY rather than over budget — raise ``n_bins`` for
+    finer granularity); rows with NULL score are dropped, NULL token
+    counts count 0. Returns rows with ``score >= threshold``;
+    degenerate all-equal-scores corpora keep everything that fits bin 0
+    — i.e. all rows if any fit was possible at all. Cost: two bounded
+    driver collects (min/max + the ≤n_bins histogram — equi-width needs
+    the range first) and one filter scan; eager, unlike the lazy
+    fraction-based sibling above."""
+    if budget <= 0:
+        raise ValueError("token_budget_filter: budget must be > 0")
+    if n_bins < 1:
+        raise ValueError("token_budget_filter: n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    bounds = df.agg(
+        F.min(s).alias("_lo"), F.max(s).alias("_hi")
+    ).collect()[0]
+    lo, hi = bounds["_lo"], bounds["_hi"]
+    if lo is None:
+        return df.filter(F.lit(False))  # no scored rows at all
+    span = hi - lo
+    width = span / n_bins if span > 0 else 1.0
+    bin_id = F.least(
+        F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    hist = (
+        df.filter(s.isNotNull())
+        .groupBy(bin_id.alias("_bin"))
+        .agg(F.sum(F.coalesce(F.col(token_col), F.lit(0))).alias("_toks"))
+        .collect()
+    )
+    toks_by_bin = {r["_bin"]: int(r["_toks"]) for r in hist}
+    running = 0
+    cut_bin = n_bins  # nothing fits -> empty
+    for b in range(n_bins - 1, -1, -1):
+        mass = toks_by_bin.get(b, 0)
+        if running + mass > budget:
+            break
+        running += mass
+        cut_bin = b
+    if cut_bin >= n_bins:
+        return df.filter(F.lit(False))
+    threshold = lo + cut_bin * width
+    return df.filter(s >= F.lit(threshold))

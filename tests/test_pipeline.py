@@ -847,3 +847,20 @@ def test_curate_neardup_keep_best_policy(spark):
     )
     assert default == [1, 3]  # min id wins
     assert best == [2, 3]     # cleaner text wins
+
+
+def test_curate_token_budget_gate(spark, sf_dir):
+    """--token-budget keeps a best-quality subset whose token mass fits
+    the budget; without it the full survivor set flows through."""
+    docs = table(spark, sf_dir, "documents")
+    base = curate(docs, lang="en", min_quality=0.0).collect()
+    total = sum(r.n_ws_tokens for r in base)
+    budget = total // 3
+    got = curate(docs, lang="en", min_quality=0.0, token_budget=budget).collect()
+    kept = sum(r.n_ws_tokens for r in got)
+    assert 0 < kept <= budget
+    # kept docs are the quality top end: min kept quality >= the
+    # quality of every dropped doc below the threshold bin
+    kept_ids = {r.doc_id for r in got}
+    thr = min(r.quality for r in got)
+    assert all(r.quality <= thr or r.doc_id in kept_ids for r in base)

@@ -242,3 +242,64 @@ def test_group_split_blocks_neardup_leakage(spark):
     assert tr.isdisjoint(te) and tr | te == {r.doc_id for r in docs.collect()}
     for a, b in [(i, i + 1) for i in range(0, 100, 2)] + [(150, 151), (151, 152), (152, 153)]:
         assert (a in tr) == (b in tr), f"pair ({a},{b}) straddles the split"
+
+
+def test_token_budget_filter(spark):
+    """Budget-denominated quality cut: keeps best-score docs whose token
+    mass fits the budget (never over), DuckDB-pinned threshold math;
+    empty when even the best bin overflows; NULL scores drop."""
+    import duckdb
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        token_budget_filter,
+    )
+
+    rows = [(i, i / 100.0, 10 * (1 + i % 3)) for i in range(100)]
+    rows += [(900, None, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tok long")
+
+    for budget in (100, 333, 1000, 10**6):
+        kept = token_budget_filter(df, "score", "n_tok", budget).collect()
+        tot = sum(r.n_tok for r in kept)
+        assert tot <= budget
+        # kept set is a top-score prefix: every kept score >= every
+        # dropped non-null score's... (threshold semantics)
+        if kept:
+            thr = min(r.score for r in kept)
+            dropped = [r for r in df.collect()
+                       if r.score is not None and r.score < thr]
+            assert all(r.score < thr for r in dropped)
+            assert not any(r.doc_id == 900 for r in kept)
+        # cross-engine pin of the kept id set via the same histogram
+        # construction in DuckDB
+        con = duckdb.connect()
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM (VALUES "
+                    + ",".join(f"({i},{s if s is not None else 'NULL'},{n})"
+                               for i, s, n in rows)
+                    + ") v(doc_id, score, n_tok)")
+        lo, hi = con.execute(
+            "SELECT min(score), max(score) FROM t").fetchone()
+        width = (hi - lo) / 1000 if hi > lo else 1.0
+        hist = dict(con.execute(
+            f"SELECT least(CAST(floor((score - {lo}) / {width}) AS INT), 999),"
+            f" sum(n_tok) FROM t WHERE score IS NOT NULL GROUP BY 1"
+        ).fetchall())
+        running, cut = 0, 1000
+        for b in range(999, -1, -1):
+            m = int(hist.get(b, 0))
+            if running + m > budget:
+                break
+            running += m
+            cut = b
+        want = set() if cut >= 1000 else {
+            i for (i,) in con.execute(
+                f"SELECT doc_id FROM t WHERE score >= {lo + cut * width}"
+            ).fetchall()
+        }
+        assert {r.doc_id for r in kept} == want, budget
+
+    # tiny budget smaller than the best bin -> empty, not over budget
+    assert token_budget_filter(df, "score", "n_tok", 5).count() == 0
+    with pytest.raises(ValueError):
+        token_budget_filter(df, "score", "n_tok", 0)
