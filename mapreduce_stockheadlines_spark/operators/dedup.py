@@ -235,21 +235,17 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash_neardup_pairs(
+def simhash_bands(
     fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidate pairs from 64-bit SimHash fingerprints.
-
-    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
-    bands — any pair within ``max_hamming`` bit flips shares at least one
-    identical band, so candidates come from an equi-join on (band index,
-    band bits) and only candidates pay the exact popcount(xor) verify.
-    All JVM-side expressions; the self-join shuffles fixed-width band
-    keys, never the documents.
-    """
+    """Pigeonhole band rows (id, simhash, band, bits) for a 64-bit
+    fingerprint table: ``max_hamming + 1`` bands, so any pair within
+    ``max_hamming`` bit flips shares at least one identical band. The
+    probe/index primitive shared by the self-join pairing below and the
+    streaming media ingest's persistent phash index."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    bands = fp.select(
+    return fp.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.explode(
@@ -274,6 +270,21 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.bits")
+
+
+def simhash_neardup_pairs(
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs from 64-bit SimHash fingerprints.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
+    bands — any pair within ``max_hamming`` bit flips shares at least one
+    identical band, so candidates come from an equi-join on (band index,
+    band bits) and only candidates pay the exact popcount(xor) verify.
+    All JVM-side expressions; the self-join shuffles fixed-width band
+    keys, never the documents.
+    """
+    bands = simhash_bands(fp, id_col, max_hamming)
     a = bands.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "bits"
     )

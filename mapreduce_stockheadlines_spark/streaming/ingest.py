@@ -433,3 +433,122 @@ def embedding_ingest_sink(
         ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
 
     return write_batch
+
+
+def media_ingest_sink(
+    out_dir: str,
+    index_dir: str,
+    id_col: str = "media_id",
+    tier: str = "image",
+    max_hamming: int = 6,
+):
+    """foreachBatch function: incremental MEDIA near-dup against a
+    persistent perceptual-hash band index — the image/audio sibling of
+    the text (MinHash) and embedding (quantized LSH) ingest indexes.
+
+    Per micro-batch: perceptual-hash each blob (``tier``:
+    ``multimodal.image_phash`` for image mimes, ``audio_phash`` for
+    audio; codec-less mimes get the digest fallback = exact-only
+    matching), probe the index by pigeonhole-band equi-join
+    (``dedup.simhash_bands`` — candidates only, never all-pairs against
+    history), verify by exact popcount(xor) ≤ ``max_hamming``, drop
+    matches; within-batch near-dups collapse to the min-id
+    representative through ``image/audio_neardup_pairs``. Survivors
+    append their band rows (band, bits, id, phash — 8-byte fingerprints,
+    never media bytes) to the index: day-N cost ∝ day-N data plus
+    matched candidates, and the index stores ~(max_hamming+1) tiny rows
+    per asset regardless of blob size."""
+    from ..operators.dedup import simhash_bands
+    from ..operators.multimodal import (
+        audio_neardup_pairs,
+        audio_phash,
+        image_neardup_pairs,
+        image_phash,
+    )
+
+    hash_fn = {"image": image_phash, "audio": audio_phash}.get(tier)
+    pairs_fn = {
+        "image": image_neardup_pairs,
+        "audio": audio_neardup_pairs,
+    }.get(tier)
+    if hash_fn is None:
+        raise ValueError(f"media_ingest_sink: unknown tier {tier!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = hash_fn(batch_df).select(
+            F.col(id_col), F.col("phash").alias("simhash")
+        )
+        bands = simhash_bands(fp, id_col, max_hamming)
+        survivors_ids = fp.select(id_col)
+        # 1. probe history by band key, popcount verify
+        try:
+            index = _history(spark, index_dir, batch_id)
+            dup_ids = (
+                bands.join(
+                    index.select(
+                        "band", "bits", F.col("phash").alias("_ih")
+                    ),
+                    ["band", "bits"],
+                )
+                .filter(
+                    F.bit_count(
+                        F.col("simhash").bitwiseXOR(F.col("_ih"))
+                    )
+                    <= max_hamming
+                )
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            survivors_ids = survivors_ids.join(dup_ids, id_col, "left_anti")
+        except AnalysisException:  # first batch: no index yet
+            pass
+        # 2. within-batch near-dups: min-id survives (higher id of every
+        #    verified pair drops)
+        batch_losers = (
+            pairs_fn(
+                batch_df.join(survivors_ids, id_col, "left_semi"),
+                max_hamming=max_hamming,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors_ids = survivors_ids.join(batch_losers, id_col, "left_anti")
+        survivors = batch_df.join(survivors_ids, id_col, "left_semi")
+        # 3. idempotent appends: surviving media + their band index rows
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        (
+            simhash_bands(
+                fp.join(survivors_ids, id_col, "left_semi"),
+                id_col,
+                max_hamming,
+            )
+            .select("band", "bits", F.col("id"), F.col("simhash").alias("phash"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def run_media_ingest(
+    stream_df: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    **sink_kwargs,
+):
+    """Start the media-ingest stream (availableNow trigger — same
+    drain-and-stop deployment shape as ``run_curated_ingest``)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            media_ingest_sink(out_dir, index_dir, **sink_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

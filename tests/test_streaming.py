@@ -768,3 +768,70 @@ def test_curated_ingest_drift_gate_quarantines_shifted_batch(spark, tmp_path):
     assert set(spark.read.parquet(common["out_dir"]).columns) == {
         "doc_id", "text", "batch_id",
     }
+
+
+def test_media_ingest_phash_index(spark, tmp_path):
+    """Streaming media ingest: batch 2's brightness-shifted copy of a
+    batch-1 image is dropped by the persistent phash band index; a new
+    image survives; within-batch near-dups collapse to min id; replay
+    of a batch is idempotent."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_media_ingest,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    base = np.clip(
+        np.stack([127 + 60 * np.sin(x / 6), 127 + 50 * np.cos(y / 4),
+                  127 + 40 * np.sin((x + y) / 8)], -1), 0, 255
+    ).astype(np.uint8)
+    bright = np.clip(base.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    # batch 1: base + a within-batch brightness near-dup (higher id)
+    write_batch(
+        [
+            (1, bytearray(M._encode_ppm_p6(base)), M.MIME_PPM),
+            (2, bytearray(M._encode_ppm_p6(bright)), M.MIME_PPM),
+        ],
+        "b1",
+    )
+    stream = spark.readStream.schema(M.MEDIA_SCHEMA).parquet(str(src / "*"))
+    args = (str(tmp_path / "out"), str(tmp_path / "idx"),
+            str(tmp_path / "ck"))
+    run_media_ingest(stream, *args, tier="image")
+    got = sorted(
+        r.media_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [1]  # 2 collapsed within batch
+
+    # batch 2: another copy of base (vs index) + a genuinely new image
+    write_batch(
+        [
+            (10, bytearray(M._encode_ppm_p6(bright)), M.MIME_PPM),
+            (11, bytearray(M._encode_ppm_p6(other)), M.MIME_PPM),
+        ],
+        "b2",
+    )
+    run_media_ingest(stream, *args, tier="image")
+    got = sorted(
+        r.media_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [1, 11]  # 10 dropped against the index
+    # index stores band rows + fingerprints, never media bytes
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert set(idx.columns) == {"band", "bits", "id", "phash", "batch_id"}
+    assert sorted(set(r.id for r in idx.collect())) == [1, 11]
