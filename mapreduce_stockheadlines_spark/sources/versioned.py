@@ -1,0 +1,155 @@
+"""Versioned tables: snapshot isolation over plain parquet via an atomic
+version pointer — the minimal lakehouse layer (time travel, rollback,
+safe concurrent readers) without a table-format dependency.
+
+Layout: ``<table>/v=N/`` holds each immutable snapshot's parquet;
+``<table>/_LATEST`` (one integer) names the committed version. The
+pointer is published by write-temp-then-rename through the Hadoop
+FileSystem API (atomic on HDFS/local; on object stores the rename is
+copy+delete, but the pointer is a single tiny file so the worst case is
+a reader seeing the OLD version — never a torn table). Because readers
+resolve the pointer ONCE at read time and snapshot dirs are immutable,
+a reader holds a consistent snapshot for the lifetime of its DataFrame
+regardless of concurrent writers — the property plain overwrite-in-place
+parquet lacks (a reader racing an overwrite sees missing/mixed files).
+Underscore-prefixed files are invisible to Spark's parquet discovery, so
+the pointer never pollutes a directory listing read.
+
+The write path composes with the rest of the engine: ``merge.merge_upsert``
+output or ``sinks.compact_parquet`` output written as version N+1, then
+readers flip atomically; failed writes leave an orphaned ``v=N`` dir that
+no pointer references — invisible, re-writable, cleaned by ``vacuum``.
+
+No reference counterpart (§2.2 incremental-maintenance surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), sc._jvm
+
+
+def _read_pointer(spark: SparkSession, table_dir: str) -> int | None:
+    fs, jvm = _fs(spark, table_dir)
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes()) if hasattr(stream, "readAllBytes") else None
+        if raw is None:  # older Hadoop: read byte-wise (pointer is tiny)
+            out = []
+            b = stream.read()
+            while b != -1:
+                out.append(b)
+                b = stream.read()
+            raw = bytes(out)
+    finally:
+        stream.close()
+    return int(raw.decode("ascii").strip())
+
+
+def write_table_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the table's next immutable snapshot and publish
+    it: data lands in ``v=N`` FIRST, the pointer flips LAST (temp file +
+    rename), so a crash mid-write leaves the previous version intact
+    and referenced. Returns the committed version number (1-based).
+    N is ``committed + 1`` — a write AFTER a rollback overwrites the
+    rolled-back-away snapshot (git-reset-then-commit semantics: the
+    orphaned lineage is discarded, not preserved alongside)."""
+    spark = df.sparkSession
+    current = _read_pointer(spark, table_dir)
+    version = 1 if current is None else current + 1
+    df.write.mode("overwrite").parquet(f"{table_dir}/v={version}")
+    fs, jvm = _fs(spark, table_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(version).encode("ascii"))
+    finally:
+        out.close()
+    # rename onto the pointer: delete-then-rename where overwriting
+    # renames are unsupported (local FS) — the pointer is missing for a
+    # microsecond at worst, and read_table treats missing as "no table",
+    # never as a torn version
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"versioned table: pointer publish failed for {table_dir}")
+    return version
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (or pin ``version`` for time
+    travel). The pointer resolves ONCE, here — the returned DataFrame
+    keeps reading its snapshot even if writers publish newer versions
+    meanwhile."""
+    v = version if version is not None else _read_pointer(spark, table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_dir}")
+    return spark.read.parquet(f"{table_dir}/v={v}")
+
+
+def table_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """All snapshot versions present on disk (committed or orphaned),
+    ascending; the committed one is ``_read_pointer``'s answer."""
+    fs, jvm = _fs(spark, table_dir)
+    p = jvm.org.apache.hadoop.fs.Path(table_dir)
+    if not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def rollback(spark: SparkSession, table_dir: str, version: int) -> None:
+    """Point the table back at an existing older snapshot (the data is
+    immutable, so rollback is a pointer flip)."""
+    if version not in table_versions(spark, table_dir):
+        raise ValueError(f"version {version} does not exist at {table_dir}")
+    fs, jvm = _fs(spark, table_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(version).encode("ascii"))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"versioned table: rollback publish failed for {table_dir}")
+
+
+def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete snapshot dirs older than the ``keep_last`` most recent
+    COMMITTED-or-newer versions, never the committed one — reclaims the
+    space immutable snapshots accumulate. Returns the versions removed.
+    Readers pinned (by ``read_table(version=...)``) to a vacuumed
+    version fail on next access — the standard retention trade-off;
+    size ``keep_last`` to the longest reader lifetime."""
+    if keep_last < 1:
+        raise ValueError("vacuum: keep_last must be >= 1")
+    committed = _read_pointer(spark, table_dir)
+    versions = table_versions(spark, table_dir)
+    keep = set(versions[-keep_last:])
+    if committed is not None:
+        keep.add(committed)
+    fs, jvm = _fs(spark, table_dir)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/v={v}"), True)
+            removed.append(v)
+    return removed

@@ -1,0 +1,72 @@
+"""Versioned-table layer: snapshot isolation, time travel, rollback,
+vacuum — over plain parquet with an atomic pointer file."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_stockheadlines_spark.sources.versioned import (
+    read_table,
+    rollback,
+    table_versions,
+    vacuum,
+    write_table_version,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def test_write_read_time_travel_rollback(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert write_table_version(_df(spark, [1, 2]), t) == 1
+    assert write_table_version(_df(spark, [3]), t) == 2
+    assert sorted(r.x for r in read_table(spark, t).collect()) == [3]
+    assert sorted(r.x for r in read_table(spark, t, version=1).collect()) == [1, 2]
+    assert table_versions(spark, t) == [1, 2]
+    rollback(spark, t, 1)
+    assert sorted(r.x for r in read_table(spark, t).collect()) == [1, 2]
+    # a write after rollback replaces the rolled-back-away lineage:
+    # pointer is 1, so the new commit is v2, overwriting the orphan
+    v = write_table_version(_df(spark, [9]), t)
+    assert v == 2
+    assert sorted(r.x for r in read_table(spark, t).collect()) == [9]
+    assert sorted(r.x for r in read_table(spark, t, version=2).collect()) == [9]
+    with pytest.raises(ValueError):
+        rollback(spark, t, 99)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, str(tmp_path / "missing"))
+
+
+def test_reader_snapshot_survives_new_commits(spark, tmp_path):
+    """A DataFrame resolved before a new commit keeps reading ITS
+    snapshot — the isolation plain overwrite-in-place parquet lacks."""
+    t = str(tmp_path / "t")
+    write_table_version(_df(spark, [1, 2]), t)
+    pinned = read_table(spark, t)
+    write_table_version(_df(spark, [7, 8, 9]), t)
+    assert sorted(r.x for r in pinned.collect()) == [1, 2]
+    assert sorted(r.x for r in read_table(spark, t).collect()) == [7, 8, 9]
+
+
+def test_pointer_invisible_to_parquet_discovery(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_table_version(_df(spark, [1]), t)
+    # reading the snapshot dir directly works; _LATEST does not pollute
+    got = spark.read.parquet(f"{t}/v=1").collect()
+    assert [r.x for r in got] == [1]
+
+
+def test_vacuum_keeps_committed_and_recent(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_table_version(_df(spark, [i]), t)
+    rollback(spark, t, 2)
+    removed = vacuum(spark, t, keep_last=2)
+    # keeps {3, 4} (most recent) plus committed 2; removes 1
+    assert removed == [1]
+    assert table_versions(spark, t) == [2, 3, 4]
+    assert [r.x for r in read_table(spark, t).collect()] == [1]  # v2 data
+    with pytest.raises(ValueError):
+        vacuum(spark, t, keep_last=0)
