@@ -355,6 +355,14 @@ def curate(
     #     sibling of the keep_top fraction gate (quality correlates
     #     with length, so the two cuts differ materially)
     if token_budget is not None:
+        # materialize the survivors ONCE first: the budget gate runs two
+        # eager driver collects (score bounds + the token histogram),
+        # and without a barrier each — plus the final consumer — would
+        # re-execute the whole curation chain (the same hazard the
+        # encode stages document below, same checkpoint policy)
+        docs = (
+            docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
+        )
         docs = SA.token_budget_filter(
             docs, "quality", "n_ws_tokens", token_budget
         )

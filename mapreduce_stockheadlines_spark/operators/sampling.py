@@ -206,18 +206,27 @@ def token_budget_filter(
         raise ValueError("token_budget_filter: budget must be > 0")
     if n_bins < 1:
         raise ValueError("token_budget_filter: n_bins must be >= 1")
-    s = F.col(score_col).cast("double")
+    raw = F.col(score_col).cast("double")
+    # NaN scores are unrankable: treated exactly like NULL (dropped).
+    # Left in, Spark's NaN-greatest ordering would poison max() (span
+    # NaN -> unit-width degenerate bins) and NaN >= threshold is true.
+    s = F.when(~F.isnan(raw), raw)
     bounds = df.agg(
         F.min(s).alias("_lo"), F.max(s).alias("_hi")
     ).collect()[0]
     lo, hi = bounds["_lo"], bounds["_hi"]
     if lo is None:
-        return df.filter(F.lit(False))  # no scored rows at all
+        return df.filter(F.lit(False))  # no rankable rows at all
     span = hi - lo
     width = span / n_bins if span > 0 else 1.0
-    bin_id = F.least(
-        F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"),
-        F.lit(n_bins - 1),
+    # the isNotNull guard matters: least() SKIPS nulls, so an unguarded
+    # least(NULL, n_bins-1) would hand every NULL/NaN score the TOP bin
+    bin_id = F.when(
+        s.isNotNull(),
+        F.least(
+            F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(n_bins - 1),
+        ),
     )
     hist = (
         df.filter(s.isNotNull())
@@ -236,5 +245,9 @@ def token_budget_filter(
         cut_bin = b
     if cut_bin >= n_bins:
         return df.filter(F.lit(False))
-    threshold = lo + cut_bin * width
-    return df.filter(s >= F.lit(threshold))
+    # filter by the SAME bin expression the histogram used — a
+    # recomputed edge threshold (lo + cut_bin*width) rounds differently
+    # from the binning division at bin boundaries, and one
+    # boundary-straddling row would break the hard never-over-budget
+    # guarantee
+    return df.filter(bin_id >= F.lit(cut_bin))

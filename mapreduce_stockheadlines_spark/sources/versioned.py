@@ -41,17 +41,38 @@ def _read_pointer(spark: SparkSession, table_dir: str) -> int | None:
         return None
     stream = fs.open(p)
     try:
-        raw = bytes(stream.readAllBytes()) if hasattr(stream, "readAllBytes") else None
-        if raw is None:  # older Hadoop: read byte-wise (pointer is tiny)
-            out = []
-            b = stream.read()
-            while b != -1:
-                out.append(b)
-                b = stream.read()
-            raw = bytes(out)
+        # InputStream.readAllBytes: Java 9+, guaranteed on Spark 4
+        # (Java 17). A hasattr() fallback would be dead code — py4j
+        # proxies every attribute name without checking existence.
+        raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
     return int(raw.decode("ascii").strip())
+
+
+def _publish_pointer(fs, jvm, table_dir: str, version: int) -> None:
+    """Atomically point ``_LATEST`` at ``version``: write a temp file,
+    then rename ONTO the pointer. POSIX/HDFS renames overwrite
+    atomically, so racing readers see old-or-new, never a gap; only if
+    the filesystem refuses an overwriting rename (object stores) does
+    the delete+rename fallback run, whose worst case a reader observes
+    as 'no pointer yet' for one operation — documented, and still never
+    a torn value."""
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(version).encode("ascii"))
+    finally:
+        out.close()
+    if fs.rename(tmp, final):
+        return
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"versioned table: pointer publish failed for {table_dir}"
+        )
 
 
 def write_table_version(df: DataFrame, table_dir: str) -> int:
@@ -65,23 +86,23 @@ def write_table_version(df: DataFrame, table_dir: str) -> int:
     spark = df.sparkSession
     current = _read_pointer(spark, table_dir)
     version = 1 if current is None else current + 1
-    df.write.mode("overwrite").parquet(f"{table_dir}/v={version}")
     fs, jvm = _fs(spark, table_dir)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
-    out = fs.create(tmp, True)
+    # write-write conflict detection: atomically CLAIM the version with
+    # an overwrite=False create before touching data — two writers that
+    # both read pointer N race to claim N+1 and exactly one wins; the
+    # loser fails HERE instead of both overwriting one snapshot dir and
+    # committing a torn mix. rollback() clears claims above its target
+    # so write-after-rollback can legitimately re-claim the slot.
+    claim = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_claim_v{version}")
     try:
-        out.write(str(version).encode("ascii"))
-    finally:
-        out.close()
-    # rename onto the pointer: delete-then-rename where overwriting
-    # renames are unsupported (local FS) — the pointer is missing for a
-    # microsecond at worst, and read_table treats missing as "no table",
-    # never as a torn version
-    if fs.exists(final):
-        fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"versioned table: pointer publish failed for {table_dir}")
+        fs.create(claim, False).close()
+    except Exception as exc:
+        raise IOError(
+            f"versioned table: version {version} already claimed by a "
+            f"concurrent writer at {table_dir}"
+        ) from exc
+    df.write.mode("overwrite").parquet(f"{table_dir}/v={version}")
+    _publish_pointer(fs, jvm, table_dir, version)
     return version
 
 
@@ -114,22 +135,27 @@ def table_versions(spark: SparkSession, table_dir: str) -> list[int]:
 
 
 def rollback(spark: SparkSession, table_dir: str, version: int) -> None:
-    """Point the table back at an existing older snapshot (the data is
-    immutable, so rollback is a pointer flip)."""
+    """Point the table back at an older COMMITTED snapshot (the data is
+    immutable, so rollback is a pointer flip). Only versions on the
+    committed lineage (<= the current pointer) are accepted: a ``v=``
+    dir ABOVE the pointer is an orphan — possibly the partial output of
+    a crashed write — and publishing it would commit torn data. Claims
+    above the target are cleared so the next write can re-use the
+    slot."""
+    fs, jvm = _fs(spark, table_dir)
+    committed = _read_pointer(spark, table_dir)
+    if committed is None or version > committed:
+        raise ValueError(
+            f"version {version} was never committed at {table_dir} "
+            f"(pointer: {committed}) — refusing to publish an orphan"
+        )
     if version not in table_versions(spark, table_dir):
         raise ValueError(f"version {version} does not exist at {table_dir}")
-    fs, jvm = _fs(spark, table_dir)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
-    out = fs.create(tmp, True)
-    try:
-        out.write(str(version).encode("ascii"))
-    finally:
-        out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"versioned table: rollback publish failed for {table_dir}")
+    _publish_pointer(fs, jvm, table_dir, version)
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(table_dir)):
+        name = status.getPath().getName()
+        if name.startswith("_claim_v") and int(name[8:]) > version:
+            fs.delete(status.getPath(), False)
 
 
 def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
@@ -151,5 +177,8 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]
     for v in versions:
         if v not in keep:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/v={v}"), True)
+            claim = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_claim_v{v}")
+            if fs.exists(claim):
+                fs.delete(claim, False)
             removed.append(v)
     return removed

@@ -438,7 +438,6 @@ def embedding_ingest_sink(
 def media_ingest_sink(
     out_dir: str,
     index_dir: str,
-    id_col: str = "media_id",
     tier: str = "image",
     max_hamming: int = 6,
 ):
@@ -457,78 +456,96 @@ def media_ingest_sink(
     append their band rows (band, bits, id, phash — 8-byte fingerprints,
     never media bytes) to the index: day-N cost ∝ day-N data plus
     matched candidates, and the index stores ~(max_hamming+1) tiny rows
-    per asset regardless of blob size."""
+    per asset regardless of blob size.
+
+    The batch's fingerprints are computed ONCE (persisted for the
+    micro-batch, unpersisted after the writes): the history probe, the
+    within-batch pairing (``dedup.simhash_neardup_pairs`` over the SAME
+    fp table — never a second decode pass) and the index append all
+    read them. Input must use the ``multimodal.MEDIA_SCHEMA`` column
+    contract (media_id, content, mime) — the phash operators' own
+    contract.
+    """
     from ..operators.dedup import simhash_bands
-    from ..operators.multimodal import (
-        audio_neardup_pairs,
-        audio_phash,
-        image_neardup_pairs,
-        image_phash,
-    )
+    from ..operators.multimodal import audio_phash, image_phash
 
     hash_fn = {"image": image_phash, "audio": audio_phash}.get(tier)
-    pairs_fn = {
-        "image": image_neardup_pairs,
-        "audio": audio_neardup_pairs,
-    }.get(tier)
     if hash_fn is None:
         raise ValueError(f"media_ingest_sink: unknown tier {tier!r}")
+    id_col = "media_id"  # the MEDIA_SCHEMA / phash-operator contract
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import simhash_neardup_pairs
+
         spark = batch_df.sparkSession
-        fp = hash_fn(batch_df).select(
-            F.col(id_col), F.col("phash").alias("simhash")
+        # ONE decode+hash pass per batch, persisted across the probe,
+        # the within-batch pairing and the two writes below
+        fp = (
+            hash_fn(batch_df)
+            .select(F.col(id_col), F.col("phash").alias("simhash"))
+            .persist()
         )
-        bands = simhash_bands(fp, id_col, max_hamming)
-        survivors_ids = fp.select(id_col)
-        # 1. probe history by band key, popcount verify
         try:
-            index = _history(spark, index_dir, batch_id)
-            dup_ids = (
-                bands.join(
-                    index.select(
-                        "band", "bits", F.col("phash").alias("_ih")
-                    ),
-                    ["band", "bits"],
-                )
-                .filter(
-                    F.bit_count(
-                        F.col("simhash").bitwiseXOR(F.col("_ih"))
+            bands = simhash_bands(fp, id_col, max_hamming)
+            survivors_ids = fp.select(id_col)
+            # 1. probe history by band key, popcount verify
+            try:
+                index = _history(spark, index_dir, batch_id)
+                dup_ids = (
+                    bands.join(
+                        index.select(
+                            "band", "bits", F.col("phash").alias("_ih")
+                        ),
+                        ["band", "bits"],
                     )
-                    <= max_hamming
+                    .filter(
+                        F.bit_count(
+                            F.col("simhash").bitwiseXOR(F.col("_ih"))
+                        )
+                        <= max_hamming
+                    )
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
                 )
-                .select(F.col("id").alias(id_col))
+                survivors_ids = survivors_ids.join(
+                    dup_ids, id_col, "left_anti"
+                )
+            except AnalysisException:  # first batch: no index yet
+                pass
+            # 2. within-batch near-dups over the SAME fingerprints —
+            #    min-id survives (higher id of every verified pair drops)
+            batch_losers = (
+                simhash_neardup_pairs(
+                    fp.join(survivors_ids, id_col, "left_semi"),
+                    id_col,
+                    max_hamming=max_hamming,
+                )
+                .select(F.col("id_b").alias(id_col))
                 .distinct()
             )
-            survivors_ids = survivors_ids.join(dup_ids, id_col, "left_anti")
-        except AnalysisException:  # first batch: no index yet
-            pass
-        # 2. within-batch near-dups: min-id survives (higher id of every
-        #    verified pair drops)
-        batch_losers = (
-            pairs_fn(
-                batch_df.join(survivors_ids, id_col, "left_semi"),
-                max_hamming=max_hamming,
+            survivors_ids = survivors_ids.join(
+                batch_losers, id_col, "left_anti"
             )
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-        )
-        survivors_ids = survivors_ids.join(batch_losers, id_col, "left_anti")
-        survivors = batch_df.join(survivors_ids, id_col, "left_semi")
-        # 3. idempotent appends: surviving media + their band index rows
-        survivors.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={batch_id}"
-        )
-        (
-            simhash_bands(
-                fp.join(survivors_ids, id_col, "left_semi"),
-                id_col,
-                max_hamming,
+            survivors = batch_df.join(survivors_ids, id_col, "left_semi")
+            # 3. idempotent appends: surviving media + band index rows
+            survivors.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
             )
-            .select("band", "bits", F.col("id"), F.col("simhash").alias("phash"))
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/batch_id={batch_id}")
-        )
+            (
+                simhash_bands(
+                    fp.join(survivors_ids, id_col, "left_semi"),
+                    id_col,
+                    max_hamming,
+                )
+                .select(
+                    "band", "bits", F.col("id"),
+                    F.col("simhash").alias("phash"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/batch_id={batch_id}")
+            )
+        finally:
+            fp.unpersist()
 
     return write_batch
 

@@ -294,12 +294,22 @@ def test_token_budget_filter(spark):
             cut = b
         want = set() if cut >= 1000 else {
             i for (i,) in con.execute(
-                f"SELECT doc_id FROM t WHERE score >= {lo + cut * width}"
+                "SELECT doc_id FROM t WHERE score IS NOT NULL AND "
+                f"least(CAST(floor((score - {lo}) / {width}) AS INT), 999)"
+                f" >= {cut}"
             ).fetchall()
         }
         assert {r.doc_id for r in kept} == want, budget
 
     # tiny budget smaller than the best bin -> empty, not over budget
     assert token_budget_filter(df, "score", "n_tok", 5).count() == 0
+    # NaN scores are unrankable like NULL: dropped, and they must not
+    # poison the histogram range (max() is NaN-greatest in Spark)
+    dfn = spark.createDataFrame(
+        [(1, 0.1, 10), (2, 0.9, 10), (3, float("nan"), 10)],
+        "doc_id long, score double, n_tok long",
+    )
+    kept_n = token_budget_filter(dfn, "score", "n_tok", 10).collect()
+    assert [r.doc_id for r in kept_n] == [2]
     with pytest.raises(ValueError):
         token_budget_filter(df, "score", "n_tok", 0)

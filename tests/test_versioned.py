@@ -70,3 +70,32 @@ def test_vacuum_keeps_committed_and_recent(spark, tmp_path):
     assert [r.x for r in read_table(spark, t).collect()] == [1]  # v2 data
     with pytest.raises(ValueError):
         vacuum(spark, t, keep_last=0)
+
+
+def test_concurrent_writer_claim_conflict(spark, tmp_path):
+    """Two writers that both observed pointer N race to claim N+1:
+    exactly one wins, the loser fails loudly BEFORE touching data."""
+    from mapreduce_stockheadlines_spark.sources.versioned import (
+        _fs,
+    )
+
+    t = str(tmp_path / "t")
+    write_table_version(_df(spark, [1]), t)
+    # simulate a concurrent writer having claimed v2 already
+    fs, jvm = _fs(spark, t)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{t}/_claim_v2"), False).close()
+    with pytest.raises(IOError, match="claimed"):
+        write_table_version(_df(spark, [2]), t)
+    # the losing writer wrote nothing: committed table unchanged
+    assert [r.x for r in read_table(spark, t).collect()] == [1]
+
+
+def test_rollback_rejects_orphan_versions(spark, tmp_path):
+    """A v= dir above the pointer (crashed write's partial output) can
+    never be published by rollback."""
+    t = str(tmp_path / "t")
+    write_table_version(_df(spark, [1]), t)
+    # orphan: data dir exists, pointer never reached it
+    _df(spark, [99]).write.parquet(f"{t}/v=7")
+    with pytest.raises(ValueError, match="never committed"):
+        rollback(spark, t, 7)
