@@ -1,0 +1,61 @@
+"""PageRank pinned against a numpy power-iteration reference, plus
+structural invariants (mass conservation, dangling handling, hubs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce_stockheadlines_spark.operators.graph import pagerank
+
+
+def ref_pagerank(edges, d=0.85, iters=10):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, t in edges:
+            nxt[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (nxt + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3),
+    (6, 1),  # 6 has out-links; 7 is dangling (in-link only)
+    (3, 7),
+]
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iters=10).collect()}
+    want = ref_pagerank(EDGES, iters=10)
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-7), n
+    # probability mass conserved (dangling node 7 redistributes)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # 3 is the hub: every other node links to it
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_parallel_edges_and_validation(spark):
+    # duplicate edge doubles the contribution weight
+    single = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    doubled = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "src long, dst long"
+    )
+    r1 = {r.node: r.rank for r in pagerank(single, n_iters=3).collect()}
+    r2 = {r.node: r.rank for r in pagerank(doubled, n_iters=3).collect()}
+    assert r2[2] > r1[2]
+    with pytest.raises(ValueError):
+        pagerank(single, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(single, n_iters=0)
