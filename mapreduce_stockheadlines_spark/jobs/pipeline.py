@@ -96,6 +96,7 @@ def curate(
     strip_boilerplate: bool = False,
     max_dup_window_fraction: float | None = None,
     dup_window_tokens: int = 8,
+    remove_dup_spans: bool = False,
     min_clf_score: float | None = None,
     clf_weights: DataFrame | None = None,
     max_perplexity: float | None = None,
@@ -234,6 +235,22 @@ def curate(
             F.col("dup_fraction") <= max_dup_window_fraction
         ).select("doc_id")
         docs = docs.join(clean, "doc_id", "left_semi")
+
+    # 2c. (optional) cross-doc duplicated-span REMOVAL (ExactSubstr cut,
+    #     Lee et al. 2022): where the 2b gate drops docs that are MOSTLY
+    #     shared prose, this cuts the shared spans out of the survivors
+    #     — the right tool for docs that are mostly original but embed a
+    #     viral quote/license block/syndicated paragraph. Runs over the
+    #     post-gate corpus so the census never counts docs already
+    #     doomed, and BEFORE the stats/quality gates so the cleaned text
+    #     is what gets scored, PII-scrubbed, and token-counted.
+    if remove_dup_spans:
+        cut = D.remove_dup_windows(
+            docs, "doc_id", "text", window_tokens=dup_window_tokens
+        )
+        docs = docs.drop("text").join(
+            cut.select("doc_id", "text"), "doc_id"
+        )
 
     # 3+4. language and quality gates from ONE fused stats projection,
     #    computed on the RAW text, then PII scrub on the survivors.
@@ -502,6 +519,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dup-window-tokens", type=int, default=8,
                     help="token-window width for the duplicated-window "
                          "gate")
+    ap.add_argument("--remove-dup-spans", action="store_true",
+                    help="cut cross-doc duplicated token spans out of "
+                         "surviving docs (ExactSubstr removal) instead "
+                         "of only gating on the duplicated fraction")
     ap.add_argument("--encode-vocab-top", type=int, default=None,
                     help="build a top-V vocabulary on the survivors and "
                          "attach token-id sequences; packing budgets by "
@@ -614,6 +635,7 @@ def main(argv: list[str] | None = None) -> None:
         strip_boilerplate=args.strip_boilerplate,
         max_dup_window_fraction=args.max_dup_window_fraction,
         dup_window_tokens=args.dup_window_tokens,
+        remove_dup_spans=args.remove_dup_spans,
         min_clf_score=args.min_clf_score,
         clf_weights=(
             spark.read.option("sep", "\t")

@@ -757,3 +757,109 @@ def duplicated_window_fraction(
         .join(per_doc, id_col, "left")
         .na.fill({"n_windows": 0, "n_dup_windows": 0, "dup_fraction": 0.0})
     )
+
+
+def remove_dup_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+    min_doc_occurrences: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the ExactSubstr *cut*
+    step of Lee et al. 2022 at token-window granularity, completing the
+    detect (``duplicated_window_fraction``) → gate → remove progression:
+    every ``window_tokens``-token window that occurs in at least
+    ``min_doc_occurrences`` distinct documents is cut from every document
+    containing it, and the surviving tokens are rejoined in order.
+    Overlapping duplicated windows collapse into one removed span, so a
+    long shared passage disappears wholesale, not per-window. Output:
+    (id, text, n_tokens, n_removed_tokens); untouched documents keep
+    their text byte-identical (rebuilt docs are single-space rejoined).
+
+    Matching is on LOWERCASED whitespace tokens (case-insensitive but
+    otherwise exact), deliberately stricter than
+    ``duplicated_window_fraction``'s letters-only normalization: removal
+    is destructive, so only verbatim repeats qualify — a gate can afford
+    fuzz, a cut cannot.
+
+    Scale shape: window digests are built in-projection from one
+    ``transform`` over start offsets (32-byte md5 of the sliced join —
+    window text never leaves the row), so the only corpus-scale rows on
+    the wire are (id, digest) pairs. The census reuses the skew-probed
+    two-level shape (distinct absorbs per-doc repeats map-side, the
+    count's partials absorb hot digests); the census side of the probe
+    join is one row per distinct DUPLICATED window — AQE broadcasts it
+    when small. Removed-position sets ride a per-doc ``collect_set``
+    (bounded by the doc's own token count) and the rebuild is one
+    doc-keyed join + ``array_except``/``transform`` projection — full
+    document text crosses the wire only for docs that actually lose a
+    span, via that join's shuffle.
+    """
+    n = window_tokens
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(
+        F.length(trimmed) > 0, F.split(trimmed, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        id_col, text_col, toks.alias("_toks")
+    ).withColumn("_ntok", F.size("_toks"))
+
+    # (id, 0-based window start, digest) — posexplode index IS the start
+    wins = base.filter(F.col("_ntok") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_ntok") - n + 1),
+                lambda s: F.md5(
+                    F.lower(
+                        F.array_join(F.slice(F.col("_toks"), s, n), " ")
+                    ).cast("binary")
+                ),
+            )
+        ).alias("_pos0", "_dig"),
+    )
+    census = (
+        wins.select(id_col, "_dig")
+        .distinct()
+        .groupBy("_dig")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_doc_occurrences)
+        .select("_dig")
+    )
+    # covered token positions per doc; collect_set dedups overlap both
+    # map-side (partial ObjectHashAggregate) and finally — no distinct pass
+    removed = (
+        wins.join(census, "_dig")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos0"), F.col("_pos0") + n - 1)
+            ).alias("_cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_cov").alias("_rm"))
+    )
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.col("_ntok") - 1), F.col("_rm")
+    )  # array_except keeps left-operand order → ascending positions
+    return (
+        base.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_rm").isNull(), F.col(text_col))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        kept, lambda i: F.element_at(F.col("_toks"), i + 1)
+                    ),
+                    " ",
+                )
+            )
+            .alias(text_col),
+            F.col("_ntok").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("_rm"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+    )

@@ -1575,3 +1575,103 @@ def test_audio_phash_and_neardup_pairs(spark):
         M.audio_phash(
             df.filter(F.col("media_id") == 5), strict=True
         ).collect()
+
+
+def test_remove_dup_windows_duckdb_pin(spark):
+    """ExactSubstr removal: shared spans cut case-insensitively with
+    overlapping windows collapsed; untouched docs byte-identical (incl.
+    NULL); full (text, counts) result pinned against a DuckDB
+    reimplementation of census + covered-position removal."""
+    import duckdb
+
+    rows = [
+        (1, "alpha beta gamma delta one two three four tail unique text here"),
+        (2, "prefix words alpha beta gamma delta one two three four more stuff"),
+        (3, "completely different document with no shared spans at all ok"),
+        (4, None),
+        (5, ""),
+        (6, "short doc"),
+        (7, "Alpha beta GAMMA delta one two THREE four case differs only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = D.remove_dup_windows(
+        df, "doc_id", "text", window_tokens=4, min_doc_occurrences=2
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed_tokens)
+        for r in out.collect()
+    }
+    # the 8-token shared passage disappears wholesale from every carrier
+    assert got[1] == ("tail unique text here", 12, 8)
+    assert got[2] == ("prefix words more stuff", 12, 8)
+    assert got[7] == ("case differs only", 11, 8)
+    # untouched docs keep their original text object, including NULL
+    assert got[3][0] == rows[2][1] and got[3][2] == 0
+    assert got[4] == (None, 0, 0)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("short doc", 2, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(coalesce(text, ''))) > 0
+                          THEN string_split_regex(
+                                 trim(coalesce(text, '')), '\s+')
+                          ELSE [] END AS toks
+              FROM d),
+            b2 AS (SELECT *, len(toks) AS ntok FROM base),
+            wins AS (
+              SELECT doc_id, s - 1 AS pos0,
+                     md5(lower(array_to_string(toks[s : s + 3], ' ')))
+                       AS dig
+              FROM b2, unnest(range(1, ntok - 4 + 2)) AS g(s)
+              WHERE ntok >= 4),
+            census AS (
+              SELECT dig FROM (SELECT DISTINCT doc_id, dig FROM wins)
+              GROUP BY dig HAVING count(*) >= 2),
+            cov AS (
+              SELECT DISTINCT w.doc_id, p.p AS covpos
+              FROM wins w JOIN census c USING (dig),
+                   unnest(range(w.pos0, w.pos0 + 4)) AS p(p)),
+            rm AS (SELECT doc_id, list(covpos) AS rmlist,
+                          count(*) AS nrm
+                   FROM cov GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CASE WHEN r.doc_id IS NULL THEN b.text
+                        ELSE array_to_string(list_transform(
+                               list_filter(range(0, ntok),
+                                 i -> NOT list_contains(r.rmlist, i)),
+                               i -> toks[i + 1]), ' ')
+                   END AS text,
+                   CAST(ntok AS BIGINT), CAST(coalesce(r.nrm, 0) AS BIGINT)
+            FROM b2 b LEFT JOIN rm r ON b.doc_id = r.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_remove_dup_windows_overlap_collapses_long_span(spark):
+    """A 12-token passage shared by two docs is removed as ONE span (12
+    tokens), not window_tokens x n_windows; tokens adjacent to the span
+    survive even when they complete a window with removed tokens."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    rows = [
+        (1, f"keepA keepB {shared} keepC"),
+        (2, f"{shared} other tail words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.text, r.n_removed_tokens)
+        for r in D.remove_dup_windows(
+            df, "doc_id", "text", window_tokens=4
+        ).collect()
+    }
+    assert got[1] == ("keepA keepB keepC", 12)
+    assert got[2] == ("other tail words", 12)

@@ -864,3 +864,30 @@ def test_curate_token_budget_gate(spark, sf_dir):
     kept_ids = {r.doc_id for r in got}
     thr = min(r.quality for r in got)
     assert all(r.quality <= thr or r.doc_id in kept_ids for r in base)
+
+
+def test_curate_remove_dup_spans_stage(spark):
+    """--remove-dup-spans cuts the shared passage out of surviving docs
+    (instead of dropping them) and downstream token counts see the
+    cleaned text; the unrelated doc's text is untouched."""
+    shared = "this viral passage is quoted verbatim in many otherwise original docs"
+    rows = [
+        (1, "my own analysis of the market is that " + shared
+            + " but in the end the data says otherwise", "s"),
+        (2, "here is another take on the subject and " + shared
+            + " with some original conclusions of note", "s"),
+        (3, "entirely unrelated discussion of weather patterns and sports", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.95,
+        remove_dup_spans=True, dup_window_tokens=3,
+    ).select("doc_id", "text", "n_ws_tokens").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert sorted(by_id) == [1, 2, 3]  # nothing dropped, spans cut
+    for did in (1, 2):
+        assert shared not in by_id[did].text
+        assert by_id[did].text  # original framing survives
+    assert by_id[3].text == rows[2][1]
+    # token counts reflect the CLEANED text, not the original
+    assert by_id[1].n_ws_tokens == len(by_id[1].text.split())
