@@ -546,3 +546,124 @@ def test_python_datasource_feed_dates_are_valid(spark):
     df = spark.read.format("headlines").option("rows", 3000).load()
     parsed = df.select(F.to_date("date").alias("d"))
     assert parsed.filter(F.col("d").isNull()).count() == 0
+
+
+def _warc_record(wtype, rid, uri, payload: bytes, extra=()):
+    h = [
+        b"WARC/1.0",
+        b"WARC-Type: " + wtype.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+        b"WARC-Date: 2024-06-01T00:00:00Z",
+    ]
+    if uri:
+        h.append(b"WARC-Target-URI: " + uri.encode())
+    h.extend(extra)
+    h.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_payload(body: bytes, status=b"200 OK"):
+    return (
+        b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n"
+        b"X-Junk: framing\r\n\r\n" + body
+    )
+
+
+def _write_warc_fixture(tmp_path):
+    """Two files — one plain, one gzip — with response (HTTP-framed,
+    incl. invalid UTF-8 and a 404), conversion (WET-style plain text),
+    and warcinfo records."""
+    import gzip
+
+    f1 = (
+        _warc_record("warcinfo", "info1", "", b"software: test\r\n")
+        + _warc_record(
+            "response", "r1", "http://example.com/a",
+            _http_payload(b"<html><body>Alpha doc body</body></html>"),
+            extra=[b"Content-Type: application/http; msgtype=response"],
+        )
+        + _warc_record(
+            "conversion", "c1", "http://example.com/b",
+            b"Plain extracted text of doc b",
+            extra=[b"Content-Type: text/plain"],
+        )
+    )
+    f2 = _warc_record(
+        "response", "r2", "http://example.com/c",
+        _http_payload(b"Not found", status=b"404 Not Found"),
+        extra=[b"Content-Type: application/http; msgtype=response"],
+    ) + _warc_record(
+        "response", "r3", "http://example.com/d",
+        _http_payload(b"bytes \xff\xfe invalid utf8"),
+        extra=[b"Content-Type: application/http; msgtype=response"],
+    )
+    (tmp_path / "seg1.warc").write_bytes(f1)
+    with gzip.open(tmp_path / "seg2.warc.gz", "wb") as f:
+        f.write(f2)
+    return str(tmp_path)
+
+
+def test_warc_datasource_reads_both_formats(spark, tmp_path):
+    """WARC connector: plain + gzip files, one partition per file,
+    HTTP framing stripped with status extracted, type filter."""
+    from mapreduce_stockheadlines_spark.sources import warc as W
+
+    d = _write_warc_fixture(tmp_path)
+    W.register(spark)
+    df = spark.read.format("warc").option("path", d).load()
+    rows = {r.record_id: r for r in df.collect()}
+    assert len(rows) == 5
+    # file-granular partition planning (the gzip split constraint)
+    assert df.rdd.getNumPartitions() == 2
+    r1 = rows["<urn:uuid:r1>"]
+    assert r1.warc_type == "response"
+    assert r1.http_status == 200
+    assert bytes(r1.payload) == b"<html><body>Alpha doc body</body></html>"
+    assert r1.target_uri == "http://example.com/a"
+    assert rows["<urn:uuid:r2>"].http_status == 404
+    # conversion/warcinfo records carry no HTTP framing: status NULL
+    assert rows["<urn:uuid:c1>"].http_status is None
+    assert bytes(rows["<urn:uuid:c1>"].payload) == b"Plain extracted text of doc b"
+    # record offsets are distinct, strictly increasing per file
+    offs = sorted(
+        r.record_offset for r in rows.values() if r.file == "seg1.warc"
+    )
+    assert len(offs) == 3 and len(set(offs)) == 3 and offs[0] == 0
+    # type filter pushes into the reader task
+    only_resp = (
+        spark.read.format("warc").option("path", d)
+        .option("recordTypes", "response").load()
+    )
+    assert {r.warc_type for r in only_resp.collect()} == {"response"}
+    assert only_resp.count() == 3
+
+
+def test_warc_text_docs_bridge(spark, tmp_path):
+    """warc_text_docs yields curate()-ready (doc_id, url, text): HTTP
+    headers gone, bytes decoded with replacement, warcinfo excluded."""
+    from mapreduce_stockheadlines_spark.sources.warc import warc_text_docs
+
+    d = _write_warc_fixture(tmp_path)
+    docs = warc_text_docs(spark, d)
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {
+        "<urn:uuid:r1>", "<urn:uuid:c1>", "<urn:uuid:r2>", "<urn:uuid:r3>"
+    }
+    assert rows["<urn:uuid:r1>"].text == "<html><body>Alpha doc body</body></html>"
+    assert rows["<urn:uuid:c1>"].text == "Plain extracted text of doc b"
+    assert rows["<urn:uuid:c1>"].url == "http://example.com/b"
+    # invalid UTF-8 decodes with replacement, never throws
+    assert "invalid utf8" in rows["<urn:uuid:r3>"].text
+
+
+def test_warc_truncated_record_raises(spark, tmp_path):
+    """A record whose payload is cut off must fail loudly — silently
+    yielding a short payload would desynchronize later records."""
+    import pytest as _pytest
+
+    from mapreduce_stockheadlines_spark.sources.warc import iter_warc_records
+
+    bad = _warc_record("response", "t1", "http://x/", b"full payload")
+    (tmp_path / "trunc.warc").write_bytes(bad[:-16])  # cut into payload
+    with _pytest.raises(Exception, match="truncated"):
+        list(iter_warc_records(str(tmp_path / "trunc.warc")))
