@@ -251,3 +251,50 @@ def token_budget_filter(
     # boundary-straddling row would break the hard never-over-budget
     # guarantee
     return df.filter(bin_id >= F.lit(cut_bin))
+
+
+def epoch_upsample(
+    df: DataFrame, source_col: str, key: str,
+    weights: dict[str, float], salt: str = "mix",
+) -> DataFrame:
+    """The UPSAMPLING half of mixture construction ('Wikipedia at 3.3
+    epochs'): each row of source ``s`` appears ``floor(w_s)`` times plus
+    one more iff its key hash falls under ``frac(w_s)`` — so the
+    expected multiplicity is exactly ``w_s`` and whether a PARTICULAR
+    row gets the extra epoch is a pure function of (salt, key), never of
+    partitioning or corpus growth (the determinism contract shared by
+    every sampler here). Weights < 1 degenerate to
+    ``weighted_source_mix`` semantics (0 or 1 copies); unlisted sources
+    are dropped, same as there. Adds an ``epoch`` column (0-based copy
+    index) — feed ``deterministic_shuffle`` a per-copy salt or key
+    including it so replicas spread through the training order instead
+    of clustering.
+
+    Scale shape: one narrow projection + explode; output rows ≈
+    Σ w_s·n_s with no shuffle at all. Replication happens AFTER gates
+    and dedup by construction (you call it last); at 100 TB the explode
+    is the cheapest possible way to express multiplicity — copies never
+    materialize until the sink, and the sink write is the unavoidable
+    cost of the mixture itself.
+    """
+    copies = None
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for source {src!r}: {w}")
+        whole, frac = int(w), round(w - int(w), 9)
+        n = F.lit(whole) + F.when(
+            hash_fraction(key, salt) < F.lit(frac), F.lit(1)
+        ).otherwise(F.lit(0))
+        cond = F.col(source_col) == src
+        copies = F.when(cond, n) if copies is None else copies.when(cond, n)
+    copies = (
+        copies.otherwise(F.lit(0)) if copies is not None else F.lit(0)
+    )
+    return (
+        df.withColumn("_n_copies", copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )

@@ -313,3 +313,81 @@ def test_token_budget_filter(spark):
     assert [r.doc_id for r in kept_n] == [2]
     with pytest.raises(ValueError):
         token_budget_filter(df, "score", "n_tok", 0)
+
+
+def test_epoch_upsample_multiplicity_and_determinism(spark, sf_dir):
+    """Fractional epochs: floor(w) copies + hash-gated extra, expected
+    multiplicity == w; a row's copy count is a pure function of
+    (salt, key) — repartitioning never changes it; DuckDB reproduces
+    the exact extra-epoch membership."""
+    from mapreduce_stockheadlines_spark.operators.sampling import epoch_upsample
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "src",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("wiki")).otherwise(F.lit("cc")),
+    )
+    n_wiki = docs.filter(F.col("src") == "wiki").count()
+    n_cc = docs.count() - n_wiki
+    out = epoch_upsample(docs, "src", "doc_id", {"wiki": 2.3, "cc": 0.5})
+    counts = {
+        r.src: r["cnt"]
+        for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()
+    }
+    # every wiki row has >= 2 copies; extras push the mean toward 2.3
+    assert counts["wiki"] >= 2 * n_wiki
+    assert abs(counts["wiki"] / n_wiki - 2.3) < 0.15
+    assert abs(counts["cc"] / n_cc - 0.5) < 0.15
+    # per-row copy count: wiki in {2,3}, cc in {1} (0-copy rows gone)
+    per = out.groupBy("src", "doc_id").agg(F.count("*").alias("k"))
+    kinds = {(r.src, r.k) for r in per.collect()}
+    assert kinds <= {("wiki", 2), ("wiki", 3), ("cc", 1)}
+    # epoch is a dense 0..k-1 index per row
+    mx = out.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.max("epoch").alias("mx"),
+        F.min("epoch").alias("mn"),
+    )
+    assert mx.filter(
+        (F.col("mx") != F.col("k") - 1) | (F.col("mn") != 0)
+    ).count() == 0
+    # partitioning invariance
+    again = epoch_upsample(
+        docs.repartition(13), "src", "doc_id", {"wiki": 2.3, "cc": 0.5}
+    )
+    assert sorted(
+        (r.doc_id, r.epoch) for r in again.select("doc_id", "epoch").collect()
+    ) == sorted((r.doc_id, r.epoch) for r in out.select("doc_id", "epoch").collect())
+    # DuckDB agrees on exactly WHICH wiki rows got the third epoch
+    extra_ids = sorted(
+        r.doc_id for r in per.filter("src = 'wiki' and k = 3").collect()
+    )
+    con = duckdb.connect()
+    duck_ids = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE doc_id % 2 = 0
+              AND CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < 0.3
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert extra_ids == duck_ids
+
+
+def test_epoch_upsample_edge_weights(spark):
+    """Integer weights give exact replication; 0 drops; unlisted
+    sources drop; negative weight is a loud config error."""
+    import pytest as _pytest
+
+    from mapreduce_stockheadlines_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "zzz")], "id long, src string"
+    )
+    out = epoch_upsample(df, "src", "id", {"a": 3.0, "b": 0.0})
+    got = sorted((r.id, r.epoch) for r in out.collect())
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2)]
+    with _pytest.raises(ValueError, match="negative"):
+        epoch_upsample(df, "src", "id", {"a": -1.0})
