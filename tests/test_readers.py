@@ -667,3 +667,54 @@ def test_warc_truncated_record_raises(spark, tmp_path):
     (tmp_path / "trunc.warc").write_bytes(bad[:-16])  # cut into payload
     with _pytest.raises(Exception, match="truncated"):
         list(iter_warc_records(str(tmp_path / "trunc.warc")))
+
+
+def test_warc_to_curate_end_to_end(spark, tmp_path):
+    """The full Common Crawl story: WARC files → warc_text_docs →
+    strip_html → curate() gates; the HTML response body and the WET
+    conversion text both come out as curated docs, the 404 page fails
+    the quality/lang gates or dedups away without crashing anything."""
+    import gzip as _gzip
+
+    from mapreduce_stockheadlines_spark.jobs.pipeline import curate
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+    from mapreduce_stockheadlines_spark.sources.warc import warc_text_docs
+
+    body = (
+        b"<html><head><title>t</title><script>var x=1;</script></head>"
+        b"<body><p>The quick brown fox jumps over the lazy dog and "
+        b"then the fox runs into the quiet forest before the rain "
+        b"begins to fall on the hills</p></body></html>"
+    )
+    wet_text = (
+        b"A completely different article about the markets and the "
+        b"economy with enough plain words to pass the quality gates "
+        b"in this small corpus of ours today"
+    )
+    warc = _warc_record(
+        "response", "w1", "http://site-a.example/page",
+        _http_payload(body),
+        extra=[b"Content-Type: application/http; msgtype=response"],
+    ) + _warc_record(
+        "response", "w2", "http://site-b.example/err",
+        _http_payload(b"Not found", status=b"404 Not Found"),
+        extra=[b"Content-Type: application/http; msgtype=response"],
+    )
+    with _gzip.open(tmp_path / "crawl.warc.gz", "wb") as f:
+        f.write(warc)
+    (tmp_path / "crawl2.wet").write_bytes(
+        _warc_record(
+            "conversion", "w3", "http://site-c.example/art", wet_text,
+            extra=[b"Content-Type: text/plain"],
+        )
+    )
+    docs = warc_text_docs(spark, str(tmp_path)).withColumn(
+        "text", TS.strip_html("text")
+    )
+    out = curate(docs, lang="en", min_quality=0.3, jaccard_threshold=0.8)
+    texts = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    assert "<urn:uuid:w1>" in texts and "<urn:uuid:w3>" in texts
+    t1 = texts["<urn:uuid:w1>"]
+    assert "quick brown fox" in t1
+    assert "<" not in t1 and "var x" not in t1  # markup + script gone
+    assert "<urn:uuid:w2>" not in texts  # 'Not found' fails the gates
