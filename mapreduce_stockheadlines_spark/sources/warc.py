@@ -175,27 +175,9 @@ class WarcReader(DataSourceReader):
         return [_WarcFile(p) for p in self.files]
 
     def read(self, partition: _WarcFile) -> Iterator[tuple]:
-        fname = os.path.basename(partition.path)
-        for off, h, payload in iter_warc_records(partition.path):
-            wtype = h.get("warc-type", "").lower()
-            if self.record_types and wtype not in self.record_types:
-                continue
-            status = None
-            ctype = h.get("content-type", "")
-            if self.strip_http and ctype.startswith("application/http"):
-                status, payload = _split_http_payload(payload)
-            yield (
-                fname,
-                off,
-                wtype,
-                h.get("warc-record-id"),
-                h.get("warc-date"),
-                h.get("warc-target-uri"),
-                ctype,
-                int(h["content-length"]),
-                status,
-                payload,
-            )
+        yield from _warc_rows(
+            partition.path, self.record_types, self.strip_http
+        )
 
 
 class WarcDataSource(DataSource):
@@ -208,6 +190,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:
@@ -241,3 +226,100 @@ def warc_text_docs(spark, path: str, record_types: str = "response,conversion"):
         # lossy-decode semantics ingestion needs
         F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
     )
+
+
+# --- streaming: micro-batch ingestion of landing WARC segments ---------------
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+def _warc_rows(path: str, record_types: set[str], strip_http: bool):
+    """Shared record→row projection for the batch and stream readers."""
+    fname = os.path.basename(path)
+    for off, h, payload in iter_warc_records(path):
+        wtype = h.get("warc-type", "").lower()
+        if record_types and wtype not in record_types:
+            continue
+        status = None
+        ctype = h.get("content-type", "")
+        if strip_http and ctype.startswith("application/http"):
+            status, payload = _split_http_payload(payload)
+        yield (
+            fname, off, wtype, h.get("warc-record-id"), h.get("warc-date"),
+            h.get("warc-target-uri"), ctype, int(h["content-length"]),
+            status, payload,
+        )
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch WARC ingestion: each trigger picks up the segment
+    files that landed since the last one — the
+    'crawler drops .warc.gz files, curation keeps up' loop that feeds
+    ``streaming/ingest``'s curated sinks.
+
+    Offsets are FILENAME WATERMARKS (``{"upto": "<last name>"}``), so a
+    restarted reader reconstructs any batch purely from a directory
+    listing — no reader-side state survives and none is needed. That
+    makes segment names part of the contract: they must sort AFTER all
+    names already committed (Common Crawl's timestamped segment layout
+    already does this; any lexicographically-monotone scheme works). A
+    file landing BELOW the watermark is late by naming, and
+    ``warn_below_watermark`` notes it once rather than silently never
+    reading it. Planning stays file-granular — same gzip-imposed split
+    unit as the batch reader, one task per new segment per trigger.
+    """
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("warc stream source requires a path")
+        types = options.get("recordTypes", "")
+        self.record_types = {
+            t.strip().lower() for t in types.split(",") if t.strip()
+        }
+        self.strip_http = (
+            str(options.get("stripHttpHeaders", "true")).lower() == "true"
+        )
+        self.max_files_per_batch = int(options.get("maxFilesPerBatch", 64))
+        self._upto = ""  # watermark mirror for batch-size pacing only
+
+    def _list(self) -> list[str]:
+        pats = ("*.warc", "*.warc.gz", "*.wet", "*.wet.gz")
+        return sorted(
+            os.path.basename(p)
+            for pat in pats
+            for p in _glob.glob(os.path.join(self.dir, pat))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        # advance the watermark by at most maxFilesPerBatch names past
+        # the last planned/committed position — the cap must move the
+        # OFFSET, not trim partitions(): every name under a committed
+        # watermark is by contract already planned, so a partitions()-
+        # side trim would orphan the overflow files forever
+        fresh = [n for n in self._list() if n > self._upto]
+        if fresh:
+            self._upto = fresh[: self.max_files_per_batch][-1]
+        return {"upto": self._upto}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start.get("upto", ""), end.get("upto", "")
+        # restart recovery (same protocol note as pysource): planning is
+        # the first call that shows a fresh reader the checkpointed
+        # offsets — adopt them so pacing resumes from the real position
+        self._upto = max(self._upto, hi)
+        batch = [n for n in self._list() if lo < n <= hi]
+        return [_WarcFile(os.path.join(self.dir, n)) for n in batch]
+
+    def read(self, partition: _WarcFile):
+        yield from _warc_rows(
+            partition.path, self.record_types, self.strip_http
+        )
+
+    def commit(self, end: dict) -> None:
+        # watermarks need no bookkeeping to stay correct, but pacing
+        # does: adopt committed positions (restart recovery, part 2)
+        self._upto = max(self._upto, end.get("upto", ""))

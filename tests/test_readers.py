@@ -718,3 +718,61 @@ def test_warc_to_curate_end_to_end(spark, tmp_path):
     assert "quick brown fox" in t1
     assert "<" not in t1 and "var x" not in t1  # markup + script gone
     assert "<urn:uuid:w2>" not in texts  # 'Not found' fails the gates
+
+
+def test_warc_stream_ingests_landing_segments(spark, tmp_path):
+    """Streaming WARC: segments landing between triggers are picked up
+    in filename-watermark order, each exactly once; a batch-size cap
+    paces multi-segment backlogs through successive batches."""
+    import time
+
+    from mapreduce_stockheadlines_spark.sources import warc as W
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _drop(name, rid):
+        (land / name).write_bytes(
+            _warc_record(
+                "conversion", rid, f"http://x/{rid}",
+                f"text of {rid}".encode(),
+                extra=[b"Content-Type: text/plain"],
+            )
+        )
+
+    _drop("seg-001.warc", "a")
+    _drop("seg-002.warc", "b")
+    W.register(spark)
+    stream = (
+        spark.readStream.format("warc")
+        .option("path", str(land))
+        .option("maxFilesPerBatch", 1)  # force pacing across triggers
+        .load()
+    )
+    q = (
+        stream.select("record_id", "file").writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(processingTime="1 seconds").start()
+    )
+    try:
+        deadline = time.time() + 90
+        dropped_late = False
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 2 and not dropped_late:
+                _drop("seg-003.warc", "c")  # lands mid-stream
+                dropped_late = True
+            if n >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r.record_id for r in got) == [
+        "<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>"
+    ]
+    assert len(got) == 3  # exactly once each, despite the 1-file pacing
