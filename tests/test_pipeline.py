@@ -891,3 +891,87 @@ def test_curate_remove_dup_spans_stage(spark):
     assert by_id[3].text == rows[2][1]
     # token counts reflect the CLEANED text, not the original
     assert by_id[1].n_ws_tokens == len(by_id[1].text.split())
+
+
+def test_run_staged_skips_completed_and_invalidates_downstream(spark, tmp_path):
+    """Resumable stages: a re-run recomputes nothing; changing stage 2's
+    token reruns 2+3 but reads stage 1 from disk; a torn write (tmp dir
+    or stampless dir) is swept, never mistaken for done."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.jobs.staged import run_staged
+
+    base = str(tmp_path / "stages")
+    calls = {"a": 0, "b": 0, "c": 0}
+
+    def mk(name, fn):
+        def stage(spark_, prev):
+            calls[name] += 1
+            return fn(spark_, prev)
+        return stage
+
+    def stages(b_token):
+        return [
+            ("gen", "v1", mk("a", lambda s, _: s.range(0, 100))),
+            ("double", b_token,
+             mk("b", lambda s, p: p.select((F.col("id") * 2).alias("id")))),
+            ("agg", "v1",
+             mk("c", lambda s, p: p.agg(F.sum("id").alias("total")))),
+        ]
+
+    out = run_staged(spark, stages("v1"), base)
+    assert out.collect()[0].total == 9900
+    assert calls == {"a": 1, "b": 1, "c": 1}
+
+    # full re-run: everything served from disk
+    out = run_staged(spark, stages("v1"), base)
+    assert out.collect()[0].total == 9900
+    assert calls == {"a": 1, "b": 1, "c": 1}
+
+    # change stage 2's config: 2 and 3 rerun, 1 is read back
+    out = run_staged(spark, stages("v2-triple"), base)
+    assert calls == {"a": 1, "b": 2, "c": 2}
+
+    # torn write: a stampless stage dir and a stray tmp dir get swept
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "02-agg"))
+    os.makedirs(os.path.join(base, "02-agg"))  # stampless = torn
+    os.makedirs(os.path.join(base, ".tmp-deadbeef"))
+    out = run_staged(spark, stages("v2-triple"), base)
+    assert calls == {"a": 1, "b": 2, "c": 3}  # only the torn stage reruns
+    assert not os.path.exists(os.path.join(base, ".tmp-deadbeef"))
+
+
+def test_run_staged_wraps_curate_cut_points(spark, tmp_path):
+    """The intended composition: curate() split at an expensive cut
+    point; the resumed run returns identical output without rerunning
+    stage one."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.jobs.staged import run_staged
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some plain english words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ran = {"n": 0}
+
+    def gates(s, p):
+        ran["n"] += 1
+        st = TS.text_stats(p, "doc_id", "text")
+        return p.join(
+            st.filter(F.col("quality") >= 0.0).select("doc_id"), "doc_id"
+        )
+
+    stages = [
+        ("load", "v1", lambda s, _: docs),
+        ("gates", "q>=0", gates),
+    ]
+    base = str(tmp_path / "cur")
+    first = sorted(r.doc_id for r in run_staged(spark, stages, base).collect())
+    again = sorted(r.doc_id for r in run_staged(spark, stages, base).collect())
+    assert first == again and len(first) == 20 and ran["n"] == 1
