@@ -480,3 +480,56 @@ def test_lm_perplexity_recomputed_in_python(spark, texts):
         assert got[i].n_bigrams == n
         assert got[i].avg_logp == avg
         assert got[i].ppl == round(math.exp(-avg), 4)
+
+
+# --- remove_dup_windows vs a brute-force reference ---------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+def _brute_remove(texts, n, min_docs):
+    """Reference implementation: per-doc window sets, census over docs,
+    covered-position union, rebuild."""
+    toks = [t.split() if t.split() else [] for t in texts]
+    from collections import defaultdict
+
+    census = defaultdict(set)
+    for d, tk in enumerate(toks):
+        for s in range(len(tk) - n + 1):
+            census[" ".join(w.lower() for w in tk[s:s + n])].add(d)
+    dup = {g for g, docs in census.items() if len(docs) >= min_docs}
+    out = []
+    for d, tk in enumerate(toks):
+        cov = set()
+        for s in range(len(tk) - n + 1):
+            if " ".join(w.lower() for w in tk[s:s + n]) in dup:
+                cov.update(range(s, s + n))
+        kept = [w for i, w in enumerate(tk) if i not in cov]
+        out.append((
+            texts[d] if not cov else " ".join(kept), len(tk), len(cov)
+        ))
+    return out
+
+
+@given(texts=_doc_texts)
+@SLOW
+def test_remove_dup_windows_matches_brute_force(spark, texts):
+    from mapreduce_stockheadlines_spark.operators.dedup import (
+        remove_dup_windows,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed_tokens)
+        for r in remove_dup_windows(
+            df, "doc_id", "text", window_tokens=3, min_doc_occurrences=2
+        ).collect()
+    }
+    want = dict(enumerate(_brute_remove(texts, 3, 2)))
+    assert got == want

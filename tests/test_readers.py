@@ -776,3 +776,50 @@ def test_warc_stream_ingests_landing_segments(spark, tmp_path):
         "<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>"
     ]
     assert len(got) == 3  # exactly once each, despite the 1-file pacing
+
+
+def test_write_parquet_bloom_adds_filters(spark, tmp_path):
+    """Bloom-filtered parquet: identical data written with and without
+    blooms differs by about ndv x 1.2 bytes of filter payload (pyarrow
+    16 can't expose the footer offset, so the pin is the physical
+    artifact), data round-trips, and equality pushdown still reaches
+    the scan."""
+    import glob as _glob
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources.sinks import (
+        write_parquet_bloom,
+    )
+
+    df = (
+        spark.range(0, 4000)
+        .select(F.md5(F.col("id").cast("string")).alias("dig"), "id")
+        .coalesce(1)
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.write.parquet(plain)
+    write_parquet_bloom(df, bloomed, ["dig"], expected_ndv=4000)
+
+    size = lambda d: sum(
+        os.path.getsize(f) for f in _glob.glob(f"{d}/part-*.parquet")
+    )
+    delta = size(bloomed) - size(plain)
+    assert delta > 2000, f"bloom payload missing (delta={delta})"
+
+    back = spark.read.parquet(bloomed)
+    assert back.count() == 4000
+    probe = df.first().dig
+    hit = back.filter(F.col("dig") == probe)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hit.explain("formatted")
+    assert "PushedFilters: [IsNotNull(dig), EqualTo(dig," in buf.getvalue()
+    assert hit.count() == 1
+
+    with _pytest.raises(ValueError, match="not in frame"):
+        write_parquet_bloom(df, str(tmp_path / "x"), ["nope"])
