@@ -823,3 +823,38 @@ def test_write_parquet_bloom_adds_filters(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in frame"):
         write_parquet_bloom(df, str(tmp_path / "x"), ["nope"])
+
+
+def test_pipeline_cli_warc_input(spark, tmp_path):
+    """--warc-dir: the curate CLI runs straight off WARC segments —
+    numeric ids derived from record ids, markup stripped, output
+    parquet written with the record id preserved."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    land = tmp_path / "segs"
+    land.mkdir()
+    body = (
+        b"<html><body><p>The quick brown fox jumps over the lazy dog "
+        b"and then the fox runs into the quiet forest before the rain "
+        b"begins to fall on the green hills</p></body></html>"
+    )
+    (land / "seg-1.warc").write_bytes(
+        _warc_record(
+            "response", "p1", "http://site.example/a", _http_payload(body),
+            extra=[b"Content-Type: application/http; msgtype=response"],
+        )
+        + _warc_record(
+            "conversion", "p2", "http://site.example/b",
+            b"A different article about the markets and the economy with "
+            b"enough plain words to pass the quality gates in this corpus",
+            extra=[b"Content-Type: text/plain"],
+        )
+    )
+    out = str(tmp_path / "out")
+    main([out, "--warc-dir", str(land), "--min-quality", "0.2"])
+    got = spark.read.parquet(out)
+    rows = {r.record_id: r for r in got.collect()}
+    assert set(rows) == {"<urn:uuid:p1>", "<urn:uuid:p2>"}
+    assert all(isinstance(r.doc_id, int) for r in rows.values())
+    assert "quick brown fox" in rows["<urn:uuid:p1>"].text
+    assert "<" not in rows["<urn:uuid:p1>"].text
