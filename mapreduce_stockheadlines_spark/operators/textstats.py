@@ -644,3 +644,62 @@ def classifier_score(
     return agg.select(
         id_col, "n_tokens", "n_hit", "logit", sig.alias("clf_score")
     )
+
+
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)="
+)
+
+
+def canonical_url(url_col: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization: two fetches of the same page
+    should dedup even when their URLs differ by tracking decoration or
+    cosmetic variation. Lowercases scheme+host (path/query stay
+    case-sensitive — they are), strips userinfo, fragments, default
+    ports (:80 http / :443 https), and ad-tracking query params
+    (utm_*, fbclid, gclid, ...), sorts the surviving params so order
+    never splits a URL pair, and drops a bare-root '/' path. NULL and
+    scheme-less input pass through unchanged (canonicalize what is
+    provably a fetchable URL, judge nothing else).
+
+    One whole-stage-codegen expression over ``try_parse_url`` + HOF
+    (the try_ form: ANSI ``parse_url`` throws on non-URL input)
+    split/filter/sort — no UDF, no shuffle; feed it to ``exact_dedup``
+    on the canonical form for frontier dedup, the same groupBy-digest
+    shape as content dedup.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    # AUTHORITY keeps the port (HOST drops it); strip userinfo manually
+    auth = F.lower(
+        F.regexp_replace(F.try_parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", "")
+    )
+    host = F.when(
+        (proto == "http") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).when(
+        (proto == "https") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")), "&"),
+                lambda p: (F.length(p) > 0)
+                & ~p.rlike(_TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    rebuilt = F.concat(
+        proto, F.lit("://"), host, path,
+        F.when(F.length(query) > 0, F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(
+        u.isNotNull() & proto.isin("http", "https") & F.length(auth).isNotNull(),
+        rebuilt,
+    ).otherwise(u)

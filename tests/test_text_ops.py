@@ -241,3 +241,85 @@ def test_classifier_score_weights_join_broadcasts(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_canonical_url_duckdb_pin(spark):
+    """Frontier canonicalization: tracking params gone, params sorted,
+    default ports and fragments stripped, scheme/host lowercased,
+    non-URLs and NULLs untouched — full result pinned against a DuckDB
+    regexp reimplementation on well-formed inputs."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        canonical_url,
+    )
+
+    rows = [
+        (0, "HTTP://User:pw@Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag"),
+        (1, "http://example.com/Path/Page?a=1&b=2"),
+        (2, "https://site.org:443/"),
+        (3, "https://site.org"),
+        (4, "https://site.org:8443/x?fbclid=abc&keep=1"),
+        (5, "http://example.com/?utm_campaign=z"),
+        (6, "https://a.b/p?z=9&y=8&z=1"),
+    ]
+    df = spark.createDataFrame(rows, "i int, u string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url("u").alias("c")).collect()
+    }
+    # rows 0 and 1 now collide — the point of canonicalization
+    assert got[0] == got[1] == "http://example.com/Path/Page?a=1&b=2"
+    assert got[2] == got[3] == "https://site.org"
+    assert got[4] == "https://site.org:8443/x?keep=1"
+    assert got[5] == "http://example.com"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (i INT, u VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    want = dict(
+        con.sql(
+            r"""
+            WITH p AS (
+              SELECT i,
+                lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                  AS proto,
+                regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$', 1)
+                  AS rest
+              FROM u),
+            q AS (
+              SELECT i, proto,
+                lower(regexp_replace(
+                  regexp_extract(rest, '^([^/?#]*)', 1), '^[^@]*@', ''))
+                  AS auth,
+                regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(rest, '\?([^#]*)', 1) AS query
+              FROM p),
+            r AS (
+              SELECT i, proto,
+                CASE WHEN proto = 'http' AND auth LIKE '%:80'
+                     THEN auth[1:-4]
+                     WHEN proto = 'https' AND auth LIKE '%:443'
+                     THEN auth[1:-5]
+                     ELSE auth END AS host,
+                CASE WHEN path = '/' THEN '' ELSE path END AS path,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  x -> len(x) > 0 AND NOT regexp_matches(x,
+                    '^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)=')
+                )), '&') AS qs
+              FROM q)
+            SELECT i, proto || '://' || host || path ||
+                   CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END
+            FROM r
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+    # passthrough cases (outside the oracle: DuckDB regex would differ)
+    pt = spark.createDataFrame(
+        [(0, "not a url"), (1, None), (2, "ftp://x/y")], "i int, u string"
+    )
+    assert {
+        r.i: r.c for r in pt.select("i", canonical_url("u").alias("c")).collect()
+    } == {0: "not a url", 1: None, 2: "ftp://x/y"}
