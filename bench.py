@@ -52,6 +52,7 @@ HEADLINE_QUERIES = [
     "x27_quantize_embeddings",
     "x28_lm_perplexity",
     "x29_token_divergence",
+    "x30_remove_dup_windows",
 ]
 
 

@@ -797,10 +797,12 @@ def remove_dup_windows(
     span, via that join's shuffle.
     """
     n = window_tokens
-    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.when(
-        F.length(trimmed) > 0, F.split(trimmed, r"\s+")
-    ).otherwise(F.array().cast("array<string>"))
+    # Python str.split() semantics: arbitrary whitespace runs, empties
+    # dropped — leading/trailing whitespace can't mint phantom tokens
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
     base = df.select(
         id_col, text_col, toks.alias("_toks")
     ).withColumn("_ntok", F.size("_toks"))

@@ -133,10 +133,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def text_stats(
-    df: DataFrame, id_col: str, text_col: str, *, include_fingerprint: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    include_fingerprint: bool = False,
+    include_token_counts: bool = False,
 ) -> DataFrame:
-    """lang_id + quality_score (+ optionally fingerprint) fused into ONE
-    projection over one scan.
+    """lang_id + quality_score (+ optionally fingerprint and raw
+    ws/BPE-ish token counts) fused into ONE projection over one scan.
 
     All components are pure column expressions, so computing them together
     costs a single pass with zero shuffle; the naive formulation —
@@ -145,6 +150,11 @@ def text_stats(
     cols = [*_lang_id_cols(text_col), *_quality_cols(text_col)]
     if include_fingerprint:
         cols += fingerprint_cols(text_col)
+    if include_token_counts:
+        cols += [
+            whitespace_token_count(text_col).alias("n_ws_tokens"),
+            bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        ]
     return df.select(id_col, *cols)
 
 

@@ -280,13 +280,18 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 
 def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Language ID (n-gram marker heuristic), quality scoring
-    (length/punct/stopword components) and document fingerprint (md5 of
-    whitespace-normalized text) per document — fused into one projection
-    over one scan (pure codegen, zero shuffle; see
-    operators/textstats.text_stats)."""
+    (length/punct/stopword components), document fingerprint (md5 of
+    whitespace-normalized text) and raw whitespace/BPE-ish token counts
+    per document — fused into one projection over one scan (pure
+    codegen, zero shuffle; see operators/textstats.text_stats). Token
+    counting was x10's own query through round 5; per-doc counts in the
+    fused projection exercise the same two operators while the
+    per-source rollup shape it also carried stays covered by the many
+    agg queries — the consolidation freed x10's slot for x30."""
     docs = parallel_table(spark, sf, "documents")
     return TS.text_stats(
-        docs, "doc_id", "text", include_fingerprint=True
+        docs, "doc_id", "text",
+        include_fingerprint=True, include_token_counts=True,
     ).orderBy("doc_id")
 
 
@@ -363,47 +368,107 @@ SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp8,
 FROM n
 """
 
+_X08_TOK_BODY = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
 X08_SQL = f"""
 SELECT l.doc_id, l.pred_lang, l.marker_score,
        q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality,
-       f.fp, f.fp8, f.norm_len
+       f.fp, f.fp8, f.norm_len, t.n_ws_tokens, t.n_bpe_tokens
 FROM ({_X08_LANG_BODY}) l
 JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
 JOIN ({_X08_FP_BODY}) f ON f.doc_id = l.doc_id
+JOIN ({_X08_TOK_BODY.format(bpe=TS.BPE_ISH_PATTERN)}) t ON t.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
 
-# --- x10 token counting ------------------------------------------------------
+# --- x30 duplicated-span removal (ExactSubstr cut) ---------------------------
+#
+# The corpus's own docs rarely share verbatim 8-token windows, so the
+# query PLANTS deterministic shared passages (one of four variants
+# appended to every doc_id % 3 == 0 doc — each variant lands in dozens
+# of docs even at sf0.001) and removes them; DuckDB re-derives the
+# entire pipeline — tokenization, window digests, census, covered-
+# position union, in-order rebuild — so the rebuilt TEXT hash-matches,
+# not just the counts. Any incidental real shared window is removed
+# identically by both engines.
 
-def x10_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_table(spark, sf, "documents")
-    per_doc = docs.select(
-        "source",
-        TS.whitespace_token_count("text").alias("ws"),
-        TS.bpe_ish_token_count("text").alias("bpe"),
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws").alias("sum_ws_tokens"),
-            F.sum("bpe").alias("sum_bpe_tokens"),
+_X30_SHARED = (
+    " shared boilerplate passage variant {v} that appears across many "
+    "documents of this corpus exactly verbatim word for word"
+)
+
+
+def x30_remove_dup_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc duplicated-span REMOVAL (operators/dedup.py
+    remove_dup_windows): every 8-token window occurring in >= 2 docs is
+    cut from every carrier, overlaps collapsing to one span; untouched
+    docs keep their text byte-identical."""
+    docs = parallel_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(_X30_SHARED.split("{v}")[0]),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(_X30_SHARED.split("{v}")[1]),
+            ),
         )
-        .orderBy("source")
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
+    return D.remove_dup_windows(
+        docs, "doc_id", "text", window_tokens=8, min_doc_occurrences=2
+    ).orderBy("doc_id")
 
 
-X10_SQL = f"""
-WITH per_doc AS (
-  SELECT source,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
-                         x -> length(x) > 0)) AS ws,
-         len(regexp_extract_all(text, '{TS.BPE_ISH_PATTERN}')) AS bpe
-  FROM documents)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
-       CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens
-FROM per_doc GROUP BY source ORDER BY source
+X30_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || '{_X30_SHARED.split('{v}')[0]}'
+                   || CAST(doc_id % 4 AS VARCHAR)
+                   || '{_X30_SHARED.split('{v}')[1]}'
+              ELSE text END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> len(t) > 0) AS toks
+  FROM planted),
+b2 AS (SELECT *, len(toks) AS ntok FROM base),
+wins AS (
+  SELECT doc_id, s - 1 AS pos0,
+         md5(lower(array_to_string(toks[s : s + 7], ' '))) AS dig
+  FROM b2, unnest(range(1, ntok - 8 + 2)) AS g(s)
+  WHERE ntok >= 8),
+census AS (
+  SELECT dig FROM (SELECT DISTINCT doc_id, dig FROM wins)
+  GROUP BY dig HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, p.p AS covpos
+  FROM wins w JOIN census c USING (dig),
+       unnest(range(w.pos0, w.pos0 + 8)) AS p(p)),
+rm AS (SELECT doc_id, list(covpos) AS rmlist, count(*) AS nrm
+       FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       CASE WHEN r.doc_id IS NULL THEN b.text
+            ELSE coalesce(array_to_string(list_transform(
+                   list_filter(range(0, ntok),
+                     i -> NOT list_contains(r.rmlist, i)),
+                   i -> toks[i + 1]), ' '), '')
+       END AS text,
+       CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.nrm, 0) AS BIGINT) AS n_removed_tokens
+FROM b2 b LEFT JOIN rm r ON b.doc_id = r.doc_id
+ORDER BY b.doc_id
 """
 
 # --- x09 Gopher-style repetition metrics --------------------------------------
@@ -1338,7 +1403,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x07_ann_topk": QuerySpec(x07_ann_topk, X07_SQL),
     "x08_text_stats": QuerySpec(x08_text_stats, X08_SQL),
     "x09_repetition_stats": QuerySpec(x09_repetition_stats, X09_SQL),
-    "x10_token_count": QuerySpec(x10_token_count, X10_SQL),
+    "x30_remove_dup_windows": QuerySpec(x30_remove_dup_windows, X30_SQL),
     "x12_pii_redact": QuerySpec(x12_pii_redact, X12_SQL),
     "x13_multimodal_pipeline": QuerySpec(x13_multimodal_pipeline, X13_SQL),
     "x14_session_window": QuerySpec(x14_session_window, X14_SQL),

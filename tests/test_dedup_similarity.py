@@ -1620,10 +1620,9 @@ def test_remove_dup_windows_duckdb_pin(spark):
             r"""
             WITH base AS (
               SELECT doc_id, text,
-                     CASE WHEN length(trim(coalesce(text, ''))) > 0
-                          THEN string_split_regex(
-                                 trim(coalesce(text, '')), '\s+')
-                          ELSE [] END AS toks
+                     list_filter(string_split_regex(
+                       coalesce(text, ''), '\s+'), t -> len(t) > 0)
+                       AS toks
               FROM d),
             b2 AS (SELECT *, len(toks) AS ntok FROM base),
             wins AS (
@@ -1644,10 +1643,10 @@ def test_remove_dup_windows_duckdb_pin(spark):
                    FROM cov GROUP BY doc_id)
             SELECT b.doc_id,
                    CASE WHEN r.doc_id IS NULL THEN b.text
-                        ELSE array_to_string(list_transform(
+                        ELSE coalesce(array_to_string(list_transform(
                                list_filter(range(0, ntok),
                                  i -> NOT list_contains(r.rmlist, i)),
-                               i -> toks[i + 1]), ' ')
+                               i -> toks[i + 1]), ' '), '')
                    END AS text,
                    CAST(ntok AS BIGINT), CAST(coalesce(r.nrm, 0) AS BIGINT)
             FROM b2 b LEFT JOIN rm r ON b.doc_id = r.doc_id
