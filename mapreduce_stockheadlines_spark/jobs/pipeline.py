@@ -592,6 +592,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="bound parquet files per source= directory in "
                          "the output (pre-shuffled sized write instead "
                          "of one file per task per directory)")
+    ap.add_argument("--epoch-weights", default=None, metavar="SRC=W,...",
+                    help="per-source mixture epochs (e.g. wiki=2.3,cc=0.5): "
+                         "floor(w) copies + hash-gated fractional extra per "
+                         "doc; train-side only when --test-fraction is set")
     ap.add_argument("--shuffle-output", action="store_true",
                     help="write output in deterministic hash-shuffled order")
     ap.add_argument("--test-fraction", type=float, default=None,
@@ -686,8 +690,43 @@ def main(argv: list[str] | None = None) -> None:
         ),
         reliable_checkpoint=bool(args.checkpoint_dir),
     )
-    if args.shuffle_output:
-        out = SA.deterministic_shuffle(out, "doc_id")
+    def _parse_epochs(spec: str) -> dict[str, float]:
+        weights = {}
+        for part in spec.split(","):
+            src, sep, w = part.partition("=")
+            if not sep or not src.strip():
+                raise SystemExit(
+                    f"--epoch-weights entry {part!r} is not source=weight"
+                )
+            weights[src.strip()] = float(w)
+        return weights
+
+    def _upsample_and_shuffle(df):
+        # mixture epochs LAST: replication must follow every gate, and
+        # with a held-out split it applies to the TRAIN side only (an
+        # upsampled eval set would double-count its members); the
+        # shuffle key includes the epoch so replicas spread through the
+        # training order instead of clustering back-to-back
+        if args.epoch_weights:
+            df = SA.epoch_upsample(
+                df, "source", "doc_id", _parse_epochs(args.epoch_weights),
+                default_weight=1.0,  # CLI reading: name only the boosts
+            )
+        if args.shuffle_output:
+            if args.epoch_weights:
+                df = SA.deterministic_shuffle(
+                    df.withColumn(
+                        "_shufkey",
+                        F.concat_ws(":", F.col("doc_id"), F.col("epoch")),
+                    ),
+                    "_shufkey",
+                ).drop("_shufkey")
+            else:
+                df = SA.deterministic_shuffle(df, "doc_id")
+        return df
+
+    if not args.test_fraction:
+        out = _upsample_and_shuffle(out)
     if args.test_fraction:
         train, test = SA.train_test_split(out, "doc_id", args.test_fraction)
         if args.max_containment is not None:
@@ -698,6 +737,7 @@ def main(argv: list[str] | None = None) -> None:
                 F.col("containment") > args.max_containment
             ).select("doc_id")
             train = train.join(dirty, "doc_id", "left_anti")
+        train = _upsample_and_shuffle(train)
         _write_partitioned(train, f"{args.out_dir}/train", args)
         _write_partitioned(test, f"{args.out_dir}/test", args)
         n_tr = spark.read.parquet(f"{args.out_dir}/train").count()

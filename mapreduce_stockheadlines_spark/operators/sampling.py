@@ -256,6 +256,7 @@ def token_budget_filter(
 def epoch_upsample(
     df: DataFrame, source_col: str, key: str,
     weights: dict[str, float], salt: str = "mix",
+    default_weight: float = 0.0,
 ) -> DataFrame:
     """The UPSAMPLING half of mixture construction ('Wikipedia at 3.3
     epochs'): each row of source ``s`` appears ``floor(w_s)`` times plus
@@ -265,7 +266,10 @@ def epoch_upsample(
     partitioning or corpus growth (the determinism contract shared by
     every sampler here). Weights < 1 degenerate to
     ``weighted_source_mix`` semantics (0 or 1 copies); unlisted sources
-    are dropped, same as there. Adds an ``epoch`` column (0-based copy
+    get ``default_weight`` — 0.0 (dropped, same as there) when the
+    weight dict is the whole mixture spec, 1.0 when it only names the
+    sources to boost (the CLI's reading: listing wiki=2.3 should not
+    silently erase every other source). Adds an ``epoch`` column (0-based copy
     index) — feed ``deterministic_shuffle`` a per-copy salt or key
     including it so replicas spread through the training order instead
     of clustering.
@@ -277,19 +281,21 @@ def epoch_upsample(
     materialize until the sink, and the sink write is the unavoidable
     cost of the mixture itself.
     """
-    copies = None
-    for src, w in sorted(weights.items()):
+    def _copies_expr(w: float, label: str) -> Column:
         if w < 0:
-            raise ValueError(f"negative weight for source {src!r}: {w}")
+            raise ValueError(f"negative weight for source {label}: {w}")
         whole, frac = int(w), round(w - int(w), 9)
-        n = F.lit(whole) + F.when(
+        return F.lit(whole) + F.when(
             hash_fraction(key, salt) < F.lit(frac), F.lit(1)
         ).otherwise(F.lit(0))
+
+    default = _copies_expr(default_weight, "<default>")
+    copies = None
+    for src, w in sorted(weights.items()):
         cond = F.col(source_col) == src
+        n = _copies_expr(w, repr(src))
         copies = F.when(cond, n) if copies is None else copies.when(cond, n)
-    copies = (
-        copies.otherwise(F.lit(0)) if copies is not None else F.lit(0)
-    )
+    copies = copies.otherwise(default) if copies is not None else default
     return (
         df.withColumn("_n_copies", copies)
         .filter(F.col("_n_copies") > 0)

@@ -975,3 +975,32 @@ def test_run_staged_wraps_curate_cut_points(spark, tmp_path):
     first = sorted(r.doc_id for r in run_staged(spark, stages, base).collect())
     again = sorted(r.doc_id for r in run_staged(spark, stages, base).collect())
     assert first == again and len(first) == 20 and ran["n"] == 1
+
+
+def test_pipeline_cli_epoch_weights(spark, tmp_path):
+    """--epoch-weights replicates per-source with a dense epoch index;
+    with --test-fraction the held-out side stays UN-upsampled (an
+    upsampled eval set would double-count) and replicas never straddle
+    the split."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+          "--test-fraction", "0.25", "--epoch-weights", "src0=2.0,src1=3.0"])
+    train = spark.read.parquet(f"{out}/train")
+    test = spark.read.parquet(f"{out}/test")
+    # named sources replicate by their integer weight; UNLISTED sources
+    # pass through once (default_weight=1.0 — the CLI must not silently
+    # erase every source the user did not name)
+    per = train.groupBy("source", "doc_id").count().collect()
+    assert per
+    want = {"src0": 2, "src1": 3}
+    for r in per:
+        assert r["count"] == want.get(r.source, 1), (r.source, r["count"])
+    assert "epoch" in train.columns and "epoch" not in test.columns
+    tper = test.groupBy("doc_id").count().collect()
+    assert tper and all(r["count"] == 1 for r in tper)
+    # hash-disjoint: no doc in both sides
+    tr = {r.doc_id for r in per}
+    te = {r.doc_id for r in tper}
+    assert tr.isdisjoint(te)
