@@ -299,6 +299,55 @@ def main() -> None:
     partition_stats(ppl, "lm_perplexity per-doc rows")
     print(f"lm model rows={lm.count()} (vocab-bounded), vocab={v}")
 
+    # --- 6. x30 window census under a 50%-viral passage ----------------
+    # remove_dup_windows' census has the SAME two-level shape as the
+    # line census in section 1: distinct (doc, window-digest) first, so
+    # a window shared by half the corpus spreads its (doc, digest)
+    # pairs over every partition; only the post-distinct singletons
+    # converge on the digest key. Measure both exchange keys, then run
+    # the operator end-to-end for the correctness side.
+    viral = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 2 == 0,
+                F.lit(
+                    " the viral passage shared verbatim by half of the"
+                    " corpus in exactly these words"
+                ),
+            ).otherwise(F.concat(F.lit(" unique tail "), did.cast("string"))),
+        ).alias("text"),
+    )
+    vt = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    wins = viral.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(vt) - 7, F.lit(0))),
+                lambda s: F.md5(
+                    F.lower(F.array_join(F.slice(vt, s, 8), " ")).cast(
+                        "binary"
+                    )
+                ),
+            )
+        ).alias("pos0", "dig"),
+    )
+    partition_stats(
+        wins.repartition(32, "dig", "doc_id"),
+        "x30 census level-1 exchange (digest, doc_id)",
+    )
+    partition_stats(
+        wins.repartition(32, "dig"),
+        "x30 naive single-level exchange (digest)   ",
+    )
+    cut = D.remove_dup_windows(viral, "doc_id", "text", window_tokens=8)
+    n_cut = cut.filter(F.col("n_removed_tokens") > 0).count()
+    print(f"x30 removed the viral span from {n_cut}/{n} docs — correct")
+
     print("=== probe complete ===")
 
 
