@@ -23,6 +23,12 @@ This composes with, not replaces, ``jobs/pipeline.py``: curate() is a
 lazy plan and stays one; wrap the expensive cut points (post-dedup,
 post-gates, post-encode) as stages when restartability is worth the
 extra materialized copies.
+
+Storage note (same contract as the manifest sink): stamps and renames
+use driver-local ``os`` calls, so ``base_dir`` must be a shared mount
+on a real cluster; an object-store deployment swaps the stamp IO and
+rename for its atomic-commit primitive (e.g. conditional put) — the
+stamp-chain logic is storage-agnostic.
 """
 
 from __future__ import annotations

@@ -713,3 +713,21 @@ def canonical_url(url_col: Column | str) -> Column:
         u.isNotNull() & proto.isin("http", "https") & F.length(auth).isNotNull(),
         rebuilt,
     ).otherwise(u)
+
+
+def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Crawl-frontier dedup: keep the min-id row per CANONICAL URL (two
+    fetches of one page differing only by tracking decoration collapse;
+    rows whose canonical form is NULL — no URL at all — pass through).
+    Same digest-groupBy shape as content dedup: the shuffle carries the
+    canonical string, never the page."""
+    from .dedup import exact_dedup
+
+    with_canon = df.withColumn("_canon", canonical_url(url_col))
+    keyed = exact_dedup(
+        with_canon.filter(F.col("_canon").isNotNull()),
+        ["_canon"], [id_col],
+    )
+    return keyed.unionByName(
+        with_canon.filter(F.col("_canon").isNull())
+    ).drop("_canon")

@@ -323,3 +323,20 @@ def test_canonical_url_duckdb_pin(spark):
     assert {
         r.i: r.c for r in pt.select("i", canonical_url("u").alias("c")).collect()
     } == {0: "not a url", 1: None, 2: "ftp://x/y"}
+
+
+def test_dedup_urls_collapses_tracking_variants(spark):
+    """Frontier dedup keeps one row per canonical URL (min id), and
+    NULL-url rows always survive."""
+    from mapreduce_stockheadlines_spark.operators.textstats import dedup_urls
+
+    rows = [
+        (1, "http://example.com/a?utm_source=x"),
+        (2, "http://example.com/a"),
+        (3, "HTTP://EXAMPLE.com:80/a#frag"),
+        (4, "http://example.com/b"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = sorted(r.id for r in dedup_urls(df, "url", "id").collect())
+    assert got == [1, 4, 5]
