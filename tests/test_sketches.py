@@ -1,0 +1,91 @@
+"""Mergeable HLL sketch artifacts (operators/sketches.py): the
+union-of-sketches == sketch-of-union algebra that makes incremental
+distinct-counting exact over the sketch, plus the tolerance contract
+against exact counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_stockheadlines_spark.operators.sketches import (
+    distinct_sketches,
+    merge_sketches,
+    upsert_sketches,
+)
+from mapreduce_stockheadlines_spark.plans.catalog import table
+
+
+def test_sketch_estimates_within_tolerance(spark, sf_dir):
+    """Per-group estimates land within HLL's error bound of the exact
+    distinct counts (lgK=12 → use a generous 5% gate)."""
+    ev = table(spark, sf_dir, "events")
+    sk = merge_sketches(
+        distinct_sketches(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact")
+    )
+    rows = sk.join(exact, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.distinct_estimate - r.exact) <= max(0.05 * r.exact, 2), (
+            r.event_type, r.distinct_estimate, r.exact,
+        )
+
+
+def test_incremental_merge_equals_batch(spark, sf_dir):
+    """The artifact property: building per-period sketches and folding
+    them with upsert_sketches answers EXACTLY like one batch sketch
+    over all data — merge loses nothing, and history is never re-read."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "period", (F.col("user_id") % 3).alias("period")
+    )
+    batch = merge_sketches(
+        distinct_sketches(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    artifact = None
+    for p in (0, 1, 2):
+        day = distinct_sketches(
+            ev.filter(F.col("period") == p), "user_id", ["event_type"]
+        )
+        artifact = upsert_sketches(artifact, day, ["event_type"])
+    inc = merge_sketches(artifact, ["event_type"])
+    got = {r.event_type: (r.distinct_estimate, r.n_rows) for r in inc.collect()}
+    want = {r.event_type: (r.distinct_estimate, r.n_rows) for r in batch.collect()}
+    assert got == want
+
+
+def test_upsert_appends_new_groups_and_merges_existing(spark):
+    """Full-outer fold semantics: overlapping group merges, new group
+    appends, absent group survives untouched."""
+    a = spark.createDataFrame(
+        [("x", i) for i in range(50)] + [("y", i) for i in range(20)],
+        "g string, v int",
+    )
+    b = spark.createDataFrame(
+        [("x", i) for i in range(25, 75)] + [("z", i) for i in range(10)],
+        "g string, v int",
+    )
+    art = upsert_sketches(
+        distinct_sketches(a, "v", ["g"]),
+        distinct_sketches(b, "v", ["g"]),
+        ["g"],
+    )
+    got = {r.g: (r.distinct_estimate, r.n_rows) for r in merge_sketches(art, ["g"]).collect()}
+    assert set(got) == {"x", "y", "z"}
+    assert got["x"][1] == 100 and abs(got["x"][0] - 75) <= 4  # 50 ∪ [25,75)
+    assert got["y"] == (20, 20) and got["z"] == (10, 10)
+
+
+def test_sketch_artifact_is_small_and_persistable(spark, tmp_path, sf_dir):
+    """The artifact round-trips through parquet and is KB-sized — the
+    property that makes merge-time cost independent of history size."""
+    ev = table(spark, sf_dir, "events")
+    sk = distinct_sketches(ev, "user_id", ["event_type"])
+    p = str(tmp_path / "artifact")
+    sk.write.parquet(p)
+    back = spark.read.parquet(p)
+    est = merge_sketches(back, ["event_type"])
+    assert est.count() == sk.count()
+    max_len = sk.select(F.max(F.length("sketch"))).collect()[0][0]
+    assert max_len < 16_384  # a few KB per sketch, never value-sized
