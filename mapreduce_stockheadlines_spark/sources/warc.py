@@ -200,13 +200,22 @@ def register(spark) -> None:
     spark.dataSource.register(WarcDataSource)
 
 
-def warc_text_docs(spark, path: str, record_types: str = "response,conversion"):
+def warc_text_docs(
+    spark,
+    path: str,
+    record_types: str = "response,conversion",
+    require_http_ok: bool = False,
+):
     """The WARC → curate() bridge: one row per text-bearing record with
     (doc_id, url, fetch_date, text) — record ids as doc ids, HTTP
     framing stripped (done record-locally in the reader task), payload
     decoded as UTF-8 with replacement. Markup survives; chain
     ``textstats.strip_html``/quality gates downstream — decode is the
-    only step that belongs to ingestion."""
+    only step that belongs to ingestion. ``require_http_ok=True`` drops
+    response records with a non-2xx status at the scan (a 404 body is
+    never trainable prose — cheaper to cut here than to make the
+    quality gates recognize every error page); records with no HTTP
+    framing (WET conversions) carry no status and always pass."""
     from pyspark.sql import functions as F
 
     register(spark)
@@ -216,6 +225,11 @@ def warc_text_docs(spark, path: str, record_types: str = "response,conversion"):
         .option("recordTypes", record_types)
         .load()
     )
+    if require_http_ok:
+        df = df.filter(
+            F.col("http_status").isNull()
+            | F.col("http_status").between(200, 299)
+        )
     return df.select(
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),

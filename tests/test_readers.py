@@ -858,3 +858,15 @@ def test_pipeline_cli_warc_input(spark, tmp_path):
     assert all(isinstance(r.doc_id, int) for r in rows.values())
     assert "quick brown fox" in rows["<urn:uuid:p1>"].text
     assert "<" not in rows["<urn:uuid:p1>"].text
+
+
+def test_warc_text_docs_require_http_ok(spark, tmp_path):
+    """require_http_ok drops non-2xx response bodies at the scan;
+    statusless (WET conversion) records always pass."""
+    from mapreduce_stockheadlines_spark.sources.warc import warc_text_docs
+
+    d = _write_warc_fixture(tmp_path)
+    docs = warc_text_docs(spark, d, require_http_ok=True)
+    ids = {r.doc_id for r in docs.collect()}
+    assert "<urn:uuid:r2>" not in ids  # the 404
+    assert {"<urn:uuid:r1>", "<urn:uuid:c1>", "<urn:uuid:r3>"} <= ids
