@@ -478,7 +478,14 @@ def _write_partitioned(df: DataFrame, path: str, args) -> None:
 
         sort_within = None
         if args.shuffle_output:
+            # the re-sort key must MATCH the shuffle key, including the
+            # epoch suffix when --epoch-weights replicated rows — a
+            # doc_id-only key would give every replica of a doc an
+            # identical sort key and write them back-to-back, exactly
+            # the clustering the epoch-aware shuffle exists to prevent
             key_c = F.col("doc_id").cast("string")
+            if args.epoch_weights and "epoch" in df.columns:
+                key_c = F.concat_ws(":", F.col("doc_id"), F.col("epoch"))
             sort_within = [
                 F.md5(F.concat(F.lit("shuffle:"), key_c).cast("binary")),
                 key_c,
@@ -631,17 +638,22 @@ def main(argv: list[str] | None = None) -> None:
         from ..sources.warc import warc_text_docs
 
         # numeric doc ids: the chunking stage composes
-        # parent_id*2^20+chunk_id, so ids must be longs — xxhash64 of
-        # the record id is deterministic and collision-safe at crawl
-        # scale (n²/2^65: ~0.24 expected colliding PAIRS at 3B docs; a
-        # collision costs one doc falsely deduped, and a 100B-doc
-        # deployment would switch to assign_global_ids' bucketed rank)
+        # parent_id*2^20+chunk_id, which overflows int64 under ANSI for
+        # any |id| >= 2^43 — so ids are hashed into [0, 2^42) via pmod,
+        # not used at xxhash64's full signed range. Collision math at
+        # that width: n^2/2^43 ≈ 1e6 colliding PAIRS at 3B docs ≈ 0.03%
+        # of the corpus (a collision conflates two docs in doc_id-keyed
+        # joins); a deployment that can't accept that switches to
+        # assign_global_ids' bucketed rank for collision-free longs.
         docs = (
             warc_text_docs(spark, args.warc_dir)
             .withColumn("text", strip_html("text"))
             .withColumn("source", F.lit("warc"))
             .withColumn("record_id", F.col("doc_id"))
-            .withColumn("doc_id", F.xxhash64("record_id"))
+            .withColumn(
+                "doc_id",
+                F.pmod(F.xxhash64("record_id"), F.lit(1 << 42)),
+            )
         )
     else:
         docs = parallel_table(spark, args.sf_dir, "documents")
@@ -738,6 +750,10 @@ def main(argv: list[str] | None = None) -> None:
             ).select("doc_id")
             train = train.join(dirty, "doc_id", "left_anti")
         train = _upsample_and_shuffle(train)
+        if args.shuffle_output:
+            # the eval side keeps the documented reproducible order too
+            # — it just never upsamples
+            test = SA.deterministic_shuffle(test, "doc_id")
         _write_partitioned(train, f"{args.out_dir}/train", args)
         _write_partitioned(test, f"{args.out_dir}/test", args)
         n_tr = spark.read.parquet(f"{args.out_dir}/train").count()

@@ -82,13 +82,17 @@ def _split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
     unparsable framing) come back as (None, payload) unchanged."""
     if not payload.startswith(b"HTTP/"):
         return None, payload
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        idx = payload.find(sep)
-        if idx >= 0:
-            head, body = payload[:idx], payload[idx + len(sep):]
-            break
-    else:
+    # the EARLIEST of the two blank-line forms is the header/body
+    # boundary: LF-framed headers over a body that happens to contain
+    # CRLFCRLF must not split inside the body
+    cands = [
+        (payload.find(sep), sep) for sep in (b"\r\n\r\n", b"\n\n")
+    ]
+    cands = [(i, sep) for i, sep in cands if i >= 0]
+    if not cands:
         return None, payload
+    idx, sep = min(cands)
+    head, body = payload[:idx], payload[idx + len(sep):]
     status_line = head.split(b"\n", 1)[0].split()
     try:
         status = int(status_line[1])
@@ -231,7 +235,13 @@ def warc_text_docs(
             | F.col("http_status").between(200, 299)
         )
     return df.select(
-        F.col("record_id").alias("doc_id"),
+        # non-conformant records can lack WARC-Record-ID; (file, offset)
+        # is always present and unique, so no record ever gets a NULL
+        # doc id (NULL keys silently vanish at the first equi-join)
+        F.coalesce(
+            F.col("record_id"),
+            F.concat_ws(":", F.col("file"), F.col("record_offset")),
+        ).alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetch_date"),
         # decode() is ANSI-strict in Spark 4 (MALFORMED_CHARACTER_CODING
@@ -277,10 +287,11 @@ class WarcStreamReader(DataSourceStreamReader):
     makes segment names part of the contract: they must sort AFTER all
     names already committed (Common Crawl's timestamped segment layout
     already does this; any lexicographically-monotone scheme works). A
-    file landing BELOW the watermark is late by naming, and
-    ``warn_below_watermark`` notes it once rather than silently never
-    reading it. Planning stays file-granular — same gzip-imposed split
-    unit as the batch reader, one task per new segment per trigger.
+    file landing BELOW the watermark is late by naming and can never be
+    planned; ``partitions()`` prints a warn-once notice naming such
+    files rather than silently never reading them. Planning stays
+    file-granular — same gzip-imposed split unit as the batch reader,
+    one task per new segment per trigger.
     """
 
     def __init__(self, options: dict):
@@ -296,6 +307,7 @@ class WarcStreamReader(DataSourceStreamReader):
         )
         self.max_files_per_batch = int(options.get("maxFilesPerBatch", 64))
         self._upto = ""  # watermark mirror for batch-size pacing only
+        self._seen_below: set[str] = set()  # late-by-naming warn-once
 
     def _list(self) -> list[str]:
         pats = ("*.warc", "*.warc.gz", "*.wet", "*.wet.gz")
@@ -323,9 +335,27 @@ class WarcStreamReader(DataSourceStreamReader):
         lo, hi = start.get("upto", ""), end.get("upto", "")
         # restart recovery (same protocol note as pysource): planning is
         # the first call that shows a fresh reader the checkpointed
-        # offsets — adopt them so pacing resumes from the real position
-        self._upto = max(self._upto, hi)
-        batch = [n for n in self._list() if lo < n <= hi]
+        # offsets — adopt BOTH ends. After a clean-shutdown restart the
+        # first latestOffset() runs before any adoption and can emit a
+        # watermark BELOW the committed one (fresh reader, empty
+        # _upto); Spark then plans (committed, below] — an empty batch,
+        # since hi < lo selects nothing — and adopting lo here stops
+        # the next latestOffset() from re-planning (re-ingesting) the
+        # segments between them.
+        self._upto = max(self._upto, lo, hi)
+        names = self._list()
+        if lo:
+            below = [n for n in names if n <= lo]
+            late = set(below) - self._seen_below
+            if late and self._seen_below:
+                print(
+                    f"warc stream: {len(late)} file(s) landed at or below "
+                    f"the committed watermark {lo!r} and will never be "
+                    f"planned (segment names must be monotone): "
+                    f"{sorted(late)[:5]}"
+                )
+            self._seen_below.update(below)
+        batch = [n for n in names if lo < n <= hi]
         return [_WarcFile(os.path.join(self.dir, n)) for n in batch]
 
     def read(self, partition: _WarcFile):

@@ -323,17 +323,23 @@ def main() -> None:
         F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
         lambda t: F.length(t) > 0,
     )
+    # guard like remove_dup_windows does: sequence(1, 0) is DESCENDING
+    # ([1, 0]) and slice(_, 0, _) is a runtime error, so docs under 8
+    # tokens must produce an empty window array, not a bad sequence
     wins = viral.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(vt) - 7, F.lit(0))),
-                lambda s: F.md5(
-                    F.lower(F.array_join(F.slice(vt, s, 8), " ")).cast(
-                        "binary"
-                    )
+            F.when(
+                F.size(vt) >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(vt) - 7),
+                    lambda s: F.md5(
+                        F.lower(F.array_join(F.slice(vt, s, 8), " ")).cast(
+                            "binary"
+                        )
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("pos0", "dig"),
     )
     partition_stats(

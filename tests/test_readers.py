@@ -870,3 +870,112 @@ def test_warc_text_docs_require_http_ok(spark, tmp_path):
     ids = {r.doc_id for r in docs.collect()}
     assert "<urn:uuid:r2>" not in ids  # the 404
     assert {"<urn:uuid:r1>", "<urn:uuid:c1>", "<urn:uuid:r3>"} <= ids
+
+
+def test_warc_http_split_lf_headers_with_crlf_body(spark, tmp_path):
+    """LF-framed HTTP headers over a body containing CRLFCRLF must split
+    at the EARLIEST blank line — the body stays intact."""
+    from mapreduce_stockheadlines_spark.sources.warc import (
+        _split_http_payload,
+    )
+
+    payload = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n"
+        b"part one\r\n\r\npart two"
+    )
+    status, body = _split_http_payload(payload)
+    assert status == 200
+    assert body == b"part one\r\n\r\npart two"
+
+
+def test_warc_text_docs_missing_record_id_gets_synthetic_id(spark, tmp_path):
+    """A record without WARC-Record-ID still gets a (file, offset) doc
+    id — NULL ids would silently vanish at the first equi-join."""
+    from mapreduce_stockheadlines_spark.sources.warc import warc_text_docs
+
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\nContent-Length: 8\r\n\r\n"
+        b"payload!\r\n\r\n"
+    )
+    (tmp_path / "noid.warc").write_bytes(raw)
+    rows = warc_text_docs(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == "noid.warc:0"
+    assert rows[0].text == "payload!"
+
+
+def test_warc_stream_restart_does_not_reingest(spark, tmp_path):
+    """Clean-shutdown restart of the WARC stream: a fresh reader's
+    first latestOffset() knows nothing (empty watermark mirror) and can
+    emit a watermark below the committed one — the planned batch must
+    come up EMPTY (hi < lo selects nothing) and adoption of the
+    committed start in partitions() must stop later triggers from
+    re-planning already-ingested segments."""
+    import time
+
+    from mapreduce_stockheadlines_spark.sources import warc as W
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for i, rid in enumerate(["a", "b", "c"]):
+        (land / f"seg-{i:03d}.warc").write_bytes(
+            _warc_record(
+                "conversion", rid, f"http://x/{rid}",
+                f"text of {rid}".encode(),
+                extra=[b"Content-Type: text/plain"],
+            )
+        )
+    W.register(spark)
+
+    def make_query():
+        stream = (
+            spark.readStream.format("warc")
+            .option("path", str(land))
+            .option("maxFilesPerBatch", 1)
+            .load()
+        )
+        return (
+            stream.select("record_id", "file").writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .trigger(processingTime="1 seconds").start()
+        )
+
+    def drain_to(n, q):
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            time.sleep(0.5)
+
+    q = make_query()
+    try:
+        drain_to(3, q)
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 3
+
+    # restart with the same checkpoint, drop one NEW segment: only it
+    # may be ingested — committed segments must not reappear
+    (land / "seg-900.warc").write_bytes(
+        _warc_record(
+            "conversion", "d", "http://x/d", b"text of d",
+            extra=[b"Content-Type: text/plain"],
+        )
+    )
+    q2 = make_query()
+    try:
+        drain_to(4, q2)
+        time.sleep(3)  # a few extra triggers: any re-ingest would land now
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 4  # exactly one new row, zero re-ingested
+    assert sorted(r.record_id for r in got) == [
+        "<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>", "<urn:uuid:d>"
+    ]
