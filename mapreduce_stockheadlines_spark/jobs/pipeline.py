@@ -599,6 +599,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="bound parquet files per source= directory in "
                          "the output (pre-shuffled sized write instead "
                          "of one file per task per directory)")
+    ap.add_argument("--dedup-urls", action="store_true",
+                    help="with --warc-dir: collapse re-fetches of one "
+                         "page by canonical URL (tracking params, "
+                         "default ports, fragments stripped) before "
+                         "content dedup")
     ap.add_argument("--epoch-weights", default=None, metavar="SRC=W,...",
                     help="per-source mixture epochs (e.g. wiki=2.3,cc=0.5): "
                          "floor(w) copies + hash-gated fractional extra per "
@@ -655,6 +660,14 @@ def main(argv: list[str] | None = None) -> None:
                 F.pmod(F.xxhash64("record_id"), F.lit(1 << 42)),
             )
         )
+        if args.dedup_urls:
+            # frontier dedup BEFORE content dedup: re-fetches of one
+            # page (tracking-param / port / fragment variants) collapse
+            # on the canonical URL — a string groupBy that is far
+            # cheaper than shingling the duplicate bodies downstream
+            from ..operators.textstats import dedup_urls
+
+            docs = dedup_urls(docs, "url", "doc_id")
     else:
         docs = parallel_table(spark, args.sf_dir, "documents")
     blocked = None

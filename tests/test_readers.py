@@ -979,3 +979,38 @@ def test_warc_stream_restart_does_not_reingest(spark, tmp_path):
     assert sorted(r.record_id for r in got) == [
         "<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>", "<urn:uuid:d>"
     ]
+
+
+def test_pipeline_cli_warc_dedup_urls(spark, tmp_path):
+    """--warc-dir --dedup-urls: two fetches of one page differing only
+    by tracking decoration collapse to the min-id record before content
+    dedup ever runs."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    land = tmp_path / "segs"
+    land.mkdir()
+    body = (
+        b"A perfectly ordinary article about the markets and the "
+        b"economy with enough plain words to pass the quality gates"
+    )
+    (land / "seg-1.warc").write_bytes(
+        _warc_record(
+            "conversion", "f1", "http://site.example/a?utm_source=feed",
+            body, extra=[b"Content-Type: text/plain"],
+        )
+        + _warc_record(
+            "conversion", "f2", "HTTP://SITE.example:80/a#frag",
+            body + b" refetched slightly later", extra=[b"Content-Type: text/plain"],
+        )
+        + _warc_record(
+            "conversion", "f3", "http://site.example/b",
+            b"A different page about the weather and the sports news "
+            b"of the day with other words in it", extra=[b"Content-Type: text/plain"],
+        )
+    )
+    out = str(tmp_path / "out")
+    main([out, "--warc-dir", str(land), "--dedup-urls", "--min-quality", "0.2"])
+    got = {r.record_id for r in spark.read.parquet(out).collect()}
+    # f1/f2 share a canonical URL -> one survivor; f3 untouched
+    assert len(got & {"<urn:uuid:f1>", "<urn:uuid:f2>"}) == 1
+    assert "<urn:uuid:f3>" in got
