@@ -96,6 +96,15 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "clf_score_mean",
         F.avg("clf_score"),
     )
+    # mean cross-doc duplicated-window fraction — the substring-dedup
+    # signal the --max-dup-window-fraction gate and --remove-dup-spans
+    # cut act on; high values on a "deduped" corpus mean rewrapped
+    # near-copies slipped past exact/MinHash removal
+    dupwin = _metric(
+        D.duplicated_window_fraction(docs, id_col, text_col),
+        "dup_window_frac_mean",
+        F.avg("dup_fraction"),
+    )
     report = size.unionAll(chars).unionAll(tokens)
     for q in quartiles:
         report = report.unionAll(q)
@@ -105,6 +114,7 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .unionAll(pii)
         .unionAll(urls)
         .unionAll(clf)
+        .unionAll(dupwin)
     ).orderBy("metric")
     # the report is ~a dozen rows: materialize it, then release the
     # cached per-doc stats instead of pinning executor memory for the

@@ -466,6 +466,9 @@ def test_corpus_report_values(spark):
 
     assert rep["total_ws_tokens"] == sum(cleaned_tokens(t) for _, t in rows)
     assert 0.0 < rep["clf_score_mean"] < 1.0
+    # docs 1/2 are verbatim copies: every window duplicated (frac 1.0
+    # each), docs 3/4 share nothing 8 tokens long -> mean = 2/4
+    assert rep["dup_window_frac_mean"] == 0.5
 
 
 def test_gates_pass_unscorable_docs(spark):
