@@ -340,3 +340,30 @@ def test_dedup_urls_collapses_tracking_variants(spark):
     df = spark.createDataFrame(rows, "id long, url string")
     got = sorted(r.id for r in dedup_urls(df, "url", "id").collect())
     assert got == [1, 4, 5]
+
+
+def test_canonical_url_is_idempotent(spark):
+    """A canonicalizer must be a projection: canonical(canonical(u)) ==
+    canonical(u), else frontier dedup results depend on how many times
+    a URL passed through ingestion."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        canonical_url,
+    )
+
+    urls = [
+        "HTTP://User:pw@Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag",
+        "https://site.org:443/",
+        "https://site.org:8443/x?fbclid=abc&keep=1&z=0",
+        "http://example.com/?utm_campaign=z",
+        "https://a.b/p?z=9&y=8&z=1",
+        "not a url",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, u string"
+    )
+    once = df.select("i", canonical_url("u").alias("c1"))
+    twice = once.select("i", "c1", canonical_url("c1").alias("c2"))
+    assert twice.filter(
+        ~(F.col("c1").eqNullSafe(F.col("c2")))
+    ).count() == 0
