@@ -89,3 +89,20 @@ def test_sketch_artifact_is_small_and_persistable(spark, tmp_path, sf_dir):
     assert est.count() == sk.count()
     max_len = sk.select(F.max(F.length("sketch"))).collect()[0][0]
     assert max_len < 16_384  # a few KB per sketch, never value-sized
+
+
+def test_sketch_estimates_partitioning_invariant(spark, sf_dir):
+    """HLL union is register-wise max — merge order and partitioning
+    must never change an estimate (the property that makes a
+    distributed artifact build deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    a = merge_sketches(
+        distinct_sketches(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    b = merge_sketches(
+        distinct_sketches(ev.repartition(17), "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    got_a = {r.event_type: r.distinct_estimate for r in a.collect()}
+    got_b = {r.event_type: r.distinct_estimate for r in b.collect()}
+    assert got_a == got_b
