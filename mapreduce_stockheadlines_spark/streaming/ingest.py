@@ -569,3 +569,49 @@ def run_media_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def sketch_ingest_sink(
+    group_cols: list[str],
+    value_col: str,
+    artifact_dir: str,
+    lgk: int = 12,
+):
+    """foreachBatch function: maintain a mergeable distinct-count
+    artifact (operators/sketches) over a stream — each micro-batch's
+    per-group HLL sketches fold into a VERSIONED artifact table, so
+    any point in the stream's history answers distinct-count questions
+    from KBs of sketch bytes instead of a rescan, and the artifact's
+    version history is itself time-travelable.
+
+    Exactly-once without a dedup index: the artifact row carries the
+    last folded ``batch_id``; a replayed batch (foreachBatch is
+    at-least-once) sees ``last_batch_id >= batch_id`` and returns
+    before touching storage — and because ``write_table_version``
+    publishes atomically (data first, pointer flip last), a crash
+    MID-fold leaves the previous artifact version referenced, which is
+    precisely the state the replay expects to fold into. Per-batch
+    cost: one map-side sketch agg of the batch + a read of the
+    (groups)-sized artifact — history volume never re-read.
+    """
+    from ..operators.sketches import distinct_sketches, upsert_sketches
+    from ..sources.versioned import read_table, write_table_version
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = read_table(spark, artifact_dir)
+        except Exception:
+            existing = None
+        if existing is not None:
+            done = existing.agg(F.max("last_batch_id")).collect()[0][0]
+            if done is not None and done >= batch_id:
+                return  # replayed batch: already folded, artifact intact
+            existing = existing.select(*group_cols, "sketch", "n_rows")
+        inc = distinct_sketches(batch_df, value_col, group_cols, lgk)
+        merged = upsert_sketches(existing, inc, group_cols).withColumn(
+            "last_batch_id", F.lit(batch_id)
+        )
+        write_table_version(merged, artifact_dir)
+
+    return write_batch

@@ -106,3 +106,52 @@ def test_sketch_estimates_partitioning_invariant(spark, sf_dir):
     got_a = {r.event_type: r.distinct_estimate for r in a.collect()}
     got_b = {r.event_type: r.distinct_estimate for r in b.collect()}
     assert got_a == got_b
+
+
+def test_sketch_ingest_sink_folds_batches_idempotently(spark, tmp_path):
+    """Streaming artifact maintenance: batches fold incrementally into
+    a versioned sketch table, a replayed batch is a no-op, the final
+    estimates equal a from-scratch batch build, and the version history
+    time-travels."""
+    from mapreduce_stockheadlines_spark.sources.versioned import read_table
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        sketch_ingest_sink,
+    )
+
+    art = str(tmp_path / "artifact")
+    sink = sketch_ingest_sink(["g"], "v", art)
+    b0 = spark.createDataFrame(
+        [("x", i) for i in range(40)] + [("y", i) for i in range(10)],
+        "g string, v int",
+    )
+    b1 = spark.createDataFrame(
+        [("x", i) for i in range(20, 60)] + [("z", i) for i in range(5)],
+        "g string, v int",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once replay: must not fold twice
+
+    got = {
+        r.g: (r.distinct_estimate, r.n_rows)
+        for r in merge_sketches(
+            read_table(spark, art).select("g", "sketch", "n_rows"), ["g"]
+        ).collect()
+    }
+    want = {
+        r.g: (r.distinct_estimate, r.n_rows)
+        for r in merge_sketches(
+            distinct_sketches(b0.unionAll(b1), "v", ["g"]), ["g"]
+        ).collect()
+    }
+    assert got == want  # incremental == batch, replay included
+    assert got["x"][1] == 80 and abs(got["x"][0] - 60) <= 3
+    # version history: v1 holds only batch 0's state
+    v1 = {
+        r.g: r.n_rows
+        for r in merge_sketches(
+            read_table(spark, art, version=1).select("g", "sketch", "n_rows"),
+            ["g"],
+        ).collect()
+    }
+    assert v1 == {"x": 40, "y": 10}
