@@ -53,7 +53,10 @@ def _stamp_of(name: str, token: str, upstream: str) -> str:
 
 def _sweep_tmp(base_dir: str) -> None:
     for entry in os.listdir(base_dir) if os.path.isdir(base_dir) else []:
-        if ".tmp-" in entry:
+        # prefix match only: a committed stage dir is '{i:02d}-{name}'
+        # and a stage NAME may legally contain '.tmp-' — substring
+        # matching would sweep its committed output
+        if entry.startswith(".tmp-"):
             shutil.rmtree(os.path.join(base_dir, entry), ignore_errors=True)
 
 

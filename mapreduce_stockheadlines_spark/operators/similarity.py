@@ -779,6 +779,11 @@ def topk_eval(
     if k is not None:
         a = a.filter(F.col("_ar") <= k)
         t = t.filter(F.col("_tr") <= k)
+    # an approx result may legally repeat a (query, neighbor) pair
+    # (e.g. a multi-probe/multi-table union); counting join rows would
+    # inflate n_hit past n_truth (recall > 1). Collapse to the best
+    # rank per pair — result-sized agg, still nothing corpus-sized.
+    a = a.groupBy("_q", "_n").agg(F.min("_ar").alias("_ar"))
     hits = t.join(a, ["_q", "_n"])
     per_q_hits = hits.groupBy("_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit"),

@@ -656,8 +656,11 @@ def classifier_score(
     )
 
 
+# case-insensitive ('UTM_SOURCE=' tracks just as hard) and '=' optional
+# (a bare valueless 'fbclid' still splits otherwise-identical URLs)
 _TRACKING_PARAM_RE = (
-    r"^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)="
+    r"(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)"
+    r"(=|$)"
 )
 
 

@@ -75,14 +75,66 @@ def _publish_pointer(fs, jvm, table_dir: str, version: int) -> None:
         )
 
 
-def write_table_version(df: DataFrame, table_dir: str) -> int:
+def _reclaim_stale_claim(
+    spark, fs, claim, table_dir: str, version: int, grace_s: float | None
+) -> bool:
+    """Delete-and-retake an orphaned write claim. True only when ALL of:
+    the caller opted in (``grace_s`` is not None), the pointer is still
+    below ``version`` (so the claimant never committed — if it HAS
+    committed, the conflict is real and reclaiming would overwrite a
+    published snapshot), the claim file is older than the grace period,
+    and the re-create of the claim wins (a concurrent reclaimer may
+    race; exactly one wins the overwrite=False create)."""
+    if grace_s is None:
+        return False
+    committed = _read_pointer(spark, table_dir)
+    if committed is not None and committed >= version:
+        return False
+    try:
+        mtime_ms = fs.getFileStatus(claim).getModificationTime()
+    except Exception:
+        # claim vanished between our failed create and here (another
+        # reclaimer won and committed, or rollback cleared it) — retry
+        # the create below; it arbitrates.
+        mtime_ms = None
+    if mtime_ms is not None:
+        import time
+
+        if (time.time() - mtime_ms / 1000.0) < grace_s:
+            return False
+        fs.delete(claim, False)
+    try:
+        fs.create(claim, False).close()
+    except Exception:
+        return False
+    return True
+
+
+def write_table_version(
+    df: DataFrame,
+    table_dir: str,
+    reclaim_stale_after_s: float | None = None,
+) -> int:
     """Write ``df`` as the table's next immutable snapshot and publish
     it: data lands in ``v=N`` FIRST, the pointer flips LAST (temp file +
     rename), so a crash mid-write leaves the previous version intact
     and referenced. Returns the committed version number (1-based).
     N is ``committed + 1`` — a write AFTER a rollback overwrites the
     rolled-back-away snapshot (git-reset-then-commit semantics: the
-    orphaned lineage is discarded, not preserved alongside)."""
+    orphaned lineage is discarded, not preserved alongside).
+
+    ``reclaim_stale_after_s`` bounds the blast radius of a writer that
+    crashed BETWEEN claiming ``_claim_vN`` and publishing the pointer:
+    that claim is orphaned (the pointer never reached N) and, left
+    alone, blocks every later write forever. When set, a claim whose
+    file is older than the grace period — while the pointer still sits
+    BELOW the claimed version, proving it never committed — is deleted
+    and re-claimed. ``0.0`` means "any existing claim at my version is
+    stale": correct ONLY for a single-writer caller (e.g. a streaming
+    foreachBatch sink, where the sole possible claimant is this sink's
+    own crashed previous incarnation). Multi-writer callers should pass
+    a period comfortably above their longest snapshot write, or leave
+    the default ``None`` (never reclaim, fail loudly)."""
     spark = df.sparkSession
     current = _read_pointer(spark, table_dir)
     version = 1 if current is None else current + 1
@@ -97,10 +149,13 @@ def write_table_version(df: DataFrame, table_dir: str) -> int:
     try:
         fs.create(claim, False).close()
     except Exception as exc:
-        raise IOError(
-            f"versioned table: version {version} already claimed by a "
-            f"concurrent writer at {table_dir}"
-        ) from exc
+        if not _reclaim_stale_claim(
+            spark, fs, claim, table_dir, version, reclaim_stale_after_s
+        ):
+            raise IOError(
+                f"versioned table: version {version} already claimed by "
+                f"a concurrent writer at {table_dir}"
+            ) from exc
     df.write.mode("overwrite").parquet(f"{table_dir}/v={version}")
     _publish_pointer(fs, jvm, table_dir, version)
     return version

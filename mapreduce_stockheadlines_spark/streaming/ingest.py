@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from ..operators.dedup import (
     dedup_by_pairs,
@@ -46,7 +45,19 @@ def _history(spark, index_dir: str, batch_id: int):
     replayed overwrite would then persist the loss. Filtering on the
     discovered ``batch_id`` partition column restores true idempotency;
     the filter prunes whole partitions, so no historical data is read
-    twice."""
+    twice.
+
+    Returns ``None`` when the index path does not exist yet (first
+    batch). "No index yet" is detected by a filesystem stat, NOT by
+    catching AnalysisException: a corrupted or schema-drifted index
+    ALSO raises AnalysisException, and swallowing it would silently
+    re-admit the entire deduped history. Corruption must fail the
+    batch loudly."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
     return spark.read.parquet(index_dir).filter(
         F.col("batch_id") < F.lit(batch_id)
     )
@@ -154,16 +165,16 @@ def curated_ingest_sink(
         hashed = batch_df.withColumn(
             "text_hash", F.md5(F.col(text_col).cast("binary"))
         )
-        try:
-            # plain anti-join on the digest: AQE broadcasts while the
-            # index is small and shuffles fixed-width keys once it isn't
-            # (never force-broadcast a corpus-lifetime index)
-            seen = _history(spark, index_dir, batch_id)
+        # plain anti-join on the digest: AQE broadcasts while the
+        # index is small and shuffles fixed-width keys once it isn't
+        # (never force-broadcast a corpus-lifetime index)
+        seen = _history(spark, index_dir, batch_id)
+        if seen is None:  # first batch: no index yet
+            fresh = hashed
+        else:
             fresh = hashed.join(
                 seen.select("text_hash"), "text_hash", "left_anti"
             )
-        except AnalysisException:  # first batch: no index yet
-            fresh = hashed
         survivors = exact_dedup(fresh, ["text_hash"], [id_col])
 
         sig = None
@@ -191,8 +202,8 @@ def curated_ingest_sink(
             bands = signature_bands(
                 sig, id_col, num_hashes=_NEARDUP_HASHES, bands=_NEARDUP_BANDS
             )
-            try:
-                idx = _history(spark, neardup_index_dir, batch_id)
+            idx = _history(spark, neardup_index_dir, batch_id)
+            if idx is not None:
                 hits = (
                     bands.join(
                         idx.select(
@@ -220,8 +231,6 @@ def curated_ingest_sink(
                 )
                 survivors = survivors.join(dupes, id_col, "left_anti")
                 sig = sig.join(dupes, id_col, "left_anti")
-            except AnalysisException:  # first batch: no band index yet
-                pass
 
         if lang is not None or min_quality is not None:
             stats = text_stats(survivors, id_col, text_col)
@@ -384,8 +393,8 @@ def embedding_ingest_sink(
 
         # 1. probe history: bucket equi-join, exact cosine on dequantized
         #    (the current batch's own replayed rows excluded — _history)
-        try:
-            index = _history(spark, index_dir, batch_id)
+        index = _history(spark, index_dir, batch_id)
+        if index is not None:
             cand = batch.join(
                 index.select(
                     "bucket",
@@ -404,8 +413,6 @@ def embedding_ingest_sink(
                 .distinct()
             )
             batch = batch.join(dup_ids, id_col, "left_anti")
-        except AnalysisException:  # first batch: no index yet
-            pass
 
         # 2. within-batch dups: same-bucket pairs, min-id survives
         a = batch.select(
@@ -489,8 +496,8 @@ def media_ingest_sink(
             bands = simhash_bands(fp, id_col, max_hamming)
             survivors_ids = fp.select(id_col)
             # 1. probe history by band key, popcount verify
-            try:
-                index = _history(spark, index_dir, batch_id)
+            index = _history(spark, index_dir, batch_id)
+            if index is not None:
                 dup_ids = (
                     bands.join(
                         index.select(
@@ -510,8 +517,6 @@ def media_ingest_sink(
                 survivors_ids = survivors_ids.join(
                     dup_ids, id_col, "left_anti"
                 )
-            except AnalysisException:  # first batch: no index yet
-                pass
             # 2. within-batch near-dups over the SAME fingerprints —
             #    min-id survives (higher id of every verified pair drops)
             batch_losers = (
@@ -612,6 +617,12 @@ def sketch_ingest_sink(
         merged = upsert_sketches(existing, inc, group_cols).withColumn(
             "last_batch_id", F.lit(batch_id)
         )
-        write_table_version(merged, artifact_dir)
+        # reclaim_stale_after_s=0: this sink is the table's ONLY
+        # writer, so an existing claim at our version can only be the
+        # orphan of our own crashed previous attempt (crash BETWEEN
+        # claim and pointer publish). The last_batch_id check above
+        # already guards true replays, so reclaiming cannot clobber a
+        # live concurrent fold.
+        write_table_version(merged, artifact_dir, reclaim_stale_after_s=0.0)
 
     return write_batch

@@ -1674,3 +1674,27 @@ def test_remove_dup_windows_overlap_collapses_long_span(spark):
     }
     assert got[1] == ("keepA keepB keepC", 12)
     assert got[2] == ("other tail words", 12)
+
+
+def test_topk_eval_duplicate_approx_pairs_cap_recall(spark):
+    """A multi-probe/multi-table approx result can repeat a (query,
+    neighbor) pair; n_hit must count the PAIR once (best rank), never
+    inflating recall past 1 (ADVICE r5)."""
+    from mapreduce_stockheadlines_spark.operators.similarity import topk_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        # pair (1,10) appears three times (union of probe tables);
+        # (1,11) twice — min rank must win for reciprocal_rank
+        [(1, 10, 4), (1, 10, 2), (1, 10, 7),
+         (1, 11, 5), (1, 11, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = topk_eval(approx, truth).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_truth, r.n_hit, r.recall) == (2, 2, 1.0)
+    assert r.first_hit_rank == 2 and r.reciprocal_rank == 0.5

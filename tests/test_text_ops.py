@@ -262,6 +262,10 @@ def test_canonical_url_duckdb_pin(spark):
         (4, "https://site.org:8443/x?fbclid=abc&keep=1"),
         (5, "http://example.com/?utm_campaign=z"),
         (6, "https://a.b/p?z=9&y=8&z=1"),
+        # tracking params in caps and a bare valueless fbclid must
+        # still strip (ADVICE r5: case-sensitive '='-required regex)
+        (7, "https://site.org/x?UTM_SOURCE=news&keep=1"),
+        (8, "https://site.org/x?fbclid&keep=1"),
     ]
     df = spark.createDataFrame(rows, "i int, u string")
     got = {
@@ -273,6 +277,7 @@ def test_canonical_url_duckdb_pin(spark):
     assert got[2] == got[3] == "https://site.org"
     assert got[4] == "https://site.org:8443/x?keep=1"
     assert got[5] == "http://example.com"
+    assert got[7] == got[8] == "https://site.org/x?keep=1"
     con = duckdb.connect()
     con.execute("CREATE TABLE u (i INT, u VARCHAR)")
     con.executemany("INSERT INTO u VALUES (?, ?)", rows)
@@ -305,7 +310,7 @@ def test_canonical_url_duckdb_pin(spark):
                 array_to_string(list_sort(list_filter(
                   string_split(query, '&'),
                   x -> len(x) > 0 AND NOT regexp_matches(x,
-                    '^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)=')
+                    '(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)(=|$)')
                 )), '&') AS qs
               FROM q)
             SELECT i, proto || '://' || host || path ||

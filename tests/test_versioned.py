@@ -99,3 +99,44 @@ def test_rollback_rejects_orphan_versions(spark, tmp_path):
     _df(spark, [99]).write.parquet(f"{t}/v=7")
     with pytest.raises(ValueError, match="never committed"):
         rollback(spark, t, 7)
+
+
+def test_stale_claim_reclaim(spark, tmp_path):
+    """A writer that crashed BETWEEN claiming _claim_vN and publishing
+    the pointer leaves an orphaned claim. With reclaim enabled and the
+    claim past the grace period, the next write clears it and commits;
+    without opt-in it still fails loudly (the conservative default)."""
+    from mapreduce_stockheadlines_spark.sources.versioned import _fs
+
+    t = str(tmp_path / "t")
+    write_table_version(_df(spark, [1]), t)
+    # simulate the crash: claim exists, pointer still at 1
+    fs, jvm = _fs(spark, t)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{t}/_claim_v2"), False).close()
+    # default: blocked forever (loud, not silent)
+    with pytest.raises(IOError, match="claimed"):
+        write_table_version(_df(spark, [2]), t)
+    # grace period not yet elapsed: still blocked (live-writer safety)
+    with pytest.raises(IOError, match="claimed"):
+        write_table_version(_df(spark, [2]), t, reclaim_stale_after_s=3600)
+    # single-writer assertion (grace 0): reclaim and commit
+    v = write_table_version(_df(spark, [2]), t, reclaim_stale_after_s=0.0)
+    assert v == 2
+    assert [r.x for r in read_table(spark, t).collect()] == [2]
+
+
+def test_reclaim_refuses_committed_version(spark, tmp_path):
+    """Reclaim must never clobber a version another writer COMMITTED:
+    if the pointer has reached the claimed version, the conflict is
+    real regardless of claim age."""
+    from mapreduce_stockheadlines_spark.sources.versioned import (
+        _reclaim_stale_claim,
+        _fs,
+    )
+
+    t = str(tmp_path / "t")
+    write_table_version(_df(spark, [1]), t)
+    write_table_version(_df(spark, [2]), t)  # pointer now 2
+    fs, jvm = _fs(spark, t)
+    claim = jvm.org.apache.hadoop.fs.Path(f"{t}/_claim_v2")
+    assert not _reclaim_stale_claim(spark, fs, claim, t, 2, 0.0)
