@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "x28_lm_perplexity",
     "x29_token_divergence",
     "x30_remove_dup_windows",
+    # round 6 additions
+    "x31_pagerank",
 ]
 
 

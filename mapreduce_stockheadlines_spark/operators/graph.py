@@ -27,6 +27,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     reliable_checkpoint: bool = False,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank: (node, rank) after ``n_iters`` rounds
     of ``rank = (1-d)/N + d·(Σ in-neighbor rank/out_degree +
@@ -44,6 +45,15 @@ def pagerank(
     by default, real checkpoint dir on a cluster). The dangling mass is
     a one-row aggregate of the node-sized rank table, broadcast back as
     a literal-free join-less scalar via collect (bounded: one double).
+
+    ``quantize_dp``: round each round's ranks to this many decimal
+    places. Distributed double summation is order-dependent (partial
+    aggregation order varies run-to-run and engine-to-engine); the
+    accumulated noise (~1e-15 relative) sits far below a 1e-10 quantum,
+    so per-round quantization makes the whole iteration BIT-REPRODUCIBLE
+    across partitionings and across engines — the knob the registry
+    oracle (x31) uses to hash-match an independent DuckDB unrolled
+    power iteration. ``None`` (default) keeps full double precision.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("pagerank: damping must be in (0, 1)")
@@ -88,15 +98,14 @@ def pagerank(
             .collect()[0][0]
         )
         spread = base + damping * dangling / n_nodes
+        new_rank = F.lit(spread) + F.lit(damping) * F.coalesce(
+            F.col("_in"), F.lit(0.0)
+        )
+        if quantize_dp is not None:
+            new_rank = F.round(new_rank, quantize_dp)
         ranks = _ckpt(
             nodes.join(received, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(spread)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
+            .select("node", new_rank.alias("rank"))
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 

@@ -269,34 +269,10 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
-# --- q30 exact percentiles ----------------------------------------------------
-
-def q30_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT percentiles (sort-based aggregate — distinct from the
-    approximate sketch in x16): linear-interpolated quantiles over an
-    integer-valued measure, so the interpolation arithmetic is identical
-    across engines."""
-    li = table(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", 0.25).alias("p25"),
-            F.percentile("l_quantity", 0.5).alias("median_qty"),
-            F.percentile("l_quantity", 0.75).alias("p75"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-Q30_SQL = """
-SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.25) AS p25,
-       quantile_cont(l_quantity, 0.5) AS median_qty,
-       quantile_cont(l_quantity, 0.75) AS p75,
-       count(*) AS n
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-"""
+# q30_percentiles was consolidated into q02_group_agg in round 6 (the
+# exact sort-based percentile aggregate rides q02's grouping as three
+# extra columns); the freed registry slot went to x31_pagerank in
+# plans/extensions.py.
 
 
 # --- q31 grouping sets ---------------------------------------------------------
@@ -391,7 +367,6 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q26_pivot": QuerySpec(q26_pivot, Q26_SQL),
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
     "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
-    "q30_percentiles": QuerySpec(q30_percentiles, Q30_SQL),
     "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),
     "q33_math_date_functions": QuerySpec(q33_math_date_functions, Q33_SQL),
 }

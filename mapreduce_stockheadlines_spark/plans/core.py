@@ -59,7 +59,12 @@ def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
     exact COUNT DISTINCT (q11_count_distinct folded in here in round 5 —
     Catalyst expands the distinct aggregate into the standard two-phase
     partial/final plan alongside the others; the freed registry slot
-    went to x24_url_curation)."""
+    went to x24_url_curation) plus EXACT linear-interpolated percentiles
+    (q30_percentiles folded in here in round 6 — the sort-based
+    aggregate rides the same grouping; the freed slot went to
+    x31_pagerank in plans/extensions.py). The percentile interpolation
+    arithmetic over integer-valued l_quantity is identical across
+    engines, so the oracle hash stays exact."""
     li = table(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -70,6 +75,9 @@ def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.min("l_discount").alias("min_disc"),
             F.max("l_tax").alias("max_tax"),
+            F.percentile("l_quantity", 0.25).alias("p25_qty"),
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.75).alias("p75_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -82,7 +90,10 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(avg(l_extendedprice), 2) AS avg_price,
        min(l_discount) AS min_disc,
-       max(l_tax) AS max_tax
+       max(l_tax) AS max_tax,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """

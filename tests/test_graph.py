@@ -84,3 +84,22 @@ def test_domain_authority_co_citation(spark):
     assert got["lonely.org"] == 0.0
     linked = {d: v for d, v in got.items() if d != "lonely.org"}
     assert sum(linked.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_quantized_is_partitioning_invariant(spark):
+    """quantize_dp makes the iteration bit-reproducible: the same graph
+    at 1 partition and at 16 partitions yields IDENTICAL ranks (the
+    x31 oracle's cross-engine precondition), and the quantized result
+    stays within the quantization error of the unquantized one."""
+    from mapreduce_stockheadlines_spark.operators.graph import pagerank
+
+    edges = [(i % 13, (i * 5 + 3) % 13) for i in range(60)]
+    edges = [(s, d) for s, d in edges if s != d and s % 4 != 0]
+    df1 = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    df16 = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    r1 = {r.node: r.rank for r in pagerank(df1, quantize_dp=10).collect()}
+    r16 = {r.node: r.rank for r in pagerank(df16, quantize_dp=10).collect()}
+    assert r1 == r16  # bitwise equal, not approx
+    full = {r.node: r.rank for r in pagerank(df1).collect()}
+    for n in full:
+        assert abs(full[n] - r1[n]) < 1e-8
