@@ -13,7 +13,7 @@ instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
@@ -986,8 +986,54 @@ ORDER BY c_custkey
 # (spam-net.biz), a PSL 3-label registered domain (site3.co.uk — under
 # the pre-PSL 2-label cut this entry could never match), and an IPv4
 # literal (192.168.18.9 — pre-ADVICE-fix it was truncated to '18.9').
+#
+# Round 6 folds the crawl-frontier half (canonical_url + dedup_urls,
+# previously pytest-only) into the same query: each doc gets a planted
+# frontier URL whose decoration varies per doc_id — scheme/host case,
+# userinfo, default :80 port, param ORDER, tracking params (mixed-case
+# UTM_Source=, a VALUELESS fbclid — the ADVICE-r5 regression pair), a
+# fragment, and a bare-root '/' path arm — such that distinct raw URLs
+# collapse to shared canonical forms ONLY after full canonicalization.
+# A doc_id%17 arm plants NULL (no URL: always survives) and a %19 arm a
+# non-URL string (passes through untouched, unique → survives). The
+# oracle re-derives the whole canonicalization generically in DuckDB
+# (regexp scheme/authority/path/query split, userinfo+port strip,
+# tracking filter, list_sort of surviving params) and the min-doc_id
+# survivor rule — so `frontier_kept` cross-checks dedup_urls' actual
+# grouping, not a replanted constant.
 
 _X24_BLOCKLIST = ("spam-net.biz", "site3.co.uk", "192.168.18.9")
+
+
+def _x24_frontier_url(did: Column) -> Column:
+    return (
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(
+            did % 19 == 0,
+            F.concat(F.lit("frontier-note "), did.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://"),
+                F.when(did % 5 == 0, F.lit("crawler:pw@")).otherwise(F.lit("")),
+                F.lit("Feed"), (did % 7).cast("string"), F.lit(".Example.COM"),
+                F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+                F.when(did % 10 == 0, F.lit("/")).otherwise(
+                    F.concat(F.lit("/items/"), (did % 20).cast("string"))
+                ),
+                F.when(
+                    did % 2 == 0,
+                    F.concat(
+                        F.lit("?b="), (did % 3).cast("string"),
+                        F.lit("&a=1&UTM_Source=x"), did.cast("string"),
+                    ),
+                ).otherwise(
+                    F.concat(F.lit("?a=1&fbclid&b="), (did % 3).cast("string"))
+                ),
+                F.lit("#s"), did.cast("string"),
+            )
+        )
+    )
 
 
 def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
@@ -1031,14 +1077,27 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
     kept = TS.filter_blocked_domains(
         aug_docs, "doc_id", "text", blocklist
     ).select("doc_id", F.lit(1).alias("kept"))
+    frontier = docs.select("doc_id", _x24_frontier_url(did).alias("furl"))
+    canon = frontier.select(
+        "doc_id", TS.canonical_url("furl").alias("canonical_url")
+    )
+    surv = TS.dedup_urls(frontier, "furl", "doc_id").select(
+        "doc_id", F.lit(1).alias("frontier_kept")
+    )
     return (
         stats.join(kept, "doc_id", "left")
+        .join(canon, "doc_id")
+        .join(surv, "doc_id", "left")
         .select(
             "doc_id",
             "n_urls",
             F.concat_ws(",", "domains").alias("domains_csv"),
             "url_char_ratio",
             F.coalesce("kept", F.lit(0)).cast("int").alias("kept"),
+            "canonical_url",
+            F.coalesce("frontier_kept", F.lit(0))
+            .cast("int")
+            .alias("frontier_kept"),
         )
         .orderBy("doc_id")
     )
@@ -1099,13 +1158,73 @@ doms AS (SELECT doc_id,
                   AS domains_csv
          FROM rd GROUP BY doc_id),
 blocked AS (SELECT DISTINCT doc_id FROM rd
-            WHERE dom IN ('spam-net.biz', 'site3.co.uk', '192.168.18.9'))
+            WHERE dom IN ('spam-net.biz', 'site3.co.uk', '192.168.18.9')),
+f AS (SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+       WHEN doc_id % 19 = 0 THEN 'frontier-note ' || CAST(doc_id AS VARCHAR)
+       ELSE 'HTTP://'
+            || CASE WHEN doc_id % 5 = 0 THEN 'crawler:pw@' ELSE '' END
+            || 'Feed' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+            || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+            || CASE WHEN doc_id % 10 = 0 THEN '/'
+                    ELSE '/items/' || CAST(doc_id % 20 AS VARCHAR) END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '?b=' || CAST(doc_id % 3 AS VARCHAR)
+                         || '&a=1&UTM_Source=x' || CAST(doc_id AS VARCHAR)
+                    ELSE '?a=1&fbclid&b=' || CAST(doc_id % 3 AS VARCHAR) END
+            || '#s' || CAST(doc_id AS VARCHAR)
+  END AS furl FROM documents),
+cp1 AS (SELECT doc_id,
+               lower(regexp_extract(furl, '^([A-Za-z]+)://', 1)) AS sch,
+               regexp_replace(regexp_replace(furl, '^[A-Za-z]+://', ''),
+                              '#.*$', '') AS rest
+        FROM f
+        WHERE furl IS NOT NULL AND regexp_matches(furl, '(?i)^https?://')),
+cp2 AS (SELECT doc_id, sch,
+               lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                                    '^[^@]*@', '')) AS auth,
+               regexp_replace(rest, '^[^/?#]*', '') AS pq
+        FROM cp1),
+cp3 AS (SELECT doc_id, sch,
+               CASE WHEN sch = 'http' AND auth LIKE '%:80'
+                      THEN left(auth, length(auth) - 3)
+                    WHEN sch = 'https' AND auth LIKE '%:443'
+                      THEN left(auth, length(auth) - 4)
+                    ELSE auth END AS host,
+               CASE WHEN regexp_extract(pq, '^([^?]*)', 1) = '/' THEN ''
+                    ELSE regexp_extract(pq, '^([^?]*)', 1) END AS pth,
+               array_to_string(list_sort(list_filter(
+                 str_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+                 x -> len(x) > 0 AND NOT regexp_matches(x,
+                   '(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)(=|$)')
+               )), '&') AS q
+        FROM cp2),
+ccanon AS (SELECT doc_id,
+                  sch || '://' || host || pth
+                  || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END
+                    AS canonical_url
+           FROM cp3),
+canon AS (SELECT f.doc_id,
+                 CASE WHEN f.furl IS NULL THEN NULL
+                      WHEN c.canonical_url IS NOT NULL THEN c.canonical_url
+                      ELSE f.furl END AS canonical_url
+          FROM f LEFT JOIN ccanon c ON c.doc_id = f.doc_id),
+fsurv AS (SELECT doc_id FROM (
+            SELECT doc_id,
+                   CASE WHEN canonical_url IS NULL THEN TRUE
+                        ELSE doc_id = min(doc_id)
+                               OVER (PARTITION BY canonical_url) END AS keepit
+            FROM canon) WHERE keepit)
 SELECT s.doc_id, s.n_urls, coalesce(d.domains_csv, '') AS domains_csv,
        s.url_char_ratio,
-       CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+       CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS kept,
+       c.canonical_url,
+       CASE WHEN fs.doc_id IS NULL THEN 0 ELSE 1 END AS frontier_kept
 FROM stats s
 LEFT JOIN doms d ON d.doc_id = s.doc_id
 LEFT JOIN blocked b ON b.doc_id = s.doc_id
+JOIN canon c ON c.doc_id = s.doc_id
+LEFT JOIN fsurv fs ON fs.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 
