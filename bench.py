@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "x30_remove_dup_windows",
     # round 6 additions
     "x31_pagerank",
+    "x32_sampling",
 ]
 
 

@@ -123,10 +123,18 @@ def q25_cube_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (status, priority) — all 4 grouping sets in one pass —
     tag-unioned with an explicit GROUPING SETS lattice subset (the former
     q31, consolidated round 5; its freed registry slot went to
-    x27_quantize_embeddings in plans/extensions.py). Each branch keeps
-    its own Catalyst Expand shape: the cube via the DataFrame API, the
-    grouping sets via the spark.sql entry over registered views (that
-    entry-path coverage is part of what q31 pinned). Aggregates are
+    x27_quantize_embeddings in plans/extensions.py) and with the former
+    q26 pivot (consolidated round 6; freed slot → x32_sampling in
+    plans/extensions.py). Each branch keeps its own Catalyst shape: the
+    cube via the DataFrame API, the grouping sets via the spark.sql
+    entry over registered views (that entry-path coverage is part of
+    what q31 pinned), and the pivot via groupBy().pivot() with an
+    explicit value list (no extra distinct scan — the list is part of
+    the plan; missing cells coalesced to 0). The pivot branch's WIDE row
+    is serialized into q25's tag-union schema (day → o_orderstatus,
+    'type=count|...' cells → o_orderpriority, row total → n_orders,
+    gid=-1) AFTER the pivot aggregate runs, so the physical pivot shape
+    and every cell value still reach the oracle hash. Aggregates are
     order-independent (count/min/max) so the oracle hash is exact."""
     o = table(spark, sf, "orders")
     cube = (
@@ -149,10 +157,54 @@ def q25_cube_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
     register_views(spark, sf)
     gs = spark.sql(_Q25_GS_SQL)
-    return cube.unionAll(gs).orderBy(
+    e = table(spark, sf, "events")
+    wide = (
+        e.withColumn("day", F.dayofmonth("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    cells = [F.coalesce(F.col(t), F.lit(0)).cast("bigint") for t in _EVENT_TYPES]
+    total = cells[0]
+    for c in cells[1:]:
+        total = total + c
+    piv = wide.select(
+        F.lit("pivot").alias("src"),
+        F.col("day").cast("string").alias("o_orderstatus"),
+        F.concat_ws(
+            "|",
+            *[
+                F.concat(F.lit(f"{t}="), c.cast("string"))
+                for t, c in zip(_EVENT_TYPES, cells)
+            ],
+        ).alias("o_orderpriority"),
+        F.lit(-1).alias("gid"),
+        total.alias("n_orders"),
+        F.lit(None).cast("double").alias("min_price"),
+        F.lit(None).cast("double").alias("max_price"),
+    )
+    return cube.unionAll(gs).unionAll(piv).orderBy(
         "src", "gid", "o_orderstatus", "o_orderpriority"
     )
 
+
+_Q25_PIVOT_SQL = """
+SELECT 'pivot' AS src,
+       CAST(CAST(day(ts) AS INTEGER) AS VARCHAR) AS o_orderstatus,
+       'click=' || CAST(count(*) FILTER (event_type = 'click') AS VARCHAR)
+       || '|error=' || CAST(count(*) FILTER (event_type = 'error') AS VARCHAR)
+       || '|purchase='
+       || CAST(count(*) FILTER (event_type = 'purchase') AS VARCHAR)
+       || '|signup=' || CAST(count(*) FILTER (event_type = 'signup') AS VARCHAR)
+       || '|view=' || CAST(count(*) FILTER (event_type = 'view') AS VARCHAR)
+         AS o_orderpriority,
+       CAST(-1 AS INTEGER) AS gid,
+       CAST(count(*) FILTER (event_type IN ('click', 'error', 'purchase',
+                                            'signup', 'view')) AS BIGINT)
+         AS n_orders,
+       CAST(NULL AS DOUBLE) AS min_price, CAST(NULL AS DOUBLE) AS max_price
+FROM events GROUP BY day(ts)
+"""
 
 Q25_SQL = f"""
 SELECT 'cube' AS src, o_orderstatus, o_orderpriority,
@@ -163,6 +215,8 @@ SELECT 'cube' AS src, o_orderstatus, o_orderpriority,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 UNION ALL
 {_Q25_GS_SQL}
+UNION ALL
+{_Q25_PIVOT_SQL}
 ORDER BY src, gid, o_orderstatus, o_orderpriority
 """
 
@@ -170,36 +224,10 @@ ORDER BY src, gid, o_orderstatus, o_orderpriority
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
-
-def q26_pivot(spark: SparkSession, sf: str) -> DataFrame:
-    """groupBy().pivot() with an explicit value list (no extra distinct
-    scan to discover columns — the list is part of the plan) → one
-    hash aggregate; missing cells coalesced to 0."""
-    e = table(spark, sf, "events")
-    p = (
-        e.withColumn("day", F.dayofmonth("ts"))
-        .groupBy("day")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .count()
-    )
-    return p.select(
-        "day",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
-            for t in _EVENT_TYPES
-        ],
-    ).orderBy("day")
-
-
-Q26_SQL = """
-SELECT CAST(day(ts) AS INTEGER) AS day,
-       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
-       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
-FROM events GROUP BY 1 ORDER BY day
-"""
+# q26_pivot was consolidated into q25_cube_grouping_sets in round 6 (the
+# pivot branch keeps its explicit-value-list groupBy().pivot() physical
+# shape and serializes the wide row into the tag-union schema); the
+# freed registry slot went to x32_sampling in plans/extensions.py.
 
 # --- q28 subqueries through the SQL entry point ------------------------------
 
@@ -364,7 +392,6 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q23_asof_join": QuerySpec(q23_asof_join, Q23_SQL),
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
     "q25_cube_grouping_sets": QuerySpec(q25_cube_grouping_sets, Q25_SQL),
-    "q26_pivot": QuerySpec(q26_pivot, Q26_SQL),
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
     "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
     "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),

@@ -22,6 +22,7 @@ from ..operators import embeddings as EB
 from ..operators import merge as MG
 from ..operators import multimodal as M
 from ..operators import relevance as RV
+from ..operators import sampling as SP
 from ..operators import similarity as S
 from ..operators import skew as SK
 from ..operators import textstats as TS
@@ -1588,6 +1589,90 @@ SELECT node, round(rank, 8) AS rank FROM r{n_iters} ORDER BY node
 X31_SQL = _x31_oracle_sql()
 
 
+# --- x32 mixture construction: token budget + epoch upsampling ---------------
+
+def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """The two mixture-construction stages a curation user touches on
+    day one (operators/sampling.py), registry-promoted in round 6 (slot
+    freed by folding q26's pivot into q25): token_budget_filter fills
+    35% of the corpus' total token mass with the highest-scoring docs
+    (score = n_chars — quality∝length is real here; equi-width histogram
+    + driver suffix-sum, never a global sort), then epoch_upsample
+    replicates the survivors to per-source epoch weights over the REAL
+    20-value ``source`` column (src0=2.3, src1=0.5, src2=1.7, src3=1.0,
+    unlisted sources default 1.0 — the CLI's boost reading). Every
+    arithmetic step is engine-portable: histogram bins are pure IEEE
+    double ops on integer-valued scores, the budget is
+    floor(0.35·Σtokens), and the extra-epoch coin is the shared
+    md5('mix:'+key) hash-fraction primitive — so DuckDB re-derives the
+    histogram, the suffix-sum cut (a DESC window sum), the survivor set
+    AND the exact per-row multiplicity, and the exploded (doc, epoch)
+    rows hash-match bit-for-bit. The never-over-budget guarantee rides
+    the membership check: one extra surviving row would change the row
+    set."""
+    docs = parallel_table(spark, sf, "documents")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("score"),
+        F.length("text").cast("bigint").alias("n_tokens"),
+    )
+    total = s.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.35)
+    kept = SP.token_budget_filter(s, "score", "n_tokens", budget)
+    mixed = SP.epoch_upsample(
+        kept,
+        "source",
+        "doc_id",
+        {"src0": 2.3, "src1": 0.5, "src2": 1.7, "src3": 1.0},
+        default_weight=1.0,
+    )
+    return mixed.select("doc_id", "source", "n_tokens", "epoch").orderBy(
+        "doc_id", "epoch"
+    )
+
+
+X32_SQL = """
+WITH s AS MATERIALIZED (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+         CAST(length(text) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 0.35) AS BIGINT)
+          AS budget,
+        min(score) AS lo, max(score) AS hi
+        FROM s),
+w AS (SELECT budget, lo,
+             CASE WHEN hi > lo THEN (hi - lo) / 1000.0 ELSE 1.0 END AS width
+      FROM tot),
+b AS MATERIALIZED (
+  SELECT s.doc_id, s.source, s.n_tokens,
+         least(CAST(floor((s.score - w.lo) / w.width) AS INTEGER), 999) AS bin
+  FROM s CROSS JOIN w),
+hist AS (SELECT bin, sum(n_tokens) AS toks FROM b GROUP BY bin),
+kept_bins AS (
+  SELECT bin FROM (
+    SELECT bin, sum(toks) OVER (ORDER BY bin DESC) AS suffix FROM hist)
+  WHERE suffix <= (SELECT budget FROM w)),
+ups AS (
+  SELECT doc_id, source, n_tokens,
+         CASE source
+           WHEN 'src0' THEN 2 + CASE WHEN h < 0.3 THEN 1 ELSE 0 END
+           WHEN 'src1' THEN 0 + CASE WHEN h < 0.5 THEN 1 ELSE 0 END
+           WHEN 'src2' THEN 1 + CASE WHEN h < 0.7 THEN 1 ELSE 0 END
+           WHEN 'src3' THEN 1
+           ELSE 1 END AS n_copies
+  FROM (SELECT b.*,
+               CAST(('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) / 4294967296.0 AS h
+        FROM b JOIN kept_bins k ON k.bin = b.bin))
+SELECT doc_id, source, n_tokens, CAST(epoch AS INTEGER) AS epoch FROM (
+  SELECT doc_id, source, n_tokens,
+         unnest(generate_series(0, n_copies - 1)) AS epoch
+  FROM ups WHERE n_copies > 0)
+ORDER BY doc_id, epoch
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -1614,4 +1699,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x28_lm_perplexity": QuerySpec(x28_lm_perplexity, X28_SQL),
     "x29_token_divergence": QuerySpec(x29_token_divergence, X29_SQL),
     "x31_pagerank": QuerySpec(x31_pagerank, X31_SQL),
+    "x32_sampling": QuerySpec(x32_sampling, X32_SQL),
 }
