@@ -2,13 +2,15 @@
 ``binary`` columns + typed metadata structs.
 
 Two decode tiers. Formats with a pure-numpy decoder are decoded FOR REAL
-— PPM (P6, the netpbm raw-RGB format) and uncompressed 24-bit BMP for
-images, RIFF 16-bit-PCM WAV for audio, all parseable with struct +
-frombuffer, no codec library — including real pixel/PCM features and a
-real nearest-neighbor resample (images) / windowed frame sampling
-(audio). Compressed formats (JPEG/PNG/MP3/video) need codec libraries
-not present in this environment, so their kernel stays stubbed
-(deterministic fake derived from the content digest, or
+— PPM (P6, the netpbm raw-RGB format), uncompressed 24-bit BMP and
+8-bit non-interlaced PNG (stdlib ``zlib`` inflate + all five scanline
+filters — PNG is the dominant web image format, so this tier covers
+most real crawl images) for images, RIFF 16-bit-PCM WAV for audio, all
+parseable with struct + frombuffer + zlib, no codec library — including
+real pixel/PCM features and a real nearest-neighbor resample (images) /
+windowed frame sampling (audio). Formats that genuinely need codec
+libraries (JPEG/GIF/MP3/video, palette/16-bit/interlaced PNG) stay
+stubbed (deterministic fake derived from the content digest, or
 ``NotImplementedError`` in strict mode).
 Either way the Spark-side plumbing is identical and real: binary schema,
 Arrow-batched ``mapInPandas``, per-batch vectorization,
@@ -18,6 +20,7 @@ partition-preserving shape.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,6 +31,7 @@ from pyspark.sql import types as T
 
 MIME_PPM = "image/x-portable-pixmap"
 MIME_BMP = "image/bmp"
+MIME_PNG = "image/png"
 MIME_WAV = "audio/wav"
 
 MEDIA_SCHEMA = T.StructType(
@@ -54,7 +58,7 @@ DECODED_SCHEMA = T.StructType(
 _MAGIC_MIMES = (
     ("5036", MIME_PPM),          # 'P6'
     ("424D", MIME_BMP),          # 'BM'
-    ("89504E47", "image/png"),
+    ("89504E47", MIME_PNG),
     ("FFD8FF", "image/jpeg"),
     ("47494638", "image/gif"),   # 'GIF8'
     ("52494646", "audio/x-riff"),  # RIFF container (WAV/AVI/WebP outer)
@@ -159,6 +163,136 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return px[::-1] if bottom_up else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Pure stdlib-zlib/numpy PNG decode → uint8 (H, W, 3) RGB.
+
+    Critical chunks only (CRCs not verified — a flipped bit shows up as
+    garbage pixels, same policy as the other decoders' tolerance), 8-bit
+    depth, non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha)
+    and 6 (RGBA) — the overwhelming majority of web PNGs outside palette
+    images. The single zlib stream is the concatenation of all IDAT
+    chunks; each inflated scanline leads with a filter byte and all five
+    filters (None/Sub/Up/Average/Paeth) are reversed per the spec's
+    mod-256 arithmetic. Gray replicates to 3 channels and alpha is
+    dropped (features/pHash operate on color, not coverage). Palette
+    (type 3), 16-bit and interlaced PNGs raise ValueError — valid files
+    this tier cannot read, routed to the digest stub in non-strict mode.
+    """
+    if len(content) < 8 or not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (missing signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_)
+    if channels is None:
+        raise ValueError("palette PNG unsupported")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG zlib stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            line += prev
+        elif f == 1:  # Sub — sequential along the row
+            for i in range(channels, stride):
+                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[..., :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(px[..., :3])
+    return px
+
+
+def _encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal RGB color-type-2 PNG encoder for tests and round-trips:
+    one zlib stream, every scanline under ``filter_type`` (0=None or
+    1=Sub — Sub exercises the sequential unfilter path with real
+    deltas)."""
+    a = px.astype(np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[..., None], 3, axis=2)
+    h, w = a.shape[:2]
+    rows = []
+    for y in range(h):
+        line = a[y].reshape(-1)
+        if filter_type == 1:
+            delta = line.astype(np.int16)
+            delta[3:] -= line[:-3].astype(np.int16)
+            rows.append(b"\x01" + (delta & 0xFF).astype(np.uint8).tobytes())
+        else:
+            rows.append(b"\x00" + line.tobytes())
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _pixel_feature(px: np.ndarray) -> list[float]:
     """8-dim feature from real pixels, all components in [0, 1]:
     per-channel means, gray mean/std/min/max, bright-pixel fraction."""
@@ -236,7 +370,11 @@ def _audio_feature(rate: int, samples: np.ndarray) -> list[float]:
 
 
 # mime → pure-numpy pixel decoder; everything else hits the stub tier
-REAL_DECODERS = {MIME_PPM: _decode_ppm_p6, MIME_BMP: _decode_bmp}
+REAL_DECODERS = {
+    MIME_PPM: _decode_ppm_p6,
+    MIME_BMP: _decode_bmp,
+    MIME_PNG: _decode_png,
+}
 # mime → pure-struct audio decoder (its own tier: different meta mapping)
 AUDIO_DECODERS = {MIME_WAV: _decode_wav}
 
@@ -263,19 +401,28 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas``.
 
     Rows whose mime has a pure-numpy decoder (``REAL_DECODERS``: PPM P6,
-    uncompressed 24-bit BMP) are decoded for real — header-parsed
-    width/height and an 8-dim pixel-statistics feature. Other mimes use
-    the deterministic digest-derived fake; ``strict=True`` raises
-    NotImplementedError for them instead (where a real codec would run).
-    Batch shape: whole Arrow record batches in, vectorized per-batch
-    work, one output row per input row; partitioning is preserved
-    (narrow op, no shuffle).
+    uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib zlib)
+    are decoded for real — header-parsed width/height and an 8-dim
+    pixel-statistics feature. Other mimes use the deterministic
+    digest-derived fake; ``strict=True`` raises NotImplementedError for
+    them instead (where a real codec would run). Batch shape: whole
+    Arrow record batches in, vectorized per-batch work, one output row
+    per input row; partitioning is preserved (narrow op, no shuffle).
     """
 
     def decode_one(content, mime) -> tuple[int, int, int, list[float]]:
         decoder = REAL_DECODERS.get(mime)
         if decoder is not None:
-            px = decoder(content)
+            # valid-magic files the tier can't read (palette/16-bit/
+            # interlaced PNG, 16-bit PPM, RLE BMP) and corrupt blobs
+            # must not kill the task in non-strict mode — digest stub,
+            # same contract as the audio tier below
+            try:
+                px = decoder(content)
+            except (ValueError, struct.error, TypeError):
+                if strict:
+                    raise
+                return _fake_decode(content)
             return px.shape[1], px.shape[0], 1, _pixel_feature(px)
         audio = AUDIO_DECODERS.get(mime)
         if audio is not None:
@@ -357,7 +504,7 @@ FRAMES_SCHEMA = T.StructType(
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize via Arrow-batched ``mapInPandas``, one row per input row,
-    target dimensions attached. Decodable mimes (PPM/BMP) are REALLY
+    target dimensions attached. Decodable mimes (PPM/BMP/PNG) are REALLY
     resampled — nearest-neighbor index selection on the decoded pixel
     array — and re-encoded as P6 (mime follows the content). Other
     mimes pass content through unchanged (a real kernel swaps in
@@ -368,7 +515,10 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
         decoder = REAL_DECODERS.get(mime)
         if decoder is None:
             return content, mime  # stub tier: pass-through
-        px = decoder(content)
+        try:
+            px = decoder(content)
+        except (ValueError, struct.error, TypeError):
+            return content, mime  # undecodable variant: pass-through
         h, w = px.shape[:2]
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
@@ -555,7 +705,7 @@ def _fake_phash(content: bytes) -> int:
 def image_phash(df: DataFrame, strict: bool = False) -> DataFrame:
     """(media_id, mime, phash) for a media table — the image-side
     near-dup signature. Mimes with a real pure-numpy decoder (PPM P6,
-    uncompressed 24-bit BMP) hash their PIXELS, so the same image
+    uncompressed 24-bit BMP, 8-bit PNG) hash their PIXELS, so the same image
     stored in different formats produces the SAME phash (pinned in
     tests); other mimes fall back to the digest stand-in
     (``strict=True`` raises instead, where a codec library would run).
