@@ -534,7 +534,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--remove-dup-spans", action="store_true",
                     help="cut cross-doc duplicated token spans out of "
                          "surviving docs (ExactSubstr removal) instead "
-                         "of only gating on the duplicated fraction")
+                         "of only gating on the duplicated fraction; "
+                         "cuts end at true match boundaries (every-"
+                         "offset window enumeration), minimum removed "
+                         "span = --dup-window-tokens tokens — shorter "
+                         "shared runs survive")
     ap.add_argument("--encode-vocab-top", type=int, default=None,
                     help="build a top-V vocabulary on the survivors and "
                          "attach token-id sequences; packing budgets by "

@@ -1792,6 +1792,36 @@ def test_remove_dup_windows_overlap_collapses_long_span(spark):
     assert got[2] == ("other tail words", 12)
 
 
+def test_remove_dup_windows_true_boundary_cuts(spark):
+    """VERDICT r5 #7 'done' pin: cuts end at TRUE match boundaries, not
+    window-aligned multiples. A 9-token shared passage at window 8
+    removes exactly 9 tokens; a doc sharing only the first 8 of them
+    loses exactly those 8; a 7-token shared run (below the minimum-span
+    threshold) survives untouched."""
+    p9 = "p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    rows = [
+        (1, f"alpha beta {p9} gamma delta"),
+        (2, f"zeta {p9} omega"),
+        # shares only p1..p8 (8 tokens) — true match is 8, not 9
+        (3, "qq p1 p2 p3 p4 p5 p6 p7 p8 rr"),
+        # 7-token run shared by docs 4+5: below window 8, survives
+        (4, "aa bb s1 s2 s3 s4 s5 s6 s7 cc"),
+        (5, "dd s1 s2 s3 s4 s5 s6 s7 ee ff"),
+    ]
+    got = {
+        r.id: (r.text, r.n_removed_tokens)
+        for r in D.remove_dup_windows(
+            spark.createDataFrame(rows, "id long, text string"),
+            "id", "text", window_tokens=8,
+        ).collect()
+    }
+    assert got[1] == ("alpha beta gamma delta", 9)
+    assert got[2] == ("zeta omega", 9)
+    assert got[3] == ("qq rr", 8)
+    assert got[4] == ("aa bb s1 s2 s3 s4 s5 s6 s7 cc", 0)
+    assert got[5] == ("dd s1 s2 s3 s4 s5 s6 s7 ee ff", 0)
+
+
 def test_topk_eval_duplicate_approx_pairs_cap_recall(spark):
     """A multi-probe/multi-table approx result can repeat a (query,
     neighbor) pair; n_hit must count the PAIR once (best rank), never
