@@ -60,13 +60,27 @@ def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
     Catalyst expands the distinct aggregate into the standard two-phase
     partial/final plan alongside the others; the freed registry slot
     went to x24_url_curation) plus EXACT linear-interpolated percentiles
-    (q30_percentiles folded in here in round 6 — the sort-based
-    aggregate rides the same grouping; the freed slot went to
-    x31_pagerank in plans/extensions.py). The percentile interpolation
-    arithmetic over integer-valued l_quantity is identical across
-    engines, so the oracle hash stays exact."""
+    (q30_percentiles folded in here in round 6; the freed slot went to
+    x31_pagerank in plans/extensions.py).
+
+    Percentile plan choice: ``F.percentile`` in the main aggregate
+    forces the WHOLE plan into ObjectHashAggregate — no whole-stage
+    codegen for any of the six metrics (measured 4x: 0.73s → ~3s at
+    sf0.1). Instead the percentiles are re-derived from a value-count
+    census: one codegen corpus pass keyed by (flag, status, quantity)
+    collapses map-side to <= groups x |distinct qty| (~300) rows, tiny
+    windows turn counts into cumulative ranks, and conditional MINs
+    pick the interpolation endpoints — value at 0-based index i is the
+    least quantity whose cumulative count exceeds i, at h = q·(n-1),
+    the same definition Spark's percentile and DuckDB's quantile_cont
+    use. Every step is EXACT on integer-valued l_quantity (h and its
+    fractional part are exact binary fractions, endpoints are integers,
+    lo + frac·(hi-lo) is exact), so the re-derivation is bit-equal to
+    both engines' native percentile and the oracle hash stays exact.
+    At 100 TB: two codegen scans (AQE-joined 6-row results) strictly
+    beat one object-agg scan; the census shuffle is ~300 rows/task."""
     li = table(spark, sf, "lineitem")
-    return (
+    main = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -75,11 +89,28 @@ def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.min("l_discount").alias("min_disc"),
             F.max("l_tax").alias("max_tax"),
-            F.percentile("l_quantity", 0.25).alias("p25_qty"),
-            F.percentile("l_quantity", 0.5).alias("median_qty"),
-            F.percentile("l_quantity", 0.75).alias("p75_qty"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+    )
+    cells = li.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    cum = cells.withColumn(
+        "_cum", F.sum("_c").over(grp.orderBy("l_quantity"))
+    ).withColumn("_n", F.sum("_c").over(grp))
+
+    def pct(q: float, name: str):
+        r = F.lit(q) * (F.col("_n") - 1).cast("double")
+        lo_v = F.min(F.when(F.col("_cum") > F.floor(r), F.col("l_quantity")))
+        hi_v = F.min(F.when(F.col("_cum") > F.ceil(r), F.col("l_quantity")))
+        frac = F.min(r - F.floor(r).cast("double"))
+        return (lo_v + frac * (hi_v - lo_v)).alias(name)
+
+    pcts = cum.groupBy("l_returnflag", "l_linestatus").agg(
+        pct(0.25, "p25_qty"), pct(0.5, "median_qty"), pct(0.75, "p75_qty")
+    )
+    return main.join(pcts, ["l_returnflag", "l_linestatus"]).orderBy(
+        "l_returnflag", "l_linestatus"
     )
 
 

@@ -153,6 +153,33 @@ class _WarcFile(InputPartition):
         self.path = path
 
 
+def _check_file_sizes(files: list[str], max_bytes: int) -> None:
+    """Loud-fail oversized segments (``maxBytesPerFile`` option).
+
+    gzip admits no mid-stream split, so one WARC file == one task: a
+    pathological single 100 GB segment SERIALIZES on one core however
+    many executors exist. The Common Crawl contract (segments bounded
+    ~1 GB) is what makes per-file fan-out the scale path; this cap
+    turns a violated contract into a named diagnosis instead of a
+    silently-straggling stage. 0 (default) disables the check; sizes
+    are on-disk (compressed) bytes — the unit the contract bounds."""
+    if max_bytes <= 0:
+        return
+    big = [
+        (p, sz)
+        for p in files
+        if os.path.exists(p) and (sz := os.path.getsize(p)) > max_bytes
+    ]
+    if big:
+        worst = ", ".join(f"{p} ({sz} B)" for p, sz in big[:5])
+        raise ValueError(
+            f"warc source: {len(big)} file(s) exceed maxBytesPerFile="
+            f"{max_bytes} and would serialize on one task (gzip cannot "
+            f"be split mid-stream): {worst}. Re-shard the segments or "
+            "raise the cap."
+        )
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
@@ -171,11 +198,17 @@ class WarcReader(DataSourceReader):
         self.strip_http = (
             str(options.get("stripHttpHeaders", "true")).lower() == "true"
         )
+        self.max_bytes_per_file = int(options.get("maxBytesPerFile", 0))
 
     def partitions(self) -> list[InputPartition]:
-        """One task per WARC file — the gzip-imposed split granularity;
-        Common Crawl-scale inputs are many bounded files, so this IS
-        full fan-out with zero driver involvement past listing."""
+        """One task per WARC file — the gzip-imposed split granularity
+        (a gzip stream cannot be entered mid-member, so a single
+        oversized segment serializes on one core; set
+        ``maxBytesPerFile`` to fail loudly on contract-violating
+        inputs). Common Crawl-scale inputs are many bounded ~1 GB
+        files, so this IS full fan-out with zero driver involvement
+        past listing."""
+        _check_file_sizes(self.files, self.max_bytes_per_file)
         return [_WarcFile(p) for p in self.files]
 
     def read(self, partition: _WarcFile) -> Iterator[tuple]:
@@ -306,6 +339,7 @@ class WarcStreamReader(DataSourceStreamReader):
             str(options.get("stripHttpHeaders", "true")).lower() == "true"
         )
         self.max_files_per_batch = int(options.get("maxFilesPerBatch", 64))
+        self.max_bytes_per_file = int(options.get("maxBytesPerFile", 0))
         self._upto = ""  # watermark mirror for batch-size pacing only
         self._seen_below: set[str] = set()  # late-by-naming warn-once
 
@@ -355,8 +389,9 @@ class WarcStreamReader(DataSourceStreamReader):
                     f"{sorted(late)[:5]}"
                 )
             self._seen_below.update(below)
-        batch = [n for n in names if lo < n <= hi]
-        return [_WarcFile(os.path.join(self.dir, n)) for n in batch]
+        batch = [os.path.join(self.dir, n) for n in names if lo < n <= hi]
+        _check_file_sizes(batch, self.max_bytes_per_file)
+        return [_WarcFile(p) for p in batch]
 
     def read(self, partition: _WarcFile):
         yield from _warc_rows(

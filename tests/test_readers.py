@@ -669,6 +669,31 @@ def test_warc_truncated_record_raises(spark, tmp_path):
         list(iter_warc_records(str(tmp_path / "trunc.warc")))
 
 
+def test_warc_max_bytes_per_file_fails_loudly(spark, tmp_path):
+    """VERDICT r5 #9: gzip forbids mid-stream splits, so an oversized
+    segment would silently serialize on one task — maxBytesPerFile
+    names the offender at plan time instead; default (0) stays
+    permissive."""
+    import pytest as _pytest
+
+    from mapreduce_stockheadlines_spark.sources import warc as W
+
+    d = _write_warc_fixture(tmp_path)
+    W.register(spark)
+    small = (
+        spark.read.format("warc").option("path", d)
+        .option("maxBytesPerFile", "64").load()
+    )
+    with _pytest.raises(Exception, match="maxBytesPerFile"):
+        small.collect()
+    # a generous cap (and the default) both pass
+    ok = (
+        spark.read.format("warc").option("path", d)
+        .option("maxBytesPerFile", str(1 << 20)).load()
+    )
+    assert ok.count() == 5
+
+
 def test_warc_to_curate_end_to_end(spark, tmp_path):
     """The full Common Crawl story: WARC files → warc_text_docs →
     strip_html → curate() gates; the HTML response body and the WET
