@@ -803,6 +803,99 @@ def test_warc_stream_ingests_landing_segments(spark, tmp_path):
     assert len(got) == 3  # exactly once each, despite the 1-file pacing
 
 
+def test_warc_stream_to_curated_ingest_exactly_once(spark, tmp_path):
+    """VERDICT r5 #8: the full crawl-to-corpus loop in one pinned test —
+    ``readStream.format('warc')`` over a live landing directory feeds
+    ``curated_ingest_sink`` via foreachBatch. Cross-segment duplicate
+    text is dropped by the persistent digest index, and a stop/restart
+    from the same checkpoint admits later segments EXACTLY ONCE (the
+    filename-watermark offsets + the sink's replayed-batch guard
+    together give end-to-end exactly-once doc admission)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources import warc as W
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+
+    def _drop(name, recs):
+        (land / name).write_bytes(
+            b"".join(
+                _warc_record(
+                    "conversion", rid, f"http://x/{rid}", text.encode(),
+                    extra=[b"Content-Type: text/plain"],
+                )
+                for rid, text in recs
+            )
+        )
+
+    _drop("seg-001.warc", [("a", "alpha document one"), ("b", "beta two")])
+    # c duplicates a's text across segments; d is fresh
+    _drop("seg-002.warc", [("c", "alpha document one"), ("d", "delta four")])
+    W.register(spark)
+
+    def start():
+        stream = (
+            spark.readStream.format("warc")
+            .option("path", str(land))
+            .option("recordTypes", "conversion")
+            .load()
+            .select(
+                F.col("record_id").alias("doc_id"),
+                F.make_valid_utf8(F.col("payload").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+        return (
+            stream.writeStream.foreachBatch(curated_ingest_sink(out, idx))
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    def _count(path=None):
+        try:
+            return spark.read.parquet(path or out).count()
+        except Exception:
+            return 0
+
+    # the wait gates on the INDEX count: the index append is the LAST
+    # write of each batch, so stopping after it cannot catch a batch
+    # between its output and index writes (that window is the sink's
+    # crash-replay contract, pinned separately — not this test's target)
+    q = start()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and _count(idx) < 3:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert _count() == 3  # a, b, d — c's duplicate text deduped
+
+    # segment lands while the pipeline is DOWN; e fresh, f repeats b
+    _drop("seg-003.warc", [("e", "epsilon five"), ("f", "beta two")])
+    q = start()  # same checkpoint: resumes past committed segments
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and _count(idx) < 4:
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [  # each admitted exactly once across the restart
+        "<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:d>", "<urn:uuid:e>"
+    ]
+    assert spark.read.parquet(idx).count() == 4
+
+
 def test_write_parquet_bloom_adds_filters(spark, tmp_path):
     """Bloom-filtered parquet: identical data written with and without
     blooms differs by about ndv x 1.2 bytes of filter payload (pyarrow
