@@ -43,8 +43,12 @@ def pagerank(
     zero-in-degree nodes, then a checkpoint truncating lineage
     (``reliable_checkpoint`` as in ``neardup_clusters``: executor-local
     by default, real checkpoint dir on a cluster). The dangling mass is
-    a one-row aggregate of the node-sized rank table, broadcast back as
-    a literal-free join-less scalar via collect (bounded: one double).
+    a one-row aggregate of the node-sized rank table folded back in as
+    a broadcast equi-join on a constant key (BroadcastHashJoin with a
+    1-row build side — NOT a nested-loop cross join, and NOT a driver
+    collect: round 6 removed the per-round collect, halving the Spark
+    jobs per iteration; the whole round now executes inside the single
+    checkpoint action).
 
     ``quantize_dp``: round each round's ranks to this many decimal
     places. Distributed double summation is order-dependent (partial
@@ -89,22 +93,28 @@ def pagerank(
             sending.groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
         )
-        # dangling nodes (no outgoing edges) leak their mass — collect
-        # it (one double) and spread uniformly, keeping SUM(rank) = 1
-        dangling = (
+        # dangling nodes (no outgoing edges) leak their mass — fold the
+        # one-row sum back in via a constant-key broadcast equi-join,
+        # spreading it uniformly so SUM(rank) = 1 every round. The
+        # arithmetic association mirrors the pre-round-6 driver-side
+        # form bit-for-bit: base + ((d * dang) / n) + d * in
+        dang = (
             ranks.join(out_deg.select(F.col("src").alias("node")),
                        "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+            .withColumn("_k", F.lit(1))
         )
-        spread = base + damping * dangling / n_nodes
-        new_rank = F.lit(spread) + F.lit(damping) * F.coalesce(
-            F.col("_in"), F.lit(0.0)
+        new_rank = (
+            F.lit(base)
+            + (F.lit(damping) * F.col("_dang")) / F.lit(float(n_nodes))
+            + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
         )
         if quantize_dp is not None:
             new_rank = F.round(new_rank, quantize_dp)
         ranks = _ckpt(
             nodes.join(received, "node", "left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(dang), "_k")
             .select("node", new_rank.alias("rank"))
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
