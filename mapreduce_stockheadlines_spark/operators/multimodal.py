@@ -209,44 +209,64 @@ def _decode_png(content: bytes) -> np.ndarray:
         raise ValueError("palette PNG unsupported")
     if w == 0 or h == 0:
         raise ValueError("empty PNG")
+    stride = w * channels
+    want = h * (stride + 1)
+    # bounded inflate: the raster size is known from IHDR, so cap the
+    # decompressed output at it — an adversarial decompression-bomb
+    # PNG (tiny IDAT inflating to GBs) must reject as a ValueError the
+    # non-strict tier can stub, never as an executor OOM
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), want)
+        overflow = bool(d.decompress(d.unconsumed_tail, 1))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG zlib stream: {exc}") from exc
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < want:
         raise ValueError("truncated PNG raster")
+    if overflow:
+        raise ValueError("PNG raster exceeds IHDR-declared size")
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    prev = np.zeros((w, channels), dtype=np.int16)
     pos = 0
     for y in range(h):
         f = raw[pos]
-        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
         pos += 1 + stride
         if f == 0:
-            pass
-        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
-            line += prev
-        elif f == 1:  # Sub — sequential along the row
-            for i in range(channels, stride):
-                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = int(line[i - channels]) if i >= channels else 0
-                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+            cur = line.reshape(w, channels).astype(np.int16)
+        elif f == 2:  # Up — fully vectorized, mod-256 wrap
+            cur = (line.reshape(w, channels) + prev) & 0xFF
+        elif f == 1:  # Sub — per-channel prefix sum mod 256
+            cur = (
+                np.cumsum(line.reshape(w, channels), axis=0, dtype=np.int64)
+                & 0xFF
+            ).astype(np.int16)
+        elif f == 3:  # Average — sequential in x, vectorized per pixel
+            enc = line.reshape(w, channels).astype(np.int16)
+            cur = np.empty_like(enc)
+            a = np.zeros(channels, dtype=np.int16)
+            for x in range(w):
+                a = (enc[x] + ((a + prev[x]) >> 1)) & 0xFF
+                cur[x] = a
+        elif f == 4:  # Paeth — sequential in x, vectorized per pixel
+            enc = line.reshape(w, channels).astype(np.int16)
+            cur = np.empty_like(enc)
+            a = np.zeros(channels, dtype=np.int16)
+            c = np.zeros(channels, dtype=np.int16)
+            for x in range(w):
+                b = prev[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (int(line[i]) + pr) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (enc[x] + pr) & 0xFF
+                cur[x] = a
+                c = b
         else:
             raise ValueError(f"unknown PNG filter {f}")
-        out[y] = line
-        prev = line
+        out[y] = cur.astype(np.uint8).reshape(-1)
+        prev = cur.astype(np.int16)
     px = out.reshape(h, w, channels)
     if channels == 1:
         return np.repeat(px, 3, axis=2)

@@ -78,13 +78,20 @@ def _publish_pointer(fs, jvm, table_dir: str, version: int) -> None:
 def _reclaim_stale_claim(
     spark, fs, claim, table_dir: str, version: int, grace_s: float | None
 ) -> bool:
-    """Delete-and-retake an orphaned write claim. True only when ALL of:
-    the caller opted in (``grace_s`` is not None), the pointer is still
+    """Take over an orphaned write claim. True only when ALL of: the
+    caller opted in (``grace_s`` is not None), the pointer is still
     below ``version`` (so the claimant never committed — if it HAS
     committed, the conflict is real and reclaiming would overwrite a
     published snapshot), the claim file is older than the grace period,
-    and the re-create of the claim wins (a concurrent reclaimer may
-    race; exactly one wins the overwrite=False create)."""
+    and this reclaimer wins the takeover race.
+
+    The takeover is an atomic RENAME of the stale claim to a unique
+    tombstone, not delete+create: with delete+create two concurrent
+    reclaimers can interleave (B's delete removes A's freshly-created
+    claim, B's create then succeeds) and BOTH proceed to write the same
+    snapshot directory — the torn-snapshot outcome the claim exists to
+    prevent. A rename has exactly one winner (the source vanishes for
+    everyone else), and the loser backs off."""
     if grace_s is None:
         return False
     committed = _read_pointer(spark, table_dir)
@@ -99,10 +106,17 @@ def _reclaim_stale_claim(
         mtime_ms = None
     if mtime_ms is not None:
         import time
+        import uuid
 
         if (time.time() - mtime_ms / 1000.0) < grace_s:
             return False
-        fs.delete(claim, False)
+        _, jvm = _fs(spark, table_dir)
+        tomb = jvm.org.apache.hadoop.fs.Path(
+            f"{table_dir}/_claim_v{version}.stale-{uuid.uuid4().hex}"
+        )
+        if not fs.rename(claim, tomb):
+            return False  # lost the takeover race — another reclaimer won
+        fs.delete(tomb, False)
     try:
         fs.create(claim, False).close()
     except Exception:

@@ -53,10 +53,10 @@ def _history(spark, index_dir: str, batch_id: int):
     ALSO raises AnalysisException, and swallowing it would silently
     re-admit the entire deduped history. Corruption must fail the
     batch loudly."""
-    sc = spark.sparkContext
-    jpath = sc._jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
+    from ..sources.versioned import _fs
+
+    fs, jvm = _fs(spark, index_dir)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(index_dir)):
         return None
     return spark.read.parquet(index_dir).filter(
         F.col("batch_id") < F.lit(batch_id)

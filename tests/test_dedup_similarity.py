@@ -488,6 +488,19 @@ def test_multimodal_real_png_decode(spark):
     hashes = {r.media_id: r.phash for r in M.image_phash(hdf, strict=True).collect()}
     assert bin(hashes[1] ^ hashes[2]).count("1") <= 2
 
+    # decompression bomb: a 1x1 IHDR with IDAT inflating to ~64 MB must
+    # reject via the bounded inflate (ValueError -> stub tier), never
+    # allocate the full bomb / OOM the task
+    bomb = (
+        M._PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * (64 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 100_000  # the bomb itself is tiny on the wire
+    with pytest.raises(ValueError):
+        M._decode_png(bomb)
+
     # palette PNG: digest stub non-strict, loud in strict mode
     ppng = (
         M._PNG_SIG
