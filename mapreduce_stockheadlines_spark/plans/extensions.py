@@ -1079,15 +1079,18 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
         aug_docs, "doc_id", "text", blocklist
     ).select("doc_id", F.lit(1).alias("kept"))
     frontier = docs.select("doc_id", _x24_frontier_url(did).alias("furl"))
-    canon = frontier.select(
-        "doc_id", TS.canonical_url("furl").alias("canonical_url")
-    )
     surv = TS.dedup_urls(frontier, "furl", "doc_id").select(
         "doc_id", F.lit(1).alias("frontier_kept")
     )
     return (
         stats.join(kept, "doc_id", "left")
-        .join(canon, "doc_id")
+        # canonical_url is a pure codegen projection of doc_id (via the
+        # planted furl) — recomputed inline, NOT joined: only the
+        # survivor flag (a genuine groupBy-canonical product) needs a
+        # doc-keyed join back
+        .withColumn(
+            "canonical_url", TS.canonical_url(_x24_frontier_url(F.col("doc_id")))
+        )
         .join(surv, "doc_id", "left")
         .select(
             "doc_id",

@@ -103,3 +103,14 @@ def test_pagerank_quantized_is_partitioning_invariant(spark):
     full = {r.node: r.rank for r in pagerank(df1).collect()}
     for n in full:
         assert abs(full[n] - r1[n]) < 1e-8
+    # lineage truncation cadence never changes values: every round and
+    # every-3rd/4th round agree bitwise (plan re-expansion doubles per
+    # un-truncated round — interval stays small by design, see docstring)
+    for interval in (1, 3, 4):
+        ri = {
+            r.node: r.rank
+            for r in pagerank(
+                df16, quantize_dp=10, checkpoint_interval=interval
+            ).collect()
+        }
+        assert ri == r1
