@@ -656,6 +656,117 @@ def classifier_score(
     )
 
 
+def train_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    min_df: int = 2,
+    quantize_dp: int | None = 12,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Train the (token, weight) table ``classifier_score`` consumes —
+    the TRAINING half of the CCNet/DCLM quality-filter stage (fastText
+    shape: fit a linear bag-of-words model on labeled docs — e.g.
+    wiki=1 vs raw-crawl=0 — then gate the corpus on its scores).
+
+    Model exactly matches the scorer's semantics: logit(doc) = mean
+    token weight over ALL the doc's tokens (OOV → 0), p = sigmoid.
+    Training is full-batch gradient descent on log-loss: per round,
+    ``z_d = Σ x_{d,t}·w_t`` (x = token count / doc length), residual
+    ``σ(z_d) − y_d``, gradient ``g_t = Σ_d resid_d·x_{d,t} / n_docs``
+    and update ``w ← w − lr·(g + l2·w)``. ``label_col`` must be 0/1.
+    Vocabulary is bounded to tokens appearing in ≥ ``min_df`` docs
+    (document-frequency census — the BPE-style bounded-model move);
+    docs containing no vocab token have zero gradient against every
+    weight and drop out harmlessly (their doc length still normalizes
+    nothing — they simply carry no vocab features).
+
+    Scale shape (the PageRank contract applied to learning): the
+    (doc, token, x) feature stream is built ONCE from one tokenize +
+    explode + per-doc census and checkpointed; each round is two
+    equi-joins over it (token-keyed against the vocab-sized weight
+    table, doc-keyed against the doc-sized residuals) plus two
+    aggregations — no driver-side data, weight table vocab-sized,
+    lineage truncated every ``checkpoint_interval`` rounds (per-round
+    plans reference the weight table once, so re-expansion is linear,
+    not the doubling PageRank suffers — a larger interval is safe).
+
+    ``quantize_dp``: round weights to this many decimals each round.
+    Distributed (and cross-library) float sums reorder run-to-run at
+    ~1e-16 relative; quantizing far above that (default 1e-12) makes
+    the whole fit BIT-REPRODUCIBLE across partitionings and bit-equal
+    to a numpy reference implementing the same quantized recurrence
+    (pinned in tests, same knob as ``graph.pagerank``).
+    """
+    if n_iters < 1:
+        raise ValueError("train_classifier: n_iters must be >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("train_classifier: checkpoint_interval must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("double").alias("_y"),
+        F.explode(tokens_array(text_col)).alias("token"),
+    )
+    counts = toks.groupBy("_id", "_y", "token").agg(F.count("*").alias("_c"))
+    lens = counts.groupBy("_id").agg(F.sum("_c").alias("_len"))
+    vocab = (
+        counts.groupBy("token")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("token")
+    )
+    feats = (
+        counts.join(lens, "_id")
+        .join(vocab, "token", "left_semi")
+        .select(
+            "_id", "_y", "token",
+            (F.col("_c") / F.col("_len")).alias("_x"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = lens.count()
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame([], "token string, weight double")
+
+    weights = vocab.withColumn("_w", F.lit(0.0)).localCheckpoint()
+    for it in range(n_iters):
+        zd = (
+            feats.join(weights, "token")
+            .groupBy("_id", "_y")
+            .agg(F.sum(F.col("_x") * F.col("_w")).alias("_z"))
+        )
+        resid = zd.select(
+            "_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))) - F.col("_y")
+            ).alias("_r"),
+        )
+        grad = (
+            feats.join(resid, "_id")
+            .groupBy("token")
+            .agg(
+                (F.sum(F.col("_x") * F.col("_r")) / F.lit(float(n_docs))).alias(
+                    "_g"
+                )
+            )
+        )
+        new_w = F.col("_w") - F.lit(lr) * (
+            F.coalesce(F.col("_g"), F.lit(0.0)) + F.lit(l2) * F.col("_w")
+        )
+        if quantize_dp is not None:
+            new_w = F.round(new_w, quantize_dp)
+        weights = weights.join(grad, "token", "left").select(
+            "token", new_w.alias("_w")
+        )
+        if (it + 1) % checkpoint_interval == 0 or it == n_iters - 1:
+            weights = weights.localCheckpoint()
+    return weights.select("token", F.col("_w").alias("weight"))
+
+
 # case-insensitive ('UTM_SOURCE=' tracks just as hard) and '=' optional
 # (a bare valueless 'fbclid' still splits otherwise-identical URLs)
 _TRACKING_PARAM_RE = (

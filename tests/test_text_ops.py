@@ -372,3 +372,131 @@ def test_canonical_url_is_idempotent(spark):
     assert twice.filter(
         ~(F.col("c1").eqNullSafe(F.col("c2")))
     ).count() == 0
+
+
+def _ref_train_classifier(rows, n_iters=20, lr=2.0, l2=0.0, min_df=2, qdp=12):
+    """Pure-Python/numpy reference of train_classifier's quantized
+    recurrence (same tokenizer, same feature/vocab construction, same
+    association and per-round rounding)."""
+    import re
+    from collections import Counter
+
+    feats, labels, docfreq = {}, {}, Counter()
+    for i, y, text in rows:
+        toks = re.sub("[^a-zA-Z ]", " ", (text or "").lower()).split()
+        if not toks:
+            continue
+        c = Counter(toks)
+        feats[i] = {t: n / len(toks) for t, n in c.items()}
+        labels[i] = float(y)
+        for t in c:
+            docfreq[t] += 1
+    vocab = {t for t, n in docfreq.items() if n >= min_df}
+    n_docs = len(feats)
+    w = {t: 0.0 for t in vocab}
+    import math
+
+    for _ in range(n_iters):
+        grad = {t: 0.0 for t in vocab}
+        for i, fx in feats.items():
+            z = sum(x * w[t] for t, x in fx.items() if t in vocab)
+            r = 1.0 / (1.0 + math.exp(-z)) - labels[i]
+            for t, x in fx.items():
+                if t in vocab:
+                    grad[t] += x * r
+        for t in vocab:
+            g = grad[t] / n_docs
+            w[t] = round(w[t] - lr * (g + l2 * w[t]), qdp)
+    return w
+
+
+def test_train_classifier_matches_reference_and_learns(spark):
+    """train_classifier: bit-equal to the quantized numpy/python
+    reference recurrence, partitioning-invariant, and the learned table
+    fed to classifier_score separates planted spam from quality docs."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        classifier_score,
+        train_classifier,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, 1, f"quality prose insight careful v{i % 5} text"))
+        else:
+            rows.append((i, 0, f"spam casino pills click v{i % 5} text"))
+    rows.append((99, 1, ""))  # empty doc: no tokens, drops out harmlessly
+
+    df1 = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    got = {
+        r.token: r.weight
+        for r in train_classifier(
+            df1.coalesce(1), "doc_id", "text", "label", n_iters=15
+        ).collect()
+    }
+    want = _ref_train_classifier(rows, n_iters=15)
+    assert got == want  # bitwise, not approx: the quantized recurrence
+
+    got16 = {
+        r.token: r.weight
+        for r in train_classifier(
+            df1.repartition(16), "doc_id", "text", "label", n_iters=15
+        ).collect()
+    }
+    assert got16 == got  # partitioning-invariant
+
+    # signs: discriminative tokens split, shared tokens stay near zero
+    assert got["spam"] < 0 < got["quality"]
+    assert abs(got["text"]) < 0.05
+
+    # end-to-end: the learned table drives the existing scorer
+    wtab = spark.createDataFrame(
+        [(t, w) for t, w in got.items()], ["token", "weight"]
+    )
+    held = spark.createDataFrame(
+        [(1, "careful insight prose here"), (2, "casino pills spam now")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r.doc_id: r.clf_score
+        for r in classifier_score(held, "doc_id", "text", weights=wtab).collect()
+    }
+    assert scores[1] > 0.6 > 0.4 > scores[2]
+
+
+def test_train_classifier_cli_roundtrip(spark, tmp_path):
+    """The training job writes the exact TSV artifact the curate CLI's
+    --clf-weights reader consumes; the round-tripped table gates like
+    the in-memory one."""
+    from mapreduce_stockheadlines_spark.jobs.train_classifier import main
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        classifier_score,
+    )
+
+    rows = [
+        (i, i % 2, "quality insight text" if i % 2 else "spam casino text")
+        for i in range(20)
+    ]
+    labeled = str(tmp_path / "labeled")
+    out = str(tmp_path / "weights")
+    spark.createDataFrame(
+        rows, "doc_id long, label int, text string"
+    ).write.parquet(labeled)
+    main([labeled, out, "--iters", "10"])
+
+    # read back exactly the way jobs/pipeline.py --clf-weights does
+    wtab = (
+        spark.read.option("sep", "\t")
+        .schema("token string, weight double")
+        .csv(out)
+    )
+    got = {r.token: r.weight for r in wtab.collect()}
+    assert got["quality"] > 0 > got["spam"]
+    held = spark.createDataFrame(
+        [(1, "quality insight"), (2, "spam casino")], "doc_id long, text string"
+    )
+    s = {
+        r.doc_id: r.clf_score
+        for r in classifier_score(held, "doc_id", "text", weights=wtab).collect()
+    }
+    assert s[1] > s[2]
