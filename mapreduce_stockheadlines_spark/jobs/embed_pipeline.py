@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="semantic-dedup cosine threshold (off when unset)")
     ap.add_argument("--n-clusters", type=int, default=16,
                     help="k-means cells for semantic dedup")
+    ap.add_argument("--pca-k", type=int, default=None,
+                    help="build mode: PCA-project embeddings to k dims "
+                         "before dedup/quantize/indexing (fit persisted "
+                         "to <out>/pca; search queries come from the "
+                         "projected corpus, so no re-projection needed)")
     ap.add_argument("--quantize", action="store_true",
                     help="attach int8 codes + scale + reconstruction rmse")
     ap.add_argument("--build-index", action="store_true",
@@ -146,6 +151,21 @@ def main(argv: list[str] | None = None) -> None:
             prof = profile_embeddings(emb, "embedding").collect()[0]
             for k, v in prof.asDict().items():
                 print(f"profile.{k}\t{v}")
+        if args.pca_k is not None:
+            mean, comps = EB.pca_fit(emb, "embedding", k=args.pca_k)
+            ev = EB.pca_explained_variance(emb, "embedding", mean, comps)
+            print(f"pca.k\t{args.pca_k}\tpca.explained_variance\t{round(ev, 4)}")
+            emb = (
+                EB.pca_project(emb, "embedding", mean, comps, out_col="_pca")
+                .drop("embedding")
+                .withColumnRenamed("_pca", "embedding")
+            )
+            rows = [(-1, [float(x) for x in mean])] + [
+                (i, [float(x) for x in c]) for i, c in enumerate(comps)
+            ]
+            spark.createDataFrame(
+                rows, "row int, vec array<double>"
+            ).write.mode("overwrite").parquet(f"{args.out_dir}/pca")
         out = curate_embeddings(
             emb,
             sem_threshold=args.sem_threshold,

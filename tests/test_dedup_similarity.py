@@ -1857,3 +1857,60 @@ def test_topk_eval_duplicate_approx_pairs_cap_recall(spark):
     r = got[0]
     assert (r.n_truth, r.n_hit, r.recall) == (2, 2, 1.0)
     assert r.first_hit_rank == 2 and r.reciprocal_rank == 0.5
+
+
+def test_pca_fit_project_reference_and_invariance(spark, sf_dir):
+    """PCA over the real embeddings table: bit-stable across
+    partitionings (quantized moments), equal to a numpy reference on
+    the same quantized moments, components orthonormal, projection
+    matches numpy matmul, and explained variance grows with k toward 1
+    at k=d."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators.embeddings import (
+        pca_explained_variance,
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.asarray(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    mean1, comp1 = pca_fit(emb.coalesce(1), "embedding", k=8)
+    mean16, comp16 = pca_fit(emb.repartition(16), "embedding", k=8)
+    assert np.array_equal(mean1, mean16) and np.array_equal(comp1, comp16)
+
+    # numpy reference on identically quantized moments
+    s = np.round(X.sum(axis=0), 9)
+    g = np.round(X.T @ X, 9)
+    mu = s / len(X)
+    cov = g / len(X) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    ref = evecs[:, np.argsort(evals)[::-1][:8]].T
+    for i in range(8):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.array_equal(mean1, mu) and np.array_equal(comp1, ref)
+
+    # orthonormal rows
+    assert np.allclose(comp1 @ comp1.T, np.eye(8), atol=1e-9)
+
+    # projection == numpy matmul, length k, ids preserved
+    proj = {
+        r.vec_id: np.asarray(r.pca)
+        for r in pca_project(emb, "embedding", mean1, comp1).collect()
+    }
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want = (X - mu) @ comp1.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(proj[vid], want[i], atol=1e-9)
+        assert len(proj[vid]) == 8
+
+    # explained variance: monotone in k, ~1 at full rank
+    ev8 = pca_explained_variance(emb, "embedding", mean1, comp1)
+    mean_full, comp_full = pca_fit(emb, "embedding", k=X.shape[1])
+    ev_full = pca_explained_variance(emb, "embedding", mean_full, comp_full)
+    assert 0.0 < ev8 < ev_full <= 1.0 + 1e-9
+    assert ev_full > 0.999

@@ -1025,3 +1025,35 @@ def test_run_staged_sweep_only_removes_tmp_prefix(spark, tmp_path):
     _sweep_tmp(str(base))
     assert not os.path.exists(base / ".tmp-deadbeef")
     assert (base / "00-pre.tmp-x" / "keep").read_text() == "data"
+
+
+def test_embed_pipeline_pca_build_and_eval(spark, tmp_path, sf_dir, capsys):
+    """--pca-k projects the corpus before indexing (stored vectors are
+    k-dim), persists the fit to <out>/pca, prints explained variance,
+    and exhaustive-probe eval on the projected corpus still reports
+    perfect self-recall (search queries come from the projected corpus,
+    so no re-projection step exists to get wrong)."""
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import main
+
+    out_dir = str(tmp_path / "vec")
+    main(["build", out_dir, "--sf-dir", sf_dir, "--pca-k", "8",
+          "--build-index", "--n-centroids", "4", "--train-iters", "1"])
+    out = capsys.readouterr().out
+    ev = next(
+        float(ln.split("\t")[3])
+        for ln in out.splitlines()
+        if ln.startswith("pca.k")
+    )
+    assert 0.0 < ev <= 1.0
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
+    assert {len(r.embedding) for r in corpus.select("embedding").collect()} == {8}
+    pca = spark.read.parquet(f"{out_dir}/pca")
+    assert pca.count() == 9  # mean row (-1) + 8 components
+    assert {len(r.vec) for r in pca.collect()} == {64}
+
+    main(["eval", out_dir, "--query-ids", "0,1", "--k", "5",
+          "--n-probe", "4"])
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if "recall=" in ln
+    ]
+    assert lines and lines[-1].startswith("macro\trecall=1.0")
