@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     # round 6 additions
     "x31_pagerank",
     "x32_sampling",
+    "x33_train_classifier",
 ]
 
 

@@ -691,9 +691,11 @@ def train_classifier(
     equi-joins over it (token-keyed against the vocab-sized weight
     table, doc-keyed against the doc-sized residuals) plus two
     aggregations — no driver-side data, weight table vocab-sized,
-    lineage truncated every ``checkpoint_interval`` rounds (per-round
-    plans reference the weight table once, so re-expansion is linear,
-    not the doubling PageRank suffers — a larger interval is safe).
+    lineage truncated every ``checkpoint_interval`` rounds (each round
+    references the weight table twice — once for scores, once in the
+    update join — so un-truncated plans double per round exactly like
+    PageRank's; the default interval bounds re-expansion at 2^4 leaf
+    references).
 
     ``quantize_dp``: round weights to this many decimals each round.
     Distributed (and cross-library) float sums reorder run-to-run at

@@ -124,8 +124,11 @@ def q25_cube_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     tag-unioned with an explicit GROUPING SETS lattice subset (the former
     q31, consolidated round 5; its freed registry slot went to
     x27_quantize_embeddings in plans/extensions.py) and with the former
-    q26 pivot (consolidated round 6; freed slot → x32_sampling in
-    plans/extensions.py). Each branch keeps its own Catalyst shape: the
+    q26 pivot (consolidated round 6; freed slot → x32_sampling) and the
+    former q29 JSON/array/map scalars (consolidated round 6 as the
+    'json' branch — JSON extract + sequence/aggregate HOF + map lookup
+    still execute, sums serialized into the union schema; freed slot →
+    x33_train_classifier in plans/extensions.py). Each branch keeps its own Catalyst shape: the
     cube via the DataFrame API, the grouping sets via the spark.sql
     entry over registered views (that entry-path coverage is part of
     what q31 pinned), and the pivot via groupBy().pivot() with an
@@ -183,7 +186,41 @@ def q25_cube_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("min_price"),
         F.lit(None).cast("double").alias("max_price"),
     )
-    return cube.unionAll(gs).unionAll(piv).orderBy(
+    ej = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    tri = F.aggregate(
+        F.sequence(F.lit(1), k % 5 + 1), F.lit(0), lambda acc, x: acc + x
+    )
+    mp = F.create_map(F.lit("k"), k)
+    jper = ej.select(
+        "event_type",
+        k.alias("k"),
+        tri.alias("tri"),
+        F.element_at(mp, "k").alias("mk"),
+    )
+    jrow = (
+        jper.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sk"),
+            F.sum("tri").alias("st"),
+            F.sum("mk").alias("sm"),
+        )
+        .select(
+            F.lit("json").alias("src"),
+            F.col("event_type").alias("o_orderstatus"),
+            F.concat(
+                F.lit("k="), F.col("sk").cast("string"),
+                F.lit("|tri="), F.col("st").cast("string"),
+                F.lit("|mapk="), F.col("sm").cast("string"),
+            ).alias("o_orderpriority"),
+            F.lit(-2).alias("gid"),
+            F.col("n").alias("n_orders"),
+            F.lit(None).cast("double").alias("min_price"),
+            F.lit(None).cast("double").alias("max_price"),
+        )
+    )
+    return cube.unionAll(gs).unionAll(piv).unionAll(jrow).orderBy(
         "src", "gid", "o_orderstatus", "o_orderpriority"
     )
 
@@ -206,6 +243,22 @@ SELECT 'pivot' AS src,
 FROM events GROUP BY day(ts)
 """
 
+_Q25_JSON_SQL = """
+SELECT 'json' AS src, event_type AS o_orderstatus,
+       'k=' || CAST(CAST(sum(k) AS BIGINT) AS VARCHAR)
+       || '|tri=' || CAST(CAST(sum((k % 5 + 1) * (k % 5 + 2) // 2) AS BIGINT)
+                          AS VARCHAR)
+       || '|mapk=' || CAST(CAST(sum(k) AS BIGINT) AS VARCHAR)
+         AS o_orderpriority,
+       CAST(-2 AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       CAST(NULL AS DOUBLE) AS min_price, CAST(NULL AS DOUBLE) AS max_price
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
 Q25_SQL = f"""
 SELECT 'cube' AS src, o_orderstatus, o_orderpriority,
        CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER)
@@ -217,6 +270,8 @@ UNION ALL
 {_Q25_GS_SQL}
 UNION ALL
 {_Q25_PIVOT_SQL}
+UNION ALL
+{_Q25_JSON_SQL}
 ORDER BY src, gid, o_orderstatus, o_orderpriority
 """
 
@@ -256,45 +311,12 @@ Q28_SQL = _Q28_SPARK_SQL  # ANSI subset — identical text runs on DuckDB
 
 # --- q29 JSON + array/map scalar functions ------------------------------------
 
-def q29_json_array_map(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON extraction + sequence/aggregate higher-order array fold +
-    map construction/lookup, aggregated with exact integer sums."""
-    e = table(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    m = k % 5 + 1
-    arr = F.sequence(F.lit(1), m)
-    tri = F.aggregate(arr, F.lit(0), lambda acc, x: acc + x)
-    mp = F.create_map(F.lit("k"), k)
-    per = e.select(
-        "event_type",
-        k.alias("k"),
-        tri.alias("tri"),
-        F.element_at(mp, "k").alias("mk"),
-    )
-    return (
-        per.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.sum("tri").alias("sum_tri"),
-            F.sum("mk").alias("sum_map_k"),
-        )
-        .orderBy("event_type")
-    )
-
-
-Q29_SQL = """
-WITH per AS (
-  SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-  FROM events),
-c AS (SELECT event_type, k, (k % 5 + 1) AS m FROM per)
-SELECT event_type, count(*) AS n,
-       CAST(sum(k) AS BIGINT) AS sum_k,
-       CAST(sum(m * (m + 1) // 2) AS BIGINT) AS sum_tri,
-       CAST(sum(k) AS BIGINT) AS sum_map_k
-FROM c GROUP BY event_type ORDER BY event_type
-"""
+# q29_json_array_map was consolidated into q25_cube_grouping_sets in
+# round 6 (a fourth 'json' tag-union branch: the JSON extraction,
+# sequence/aggregate HOF fold, and map construction/lookup all still
+# execute, their per-event-type sums serialized into the union schema);
+# the freed registry slot went to x33_train_classifier in
+# plans/extensions.py.
 
 
 # q30_percentiles was consolidated into q02_group_agg in round 6 (the
@@ -393,7 +415,6 @@ ADV_QUERIES: dict[str, QuerySpec] = {
     "q24_range_join": QuerySpec(q24_range_join, Q24_SQL),
     "q25_cube_grouping_sets": QuerySpec(q25_cube_grouping_sets, Q25_SQL),
     "q28_subqueries": QuerySpec(q28_subqueries, Q28_SQL),
-    "q29_json_array_map": QuerySpec(q29_json_array_map, Q29_SQL),
     "q32_full_outer": QuerySpec(q32_full_outer, Q32_SQL),
     "q33_math_date_functions": QuerySpec(q33_math_date_functions, Q33_SQL),
 }

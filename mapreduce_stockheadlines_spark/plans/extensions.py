@@ -1676,6 +1676,99 @@ ORDER BY doc_id, epoch
 """
 
 
+# --- x33 distributed classifier training (unrolled LR oracle) ----------------
+
+def x33_train_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-batch logistic-regression training of the quality-classifier
+    weight table (operators/textstats.train_classifier) hash-matched
+    against an independent DuckDB re-derivation that unrolls every
+    gradient round as MATERIALIZED CTEs — the same cross-engine
+    iterative-algorithm verification pattern as x31's PageRank, applied
+    to LEARNING: tokenize/census/vocab, per-round z = Σx·w, sigmoid
+    residuals, per-token gradients and quantized updates are all
+    recomputed from scratch by the oracle, so the final weight vector
+    matches bit-for-bit, not by tolerance.
+
+    Labels and a planted signal derive from doc_id parity (even docs
+    gain ' signalspam casino', odd ' signalgood insight' — so the fit
+    has real separable structure and the learned signs are meaningful,
+    while every real corpus token still participates via the df >= 5
+    vocabulary). quantize_dp=9: reorder/libm noise is ~1e-16 relative,
+    six rounds of 1e-9 rounding sit ~7 orders of magnitude above it —
+    the same argument (and the same knob) as x31, with margin chosen so
+    thousands of rounded values cannot plausibly straddle a boundary."""
+    docs = parallel_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        (did % 2).cast("int").alias("label"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(did % 2 == 0, F.lit(" signalspam casino")).otherwise(
+                F.lit(" signalgood insight")
+            ),
+        ).alias("text"),
+    )
+    w = TS.train_classifier(
+        aug, "doc_id", "text", "label",
+        n_iters=6, lr=2.0, l2=0.0, min_df=5, quantize_dp=9,
+    )
+    return w.orderBy("token")
+
+
+def _x33_oracle_sql(n_iters: int = 6, lr: float = 2.0, dp: int = 9) -> str:
+    # unrolled gradient descent: w0..w6 as chained MATERIALIZED CTEs
+    # (un-materialized chains re-expand exponentially — x31's lesson);
+    # arithmetic mirrors train_classifier's association exactly:
+    # g = SUM(x*r)/n, w' = round(w - lr*(coalesce(g,0) + 0.0*w), dp).
+    its = ""
+    for k in range(1, n_iters + 1):
+        prev = f"w{k - 1}"
+        its += f""",
+z{k} AS MATERIALIZED (
+  SELECT f.doc_id, f.y, sum(f.x * w._w) AS z
+  FROM feats f JOIN {prev} w USING (token) GROUP BY f.doc_id, f.y),
+r{k} AS MATERIALIZED (
+  SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z{k}),
+g{k} AS MATERIALIZED (
+  SELECT f.token, sum(f.x * r.r) / (SELECT nd FROM n_docs) AS g
+  FROM feats f JOIN r{k} r USING (doc_id) GROUP BY f.token),
+w{k} AS MATERIALIZED (
+  SELECT w.token,
+         round(w._w - {lr} * (coalesce(g.g, 0.0) + 0.0 * w._w), {dp}) AS _w
+  FROM {prev} w LEFT JOIN g{k} g USING (token))"""
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS label,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 2 = 0 THEN ' signalspam casino'
+                 ELSE ' signalgood insight' END AS text
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, CAST(label AS DOUBLE) AS y,
+         unnest(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'),
+           '\\s+')) AS token
+  FROM aug),
+kept AS (SELECT * FROM toks WHERE length(token) > 0),
+counts AS MATERIALIZED (
+  SELECT doc_id, y, token, count(*) AS c FROM kept GROUP BY 1, 2, 3),
+lens AS (SELECT doc_id, sum(c) AS len FROM counts GROUP BY doc_id),
+vocab AS MATERIALIZED (
+  SELECT token FROM counts GROUP BY token HAVING count(*) >= 5),
+feats AS MATERIALIZED (
+  SELECT c.doc_id, c.y, c.token, CAST(c.c AS DOUBLE) / l.len AS x
+  FROM counts c JOIN lens l USING (doc_id)
+  JOIN vocab v USING (token)),
+n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lens),
+w0 AS MATERIALIZED (SELECT token, 0.0 AS _w FROM vocab){its}
+SELECT token, _w AS weight FROM w{n_iters} ORDER BY token
+"""
+
+
+X33_SQL = _x33_oracle_sql()
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01_dedup_exact, X01_SQL),
     "x02_ngram_jaccard": QuerySpec(x02_ngram_jaccard, X02_SQL),
@@ -1703,4 +1796,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "x29_token_divergence": QuerySpec(x29_token_divergence, X29_SQL),
     "x31_pagerank": QuerySpec(x31_pagerank, X31_SQL),
     "x32_sampling": QuerySpec(x32_sampling, X32_SQL),
+    "x33_train_classifier": QuerySpec(x33_train_classifier, X33_SQL),
 }
