@@ -612,6 +612,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="per-source mixture epochs (e.g. wiki=2.3,cc=0.5): "
                          "floor(w) copies + hash-gated fractional extra per "
                          "doc; train-side only when --test-fraction is set")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature-rebalance sources so the output "
+                         "mixture follows n^alpha (1=natural, 0=equal; "
+                         "the multilingual alpha-sampling rule); a "
+                         "down-sampling mix applied with the gates, "
+                         "before any epoch upsampling")
     ap.add_argument("--shuffle-output", action="store_true",
                     help="write output in deterministic hash-shuffled order")
     ap.add_argument("--test-fraction", type=float, default=None,
@@ -731,11 +737,15 @@ def main(argv: list[str] | None = None) -> None:
         return weights
 
     def _upsample_and_shuffle(df):
-        # mixture epochs LAST: replication must follow every gate, and
-        # with a held-out split it applies to the TRAIN side only (an
-        # upsampled eval set would double-count its members); the
-        # shuffle key includes the epoch so replicas spread through the
-        # training order instead of clustering back-to-back
+        # temperature rebalance first (a gate like any other — it only
+        # DROPS rows), then mixture epochs LAST: replication must
+        # follow every gate, and with a held-out split it applies to
+        # the TRAIN side only (an upsampled eval set would double-count
+        # its members); the shuffle key includes the epoch so replicas
+        # spread through the training order instead of clustering
+        # back-to-back
+        if args.mix_alpha is not None:
+            df = SA.temperature_mix(df, "source", "doc_id", args.mix_alpha)
         if args.epoch_weights:
             df = SA.epoch_upsample(
                 df, "source", "doc_id", _parse_epochs(args.epoch_weights),

@@ -304,3 +304,58 @@ def epoch_upsample(
         )
         .drop("_n_copies")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    alpha: float = 0.7,
+    salt: str = "tmix",
+    max_rate: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing — the multilingual /
+    multi-source sampling rule (mBERT/XLM-R's exponent trick, also the
+    'alpha-sampling' of mixture papers): sample source ``s`` with
+    probability proportional to ``n_s^alpha / n_s`` so the OUTPUT
+    mixture follows ``p_s ∝ n_s^alpha``. ``alpha=1`` keeps natural
+    proportions (every row, rate 1), ``alpha=0`` equalizes sources,
+    in-between damps the head without starving the tail. Rates are
+    normalized so the largest is ``max_rate`` (default 1.0: the biggest
+    boost factor is 'keep everything' — this is a DOWN-sampling mix;
+    compose with ``epoch_upsample`` when small sources need >1 epoch).
+
+    Determinism contract shared by every sampler here: membership is a
+    pure function of (salt, key) via the md5 ``hash_fraction``
+    primitive, so the same corpus mixes identically on any cluster,
+    any partitioning, any engine with md5 (DuckDB-pinned row-for-row
+    in pytest). Scale shape: ONE aggregation for the per-source census
+    (driver gets <= |sources| rows), rates fold into a single CASE
+    filter — no shuffle of the corpus, no join."""
+    if alpha < 0:
+        raise ValueError("temperature_mix: alpha must be >= 0")
+    if not 0.0 < max_rate <= 1.0:
+        raise ValueError("temperature_mix: max_rate must be in (0, 1]")
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["src"] is not None and r["n"] > 0
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # keep-rate ∝ n^(alpha-1), scaled so max(rate) == max_rate; the
+    # arithmetic is plain double powers — engine-portable because the
+    # RATES are driver-computed literals (the oracle reuses the same
+    # literals, so only the md5 membership needs cross-engine parity)
+    raw = {s: float(n) ** (alpha - 1.0) for s, n in counts.items()}
+    top = max(raw.values())
+    rates = {s: max_rate * v / top for s, v in raw.items()}
+    rate = None
+    for s in sorted(rates):
+        cond = F.col(source_col) == s
+        lit = F.lit(rates[s])
+        rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
+    rate = rate.otherwise(F.lit(0.0))
+    return df.filter(hash_fraction(key, salt) < rate)

@@ -391,3 +391,101 @@ def test_epoch_upsample_edge_weights(spark):
     assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2)]
     with _pytest.raises(ValueError, match="negative"):
         epoch_upsample(df, "src", "id", {"a": -1.0})
+
+
+def test_temperature_mix_rates_and_duckdb_membership(spark, sf_dir):
+    """temperature_mix: alpha=1 keeps everything; alpha=0 equalizes
+    expected source sizes (each source's keep-rate ∝ 1/n, scaled so the
+    smallest source keeps all); membership is the md5 primitive, so
+    DuckDB recomputes the exact row set from the same driver-computed
+    rate literals."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert temperature_mix(docs, "source", "doc_id", alpha=1.0).count() == n
+
+    out = temperature_mix(docs, "source", "doc_id", alpha=0.0)
+    got_ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # uniform 25-per-source corpus: alpha=0 rates are all 1.0 → identity
+    assert len(got_ids) == n
+
+    # skew the corpus: source 'big' 10x the rest, then alpha=0 keeps
+    # ~1/10th of 'big' and all of 'small' — and DuckDB agrees row-level
+    rows = [(i, "big" if i % 11 else "small") for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = temperature_mix(df, "source", "doc_id", alpha=0.0)
+    got = sorted(r.doc_id for r in mixed.collect())
+    n_big = sum(1 for _, s in rows if s == "big")
+    n_small = len(rows) - n_big
+    r_big, r_small = n_small / n_big, 1.0
+    con = duckdb.connect()
+    want = [
+        i for i, s in rows
+        if con.execute(
+            "SELECT CAST(('0x' || substr(md5('tmix:' || CAST(? AS VARCHAR)),"
+            " 1, 8)) AS BIGINT) / 4294967296.0 < ?",
+            [i, r_big if s == "big" else r_small],
+        ).fetchone()[0]
+    ]
+    assert got == sorted(want)
+    kept_big = sum(1 for i in got if i % 11)
+    assert abs(kept_big - n_big * r_big) < 30  # ~1/10 of 'big' survives
+    assert sum(1 for i in got if i % 11 == 0) == n_small  # all of 'small'
+
+
+def test_curate_cli_mix_alpha(spark, tmp_path, sf_dir):
+    """--mix-alpha plumbs temperature_mix into curate after the gates:
+    alpha=0 equalizes the per-source SURVIVOR counts (never adds rows,
+    max/min source ratio shrinks vs the unmixed run), and the flag
+    composes with --epoch-weights replication."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    base_out = str(tmp_path / "base")
+    mix_out = str(tmp_path / "mixed")
+    # neutralize the default lang/quality gates so every source keeps
+    # enough survivors for the ratio comparison to be meaningful
+    lax = ["--min-quality", "0.0"]
+    main([base_out, "--sf-dir", sf_dir, *lax])
+    main([mix_out, "--sf-dir", sf_dir, *lax, "--mix-alpha", "0.0",
+          "--epoch-weights", "src0=2.0"])
+
+    def per_source(path):
+        return {
+            r.source: r.n
+            for r in spark.read.parquet(path)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    base, mixed = per_source(base_out), per_source(mix_out)
+    # epochs only boost src0; normalize it back before the comparisons
+    mixed_eq = dict(mixed)
+    if "src0" in mixed_eq:
+        dfm = spark.read.parquet(mix_out)
+        mixed_eq["src0"] = (
+            dfm.filter("source = 'src0' AND epoch = 0").count()
+        )
+    for src, n in mixed_eq.items():
+        assert n <= base[src]  # a down-sampling mix never adds rows
+    assert sum(mixed_eq.values()) < sum(base.values())  # and it does drop
+    # membership is a subset of the unmixed survivors (pure hash gate —
+    # the equalization-under-skew property is pinned at operator level,
+    # where source sizes are large enough for the expectation to bind)
+    base_ids = {r.doc_id for r in spark.read.parquet(base_out)
+                .select("doc_id").collect()}
+    mixed_ids = {r.doc_id for r in spark.read.parquet(mix_out)
+                 .select("doc_id").collect()}
+    assert mixed_ids <= base_ids
+    # composition: src0's epoch-1 replica set matches its epoch-0 core
+    dfm = spark.read.parquet(mix_out)
+    e0 = {r.doc_id for r in dfm.filter(
+        "source = 'src0' AND epoch = 0").select("doc_id").collect()}
+    e1 = {r.doc_id for r in dfm.filter(
+        "source = 'src0' AND epoch = 1").select("doc_id").collect()}
+    assert e1 == e0 and e0  # exactly 2.0 epochs: full doubling
