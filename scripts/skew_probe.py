@@ -354,6 +354,76 @@ def main() -> None:
     n_cut = cut.filter(F.col("n_removed_tokens") > 0).count()
     print(f"x30 removed the viral span from {n_cut}/{n} docs — correct")
 
+    # --- 6. (round 6) classifier training under a 100%-hot token -------
+    # every doc contains the token 'the-hot-tok': the gradient's
+    # groupBy(token) sees one key carrying corpus-cardinality rows. The
+    # defense is the same partial-aggregation contract as every census
+    # here: map-side partials emit at most #partitions rows for the hot
+    # token, and the weight table stays vocab-sized.
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        train_classifier,
+    )
+
+    clf_docs = docs.select(
+        "doc_id",
+        (did % 2).cast("int").alias("label"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" the-hot-tok"),
+            F.when(did % 2 == 0, F.lit(" spamsignal")).otherwise(
+                F.lit(" goodsignal")
+            ),
+        ).alias("text"),
+    )
+    tok_stream = clf_docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z-]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    partition_stats(
+        tok_stream.repartition(32, "token"),
+        "x33 gradient naive exchange (token)        ",
+    )
+    w = train_classifier(
+        clf_docs, "doc_id", "text", "label", n_iters=3, min_df=5
+    )
+    n_vocab = w.count()
+    hot_w = {r.token: r.weight for r in w.filter(
+        F.col("token").isin("spamsignal", "goodsignal")).collect()}
+    print(
+        f"x33 trained {n_vocab} weights; partial agg absorbed the "
+        f"100%-hot token map-side (grad output is vocab-sized); "
+        f"signal signs: spam={hot_w.get('spamsignal', 0):+.3f} "
+        f"good={hot_w.get('goodsignal', 0):+.3f}"
+    )
+
+    # --- 7. (round 6) PageRank under a star-graph hub ------------------
+    # every node links to hub 0: received's groupBy(dst) has one key
+    # carrying |V|-1 contribution rows. Partial aggregation absorbs the
+    # hub map-side; the rank table stays node-sized and SUM(rank)=1.
+    from mapreduce_stockheadlines_spark.operators.graph import pagerank
+
+    star = docs.select(
+        (did % 997 + 1).alias("src"), F.lit(0).alias("dst")
+    ).distinct()
+    contribs = star.select("src", "dst")
+    partition_stats(
+        contribs.repartition(32, "dst"),
+        "x31 received naive exchange (dst=hub)      ",
+    )
+    pr = pagerank(star, n_iters=5)
+    total = pr.agg(F.round(F.sum("rank"), 6)).collect()[0][0]
+    hub = pr.filter(F.col("node") == 0).collect()[0]["rank"]
+    print(
+        f"x31 star graph: SUM(rank)={total} (invariant holds), "
+        f"hub rank={hub:.4f} — hot-dst contributions absorbed by "
+        f"map-side partial aggregation"
+    )
+
     print("=== probe complete ===")
 
 
