@@ -329,9 +329,16 @@ def temperature_mix(
     pure function of (salt, key) via the md5 ``hash_fraction``
     primitive, so the same corpus mixes identically on any cluster,
     any partitioning, any engine with md5 (DuckDB-pinned row-for-row
-    in pytest). Scale shape: ONE aggregation for the per-source census
-    (driver gets <= |sources| rows), rates fold into a single CASE
-    filter — no shuffle of the corpus, no join."""
+    in pytest). One honest DIFFERENCE from the fixed-fraction siblings:
+    the keep-RATES derive from the live per-source counts, so unlike
+    ``deterministic_sample``/``train_test_split`` this mix is NOT
+    growth-stable — adding data shifts every source's rate and can flip
+    an existing row's membership. Freeze the mixture of a growing
+    corpus by computing rates once and applying them via
+    ``weighted_source_mix`` on later refreshes. Scale shape: ONE
+    aggregation for the per-source census (driver gets <= |sources|
+    rows), rates fold into a single CASE filter — no shuffle of the
+    corpus, no join."""
     if alpha < 0:
         raise ValueError("temperature_mix: alpha must be >= 0")
     if not 0.0 < max_rate <= 1.0:

@@ -533,3 +533,69 @@ def test_remove_dup_windows_matches_brute_force(spark, texts):
     }
     want = dict(enumerate(_brute_remove(texts, 3, 2)))
     assert got == want
+
+
+src_rows = st.lists(
+    st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=40, unique_by=lambda r: r[0],
+)
+
+
+@given(data=src_rows, alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@SLOW
+def test_temperature_mix_subset_and_biggest_source_never_boosted(
+    spark, data, alpha
+):
+    """For ANY corpus and alpha in [0,1]: the mix is a subset of the
+    input, alpha=1 is the identity, and the SMALLEST source always
+    keeps everything — rate ∝ n^(alpha-1) is maximized by the smallest
+    n when alpha < 1, and that maximum normalizes to max_rate=1 (the
+    'boost by keeping, never by adding' down-sampling contract)."""
+    from collections import Counter
+
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(data, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=alpha)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert got <= set(data)
+    if alpha == 1.0:
+        assert got == set(data)
+    counts = Counter(s for _, s in data)
+    smallest = min(counts, key=lambda s: (counts[s], s))
+    assert {r for r in data if r[1] == smallest} <= got
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32), min_size=4, max_size=4
+        ),
+        min_size=3, max_size=24,
+    ),
+    k=st.sampled_from([1, 2, 4]),
+)
+@SLOW
+def test_pca_components_orthonormal_and_projection_centered(spark, vecs, k):
+    """For ANY vector corpus: fitted components are row-orthonormal and
+    the projection of the corpus has (near-)zero mean per component —
+    the definition of centered PCA, independent of the spectrum."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators.embeddings import (
+        pca_fit,
+        pca_project,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps = pca_fit(df, "embedding", k=k)
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-6)
+    proj = np.asarray(
+        [r.pca for r in pca_project(df, "embedding", mean, comps).collect()]
+    )
+    assert np.allclose(proj.mean(axis=0), 0.0, atol=1e-6)
