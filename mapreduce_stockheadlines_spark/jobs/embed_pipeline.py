@@ -152,13 +152,19 @@ def main(argv: list[str] | None = None) -> None:
             for k, v in prof.asDict().items():
                 print(f"profile.{k}\t{v}")
         if args.pca_k is not None:
-            mean, comps = EB.pca_fit(emb, "embedding", k=args.pca_k)
-            ev = EB.pca_explained_variance(emb, "embedding", mean, comps)
+            mean, comps, ev = EB.pca_fit(
+                emb, "embedding", k=args.pca_k, return_variance=True
+            )
             print(f"pca.k\t{args.pca_k}\tpca.explained_variance\t{round(ev, 4)}")
             emb = (
                 EB.pca_project(emb, "embedding", mean, comps, out_col="_pca")
                 .drop("embedding")
                 .withColumnRenamed("_pca", "embedding")
+                # materialize the projection ONCE: semantic dedup's
+                # k-means rounds and IVF training rescan the frame, and
+                # each rescan would otherwise re-run the Arrow
+                # projection UDF over the full corpus
+                .localCheckpoint()
             )
             rows = [(-1, [float(x) for x in mean])] + [
                 (i, [float(x) for x in c]) for i, c in enumerate(comps)

@@ -745,7 +745,12 @@ def main(argv: list[str] | None = None) -> None:
         # spread through the training order instead of clustering
         # back-to-back
         if args.mix_alpha is not None:
-            df = SA.temperature_mix(df, "source", "doc_id", args.mix_alpha)
+            # materialize the curated frame first: the mix's per-source
+            # census collect() would otherwise execute the whole gate
+            # DAG once for the census and again for the write
+            df = SA.temperature_mix(
+                df.localCheckpoint(), "source", "doc_id", args.mix_alpha
+            )
         if args.epoch_weights:
             df = SA.epoch_upsample(
                 df, "source", "doc_id", _parse_epochs(args.epoch_weights),

@@ -108,6 +108,7 @@ def pca_fit(
     k: int,
     center: bool = True,
     moment_dp: int | None = 9,
+    return_variance: bool = False,
 ):
     """Fit a k-component PCA over an embedding column — the standard
     dimensionality cut in embedding pipelines (project 768-dim vectors
@@ -115,23 +116,33 @@ def pca_fit(
     cost drop proportionally, recall barely moves when the spectrum
     decays). Returns ``(mean, components)`` as numpy arrays of shape
     (d,) and (k, d), components row-orthonormal, ordered by descending
-    explained variance.
+    explained variance — or ``(mean, components, explained)`` with
+    ``return_variance=True``, where ``explained`` is the captured
+    fraction of total variance (free from the eigenvalues already in
+    hand — no extra pass).
 
     Scale shape: ONE corpus pass. ``mapInPandas`` emits per-partition
     moment partials — count, sum vector, and the d x d gram matrix
-    X^T X (a few KB each; the gram is computed as one BLAS matmul per
-    Arrow batch) — and the driver folds <= #partitions partials, forms
-    the covariance, and runs the d x d eigendecomposition (d^3 at
-    d<=1024 is microseconds; the CORPUS never reaches the driver).
-    The projection matrix then broadcasts back via ``pca_project``.
+    X^T X, one BLAS matmul per Arrow batch — which are then folded
+    DISTRIBUTEDLY (posexplode + per-index sum), so the driver receives
+    exactly d + d^2 + 1 numbers (~4.7 MB at d=768) regardless of
+    partition count; a per-partition driver collect would be
+    O(#partitions * d^2) and OOM at real partition counts. The driver
+    forms the covariance and runs the d x d eigendecomposition (d^3 at
+    d<=1024 is microseconds; the CORPUS never reaches the driver). The
+    projection matrix then broadcasts back via ``pca_project``.
 
-    Determinism (the pagerank/quantize trick applied to moments): the
-    folded moments are rounded to ``moment_dp`` decimals before the
-    eigensolve, so partition-order summation noise (~1e-16 relative)
-    vanishes below the quantum and the fit is REPRODUCIBLE across
-    partitionings; eigenvector sign is canonicalized (largest-magnitude
-    entry positive). ``numpy.linalg.eigh`` on the identical symmetric
-    matrix is deterministic per platform.
+    Determinism (the pagerank/quantize trick, applied where magnitudes
+    are O(1)): the DERIVED mean and covariance — not the raw sums,
+    whose magnitude grows with corpus size and would outgrow any fixed
+    absolute quantum — are rounded to ``moment_dp`` decimals before
+    the eigensolve. Per-element mean/cov values stay O(1) for
+    normalized-ish embeddings at any corpus size, so the ~1e-16
+    relative summation noise stays far below the 1e-9 quantum and the
+    fit is reproducible across partitionings; eigenvector sign is
+    canonicalized (largest-magnitude entry positive).
+    ``numpy.linalg.eigh`` on the identical symmetric matrix is
+    deterministic per platform.
     """
     import numpy as np
 
@@ -157,25 +168,47 @@ def pca_fit(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    parts = (
-        df.select(vec_col)
-        .mapInPandas(moments, "n long, s array<double>, g array<double>")
+    parts = df.select(vec_col).mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    )
+    # distributed fold of the partials: the count rides the exploded
+    # stream at index 0 (exact as a double below 2^53), so ONE shuffle
+    # of (index, value) pairs folds everything and the driver sees
+    # 1 + d + d^2 numbers however many partitions fed the map pass
+    folded = (
+        parts.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")),
+                    F.col("s"),
+                    F.col("g"),
+                )
+            ).alias("_i", "_v")
+        )
+        .groupBy("_i")
+        .agg(F.sum("_v").alias("_sum"))
+        .orderBy("_i")
         .collect()
     )
-    if not parts:
+    if not folded:
         raise ValueError("pca_fit: no non-empty vectors")
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
-    d = s.shape[0]
-    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
-    if moment_dp is not None:
-        s, g = np.round(s, moment_dp), np.round(g, moment_dp)
+    flat = np.asarray([r["_sum"] for r in folded])
+    n = int(flat[0])
+    flat = flat[1:]
+    # infer d from d + d^2 = len(flat)
+    d = int((-1 + (1 + 4 * len(flat)) ** 0.5) / 2)
+    if d + d * d != len(flat):
+        raise ValueError("pca_fit: inconsistent moment shapes across rows")
+    s, g = flat[:d], flat[d:].reshape(d, d)
     mean = s / n
     if center:
         cov = g / n - np.outer(mean, mean)
     else:
         cov = g / n
         mean = np.zeros(d)
+    if moment_dp is not None:
+        mean = np.round(mean, moment_dp)
+        cov = np.round(cov, moment_dp)
     if k > d:
         raise ValueError(f"pca_fit: k={k} exceeds dimension {d}")
     evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
@@ -188,6 +221,12 @@ def pca_fit(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    if return_variance:
+        total = float(np.trace(cov))
+        explained = (
+            1.0 if total <= 0 else float(evals[order].sum() / total)
+        )
+        return mean, comps, min(max(explained, 0.0), 1.0)
     return mean, comps
 
 
@@ -230,32 +269,14 @@ def pca_project(
     return df.mapInPandas(project, schema)
 
 
-def pca_explained_variance(df: DataFrame, vec_col: str, mean, components):
-    """Fraction of total (centered) variance captured by the fitted
-    components — the 'is k big enough' diagnostic. One corpus pass via
-    the same moment partials as ``pca_fit``; returns a float in [0, 1]."""
-    import numpy as np
-
-    mu = np.asarray(mean, dtype=np.float64)
-    C = np.asarray(components, dtype=np.float64)
-    proj = pca_project(df.select(vec_col), vec_col, mu, C, out_col="_p")
-    stats = (
-        proj.select(F.explode("_p").alias("_v"))
-        .agg(F.sum(F.col("_v") * F.col("_v")).alias("_pvar"))
-        .collect()[0]
-    )
-    tot = (
-        df.select(F.explode(vec_col).alias("_v"))
-        .agg(
-            F.sum(
-                (F.col("_v").cast("double")) * (F.col("_v").cast("double"))
-            ).alias("_ss"),
-            F.count(F.lit(1)).alias("_cnt"),
-        )
-        .collect()[0]
-    )
-    n = tot["_cnt"] / max(len(mu), 1)
-    total_var = tot["_ss"] / n - float(mu @ mu)
-    if total_var <= 0:
-        return 1.0
-    return float(stats["_pvar"] / n / total_var)
+def pca_explained_variance(df: DataFrame, vec_col: str, k: int) -> float:
+    """Fraction of total (centered) variance a k-component PCA captures
+    — the 'is k big enough' diagnostic: sum of the top-k eigenvalues
+    over the covariance trace, from ONE moment pass (the eigenvalues
+    are free once the covariance is in hand — projecting the corpus to
+    measure this, as a naive implementation would, costs two extra
+    corpus passes for a number the d x d eigensolve already knows).
+    Fitting and diagnosing together? ``pca_fit(...,
+    return_variance=True)`` shares the single pass."""
+    _, _, explained = pca_fit(df, vec_col, k=k, return_variance=True)
+    return explained

@@ -343,12 +343,16 @@ def temperature_mix(
         raise ValueError("temperature_mix: alpha must be >= 0")
     if not 0.0 < max_rate <= 1.0:
         raise ValueError("temperature_mix: max_rate must be in (0, 1]")
+    # NULL source is a real group, not a drop: alpha=1 must be the
+    # IDENTITY (silently losing unlabeled rows in a documented no-op
+    # configuration is data loss), so NULL participates in the census
+    # and gets a temperature rate like any other source
     counts = {
         r["src"]: r["n"]
         for r in df.groupBy(F.col(source_col).alias("src"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-        if r["src"] is not None and r["n"] > 0
+        if r["n"] > 0
     }
     if not counts:
         return df.filter(F.lit(False))
@@ -360,8 +364,12 @@ def temperature_mix(
     top = max(raw.values())
     rates = {s: max_rate * v / top for s, v in raw.items()}
     rate = None
-    for s in sorted(rates):
-        cond = F.col(source_col) == s
+    for s in sorted(rates, key=lambda s: (s is None, s or "")):
+        cond = (
+            F.col(source_col).isNull()
+            if s is None
+            else F.col(source_col) == s
+        )
         lit = F.lit(rates[s])
         rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
     rate = rate.otherwise(F.lit(0.0))

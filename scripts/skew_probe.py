@@ -355,7 +355,7 @@ def main() -> None:
     print(f"x30 removed the viral span from {n_cut}/{n} docs — correct")
 
     # --- 6. (round 6) classifier training under a 100%-hot token -------
-    # every doc contains the token 'the-hot-tok': the gradient's
+    # every doc contains the token 'thehottok': the gradient's
     # groupBy(token) sees one key carrying corpus-cardinality rows. The
     # defense is the same partial-aggregation contract as every census
     # here: map-side partials emit at most #partitions rows for the hot
@@ -369,20 +369,19 @@ def main() -> None:
         (did % 2).cast("int").alias("label"),
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
-            F.lit(" the-hot-tok"),
+            F.lit(" thehottok"),
             F.when(did % 2 == 0, F.lit(" spamsignal")).otherwise(
                 F.lit(" goodsignal")
             ),
         ).alias("text"),
     )
+    # the evidence stream uses the OPERATOR'S tokenizer (tokens_array
+    # = lower + [^a-zA-Z ]->space + split), so the measured distribution
+    # is exactly the stream the gradient groupBy(token) would shuffle
+    from mapreduce_stockheadlines_spark.functions.text import tokens_array
+
     tok_stream = clf_docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"[^a-z-]+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("token"),
+        "doc_id", F.explode(tokens_array("text")).alias("token")
     )
     partition_stats(
         tok_stream.repartition(32, "token"),

@@ -1881,11 +1881,15 @@ def test_pca_fit_project_reference_and_invariance(spark, sf_dir):
     mean16, comp16 = pca_fit(emb.repartition(16), "embedding", k=8)
     assert np.array_equal(mean1, mean16) and np.array_equal(comp1, comp16)
 
-    # numpy reference on identically quantized moments
-    s = np.round(X.sum(axis=0), 9)
-    g = np.round(X.T @ X, 9)
+    # numpy reference with identical DERIVED-moment quantization (the
+    # raw sums grow with corpus size; mean/cov stay O(1), which is what
+    # keeps the quantum meaningful at any n)
+    s = X.sum(axis=0)
+    g = X.T @ X
     mu = s / len(X)
     cov = g / len(X) - np.outer(mu, mu)
+    mu = np.round(mu, 9)
+    cov = np.round(cov, 9)
     evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
     ref = evecs[:, np.argsort(evals)[::-1][:8]].T
     for i in range(8):
@@ -1908,9 +1912,11 @@ def test_pca_fit_project_reference_and_invariance(spark, sf_dir):
         assert np.allclose(proj[vid], want[i], atol=1e-9)
         assert len(proj[vid]) == 8
 
-    # explained variance: monotone in k, ~1 at full rank
-    ev8 = pca_explained_variance(emb, "embedding", mean1, comp1)
-    mean_full, comp_full = pca_fit(emb, "embedding", k=X.shape[1])
-    ev_full = pca_explained_variance(emb, "embedding", mean_full, comp_full)
+    # explained variance: monotone in k, ~1 at full rank, and the
+    # shared-pass variant agrees with the standalone diagnostic
+    ev8 = pca_explained_variance(emb, "embedding", 8)
+    ev_full = pca_explained_variance(emb, "embedding", X.shape[1])
     assert 0.0 < ev8 < ev_full <= 1.0 + 1e-9
     assert ev_full > 0.999
+    _, _, ev8b = pca_fit(emb, "embedding", k=8, return_variance=True)
+    assert abs(ev8b - ev8) < 1e-12

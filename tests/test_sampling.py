@@ -408,6 +408,15 @@ def test_temperature_mix_rates_and_duckdb_membership(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     n = docs.count()
     assert temperature_mix(docs, "source", "doc_id", alpha=1.0).count() == n
+    # NULL source is a census group, not a silent drop: alpha=1 stays
+    # the identity even for unlabeled rows
+    with_null = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("source")),
+    )
+    assert (
+        temperature_mix(with_null, "source", "doc_id", alpha=1.0).count() == n
+    )
 
     out = temperature_mix(docs, "source", "doc_id", alpha=0.0)
     got_ids = sorted(r.doc_id for r in out.select("doc_id").collect())
