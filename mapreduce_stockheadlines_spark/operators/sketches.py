@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .membership import bloom_positions
+
 DEFAULT_LGK = 12  # 2^12 registers: ~1.6% RSE, ~2.5 KB per sketch
 
 
@@ -97,4 +99,99 @@ def upsert_sketches(
             F.coalesce(F.col("_old_n"), F.lit(0))
             + F.coalesce(F.col("n_rows"), F.lit(0))
         ).alias("n_rows"),
+    )
+
+
+# --- Count-Min frequency sketches (portable, exactly mergeable) -------------
+#
+# The frequency-side sibling of the HLL artifacts above: HLL answers
+# "how many DISTINCT values", a Count-Min sketch answers "how often is
+# THIS value" from a depth x width counter table that is bounded by
+# the (depth, width) YOU chose, never by the vocabulary. Where the HLL
+# bytes are opaque DataSketches state, this CMS is built from the same
+# salted-md5 position primitive as the Bloom gate
+# (membership.bloom_positions), so DuckDB re-derives the entire
+# counter table AND every estimate bit-for-bit — the strongest pin the
+# sketch family has. Counters ADD, so sketches merge exactly:
+# cms_merge(build(A), build(B)) == build(A UNION ALL B) row-for-row
+# (pinned), which makes per-period CMS artifacts fold like the HLL
+# ones and pair with sources/versioned.py history.
+#
+# Guarantees: estimate >= true count always (only hash collisions
+# inflate, never deflate — pinned against an exact census); overshoot
+# <= e/width * total_count with probability 1 - e^-depth.
+#
+# Scale shape: build is one posexplode(depth) + count census whose
+# groupBy(d, w) partially aggregates map-side — the shuffle carries at
+# most depth x width rows per partition however hot a value is (the
+# same two-level absorption as the line-dedup census); estimate joins
+# the probe set against a depth*width-bounded build side (AQE
+# broadcasts it at the defaults: 4 x 4096 cells).
+
+DEFAULT_CMS_DEPTH = 4  # P(overshoot > eps*N) <= e^-4 ~ 1.8%
+DEFAULT_CMS_WIDTH = 1 << 12  # eps = e/4096 ~ 0.066% of total count
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = DEFAULT_CMS_DEPTH,
+    width: int = DEFAULT_CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Sparse CMS counter table per group: group_cols + (d, w, cnt),
+    ≤ depth·min(width, #distinct) rows per group. One row of input
+    lands in exactly one w per d (depth salted hashes mod width)."""
+    group_cols = list(group_cols or [])
+    cells = df.select(
+        *group_cols,
+        F.posexplode(
+            F.array(*bloom_positions(value_col, width, depth, salt))
+        ).alias("d", "w"),
+    )
+    return cells.groupBy(*group_cols, "d", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold two counter tables built with the same (depth, width,
+    salt): counters add, so this is EXACTLY build-of-union (pinned) —
+    use it as the upsert for per-period CMS artifacts (a fresh period
+    is just ``cms_merge(existing, incoming)``)."""
+    group_cols = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = DEFAULT_CMS_DEPTH,
+    width: int = DEFAULT_CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Frequency upper-bound per probe value: min over the depth
+    counters (absent cell = 0). Output: group_cols + value_col +
+    ``freq_estimate``. The join's build side is the depth·width-bounded
+    sketch — broadcastable at any corpus size."""
+    group_cols = list(group_cols or [])
+    p = probes.select(
+        *group_cols,
+        value_col,
+        F.posexplode(
+            F.array(*bloom_positions(value_col, width, depth, salt))
+        ).alias("d", "w"),
+    )
+    joined = p.join(cms, [*group_cols, "d", "w"], "left")
+    return joined.groupBy(*group_cols, value_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("freq_estimate")
     )

@@ -155,3 +155,133 @@ def test_sketch_ingest_sink_folds_batches_idempotently(spark, tmp_path):
         ).collect()
     }
     assert v1 == {"x": 40, "y": 10}
+
+
+# --- Count-Min frequency sketches -------------------------------------------
+
+
+def _tokens(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.functions.text import tokens_array
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", F.explode(tokens_array("text")).alias("token")
+    )
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select("token")
+    # narrow sketch: estimates may collide upward, NEVER downward
+    narrow = cms_estimate(
+        cms_build(toks, "token", width=256), probes, "token", width=256
+    )
+    rows = narrow.join(exact, "token").collect()
+    assert rows
+    assert all(r.freq_estimate >= r.exact for r in rows)
+    # wide sketch over a small vocab: collisions vanish, estimate exact
+    wide = cms_estimate(
+        cms_build(toks, "token", width=1 << 16), probes, "token", width=1 << 16
+    )
+    mism = wide.join(exact, "token").filter("freq_estimate != exact").count()
+    assert mism == 0
+    # never-seen probes estimate 0 on the wide sketch
+    ghost = spark.createDataFrame(
+        [("zzz-never-a-token-1",), ("zzz-never-a-token-2",)], "token string"
+    )
+    gh = cms_estimate(
+        cms_build(toks, "token", width=1 << 16), ghost, "token", width=1 << 16
+    )
+    assert all(r.freq_estimate == 0 for r in gh.collect())
+
+
+def test_cms_merge_exactly_equals_build_of_union(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 != 0)
+    merged = cms_merge(cms_build(a, "token"), cms_build(b, "token"))
+    whole = cms_build(toks, "token")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_grouped_and_vs_duckdb(spark, sf_dir):
+    """DuckDB re-derives the salted-md5 positions, the counter table
+    AND the per-probe min-estimate bit-for-bit (grouped by source)."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = _tokens(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    D, W = 4, 512
+    cms = cms_build(toks, "token", ["source"], depth=D, width=W)
+    probes = toks.select("source", "token").distinct().limit(200)
+    est = cms_estimate(cms, probes, "token", ["source"], depth=D, width=W)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.execute(
+        """
+        CREATE VIEW toks AS
+        SELECT doc_id, source, unnest(
+          list_filter(string_split(regexp_replace(lower(coalesce(text,'')),
+            '[^a-z ]', ' ', 'g'), ' '), t -> t <> '')) AS token
+        FROM documents WHERE doc_id % 5 = 0
+        """
+    )
+    cells_sql = f"""
+        SELECT source, token, i.i AS d,
+               CAST(('0x' || substr(md5('cms:' || i.i || ':' || token), 1, 15))
+                    AS BIGINT) % {W} AS w
+        FROM toks CROSS JOIN (SELECT unnest(range({D})) AS i) i
+    """
+    duck_cms = con.execute(
+        f"""
+        SELECT source, CAST(d AS INT), CAST(w AS INT),
+               CAST(count(*) AS BIGINT)
+        FROM ({cells_sql}) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    assert duck_cms == sorted(map(tuple, cms.collect()))
+
+    probe_rows = sorted(map(tuple, probes.collect()))
+    con.execute(
+        "CREATE TABLE probe_vals (source VARCHAR, token VARCHAR)"
+    )
+    con.executemany("INSERT INTO probe_vals VALUES (?, ?)", probe_rows)
+    duck_est = con.execute(
+        f"""
+        WITH sketch AS (
+            SELECT source, d, w, count(*) AS cnt FROM ({cells_sql})
+            GROUP BY 1, 2, 3
+        ), ppos AS (
+            SELECT p.source, p.token, i.i AS d,
+                   CAST(('0x' || substr(md5('cms:' || i.i || ':' || p.token), 1, 15))
+                        AS BIGINT) % {W} AS w
+            FROM probe_vals p CROSS JOIN (SELECT unnest(range({D})) AS i) i
+        )
+        SELECT ppos.source, ppos.token,
+               CAST(min(coalesce(s.cnt, 0)) AS BIGINT)
+        FROM ppos LEFT JOIN sketch s
+          ON s.source = ppos.source AND s.d = ppos.d AND s.w = ppos.w
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert duck_est == sorted(map(tuple, est.collect()))
