@@ -27,6 +27,7 @@ from ..operators.dedup import (
     signature_agreement,
     signature_bands,
 )
+from ..operators.membership import bloom_build, bloom_gated_anti_join
 from ..operators.textstats import (
     classifier_score,
     filter_blocked_domains,
@@ -35,6 +36,62 @@ from ..operators.textstats import (
 
 _NEARDUP_HASHES = 8
 _NEARDUP_BANDS = 4
+_BLOOM_K = 5
+_BLOOM_SALT = "ingest-bloom"
+
+
+def _batch_ids_on_disk(spark, path: str) -> set[int] | None:
+    """batch_id partition values present under ``path`` by directory
+    listing — pure filesystem metadata, no Spark job, no row scan.
+    None when the path doesn't exist yet."""
+    from ..sources.versioned import _fs
+
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    out: set[int] = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            out.add(int(name.split("=", 1)[1]))
+    return out
+
+
+def _bloom_history(spark, index_dir: str, batch_id: int, m_bits: int, seen):
+    """Folded bloom bitmap covering EVERY index batch < batch_id.
+
+    Correctness hinges on the bitmap being a superset of the index's
+    keys — a bloom missing any indexed batch would produce false
+    negatives and silently re-admit deduped history. Coverage is
+    checked batch-directory-for-batch-directory (metadata listing, no
+    scan); when the artifact doesn't cover the index (sink upgraded to
+    bloom_bits mid-history, or a partial artifact) the bitmap is
+    REBUILT from the fixed-width digest index in one pass — self-heal,
+    never trust-and-miss. A bitmap built with a different m is useless
+    noise, so an m_bits mismatch fails the batch loudly (same contract
+    as a corrupted index)."""
+    bloom_dir = f"{index_dir}/_bloom"
+    covered = _batch_ids_on_disk(spark, bloom_dir)
+    needed = _batch_ids_on_disk(spark, index_dir) or set()
+    needed = {b for b in needed if b < batch_id}
+    if covered is not None and needed <= {b for b in covered if b < batch_id}:
+        have = spark.read.parquet(bloom_dir).filter(
+            F.col("batch_id") < F.lit(batch_id)
+        )
+        mm = have.select(
+            F.min("m_bits").alias("lo"), F.max("m_bits").alias("hi")
+        ).first()
+        if mm.lo is not None and (mm.lo != m_bits or mm.hi != m_bits):
+            raise ValueError(
+                f"bloom artifact at {bloom_dir} was built with "
+                f"m_bits={mm.lo}..{mm.hi}, sink configured {m_bits}; "
+                "refusing to fold incompatible bitmaps"
+            )
+        return have.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    return bloom_build(
+        seen.select("text_hash"), "text_hash", m_bits, _BLOOM_K, _BLOOM_SALT
+    )
 
 
 def _history(spark, index_dir: str, batch_id: int):
@@ -80,6 +137,7 @@ def curated_ingest_sink(
     bpe_dir: str | None = None,
     drift_census_dir: str | None = None,
     max_js_divergence: float | None = None,
+    bloom_bits: int | None = None,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
@@ -102,6 +160,16 @@ def curated_ingest_sink(
     representative through the same banding + agreement verify. Day-N
     cost is proportional to day-N data plus matched candidates — the
     scale contract of the exact-dedup index, extended to near-dups.
+
+    ``bloom_bits`` (optional): maintain a Bloom bitmap artifact under
+    ``{index_dir}/_bloom`` (per-batch partitions, folded by ``bit_or``)
+    and route only might-contain rows into the exact digest anti-join —
+    definitely-new rows (most of a crawl day) skip the index shuffle
+    entirely. Admissions are EXACTLY the plain anti-join's (false
+    negatives impossible; pinned), the artifact self-heals from the
+    digest index when it doesn't cover history, and an m_bits change
+    fails loudly. Size for ~10 bits per expected corpus-lifetime
+    distinct doc (~1% FPR at k=5; cap 2^28 bits = 32 MB).
     """
 
     _lm_cache: list = []  # one artifact load per sink lifetime
@@ -171,6 +239,16 @@ def curated_ingest_sink(
         seen = _history(spark, index_dir, batch_id)
         if seen is None:  # first batch: no index yet
             fresh = hashed
+        elif bloom_bits is not None:
+            fresh = bloom_gated_anti_join(
+                hashed,
+                "text_hash",
+                seen.select("text_hash"),
+                _bloom_history(spark, index_dir, batch_id, bloom_bits, seen),
+                m_bits=bloom_bits,
+                k=_BLOOM_K,
+                salt=_BLOOM_SALT,
+            )
         else:
             fresh = hashed.join(
                 seen.select("text_hash"), "text_hash", "left_anti"
@@ -310,6 +388,17 @@ def curated_ingest_sink(
         survivors.select("text_hash").write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
+        if bloom_bits is not None:
+            # this batch's index delta as a bitmap — the underscore dir
+            # is invisible to parquet discovery of index_dir, and the
+            # per-batch overwrite keeps replays idempotent like the
+            # index writes above
+            bloom_build(
+                survivors.select("text_hash"), "text_hash",
+                bloom_bits, _BLOOM_K, _BLOOM_SALT,
+            ).withColumn("m_bits", F.lit(bloom_bits)).write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/_bloom/batch_id={batch_id}")
         if sig is not None:
             # band index rows for FINAL survivors only (post-gates):
             # (bucket, id, signature) — probed by bucket, verified by

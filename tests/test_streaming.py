@@ -867,3 +867,64 @@ def test_curated_ingest_corrupted_index_fails_loudly(spark, tmp_path):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_curated_ingest_bloom_gate_matches_plain(spark, tmp_path):
+    """``bloom_bits`` routes only might-contain rows into the exact
+    digest anti-join; admissions are EXACTLY the plain sink's across
+    three rounds incl. a replayed batch (false negatives impossible),
+    the per-batch ``_bloom`` artifact stays invisible to index
+    readers, a deleted artifact self-heals from the index, and an
+    m_bits change fails loudly instead of folding incompatible
+    bitmaps."""
+    import shutil
+
+    import pytest
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    r0 = [(1, "alpha"), (2, "beta"), (3, "alpha")]
+    r1 = [(4, "alpha"), (5, "gamma")]
+    r2 = [(6, "beta"), (7, "delta")]
+    outs = {}
+    for tag, kw in (("plain", {}), ("bloom", {"bloom_bits": 1 << 15})):
+        out = str(tmp_path / f"out_{tag}")
+        idx = str(tmp_path / f"idx_{tag}")
+        sink = curated_ingest_sink(out, idx, **kw)
+        sink(df(r0), 0)
+        sink(df(r1), 1)
+        sink(df(r1), 1)  # at-least-once replay
+        sink(df(r2), 2)
+        outs[tag] = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert outs["bloom"] == outs["plain"] == [1, 2, 5, 7]
+
+    idx = str(tmp_path / "idx_bloom")
+    # underscore dir hidden from index readers; artifact shape + m tag
+    assert set(spark.read.parquet(idx).columns) == {"text_hash", "batch_id"}
+    bl = spark.read.parquet(f"{idx}/_bloom")
+    assert set(bl.columns) == {"word_idx", "bits", "m_bits", "batch_id"}
+    assert {r.batch_id for r in bl.select("batch_id").distinct().collect()} == {
+        0, 1, 2,
+    }
+
+    # incompatible m_bits on an artifact that covers history → loud
+    # fail BEFORE anything is admitted or written
+    bad = curated_ingest_sink(str(tmp_path / "out_bloom"), idx,
+                              bloom_bits=1 << 16)
+    with pytest.raises(ValueError, match="m_bits"):
+        bad(df([(10, "zeta")]), 3)
+
+    # self-heal: artifact gone → rebuilt from the digest index, dedup intact
+    shutil.rmtree(f"{idx}/_bloom")
+    sink = curated_ingest_sink(str(tmp_path / "out_bloom"), idx,
+                               bloom_bits=1 << 15)
+    sink(df([(8, "alpha"), (9, "epsilon")]), 3)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out_bloom")).collect()
+    )
+    assert got == [1, 2, 5, 7, 9]
