@@ -106,6 +106,7 @@ def curate(
     normalize_unicode_form: str | None = None,
     neardup_keep_best: bool = False,
     token_budget: int | None = None,
+    max_per_domain: int | None = None,
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
@@ -335,6 +336,24 @@ def curate(
         junk = ppl.filter(F.col("ppl") > max_perplexity).select("doc_id")
         docs = docs.join(junk, "doc_id", "left_anti")
 
+    # 5a. (optional) per-domain frequency cap (FineWeb-style): no single
+    #     site floods the corpus, best-quality docs survive first. Runs
+    #     after the per-doc gates (the cap should ration SURVIVORS, and
+    #     `quality` exists by now) and before the relative keep_top cut
+    #     (which should see the de-flooded distribution).
+    if max_per_domain is not None:
+        doms = TS.url_stats(docs, "doc_id", "text").select(
+            "doc_id", F.get(F.col("domains"), 0).alias("_dom")
+        )
+        surv = TS.domain_frequency_cap(
+            docs.select("doc_id", "quality").join(doms, "doc_id", "left"),
+            "doc_id",
+            "_dom",
+            cap=max_per_domain,
+            order_col="quality",
+        ).select("doc_id")
+        docs = docs.join(surv, "doc_id", "left_semi")
+
     # 5b. (optional) relative quality gate on top of the absolute one:
     #     keep the best keep_top fraction (one sketch, no corpus shuffle)
     if keep_top is not None:
@@ -546,6 +565,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="keep the best-quality docs whose whitespace-"
                          "token mass fits this budget (never over)")
+    ap.add_argument("--max-per-domain", type=int, default=None,
+                    help="keep at most N docs per primary registered "
+                         "domain, best quality first (mega-site guard)")
     ap.add_argument("--neardup-keep-best", action="store_true",
                     help="near-dup clusters keep their highest-quality "
                          "doc (scored over paired docs only) instead of "
@@ -694,6 +716,7 @@ def main(argv: list[str] | None = None) -> None:
         jaccard_threshold=args.jaccard,
         pack_budget=args.pack_budget,
         keep_top=args.keep_top,
+        max_per_domain=args.max_per_domain,
         chunk_tokens=args.chunk_tokens,
         chunk_overlap=args.chunk_overlap,
         blocked_domains=blocked,

@@ -848,3 +848,47 @@ def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     return keyed.unionByName(
         with_canon.filter(F.col("_canon").isNull())
     ).drop("_canon")
+
+
+def domain_frequency_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain — the FineWeb-style
+    guard against a single template-heavy site flooding the corpus
+    (SEO farms and auto-generated catalogs can contribute millions of
+    near-identical pages that per-doc quality gates all pass).
+
+    Retention is best-first: rows rank by ``order_col`` DESC (a quality
+    or length score; ties and ``order_col=None`` fall back to ``id_col``
+    ASC, so the choice is total and deterministic) and ranks > ``cap``
+    are dropped. Rows with a NULL domain always survive — "no domain"
+    is absence of evidence, not a mega-site.
+
+    Scale shape: the ``row_number() <= k`` filter compiles to
+    WindowGroupLimit (tests/test_plans.py pins the rewrite), which
+    inserts a map-side partial group-limit BEFORE the exchange — every
+    input partition forwards at most ``cap`` rows per domain, so even a
+    30%-hot domain ships O(partitions x cap) rows to the shuffle, never
+    its full row set. The NULL-domain leg is a narrow filter unioned
+    back, no shuffle at all.
+    """
+    if cap < 1:
+        raise ValueError("domain_frequency_cap: cap must be >= 1")
+    from pyspark.sql import Window
+
+    order = [F.col(id_col).asc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    dom_null = df.filter(F.col(domain_col).isNull())
+    capped = (
+        df.filter(F.col(domain_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(cap))
+        .drop("_rn")
+    )
+    return capped.unionByName(dom_null)

@@ -1002,6 +1002,13 @@ ORDER BY c_custkey
 # tracking filter, list_sort of surviving params) and the min-doc_id
 # survivor rule — so `frontier_kept` cross-checks dedup_urls' actual
 # grouping, not a replanted constant.
+#
+# Round 6 also folds domain_frequency_cap in: each doc's PRIMARY domain
+# (min of its registered-domain set) is capped at 7 docs, best-first by
+# n_chars (doc_id tiebreak); `domain_capped` flags survivors. The 13
+# newshub domains hold ~n/13 docs each so the cap genuinely bites,
+# while %9/%11 docs route to IPv4/localhost primaries (digit/'l' sorts
+# below 'n') and NULL-domain docs always survive.
 
 _X24_BLOCKLIST = ("spam-net.biz", "site3.co.uk", "192.168.18.9")
 
@@ -1082,6 +1089,16 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
     surv = TS.dedup_urls(frontier, "furl", "doc_id").select(
         "doc_id", F.lit(1).alias("frontier_kept")
     )
+    # per-domain frequency cap over each doc's PRIMARY domain (min of its
+    # sorted registered-domain set — deterministic in both engines),
+    # best-first by n_chars: the FineWeb-style mega-site guard. Capped
+    # survivors come back as a flag so the query stays one row per doc.
+    cap_in = stats.select("doc_id", F.get(F.col("domains"), 0).alias("dom")).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    cap_surv = TS.domain_frequency_cap(
+        cap_in, "doc_id", "dom", cap=7, order_col="n_chars"
+    ).select("doc_id", F.lit(1).alias("domain_capped"))
     return (
         stats.join(kept, "doc_id", "left")
         # canonical_url is a pure codegen projection of doc_id (via the
@@ -1092,6 +1109,7 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
             "canonical_url", TS.canonical_url(_x24_frontier_url(F.col("doc_id")))
         )
         .join(surv, "doc_id", "left")
+        .join(cap_surv, "doc_id", "left")
         .select(
             "doc_id",
             "n_urls",
@@ -1102,6 +1120,9 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("frontier_kept", F.lit(0))
             .cast("int")
             .alias("frontier_kept"),
+            F.coalesce("domain_capped", F.lit(0))
+            .cast("int")
+            .alias("domain_capped"),
         )
         .orderBy("doc_id")
     )
@@ -1218,17 +1239,28 @@ fsurv AS (SELECT doc_id FROM (
                    CASE WHEN canonical_url IS NULL THEN TRUE
                         ELSE doc_id = min(doc_id)
                                OVER (PARTITION BY canonical_url) END AS keepit
-            FROM canon) WHERE keepit)
+            FROM canon) WHERE keepit),
+prim AS (SELECT doc_id, min(dom) AS pdom FROM rd GROUP BY doc_id),
+capr AS (SELECT p.doc_id,
+                row_number() OVER (PARTITION BY p.pdom
+                                   ORDER BY dd.n_chars DESC NULLS LAST,
+                                            p.doc_id) AS rn
+         FROM prim p JOIN documents dd ON dd.doc_id = p.doc_id),
+csurv AS (SELECT doc_id FROM capr WHERE rn <= 7)
 SELECT s.doc_id, s.n_urls, coalesce(d.domains_csv, '') AS domains_csv,
        s.url_char_ratio,
        CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS kept,
        c.canonical_url,
-       CASE WHEN fs.doc_id IS NULL THEN 0 ELSE 1 END AS frontier_kept
+       CASE WHEN fs.doc_id IS NULL THEN 0 ELSE 1 END AS frontier_kept,
+       CASE WHEN p.pdom IS NULL OR cs.doc_id IS NOT NULL THEN 1
+            ELSE 0 END AS domain_capped
 FROM stats s
 LEFT JOIN doms d ON d.doc_id = s.doc_id
 LEFT JOIN blocked b ON b.doc_id = s.doc_id
 JOIN canon c ON c.doc_id = s.doc_id
 LEFT JOIN fsurv fs ON fs.doc_id = s.doc_id
+LEFT JOIN prim p ON p.doc_id = s.doc_id
+LEFT JOIN csurv cs ON cs.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 

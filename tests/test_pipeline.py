@@ -1057,3 +1057,30 @@ def test_embed_pipeline_pca_build_and_eval(spark, tmp_path, sf_dir, capsys):
         ln for ln in capsys.readouterr().out.splitlines() if "recall=" in ln
     ]
     assert lines and lines[-1].startswith("macro\trecall=1.0")
+
+
+def test_curate_max_per_domain_gate(spark):
+    """--max-per-domain rations survivors per primary registered domain,
+    best quality first; docs with no URL at all always survive."""
+    # distinct English texts (survive dedup + lang gate) with planted
+    # URLs: five docs on flood.com, one on rare.org, one URL-less
+    rows = [
+        (i, f"the quick brown fox number {w} jumps over the lazy dog and "
+            "this is a perfectly normal sentence with common words "
+            f"http://www.flood.com/p/{i}")
+        for i, w in enumerate(["one", "two", "three", "four", "five"])
+    ]
+    rows.append((10, "the small clean corpus doc is here with its own "
+                     "words and a link http://a.rare.org/x"))
+    rows.append((11, "the doc with no link at all still has enough good "
+                     "english words to pass the quality gate easily"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = curate(docs, lang="en", min_quality=0.0)
+    assert base.count() == 7  # no cap: everything survives
+    got = curate(docs, lang="en", min_quality=0.0, max_per_domain=2)
+    kept = {r.doc_id for r in got.collect()}
+    # flood.com capped to its 2 best-quality docs; rare.org (1 doc) and
+    # the URL-less doc untouched
+    assert 10 in kept and 11 in kept
+    assert len([i for i in kept if i < 10]) == 2

@@ -500,3 +500,60 @@ def test_train_classifier_cli_roundtrip(spark, tmp_path):
         for r in classifier_score(held, "doc_id", "text", weights=wtab).collect()
     }
     assert s[1] > s[2]
+
+
+def test_domain_frequency_cap(spark):
+    """Best-first retention (order_col DESC, id tiebreak), NULL-domain
+    passthrough, cap=1 degenerate, and the WindowGroupLimit rewrite that
+    makes the cap skew-safe (map-side partial group-limit before the
+    exchange)."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        domain_frequency_cap,
+    )
+
+    rows = [
+        # (id, domain, score): a.com holds 4 docs, b.com 1, two NULLs
+        (1, "a.com", 10),
+        (2, "a.com", 30),
+        (3, "a.com", 20),
+        (4, "a.com", 30),  # score tie with 2 -> id tiebreak keeps 2 first
+        (5, "b.com", 1),
+        (6, None, 99),
+        (7, None, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, score long")
+
+    out = domain_frequency_cap(df, "doc_id", "dom", cap=2, order_col="score")
+    kept = sorted(r.doc_id for r in out.collect())
+    # a.com keeps 30(id2), 30(id4); b.com keeps 5; NULLs always survive
+    assert kept == [2, 4, 5, 6, 7]
+
+    # no order_col: id ASC retention
+    out2 = domain_frequency_cap(df, "doc_id", "dom", cap=1)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 5, 6, 7]
+
+    # DuckDB pin of the full survivor set
+    import duckdb
+
+    got = duckdb.sql(
+        """
+        SELECT doc_id FROM (
+          SELECT doc_id, dom,
+                 row_number() OVER (PARTITION BY dom
+                                    ORDER BY score DESC, doc_id) AS rn
+          FROM (VALUES (1,'a.com',10),(2,'a.com',30),(3,'a.com',20),
+                       (4,'a.com',30),(5,'b.com',1),(6,NULL,99),(7,NULL,0))
+               v(doc_id, dom, score))
+        WHERE dom IS NULL OR rn <= 2 ORDER BY doc_id
+        """
+    ).fetchall()
+    assert [r[0] for r in got] == sorted(r.doc_id for r in out.collect())
+
+    # scale pin: the rank filter must compile to WindowGroupLimit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        domain_frequency_cap(df, "doc_id", "dom", cap=0)
