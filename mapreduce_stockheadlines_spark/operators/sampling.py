@@ -374,3 +374,169 @@ def temperature_mix(
         rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
     rate = rate.otherwise(F.lit(0.0))
     return df.filter(hash_fraction(key, salt) < rate)
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023) --------
+#
+# Select raw-corpus documents whose hashed-n-gram profile resembles a
+# TARGET corpus (e.g. "pick web pages that look like Wikipedia"): score
+# every raw doc with the mean log importance ratio of its features under
+# a bag-of-hashed-ngrams model of target vs raw, then Gumbel-top-k
+# resample (sampling without replacement from the softmax of the scores
+# — the paper's variance-reducing alternative to deterministic top-k).
+#
+# Every arithmetic step is engine-portable by construction: feature
+# buckets and Gumbel coins come from the md5 primitive, per-bucket log
+# ratios are quantized to fixed-point BIGINTs (so the per-doc fold is an
+# exact integer sum — immune to float summation order), and only two
+# divisions + one final rounding produce the score.
+
+_DSIR_FP = 10**6  # fixed-point quantum for per-bucket log ratios
+
+
+def _dsir_bucket(feat: Column, n_buckets: int, salt: str) -> Column:
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), feat).cast("binary"))
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def dsir_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(id, bucket) — one row per unigram/bigram OCCURRENCE, hashed into
+    ``n_buckets`` (the hashing trick: fixed model size regardless of
+    vocabulary; collisions are part of the estimator). Narrow explode of
+    a single codegen expression; NULL text yields no rows."""
+    from ..functions.text import tokens_array, word_ngrams
+
+    toks = tokens_array(text_col)
+    feats = F.concat(toks, word_ngrams(toks, 2))
+    return df.select(
+        F.col(id_col), F.explode(feats).alias("_feat")
+    ).select(id_col, _dsir_bucket(F.col("_feat"), n_buckets, salt).alias("bucket"))
+
+
+def dsir_log_ratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-bucket fixed-point log importance ratio table:
+    ``ratio_fp = round(1e6 * (ln p_target(b) - ln p_raw(b)))`` with
+    add-``alpha`` smoothing. Built from TWO bucket censuses (one agg
+    each — the corpora are never joined row-to-row); the result is
+    bounded by ``n_buckets`` rows, so downstream scoring broadcasts it.
+    Buckets never seen in the raw corpus can't be probed by raw docs,
+    so the raw census is the driving side.
+
+    Scale: each census is one partial-aggregated groupBy over the
+    feature stream; the totals are two scalar aggregates (bounded
+    driver collect, same contract as token_budget_filter's histogram).
+    """
+    rawc = dsir_features(raw_df, id_col, text_col, n_buckets, salt).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("_rc"))
+    tgtc = dsir_features(target_df, id_col, text_col, n_buckets, salt).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("_tc"))
+    tr = rawc.agg(F.sum("_rc")).collect()[0][0] or 0
+    tt = tgtc.agg(F.sum("_tc")).collect()[0][0] or 0
+    a, b = float(alpha), float(n_buckets)
+    ratio = F.log(
+        (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + F.lit(a))
+        / F.lit(float(tt) + a * b)
+    ) - F.log(
+        (F.col("_rc").cast("double") + F.lit(a)) / F.lit(float(tr) + a * b)
+    )
+    return (
+        rawc.join(tgtc, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(ratio * F.lit(float(_DSIR_FP)), 0)
+            .cast("bigint")
+            .alias("ratio_fp"),
+        )
+    )
+
+
+def dsir_scores(
+    raw_df: DataFrame,
+    ratios: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR score: mean log importance ratio over the doc's
+    feature occurrences, rounded to 4dp. The fold is an exact BIGINT sum
+    of fixed-point ratios (summation-order-proof: both the distributed
+    partial aggregation and any other engine produce the identical
+    integer), divided once at the end — so scores hash-match across
+    engines bit-for-bit. One broadcast join (ratio table <= n_buckets
+    rows) + one groupBy(id) whose shuffle carries a row per doc."""
+    feats = dsir_features(raw_df, id_col, text_col, n_buckets, salt)
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("ratio_fp").alias("_sfp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.col("_sfp").cast("double")
+                / F.col("n_features")
+                / F.lit(float(_DSIR_FP)),
+                4,
+            ).alias("dsir_score"),
+            "n_features",
+        )
+    )
+
+
+def gumbel_key(
+    score: Column, key: Column | str, salt: str = "dsir-g"
+) -> Column:
+    """``score + Gumbel(0,1)`` sampling key for Gumbel-top-k (taking the
+    k largest keys samples k items WITHOUT replacement proportionally to
+    exp(score)). The Gumbel coin is md5-derived — deterministic,
+    partition-invariant, portable — and u is centered to (0,1) strictly
+    ((m+0.5)/2^32: ln(0) is unreachable by construction). Rounded to 4dp
+    so a sub-ulp libm difference between engines cannot flip it."""
+    key = F.col(key) if isinstance(key, str) else key
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")).cast("binary"))
+    m = F.conv(F.substring(digest, 1, 8), 16, 10).cast("double")
+    u = (m + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    return score + F.round(-F.log(-F.log(u)), 4)
+
+
+def dsir_resample(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_keep: int,
+    salt: str = "dsir-g",
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Gumbel-top-k selection of ``n_keep`` docs by DSIR score — the
+    resampling half of DSIR. No global sort: the top-k cut reuses
+    token_budget_filter's histogram + suffix-sum mechanism with every
+    row weighing 1 (keeps <= n_keep, never more; granularity = one
+    histogram bin). Deterministic, partition-invariant, portable."""
+    keyed = scored.withColumn(
+        "_gk", gumbel_key(F.col(score_col), id_col, salt)
+    ).withColumn("_one", F.lit(1))
+    return token_budget_filter(keyed, "_gk", "_one", n_keep, n_bins).drop(
+        "_gk", "_one"
+    )

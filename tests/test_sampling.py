@@ -498,3 +498,163 @@ def test_curate_cli_mix_alpha(spark, tmp_path, sf_dir):
     e1 = {r.doc_id for r in dfm.filter(
         "source = 'src0' AND epoch = 1").select("doc_id").collect()}
     assert e1 == e0 and e0  # exactly 2.0 epochs: full doubling
+
+
+# --- DSIR: importance-resampling data selection ------------------------------
+
+
+def _dsir_modules():
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_resample,
+        dsir_scores,
+    )
+
+    return dsir_log_ratios, dsir_resample, dsir_scores
+
+
+def test_dsir_scores_rank_target_like_docs(spark):
+    """Docs sharing the target corpus's vocabulary must outscore docs
+    that don't — the whole point of the estimator — and the score is a
+    pure function of the data (partition-invariant)."""
+    dsir_log_ratios, _, dsir_scores = _dsir_modules()
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)]
+        + [(100 + i, "one two three four") for i in range(10)],
+        "doc_id int, text string",
+    )
+    ratios = dsir_log_ratios(raw, target, "doc_id", "text", n_buckets=4096)
+    scored = dsir_scores(raw, ratios, "doc_id", "text", n_buckets=4096)
+    by_id = {r.doc_id: r.dsir_score for r in scored.collect()}
+    assert len(by_id) == 20
+    assert min(by_id[i] for i in range(10)) > max(
+        by_id[100 + i] for i in range(10)
+    )
+    again = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(
+            raw.repartition(7), ratios, "doc_id", "text", n_buckets=4096
+        ).collect()
+    }
+    assert again == by_id
+
+
+def test_dsir_scores_match_duckdb(spark, sf_dir):
+    """Full cross-engine pin: DuckDB re-derives features, censuses,
+    fixed-point log-ratio table, and per-doc scores from the same
+    parquet; (doc_id, dsir_score, n_features) must agree exactly."""
+    dsir_log_ratios, _, dsir_scores = _dsir_modules()
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("text").isNotNull())
+    target = raw.filter(F.col("source") == "src0")
+    nb, alpha = 4096, 1.0
+    ratios = dsir_log_ratios(raw, target, "doc_id", "text", n_buckets=nb)
+    got = sorted(
+        (r.doc_id, r.dsir_score, r.n_features)
+        for r in dsir_scores(raw, ratios, "doc_id", "text", n_buckets=nb).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(
+        f"""
+WITH tl AS (
+  SELECT doc_id, source, list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+'),
+           t -> length(t) > 0) AS toks
+  FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id, source, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS ord
+  FROM tl),
+grams AS (
+  SELECT doc_id, source, token AS gram FROM tok
+  UNION ALL
+  SELECT doc_id, source, token || ' ' || lead(token, 1) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(token, 1) OVER w IS NOT NULL),
+feats AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('dsir:' || gram), 1, 8)) AS BIGINT)
+           % {nb} AS bucket
+  FROM grams),
+rawc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc
+         FROM feats GROUP BY bucket),
+tgtc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+         FROM feats WHERE source = 'src0' GROUP BY bucket),
+tot AS (SELECT CAST((SELECT SUM(rc) FROM rawc) AS DOUBLE) AS tr,
+               CAST(COALESCE((SELECT SUM(tc) FROM tgtc), 0) AS DOUBLE) AS tt),
+ratios AS (
+  SELECT r.bucket,
+         CAST(round(1000000.0 * (
+           ln((COALESCE(t.tc, 0) + {alpha}) / (tot.tt + {alpha} * {nb}))
+           - ln((r.rc + {alpha}) / (tot.tr + {alpha} * {nb})))) AS BIGINT)
+           AS ratio_fp
+  FROM rawc r LEFT JOIN tgtc t USING (bucket), tot)
+SELECT f.doc_id,
+       round(CAST(SUM(ratio_fp) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS dsir_score,
+       CAST(COUNT(*) AS BIGINT) AS n_features
+FROM feats f JOIN ratios USING (bucket)
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+    ).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) > 100
+
+
+def test_dsir_resample_bound_and_determinism(spark, sf_dir):
+    """Gumbel-top-k keeps at most n_keep docs, and membership is a pure
+    function of (data, salt) — partition-invariant, new salt → new
+    sample. (Score-bias is pinned separately on a wide-gap synthetic:
+    at sf0.001 the corpus score spread ~0.01 is far below the Gumbel
+    noise scale ~1.28, so near-uniform resampling here is the CORRECT
+    DSIR behavior, not a property to assert against.)"""
+    dsir_log_ratios, dsir_resample, dsir_scores = _dsir_modules()
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("text").isNotNull())
+    target = raw.filter(F.col("source") == "src0")
+    ratios = dsir_log_ratios(raw, target, "doc_id", "text", n_buckets=4096)
+    scored = dsir_scores(raw, ratios, "doc_id", "text", n_buckets=4096)
+    n_total = scored.count()
+    n_keep = n_total // 4
+    kept = dsir_resample(scored, "doc_id", "dsir_score", n_keep)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 0 < len(ids) <= n_keep
+    assert kept.columns == scored.columns  # helper columns dropped
+    again = sorted(
+        r.doc_id
+        for r in dsir_resample(
+            scored.repartition(13), "doc_id", "dsir_score", n_keep
+        ).collect()
+    )
+    assert again == ids
+    other = sorted(
+        r.doc_id
+        for r in dsir_resample(
+            scored, "doc_id", "dsir_score", n_keep, salt="epoch2"
+        ).collect()
+    )
+    assert other != ids and 0 < len(other) <= n_keep
+
+
+def test_dsir_resample_is_score_biased_when_gap_dominates(spark):
+    """With a score gap (10.0) far above the Gumbel noise scale, the
+    kept set must be essentially the high-score population: P(one low
+    doc out-keys one high doc) = 1/(1+e^10) ≈ 4.5e-5, and the whole
+    draw is deterministic given the salt, so this pins stably."""
+    _, dsir_resample, _ = _dsir_modules()
+    scored = spark.createDataFrame(
+        [(i, 10.0) for i in range(200)] + [(1000 + i, 0.0) for i in range(200)],
+        "doc_id int, dsir_score double",
+    )
+    kept = dsir_resample(scored, "doc_id", "dsir_score", 100)
+    ids = [r.doc_id for r in kept.collect()]
+    assert 0 < len(ids) <= 100
+    n_high = sum(1 for i in ids if i < 1000)
+    assert n_high >= 0.95 * len(ids)
