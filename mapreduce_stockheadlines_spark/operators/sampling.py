@@ -424,33 +424,71 @@ def dsir_features(
 
 def dsir_log_ratios(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None,
     id_col: str,
     text_col: str,
     n_buckets: int = 65536,
     alpha: float = 1.0,
     salt: str = "dsir",
+    *,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Per-bucket fixed-point log importance ratio table:
     ``ratio_fp = round(1e6 * (ln p_target(b) - ln p_raw(b)))`` with
-    add-``alpha`` smoothing. Built from TWO bucket censuses (one agg
-    each — the corpora are never joined row-to-row); the result is
-    bounded by ``n_buckets`` rows, so downstream scoring broadcasts it.
-    Buckets never seen in the raw corpus can't be probed by raw docs,
-    so the raw census is the driving side.
+    add-``alpha`` smoothing. The result is bounded by ``n_buckets``
+    rows, so downstream scoring broadcasts it. Buckets never seen in
+    the raw corpus can't be probed by raw docs, so the raw census is
+    the driving side. Counts are integers and the arithmetic is fixed
+    before quantization, so the table is identical whichever path
+    builds it.
 
-    Scale: each census is one partial-aggregated groupBy over the
-    feature stream; the totals are two scalar aggregates (bounded
-    driver collect, same contract as token_budget_filter's histogram).
-    """
-    rawc = dsir_features(raw_df, id_col, text_col, n_buckets, salt).groupBy(
-        "bucket"
-    ).agg(F.count(F.lit(1)).alias("_rc"))
-    tgtc = dsir_features(target_df, id_col, text_col, n_buckets, salt).groupBy(
-        "bucket"
-    ).agg(F.count(F.lit(1)).alias("_tc"))
-    tr = rawc.agg(F.sum("_rc")).collect()[0][0] or 0
-    tt = tgtc.agg(F.sum("_tc")).collect()[0][0] or 0
+    Two shapes, same semantics:
+    - ``target_df`` given: TWO bucket censuses (one agg each — the
+      corpora are never joined row-to-row), for a target corpus that is
+      a separate table (e.g. a curated Wikipedia dump vs a crawl).
+    - ``target_filter`` given (keyword-only, mutually exclusive): the
+      target is a SUBSET of ``raw_df`` selected by a boolean Column —
+      both censuses fold in ONE corpus pass via a conditional count,
+      halving the scan/explode work. Prefer this when it applies.
+
+    Scale: a census is one partial-aggregated groupBy over the feature
+    stream; the totals are scalar aggregates (bounded driver collect,
+    same contract as token_budget_filter's histogram)."""
+    if (target_df is None) == (target_filter is None):
+        raise ValueError(
+            "dsir_log_ratios: pass exactly one of target_df / target_filter"
+        )
+    if target_filter is not None:
+        from ..functions.text import tokens_array, word_ngrams
+
+        toks = tokens_array(text_col)
+        feats = F.concat(toks, word_ngrams(toks, 2))
+        cens = (
+            raw_df.select(
+                target_filter.alias("_t"), F.explode(feats).alias("_feat")
+            )
+            .select(
+                "_t", _dsir_bucket(F.col("_feat"), n_buckets, salt).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_rc"),
+                F.count_if(F.col("_t")).alias("_tc"),
+            )
+        )
+        rawc = cens
+        totals = cens.agg(F.sum("_rc"), F.sum("_tc")).collect()[0]
+        tr, tt = totals[0] or 0, totals[1] or 0
+    else:
+        rawc = dsir_features(raw_df, id_col, text_col, n_buckets, salt).groupBy(
+            "bucket"
+        ).agg(F.count(F.lit(1)).alias("_rc"))
+        tgtc = dsir_features(
+            target_df, id_col, text_col, n_buckets, salt
+        ).groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
+        rawc = rawc.join(tgtc, "bucket", "left")
+        tr = rawc.agg(F.sum("_rc")).collect()[0][0] or 0
+        tt = tgtc.agg(F.sum("_tc")).collect()[0][0] or 0
     a, b = float(alpha), float(n_buckets)
     ratio = F.log(
         (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + F.lit(a))
@@ -458,14 +496,11 @@ def dsir_log_ratios(
     ) - F.log(
         (F.col("_rc").cast("double") + F.lit(a)) / F.lit(float(tr) + a * b)
     )
-    return (
-        rawc.join(tgtc, "bucket", "left")
-        .select(
-            "bucket",
-            F.round(ratio * F.lit(float(_DSIR_FP)), 0)
-            .cast("bigint")
-            .alias("ratio_fp"),
-        )
+    return rawc.select(
+        "bucket",
+        F.round(ratio * F.lit(float(_DSIR_FP)), 0)
+        .cast("bigint")
+        .alias("ratio_fp"),
     )
 
 

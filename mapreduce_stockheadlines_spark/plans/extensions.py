@@ -1624,11 +1624,11 @@ SELECT node, round(rank, 8) AS rank FROM r{n_iters} ORDER BY node
 X31_SQL = _x31_oracle_sql()
 
 
-# --- x32 mixture construction: token budget + epoch upsampling ---------------
+# --- x32 mixture construction: token budget + epoch upsampling + DSIR --------
 
 def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
-    """The two mixture-construction stages a curation user touches on
-    day one (operators/sampling.py), registry-promoted in round 6 (slot
+    """The mixture-construction stages a curation user touches on day
+    one (operators/sampling.py), registry-promoted in round 6 (slot
     freed by folding q26's pivot into q25): token_budget_filter fills
     35% of the corpus' total token mass with the highest-scoring docs
     (score = n_chars — quality∝length is real here; equi-width histogram
@@ -1644,7 +1644,22 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     AND the exact per-row multiplicity, and the exploded (doc, epoch)
     rows hash-match bit-for-bit. The never-over-budget guarantee rides
     the membership check: one extra surviving row would change the row
-    set."""
+    set.
+
+    Since the DSIR promotion (zero slots — extra COLUMNS on the same
+    rows, the x24 canonical_url pattern) each output row also carries
+    the third day-one selection stage: ``dsir_score`` / ``n_features``
+    (mean fixed-point log importance ratio of the doc's hashed
+    unigram+bigram occurrences under a target=src0 vs raw=corpus bucket
+    model — the per-doc fold is an exact BIGINT sum, so scores are
+    summation-order-proof) and ``dsir_kept`` (membership of the
+    Gumbel-top-k resample of ⌊n/3⌋ docs: md5-derived Gumbel coins
+    rounded to 4dp, top-k cut via the SAME histogram+suffix-sum
+    construction as the token budget — no global sort). DuckDB
+    re-derives feature buckets, both censuses, the fixed-point ratio
+    table, every score, every Gumbel key, the key histogram and the
+    suffix-sum cut — the full DSIR pipeline hash-matches, including
+    NULL score/kept on NULL-text docs that produce no features."""
     docs = parallel_table(spark, sf, "documents")
     s = docs.select(
         "doc_id",
@@ -1662,9 +1677,33 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
         {"src0": 2.3, "src1": 0.5, "src2": 1.7, "src3": 1.0},
         default_weight=1.0,
     )
-    return mixed.select("doc_id", "source", "n_tokens", "epoch").orderBy(
-        "doc_id", "epoch"
+    raw = docs.filter(F.col("text").isNotNull())
+    ratios = SP.dsir_log_ratios(
+        raw, None, "doc_id", "text", n_buckets=4096,
+        target_filter=F.col("source") == "src0",
     )
+    # scored is tiny (one row per doc) but its lineage re-explodes the
+    # corpus; localCheckpoint so count/min-max/histogram/filter/join
+    # all reuse one materialization (the x31 PageRank pattern)
+    scored = SP.dsir_scores(raw, ratios, "doc_id", "text",
+                            n_buckets=4096).localCheckpoint()
+    n_keep = scored.count() // 3
+    sel = SP.dsir_resample(scored, "doc_id", "dsir_score", n_keep).select(
+        "doc_id", F.lit(True).alias("dsir_kept")
+    )
+    enriched = (
+        mixed.join(scored, "doc_id", "left")
+        .join(sel, "doc_id", "left")
+        .withColumn(
+            "dsir_kept",
+            F.when(F.col("dsir_score").isNotNull(),
+                   F.coalesce(F.col("dsir_kept"), F.lit(False))),
+        )
+    )
+    return enriched.select(
+        "doc_id", "source", "n_tokens", "epoch",
+        "dsir_score", "n_features", "dsir_kept",
+    ).orderBy("doc_id", "epoch")
 
 
 X32_SQL = """
@@ -1699,12 +1738,79 @@ ups AS (
   FROM (SELECT b.*,
                CAST(('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)),
                                     1, 8)) AS BIGINT) / 4294967296.0 AS h
-        FROM b JOIN kept_bins k ON k.bin = b.bin))
-SELECT doc_id, source, n_tokens, CAST(epoch AS INTEGER) AS epoch FROM (
-  SELECT doc_id, source, n_tokens,
-         unnest(generate_series(0, n_copies - 1)) AS epoch
-  FROM ups WHERE n_copies > 0)
-ORDER BY doc_id, epoch
+        FROM b JOIN kept_bins k ON k.bin = b.bin)),
+mixed AS MATERIALIZED (
+  SELECT doc_id, source, n_tokens, CAST(epoch AS INTEGER) AS epoch FROM (
+    SELECT doc_id, source, n_tokens,
+           unnest(generate_series(0, n_copies - 1)) AS epoch
+    FROM ups WHERE n_copies > 0)),
+dtl AS MATERIALIZED (
+  SELECT doc_id, source, list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+'),
+           t -> length(t) > 0) AS toks
+  FROM documents WHERE text IS NOT NULL),
+dtok AS (
+  SELECT doc_id, source, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS ord
+  FROM dtl),
+dgrams AS (
+  SELECT doc_id, source, token AS gram FROM dtok
+  UNION ALL
+  SELECT doc_id, source, token || ' ' || lead(token, 1) OVER w AS gram
+  FROM dtok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(token, 1) OVER w IS NOT NULL),
+dfeats AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('dsir:' || gram), 1, 8)) AS BIGINT)
+           % 4096 AS bucket
+  FROM dgrams),
+drawc AS MATERIALIZED (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM dfeats GROUP BY bucket),
+dtgtc AS MATERIALIZED (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc FROM dfeats
+  WHERE source = 'src0' GROUP BY bucket),
+dtot AS (SELECT CAST((SELECT SUM(rc) FROM drawc) AS DOUBLE) AS tr,
+                CAST(COALESCE((SELECT SUM(tc) FROM dtgtc), 0) AS DOUBLE) AS tt),
+dratios AS MATERIALIZED (
+  SELECT r.bucket,
+         CAST(round(1000000.0 * (
+           ln((COALESCE(t.tc, 0) + 1.0) / (dtot.tt + 1.0 * 4096))
+           - ln((r.rc + 1.0) / (dtot.tr + 1.0 * 4096)))) AS BIGINT) AS ratio_fp
+  FROM drawc r LEFT JOIN dtgtc t USING (bucket), dtot),
+dscored AS MATERIALIZED (
+  SELECT f.doc_id,
+         round(CAST(SUM(ratio_fp) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+           AS dsir_score,
+         CAST(COUNT(*) AS BIGINT) AS n_features
+  FROM dfeats f JOIN dratios USING (bucket)
+  GROUP BY f.doc_id),
+dnk AS (SELECT count(*) // 3 AS n_keep FROM dscored),
+dgk AS MATERIALIZED (
+  SELECT doc_id, dsir_score + round(-ln(-ln(
+           (CAST(('0x' || substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) + 0.5)
+           / 4294967296.0)), 4) AS k
+  FROM dscored),
+dgb AS (SELECT min(k) AS lo, max(k) AS hi FROM dgk),
+dgw AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 1000.0 ELSE 1.0 END
+          AS width FROM dgb),
+dbin AS MATERIALIZED (
+  SELECT g.doc_id,
+         least(CAST(floor((g.k - w.lo) / w.width) AS INTEGER), 999) AS bin
+  FROM dgk g CROSS JOIN dgw w),
+dhist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM dbin GROUP BY bin),
+dcut AS (SELECT bin FROM (
+    SELECT bin, sum(cnt) OVER (ORDER BY bin DESC) AS suffix FROM dhist)
+  WHERE suffix <= (SELECT n_keep FROM dnk)),
+dsel AS (SELECT doc_id, TRUE AS dsir_kept FROM dbin JOIN dcut USING (bin))
+SELECT m.doc_id, m.source, m.n_tokens, m.epoch,
+       s.dsir_score, s.n_features,
+       CASE WHEN s.doc_id IS NOT NULL
+            THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept
+FROM mixed m
+LEFT JOIN dscored s ON m.doc_id = s.doc_id
+LEFT JOIN dsel d ON m.doc_id = d.doc_id
+ORDER BY m.doc_id, m.epoch
 """
 
 

@@ -658,3 +658,31 @@ def test_dsir_resample_is_score_biased_when_gap_dominates(spark):
     assert 0 < len(ids) <= 100
     n_high = sum(1 for i in ids if i < 1000)
     assert n_high >= 0.95 * len(ids)
+
+
+def test_dsir_ratios_fused_subset_path_equals_two_census_path(spark, sf_dir):
+    """target_filter (one conditional-count corpus pass) must produce
+    the IDENTICAL ratio table as target_df (two censuses) when the
+    target is the same subset — integer counts, so exact equality."""
+    dsir_log_ratios, _, _ = _dsir_modules()
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("text").isNotNull())
+    two = sorted(
+        (r.bucket, r.ratio_fp)
+        for r in dsir_log_ratios(
+            raw, raw.filter(F.col("source") == "src0"), "doc_id", "text",
+            n_buckets=4096,
+        ).collect()
+    )
+    one = sorted(
+        (r.bucket, r.ratio_fp)
+        for r in dsir_log_ratios(
+            raw, None, "doc_id", "text", n_buckets=4096,
+            target_filter=F.col("source") == "src0",
+        ).collect()
+    )
+    assert one == two and len(one) > 100
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_log_ratios(raw, None, "doc_id", "text")
