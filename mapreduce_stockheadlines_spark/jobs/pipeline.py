@@ -107,6 +107,9 @@ def curate(
     neardup_keep_best: bool = False,
     token_budget: int | None = None,
     max_per_domain: int | None = None,
+    dsir_target_source: str | None = None,
+    dsir_keep_frac: float = 0.5,
+    dsir_buckets: int = 65536,
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
@@ -147,6 +150,16 @@ def curate(
         raise ValueError(
             f"encode_vocab_top must be >= 1, got {encode_vocab_top}"
         )
+    if dsir_target_source is not None:
+        if not 0.0 < dsir_keep_frac <= 1.0:
+            raise ValueError(
+                f"dsir_keep_frac must be in (0, 1], got {dsir_keep_frac}"
+            )
+        if "source" not in docs.columns:
+            raise ValueError(
+                "dsir_target_source needs a 'source' column to select "
+                "the target subset"
+            )
 
     # 0. (optional) Unicode normalization — before EVERYTHING: the
     #    ASCII tokenizer, the digests (composed vs decomposed accents
@@ -358,6 +371,37 @@ def curate(
     #     keep the best keep_top fraction (one sketch, no corpus shuffle)
     if keep_top is not None:
         docs = SA.quantile_threshold_filter(docs, "quality", keep_top)
+
+    # 5b2. (optional) DSIR selection (Xie et al. 2023): Gumbel-resample
+    #      the survivors toward the hashed-n-gram profile of one
+    #      source's docs — the distribution-matching cut beside
+    #      keep_top's absolute-quality cut ("keep the web pages that
+    #      look like src0"). Eager (census totals + the resample
+    #      histogram are driver collects), so materialize survivors
+    #      once first — token_budget's barrier rationale. Docs whose
+    #      text yields no features (token-less) cannot carry a score
+    #      and are not selectable; the target's own surviving docs
+    #      compete like any others.
+    if dsir_target_source is not None:
+        docs = (
+            docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
+        )
+        ratios = SA.dsir_log_ratios(
+            docs, None, "doc_id", "text", n_buckets=dsir_buckets,
+            target_filter=F.col("source") == dsir_target_source,
+        )
+        scored = SA.dsir_scores(
+            docs, ratios, "doc_id", "text", n_buckets=dsir_buckets
+        )
+        scored = (
+            scored.checkpoint() if reliable_checkpoint
+            else scored.localCheckpoint()
+        )
+        n_keep = max(int(scored.count() * dsir_keep_frac), 1)
+        sel = SA.dsir_resample(scored, "doc_id", "dsir_score", n_keep).select(
+            "doc_id"
+        )
+        docs = docs.join(sel, "doc_id", "left_semi")
 
     # 5c. (optional) split long docs into overlapping fixed-token chunks;
     #     chunks inherit the parent's metadata and a composite id
@@ -640,6 +684,15 @@ def main(argv: list[str] | None = None) -> None:
                          "the multilingual alpha-sampling rule); a "
                          "down-sampling mix applied with the gates, "
                          "before any epoch upsampling")
+    ap.add_argument("--dsir-target-source", default=None, metavar="SRC",
+                    help="DSIR-resample survivors toward this source's "
+                         "hashed-n-gram profile (importance resampling; "
+                         "keeps ~--dsir-keep-frac of the survivors)")
+    ap.add_argument("--dsir-keep-frac", type=float, default=0.5,
+                    help="fraction of survivors the DSIR resample keeps "
+                         "(default 0.5; requires --dsir-target-source)")
+    ap.add_argument("--dsir-buckets", type=int, default=65536,
+                    help="hashed-n-gram model size for DSIR (default 65536)")
     ap.add_argument("--shuffle-output", action="store_true",
                     help="write output in deterministic hash-shuffled order")
     ap.add_argument("--test-fraction", type=float, default=None,
@@ -741,6 +794,9 @@ def main(argv: list[str] | None = None) -> None:
         normalize_unicode_form=args.normalize_unicode,
         neardup_keep_best=args.neardup_keep_best,
         token_budget=args.token_budget,
+        dsir_target_source=args.dsir_target_source,
+        dsir_keep_frac=args.dsir_keep_frac,
+        dsir_buckets=args.dsir_buckets,
         encode_vocab_top=args.encode_vocab_top,
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(

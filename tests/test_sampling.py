@@ -686,3 +686,29 @@ def test_dsir_ratios_fused_subset_path_equals_two_census_path(spark, sf_dir):
 
     with pytest.raises(ValueError):
         dsir_log_ratios(raw, None, "doc_id", "text")
+
+
+def test_curate_cli_dsir(spark, tmp_path, sf_dir):
+    """--dsir-target-source plumbs the DSIR stage into curate after the
+    gates: the kept set is a subset of the unflagged run's survivors,
+    its size respects the --dsir-keep-frac bound, and a keep-frac
+    outside (0, 1] fails fast before any cluster work."""
+    import pytest
+
+    from mapreduce_stockheadlines_spark.jobs.pipeline import curate, main
+
+    base_out = str(tmp_path / "base")
+    dsir_out = str(tmp_path / "dsir")
+    lax = ["--min-quality", "0.0"]
+    main([base_out, "--sf-dir", sf_dir, *lax])
+    main([dsir_out, "--sf-dir", sf_dir, *lax,
+          "--dsir-target-source", "src0", "--dsir-keep-frac", "0.4"])
+    base_ids = {r.doc_id for r in spark.read.parquet(base_out)
+                .select("doc_id").collect()}
+    dsir_ids = {r.doc_id for r in spark.read.parquet(dsir_out)
+                .select("doc_id").collect()}
+    assert dsir_ids and dsir_ids <= base_ids
+    assert len(dsir_ids) <= max(int(len(base_ids) * 0.4), 1)
+    with pytest.raises(ValueError, match="dsir_keep_frac"):
+        curate(table(spark, sf_dir, "documents"),
+               dsir_target_source="src0", dsir_keep_frac=1.5)
