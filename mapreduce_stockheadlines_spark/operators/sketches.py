@@ -195,3 +195,109 @@ def cms_estimate(
     return joined.groupBy(*group_cols, value_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("freq_estimate")
     )
+
+
+# --- HDR-style quantile sketches (log2-bucketed, exactly mergeable) ----------
+#
+# The quantile-side third leg of the artifact family: HLL answers "how
+# many DISTINCT", CMS answers "how often is THIS value", this answers
+# "what is the p99" — from a bucket-count table bounded by the chosen
+# precision, never by the data. Buckets are HdrHistogram-shaped: keep
+# the top ``prec_bits`` bits of the value's magnitude (bucket width
+# 2^(msb-prec), i.e. relative error < 2^(1-prec) — ~0.8% at the
+# default 8 bits), derived with INTEGER ops only (msb = length of the
+# binary string — no libm, no floats), so DuckDB re-derives the entire
+# bucket table AND every quantile answer bit-for-bit, the same
+# strongest-pin contract as the CMS. Counts ADD, so sketches merge
+# exactly: qsk_merge(build(A), build(B)) == build(A UNION ALL B)
+# row-for-row (pinned), making per-period quantile artifacts fold like
+# the HLL/CMS ones and pair with sources/versioned.py history.
+#
+# Contract: values are integer-valued measures (token counts, byte
+# sizes, latencies — cast to BIGINT; fixed-point-scale fractional
+# measures first, e.g. round(quality*1e6)). NULLs are dropped (an
+# unrankable row, token_budget_filter's convention); |v| = 2^63-1 is
+# the magnitude ceiling (LONG_MIN would overflow abs() and ANSI mode
+# fails loudly rather than mis-bucketing).
+#
+# Scale shape: build is one projection + count census whose
+# groupBy(qb) partially aggregates map-side — the shuffle carries at
+# most #buckets rows per partition (≤ 63·2^(prec-1) + 1 per sign —
+# ~8 K cells at prec 8) however many rows share a bucket; quantile
+# queries run windows over the KB-sized sketch, never the corpus.
+
+DEFAULT_QSK_PREC_BITS = 8  # bucket width 2^(msb-8): <0.8% relative error
+
+
+def _qsk_bucket(prec_bits: int) -> Column:
+    """Signed bucket representative of ``_v``: the magnitude with all
+    but its top ``prec_bits`` bits cleared, negated back for negative
+    values (so qb <= v < qb + width for positives, qb - width < v <= qb
+    for negatives — ordering by qb always preserves value order across
+    buckets)."""
+    s = f"greatest(length(bin(abs(_v))) - {prec_bits}, 0)"
+    lo = f"shiftleft(shiftright(abs(_v), {s}), {s})"
+    return F.expr(f"CASE WHEN _v < 0 THEN -{lo} ELSE {lo} END")
+
+
+def qsk_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    prec_bits: int = DEFAULT_QSK_PREC_BITS,
+) -> DataFrame:
+    """Quantile-sketch bucket table per group: group_cols + (qb, cnt),
+    ≤ ~2^prec_bits·63 rows per group regardless of corpus size."""
+    group_cols = list(group_cols or [])
+    rows = df.select(
+        *group_cols, F.col(value_col).cast("bigint").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    return rows.select(
+        *group_cols, _qsk_bucket(prec_bits).alias("qb")
+    ).groupBy(*group_cols, "qb").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def qsk_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold two bucket tables built with the same prec_bits: counts
+    add, so this is EXACTLY build-of-union (pinned) — the upsert for
+    per-period quantile artifacts."""
+    group_cols = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "qb")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def qsk_quantiles(
+    sketch: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Lower-quantile estimates per group: for each q, the bucket
+    representative of the rank-⌈q·n⌉ value (q=0 → minimum bucket,
+    q=1 → maximum). The estimate is the exact quantile's own bucket,
+    so |estimate - true| < bucket width, i.e. relative error
+    < 2^(1-prec_bits) in magnitude. Runs a cumulative window over the
+    SKETCH (bucket-count-bounded — the empty-group window's
+    SinglePartition is over KBs, the same post-aggregation class as a
+    scalar subquery), never over the data."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols or [])
+    w_ord = Window.partitionBy(*group_cols).orderBy("qb")
+    w_all = Window.partitionBy(*group_cols)
+    c = sketch.withColumn("_cum", F.sum("cnt").over(w_ord)).withColumn(
+        "_tot", F.sum("cnt").over(w_all)
+    )
+    q = F.explode(
+        F.array(*[F.lit(float(x)) for x in quantiles])
+    ).alias("q")
+    return (
+        c.select(*group_cols, "qb", "_cum", "_tot", q)
+        .filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_tot")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("qb").alias("quantile_estimate"))
+    )

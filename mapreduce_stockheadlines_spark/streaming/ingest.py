@@ -715,3 +715,51 @@ def sketch_ingest_sink(
         write_table_version(merged, artifact_dir, reclaim_stale_after_s=0.0)
 
     return write_batch
+
+
+def census_ingest_sink(
+    build_fn,
+    key_cols: list[str],
+    artifact_dir: str,
+):
+    """foreachBatch function: maintain any ADDITIVE census artifact
+    over a stream — the CMS counter table and the quantile-sketch
+    bucket table both fold by plain count addition, so one sink serves
+    the whole non-HLL sketch family (operators/sketches): per batch,
+    ``build_fn(batch_df)`` produces key_cols + ``cnt`` and the fold is
+    union + sum per key into a VERSIONED artifact. Because addition is
+    exactly build-of-union for these structures (pinned in
+    tests/test_sketches.py), the incrementally maintained artifact
+    answers IDENTICALLY to a from-scratch batch build.
+
+    Replay/crash contract is sketch_ingest_sink's, verbatim: the
+    artifact row carries ``last_batch_id`` (at-least-once replays
+    return before touching storage) and ``write_table_version``
+    publishes atomically with same-version reclaim (this sink is the
+    table's only writer). Per-batch cost: one census of the batch +
+    a read of the cell-bounded artifact — history never re-read.
+    """
+    from ..sources.versioned import read_table, write_table_version
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = read_table(spark, artifact_dir)
+        except Exception:
+            existing = None
+        if existing is not None:
+            done = existing.agg(F.max("last_batch_id")).collect()[0][0]
+            if done is not None and done >= batch_id:
+                return  # replayed batch: already folded, artifact intact
+            existing = existing.select(*key_cols, "cnt")
+        inc = build_fn(batch_df)
+        if existing is not None:
+            inc = (
+                existing.unionByName(inc)
+                .groupBy(*key_cols)
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        merged = inc.withColumn("last_batch_id", F.lit(batch_id))
+        write_table_version(merged, artifact_dir, reclaim_stale_after_s=0.0)
+
+    return write_batch

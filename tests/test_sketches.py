@@ -285,3 +285,186 @@ def test_cms_grouped_and_vs_duckdb(spark, sf_dir):
         """
     ).fetchall()
     assert duck_est == sorted(map(tuple, est.collect()))
+
+
+# --- quantile sketches -------------------------------------------------------
+
+
+def test_qsk_merge_exactly_equals_build_of_union(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        qsk_build,
+        qsk_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 != 0)
+    merged = qsk_merge(
+        qsk_build(a, "n_chars", ["source"]),
+        qsk_build(b, "n_chars", ["source"]),
+        ["source"],
+    )
+    whole = qsk_build(docs, "n_chars", ["source"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_qsk_buckets_and_quantiles_vs_duckdb_and_error_bound(spark, sf_dir):
+    """DuckDB re-derives the integer bucket table AND every quantile
+    answer bit-for-bit (no libm anywhere in the construction), and the
+    estimates sit within the 2^(1-prec) relative-error bound of the
+    EXACT rank-⌈q·n⌉ quantile."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        qsk_build,
+        qsk_quantiles,
+    )
+
+    prec = 8
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    sk = qsk_build(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "n_chars",
+        ["source"],
+        prec_bits=prec,
+    )
+    est = qsk_quantiles(sk, qs, ["source"])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    bucket_sql = f"""
+        SELECT source,
+               CASE WHEN v < 0
+                    THEN -((abs(v) >> s) << s)
+                    ELSE (abs(v) >> s) << s END AS qb
+        FROM (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                     greatest(length(bin(abs(CAST(n_chars AS BIGINT)))) - {prec},
+                              0) AS s
+              FROM documents WHERE n_chars IS NOT NULL)
+    """
+    duck_sk = con.execute(
+        f"SELECT source, qb, CAST(count(*) AS BIGINT) FROM ({bucket_sql}) "
+        f"GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    assert duck_sk == sorted(map(tuple, sk.collect()))
+
+    duck_est = con.execute(
+        f"""
+        WITH sk AS (
+          SELECT source, qb, count(*) AS cnt FROM ({bucket_sql}) GROUP BY 1, 2),
+        c AS (
+          SELECT source, qb,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY qb) AS cum,
+                 sum(cnt) OVER (PARTITION BY source) AS tot
+          FROM sk)
+        SELECT source, CAST(q AS DOUBLE) AS q, min(qb)
+        FROM c CROSS JOIN (SELECT unnest({qs!r}) AS q) qq
+        WHERE cum >= ceil(q * tot)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    got = sorted(
+        (r.source, r.q, r.quantile_estimate) for r in est.collect()
+    )
+    assert got == [tuple(r) for r in duck_est]
+
+    # error bound vs the EXACT rank-ceil(q*n) quantile (same rank rule)
+    truth = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            f"""
+            WITH v AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                       AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents WHERE n_chars IS NOT NULL)
+            SELECT source, CAST(q AS DOUBLE) AS q, min(v)
+            FROM v CROSS JOIN (SELECT unnest({qs!r}) AS q) qq
+            WHERE rn >= greatest(ceil(q * n), 1)
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    for src, q, e in got:
+        t = truth[(src, q)]
+        assert abs(e - t) <= abs(t) * 2 ** (1 - prec), (src, q, e, t)
+
+
+def test_qsk_handles_negatives_and_is_partition_invariant(spark):
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        qsk_build,
+        qsk_quantiles,
+    )
+
+    vals = [(-1000,), (-999,), (-10,), (0,), (3,), (1000,), (123456789,)]
+    df = spark.createDataFrame(vals, "v bigint")
+    sk = sorted(map(tuple, qsk_build(df, "v").collect()))
+    sk2 = sorted(map(tuple, qsk_build(df.repartition(5), "v").collect()))
+    assert sk == sk2
+    q = {
+        r.q: r.quantile_estimate
+        for r in qsk_quantiles(qsk_build(df, "v"), [0.0, 0.5, 1.0]).collect()
+    }
+    # min bucket of -1000 at prec 8 is exact (magnitude < 2^8 untouched
+    # only below 256 — here width 4: -1000 rounds toward zero to -1000)
+    assert q[0.0] <= -996 and q[1.0] <= 123456789 <= q[1.0] * (1 + 2**-7)
+    assert -10 <= q[0.5] <= 0  # rank ceil(0.5*7)=4 → value 0's bucket
+
+
+def test_census_ingest_sink_folds_cms_and_qsk_idempotently(spark, tmp_path):
+    """One streaming sink serves every additive census artifact: CMS
+    counter tables and quantile-sketch bucket tables fold per batch
+    into versioned artifacts, a replayed batch is a no-op, and the
+    final state equals a from-scratch batch build row-for-row (the
+    merge == build-of-union property, now across micro-batches)."""
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        cms_build,
+        qsk_build,
+    )
+    from mapreduce_stockheadlines_spark.sources.versioned import read_table
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        census_ingest_sink,
+    )
+
+    b0 = spark.createDataFrame(
+        [("x", "tok%d" % (i % 7), i) for i in range(60)], "g string, t string, v int"
+    )
+    b1 = spark.createDataFrame(
+        [("y", "tok%d" % (i % 5), i * 3) for i in range(40)],
+        "g string, t string, v int",
+    )
+    cms_dir = str(tmp_path / "cms")
+    qsk_dir = str(tmp_path / "qsk")
+    cms_sink = census_ingest_sink(
+        lambda b: cms_build(b, "t", ["g"], width=256), ["g", "d", "w"], cms_dir
+    )
+    qsk_sink = census_ingest_sink(
+        lambda b: qsk_build(b, "v", ["g"]), ["g", "qb"], qsk_dir
+    )
+    for sink in (cms_sink, qsk_sink):
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b1, 1)  # at-least-once replay: must not double-count
+
+    whole = b0.unionAll(b1)
+    got_cms = sorted(
+        map(tuple, read_table(spark, cms_dir).select("g", "d", "w", "cnt").collect())
+    )
+    want_cms = sorted(map(tuple, cms_build(whole, "t", ["g"], width=256).collect()))
+    assert got_cms == want_cms
+    got_qsk = sorted(
+        map(tuple, read_table(spark, qsk_dir).select("g", "qb", "cnt").collect())
+    )
+    want_qsk = sorted(map(tuple, qsk_build(whole, "v", ["g"]).collect()))
+    assert got_qsk == want_qsk
+    # version history time-travels: v1 holds only batch 0's census
+    v1 = sorted(
+        map(tuple,
+            read_table(spark, qsk_dir, version=1).select("g", "qb", "cnt").collect())
+    )
+    assert v1 == sorted(map(tuple, qsk_build(b0, "v", ["g"]).collect()))
