@@ -575,3 +575,26 @@ def dsir_resample(
     return token_budget_filter(keyed, "_gk", "_one", n_keep, n_bins).drop(
         "_gk", "_one"
     )
+
+
+def save_dsir_ratios(
+    ratios: DataFrame, path: str, n_buckets: int, salt: str = "dsir"
+) -> None:
+    """Persist a DSIR log-ratio table as a parquet artifact — the
+    offline half of the deployment shape (fit target-vs-raw ratios once
+    on a reference pairing, gate many corpora/streams against them).
+    Layout: ``<path>/ratios`` (bucket, ratio_fp), ``<path>/meta`` (one
+    row: n_buckets, salt — scoring MUST bucket with the same pair, so
+    they travel with the table instead of trusting call sites)."""
+    ratios.write.mode("overwrite").parquet(f"{path}/ratios")
+    ratios.sparkSession.createDataFrame(
+        [(int(n_buckets), salt)], "n_buckets long, salt string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_dsir_ratios(spark, path: str) -> tuple[DataFrame, int, str]:
+    """Inverse of ``save_dsir_ratios``; the returned triple feeds
+    ``dsir_scores(raw, ratios, ..., n_buckets=n, salt=salt)``."""
+    ratios = spark.read.parquet(f"{path}/ratios")
+    meta = spark.read.parquet(f"{path}/meta").first()
+    return ratios, int(meta["n_buckets"]), meta["salt"]

@@ -132,6 +132,8 @@ def curated_ingest_sink(
     neardup_index_dir: str | None = None,
     min_clf_score: float | None = None,
     clf_weights: list[tuple[str, float]] | None = None,
+    min_dsir_score: float | None = None,
+    dsir_ratios_dir: str | None = None,
     max_perplexity: float | None = None,
     lm_dir: str | None = None,
     bpe_dir: str | None = None,
@@ -144,7 +146,10 @@ def curated_ingest_sink(
     gate, mirroring the batch pipeline's stage order), dedup each
     micro-batch against the persistent digest index at ``index_dir``,
     optionally near-dedup it against a persistent MinHash BAND index,
-    apply the optional language/quality gate, append survivors to
+    apply the optional language/quality gate (plus the optional model
+    gates: classifier floor, DSIR relevance floor against a
+    ``save_dsir_ratios`` artifact, LM-perplexity ceiling against a
+    ``save_bigram_lm`` artifact), append survivors to
     ``out_dir`` and their digests/bands to the indexes.
     ``blocked_domains`` is a plain list (PSL-registered domains or IPv4
     literals); it plays the broadcast side-table role per micro-batch.
@@ -175,6 +180,7 @@ def curated_ingest_sink(
     _lm_cache: list = []  # one artifact load per sink lifetime
     _bpe_cache: list = []  # ditto for the BPE tokenizer
     _drift_cache: list = []  # ditto for the reference token census
+    _dsir_cache: list = []  # ditto for the DSIR ratio table
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -337,6 +343,36 @@ def curated_ingest_sink(
                 id_col,
                 "left_semi",
             )
+        if min_dsir_score is not None:
+            # DSIR relevance gate against a PRETRAINED ratio artifact
+            # (save_dsir_ratios — fit target-vs-raw ratios offline,
+            # gate the stream against them). Per-batch self-fitting
+            # would measure each batch against ITSELF and produce
+            # incomparable scores, so like the LM gate this is
+            # artifact-only; the bucketing (n_buckets, salt) travels
+            # inside the artifact so the stream can't silently score
+            # with a mismatched hash space.
+            if dsir_ratios_dir is None:
+                raise ValueError(
+                    "min_dsir_score needs dsir_ratios_dir (a "
+                    "save_dsir_ratios artifact); per-batch self-"
+                    "fitting is not a meaningful streaming gate"
+                )
+            from ..operators.sampling import dsir_scores, load_dsir_ratios
+
+            if not _dsir_cache:
+                _dsir_cache.append(load_dsir_ratios(spark, dsir_ratios_dir))
+            ratios, nb, dsalt = _dsir_cache[0]
+            ds = dsir_scores(
+                survivors, ratios, id_col, text_col,
+                n_buckets=nb, salt=dsalt,
+            )
+            # flag-and-anti-join: featureless docs carry no score and
+            # pass through (no positive evidence of irrelevance)
+            off_target = ds.filter(
+                F.col("dsir_score") < min_dsir_score
+            ).select(id_col)
+            survivors = survivors.join(off_target, id_col, "left_anti")
         if max_perplexity is not None:
             # perplexity gate against a PRETRAINED model (lm_dir — the
             # CCNet deployment shape: train offline on a clean reference

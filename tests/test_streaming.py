@@ -928,3 +928,68 @@ def test_curated_ingest_bloom_gate_matches_plain(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "out_bloom")).collect()
     )
     assert got == [1, 2, 5, 7, 9]
+
+
+def test_curated_ingest_dsir_gate_with_pretrained_ratios(spark, tmp_path):
+    """The streaming ingest gates on DSIR relevance under a PRETRAINED
+    ratio artifact: docs resembling the fitted target vocabulary pass,
+    off-target docs drop, featureless docs pass (no positive evidence),
+    and the gate refuses to run without an artifact."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import sampling as SA
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+        run_curated_ingest,
+    )
+
+    fit = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", True) for i in range(20)]
+        + [(100 + i, "one two three four five six", False) for i in range(20)],
+        "doc_id long, text string, is_target boolean",
+    )
+    ratios = SA.dsir_log_ratios(
+        fit, None, "doc_id", "text", n_buckets=4096,
+        target_filter=F.col("is_target"),
+    )
+    art = str(tmp_path / "dsir")
+    SA.save_dsir_ratios(ratios, art, n_buckets=4096)
+    r2, nb2, salt2 = SA.load_dsir_ratios(spark, art)
+    assert (nb2, salt2) == (4096, "dsir")  # artifact round-trips
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (10, "alpha beta gamma epsilon"),   # on-target → passes
+        (11, "one two three four"),         # off-target → dropped
+        (12, "1234 5678 !!"),               # featureless → passes
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+        min_dsir_score=0.0,
+        dsir_ratios_dir=art,
+    )
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [10, 12]
+
+    sink = curated_ingest_sink(
+        str(tmp_path / "out2"), str(tmp_path / "idx2"), min_dsir_score=0.0
+    )
+    with pytest.raises(ValueError, match="dsir_ratios_dir"):
+        sink(spark.createDataFrame(rows, schema), 0)
