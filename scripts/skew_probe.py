@@ -423,6 +423,46 @@ def main() -> None:
         f"map-side partial aggregation"
     )
 
+    # --- 8. (round 6) DSIR census under a 100%-hot feature bucket ------
+    # a stopword-grade token planted in EVERY doc makes its hashed
+    # bucket carry ~#docs occurrences. The ratio census is
+    # groupBy(bucket) with map-side partial aggregation — the shuffle
+    # carries <= #partitions rows per bucket however hot it is, and the
+    # scoring side never shuffles on bucket at all (ratio table
+    # broadcasts; the per-doc fold exchanges on doc_id, one row each).
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        dsir_features,
+        dsir_log_ratios,
+        dsir_scores,
+    )
+
+    hot_docs = docs.select(
+        "doc_id", "source",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" hotfeature hotfeature")).alias("text"),
+    )
+    feats = dsir_features(hot_docs, "doc_id", "text", n_buckets=4096)
+    partition_stats(
+        feats.repartition(32, "bucket"),
+        "x-dsir census naive exchange (bucket)      ",
+    )
+    ratios = dsir_log_ratios(
+        hot_docs, None, "doc_id", "text", n_buckets=4096,
+        target_filter=F.col("source") == "src0",
+    )
+    n_cells = ratios.count()
+    hot_share = (
+        feats.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+        / feats.count()
+    )
+    sc = dsir_scores(hot_docs, ratios, "doc_id", "text", n_buckets=4096)
+    print(
+        f"x-dsir: hottest bucket holds {hot_share:.1%} of the feature "
+        f"stream, yet the census output is {n_cells} cells (<= 4096 "
+        f"regardless of heat) and scoring exchanges once on doc_id "
+        f"({sc.count()} rows, one per doc)"
+    )
+
     print("=== probe complete ===")
 
 
