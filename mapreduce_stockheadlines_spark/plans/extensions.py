@@ -732,8 +732,40 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL) + approx percentile, hash-checked via
     the tolerance contract above (also property-tested vs exact in unit
-    tests at multiple scales)."""
+    tests at multiple scales).
+
+    Since the quantile-sketch promotion (round 6, zero slots — the x24
+    extra-columns pattern) each row also carries ``qsk_p50_millis`` /
+    ``qsk_p99_millis``: operators/sketches.qsk quantile estimates of
+    ``value`` fixed-point-scaled to millis (the documented contract for
+    fractional measures). Unlike the tolerance-gated HLL/t-digest
+    columns, the sketch construction is pure INTEGER arithmetic, so
+    DuckDB re-derives the log2 bucket table, the cumulative rank rule
+    and both estimates bit-for-bit — an approximate structure under an
+    EXACT cross-engine pin."""
+    from ..operators import sketches as QS
+
     e = table(spark, sf, "events")
+    millis = e.select(
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("bigint").alias("_v"),
+    )
+    qp = (
+        QS.qsk_quantiles(
+            QS.qsk_build(millis, "_v", ["event_type"]),
+            [0.5, 0.99],
+            ["event_type"],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("q") == 0.5, F.col("quantile_estimate"))
+            ).alias("qsk_p50_millis"),
+            F.max(
+                F.when(F.col("q") == 0.99, F.col("quantile_estimate"))
+            ).alias("qsk_p99_millis"),
+        )
+    )
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("_hll_users"),
         F.percentile_approx("value", 0.5).alias("_approx_median"),
@@ -742,7 +774,7 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("_p50"),
         F.expr("percentile(value, 0.6)").alias("_p60"),
     )
-    return agg.select(
+    agg = agg.select(
         "event_type",
         "exact_users",
         F.round("_p50", 4).alias("exact_median_value"),
@@ -759,16 +791,53 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("int")
         .alias("pctl_within_rank_err"),
+    )
+    return agg.join(qp, "event_type").select(
+        "event_type",
+        "exact_users",
+        "exact_median_value",
+        "hll_within_rel_err",
+        "pctl_within_rank_err",
+        "qsk_p50_millis",
+        "qsk_p99_millis",
     ).orderBy("event_type")
 
 
 X16_SQL = """
-SELECT event_type,
-       count(DISTINCT user_id) AS exact_users,
-       round(quantile_cont(value, 0.5), 4) AS exact_median_value,
+WITH base AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+qb AS (
+  SELECT event_type,
+         CASE WHEN v < 0 THEN -((abs(v) >> s) << s)
+              ELSE (abs(v) >> s) << s END AS qb
+  FROM (SELECT event_type, v,
+               greatest(length(bin(abs(v))) - 8, 0) AS s
+        FROM base)),
+sk AS (SELECT event_type, qb, count(*) AS cnt FROM qb GROUP BY 1, 2),
+c AS (
+  SELECT event_type, qb,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY qb) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM sk),
+qq AS (
+  SELECT event_type, CAST(q AS DOUBLE) AS q, min(qb) AS est
+  FROM c CROSS JOIN (SELECT unnest([0.5, 0.99]) AS q) u
+  WHERE cum >= ceil(q * tot) GROUP BY 1, 2),
+qp AS (
+  SELECT event_type,
+         max(CASE WHEN q = 0.5 THEN est END) AS qsk_p50_millis,
+         max(CASE WHEN q = 0.99 THEN est END) AS qsk_p99_millis
+  FROM qq GROUP BY 1)
+SELECT e.event_type,
+       count(DISTINCT e.user_id) AS exact_users,
+       round(quantile_cont(e.value, 0.5), 4) AS exact_median_value,
        1 AS hll_within_rel_err,
-       1 AS pctl_within_rank_err
-FROM events GROUP BY event_type ORDER BY event_type
+       1 AS pctl_within_rank_err,
+       any_value(qp.qsk_p50_millis) AS qsk_p50_millis,
+       any_value(qp.qsk_p99_millis) AS qsk_p99_millis
+FROM events e JOIN qp ON e.event_type = qp.event_type
+GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
