@@ -1497,11 +1497,45 @@ FROM q ORDER BY vec_id
 # the backoff branch is pinned by the held-out tests in
 # tests/test_relevance.py.
 
+# Fixed literal merge list for x28's BPE columns — WELL-FORMED (every
+# composite symbol appears after the merges forming it), which is the
+# property making "replay merges in rank order" equal to encode's
+# lowest-rank-first iteration (a trained list has it by construction;
+# a hand list must keep it or the two engines' formulations diverge).
+_X28_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"),
+    ("d", "</w>"),
+    ("s", "</w>"),
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("a", "n"),
+    ("an", "d</w>"),
+    ("i", "n"),
+    ("o", "n"),
+    ("e", "r"),
+    ("o", "u"),
+    ("t", "</w>"),
+]
+
+
 def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document bigram-LM perplexity, model self-trained on the
     corpus: one gram census (train) + one gram→model join (score);
     model tables vocab²-bounded, never the corpus again
-    (operators/relevance.train_bigram_lm / lm_perplexity)."""
+    (operators/relevance.train_bigram_lm / lm_perplexity).
+
+    Since the BPE promotion (round 6, zero slots — the x24 extra-columns
+    pattern) each row also carries ``n_bpe_pieces`` / ``max_word_pieces``:
+    the corpus's word TYPES are segmented by the REAL Arrow-batched
+    encode path (operators/bpe.encode_word_types, per-batch memo, ranks
+    in the closure) under the fixed literal merge list above, joined
+    back to the token stream and folded per doc. DuckDB re-derives the
+    segmentation as an UNROLLED replace() chain over space-joined
+    symbol strings — one replace per merge, in rank order — so the
+    subword encoder's output is hash-verified cross-engine, not just
+    property-pinned."""
+    from ..operators import bpe as BP
+
     docs = parallel_table(spark, sf, "documents")
     # ONE tokenize+explode pass for train AND score: the gram stream is
     # materialized once (localCheckpoint) and shared — without it both
@@ -1510,12 +1544,45 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     lm, ctx, v = RV.train_bigram_lm(
         docs, "doc_id", "text", add_k=0.5, grams=grams
     )
-    return RV.lm_perplexity(
+    ppl = RV.lm_perplexity(
         docs, lm, ctx, v, "doc_id", "text", backoff=False, grams=grams
-    ).orderBy("doc_id")
+    )
+    from ..functions.text import tokens_array
+
+    words = docs.select(
+        "doc_id", F.explode(tokens_array("text")).alias("word")
+    )
+    enc = BP.encode_word_types(
+        words.select("word").distinct(), _X28_BPE_MERGES
+    ).select("word", F.size("pieces").cast("bigint").alias("_np"))
+    bpc = (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_np").cast("bigint").alias("n_bpe_pieces"),
+            F.max("_np").cast("bigint").alias("max_word_pieces"),
+        )
+    )
+    return (
+        ppl.join(bpc, "doc_id", "left")
+        .na.fill({"n_bpe_pieces": 0, "max_word_pieces": 0})
+        .orderBy("doc_id")
+    )
 
 
-X28_SQL = """
+def _x28_bpe_enc_sql() -> str:
+    """Unrolled BPE encode of a ``word`` column: start from the
+    space-joined character sequence + the </w> sentinel, then one
+    replace() per merge IN RANK ORDER (replace is left-to-right and
+    non-overlapping — exactly _merge_seq's single pass; the list is
+    well-formed, so replay order == encode's lowest-rank-first)."""
+    enc = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '"
+    for a, b in _X28_BPE_MERGES:
+        enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    return enc
+
+
+X28_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
          list_prepend('<s>', list_filter(
@@ -1546,9 +1613,27 @@ agg AS (SELECT doc_id,
 fx AS (SELECT doc_id, n_bigrams,
               ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
                 * sign(s4) / 10000.0 AS avg_logp
-       FROM agg)
-SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
-FROM fx ORDER BY doc_id
+       FROM agg),
+words AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+           t -> t <> '')) AS word
+  FROM documents),
+encs AS (
+  SELECT word,
+         CAST(len(string_split(trim({_x28_bpe_enc_sql()}), ' ')) AS BIGINT)
+           AS np
+  FROM (SELECT DISTINCT word FROM words)),
+bpc AS (
+  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_bpe_pieces,
+         CAST(max(np) AS BIGINT) AS max_word_pieces
+  FROM words JOIN encs USING (word) GROUP BY doc_id)
+SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
+       round(exp(-fx.avg_logp), 4) AS ppl,
+       coalesce(bpc.n_bpe_pieces, 0) AS n_bpe_pieces,
+       coalesce(bpc.max_word_pieces, 0) AS max_word_pieces
+FROM fx LEFT JOIN bpc USING (doc_id) ORDER BY fx.doc_id
 """
 
 

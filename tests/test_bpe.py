@@ -214,3 +214,51 @@ def test_save_load_round_trip(spark, tmp_path):
     B.save_bpe(spark, merges, alphabet, str(tmp_path / "bpe"))
     m2, a2 = B.load_bpe(spark, str(tmp_path / "bpe"))
     assert m2 == merges and a2 == alphabet
+
+
+def test_encode_word_types_matches_duckdb_replace_chain(spark, sf_dir):
+    """The Arrow-batched encoder's piece SEQUENCES (not just counts)
+    equal DuckDB's unrolled replace-chain replay of the same well-formed
+    merge list over the corpus's real word types — the formulation the
+    x28 registry columns hash against, pinned here at full strength."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.functions.text import tokens_array
+    from mapreduce_stockheadlines_spark.operators.bpe import encode_word_types
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _X28_BPE_MERGES,
+        _x28_bpe_enc_sql,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    types = docs.select(
+        F.explode(tokens_array("text")).alias("word")
+    ).distinct()
+    got = sorted(
+        (r.word, tuple(r.pieces))
+        for r in encode_word_types(types, _X28_BPE_MERGES).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [
+        (r[0], tuple(r[1]))
+        for r in con.execute(
+            f"""
+            SELECT word, string_split(trim({_x28_bpe_enc_sql()}), ' ')
+            FROM (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(
+                  regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+                t -> t <> '')) AS word
+              FROM documents)
+            ORDER BY word
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 20
