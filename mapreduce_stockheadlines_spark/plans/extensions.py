@@ -1656,6 +1656,26 @@ def x29_token_divergence(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+    # Count-Min promotion (round 6, zero slots — the x24 pattern): each
+    # term also carries ``cms_freq_even``, its frequency estimate from a
+    # 4×512 CMS built over the even half's token stream
+    # (operators/sketches.cms_build/cms_estimate — salted-md5 positions,
+    # the Bloom primitive). DuckDB re-derives every cell and every
+    # min-over-depth estimate bit-for-bit, upgrading the CMS's
+    # pytest-only pin to a registry hash check.
+    from ..functions.text import tokens_array
+    from ..operators import sketches as SK
+
+    etoks = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(tokens_array("text")).alias("token")
+    )
+    cms = SK.cms_build(etoks, "token", width=512)
+    est = SK.cms_estimate(
+        cms, div.select(F.col("term").alias("token")), "token", width=512
+    ).select(
+        F.col("token").alias("term"),
+        F.col("freq_estimate").alias("cms_freq_even"),
+    )
     return div.select(
         "term",
         "c_a",
@@ -1663,7 +1683,7 @@ def x29_token_divergence(spark: SparkSession, sf: str) -> DataFrame:
         F.round("p_a", 6).alias("p_a"),
         F.round("p_b", 6).alias("p_b"),
         F.round("js_contrib", 6).alias("js_contrib"),
-    ).orderBy("term")
+    ).join(est, "term").orderBy("term")
 
 
 X29_SQL = """
@@ -1687,6 +1707,22 @@ counts AS (
          CASE WHEN ta > 0 THEN c_a / ta ELSE 0.0 END AS pa,
          CASE WHEN tb > 0 THEN c_b / tb ELSE 0.0 END AS pb
   FROM counts, tot
+), ecells AS (
+  SELECT term, i.i AS d,
+         CAST(('0x' || substr(md5('cms:' || i.i || ':' || term), 1, 15))
+              AS BIGINT) % 512 AS w
+  FROM kept CROSS JOIN (SELECT unnest(range(4)) AS i) i
+  WHERE side = 0
+), esk AS (SELECT d, w, count(*) AS cnt FROM ecells GROUP BY 1, 2),
+ppos AS (
+  SELECT term, i.i AS d,
+         CAST(('0x' || substr(md5('cms:' || i.i || ':' || term), 1, 15))
+              AS BIGINT) % 512 AS w
+  FROM (SELECT DISTINCT term FROM counts)
+  CROSS JOIN (SELECT unnest(range(4)) AS i) i
+), cmse AS (
+  SELECT term, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_freq_even
+  FROM ppos LEFT JOIN esk s USING (d, w) GROUP BY term
 )
 SELECT term, c_a, c_b,
        round(pa, 6) AS p_a,
@@ -1696,8 +1732,9 @@ SELECT term, c_a, c_b,
                THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
        + (CASE WHEN c_b > 0 AND pb > 0
                THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END), 6)
-         AS js_contrib
-FROM probs
+         AS js_contrib,
+       cmse.cms_freq_even
+FROM probs JOIN cmse USING (term)
 ORDER BY term
 """
 
@@ -1831,6 +1868,23 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
         {"src0": 2.3, "src1": 0.5, "src2": 1.7, "src3": 1.0},
         default_weight=1.0,
     )
+    # temperature_mix membership as a COLUMN (zero-slot promotion, the
+    # x24 pattern): run the real operator over the mixed rows at
+    # alpha=0.5 — n^(-1/2) is one correctly-rounded IEEE sqrt + one
+    # divide, so the driver-computed rate literals match the oracle's
+    # re-derivation bit-for-bit (a general alpha's pow() is libm-
+    # dependent; 0.5 keeps the whole construction exact). Checkpoint
+    # first: the operator's census collect and the flag join would
+    # otherwise each re-run the budget-filter chain.
+    mixed = mixed.localCheckpoint().withColumn(
+        "_mk", F.concat_ws(":", F.col("doc_id"), F.col("epoch"))
+    )
+    tm = SP.temperature_mix(mixed, "source", "_mk", alpha=0.5).select(
+        "_mk", F.lit(True).alias("mix_kept")
+    )
+    mixed = mixed.join(tm, "_mk", "left").withColumn(
+        "mix_kept", F.coalesce("mix_kept", F.lit(False))
+    )
     raw = docs.filter(F.col("text").isNotNull())
     ratios = SP.dsir_log_ratios(
         raw, None, "doc_id", "text", n_buckets=4096,
@@ -1855,7 +1909,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return enriched.select(
-        "doc_id", "source", "n_tokens", "epoch",
+        "doc_id", "source", "n_tokens", "epoch", "mix_kept",
         "dsir_score", "n_features", "dsir_kept",
     ).orderBy("doc_id", "epoch")
 
@@ -1956,12 +2010,24 @@ dhist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM dbin GROUP BY bin),
 dcut AS (SELECT bin FROM (
     SELECT bin, sum(cnt) OVER (ORDER BY bin DESC) AS suffix FROM dhist)
   WHERE suffix <= (SELECT n_keep FROM dnk)),
-dsel AS (SELECT doc_id, TRUE AS dsir_kept FROM dbin JOIN dcut USING (bin))
-SELECT m.doc_id, m.source, m.n_tokens, m.epoch,
+dsel AS (SELECT doc_id, TRUE AS dsir_kept FROM dbin JOIN dcut USING (bin)),
+mc AS (SELECT source, CAST(count(*) AS DOUBLE) AS mn FROM mixed GROUP BY source),
+mr AS (SELECT source, 1.0 * pow(mn, -0.5)
+                / (SELECT max(pow(mn, -0.5)) FROM mc) AS mrate
+       FROM mc),
+mk AS (
+  SELECT m.doc_id, m.epoch,
+         (CAST(('0x' || substr(md5('tmix:' || CAST(m.doc_id AS VARCHAR)
+                                   || ':' || CAST(m.epoch AS VARCHAR)),
+                               1, 8)) AS BIGINT) / 4294967296.0) < r.mrate
+           AS mix_kept
+  FROM mixed m JOIN mr r ON m.source = r.source)
+SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept,
        s.dsir_score, s.n_features,
        CASE WHEN s.doc_id IS NOT NULL
             THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept
 FROM mixed m
+JOIN mk k ON m.doc_id = k.doc_id AND m.epoch = k.epoch
 LEFT JOIN dscored s ON m.doc_id = s.doc_id
 LEFT JOIN dsel d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id, m.epoch
