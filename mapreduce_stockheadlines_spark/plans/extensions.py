@@ -60,13 +60,59 @@ def _hexbyte(h: str, i: int) -> str:
 # --- x01 exact content-hash dedup -------------------------------------------
 
 def x01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content-hash dedup; since the Bloom promotion (round 6,
+    zero slots — the x24 extra-columns pattern) each survivor row also
+    carries ``in_even_bloom``: the membership decision of its digest
+    against a Bloom bitmap built over the even-doc_id half's digests
+    (operators/membership.bloom_build + the codegen bloom_lookup_join
+    twin, m=2^20, k=5). DuckDB re-derives the salted-md5 positions, the
+    32-bit word packing, the bit_or bitmap AND every bool_and decision
+    — false positives included, since they are a deterministic function
+    of the same bits."""
+    from ..operators import membership as MB
+
     docs = parallel_table(spark, sf, "documents")
-    return D.content_hash_dedup(docs, "text", "doc_id").orderBy("keep_id")
+    dd = D.content_hash_dedup(docs, "text", "doc_id")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    )
+    bloom = MB.bloom_build(even, "text_hash", m_bits=1 << 20, k=5)
+    return MB.bloom_lookup_join(
+        dd, "text_hash", "keep_id", bloom,
+        m_bits=1 << 20, k=5, out_col="in_even_bloom",
+    ).orderBy("keep_id")
 
 
 X01_SQL = """
-SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY md5(text) ORDER BY keep_id
+WITH dd AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+  FROM documents GROUP BY md5(text)),
+pos AS (
+  SELECT d.keep_id,
+         CAST(('0x' || substr(md5('bloom:' || i.i || ':'
+                                  || coalesce(d.text_hash, '')), 1, 15))
+              AS BIGINT) % 1048576 AS pos
+  FROM dd d CROSS JOIN (SELECT unnest(range(5)) AS i) i),
+bpos AS (
+  SELECT CAST(('0x' || substr(md5('bloom:' || i.i || ':'
+                                  || coalesce(md5(text), '')), 1, 15))
+              AS BIGINT) % 1048576 AS pos
+  FROM documents CROSS JOIN (SELECT unnest(range(5)) AS i) i
+  WHERE doc_id % 2 = 0),
+bitmap AS (
+  SELECT CAST(pos // 32 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1),
+mk AS (
+  SELECT p.keep_id,
+         bool_and(coalesce(b.bits, 0)
+                  & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)) != 0)
+           AS in_even_bloom
+  FROM pos p LEFT JOIN bitmap b ON b.word_idx = CAST(p.pos // 32 AS INT)
+  GROUP BY 1)
+SELECT dd.text_hash, dd.keep_id, dd.n_copies, mk.in_even_bloom
+FROM dd JOIN mk USING (keep_id) ORDER BY keep_id
 """
 
 # --- x02 n-gram (unigram-set) Jaccard on consecutive doc pairs --------------
