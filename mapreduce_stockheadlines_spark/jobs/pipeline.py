@@ -92,6 +92,7 @@ def curate(
     keep_top: float | None = None,
     chunk_tokens: int | None = None,
     chunk_overlap: int = 16,
+    chunk_paragraphs: bool = False,
     blocked_domains: DataFrame | None = None,
     strip_boilerplate: bool = False,
     max_dup_window_fraction: float | None = None,
@@ -408,9 +409,17 @@ def curate(
     #     (parent << 20 | chunk index — doc ids stay well below 2^43)
     if chunk_tokens is not None:
         meta = docs.drop("text")
-        chunks = PK.chunk_documents(
-            docs, "doc_id", "text", chunk_tokens, chunk_overlap
-        ).withColumnRenamed("id", "parent_doc_id")
+        if chunk_paragraphs:
+            # natural-boundary mode: chunks never cut mid-paragraph
+            # (budget-aligned grouping — may overrun by one paragraph;
+            # overlap does not apply, paragraphs are whole or absent)
+            chunks = PK.chunk_by_paragraphs(
+                docs, "doc_id", "text", chunk_tokens
+            ).withColumnRenamed("id", "parent_doc_id")
+        else:
+            chunks = PK.chunk_documents(
+                docs, "doc_id", "text", chunk_tokens, chunk_overlap
+            ).withColumnRenamed("id", "parent_doc_id")
         docs = chunks.join(
             meta.withColumnRenamed("doc_id", "parent_doc_id"), "parent_doc_id"
         ).select(
@@ -583,6 +592,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="keep only this top fraction by quality score")
     ap.add_argument("--chunk-tokens", type=int, default=None,
                     help="split docs into fixed-token chunks of this size")
+    ap.add_argument("--chunk-paragraphs", action="store_true",
+                    help="with --chunk-tokens: chunk at paragraph "
+                         "boundaries (never mid-paragraph; may overrun "
+                         "the budget by one paragraph) instead of "
+                         "fixed token windows")
     ap.add_argument("--chunk-overlap", type=int, default=16,
                     help="token overlap between adjacent chunks")
     ap.add_argument("--blocked-domains", default=None,
@@ -772,6 +786,7 @@ def main(argv: list[str] | None = None) -> None:
         max_per_domain=args.max_per_domain,
         chunk_tokens=args.chunk_tokens,
         chunk_overlap=args.chunk_overlap,
+        chunk_paragraphs=args.chunk_paragraphs,
         blocked_domains=blocked,
         strip_boilerplate=args.strip_boilerplate,
         max_dup_window_fraction=args.max_dup_window_fraction,

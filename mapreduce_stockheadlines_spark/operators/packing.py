@@ -205,3 +205,77 @@ def pack_sequences(
         yield out
 
     return base.mapInPandas(pack_partition, PACKED_SCHEMA)
+
+
+def chunk_by_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    sep_pattern: str = r"\n\s*\n",
+) -> DataFrame:
+    """Split each document into chunks at PARAGRAPH boundaries — the
+    natural-boundary complement of ``chunk_documents``'s fixed token
+    windows (a retrieval/training chunk that never cuts mid-paragraph
+    reads coherently; the token-window chunker slices wherever the
+    stride lands).
+
+    Grouping rule is budget-ALIGNED, not greedy: paragraph j joins
+    chunk ``floor(tokens_before_j / chunk_tokens)`` (exclusive prefix
+    sum of whitespace-token counts). Consequences, all deliberate and
+    engine-portable: paragraphs are never split; each chunk's token sum
+    stays below ``chunk_tokens`` + its last paragraph (overrun bounded
+    by ONE paragraph — flagged via ``has_oversize_paragraph`` when a
+    single paragraph alone exceeds the budget); empty/whitespace
+    paragraphs vanish; a pure prefix function of the data, unlike
+    greedy closing which is inherently sequential and engine-varying.
+
+    Output: (id, chunk_id, n_paragraphs, n_chunk_tokens,
+    has_oversize_paragraph, chunk_text) with paragraphs re-joined by
+    a blank line in original order.
+
+    Scale: one posexplode (narrow), one per-doc window (partitions are
+    doc-sized), one (id, chunk_id) aggregation whose collect_list is
+    made order-deterministic by sorting (para_id, para) structs —
+    groupBy order is otherwise partitioning-dependent."""
+    from pyspark.sql import Window
+
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_by_paragraphs: chunk_tokens must be positive")
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+            "para_id", "para"
+        ),
+    ).withColumn(
+        "_nt",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("para")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ),
+    ).filter(F.col("_nt") > 0)
+    w = Window.partitionBy("id").orderBy("para_id")
+    cum_before = F.sum("_nt").over(w) - F.col("_nt")
+    tagged = paras.withColumn(
+        "chunk_id",
+        F.floor(cum_before / F.lit(chunk_tokens)).cast("int"),
+    )
+    return (
+        tagged.groupBy("id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+            F.sum("_nt").cast("bigint").alias("n_chunk_tokens"),
+            (F.max("_nt") > F.lit(chunk_tokens)).alias(
+                "has_oversize_paragraph"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_id", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("chunk_text"),
+        )
+    )

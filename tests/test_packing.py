@@ -192,3 +192,132 @@ def test_pack_sequences_id_range_guard(spark):
     packed = pack_sequences(df, "doc_id", "n_tokens", budget=16, num_partitions=2)
     with pytest.raises(Exception, match="namespace"):
         packed.collect()
+
+
+# --- paragraph-boundary chunking ---------------------------------------------
+
+
+def test_chunk_by_paragraphs_semantics(spark):
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        chunk_by_paragraphs,
+    )
+
+    text = (
+        "one two three\n\n"        # 3 tokens  -> chunk 0 (cum 0)
+        "four five\n\n"            # 2 tokens  -> chunk 0 (cum 3)
+        "\n \n"                    # empty     -> vanishes
+        "six seven eight nine\n\n" # 4 tokens  -> chunk 1 (cum 5)
+        "ten\n\n"                  # 1 token   -> chunk 1 (cum 9... < 10? no: cum 9 -> chunk 1)
+        "a b c d e f g h i j k"    # 11 tokens -> chunk 2 (cum 10), oversize
+    )
+    df = spark.createDataFrame([(1, text), (2, None)], "doc_id int, text string")
+    out = {
+        (r.id, r.chunk_id): r
+        for r in chunk_by_paragraphs(df, "doc_id", "text", chunk_tokens=5).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (1, 2)}  # NULL text -> no chunks
+    c0, c1, c2 = out[(1, 0)], out[(1, 1)], out[(1, 2)]
+    assert c0.chunk_text == "one two three\n\nfour five"
+    assert (c0.n_paragraphs, c0.n_chunk_tokens) == (2, 5)
+    assert c1.chunk_text == "six seven eight nine\n\nten"
+    assert (c1.n_paragraphs, c1.n_chunk_tokens) == (2, 5)
+    assert c2.n_chunk_tokens == 11 and c2.has_oversize_paragraph
+    assert not c0.has_oversize_paragraph
+    # paragraphs never split; every token survives exactly once
+    total = sum(r.n_chunk_tokens for r in out.values())
+    assert total == 3 + 2 + 4 + 1 + 11
+
+
+def test_chunk_by_paragraphs_matches_duckdb_and_partitioning(spark, sf_dir):
+    """DuckDB re-derives paragraph splits, the exclusive prefix sum,
+    chunk assignment and the re-joined chunk text exactly; membership
+    is partitioning-invariant. Corpus text gains deterministic
+    paragraph breaks (sentence boundaries) in BOTH engines first."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        chunk_by_paragraphs,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n\n")
+    )
+    out = chunk_by_paragraphs(docs, "doc_id", "text", chunk_tokens=64)
+    got = sorted(
+        (r.id, r.chunk_id, r.n_paragraphs, r.n_chunk_tokens,
+         r.has_oversize_paragraph, r.chunk_text)
+        for r in out.collect()
+    )
+    got2 = sorted(
+        (r.id, r.chunk_id, r.n_paragraphs, r.n_chunk_tokens,
+         r.has_oversize_paragraph, r.chunk_text)
+        for r in chunk_by_paragraphs(
+            docs.repartition(13), "doc_id", "text", chunk_tokens=64
+        ).collect()
+    )
+    assert got == got2 and len(got) > 400
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(
+        r"""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10) || chr(10), 'g') AS text
+          FROM documents WHERE text IS NOT NULL),
+        p AS (
+          SELECT doc_id, unnest(string_split_regex(text, '\n\s*\n')) AS para,
+                 generate_subscripts(string_split_regex(text, '\n\s*\n'), 1)
+                   AS pid
+          FROM d),
+        tp AS (
+          SELECT doc_id, pid, para,
+                 len(list_filter(string_split_regex(trim(para), '\s+'),
+                                 t -> t <> '')) AS nt
+          FROM p),
+        ne AS (SELECT * FROM tp WHERE nt > 0),
+        cb AS (
+          SELECT doc_id, pid, para, nt,
+                 sum(nt) OVER (PARTITION BY doc_id ORDER BY pid) - nt AS cum
+          FROM ne)
+        SELECT doc_id, CAST(cum // 64 AS INT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_paragraphs,
+               CAST(sum(nt) AS BIGINT) AS n_chunk_tokens,
+               max(nt) > 64 AS has_oversize,
+               string_agg(para, chr(10) || chr(10) ORDER BY pid) AS chunk_text
+        FROM cb GROUP BY doc_id, CAST(cum // 64 AS INT)
+        ORDER BY doc_id, chunk_id
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_curate_chunk_paragraphs_mode(spark, sf_dir):
+    """--chunk-paragraphs plumbs the natural-boundary chunker into
+    curate's chunk stage: composite ids compose the same way, chunk
+    text joins whole paragraphs, and no chunk text starts or ends
+    mid-paragraph (every chunk is a \\n\\n-join of source paragraphs)."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import curate
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n\n")
+    )
+    out = curate(
+        docs, min_quality=0.0, chunk_tokens=64, chunk_paragraphs=True
+    )
+    rows = out.select(
+        "doc_id", "parent_doc_id", "chunk_id", "text"
+    ).limit(50).collect()
+    assert rows
+    src = {
+        r.doc_id: r.text
+        for r in docs.select("doc_id", "text").collect()
+        if r.text is not None
+    }
+    for r in rows:
+        assert r.doc_id == r.parent_doc_id * (1 << 20) + r.chunk_id
+        for para in r.text.split("\n\n"):
+            assert para in src[r.parent_doc_id]  # whole paragraphs only
