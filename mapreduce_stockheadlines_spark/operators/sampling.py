@@ -568,7 +568,11 @@ def dsir_resample(
     resampling half of DSIR. No global sort: the top-k cut reuses
     token_budget_filter's histogram + suffix-sum mechanism with every
     row weighing 1 (keeps <= n_keep, never more; granularity = one
-    histogram bin). Deterministic, partition-invariant, portable."""
+    histogram bin). Deterministic, partition-invariant, portable.
+    Rows with a NULL id or NULL score carry no Gumbel key and are
+    never selected (unrankable, token_budget_filter's convention)."""
+    if n_keep <= 0:
+        raise ValueError(f"dsir_resample: n_keep must be > 0, got {n_keep}")
     keyed = scored.withColumn(
         "_gk", gumbel_key(F.col(score_col), id_col, salt)
     ).withColumn("_one", F.lit(1))

@@ -286,6 +286,13 @@ def qsk_quantiles(
     scalar subquery), never over the data."""
     from pyspark.sql import Window
 
+    if not quantiles or any(not 0.0 <= q <= 1.0 for q in quantiles):
+        # an out-of-range q would silently vanish from the output (its
+        # rank exceeds every cumulative count) — a config error, not a
+        # row to drop
+        raise ValueError(
+            f"qsk_quantiles: quantiles must be within [0, 1], got {quantiles}"
+        )
     group_cols = list(group_cols or [])
     w_ord = Window.partitionBy(*group_cols).orderBy("qb")
     w_all = Window.partitionBy(*group_cols)

@@ -731,7 +731,13 @@ def sketch_ingest_sink(
         spark = batch_df.sparkSession
         try:
             existing = read_table(spark, artifact_dir)
-        except Exception:
+        except FileNotFoundError:
+            # no committed version yet = first batch. ONLY that case:
+            # a corrupted pointer or unreadable snapshot raises through
+            # and fails the batch loudly — silently treating it as
+            # "no artifact yet" would reset the fold and double-count
+            # history on the next publish (the round-5 verdict's
+            # AnalysisException-catch lesson, applied here).
             existing = None
         if existing is not None:
             done = existing.agg(F.max("last_batch_id")).collect()[0][0]
@@ -781,7 +787,13 @@ def census_ingest_sink(
         spark = batch_df.sparkSession
         try:
             existing = read_table(spark, artifact_dir)
-        except Exception:
+        except FileNotFoundError:
+            # no committed version yet = first batch. ONLY that case:
+            # a corrupted pointer or unreadable snapshot raises through
+            # and fails the batch loudly — silently treating it as
+            # "no artifact yet" would reset the fold and double-count
+            # history on the next publish (the round-5 verdict's
+            # AnalysisException-catch lesson, applied here).
             existing = None
         if existing is not None:
             done = existing.agg(F.max("last_batch_id")).collect()[0][0]

@@ -712,3 +712,12 @@ def test_curate_cli_dsir(spark, tmp_path, sf_dir):
     with pytest.raises(ValueError, match="dsir_keep_frac"):
         curate(table(spark, sf_dir, "documents"),
                dsir_target_source="src0", dsir_keep_frac=1.5)
+
+
+def test_dsir_resample_rejects_nonpositive_n_keep(spark):
+    import pytest
+
+    _, dsir_resample, _ = _dsir_modules()
+    df = spark.createDataFrame([(1, 0.5)], "doc_id int, dsir_score double")
+    with pytest.raises(ValueError, match="n_keep"):
+        dsir_resample(df, "doc_id", "dsir_score", 0)

@@ -468,3 +468,17 @@ def test_census_ingest_sink_folds_cms_and_qsk_idempotently(spark, tmp_path):
             read_table(spark, qsk_dir, version=1).select("g", "qb", "cnt").collect())
     )
     assert v1 == sorted(map(tuple, qsk_build(b0, "v", ["g"]).collect()))
+
+
+def test_qsk_quantiles_rejects_out_of_range_q(spark):
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        qsk_build,
+        qsk_quantiles,
+    )
+
+    sk = qsk_build(spark.createDataFrame([(1,)], "v bigint"), "v")
+    for bad in ([], [1.5], [-0.1, 0.5]):
+        with pytest.raises(ValueError, match="quantiles"):
+            qsk_quantiles(sk, bad)
