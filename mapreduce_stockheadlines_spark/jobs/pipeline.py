@@ -161,6 +161,11 @@ def curate(
                 "dsir_target_source needs a 'source' column to select "
                 "the target subset"
             )
+    if chunk_paragraphs and chunk_tokens is None:
+        # without the guard the flag is a silent no-op (the chunk stage
+        # is keyed on chunk_tokens) — the user asked for paragraph
+        # chunking and would get unchunked docs with no warning
+        raise ValueError("chunk_paragraphs requires chunk_tokens")
 
     # 0. (optional) Unicode normalization — before EVERYTHING: the
     #    ASCII tokenizer, the digests (composed vs decomposed accents
@@ -398,7 +403,20 @@ def curate(
             scored.checkpoint() if reliable_checkpoint
             else scored.localCheckpoint()
         )
-        n_keep = max(int(scored.count() * dsir_keep_frac), 1)
+        n_scored = scored.count()
+        if n_scored == 0:
+            # no survivor produced a single hashed n-gram: selecting
+            # from nothing would silently write an EMPTY curated
+            # dataset (every doc fails the semi-join) — that is a
+            # corpus/config problem (non-Latin or numeric-only text),
+            # not a selection outcome, so fail loudly like the other
+            # DSIR misconfigurations
+            raise RuntimeError(
+                "dsir_target_source: no surviving document yielded DSIR "
+                "features — the corpus text produces no [a-z] tokens; "
+                "selection would drop everything"
+            )
+        n_keep = max(int(n_scored * dsir_keep_frac), 1)
         sel = SA.dsir_resample(scored, "doc_id", "dsir_score", n_keep).select(
             "doc_id"
         )

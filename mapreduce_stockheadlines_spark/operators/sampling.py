@@ -402,6 +402,33 @@ def _dsir_bucket(feat: Column, n_buckets: int, salt: str) -> Column:
     ).cast("int")
 
 
+def _dsir_feature_stream(
+    df: DataFrame,
+    lead: dict[str, Column],
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """THE feature definition, in one place: unigram + bigram
+    occurrences of the cleaned token stream, hashed into ``n_buckets``.
+    Every DSIR path (per-id features, fused census) derives from this
+    helper so the feature set / salt / bucket derivation cannot drift
+    between the table that FITS the ratios and the stream that PROBES
+    them. Output: the ``lead`` columns + ``bucket``."""
+    from ..functions.text import tokens_array, word_ngrams
+
+    toks = tokens_array(text_col)
+    feats = F.concat(toks, word_ngrams(toks, 2))
+    exploded = df.select(
+        *[c.alias(n) for n, c in lead.items()],
+        F.explode(feats).alias("_feat"),
+    )
+    return exploded.select(
+        *lead.keys(),
+        _dsir_bucket(F.col("_feat"), n_buckets, salt).alias("bucket"),
+    )
+
+
 def dsir_features(
     df: DataFrame,
     id_col: str,
@@ -413,13 +440,9 @@ def dsir_features(
     ``n_buckets`` (the hashing trick: fixed model size regardless of
     vocabulary; collisions are part of the estimator). Narrow explode of
     a single codegen expression; NULL text yields no rows."""
-    from ..functions.text import tokens_array, word_ngrams
-
-    toks = tokens_array(text_col)
-    feats = F.concat(toks, word_ngrams(toks, 2))
-    return df.select(
-        F.col(id_col), F.explode(feats).alias("_feat")
-    ).select(id_col, _dsir_bucket(F.col("_feat"), n_buckets, salt).alias("bucket"))
+    return _dsir_feature_stream(
+        df, {id_col: F.col(id_col)}, text_col, n_buckets, salt
+    )
 
 
 def dsir_log_ratios(
@@ -458,36 +481,47 @@ def dsir_log_ratios(
         raise ValueError(
             "dsir_log_ratios: pass exactly one of target_df / target_filter"
         )
+    # Both branches materialize their <= n_buckets-row censuses ONCE
+    # (eager localCheckpoint): the totals collects below and every
+    # downstream consumer (the ratio broadcast inside dsir_scores)
+    # would otherwise each re-run a corpus-wide explode+census — the
+    # exact duplication the fused branch exists to avoid. After the
+    # barrier the whole function costs one corpus pass per input
+    # corpus however many times the ratio table is read.
     if target_filter is not None:
-        from ..functions.text import tokens_array, word_ngrams
-
-        toks = tokens_array(text_col)
-        feats = F.concat(toks, word_ngrams(toks, 2))
-        cens = (
-            raw_df.select(
-                target_filter.alias("_t"), F.explode(feats).alias("_feat")
-            )
-            .select(
-                "_t", _dsir_bucket(F.col("_feat"), n_buckets, salt).alias("bucket")
+        rawc = (
+            _dsir_feature_stream(
+                raw_df, {"_t": target_filter}, text_col, n_buckets, salt
             )
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("_rc"),
                 F.count_if(F.col("_t")).alias("_tc"),
             )
+            .localCheckpoint()
         )
-        rawc = cens
-        totals = cens.agg(F.sum("_rc"), F.sum("_tc")).collect()[0]
+        # target ⊆ raw by construction, so the census's conditional
+        # count IS the full target mass
+        totals = rawc.agg(F.sum("_rc"), F.sum("_tc")).collect()[0]
         tr, tt = totals[0] or 0, totals[1] or 0
     else:
-        rawc = dsir_features(raw_df, id_col, text_col, n_buckets, salt).groupBy(
-            "bucket"
-        ).agg(F.count(F.lit(1)).alias("_rc"))
-        tgtc = dsir_features(
-            target_df, id_col, text_col, n_buckets, salt
-        ).groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
-        rawc = rawc.join(tgtc, "bucket", "left")
+        tgtc = (
+            dsir_features(target_df, id_col, text_col, n_buckets, salt)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_tc"))
+            .localCheckpoint()
+        )
+        rawc = (
+            dsir_features(raw_df, id_col, text_col, n_buckets, salt)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_rc"))
+            .join(tgtc, "bucket", "left")
+            .localCheckpoint()
+        )
         tr = rawc.agg(F.sum("_rc")).collect()[0][0] or 0
+        # the FULL target mass — target-only buckets (present in the
+        # target corpus, absent from raw) still count toward the
+        # normalizer even though no raw doc can probe them
         tt = tgtc.agg(F.sum("_tc")).collect()[0][0] or 0
     a, b = float(alpha), float(n_buckets)
     ratio = F.log(

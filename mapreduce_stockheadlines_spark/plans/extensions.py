@@ -838,7 +838,10 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("pctl_within_rank_err"),
     )
-    return agg.join(qp, "event_type").select(
+    # LEFT join: a group whose values are all NULL builds no sketch
+    # buckets — it must keep its exact/HLL columns (the pre-promotion
+    # contract) with NULL sketch estimates, not vanish from the output
+    return agg.join(qp, "event_type", "left").select(
         "event_type",
         "exact_users",
         "exact_median_value",
@@ -882,7 +885,7 @@ SELECT e.event_type,
        1 AS pctl_within_rank_err,
        any_value(qp.qsk_p50_millis) AS qsk_p50_millis,
        any_value(qp.qsk_p99_millis) AS qsk_p99_millis
-FROM events e JOIN qp ON e.event_type = qp.event_type
+FROM events e LEFT JOIN qp ON e.event_type = qp.event_type
 GROUP BY e.event_type ORDER BY e.event_type
 """
 
@@ -1618,13 +1621,22 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
 def _x28_bpe_enc_sql() -> str:
     """Unrolled BPE encode of a ``word`` column: start from the
-    space-joined character sequence + the </w> sentinel, then one
-    replace() per merge IN RANK ORDER (replace is left-to-right and
-    non-overlapping — exactly _merge_seq's single pass; the list is
-    well-formed, so replay order == encode's lowest-rank-first)."""
+    space-joined character sequence + the </w> sentinel, then replace()
+    per merge IN RANK ORDER (the list is well-formed, so replay order
+    == encode's lowest-rank-first).
+
+    Each merge applies replace() TWICE: a single char-level replace is
+    NOT _merge_seq — consecutive occurrences share a boundary space
+    (' i n i n ' in 'dining'), the first replacement consumes it, and
+    the scan resumes past it, skipping the second occurrence that the
+    token-level pass merges. Skipped occurrences are never adjacent
+    (a skip only happens immediately after a replacement), so after
+    pass one every leftover has intact spaces on both sides and pass
+    two catches all of them — two passes are exact, not a heuristic."""
     enc = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '"
     for a, b in _X28_BPE_MERGES:
-        enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+        for _ in range(2):
+            enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
     return enc
 
 
@@ -1941,7 +1953,10 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     # all reuse one materialization (the x31 PageRank pattern)
     scored = SP.dsir_scores(raw, ratios, "doc_id", "text",
                             n_buckets=4096).localCheckpoint()
-    n_keep = scored.count() // 3
+    # floor at 1 (both sides — the oracle uses greatest(n//3, 1)):
+    # with fewer than 3 scored docs an unfloored n_keep of 0 would make
+    # dsir_resample raise while the SQL quietly returns kept=false rows
+    n_keep = max(scored.count() // 3, 1)
     sel = SP.dsir_resample(scored, "doc_id", "dsir_score", n_keep).select(
         "doc_id", F.lit(True).alias("dsir_kept")
     )
@@ -2038,7 +2053,7 @@ dscored AS MATERIALIZED (
          CAST(COUNT(*) AS BIGINT) AS n_features
   FROM dfeats f JOIN dratios USING (bucket)
   GROUP BY f.doc_id),
-dnk AS (SELECT count(*) // 3 AS n_keep FROM dscored),
+dnk AS (SELECT greatest(count(*) // 3, 1) AS n_keep FROM dscored),
 dgk AS MATERIALIZED (
   SELECT doc_id, dsir_score + round(-ln(-ln(
            (CAST(('0x' || substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)),

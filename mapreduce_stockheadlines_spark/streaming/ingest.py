@@ -701,6 +701,45 @@ def run_media_ingest(
     return q
 
 
+def _artifact_fold_sink(artifact_dir: str, state_cols: list[str],
+                        build_inc, fold):
+    """Shared skeleton for versioned-artifact foreachBatch sinks: read
+    the committed artifact (FileNotFoundError = first batch, ONLY that
+    — a corrupted pointer or unreadable snapshot raises through and
+    fails the batch loudly; silently treating it as "no artifact yet"
+    would reset the fold and double-count history on the next publish,
+    the round-5 verdict's AnalysisException-catch lesson), skip
+    replayed batches via the stored ``last_batch_id`` (foreachBatch is
+    at-least-once; ``write_table_version`` publishes atomically — data
+    first, pointer flip last — so a crash MID-fold leaves the previous
+    version referenced, exactly the state the replay expects),
+    ``fold(existing_or_None, build_inc(batch))``, stamp, publish.
+
+    ``reclaim_stale_after_s=0``: each sink is its table's ONLY writer,
+    so an existing claim at our version can only be the orphan of our
+    own crashed previous attempt; the last_batch_id check already
+    guards true replays, so reclaiming cannot clobber a live fold."""
+    from ..sources.versioned import read_table, write_table_version
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = read_table(spark, artifact_dir)
+        except FileNotFoundError:
+            existing = None
+        if existing is not None:
+            done = existing.agg(F.max("last_batch_id")).collect()[0][0]
+            if done is not None and done >= batch_id:
+                return  # replayed batch: already folded, artifact intact
+            existing = existing.select(*state_cols)
+        merged = fold(existing, build_inc(batch_df)).withColumn(
+            "last_batch_id", F.lit(batch_id)
+        )
+        write_table_version(merged, artifact_dir, reclaim_stale_after_s=0.0)
+
+    return write_batch
+
+
 def sketch_ingest_sink(
     group_cols: list[str],
     value_col: str,
@@ -712,51 +751,18 @@ def sketch_ingest_sink(
     per-group HLL sketches fold into a VERSIONED artifact table, so
     any point in the stream's history answers distinct-count questions
     from KBs of sketch bytes instead of a rescan, and the artifact's
-    version history is itself time-travelable.
-
-    Exactly-once without a dedup index: the artifact row carries the
-    last folded ``batch_id``; a replayed batch (foreachBatch is
-    at-least-once) sees ``last_batch_id >= batch_id`` and returns
-    before touching storage — and because ``write_table_version``
-    publishes atomically (data first, pointer flip last), a crash
-    MID-fold leaves the previous artifact version referenced, which is
-    precisely the state the replay expects to fold into. Per-batch
-    cost: one map-side sketch agg of the batch + a read of the
-    (groups)-sized artifact — history volume never re-read.
-    """
+    version history is itself time-travelable. Replay/crash contract:
+    ``_artifact_fold_sink``. Per-batch cost: one map-side sketch agg
+    of the batch + a read of the (groups)-sized artifact — history
+    volume never re-read."""
     from ..operators.sketches import distinct_sketches, upsert_sketches
-    from ..sources.versioned import read_table, write_table_version
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing = read_table(spark, artifact_dir)
-        except FileNotFoundError:
-            # no committed version yet = first batch. ONLY that case:
-            # a corrupted pointer or unreadable snapshot raises through
-            # and fails the batch loudly — silently treating it as
-            # "no artifact yet" would reset the fold and double-count
-            # history on the next publish (the round-5 verdict's
-            # AnalysisException-catch lesson, applied here).
-            existing = None
-        if existing is not None:
-            done = existing.agg(F.max("last_batch_id")).collect()[0][0]
-            if done is not None and done >= batch_id:
-                return  # replayed batch: already folded, artifact intact
-            existing = existing.select(*group_cols, "sketch", "n_rows")
-        inc = distinct_sketches(batch_df, value_col, group_cols, lgk)
-        merged = upsert_sketches(existing, inc, group_cols).withColumn(
-            "last_batch_id", F.lit(batch_id)
-        )
-        # reclaim_stale_after_s=0: this sink is the table's ONLY
-        # writer, so an existing claim at our version can only be the
-        # orphan of our own crashed previous attempt (crash BETWEEN
-        # claim and pointer publish). The last_batch_id check above
-        # already guards true replays, so reclaiming cannot clobber a
-        # live concurrent fold.
-        write_table_version(merged, artifact_dir, reclaim_stale_after_s=0.0)
-
-    return write_batch
+    return _artifact_fold_sink(
+        artifact_dir,
+        [*group_cols, "sketch", "n_rows"],
+        lambda b: distinct_sketches(b, value_col, group_cols, lgk),
+        lambda ex, inc: upsert_sketches(ex, inc, group_cols),
+    )
 
 
 def census_ingest_sink(
@@ -772,42 +778,20 @@ def census_ingest_sink(
     union + sum per key into a VERSIONED artifact. Because addition is
     exactly build-of-union for these structures (pinned in
     tests/test_sketches.py), the incrementally maintained artifact
-    answers IDENTICALLY to a from-scratch batch build.
+    answers IDENTICALLY to a from-scratch batch build. Replay/crash
+    contract: ``_artifact_fold_sink``. Per-batch cost: one census of
+    the batch + a read of the cell-bounded artifact — history never
+    re-read."""
 
-    Replay/crash contract is sketch_ingest_sink's, verbatim: the
-    artifact row carries ``last_batch_id`` (at-least-once replays
-    return before touching storage) and ``write_table_version``
-    publishes atomically with same-version reclaim (this sink is the
-    table's only writer). Per-batch cost: one census of the batch +
-    a read of the cell-bounded artifact — history never re-read.
-    """
-    from ..sources.versioned import read_table, write_table_version
+    def fold(ex: DataFrame | None, inc: DataFrame) -> DataFrame:
+        if ex is None:
+            return inc
+        return (
+            ex.unionByName(inc)
+            .groupBy(*key_cols)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing = read_table(spark, artifact_dir)
-        except FileNotFoundError:
-            # no committed version yet = first batch. ONLY that case:
-            # a corrupted pointer or unreadable snapshot raises through
-            # and fails the batch loudly — silently treating it as
-            # "no artifact yet" would reset the fold and double-count
-            # history on the next publish (the round-5 verdict's
-            # AnalysisException-catch lesson, applied here).
-            existing = None
-        if existing is not None:
-            done = existing.agg(F.max("last_batch_id")).collect()[0][0]
-            if done is not None and done >= batch_id:
-                return  # replayed batch: already folded, artifact intact
-            existing = existing.select(*key_cols, "cnt")
-        inc = build_fn(batch_df)
-        if existing is not None:
-            inc = (
-                existing.unionByName(inc)
-                .groupBy(*key_cols)
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        merged = inc.withColumn("last_batch_id", F.lit(batch_id))
-        write_table_version(merged, artifact_dir, reclaim_stale_after_s=0.0)
-
-    return write_batch
+    return _artifact_fold_sink(
+        artifact_dir, [*key_cols, "cnt"], build_fn, fold
+    )

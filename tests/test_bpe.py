@@ -262,3 +262,40 @@ def test_encode_word_types_matches_duckdb_replace_chain(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want and len(got) > 20
+
+
+def test_encode_replace_chain_handles_overlapping_occurrences(spark):
+    """The latent-divergence class a single char-level replace() gets
+    wrong: consecutive occurrences of a merge pair share a boundary
+    space ('d i n i n g'), so one replace merges only alternate
+    occurrences while the token-level encoder merges all. The doubled
+    replace in _x28_bpe_enc_sql must agree with encode_word_types on
+    exactly these words."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.bpe import encode_word_types
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _X28_BPE_MERGES,
+        _x28_bpe_enc_sql,
+    )
+
+    words = ["dining", "training", "declining", "banana", "ananas",
+             "inin", "ininin", "thth", "ththth", "and", "the", "sand"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = sorted(
+        (r.word, tuple(r.pieces))
+        for r in encode_word_types(df, _X28_BPE_MERGES).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (word VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    want = sorted(
+        (r[0], tuple(r[1]))
+        for r in con.execute(
+            f"SELECT word, string_split(trim({_x28_bpe_enc_sql()}), ' ') FROM w"
+        ).fetchall()
+    )
+    assert got == want
+    by_word = dict(got)
+    assert by_word["dining"] == ("d", "in", "in", "g", "</w>")
+    assert by_word["banana"] == ("b", "an", "an", "a", "</w>")
