@@ -57,22 +57,53 @@ def doc_frequencies(tf: DataFrame, id_col: str) -> DataFrame:
 
 
 def _n_docs(df: DataFrame, id_col: str) -> DataFrame:
-    """One-row document count, cross-joined (broadcast) where needed."""
+    """One-row document count, broadcast-equi-joined where needed."""
     return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
 
 
+def _zero_key(col: str):
+    """All-zero JOIN KEY that Catalyst cannot constant-fold: a literal
+    key on both sides folds the equi-join condition to TRUE and the join
+    degrades to the BroadcastNestedLoopJoin the plan guard forbids
+    (measured — see profile.census_divergence's note; ``col * 0`` is
+    also folded by Spark 4's arithmetic simplification). A hash of a
+    real column is opaque to the optimizer, and ``pmod(·, 1)`` makes it
+    identically 0 on both sides, so the 1-row scalar attach compiles to
+    a BroadcastHashJoin (measured)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(1)).cast("int")
+
+
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF:
     ``score = tf * (ln((N + 1) / (df + 1)) + 1)``, ties broken by term
-    ascending (deterministic output)."""
-    tf = term_frequencies(df, id_col, text_col)
+    ascending (deterministic output; the window orders by the ROUNDED
+    score, so rank is reproducible across engines wherever the 4dp
+    values agree).
+
+    ``tf=``: a precomputed ``term_frequencies(df, id_col, text_col)``
+    table — callers combining several lexical operators over one corpus
+    (the x26 registry panel) materialize the census once and every
+    operator reuses it instead of re-exploding the corpus per operator.
+    """
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     dfreq = doc_frequencies(tf, id_col)
-    n = _n_docs(df, id_col)
+    # one-row N attaches via a non-foldable-key broadcast EQUI-join
+    # (_zero_key): a crossJoin of a 1-row side compiles to
+    # BroadcastNestedLoopJoin, which the plan guard forbids outright
+    # rather than special-casing provably-1-row builds
+    n = _n_docs(df, id_col).withColumn("_k", _zero_key("n_docs"))
     scored = (
         tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
+        .withColumn("_k", _zero_key("df"))
+        .join(F.broadcast(n), "_k")
+        .drop("_k")
         .withColumn(
             "score",
             F.round(
@@ -102,6 +133,7 @@ def bm25_scores(
     query_terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 relevance of every document against a bag of query terms.
 
@@ -109,18 +141,26 @@ def bm25_scores(
     Jones, always positive), ``score = Σ idf * tf(k1+1) /
     (tf + k1(1 - b + b·len/avglen))``. Documents matching no query term
     are omitted (a LEFT join + zero-fill would keep them; retrieval
-    semantics drop them)."""
-    tf = term_frequencies(df, id_col, text_col)
+    semantics drop them). ``tf=``: precomputed census, see
+    ``tfidf_top_terms``."""
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
-    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    # one-row sides (avgdl, N) attach via non-foldable-key broadcast
+    # equi-joins — see _zero_key
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl")).withColumn(
+        "_k", _zero_key("avgdl")
+    )
     dfreq = doc_frequencies(tf, id_col)
-    n = _n_docs(df, id_col)
+    n = _n_docs(df, id_col).withColumn("_k", _zero_key("n_docs"))
     qt = tf.sparkSession.createDataFrame(
         [(t,) for t in sorted(set(query_terms))], ["term"]
     )
     idf = (
         dfreq.join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(n))
+        .withColumn("_k", _zero_key("df"))
+        .join(F.broadcast(n), "_k")
+        .drop("_k")
         .withColumn(
             "idf",
             F.log(
@@ -132,7 +172,9 @@ def bm25_scores(
     return (
         tf.join(F.broadcast(idf.select("term", "idf")), "term")
         .join(doclen, id_col)
-        .crossJoin(F.broadcast(avgdl))
+        .withColumn("_k", _zero_key("tf"))
+        .join(F.broadcast(avgdl), "_k")
+        .drop("_k")
         .withColumn(
             "contrib",
             F.col("idf")
@@ -151,7 +193,12 @@ def bm25_scores(
     )
 
 
-def vocabulary(df: DataFrame, text_col: str, top_v: int | None = None) -> DataFrame:
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    top_v: int | None = None,
+    tf: DataFrame | None = None,
+) -> DataFrame:
     """Corpus vocabulary: (term, freq, term_id) with ids assigned by rank
     (freq DESC, term ASC — fully deterministic), optionally truncated to
     the ``top_v`` most frequent terms. The tokenizer-building step of a
@@ -172,14 +219,23 @@ def vocabulary(df: DataFrame, text_col: str, top_v: int | None = None) -> DataFr
       huge exact-frequency tail buckets (freq=1 can be half the vocab)
       split ~27 ways by term prefix, which is order-consistent because
       within one exact frequency the order IS term ASC.
+
+    ``tf=``: a precomputed ``term_frequencies`` census — corpus
+    frequency is its per-term sum (occurrences, not document counts),
+    so the corpus is not re-exploded.
     """
     from .rank import bucketed_row_number
 
-    freqs = (
-        df.select(F.explode(tokens_array(text_col)).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
+    if tf is None:
+        freqs = (
+            df.select(F.explode(tokens_array(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        )
+    else:
+        freqs = tf.groupBy("term").agg(
+            F.sum("tf").cast("bigint").alias("freq")
+        )
     fq = F.col("freq")
     tier = (
         F.when(fq > 255, -F.floor(F.log2(fq)))
@@ -198,7 +254,11 @@ def vocabulary(df: DataFrame, text_col: str, top_v: int | None = None) -> DataFr
 
 
 def oov_stats(
-    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document out-of-vocabulary stats against a vocabulary table:
     (id, n_tokens, n_oov, oov_rate). High OOV marks encoding junk or
@@ -207,14 +267,24 @@ def oov_stats(
     The token stream LEFT-joins the vocabulary on term — one row per
     vocab term on the build side, so it broadcasts for real vocab sizes —
     then one (doc) aggregation. Corpus scanned once, no skew (keys are
-    doc-scoped)."""
-    toks = df.select(id_col, F.explode(tokens_array(text_col)).alias("term"))
+    doc-scoped).
+
+    ``tf=``: a precomputed ``term_frequencies`` census — OOV-ness is a
+    property of the TERM, so the per-token sums collapse to tf-weighted
+    sums over the (doc, term) census: identical output, and the join's
+    probe side shrinks from the token stream to the census."""
+    if tf is None:
+        joined = df.select(
+            id_col, F.explode(tokens_array(text_col)).alias("term")
+        ).withColumn("tf", F.lit(1).cast("bigint"))
+    else:
+        joined = tf
     hit = vocab.select("term", F.lit(1).alias("__in_vocab"))
-    joined = toks.join(F.broadcast(hit), "term", "left")
-    n_tokens = F.count(F.lit(1)).cast("bigint")
-    n_oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast(
-        "bigint"
-    )
+    joined = joined.join(F.broadcast(hit), "term", "left")
+    n_tokens = F.sum("tf").cast("bigint")
+    n_oov = F.sum(
+        F.when(F.col("__in_vocab").isNull(), F.col("tf")).otherwise(0)
+    ).cast("bigint")
     return joined.groupBy(id_col).agg(
         n_tokens.alias("n_tokens"),
         n_oov.alias("n_oov"),

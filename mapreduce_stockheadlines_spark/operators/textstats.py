@@ -593,6 +593,7 @@ def classifier_score(
     text_col: str,
     weights: DataFrame | None = None,
     salt: str = "clf",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """fastText-shaped linear bag-of-words document classifier — the
     quality-classifier filtering stage of CCNet/DCLM-style pipelines
@@ -624,13 +625,31 @@ def classifier_score(
     is rounded to 4dp BEFORE the sigmoid and the sigmoid result rounded
     to 4dp, so both engines feed exp() identical doubles and a sub-ulp
     libm difference cannot flip the rounded output.
+
+    ``tf=``: a precomputed ``relevance.term_frequencies`` census. A
+    token's weight depends only on the TERM, so the per-occurrence mean
+    collapses to the tf-weighted mean over the (doc, term) census —
+    ``Σ tf·w / Σ tf``, mathematically identical (summation order
+    differs; the 4dp rounding contract absorbs that, exactly as it
+    absorbs the Spark-vs-DuckDB order difference). Callers computing
+    several lexical operators (the x26 panel) tokenize the corpus ONCE
+    this way instead of once per operator.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_array(text_col)).alias("token")
-    )
+    if tf is not None:
+        stream = tf.select(
+            F.col(id_col),
+            F.col("term").alias("token"),
+            F.col("tf").alias("_n"),
+        )
+    else:
+        stream = df.select(
+            F.col(id_col), F.explode(tokens_array(text_col)).alias("token")
+        ).withColumn("_n", F.lit(1).cast("bigint"))
     if weights is None:
         w = _hashed_weight(F.col("token"), salt)
-        scored = toks.select(id_col, w.alias("w"), F.lit(1).alias("hit"))
+        scored = stream.select(
+            id_col, "_n", w.alias("w"), F.lit(1).alias("hit")
+        )
     else:
         tok_col, w_col = weights.columns[0], weights.columns[1]
         wtab = F.broadcast(
@@ -638,16 +657,19 @@ def classifier_score(
                 F.col(tok_col).alias("token"), F.col(w_col).alias("_w")
             )
         )
-        joined = toks.join(wtab, "token", "left")
+        joined = stream.join(wtab, "token", "left")
         scored = joined.select(
             id_col,
+            "_n",
             F.coalesce("_w", F.lit(0.0)).alias("w"),
             F.when(F.col("_w").isNotNull(), 1).otherwise(0).alias("hit"),
         )
     agg = scored.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.sum("hit").cast("bigint").alias("n_hit"),
-        F.round(F.avg("w"), 4).alias("logit"),
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("hit") * F.col("_n")).cast("bigint").alias("n_hit"),
+        F.round(F.sum(F.col("w") * F.col("_n")) / F.sum("_n"), 4).alias(
+            "logit"
+        ),
     )
     logit = F.col("logit")
     sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4)

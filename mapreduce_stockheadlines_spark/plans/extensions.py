@@ -1445,22 +1445,85 @@ FROM out ORDER BY doc_id
 """
 
 
-# --- x26 linear quality-classifier scoring (CCNet/DCLM filter stage) ---------
+# --- x26 linear quality-classifier scoring + lexical relevance panel ---------
 #
 # Hashed-model mode: every token's weight derives from md5 (portable), so
 # the oracle re-computes the full model — tokenize, per-token weight,
 # mean logit, sigmoid — in DuckDB rather than trusting planted constants.
 # The weights-table mode (a real exported model via broadcast join) is
 # pinned separately in tests/test_text_ops.py.
+#
+# Round-6 zero-slot promotions (the x24 canonical_url pattern): the same
+# per-doc panel carries the four lexical-relevance operators that were
+# previously pytest-only — tfidf_top_terms (k=1 argmax term + its 4dp
+# score), vocabulary (the top term's bucketed-rank term_id), bm25_scores
+# (vs a fixed 4-term query with a deliberate df spread: 'dup' is rare,
+# 'the' is everywhere), and oov_stats (vs the top-20 vocabulary, so the
+# 31-term corpus has real OOV mass). All four reuse ONE materialized
+# term_frequencies census (localCheckpoint — the x31 reuse pattern);
+# DuckDB re-derives tf, df, N, doc lengths, avgdl, the idf curves, the
+# rank windows and every rounded score from the raw text.
+
+_X26_BM25_TERMS = ["dup", "join", "scan", "the"]
+
 
 def x26_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Linear bag-of-words classifier score per document (hashed-feature
-    mode): tokenize → md5-derived weight per token → one groupBy(doc)
-    for (count, mean logit) → sigmoid. Shuffle carries ~one row per doc
-    (map-side partial agg collapses each doc's tokens); everything
-    codegen (operators/textstats.classifier_score)."""
+    """Per-doc quality/relevance panel: linear classifier score (hashed
+    features, codegen), top TF-IDF term + vocabulary id, BM25 vs a fixed
+    query, OOV stats vs the top-20 vocabulary
+    (operators/textstats.classifier_score + operators/relevance).
+
+    Scale shape: ONE (doc, term) census feeds tfidf/vocabulary/bm25/oov
+    (term_frequencies materialized once); corpus-level sides (dfreq,
+    vocabulary, idf table) are vocab-sized and broadcast; per-doc joins
+    are doc-keyed equi-joins with no skew amplification."""
+    from ..operators import relevance as R
+
     docs = parallel_table(spark, sf, "documents")
-    return TS.classifier_score(docs, "doc_id", "text").orderBy("doc_id")
+    tf = R.term_frequencies(docs, "doc_id", "text").localCheckpoint()
+    clf = TS.classifier_score(docs, "doc_id", "text", tf=tf)
+    top = R.tfidf_top_terms(docs, "doc_id", "text", k=1, tf=tf).select(
+        "doc_id",
+        F.col("term").alias("top_term"),
+        F.col("tf").alias("top_tf"),
+        F.col("score").alias("top_tfidf"),
+    )
+    vocab = R.vocabulary(docs, "text", tf=tf).localCheckpoint()
+    vid = vocab.select(
+        F.col("term").alias("top_term"), F.col("term_id").alias("top_term_id")
+    )
+    bm = R.bm25_scores(docs, "doc_id", "text", _X26_BM25_TERMS, tf=tf).select(
+        "doc_id", "bm25", F.col("n_matched_terms").alias("bm25_terms")
+    )
+    oov = R.oov_stats(
+        docs, "doc_id", "text", vocab.filter(F.col("term_id") <= 20), tf=tf
+    ).select(
+        "doc_id",
+        F.col("n_oov").alias("n_oov_top20"),
+        F.col("oov_rate").alias("oov_rate_top20"),
+    )
+    return (
+        clf.join(top, "doc_id")
+        .join(F.broadcast(vid), "top_term")
+        .join(bm, "doc_id", "left")
+        .join(oov, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hit",
+            "logit",
+            "clf_score",
+            "top_term",
+            "top_tf",
+            "top_tfidf",
+            "top_term_id",
+            "bm25",
+            "bm25_terms",
+            "n_oov_top20",
+            "oov_rate_top20",
+        )
+        .orderBy("doc_id")
+    )
 
 
 X26_SQL = """
@@ -1479,10 +1542,58 @@ agg AS (SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_hit,
                round(avg(w), 4) AS logit
-        FROM w GROUP BY doc_id)
-SELECT doc_id, n_tokens, n_hit, logit,
-       round(1.0 / (1.0 + exp(-logit)), 4) AS clf_score
-FROM agg ORDER BY doc_id
+        FROM w GROUP BY doc_id),
+tf AS (SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * (ln((n_docs + 1) / (df + 1)) + 1.0), 4) AS score
+  FROM tf t JOIN dfreq USING (term) CROSS JOIN nd),
+top1 AS (
+  SELECT doc_id, term AS top_term, tf AS top_tf, score AS top_tfidf
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS rn
+        FROM scored)
+  WHERE rn = 1),
+vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY term),
+vrank AS (SELECT term,
+                 row_number() OVER (ORDER BY freq DESC, term ASC) AS term_id
+          FROM vocab),
+doclen AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+avgdl AS (SELECT avg(dl) AS adl FROM doclen),
+qidf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         FROM dfreq CROSS JOIN nd
+         WHERE term IN ('dup', 'join', 'scan', 'the')),
+bm AS (SELECT t.doc_id,
+              round(sum(q.idf * t.tf * (1.2 + 1) /
+                    (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.adl))), 4)
+                AS bm25,
+              CAST(count(*) AS BIGINT) AS bm25_terms
+       FROM tf t JOIN qidf q USING (term)
+       JOIN doclen l USING (doc_id) CROSS JOIN avgdl a
+       GROUP BY t.doc_id),
+oov AS (SELECT t.doc_id,
+               CAST(sum(CASE WHEN v.term IS NULL THEN t.tf ELSE 0 END)
+                    AS BIGINT) AS n_oov_top20,
+               round(sum(CASE WHEN v.term IS NULL THEN t.tf ELSE 0 END)
+                     / CAST(sum(t.tf) AS DOUBLE), 4) AS oov_rate_top20
+        FROM tf t LEFT JOIN (SELECT term FROM vrank WHERE term_id <= 20) v
+             USING (term)
+        GROUP BY t.doc_id)
+SELECT a.doc_id, a.n_tokens, a.n_hit, a.logit,
+       round(1.0 / (1.0 + exp(-a.logit)), 4) AS clf_score,
+       t1.top_term, t1.top_tf, t1.top_tfidf,
+       CAST(vr.term_id AS BIGINT) AS top_term_id,
+       bm.bm25, bm.bm25_terms,
+       o.n_oov_top20, o.oov_rate_top20
+FROM agg a
+JOIN top1 t1 USING (doc_id)
+JOIN vrank vr ON vr.term = t1.top_term
+LEFT JOIN bm USING (doc_id)
+JOIN oov o USING (doc_id)
+ORDER BY doc_id
 """
 
 

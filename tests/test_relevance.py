@@ -420,3 +420,53 @@ def test_apply_vocabulary_matches_duckdb(spark, sf_dir):
     con.register("vocab", vpdf)
     want = [tuple(t) for t in con.sql(APPLY_VOCAB_ORACLE).fetchall()]
     assert got == want
+
+
+def test_precomputed_tf_census_equivalence(spark):
+    """The ``tf=`` shared-census mode of every lexical operator returns
+    the same rows as the self-exploding mode — the x26 panel's one-pass
+    composition is a pure plan change, not a semantics change."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        classifier_score,
+    )
+
+    docs = tiny_docs(spark)
+    tf = R.term_frequencies(docs, "doc_id", "text")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(R.tfidf_top_terms(docs, "doc_id", "text", k=2, tf=tf)) == rows(
+        R.tfidf_top_terms(docs, "doc_id", "text", k=2)
+    )
+    q = ["banana", "cherry"]
+    assert rows(R.bm25_scores(docs, "doc_id", "text", q, tf=tf)) == rows(
+        R.bm25_scores(docs, "doc_id", "text", q)
+    )
+    assert rows(R.vocabulary(docs, "text", tf=tf)) == rows(
+        R.vocabulary(docs, "text")
+    )
+    vocab = R.vocabulary(docs, "text", top_v=2)
+    assert rows(R.oov_stats(docs, "doc_id", "text", vocab, tf=tf)) == rows(
+        R.oov_stats(docs, "doc_id", "text", vocab)
+    )
+    assert rows(classifier_score(docs, "doc_id", "text", tf=tf)) == rows(
+        classifier_score(docs, "doc_id", "text")
+    )
+
+
+def test_scalar_attach_avoids_nested_loop_join(spark):
+    """tfidf/bm25's one-row scalar attaches (N, avgdl) must compile to
+    BroadcastHashJoin via the non-foldable _zero_key — a literal-key
+    equi-join constant-folds back to the BroadcastNestedLoopJoin the
+    plan guard forbids (regression pin for the x26 promotion)."""
+    from mapreduce_stockheadlines_spark.plans.guard import formatted_plan
+
+    docs = tiny_docs(spark)
+    for df in (
+        R.tfidf_top_terms(docs, "doc_id", "text", k=1),
+        R.bm25_scores(docs, "doc_id", "text", ["banana"]),
+    ):
+        plan = formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
