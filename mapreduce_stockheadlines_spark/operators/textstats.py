@@ -139,6 +139,7 @@ def text_stats(
     *,
     include_fingerprint: bool = False,
     include_token_counts: bool = False,
+    extra_cols: list[Column] | None = None,
 ) -> DataFrame:
     """lang_id + quality_score (+ optionally fingerprint and raw
     ws/BPE-ish token counts) fused into ONE projection over one scan.
@@ -146,7 +147,12 @@ def text_stats(
     All components are pure column expressions, so computing them together
     costs a single pass with zero shuffle; the naive formulation —
     ``lang_id(df).join(quality_score(df), id)`` — scans the table twice
-    and hash-shuffles both sides for the join, for identical output."""
+    and hash-shuffles both sides for the join, for identical output.
+
+    ``extra_cols``: additional aliased column expressions to fuse into
+    the same projection — the extension point for callers adding more
+    per-doc codegen stats (e.g. x08's strip_html columns) without a
+    second scan or a join."""
     cols = [*_lang_id_cols(text_col), *_quality_cols(text_col)]
     if include_fingerprint:
         cols += fingerprint_cols(text_col)
@@ -155,6 +161,8 @@ def text_stats(
             whitespace_token_count(text_col).alias("n_ws_tokens"),
             bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         ]
+    if extra_cols:
+        cols += extra_cols
     return df.select(id_col, *cols)
 
 

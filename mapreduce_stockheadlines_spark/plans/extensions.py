@@ -334,12 +334,38 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     counting was x10's own query through round 5; per-doc counts in the
     fused projection exercise the same two operators while the
     per-source rollup shape it also carried stays covered by the many
-    agg queries — the consolidation freed x10's slot for x30."""
+    agg queries — the consolidation freed x10's slot for x30.
+
+    Round-6 zero-slot promotion: ``strip_html`` joins the projection.
+    The corpus text is plain prose, so each doc is WRAPPED in a fixed
+    HTML shell exercising every arm of the strip chain — a script
+    subtree, a style subtree, a comment, nested tags, and all seven
+    entities — and the stripped result is pinned by content hash
+    (``html_fp8``) plus length. Still one codegen projection, zero
+    shuffle; DuckDB replays the same regexp/replace chain."""
     docs = parallel_table(spark, sf, "documents")
-    return TS.text_stats(
-        docs, "doc_id", "text",
-        include_fingerprint=True, include_token_counts=True,
-    ).orderBy("doc_id")
+    html = F.concat(
+        F.lit('<div class="d"><p>'),
+        F.col("text"),
+        F.lit(
+            "</p><script>var x = 1;</script><style>p{color:red}</style>"
+            "<!-- c --> A&amp;B &lt;tag&gt;&quot;q&quot;"
+            "&#39;a&#39;&apos;b&apos;&nbsp;ok</div>"
+        ),
+    )
+    stripped = TS.strip_html(html)
+    stats = TS.text_stats(
+        docs.withColumn("_stripped", stripped),
+        "doc_id",
+        "text",
+        include_fingerprint=True,
+        include_token_counts=True,
+        extra_cols=[
+            F.length("_stripped").cast("bigint").alias("html_stripped_len"),
+            F.substring(F.md5("_stripped"), 1, 8).alias("html_fp8"),
+        ],
+    )
+    return stats.orderBy("doc_id")
 
 
 def _marker_sum(lang: str) -> str:
@@ -424,14 +450,51 @@ SELECT doc_id,
 FROM documents
 """
 
+# strip_html replay: same wrapper, same 4-regex + 7-replace chain in the
+# operator's order (&amp; LAST — otherwise &amp;lt; double-decodes),
+# same final whitespace collapse. RE2 and Java regex agree on every
+# pattern used ((?is) flags, lazy .*?, \b, [^>]*).
+_X08_HTML_BODY = """
+WITH h AS (
+  SELECT doc_id,
+         '<div class="d"><p>' || text ||
+         '</p><script>var x = 1;</script><style>p{color:red}</style>' ||
+         '<!-- c --> A&amp;B &lt;tag&gt;&quot;q&quot;' ||
+         '&#39;a&#39;&apos;b&apos;&nbsp;ok</div>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+             regexp_replace(
+             regexp_replace(
+             regexp_replace(html,
+               '(?is)<script\\b.*?</script\\s*>', ' ', 'g'),
+               '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+             '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS stripped
+  FROM h)
+SELECT doc_id,
+       CAST(length(stripped) AS BIGINT) AS html_stripped_len,
+       substr(md5(stripped), 1, 8) AS html_fp8
+FROM s
+"""
+
 X08_SQL = f"""
 SELECT l.doc_id, l.pred_lang, l.marker_score,
        q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality,
-       f.fp, f.fp8, f.norm_len, t.n_ws_tokens, t.n_bpe_tokens
+       f.fp, f.fp8, f.norm_len, t.n_ws_tokens, t.n_bpe_tokens,
+       h.html_stripped_len, h.html_fp8
 FROM ({_X08_LANG_BODY}) l
 JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
 JOIN ({_X08_FP_BODY}) f ON f.doc_id = l.doc_id
 JOIN ({_X08_TOK_BODY.format(bpe=TS.BPE_ISH_PATTERN)}) t ON t.doc_id = l.doc_id
+JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
 
@@ -525,9 +588,22 @@ def x09_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     looping-text filter of a training-data pipeline. All three n-gram
     orders come from ONE scan + ONE explode (tagged concat, same trick as
     x03) and a two-level codegen aggregation; per-row work is bounded by
-    document length, keys are doc-scoped → no corpus-level skew."""
+    document length, keys are doc-scoped → no corpus-level skew.
+
+    Round-6 zero-slot promotion: ``ngram_contamination`` joins the
+    output — the ``doc_id % 100 == 0`` docs stand in as the benchmark
+    corpus (deterministic at every SF), and each doc's 3-gram
+    containment against their gram set lands on its ``3gram`` row
+    (NULL on 1gram/2gram rows). Benchmark gram set is dedup'd once and
+    broadcast; the corpus side is the distinct (doc, gram) stream —
+    no corpus-level skew. DuckDB re-derives the benchmark set and every
+    containment fraction from raw text."""
     docs = parallel_table(spark, sf, "documents")
-    return TS.repetition_stats(docs, "doc_id", "text", ngram_ns=(1, 2, 3)).orderBy(
+    rep = TS.repetition_stats(docs, "doc_id", "text", ngram_ns=(1, 2, 3))
+    cont = TS.ngram_contamination(
+        docs, docs.filter(F.col("doc_id") % 100 == 0), "doc_id", "text", n=3
+    ).withColumn("mode", F.lit("3gram"))
+    return rep.join(cont, ["doc_id", "mode"], "left").orderBy(
         "doc_id", "mode"
     )
 
@@ -554,15 +630,34 @@ g AS (
            AS gram
   FROM ne WINDOW w3 AS (PARTITION BY doc_id ORDER BY ord)
   QUALIFY lead(token, 2) OVER w3 IS NOT NULL),
-pg AS (SELECT doc_id, mode, gram, count(*) AS cnt FROM g GROUP BY doc_id, mode, gram)
-SELECT doc_id, mode,
-       CAST(sum(cnt) AS BIGINT) AS n_grams,
-       CAST(count(*) AS BIGINT) AS n_unique,
-       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
-         AS top_fraction,
-       round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
-             / CAST(sum(cnt) AS DOUBLE), 4) AS dup_fraction
-FROM pg GROUP BY doc_id, mode ORDER BY doc_id, mode
+pg AS (SELECT doc_id, mode, gram, count(*) AS cnt FROM g GROUP BY doc_id, mode, gram),
+rep AS (
+  SELECT doc_id, mode,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_unique,
+         round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+           AS top_fraction,
+         round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / CAST(sum(cnt) AS DOUBLE), 4) AS dup_fraction
+  FROM pg GROUP BY doc_id, mode),
+bench AS (SELECT DISTINCT gram FROM g
+          WHERE mode = '3gram' AND doc_id % 100 = 0),
+dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE mode = '3gram'),
+cont AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_distinct_grams,
+         CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated,
+         round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 4) AS containment
+  FROM dg d LEFT JOIN bench b USING (gram)
+  GROUP BY d.doc_id)
+SELECT r.doc_id, r.mode, r.n_grams, r.n_unique, r.top_fraction,
+       r.dup_fraction,
+       c.n_distinct_grams, c.n_contaminated, c.containment
+FROM rep r
+LEFT JOIN cont c ON c.doc_id = r.doc_id AND r.mode = '3gram'
+ORDER BY r.doc_id, r.mode
 """
 
 # --- x12 PII detection + redaction --------------------------------------------
@@ -913,12 +1008,24 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe-and-rescore: coarse-quantize the corpus into 16 cells
     (deterministic lowest-id centroids), probe the 4 cells nearest each
     query, exact-rescore only those candidates. The corpus is never
-    shuffled; the probe table broadcasts."""
+    shuffled; the probe table broadcasts.
+
+    Round-6 zero-slot promotion: ``topk_eval`` — the retrieval-quality
+    acceptance gate for every ANN trade-off (recall@k, MRR) — runs the
+    IVF result against the exact brute-force truth (``cosine_topk``,
+    x07's path) and each result row carries its query's eval columns
+    (``n_truth``/``n_hit``/``recall``/``first_hit_rank``/
+    ``reciprocal_rank``). DuckDB re-derives BOTH result lists and the
+    whole eval — including the (query, neighbor) best-rank collapse
+    that keeps duplicate candidates from inflating recall past 1."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(
+    approx = S.ivf_topk(
         queries, emb, k=10, n_centroids=16, n_probe=4, train_iters=0
-    ).orderBy("query_id", "rank")
+    )
+    truth = S.cosine_topk(queries, emb, k=10)
+    ev = S.topk_eval(approx, truth)
+    return approx.join(ev, "query_id").orderBy("query_id", "rank")
 
 
 X18_SQL = """
@@ -954,9 +1061,38 @@ r AS (SELECT query_id, neighbor_id, sim,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id)
                   AS INTEGER) AS rank
-      FROM scored)
-SELECT query_id, neighbor_id, sim, rank
-FROM r WHERE rank <= 10 ORDER BY query_id, rank
+      FROM scored),
+ak AS (SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10),
+tscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+            FROM q JOIN e ON e.vec_id <> q.query_id),
+tr AS (SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id)
+                   AS INTEGER) AS rank
+       FROM tscored QUALIFY rank <= 10),
+ha AS (SELECT query_id, neighbor_id, min(rank) AS ar
+       FROM ak GROUP BY query_id, neighbor_id),
+hits AS (SELECT t.query_id,
+                CAST(count(*) AS BIGINT) AS n_hit,
+                CAST(min(h.ar) AS BIGINT) AS first_hit_rank
+         FROM tr t JOIN ha h USING (query_id, neighbor_id)
+         GROUP BY t.query_id),
+pt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+       FROM tr GROUP BY query_id),
+ev AS (SELECT pt.query_id, pt.n_truth,
+              coalesce(h.n_hit, 0) AS n_hit,
+              round(coalesce(h.n_hit, 0) / CAST(pt.n_truth AS DOUBLE), 4)
+                AS recall,
+              h.first_hit_rank,
+              round(coalesce(1.0 / h.first_hit_rank, 0.0), 4)
+                AS reciprocal_rank
+       FROM pt LEFT JOIN hits h USING (query_id))
+SELECT a.query_id, a.neighbor_id, a.sim, a.rank,
+       ev.n_truth, ev.n_hit, ev.recall, ev.first_hit_rank,
+       ev.reciprocal_rank
+FROM ak a JOIN ev USING (query_id)
+ORDER BY a.query_id, a.rank
 """
 
 
@@ -1923,7 +2059,18 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     round's ranks to 1e-10 — distributed summation-order noise
     (~1e-15 relative) vanishes below the quantum, so ten iterations of
     double arithmetic are bit-reproducible across engines and the value
-    hash is exact, not tolerance-gated."""
+    hash is exact, not tolerance-gated.
+
+    Round-6 zero-slot promotion: ``neardup_clusters`` (the iterative
+    min-label-propagation + pointer-jumping connected components that
+    turns LSH/SimHash candidate PAIRS into dedup groups — previously
+    pinned only vs an in-repo union-find) runs over the SAME planted
+    graph treated undirected, and each node's component label joins the
+    output as ``cc_label``. The fixpoint (min node id per component) is
+    unique and integer-valued — no float contract needed; DuckDB
+    re-derives it independently via a recursive-CTE transitive closure,
+    not label propagation, so the pin is cross-ALGORITHM as well as
+    cross-engine."""
     from ..operators import graph as G
 
     docs = parallel_table(spark, sf, "documents")
@@ -1935,9 +2082,11 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("src") != F.col("dst")) & (F.col("src") % 7 != 0))
         .distinct()
     )
-    return G.pagerank(
-        edges, damping=0.85, n_iters=10, quantize_dp=10
-    ).orderBy("node")
+    cc = D.neardup_clusters(
+        edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    ).select(F.col("id").alias("node"), F.col("cluster_id").alias("cc_label"))
+    ranks = G.pagerank(edges, damping=0.85, n_iters=10, quantize_dp=10)
+    return ranks.join(cc, "node").orderBy("node")
 
 
 def _x31_oracle_sql(n_iters: int = 10) -> str:
@@ -1968,16 +2117,36 @@ r{k} AS MATERIALIZED (
              JOIN deg dg ON dg.src = e.src
              GROUP BY e.dst) s ON s.node = n.node)"""
     return f"""
-WITH e AS MATERIALIZED (
+WITH RECURSIVE e AS MATERIALIZED (
   SELECT DISTINCT (doc_id % 97) AS src, ((doc_id * 31 + 7) % 97) AS dst
   FROM documents
   WHERE (doc_id % 97) != ((doc_id * 31 + 7) % 97)
     AND (doc_id % 97) % 7 != 0),
-nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+-- DISTINCT-over-UNION-ALL, not plain UNION: under WITH RECURSIVE,
+-- DuckDB gives a two-branch UNION in ANY cte of the clause
+-- recursive-union semantics (no cross-branch dedup — measured: plain
+-- UNION here yielded 69 srcs + 95 dsts = 164 "nodes")
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
 params AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ue AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst AS a, src AS b FROM e)),
+-- transitive closure (UNION-dedup'd recursion; the node-mod-97 graph is
+-- SF-independent, so the closure is bounded at 97x97 rows) — an
+-- INDEPENDENT algorithm from the Spark side's label propagation
+reach AS (
+  SELECT node AS a, node AS b FROM nodes
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN ue u ON r.b = u.a),
+cc AS MATERIALIZED (
+  SELECT a AS node, CAST(min(b) AS BIGINT) AS cc_label FROM reach GROUP BY a),
 r0 AS MATERIALIZED (SELECT node, 1.0 / p.n AS rank FROM nodes, params p){its}
-SELECT node, round(rank, 8) AS rank FROM r{n_iters} ORDER BY node
+SELECT r.node, round(r.rank, 8) AS rank, cc.cc_label
+FROM r{n_iters} r JOIN cc USING (node) ORDER BY r.node
 """
 
 
