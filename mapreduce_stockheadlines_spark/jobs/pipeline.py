@@ -104,6 +104,7 @@ def curate(
     lm_model: tuple[DataFrame, DataFrame, int] | None = None,
     max_dup_ngram_fraction: float | None = None,
     rep_ngram_n: int = 3,
+    fix_mojibake: bool = False,
     normalize_unicode_form: str | None = None,
     neardup_keep_best: bool = False,
     token_budget: int | None = None,
@@ -166,6 +167,12 @@ def curate(
         # is keyed on chunk_tokens) — the user asked for paragraph
         # chunking and would get unchunked docs with no warning
         raise ValueError("chunk_paragraphs requires chunk_tokens")
+
+    # -1. (optional) mojibake repair — before even Unicode
+    #    normalization (ftfy's ordering: NFKC of garbled text bakes the
+    #    corruption in; repair first, then normalize). Pure codegen.
+    if fix_mojibake:
+        docs = docs.withColumn("text", TS.fix_mojibake("text"))
 
     # 0. (optional) Unicode normalization — before EVERYTHING: the
     #    ASCII tokenizer, the digests (composed vs decomposed accents
@@ -648,6 +655,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="near-dup clusters keep their highest-quality "
                          "doc (scored over paired docs only) instead of "
                          "the min id")
+    ap.add_argument("--fix-mojibake", action="store_true",
+                    help="repair one pass of UTF-8-read-as-cp1252 "
+                         "mojibake before any other stage (ftfy-style; "
+                         "non-mojibake text passes through unchanged)")
     ap.add_argument("--normalize-unicode", default=None, metavar="FORM",
                     choices=["NFC", "NFKC", "NFD", "NFKD"],
                     help="Unicode-normalize + strip accents before any "
@@ -824,6 +835,7 @@ def main(argv: list[str] | None = None) -> None:
         ),
         max_dup_ngram_fraction=args.max_dup_ngram_fraction,
         rep_ngram_n=args.rep_ngram_n,
+        fix_mojibake=args.fix_mojibake,
         normalize_unicode_form=args.normalize_unicode,
         neardup_keep_best=args.neardup_keep_best,
         token_budget=args.token_budget,

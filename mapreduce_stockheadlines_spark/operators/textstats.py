@@ -365,6 +365,75 @@ def strip_html(text_col: Column | str) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+# --- Mojibake repair (ftfy-style encoding fix) --------------------------------
+#
+# The classic crawl-corpus corruption: UTF-8 bytes decoded once as
+# Windows-1252 (or its Latin-1 subset) somewhere upstream — "naïve"
+# arrives as "naÃ¯ve", "don’t" as "donâ€™t". ftfy's core repair is to
+# re-encode the garbled text back to its original bytes and decode them
+# as UTF-8; both halves exist as JVM codegen expressions (translate +
+# encode + binary→string cast + make_valid_utf8), so the repair runs
+# with zero Python and zero shuffle.
+
+# cp1252 maps bytes 0x80-0x9F to glyphs Latin-1 reserves for control
+# chars, so those glyphs must translate back to the raw byte's code
+# point before the Latin-1 re-encode can reconstruct the original UTF-8
+# byte stream. 27 defined entries (0x81/0x8D/0x8F/0x90/0x9D are
+# unassigned in cp1252; decoders pass those bytes through as the control
+# chars themselves, which re-encode directly).
+_CP1252_UNASSIGNED = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+_CP1252_GLYPHS = "".join(
+    bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xA0)
+    if b not in _CP1252_UNASSIGNED
+)
+_CP1252_BYTES = "".join(
+    chr(b) for b in range(0x80, 0xA0) if b not in _CP1252_UNASSIGNED
+)
+
+# Whole-string repertoire gate: every char must round-trip to a single
+# byte (Latin-1 range, or a cp1252-special glyph) or the string cannot
+# be the output of a one-pass cp1252 misdecode — mixed content (real
+# CJK/emoji alongside suspicious pairs) is left unchanged rather than
+# half-repaired.
+_MOJIBAKE_REPERTOIRE_RE = "^[\\x00-\\xff" + _CP1252_GLYPHS + "]*$"
+# Cheap prefilter: some char must sit in the UTF-8 lead-byte range
+# (0xC2-0xF4) for the re-decode to possibly merge anything.
+_MOJIBAKE_HINT_RE = "[Â-ô]"
+
+
+def fix_mojibake(text_col: Column | str) -> Column:
+    """Repair one pass of UTF-8-read-as-Windows-1252 mojibake; strings
+    that don't look like pure mojibake pass through unchanged.
+
+    Accepts the repair only when (a) every char is byte-reconstructible
+    (repertoire gate above), (b) the reconstructed bytes are valid UTF-8
+    (no U+FFFD substitution — genuine Latin-1 prose like "café" fails
+    here and survives untouched), and (c) the decode actually merged
+    multi-byte sequences (strictly shorter output). Single-pass: doubly
+    corrupted text repairs one layer per call (compose for ftfy's loop).
+    Inherently heuristic, as in ftfy: text INTENDED to read "Ã©" is
+    indistinguishable from corrupted "é" and gets repaired."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    reencoded = F.encode(
+        F.translate(t, _CP1252_GLYPHS, _CP1252_BYTES), "ISO-8859-1"
+    )
+    # binary→string reinterprets the bytes as UTF-8; make_valid_utf8
+    # turns any invalid sequence into U+FFFD instead of an ANSI error
+    # (same construction as the WARC payload decode, sources/warc.py).
+    redecoded = F.make_valid_utf8(reencoded.cast("string"))
+    candidate = F.when(
+        t.rlike(_MOJIBAKE_REPERTOIRE_RE) & t.rlike(_MOJIBAKE_HINT_RE),
+        redecoded,
+    )
+    return F.when(
+        candidate.isNotNull()
+        & ~candidate.contains(F.lit("�"))
+        & (F.length(candidate) < F.length(t)),
+        candidate,
+    ).otherwise(t)
+
+
 # --- URL / domain curation (C4/RefinedWeb-style source filtering) -----------
 #
 # Web-corpus pipelines filter documents by the domains they reference

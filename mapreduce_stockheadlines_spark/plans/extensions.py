@@ -325,6 +325,15 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 
 # --- x08 per-doc text analysis: language ID + quality score -------------------
 
+# Mojibake probe: 2-byte (é ï ü), 3-byte (— ‘ ’ … whose middle/tail bytes
+# land on cp1252-special glyphs € ˜ ™ ¦) and 4-byte (😀 → ð Ÿ ˜ €) UTF-8
+# sequences; every byte avoids cp1252's five unassigned slots so the
+# genuine .decode("cp1252") below is total. The x08 query plants the
+# BROKEN form; the oracle pins that the repair restores this original.
+_MOJI_PROBE = "café — naïve ‘q’… 😀 über"
+_MOJI_PROBE_BROKEN = _MOJI_PROBE.encode("utf-8").decode("cp1252")
+
+
 def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Language ID (n-gram marker heuristic), quality scoring
     (length/punct/stopword components), document fingerprint (md5 of
@@ -342,7 +351,17 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     subtree, a style subtree, a comment, nested tags, and all seven
     entities — and the stripped result is pinned by content hash
     (``html_fp8``) plus length. Still one codegen projection, zero
-    shuffle; DuckDB replays the same regexp/replace chain."""
+    shuffle; DuckDB replays the same regexp/replace chain.
+
+    Second zero-slot promotion: ``fix_mojibake``. Each doc's text
+    (ASCII at every shipped SF — asserted in the oracle's construction)
+    is suffixed with a FIXED utf-8→cp1252 misdecode of a probe covering
+    2-, 3- and 4-byte UTF-8 sequences plus five cp1252-special glyphs;
+    the repaired string is pinned by hash + length (DuckDB holds the
+    un-corrupted expected form — the repair must byte-restore it), and
+    the two rejection arms are pinned as booleans: an out-of-repertoire
+    char (✓) keeps the whole string, and genuine Latin-1 prose
+    (invalid as UTF-8 bytes) survives the U+FFFD gate untouched."""
     docs = parallel_table(spark, sf, "documents")
     html = F.concat(
         F.lit('<div class="d"><p>'),
@@ -354,8 +373,14 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     stripped = TS.strip_html(html)
+    corrupted = F.concat(F.col("text"), F.lit(" " + _MOJI_PROBE_BROKEN))
+    mixed = F.concat(corrupted, F.lit(" ✓"))
+    latin1 = F.concat(F.col("text"), F.lit(" café"))
     stats = TS.text_stats(
-        docs.withColumn("_stripped", stripped),
+        docs.withColumn("_stripped", stripped)
+        .withColumn("_moji", TS.fix_mojibake(corrupted))
+        .withColumn("_mixed", mixed)
+        .withColumn("_lat", latin1),
         "doc_id",
         "text",
         include_fingerprint=True,
@@ -363,6 +388,14 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         extra_cols=[
             F.length("_stripped").cast("bigint").alias("html_stripped_len"),
             F.substring(F.md5("_stripped"), 1, 8).alias("html_fp8"),
+            F.length("_moji").cast("bigint").alias("moji_fixed_len"),
+            F.substring(F.md5("_moji"), 1, 8).alias("moji_fp8"),
+            (TS.fix_mojibake(F.col("_mixed")) == F.col("_mixed")).alias(
+                "moji_mixed_noop"
+            ),
+            (TS.fix_mojibake(F.col("_lat")) == F.col("_lat")).alias(
+                "moji_latin1_noop"
+            ),
         ],
     )
     return stats.orderBy("doc_id")
@@ -485,16 +518,31 @@ SELECT doc_id,
 FROM s
 """
 
+# fix_mojibake replay: the corpus text is ASCII at every shipped SF, so
+# the only multi-byte content is the planted probe — the oracle holds
+# the probe's ORIGINAL (pre-corruption) form and pins that the repair
+# byte-restores it; the rejection arms are expected no-ops (TRUE).
+_X08_MOJI_BODY = f"""
+SELECT doc_id,
+       CAST(length(text || ' {_MOJI_PROBE}') AS BIGINT) AS moji_fixed_len,
+       substr(md5(text || ' {_MOJI_PROBE}'), 1, 8) AS moji_fp8,
+       TRUE AS moji_mixed_noop,
+       TRUE AS moji_latin1_noop
+FROM documents
+"""
+
 X08_SQL = f"""
 SELECT l.doc_id, l.pred_lang, l.marker_score,
        q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality,
        f.fp, f.fp8, f.norm_len, t.n_ws_tokens, t.n_bpe_tokens,
-       h.html_stripped_len, h.html_fp8
+       h.html_stripped_len, h.html_fp8,
+       m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop
 FROM ({_X08_LANG_BODY}) l
 JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
 JOIN ({_X08_FP_BODY}) f ON f.doc_id = l.doc_id
 JOIN ({_X08_TOK_BODY.format(bpe=TS.BPE_ISH_PATTERN)}) t ON t.doc_id = l.doc_id
 JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
+JOIN ({_X08_MOJI_BODY}) m ON m.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
 

@@ -46,6 +46,28 @@ def test_curate_drops_near_duplicates(spark):
     assert 1 in ids and 3 in ids
 
 
+def test_curate_fix_mojibake_stage(spark):
+    """The repair runs BEFORE exact dedup: a doc that is the cp1252
+    mojibake of another collapses onto it (min-id survivor) once
+    fix_mojibake=True, and both survive when the stage is off."""
+    clean = "the naïve café crew met again and again — the best of the day"
+    broken = clean.encode("utf-8").decode("cp1252")
+    rows = [
+        (1, clean, "s"),
+        (2, broken, "s"),
+        (3, "completely different content about the weather in spring", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    off = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.99)
+    assert sorted(r.doc_id for r in off.select("doc_id").collect()) == [1, 2, 3]
+    on = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.99, fix_mojibake=True
+    )
+    got = {r.doc_id: r.text for r in on.select("doc_id", "text").collect()}
+    assert sorted(got) == [1, 3]
+    assert got[1] == clean
+
+
 def test_curate_near_dup_removal_is_transitive(spark):
     """A~B and B~C must collapse the whole chain to its min-id rep even if
     (A, C) never verifies as a pair directly — the component stage, not

@@ -87,6 +87,39 @@ def test_strip_html(spark):
     assert got[4] == "no markup at all"
 
 
+def test_fix_mojibake(spark):
+    """ftfy-style repair round-trip: corrupt real text through a genuine
+    utf-8→cp1252 misdecode and assert the codegen repair restores it;
+    every rejection arm (clean, genuine latin-1, mixed repertoire,
+    lone continuation byte, NULL) must pass through untouched."""
+    from mapreduce_stockheadlines_spark.operators.textstats import fix_mojibake
+
+    orig = "café — naïve ‘q’… 😀 über"  # 2-, 3- and 4-byte UTF-8 arms
+    broken = orig.encode("utf-8").decode("cp1252")
+    d1 = "café".encode("utf-8").decode("cp1252")
+    d2 = d1.encode("utf-8").decode("cp1252")
+    cases = [
+        (0, broken, orig),  # cp1252 specials (€ ™ ˜ Ÿ …) + latin-1 pairs
+        (1, "plain ascii text", "plain ascii text"),
+        # genuine latin-1 prose: é/è bytes are invalid UTF-8 → rejected
+        (2, "café crème", "café crème"),
+        # out-of-repertoire char alongside mojibake → whole string kept
+        (3, broken + " ✓", broken + " ✓"),
+        (4, None, None),
+        (5, d2, d1),  # double corruption: exactly one layer per call
+        (6, "A\x92B", "A\x92B"),  # lone continuation byte → invalid → kept
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id int, text string")
+    got = {r.id: r.t for r in df.select("id", fix_mojibake("text").alias("t")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # composing two passes undoes double corruption (ftfy's loop)
+    twice = df.filter("id = 5").select(
+        fix_mojibake(fix_mojibake("text")).alias("t")
+    ).collect()[0].t
+    assert twice == "café"
+
+
 def test_url_stats_and_domain_blocklist(spark):
     """URL extraction / host+registered-domain normalization / blocklist
     filtering on planted URLs, DuckDB-pinned for the counts and domains
