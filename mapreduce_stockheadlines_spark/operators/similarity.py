@@ -245,6 +245,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     n_iters: int = 3,
+    quantize_dp: int | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over L2-normalized vectors (spherical
     k-means: assignment by max dot product = cosine).
@@ -257,6 +258,20 @@ def kmeans_centroids(
     reduce. The corpus is never shuffled; nothing quadratic anywhere.
     Empty clusters keep their previous centroid. Ties in argmax take the
     first maximal centroid → deterministic given the partitioning.
+
+    ``quantize_dp`` switches on the cross-engine-reproducible contract
+    (the x31 PageRank / x33 LR-training recipe): per round, assignments
+    argmax the 4dp-ROUNDED dot product (first-max tie → lowest centroid
+    index), the per-dim cluster mean is rounded to ``quantize_dp``
+    decimals, the L2 norm is taken OF the rounded mean, and the
+    normalized centroid is rounded again. Distributed summation-order
+    noise (~1e-14 absolute on the mean) vanishes below the 1e-7 quantum,
+    so N rounds of double arithmetic are bit-reproducible across engines
+    and partitionings — the x18 registry oracle re-derives the whole
+    trainer as unrolled MATERIALIZED CTEs in DuckDB. Empty clusters keep
+    the previous round's centroid VERBATIM in this mode (the default
+    mode's blanket renormalization would perturb a kept unit vector by a
+    few ulps, which an independent engine cannot mirror).
     """
     spark = corpus.sparkSession
     init_pdf = (
@@ -278,7 +293,10 @@ def kmeans_centroids(
                 if len(pdf) == 0:
                     continue
                 m = _to_matrix(pdf["cv"])
-                cl = np.argmax(m @ cmat.T, axis=1)
+                sims = m @ cmat.T
+                if quantize_dp is not None:
+                    sims = np.round(sims, 4)
+                cl = np.argmax(sims, axis=1)
                 sums = np.zeros_like(cmat)
                 np.add.at(sums, cl, m)
                 counts = np.bincount(cl, minlength=cmat.shape[0])
@@ -298,14 +316,64 @@ def kmeans_centroids(
         for cl, grp in partials.groupby("cluster"):
             total = np.sum(np.stack(list(grp["vsum"])), axis=0)
             n = int(grp["n"].sum())
-            if n > 0:
+            if n <= 0:
+                continue
+            if quantize_dp is None:
                 new_cent[int(cl)] = total / n
-        norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        cent = new_cent / norms
+            else:
+                mean = np.round(total / n, quantize_dp)
+                nrm = float(np.linalg.norm(mean)) or 1.0
+                new_cent[int(cl)] = np.round(mean / nrm, quantize_dp)
+        if quantize_dp is None:
+            norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            cent = new_cent / norms
+        else:
+            cent = new_cent
 
     assert cent.shape == (min(k, len(init_pdf)), dim)
     return cent
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest trained centroid:
+    (id, cell_id, cent_sim) where cent_sim is the 4dp-rounded dot product
+    against the winning centroid and ties take the lowest centroid index
+    (the same first-max contract as training). One mapInPandas projection
+    over the corpus — centroids broadcast (k×dim floats), no shuffle,
+    corpus never collected."""
+    spark = corpus.sparkSession
+    cmat = np.asarray(centroids, dtype="float64")
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _to_matrix(pdf["cv"])
+            sims = np.round(m @ cm.T, 4)
+            cl = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cell_id": cl.astype("int32"),
+                    "cent_sim": sims[np.arange(len(cl)), cl],
+                }
+            )
+
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("cv")
+        )
+        .mapInPandas(assign, "vid long, cell_id int, cent_sim double")
+        .select(F.col("vid").alias(id_col), "cell_id", "cent_sim")
+    )
 
 
 def ivf_topk(

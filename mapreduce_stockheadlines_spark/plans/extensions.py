@@ -1065,7 +1065,21 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     (``n_truth``/``n_hit``/``recall``/``first_hit_rank``/
     ``reciprocal_rank``). DuckDB re-derives BOTH result lists and the
     whole eval — including the (query, neighbor) best-rank collapse
-    that keeps duplicate candidates from inflating recall past 1."""
+    that keeps duplicate candidates from inflating recall past 1.
+
+    Round-7 zero-slot promotion: the distributed Lloyd TRAINER
+    (``kmeans_centroids``, the one remaining heavyweight operator
+    without an independent-engine oracle) runs 3 full rounds over the
+    corpus with ``quantize_dp=7`` — per-round 4dp-rounded argmax
+    assignment, quantized per-dim means, norm-of-quantized-mean
+    renormalization (the x31/x33 recipe) — and every result row carries
+    its neighbor's trained ``cell_id``, the corpus population of that
+    cell (``cell_n``, pinning the assignment of EVERY corpus vector,
+    not just the ~50 surfaced neighbors), and ``cent_sim`` (the
+    4dp dot against the winning trained centroid — a centroid
+    coordinate drift ≥ ~1e-4 anywhere breaks the hash). DuckDB unrolls
+    all three Lloyd rounds as MATERIALIZED CTEs over the same
+    L2-normalized vectors."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(
@@ -1073,11 +1087,89 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     truth = S.cosine_topk(queries, emb, k=10)
     ev = S.topk_eval(approx, truth)
-    return approx.join(ev, "query_id").orderBy("query_id", "rank")
+    cent = S.kmeans_centroids(emb, k=8, n_iters=3, quantize_dp=7)
+    asg = S.kmeans_assign(emb, cent)
+    cells = asg.join(
+        asg.groupBy("cell_id").agg(F.count("*").alias("cell_n")), "cell_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id", "cell_n", "cent_sim"
+    )
+    return (
+        approx.join(ev, "query_id")
+        .join(cells, "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
 
 
-X18_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+def _x18_kmeans_ctes(k: int = 8, n_iters: int = 3, dp: int = 7) -> str:
+    # Unrolled Lloyd rounds (the x31/x33 MATERIALIZED-CTE recipe: each
+    # round references its predecessor several times, and CTE inlining
+    # would re-expand the chain exponentially). `en` = L2-normalized
+    # vectors (_to_matrix normalizes every Arrow batch, so the oracle
+    # must train on the same normalized coordinates); `kd` = one
+    # (vec_id, dim, coord) row per dimension for the per-dim cluster
+    # means. Per round, exactly the operator's quantized contract:
+    # 4dp-rounded argmax assignment (first-max tie -> lowest idx),
+    # round(mean, dp), norm OF the rounded mean, round(mean/norm, dp);
+    # empty clusters keep the previous centroid verbatim.
+    out = f""",
+en AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                                          THEN 1.0
+                                          ELSE sqrt(list_dot_product(v, v)) END))
+           AS v
+  FROM e),
+kd AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM en),
+kc0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v
+  FROM (SELECT vec_id, v FROM en ORDER BY vec_id LIMIT {k}))"""
+    for r in range(1, n_iters + 1):
+        out += f""",
+ka{r} AS MATERIALIZED (
+  SELECT vec_id, idx AS cluster FROM (
+    SELECT en.vec_id, c.idx,
+           row_number() OVER (PARTITION BY en.vec_id
+                              ORDER BY round(list_dot_product(en.v, c.v), 4)
+                                         DESC,
+                                       c.idx) AS rn
+    FROM en CROSS JOIN kc{r - 1} c)
+  WHERE rn = 1),
+km{r} AS MATERIALIZED (
+  SELECT a.cluster, d.dim, round(sum(d.x) / count(*), {dp}) AS mv
+  FROM ka{r} a JOIN kd d USING (vec_id)
+  GROUP BY a.cluster, d.dim),
+kn{r} AS MATERIALIZED (
+  SELECT cluster, sqrt(sum(mv * mv)) AS nrm FROM km{r} GROUP BY cluster),
+kc{r} AS MATERIALIZED (
+  SELECT p.idx, coalesce(u.v, p.v) AS v
+  FROM kc{r - 1} p LEFT JOIN (
+    SELECT m.cluster AS idx,
+           list(round(m.mv / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END), {dp})
+                ORDER BY m.dim) AS v
+    FROM km{r} m JOIN kn{r} n USING (cluster)
+    GROUP BY m.cluster) u USING (idx))"""
+    out += f""",
+fasg AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, CAST(idx AS INTEGER) AS cell_id,
+         sim AS cent_sim
+  FROM (
+    SELECT en.vec_id, c.idx, round(list_dot_product(en.v, c.v), 4) AS sim,
+           row_number() OVER (PARTITION BY en.vec_id
+                              ORDER BY round(list_dot_product(en.v, c.v), 4)
+                                         DESC,
+                                       c.idx) AS rn
+    FROM en CROSS JOIN kc{n_iters} c)
+  WHERE rn = 1),
+fcn AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_n
+        FROM fasg GROUP BY cell_id)"""
+    return out
+
+
+X18_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+{_x18_kmeans_ctes(k=8, n_iters=3, dp=7)},
 cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v
          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
 asg AS (
@@ -1138,8 +1230,11 @@ ev AS (SELECT pt.query_id, pt.n_truth,
        FROM pt LEFT JOIN hits h USING (query_id))
 SELECT a.query_id, a.neighbor_id, a.sim, a.rank,
        ev.n_truth, ev.n_hit, ev.recall, ev.first_hit_rank,
-       ev.reciprocal_rank
+       ev.reciprocal_rank,
+       f.cell_id, fcn.cell_n, f.cent_sim
 FROM ak a JOIN ev USING (query_id)
+JOIN fasg f ON f.neighbor_id = a.neighbor_id
+JOIN fcn ON fcn.cell_id = f.cell_id
 ORDER BY a.query_id, a.rank
 """
 
@@ -2129,6 +2224,12 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter((F.col("src") != F.col("dst")) & (F.col("src") % 7 != 0))
         .distinct()
+        # both consumers below (connected components AND pagerank) walk
+        # this frame many times across their iterative rounds — cut the
+        # lineage ONCE so the corpus scan + distinct executes once, not
+        # once per consumer (the x32 builder learned this from x31; now
+        # x31 practices it too).
+        .localCheckpoint()
     )
     cc = D.neardup_clusters(
         edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))

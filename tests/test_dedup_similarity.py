@@ -790,6 +790,33 @@ def test_kmeans_centroids_properties(spark, sf_dir):
     assert obj(c3) >= obj(c0) - 1e-12
 
 
+def test_kmeans_quantized_partitioning_invariant(spark, sf_dir):
+    """The quantize_dp contract (the x18 registry pin's foundation): the
+    trained centroids must be BIT-identical regardless of how the corpus
+    is partitioned — per-dim means are rounded each round, so partial-sum
+    order noise vanishes below the quantum. Also pins that the quantized
+    trainer still emits (near-)unit-norm centroids and that kmeans_assign
+    covers every corpus vector exactly once."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    c1 = kmeans_centroids(emb.repartition(1), k=8, n_iters=3, quantize_dp=7)
+    c7 = kmeans_centroids(emb.repartition(7), k=8, n_iters=3, quantize_dp=7)
+    assert np.array_equal(c1, c7)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+    asg = kmeans_assign(emb, c1).toPandas()
+    assert len(asg) == emb.count() and asg.vec_id.is_unique
+    assert set(asg.cell_id) <= set(range(8))
+    assert (asg.cent_sim <= 1.0001).all()
+
+
 def test_ivf_trained_recall(spark, sf_dir):
     """IVF with k-means-trained centroids keeps recall vs exact top-k at a
     useful level (and runs the full train->assign->probe->rescore path)."""
