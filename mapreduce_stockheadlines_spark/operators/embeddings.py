@@ -109,6 +109,7 @@ def pca_fit(
     center: bool = True,
     moment_dp: int | None = 9,
     return_variance: bool = False,
+    return_moments: bool = False,
 ):
     """Fit a k-component PCA over an embedding column — the standard
     dimensionality cut in embedding pipelines (project 768-dim vectors
@@ -227,6 +228,12 @@ def pca_fit(
             1.0 if total <= 0 else float(evals[order].sum() / total)
         )
         return mean, comps, min(max(explained, 0.0), 1.0)
+    if return_moments:
+        # the exact quantized (mean, covariance) pair the eigensolve
+        # consumed — the cross-engine-pinnable artifact (the x27 registry
+        # oracle re-derives both in DuckDB; the eigensolve itself stays
+        # driver-numpy on both sides, float-summation-order-specific)
+        return mean, cov, comps
     return mean, comps
 
 

@@ -1888,19 +1888,56 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric max-abs int8 quantization of the embedding column plus
     per-vector reconstruction RMSE — one narrow projection over the
     scan, zero data shuffle (operators/embeddings.py; parallel_table
-    fans the single-file test scan out across slots)."""
+    fans the single-file test scan out across slots).
+
+    Round-7 zero-slot promotion: ``pca_fit``'s QUANTIZED MOMENTS — the
+    exact (mean, covariance) pair the driver eigensolve consumes
+    (moment_dp=9: derived O(1)-magnitude moments rounded so distributed
+    partial-fold order noise vanishes below the quantum) — are now
+    cross-engine pinned. Each row carries its residue dimension's mean
+    (``pca_mean_i``), variance (``pca_var_i``), and one planted
+    off-diagonal covariance (``pca_cov_ij``, j = (31·i+7) mod 64 ≠ i
+    always, since 30·i ≡ −7 (mod 64) has no solution); over ≥64 rows
+    every mean/diagonal entry and 64 off-diagonals are each pinned by
+    at least one row. DuckDB re-derives all three from the raw vectors
+    (sum/n, gram/n − outer(mean, mean), round 9dp — same association
+    order). The eigensolve stays driver-numpy on both sides (documented:
+    float-summation-order inside LAPACK is not a cross-engine
+    contract); what the registry verifies is that BOTH engines would
+    hand it bit-identical input."""
     emb = parallel_table(spark, sf, "embeddings")
     q = EB.quantize_embeddings(emb, "vec_id", "embedding")
     q = EB.quantization_error(q, "embedding", "qvec", "scale")
-    return q.select(
-        "vec_id",
-        F.size("qvec").cast("int").alias("n_dims"),
-        F.col("scale"),
-        F.concat_ws(",", F.transform("qvec", lambda c: c.cast("string"))).alias(
-            "q_csv"
-        ),
-        "rmse",
-    ).orderBy("vec_id")
+    mean, cov, _comps = EB.pca_fit(
+        emb, "embedding", k=4, moment_dp=9, return_moments=True
+    )
+    pm_rows = [
+        (
+            m,
+            float(mean[m]),
+            float(cov[m][m]),
+            float(cov[m][(31 * m + 7) % 64]),
+        )
+        for m in range(len(mean))
+    ]
+    pm = spark.createDataFrame(
+        pm_rows, "m64 int, pca_mean_i double, pca_var_i double, pca_cov_ij double"
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.size("qvec").cast("int").alias("n_dims"),
+            F.col("scale"),
+            F.concat_ws(
+                ",", F.transform("qvec", lambda c: c.cast("string"))
+            ).alias("q_csv"),
+            "rmse",
+        )
+        .withColumn("m64", (F.col("vec_id") % 64).cast("int"))
+        .join(F.broadcast(pm), "m64")
+        .drop("m64")
+        .orderBy("vec_id")
+    )
 
 
 X27_SQL = """
@@ -1912,15 +1949,41 @@ s AS (SELECT vec_id, e,
             FROM v)),
 q AS (SELECT vec_id, e, sc,
              list_transform(e, x -> CAST(round(x / sc) AS TINYINT)) AS qv
-      FROM s)
+      FROM s),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+dd AS (SELECT vec_id, unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS x
+       FROM v),
+mu AS (SELECT dim, sum(x) AS sx FROM dd GROUP BY dim),
+-- selective gram: only the (i, i) and (i, (31*(i-1)+7) mod 64 + 1)
+-- entries any result row can reference (dims are 1-indexed here)
+g2 AS (SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS sxy
+       FROM dd a JOIN dd b USING (vec_id)
+       WHERE b.dim = a.dim OR b.dim = ((a.dim - 1) * 31 + 7) % 64 + 1
+       GROUP BY a.dim, b.dim),
+-- pca_fit's exact association order: mean = s/n UNROUNDED inside the
+-- covariance, then both derived moments rounded to 9dp
+pmom AS (SELECT g.i, g.j,
+                round(ma.sx / nn.n, 9) AS mean_i,
+                round(g.sxy / nn.n - (ma.sx / nn.n) * (mb.sx / nn.n), 9)
+                  AS cov_ij
+         FROM g2 g CROSS JOIN nn
+         JOIN mu ma ON ma.dim = g.i
+         JOIN mu mb ON mb.dim = g.j)
 SELECT vec_id,
        CAST(len(qv) AS INTEGER) AS n_dims,
        sc AS scale,
        array_to_string(qv, ',') AS q_csv,
        round(sqrt(list_sum(list_transform(e, (x, i) ->
                (x - qv[i] * sc) * (x - qv[i] * sc)))
-             / greatest(len(e), 1)), 4) AS rmse
-FROM q ORDER BY vec_id
+             / greatest(len(e), 1)), 4) AS rmse,
+       pii.mean_i AS pca_mean_i,
+       pii.cov_ij AS pca_var_i,
+       pij.cov_ij AS pca_cov_ij
+FROM q
+JOIN pmom pii ON pii.i = vec_id % 64 + 1 AND pii.j = pii.i
+JOIN pmom pij ON pij.i = vec_id % 64 + 1
+             AND pij.j = (31 * (vec_id % 64) + 7) % 64 + 1
+ORDER BY vec_id
 """
 
 
