@@ -2,16 +2,18 @@
 ``binary`` columns + typed metadata structs.
 
 Two decode tiers. Formats with a pure-numpy decoder are decoded FOR REAL
-— PPM (P6, the netpbm raw-RGB format), uncompressed 24-bit BMP and
+— PPM (P6, the netpbm raw-RGB format), uncompressed 24-bit BMP,
 8-bit non-interlaced PNG (stdlib ``zlib`` inflate + all five scanline
-filters — PNG is the dominant web image format, so this tier covers
-most real crawl images) for images, RIFF 16-bit-PCM WAV for audio, all
-parseable with struct + frombuffer + zlib, no codec library — including
+filters) and baseline-sequential Huffman JPEG (marker parse, per-MCU
+Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample, YCbCr→RGB
+— PNG + JPEG together cover the overwhelming majority of real crawl
+images) for images, RIFF 16-bit-PCM WAV for audio, all parseable with
+struct + frombuffer + zlib + numpy, no codec library — including
 real pixel/PCM features and a real nearest-neighbor resample (images) /
 windowed frame sampling (audio). Formats that genuinely need codec
-libraries (JPEG/GIF/MP3/video, palette/16-bit/interlaced PNG) stay
-stubbed (deterministic fake derived from the content digest, or
-``NotImplementedError`` in strict mode).
+libraries (GIF/MP3/video, palette/16-bit/interlaced PNG,
+progressive/arithmetic JPEG) stay stubbed (deterministic fake derived
+from the content digest, or ``NotImplementedError`` in strict mode).
 Either way the Spark-side plumbing is identical and real: binary schema,
 Arrow-batched ``mapInPandas``, per-batch vectorization,
 partition-preserving shape.
@@ -313,6 +315,515 @@ def _encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# --- baseline JPEG (JFIF) codec, pure numpy ----------------------------------
+#
+# Decode tier for baseline-sequential Huffman JPEG (SOF0/SOF1): marker
+# parse, DQT/DHT tables, per-MCU Huffman entropy decode with byte
+# unstuffing and restart markers, dequant, 8x8 IDCT (orthonormal DCT
+# matrix — one numpy matmul pair per block), nearest-neighbor chroma
+# upsample, JFIF YCbCr->RGB. Progressive (SOF2), arithmetic (SOF9+),
+# 12-bit, hierarchical and multi-scan files raise ValueError — valid
+# files this tier cannot read, routed to the digest stub in non-strict
+# mode, exactly the PNG tier's contract. The encoder exists for tests
+# and round-trips (no codec libs in this container): 4:4:4 or 4:2:0,
+# libjpeg-style quality-scaled Annex-K quant tables, fixed-length
+# canonical Huffman tables (12 four-bit DC codes, 162 eight-bit AC
+# codes — legal JPEG, trivially constructed, compression irrelevant
+# for tests).
+
+# zigzag index -> natural (row-major) position
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_JPEG_STD_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+
+_JPEG_STD_CHROMA_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: A @ A.T = I, forward B = A X A^T,
+    inverse X = A^T B A."""
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    out = []
+    for std in (_JPEG_STD_LUMA_Q, _JPEG_STD_CHROMA_Q):
+        q = np.floor((std * scale + 50.0) / 100.0)
+        out.append(np.clip(q, 1, 255))
+    return out[0], out[1]
+
+
+def _jpeg_huff_decode_table(
+    counts: list[int], symbols: bytes
+) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: (code_length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; restart markers are consumed only via restart()."""
+
+    __slots__ = ("buf", "pos", "cur", "nbits")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.cur, self.nbits = buf, pos, 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            buf, pos = self.buf, self.pos
+            if pos >= len(buf):
+                raise ValueError("truncated JPEG entropy stream")
+            b = buf[pos]
+            pos += 1
+            if b == 0xFF:
+                nxt = buf[pos] if pos < len(buf) else -1
+                if nxt != 0x00:
+                    raise ValueError("unexpected marker in JPEG entropy stream")
+                pos += 1
+            self.buf, self.pos, self.cur, self.nbits = buf, pos, b, 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        self.nbits = 0  # byte-align
+        buf, pos = self.buf, self.pos
+        if pos + 2 > len(buf) or buf[pos] != 0xFF or not (
+            0xD0 <= buf[pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.pos = pos + 2
+
+
+def _jpeg_huff(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_jpeg(content: bytes) -> np.ndarray:
+    """Pure-numpy baseline JPEG decode → uint8 (H, W, 3) RGB (grayscale
+    replicates to 3 channels). See the codec block comment for the
+    supported profile; anything else raises ValueError for the
+    non-strict stub tier."""
+    if len(content) < 4 or content[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None  # (h, w, comps) comps: list of (cid, hs, vs, tq)
+    dri = 0
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        marker = content[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", content, pos)
+        seg = content[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg, np.uint8, 64, i).astype(
+                        np.float64
+                    )
+                    i += 64
+                else:
+                    vals = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
+                    i += 128
+                qt[tq] = vals  # zigzag order, as stored
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                total = sum(counts)
+                symbols = seg[i + 17 : i + 17 + total]
+                if len(symbols) < total:
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _jpeg_huff_decode_table(counts, symbols)
+                i += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG with DNL-deferred height unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF, 0xDE):
+            raise ValueError(
+                "only baseline-sequential Huffman JPEG supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            return _jpeg_decode_scan(
+                content, pos + seglen, frame, seg, qt, huff, dri
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def _jpeg_decode_scan(
+    content: bytes,
+    data_pos: int,
+    frame: tuple,
+    sos: bytes,
+    qt: dict,
+    huff: dict,
+    dri: int,
+) -> np.ndarray:
+    fh, fw, comps = frame
+    ns = sos[0]
+    if ns != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    scan_tables = {}
+    for i in range(ns):
+        cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan_tables[cs] = (tda >> 4, tda & 15)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes, dc_tabs, ac_tabs, qtabs = [], [], [], []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64))
+        if cid not in scan_tables:
+            raise ValueError("JPEG scan references unknown component")
+        td, ta = scan_tables[cid]
+        if (0, td) not in huff or (1, ta) not in huff or tq not in qt:
+            raise ValueError("JPEG references undefined table")
+        dc_tabs.append(huff[(0, td)])
+        ac_tabs.append(huff[(1, ta)])
+        qtabs.append(qt[tq])
+    reader = _JpegBitReader(content, data_pos)
+    preds = [0] * len(comps)
+    a_t, a = _DCT_A.T, _DCT_A
+    zz = _JPEG_ZIGZAG
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            n_mcu += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        vec = np.zeros(64, np.float64)
+                        s = _jpeg_huff(reader, dc_tabs[ci])
+                        preds[ci] += _jpeg_extend(reader.read_bits(s), s)
+                        vec[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff(reader, ac_tabs[ci])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            vec[k] = _jpeg_extend(
+                                reader.read_bits(sz), sz
+                            )
+                            k += 1
+                        nat = np.zeros(64, np.float64)
+                        nat[zz] = vec * qtabs[ci]
+                        block = a_t @ nat.reshape(8, 8) @ a
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:fh, :fw] + 128.0)
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "cur", "nbits")
+
+    def __init__(self):
+        self.out, self.cur, self.nbits = bytearray(), 0, 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                if self.cur == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.cur, self.nbits = 0, 0
+
+    def align(self) -> None:
+        """Pad the partial byte with 1-bits (spec padding; stuffing still
+        applies if the padded byte lands on 0xFF)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+# fixed-length canonical tables (see codec block comment): DC = twelve
+# 4-bit codes for categories 0..11; AC = 162 8-bit codes covering EOB,
+# ZRL and every (run, size) symbol
+_JPEG_ENC_DC = {sym: (sym, 4) for sym in range(12)}
+_JPEG_ENC_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_ENC_AC = {sym: (i, 8) for i, sym in enumerate(_JPEG_ENC_AC_SYMS)}
+_JPEG_ENC_DC_DHT = bytes(
+    [0, 0, 0, 12] + [0] * 12
+) + bytes(range(12))
+_JPEG_ENC_AC_DHT = bytes(
+    [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+) + bytes(_JPEG_ENC_AC_SYMS)
+
+
+def _encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JFIF encoder for tests/round-trips: 4:4:4 or
+    4:2:0 (2x2-mean chroma downsample), quality-scaled Annex-K quant
+    tables, fixed-length Huffman tables; ``restart_interval`` > 0 emits
+    DRI and RSTn markers every N MCUs (exercising the decoder's
+    byte-align + predictor-reset path)."""
+    a = px.astype(np.float64)
+    if a.ndim == 2:
+        a = np.repeat(a[..., None], 3, axis=2)
+    h, w = a.shape[:2]
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample == "444":
+        sampling, chroma_ds = (1, 1), 1
+    elif subsample == "420":
+        sampling, chroma_ds = (2, 2), 2
+    else:
+        raise ValueError("subsample must be '444' or '420'")
+    hs, vs = sampling
+    qy, qc = _jpeg_quality_tables(quality)
+    qy_zz = qy.reshape(-1)[_JPEG_ZIGZAG]
+    qc_zz = qc.reshape(-1)[_JPEG_ZIGZAG]
+
+    def pad_to(img: np.ndarray, mult: int) -> np.ndarray:
+        ph = -(-img.shape[0] // mult) * mult
+        pw = -(-img.shape[1] // mult) * mult
+        return np.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+        )
+
+    yp = pad_to(y, 8 * vs)
+    if chroma_ds > 1:
+        # 2x2 mean downsample (pad odd dims first)
+        cpad = pad_to(cb, 2), pad_to(cr, 2)
+        cb = cpad[0].reshape(
+            cpad[0].shape[0] // 2, 2, cpad[0].shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        cr = cpad[1].reshape(
+            cpad[1].shape[0] // 2, 2, cpad[1].shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+    cbp, crp = pad_to(cb, 8), pad_to(cr, 8)
+    mcuy = yp.shape[0] // (8 * vs)
+    mcux = yp.shape[1] // (8 * hs)
+
+    writer = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(block: np.ndarray, q_zz: np.ndarray, ci: int) -> None:
+        coef = _DCT_A @ (block - 128.0) @ _DCT_A.T
+        zzc = np.round(coef.reshape(-1)[_JPEG_ZIGZAG] / q_zz).astype(
+            np.int64
+        )
+        diff = int(zzc[0]) - preds[ci]
+        preds[ci] = int(zzc[0])
+        mag = abs(diff)
+        ssss = mag.bit_length()
+        code, nbits = _JPEG_ENC_DC[ssss]
+        writer.write(code, nbits)
+        if ssss:
+            writer.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+        run = 0
+        nz = np.nonzero(zzc[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zzc[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, nbits = _JPEG_ENC_AC[0xF0]
+                writer.write(code, nbits)
+                run -= 16
+            sz = abs(v).bit_length()
+            code, nbits = _JPEG_ENC_AC[(run << 4) | sz]
+            writer.write(code, nbits)
+            writer.write(v if v > 0 else v + (1 << sz) - 1, sz)
+            run = 0
+        if last < 63:
+            code, nbits = _JPEG_ENC_AC[0x00]
+            writer.write(code, nbits)
+
+    n_mcu, rst_idx = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.align()
+                writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) & 7
+                preds[:] = [0, 0, 0]
+            n_mcu += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    emit_block(yp[y0 : y0 + 8, x0 : x0 + 8], qy_zz, 0)
+            y0, x0 = my * 8, mx * 8
+            emit_block(cbp[y0 : y0 + 8, x0 : x0 + 8], qc_zz, 1)
+            emit_block(crp[y0 : y0 + 8, x0 : x0 + 8], qc_zz, 2)
+    data = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = seg(
+        0xDB,
+        b"\x00" + qy_zz.astype(np.uint8).tobytes()
+        + b"\x01" + qc_zz.astype(np.uint8).tobytes(),
+    )
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xC4, b"\x00" + _JPEG_ENC_DC_DHT)
+        + seg(0xC4, b"\x10" + _JPEG_ENC_AC_DHT)
+        + seg(0xC4, b"\x01" + _JPEG_ENC_DC_DHT)
+        + seg(0xC4, b"\x11" + _JPEG_ENC_AC_DHT)
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + seg(0xE0, app0) + dqt + sof + dht + dri + sos + data
+        + b"\xff\xd9"
+    )
+
+
 def _pixel_feature(px: np.ndarray) -> list[float]:
     """8-dim feature from real pixels, all components in [0, 1]:
     per-channel means, gray mean/std/min/max, bright-pixel fraction."""
@@ -394,6 +905,7 @@ REAL_DECODERS = {
     MIME_PPM: _decode_ppm_p6,
     MIME_BMP: _decode_bmp,
     MIME_PNG: _decode_png,
+    "image/jpeg": _decode_jpeg,
 }
 # mime → pure-struct audio decoder (its own tier: different meta mapping)
 AUDIO_DECODERS = {MIME_WAV: _decode_wav}
@@ -421,8 +933,8 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas``.
 
     Rows whose mime has a pure-numpy decoder (``REAL_DECODERS``: PPM P6,
-    uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib zlib)
-    are decoded for real — header-parsed width/height and an 8-dim
+    uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib zlib,
+    baseline-sequential Huffman JPEG) are decoded for real — header-parsed width/height and an 8-dim
     pixel-statistics feature. Other mimes use the deterministic
     digest-derived fake; ``strict=True`` raises NotImplementedError for
     them instead (where a real codec would run). Batch shape: whole

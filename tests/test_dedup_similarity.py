@@ -523,8 +523,9 @@ def test_multimodal_real_png_decode(spark):
 def test_multimodal_detect_mime_and_sniffed_decode(spark):
     """Magic-byte sniffing routes blobs to the right decode tier: a PPM
     with no declared mime decodes for real once detect_mime labels it;
-    PNG/JPEG magic is recognized (the truncated PNG falls back to the
-    digest stub, JPEG is stub tier); junk falls back to octet-stream."""
+    PNG/JPEG magic is recognized (the truncated PNG and the garbage
+    JPEG fall back to the digest stub); junk falls back to
+    octet-stream."""
     import numpy as np
 
     px = np.full((2, 2, 3), 7, np.uint8)
@@ -550,6 +551,119 @@ def test_multimodal_detect_mime_and_sniffed_decode(spark):
     assert (decoded[1].width, decoded[1].height) == (2, 2)  # real decode
     assert decoded[1].feature == pytest.approx(M._pixel_feature(px), rel=1e-6)
     assert decoded[2].n_frames >= 1  # stub tier still works
+
+
+def test_multimodal_real_jpeg_decode(spark):
+    """VERDICT r6 #5: baseline JPEG decode is REAL (pure-numpy huffman +
+    dequant + IDCT): round-trips through the in-repo encoder within
+    quantization error at 4:4:4 and 4:2:0, with and without restart
+    markers; a hand-assembled single-component grayscale JPEG decodes
+    to exact known pixels byte-for-byte independent of the encoder;
+    JPEG and PNG encodings of the SAME pixels land within pHash
+    hamming ≤ 2; progressive (SOF2) files are valid-but-unreadable →
+    digest stub non-strict, loud in strict mode."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = np.stack(
+        [xx * 255 // 63, yy * 255 // 47, (xx + yy) * 255 // 110], axis=2
+    ).astype(np.uint8)
+
+    # round-trip bounds: flat exact, smooth within quantization error
+    flat = np.full((24, 24, 3), [200, 30, 90], dtype=np.uint8)
+    assert (M._decode_jpeg(M._encode_jpeg(flat, quality=90)) == flat).all()
+    for sub, bound in (("444", 4), ("420", 8)):
+        for ri in (0, 3):
+            out = M._decode_jpeg(
+                M._encode_jpeg(smooth, quality=92, subsample=sub,
+                               restart_interval=ri)
+            )
+            assert out.shape == smooth.shape
+            err = np.abs(out.astype(int) - smooth.astype(int)).max()
+            assert err <= bound, (sub, ri, err)
+
+    # hand-assembled 8x8 grayscale JPEG, flat Y=128: all-unity quant
+    # table, the repo's fixed-length huffman tables, entropy data is
+    # DC category 0 (4 bits of 0) + EOB (8 bits of 0) + 4 pad 1-bits
+    def _seg(marker, payload):
+        return _struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    gray_jpeg = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + bytes([1] * 64))
+        + _seg(0xC0, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + M._JPEG_ENC_DC_DHT)
+        + _seg(0xC4, b"\x10" + M._JPEG_ENC_AC_DHT)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00\x0f"
+        + b"\xff\xd9"
+    )
+    dg = M._decode_jpeg(gray_jpeg)
+    assert dg.shape == (8, 8, 3) and (dg == 128).all()
+
+    # full Spark path, strict mode (no stub hit): dims + features match
+    # a driver-side decode of the same blob
+    blob = M._encode_jpeg(smooth, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "image/jpeg")], schema=M.MEDIA_SCHEMA
+    )
+    r = M.decode_media(df, strict=True).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (64, 48, 1)
+    assert r.feature == pytest.approx(
+        M._pixel_feature(M._decode_jpeg(blob)), rel=1e-6
+    )
+
+    # cross-codec pHash: lossy JPEG vs lossless PNG of the same pixels.
+    # NOT the linear gradient — its DCT spectrum is near-zero off the
+    # first row/col, so pHash's median-sign bits sit on noise; use a
+    # low-frequency-RICH image whose coefficient signs are robust to
+    # the ±5 quantization error.
+    wavy = np.clip(
+        np.round(
+            np.stack(
+                [
+                    128 + 90 * np.sin(xx / 6.0) * np.cos(yy / 9.0),
+                    128 + 80 * np.cos(xx / 11.0) * np.sin(yy / 5.0),
+                    128 + 70 * np.sin((xx + yy) / 8.0),
+                ],
+                axis=2,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    hdf = spark.createDataFrame(
+        [
+            (1, bytearray(M._encode_jpeg(wavy, quality=95)), "image/jpeg"),
+            (2, bytearray(M._encode_png(wavy)), M.MIME_PNG),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    hashes = {
+        r.media_id: r.phash for r in M.image_phash(hdf, strict=True).collect()
+    }
+    assert bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1") <= 2
+
+    # progressive SOF2: ValueError from the decoder; stub tier
+    # non-strict through Spark, PythonException in strict mode
+    prog = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + bytes([1] * 64))
+        + _seg(0xC2, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        M._decode_jpeg(prog)
+    pdf = spark.createDataFrame(
+        [(9, bytearray(prog), "image/jpeg")], schema=M.MEDIA_SCHEMA
+    )
+    stub = M.decode_media(pdf).collect()[0]
+    want = M._fake_decode(bytes(prog))
+    assert (stub.width, stub.height, stub.n_frames) == want[:3]
+    with pytest.raises(Exception):
+        M.decode_media(pdf, strict=True).collect()
 
 
 def test_multimodal_real_resize_nearest_neighbor(spark):
@@ -1574,10 +1688,10 @@ def test_image_phash_invariances(spark):
         (3, bytearray(M._encode_ppm_p6(bright)), M.MIME_PPM),
         (4, bytearray(M._encode_ppm_p6(up)), M.MIME_PPM),
         (5, bytearray(M._encode_ppm_p6(other)), M.MIME_PPM),
-        # JPEG: genuinely codec-less here (PNG decodes for real now)
-        (6, bytearray(b"opaque blob"), "image/jpeg"),
-        (7, bytearray(b"opaque blob"), "image/jpeg"),
-        (8, bytearray(b"other blob!"), "image/jpeg"),
+        # GIF: genuinely codec-less here (PNG and JPEG decode for real now)
+        (6, bytearray(b"opaque blob"), "image/gif"),
+        (7, bytearray(b"opaque blob"), "image/gif"),
+        (8, bytearray(b"other blob!"), "image/gif"),
     ]
     df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
     got = {r.media_id: r.phash for r in M.image_phash(df).collect()}
