@@ -31,6 +31,7 @@ from ..operators.membership import bloom_build, bloom_gated_anti_join
 from ..operators.textstats import (
     classifier_score,
     filter_blocked_domains,
+    fix_mojibake as _fix_mojibake_col,
     text_stats,
 )
 
@@ -140,6 +141,7 @@ def curated_ingest_sink(
     drift_census_dir: str | None = None,
     max_js_divergence: float | None = None,
     bloom_bits: int | None = None,
+    fix_mojibake: bool = False,
 ):
     """Build a ``foreachBatch`` function: drop docs referencing blocked
     registered domains (optional — first, the cheapest batch-shrinking
@@ -175,6 +177,12 @@ def curated_ingest_sink(
     digest index when it doesn't cover history, and an m_bits change
     fails loudly. Size for ~10 bits per expected corpus-lifetime
     distinct doc (~1% FPR at k=5; cap 2^28 bits = 32 MB).
+
+    ``fix_mojibake=True`` repairs cp1252-mojibake text (codegen
+    translate/encode expression, operators/textstats.fix_mojibake)
+    before ANY digesting, so a mojibake'd re-fetch of an already-
+    indexed page collapses via the EXACT digest index rather than
+    surviving as a spurious near-variant.
     """
 
     _lm_cache: list = []  # one artifact load per sink lifetime
@@ -184,6 +192,15 @@ def curated_ingest_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if fix_mojibake:
+            # decode hygiene FIRST: a cp1252-mojibake re-fetch must
+            # repair to its clean twin's exact bytes BEFORE the digest
+            # is computed, so the exact-dedup index (not near-dup)
+            # collapses it; the drift census below also sees repaired
+            # text (mojibake is decode damage, not distribution drift)
+            batch_df = batch_df.withColumn(
+                text_col, _fix_mojibake_col(text_col)
+            )
         if drift_census_dir is not None:
             # distribution-drift circuit breaker: compare THIS batch's
             # token distribution against a persisted reference census

@@ -896,6 +896,81 @@ def test_warc_stream_to_curated_ingest_exactly_once(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 4
 
 
+def test_warc_stream_fix_mojibake_exact_dedup(spark, tmp_path):
+    """VERDICT r6 #7: --fix-mojibake through the WARC path end-to-end.
+    A landing segment carries a clean UTF-8 page, its cp1252-mojibake
+    re-fetch (the raw on-the-wire bytes ARE the UTF-8 encoding of the
+    mojibake string — exactly what a crawler that mis-labeled the
+    charset re-serves), and one unrelated page. With fix_mojibake=True
+    the sink repairs the re-fetch BEFORE digesting, so it collapses
+    against its clean twin via the EXACT digest index — near-dup is OFF
+    in this sink, proving the repair (not similarity) did the dedup —
+    and the admitted text is byte-identical to the clean original."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.sources import warc as W
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    clean = "the naïve café crew met again — the best of the day"
+    broken = clean.encode("utf-8").decode("cp1252")
+    assert broken != clean
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "seg-001.warc").write_bytes(
+        b"".join(
+            _warc_record(
+                "conversion", rid, f"http://x/{rid}", text.encode("utf-8"),
+                extra=[b"Content-Type: text/plain"],
+            )
+            for rid, text in [
+                ("a", clean), ("b", broken), ("c", "unrelated page text")
+            ]
+        )
+    )
+    out, idx, ck = (
+        str(tmp_path / "out"), str(tmp_path / "idx"), str(tmp_path / "ck")
+    )
+    W.register(spark)
+    stream = (
+        spark.readStream.format("warc")
+        .option("path", str(land))
+        .option("recordTypes", "conversion")
+        .load()
+        .select(
+            F.col("record_id").alias("doc_id"),
+            F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            curated_ingest_sink(out, idx, fix_mojibake=True)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(idx).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    # b repaired to clean's exact bytes → same digest → deduped away
+    assert sorted(got) == ["<urn:uuid:a>", "<urn:uuid:c>"]
+    assert got["<urn:uuid:a>"] == clean
+    assert spark.read.parquet(idx).count() == 2
+
+
 def test_write_parquet_bloom_adds_filters(spark, tmp_path):
     """Bloom-filtered parquet: identical data written with and without
     blooms differs by about ndv x 1.2 bytes of filter payload (pyarrow
