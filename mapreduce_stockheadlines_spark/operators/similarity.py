@@ -679,6 +679,7 @@ def semantic_neardup_pairs(
     n_clusters: int = 16,
     train_iters: int = 2,
     block_rows: int = 4096,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs (Abbas et al. 2023): k-means the
     corpus into semantic cells, compare only WITHIN a cell — near-dups
@@ -694,11 +695,16 @@ def semantic_neardup_pairs(
     pair split across a cell boundary is missed — raise ``n_clusters``
     quality via ``train_iters``, or lower ``n_clusters`` toward 1 which
     degrades to exact ``neardup_pairs``); pinned by a recall property
-    test against the exact path."""
+    test against the exact path. Pass ``centroids`` (k×dim, e.g. a
+    quantized ``kmeans_centroids`` fit — the x18 registry pin's path)
+    to skip training and cell the corpus against a fixed index."""
     spark = emb.sparkSession
-    cent_mat = kmeans_centroids(
-        emb, id_col, vec_col, k=n_clusters, n_iters=train_iters
-    )
+    if centroids is not None:
+        cent_mat = np.asarray(centroids, dtype="float64")
+    else:
+        cent_mat = kmeans_centroids(
+            emb, id_col, vec_col, k=n_clusters, n_iters=train_iters
+        )
     bc = spark.sparkContext.broadcast(cent_mat)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1079,7 +1079,18 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     4dp dot against the winning trained centroid — a centroid
     coordinate drift ≥ ~1e-4 anywhere breaks the hash). DuckDB unrolls
     all three Lloyd rounds as MATERIALIZED CTEs over the same
-    L2-normalized vectors."""
+    L2-normalized vectors.
+
+    On top of the trained cells, SemDeDup itself (Abbas et al. 2023 —
+    ``semantic_neardup_pairs`` within-cell exact-cosine pairs at the
+    x06 threshold feeding ``neardup_clusters``) is cross-engine pinned:
+    ``sem_rep`` is each neighbor's semantic-component representative
+    (min vec_id; itself when unpaired). The oracle re-derives the
+    within-cell pair graph in SQL and closes it with a recursive-CTE
+    transitive closure — a different algorithm from the Spark side's
+    label propagation + pointer jumping, so the pin is cross-ALGORITHM
+    too (the x31 cc_label recipe, now over DATA-derived float pairs
+    rather than a planted integer graph)."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(
@@ -1089,10 +1100,27 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ev = S.topk_eval(approx, truth)
     cent = S.kmeans_centroids(emb, k=8, n_iters=3, quantize_dp=7)
     asg = S.kmeans_assign(emb, cent)
-    cells = asg.join(
-        asg.groupBy("cell_id").agg(F.count("*").alias("cell_n")), "cell_id"
-    ).select(
-        F.col("vec_id").alias("neighbor_id"), "cell_id", "cell_n", "cent_sim"
+    pairs = S.semantic_neardup_pairs(emb, threshold=0.35, centroids=cent)
+    comp = D.neardup_clusters(pairs).select(
+        F.col("id").alias("neighbor_id"), F.col("cluster_id").alias("_sem")
+    )
+    cells = (
+        asg.join(
+            asg.groupBy("cell_id").agg(F.count("*").alias("cell_n")),
+            "cell_id",
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_id",
+            "cell_n",
+            "cent_sim",
+        )
+        .join(comp, "neighbor_id", "left")
+        .withColumn(
+            "sem_rep",
+            F.coalesce(F.col("_sem"), F.col("neighbor_id")).cast("long"),
+        )
+        .drop("_sem")
     )
     return (
         approx.join(ev, "query_id")
@@ -1101,7 +1129,9 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _x18_kmeans_ctes(k: int = 8, n_iters: int = 3, dp: int = 7) -> str:
+def _x18_kmeans_ctes(
+    k: int = 8, n_iters: int = 3, dp: int = 7, sem_threshold: float = 0.35
+) -> str:
     # Unrolled Lloyd rounds (the x31/x33 MATERIALIZED-CTE recipe: each
     # round references its predecessor several times, and CTE inlining
     # would re-expand the chain exponentially). `en` = L2-normalized
@@ -1163,12 +1193,35 @@ fasg AS MATERIALIZED (
     FROM en CROSS JOIN kc{n_iters} c)
   WHERE rn = 1),
 fcn AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_n
-        FROM fasg GROUP BY cell_id)"""
+        FROM fasg GROUP BY cell_id),
+-- SemDeDup: within-cell exact-cosine pairs (strict > on the 4dp value,
+-- the operator's emitted contract) ...
+sp AS MATERIALIZED (
+  SELECT fa.neighbor_id AS a, fb.neighbor_id AS b
+  FROM fasg fa
+  JOIN fasg fb ON fa.cell_id = fb.cell_id
+              AND fa.neighbor_id < fb.neighbor_id
+  JOIN en ea ON ea.vec_id = fa.neighbor_id
+  JOIN en eb ON eb.vec_id = fb.neighbor_id
+  WHERE round(list_dot_product(ea.v, eb.v), 4) > {sem_threshold!r}),
+-- ... closed by recursive transitive closure (DISTINCT-over-UNION-ALL,
+-- not plain UNION, inside the WITH RECURSIVE clause — the x31 lesson)
+sue AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM sp UNION ALL SELECT b AS a, a AS b FROM sp)),
+sreach AS (
+  SELECT vec_id AS a, vec_id AS b FROM en
+  UNION
+  SELECT r.a, u.b FROM sreach r JOIN sue u ON r.b = u.a),
+srep AS MATERIALIZED (
+  SELECT a AS node, CAST(min(b) AS BIGINT) AS sem_rep
+  FROM sreach GROUP BY a)"""
     return out
 
 
 X18_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings)
 {_x18_kmeans_ctes(k=8, n_iters=3, dp=7)},
 cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v
          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
@@ -1231,10 +1284,11 @@ ev AS (SELECT pt.query_id, pt.n_truth,
 SELECT a.query_id, a.neighbor_id, a.sim, a.rank,
        ev.n_truth, ev.n_hit, ev.recall, ev.first_hit_rank,
        ev.reciprocal_rank,
-       f.cell_id, fcn.cell_n, f.cent_sim
+       f.cell_id, fcn.cell_n, f.cent_sim, srep.sem_rep
 FROM ak a JOIN ev USING (query_id)
 JOIN fasg f ON f.neighbor_id = a.neighbor_id
 JOIN fcn ON fcn.cell_id = f.cell_id
+JOIN srep ON srep.node = a.neighbor_id
 ORDER BY a.query_id, a.rank
 """
 
