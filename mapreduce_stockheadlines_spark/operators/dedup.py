@@ -454,6 +454,84 @@ def dedup_by_pairs(
     return df.join(losers, id_col, "left_anti")
 
 
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    left_text: str = "text",
+    right_text: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Approximate TEXT join between TWO tables (record linkage: match
+    re-published headlines across feeds, crawl snapshots across days,
+    titles to a catalog) — the cross-table variant of the dedup family:
+    MinHash band-digest candidates ACROSS the tables, exact word-shingle
+    Jaccard verify, output (left_id, right_id, jaccard) strictly above
+    ``threshold``.
+
+    Scale shape: each side builds its own signature + band table (one
+    token census per side — there is never a cross product); candidates
+    come from a band-digest EQUI-join between the two band tables, so
+    the only cross-table shuffle carries fixed-width digests; the exact
+    verify is candidate-pair-scoped (the x02 contract). Recall < 1 by
+    the banding S-curve like any LSH — identical texts always match
+    (identical signatures share every band); raise ``num_hashes``/
+    ``bands`` to push the S-curve toward lower thresholds. Precision is
+    exact: the emitted jaccard is true set Jaccard on the 4dp-rounded
+    contract shared with ``jaccard_pairs``. Rows whose text yields no
+    ``shingle_n``-gram (shorter than n words) never match — they have
+    no set representation.
+    """
+    sig_l = minhash_signature(
+        left, left_id, left_text, num_hashes, shingle_n, hash_mode
+    )
+    sig_r = minhash_signature(
+        right, right_id, right_text, num_hashes, shingle_n, hash_mode
+    )
+    bl = signature_bands(sig_l, left_id, num_hashes, bands).select(
+        F.col(left_id).alias("id_a"), "bucket"
+    )
+    br = signature_bands(sig_r, right_id, num_hashes, bands).select(
+        F.col(right_id).alias("id_b"), "bucket"
+    )
+    cand = bl.join(br, "bucket").select("id_a", "id_b").distinct()
+    ta = doc_shingles(left, left_id, left_text, n=shingle_n).select(
+        F.col(left_id).alias("id_a"), "token"
+    )
+    tb = doc_shingles(right, right_id, right_text, n=shingle_n).select(
+        F.col(right_id).alias("id_b"), "token"
+    )
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = ta.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_a"))
+    sb = tb.groupBy("id_b").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias(f"{left_id}_l"),
+            F.col("id_b").alias(f"{right_id}_r"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
 def jaccard_pairs(
     toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -306,6 +306,76 @@ def epoch_upsample(
     )
 
 
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    tiebreak_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "curriculum_pos",
+) -> DataFrame:
+    """Global training-order position WITHOUT a global sort: curriculum
+    + source balance in one integer expression. Reading the output back
+    ordered by ``out_col`` yields a round-robin interleave of sources
+    (an epoch never sees one source in a contiguous block — the
+    training-dynamics reason data orders exist) with best-``score_col``
+    rows first within each source.
+
+    ``pos = (within_source_rank − 1) · n_sources + source_index`` where
+    the within-source rank orders by (score DESC, *tiebreak_cols ASC) —
+    ONE hash-partitioned window, parallel across sources — and
+    ``source_index``/``n_sources`` come from a sources-cardinality dim
+    derived once and broadcast. Positions are unique across the corpus
+    (ranks are unique within a source; residues mod n_sources separate
+    sources) but intentionally NOT dense: a shorter source exhausts its
+    residue class early — the round-robin simply stops offering that
+    source, exactly the interleave semantics.
+
+    Scale shape: the corpus is touched by one window over
+    ``source_col`` hash partitioning (skew bounded by the largest
+    source; salting cannot apply — rank is order-sensitive — but a
+    mixture's source count is small and sizes are the mixture weights,
+    already budgeted upstream) plus two broadcast joins (a
+    sources-sized dim and a 1-row count). The sources dim itself costs
+    one distinct + one SinglePartition window over n_sources rows —
+    bounded by source CARDINALITY, never data. No global exchange
+    anywhere; the total order exists only as arithmetic. NULL sources
+    group under '' (coalesce both sides — an equi-join would silently
+    drop NULL keys)."""
+    from pyspark.sql import Window
+
+    from .relevance import _zero_key
+
+    src = df.select(
+        F.coalesce(F.col(source_col), F.lit("")).alias("_src")
+    ).distinct()
+    src_idx = src.withColumn(
+        "_src_idx",
+        (F.row_number().over(Window.orderBy("_src")) - 1).cast("bigint"),
+    )
+    # the 1-row count attaches via a non-foldable-key broadcast
+    # EQUI-join (relevance._zero_key): literal keys on both sides fold
+    # the condition to TRUE and the join degrades to the
+    # BroadcastNestedLoopJoin the plan guard forbids
+    n_src = src_idx.agg(F.count(F.lit(1)).alias("_n_src")).withColumn(
+        "_ck", _zero_key("_n_src")
+    )
+    w = Window.partitionBy("_src").orderBy(
+        F.desc_nulls_last(score_col), *[F.asc(c) for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("_src", F.coalesce(F.col(source_col), F.lit("")))
+        .withColumn("_wr", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(src_idx), "_src")
+        .withColumn("_ck", _zero_key("_wr"))
+        .join(F.broadcast(n_src), "_ck")
+        .withColumn(
+            out_col,
+            (F.col("_wr") - 1) * F.col("_n_src") + F.col("_src_idx"),
+        )
+        .drop("_src", "_wr", "_src_idx", "_n_src", "_ck")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str,

@@ -2489,6 +2489,15 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     mixed = mixed.join(tm, "_mk", "left").withColumn(
         "mix_kept", F.coalesce("mix_kept", F.lit(False))
     )
+    # curriculum_interleave (round-7 zero-slot promotion): the global
+    # training-order position of each (doc, epoch) row — within-source
+    # rank by (score DESC, doc_id, epoch) interleaved round-robin
+    # across sources as pure integer arithmetic, no global sort. The
+    # score is integer-valued n_chars, so the rank order (and hence the
+    # position) is tie-exact across engines.
+    mixed = SP.curriculum_interleave(
+        mixed, "score", "source", tiebreak_cols=("doc_id", "epoch")
+    )
     raw = docs.filter(F.col("text").isNotNull())
     ratios = SP.dsir_log_ratios(
         raw, None, "doc_id", "text", n_buckets=4096,
@@ -2517,7 +2526,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     )
     return enriched.select(
         "doc_id", "source", "n_tokens", "epoch", "mix_kept",
-        "dsir_score", "n_features", "dsir_kept",
+        "curriculum_pos", "dsir_score", "n_features", "dsir_kept",
     ).orderBy("doc_id", "epoch")
 
 
@@ -2628,13 +2637,32 @@ mk AS (
                                    || ':' || CAST(m.epoch AS VARCHAR)),
                                1, 8)) AS BIGINT) / 4294967296.0) < r.mrate
            AS mix_kept
-  FROM mixed m JOIN mr r ON m.source = r.source)
+  FROM mixed m JOIN mr r ON m.source = r.source),
+-- curriculum_interleave: within-source rank by (score DESC, doc_id,
+-- epoch) round-robin-interleaved across sources as integer arithmetic
+-- (pos = (rank-1)*n_sources + source_index) — ranks on integer-valued
+-- n_chars, so the order is tie-exact cross-engine
+csd AS MATERIALIZED (
+  SELECT src, row_number() OVER (ORDER BY src) - 1 AS sidx
+  FROM (SELECT DISTINCT coalesce(source, '') AS src FROM mixed)),
+cns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM csd),
+cur AS MATERIALIZED (
+  SELECT m.doc_id, m.epoch,
+         (row_number() OVER (PARTITION BY coalesce(m.source, '')
+                             ORDER BY sc.score DESC NULLS LAST,
+                                      m.doc_id, m.epoch) - 1)
+           * (SELECT n FROM cns) + d.sidx AS curriculum_pos
+  FROM mixed m
+  JOIN s sc ON sc.doc_id = m.doc_id
+  JOIN csd d ON d.src = coalesce(m.source, ''))
 SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept,
+       c.curriculum_pos,
        s.dsir_score, s.n_features,
        CASE WHEN s.doc_id IS NOT NULL
             THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept
 FROM mixed m
 JOIN mk k ON m.doc_id = k.doc_id AND m.epoch = k.epoch
+JOIN cur c ON m.doc_id = c.doc_id AND m.epoch = c.epoch
 LEFT JOIN dscored s ON m.doc_id = s.doc_id
 LEFT JOIN dsel d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id, m.epoch

@@ -904,6 +904,67 @@ def test_kmeans_centroids_properties(spark, sf_dir):
     assert obj(c3) >= obj(c0) - 1e-12
 
 
+def test_fuzzy_text_join_cross_table(spark):
+    """Cross-table approximate text join (record linkage): an exact
+    copy always links (identical signatures share every band); a
+    near-copy links with its TRUE 3-gram Jaccard, which DuckDB
+    re-derives independently from the same normalized texts; unrelated
+    rows, sub-shingle-length rows and same-side near-dups never link.
+    The emitted pair set is pinned exactly on this fixed data."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.dedup import (
+        fuzzy_text_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    left = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "markets rallied strongly as tech stocks led the gains"),
+            (3, "completely unrelated text about gardening in the spring"),
+        ],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, base),                 # exact copy of 1 → jaccard 1.0
+            (11, near),                 # near-copy of 1
+            (12, "weather forecasts for the coming week look stormy"),
+            (13, "too short"),          # < 3 words: no shingles, never links
+        ],
+        "hl_id long, headline string",
+    )
+    out = fuzzy_text_join(
+        left, right, "doc_id", "hl_id", "text", "headline", threshold=0.3
+    )
+    got = {(r.doc_id_l, r.hl_id_r): r.jaccard for r in out.collect()}
+
+    con = duckdb.connect()
+    duck_j = con.execute(
+        """
+        WITH g AS (
+          SELECT s, unnest(list_distinct([
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, greatest(len(toks) - 1, 1))])) AS gram
+          FROM (SELECT s, list_filter(string_split(
+                  regexp_replace(lower(t), '[^a-z ]', ' ', 'g'), ' '),
+                  x -> x <> '') AS toks
+                FROM (VALUES ('a', ?), ('b', ?)) v(s, t)))
+        SELECT CAST(count(*) FILTER (ga.gram IS NOT NULL
+                                     AND gb.gram IS NOT NULL) AS DOUBLE)
+               / count(*)
+        FROM (SELECT gram FROM g WHERE s = 'a') ga
+        FULL JOIN (SELECT gram FROM g WHERE s = 'b') gb USING (gram)
+        """,
+        [base, near],
+    ).fetchone()[0]
+    assert set(got) == {(1, 10), (1, 11)}
+    assert got[(1, 10)] == 1.0
+    assert got[(1, 11)] == round(duck_j, 4)
+
+
 def test_kmeans_quantized_partitioning_invariant(spark, sf_dir):
     """The quantize_dp contract (the x18 registry pin's foundation): the
     trained centroids must be BIT-identical regardless of how the corpus

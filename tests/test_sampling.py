@@ -721,3 +721,41 @@ def test_dsir_resample_rejects_nonpositive_n_keep(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc_id int, dsir_score double")
     with pytest.raises(ValueError, match="n_keep"):
         dsir_resample(df, "doc_id", "dsir_score", 0)
+
+
+def test_curriculum_interleave_round_robin_no_global_sort(spark):
+    """curriculum_interleave: reading back ordered by curriculum_pos
+    round-robins the sources with best-score rows first within each
+    source; positions are unique, residues identify sources, a shorter
+    source simply stops appearing (positions intentionally non-dense),
+    and the plan contains NO global range exchange — the total order is
+    arithmetic, not a sort."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    rows = [
+        # (doc_id, source, score): b is the short source
+        (1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0),
+        (4, "b", 5.0), (5, "b", 50.0),
+        (6, "c", 7.0), (7, "c", 7.0), (8, "c", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = curriculum_interleave(df, "score", "source")
+    got = {r.doc_id: r.curriculum_pos for r in out.collect()}
+    # sources sorted: a=0, b=1, c=2; pos = (rank-1)*3 + idx
+    assert got == {
+        2: 0,   # a rank1 (30)
+        5: 1,   # b rank1 (50)
+        8: 2,   # c rank1 (9)
+        3: 3,   # a rank2 (20)
+        4: 4,   # b rank2 (5)
+        6: 5,   # c rank2 (7, doc 6 before 7 on id tie)
+        1: 6,   # a rank3 (10)
+        7: 8,   # c rank3 — pos 7 is b's exhausted residue: non-dense
+    }
+    assert len(set(got.values())) == len(got)  # unique positions
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan  # no global sort anywhere
