@@ -1035,14 +1035,17 @@ GROUP BY e.event_type ORDER BY e.event_type
 
 # --- x18 IVF approximate top-k (scale path) -----------------------------------
 #
-# The registry query uses train_iters=0 (deterministic lowest-id centroids)
-# so the ENTIRE probe-and-rescore pipeline is expressible in ANSI SQL and
-# value-hash-checked against DuckDB — assignment argmax (first-max tie),
-# probe ranking (stable sort), candidate pruning and exact rescore all
-# included. The k-means-trained variant (train_iters>0, distributed Lloyd
-# with map-side partial sums) is pinned by test_ivf_trained_recall /
-# test_kmeans_centroids_properties instead (float centroid averaging is
-# engine-summation-order-specific, not cross-engine hashable).
+# Through round 6 the registry query used train_iters=0 (deterministic
+# lowest-id centroids) because float centroid averaging was
+# engine-summation-order-specific and not cross-engine hashable. The
+# round-7 quantized Lloyd contract (kmeans_centroids quantize_dp)
+# removed that restriction: the registry IVF now serves from a
+# genuinely TRAINED 16-cell index and the ENTIRE train→assign→probe→
+# rescore pipeline is value-hash-checked against DuckDB — three
+# unrolled Lloyd rounds, assignment argmax (first-max tie), probe
+# ranking (stable sort), candidate pruning and exact rescore all
+# included. The unquantized trainer stays pinned by
+# test_ivf_trained_recall / test_kmeans_centroids_properties.
 #
 # Float robustness (closed in round 5, ADVICE r3 item): EVERY
 # cross-engine float decision — threshold cuts (x06/x17), rank order
@@ -1054,9 +1057,10 @@ GROUP BY e.event_type ORDER BY e.event_type
 
 def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe-and-rescore: coarse-quantize the corpus into 16 cells
-    (deterministic lowest-id centroids), probe the 4 cells nearest each
-    query, exact-rescore only those candidates. The corpus is never
-    shuffled; the probe table broadcasts.
+    (TRAINED — since round 7 the index comes from 3 quantized Lloyd
+    rounds, see below), probe the 4 cells nearest each query,
+    exact-rescore only those candidates. The corpus is never shuffled;
+    the probe table broadcasts.
 
     Round-6 zero-slot promotion: ``topk_eval`` — the retrieval-quality
     acceptance gate for every ANN trade-off (recall@k, MRR) — runs the
@@ -1082,8 +1086,10 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     L2-normalized vectors.
 
     On top of the trained cells, SemDeDup itself (Abbas et al. 2023 —
-    ``semantic_neardup_pairs`` within-cell exact-cosine pairs at the
-    x06 threshold feeding ``neardup_clusters``) is cross-engine pinned:
+    ``semantic_neardup_pairs`` within-cell exact-cosine pairs at 0.5 —
+    chosen so the CC label propagation converges in a few rounds at
+    test scale; the oracle still re-derives EVERY within-cell cosine —
+    feeding ``neardup_clusters``) is cross-engine pinned:
     ``sem_rep`` is each neighbor's semantic-component representative
     (min vec_id; itself when unpaired). The oracle re-derives the
     within-cell pair graph in SQL and closes it with a recursive-CTE
@@ -1093,14 +1099,21 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     rather than a planted integer graph)."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    # ONE quantized training serves everything below: the IVF probes a
+    # genuinely TRAINED index (until round 7 the registry IVF used
+    # lowest-id centroids because float training wasn't cross-engine
+    # hashable — the quantized Lloyd contract removed that restriction,
+    # so the trained-IVF path is now oracle-verified END-TO-END), the
+    # same centroids cell the corpus for the per-row columns, and
+    # SemDeDup pairs within the same cells.
+    cent = S.kmeans_centroids(emb, k=16, n_iters=3, quantize_dp=7)
     approx = S.ivf_topk(
-        queries, emb, k=10, n_centroids=16, n_probe=4, train_iters=0
+        queries, emb, k=10, n_centroids=16, n_probe=4, centroids=cent
     )
     truth = S.cosine_topk(queries, emb, k=10)
     ev = S.topk_eval(approx, truth)
-    cent = S.kmeans_centroids(emb, k=8, n_iters=3, quantize_dp=7)
     asg = S.kmeans_assign(emb, cent)
-    pairs = S.semantic_neardup_pairs(emb, threshold=0.35, centroids=cent)
+    pairs = S.semantic_neardup_pairs(emb, threshold=0.5, centroids=cent)
     comp = D.neardup_clusters(pairs).select(
         F.col("id").alias("neighbor_id"), F.col("cluster_id").alias("_sem")
     )
@@ -1130,7 +1143,7 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x18_kmeans_ctes(
-    k: int = 8, n_iters: int = 3, dp: int = 7, sem_threshold: float = 0.35
+    k: int = 8, n_iters: int = 3, dp: int = 7, sem_threshold: float = 0.5
 ) -> str:
     # Unrolled Lloyd rounds (the x31/x33 MATERIALIZED-CTE recipe: each
     # round references its predecessor several times, and CTE inlining
@@ -1222,27 +1235,23 @@ srep AS MATERIALIZED (
 X18_SQL = f"""
 WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings)
-{_x18_kmeans_ctes(k=8, n_iters=3, dp=7)},
-cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v
-         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+{_x18_kmeans_ctes(k=16, n_iters=3, dp=7)},
+-- the IVF serves from the TRAINED index: corpus assignment IS fasg
+-- (the same 4dp-dot argmax vs the final trained centroids), probes
+-- rank the same trained centroids per query
 asg AS (
-  SELECT vec_id AS neighbor_id, v AS cv, idx AS cluster FROM (
-    SELECT e.vec_id, e.v, c.idx,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_cosine_similarity(e.v, c.v),
-                                             4) DESC,
-                                       c.idx) AS rn
-    FROM e CROSS JOIN cent c)
-  WHERE rn = 1),
+  SELECT f.neighbor_id, e.v AS cv, f.cell_id AS cluster
+  FROM fasg f JOIN e ON e.vec_id = f.neighbor_id),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 probes AS (
   SELECT query_id, idx AS cluster FROM (
     SELECT q.query_id, c.idx,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY round(list_cosine_similarity(q.qv, c.v),
-                                             4) DESC,
+                              ORDER BY round(list_dot_product(qn.v, c.v), 4)
+                                         DESC,
                                        c.idx) AS rn
-    FROM q CROSS JOIN cent c)
+    FROM q JOIN en qn ON qn.vec_id = q.query_id
+    CROSS JOIN kc3 c)
   WHERE rn <= 4),
 cand AS (SELECT p.query_id, a.neighbor_id, a.cv
          FROM probes p JOIN asg a ON a.cluster = p.cluster
