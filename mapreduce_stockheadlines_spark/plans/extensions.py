@@ -2128,9 +2128,38 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
             F.max("_np").cast("bigint").alias("max_word_pieces"),
         )
     )
+    # BPE TRAINING (round-7 zero-slot promotion — the x33/x31 recipe
+    # applied to the tokenizer trainer): train_bpe learns 8 merges from
+    # the corpus word census (freq-DESC/word-ASC truncation, count ties
+    # break on the pair's lexical order — all integer/string decisions,
+    # nothing to quantize), the corpus word types are re-encoded under
+    # the TRAINED list, and two columns pin it cross-engine:
+    # bpe_merges_fp8 (md5 prefix of the learned 'a b|c d|...' list — a
+    # wrong merge ANYWHERE breaks every row) and n_bpe_pieces_trained.
+    # DuckDB re-derives the census, unrolls all 8 merge rounds (pair
+    # census -> ORDER BY c DESC, pair LIMIT 1 -> double-replace apply)
+    # and replays the learned merges over every word type.
+    import hashlib
+
+    merges, _alpha = BP.train_bpe(docs, "text", num_merges=8,
+                                  max_word_types=4096)
+    mfp = hashlib.md5(
+        "|".join(a + " " + b for a, b in merges).encode()
+    ).hexdigest()[:8]
+    enc_t = BP.encode_word_types(
+        words.select("word").distinct(), merges
+    ).select("word", F.size("pieces").cast("bigint").alias("_npt"))
+    bpct = (
+        words.join(enc_t, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("_npt").cast("bigint").alias("n_bpe_pieces_trained"))
+    )
     return (
         ppl.join(bpc, "doc_id", "left")
-        .na.fill({"n_bpe_pieces": 0, "max_word_pieces": 0})
+        .join(bpct, "doc_id", "left")
+        .na.fill({"n_bpe_pieces": 0, "max_word_pieces": 0,
+                  "n_bpe_pieces_trained": 0})
+        .withColumn("bpe_merges_fp8", F.lit(mfp))
         .orderBy("doc_id")
     )
 
@@ -2154,6 +2183,74 @@ def _x28_bpe_enc_sql() -> str:
         for _ in range(2):
             enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
     return enc
+
+
+def _x28_bpe_train_ctes(num_merges: int = 8, max_word_types: int = 4096) -> str:
+    """Unrolled BPE TRAINING (the x31/x33 MATERIALIZED-CTE recipe for
+    iterative algorithms, applied to the tokenizer trainer — every
+    decision is integer counts + string order, nothing to quantize).
+    Per round over the freq-weighted census segmentation: adjacent-pair
+    census, best = ORDER BY count DESC, pair ASC LIMIT 1 (string order
+    on 'a b' equals the trainer's (a, b) tuple order because symbols
+    never contain spaces and ' ' sorts below every symbol char), apply
+    via the encode chain's double-replace (exactness argument at
+    ``_x28_bpe_enc_sql``). A parallel be{{r}} chain replays the learned
+    merges over ALL word types (replay-in-rank-order == encode's
+    lowest-rank-first because trained lists are well-formed by
+    construction — a composite exists only after the merges forming
+    it)."""
+    out = f""",
+bw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM words GROUP BY word
+  ORDER BY freq DESC, word LIMIT {max_word_types}),
+bs0 AS MATERIALIZED (
+  SELECT word, freq,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  FROM bw),
+be0 AS MATERIALIZED (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  FROM (SELECT DISTINCT word FROM words))"""
+    for r in range(1, num_merges + 1):
+        out += f""",
+bp{r} AS MATERIALIZED (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+    FROM (SELECT freq,
+                 list_filter(string_split(s, ' '), x -> x <> '') AS syms
+          FROM bs{r - 1}))
+  GROUP BY pair),
+bb{r} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '') AS joined
+  FROM bp{r} ORDER BY c DESC, pair LIMIT 1),
+bs{r} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         replace(replace(w.s, ' ' || b.pair || ' ', ' ' || b.joined || ' '),
+                 ' ' || b.pair || ' ', ' ' || b.joined || ' ') AS s
+  FROM bs{r - 1} w CROSS JOIN bb{r} b),
+be{r} AS MATERIALIZED (
+  SELECT w.word,
+         replace(replace(w.s, ' ' || b.pair || ' ', ' ' || b.joined || ' '),
+                 ' ' || b.pair || ' ', ' ' || b.joined || ' ') AS s
+  FROM be{r - 1} w CROSS JOIN bb{r} b)"""
+    ranks = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pair FROM bb{r}"
+        for r in range(1, num_merges + 1)
+    )
+    out += f""",
+bfp AS (
+  SELECT substr(md5(string_agg(pair, '|' ORDER BY rank)), 1, 8) AS fp
+  FROM ({ranks})),
+btc AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+              AS BIGINT) AS npt
+  FROM be{num_merges}),
+bpct AS (
+  SELECT doc_id, CAST(sum(npt) AS BIGINT) AS n_bpe_pieces_trained
+  FROM words JOIN btc USING (word) GROUP BY doc_id)"""
+    return out
 
 
 X28_SQL = f"""
@@ -2202,12 +2299,16 @@ encs AS (
 bpc AS (
   SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_bpe_pieces,
          CAST(max(np) AS BIGINT) AS max_word_pieces
-  FROM words JOIN encs USING (word) GROUP BY doc_id)
+  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}
 SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        round(exp(-fx.avg_logp), 4) AS ppl,
        coalesce(bpc.n_bpe_pieces, 0) AS n_bpe_pieces,
-       coalesce(bpc.max_word_pieces, 0) AS max_word_pieces
-FROM fx LEFT JOIN bpc USING (doc_id) ORDER BY fx.doc_id
+       coalesce(bpc.max_word_pieces, 0) AS max_word_pieces,
+       coalesce(bpct.n_bpe_pieces_trained, 0) AS n_bpe_pieces_trained,
+       (SELECT fp FROM bfp) AS bpe_merges_fp8
+FROM fx LEFT JOIN bpc USING (doc_id)
+LEFT JOIN bpct USING (doc_id)
+ORDER BY fx.doc_id
 """
 
 
