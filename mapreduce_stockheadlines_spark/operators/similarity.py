@@ -376,6 +376,92 @@ def kmeans_assign(
     )
 
 
+def kmeans_moment_partials(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_dp: int = 6,
+) -> DataFrame:
+    """Per-cell per-dim FIXED-POINT coordinate sums + counts of a corpus
+    under FROZEN centroids — the additive moment census behind
+    streaming ANN index maintenance (``kmeans_ingest_sink``):
+    ``(cell_id, dim, s_fp, n)`` where ``s_fp = Σ round(x_norm·10^fp_dp)``
+    as BIGINT and ``n`` is the cell population (repeated per dim).
+    Assignment is the shared 4dp-argmax contract. Integer sums make the
+    fold ORDER-FREE and exact: merge == build-of-union row-for-row (the
+    census-sink algebra extended to vector moments), so the folded
+    artifact is a pure function of the row set however batches split,
+    interleave or replay. One Arrow pass; ≤ k×dim rows per batch into a
+    (cell, dim)-keyed aggregation — corpus never shuffled."""
+    spark = corpus.sparkSession
+    cmat = np.asarray(centroids, dtype="float64")
+    bc = spark.sparkContext.broadcast(cmat)
+    scale = 10**fp_dp
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value
+        k, d = cm.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _to_matrix(pdf["cv"])
+            cl = np.argmax(np.round(m @ cm.T, 4), axis=1)
+            fp = np.round(m * scale).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, cl, fp)
+            counts = np.bincount(cl, minlength=k)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell_id": np.repeat(nz, d).astype("int32"),
+                    "dim": np.tile(np.arange(d, dtype="int32"), len(nz)),
+                    "s_fp": sums[nz].reshape(-1),
+                    "n": np.repeat(counts[nz], d).astype("int64"),
+                }
+            )
+
+    return (
+        corpus.select(as_double(vec_col).alias("cv"))
+        .mapInPandas(partials, "cell_id int, dim int, s_fp long, n long")
+        .groupBy("cell_id", "dim")
+        .agg(F.sum("s_fp").alias("s_fp"), F.sum("n").alias("n"))
+    )
+
+
+def kmeans_refit(
+    moments: DataFrame,
+    prev_centroids: np.ndarray,
+    quantize_dp: int = 7,
+    fp_dp: int = 6,
+) -> np.ndarray:
+    """One Lloyd update from a folded moment artifact: per cell,
+    ``mean_j = round((s_fp / 10^fp_dp) / n, quantize_dp)``, L2-norm OF
+    the quantized mean, divide, round again — the ``kmeans_centroids``
+    quantized contract computed from EXACT integer sums, so the rolled
+    index is a pure function of (row set, frozen centroids) regardless
+    of how the stream was batched or replayed. Cells with no mass keep
+    the previous centroid verbatim. Driver cost: k×dim rows — bounded
+    by the index size, never the stream."""
+    cm = np.asarray(prev_centroids, dtype="float64")
+    rows = moments.collect()
+    new = cm.copy()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell_id"]), []).append(r)
+    for cell, cell_rows in by_cell.items():
+        n = int(cell_rows[0]["n"])
+        if n <= 0:
+            continue
+        vec = np.zeros(cm.shape[1])
+        for r in cell_rows:
+            vec[int(r["dim"])] = (int(r["s_fp"]) / 10**fp_dp) / n
+        mean = np.round(vec, quantize_dp)
+        nrm = float(np.linalg.norm(mean)) or 1.0
+        new[cell] = np.round(mean / nrm, quantize_dp)
+    return new
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -782,6 +782,49 @@ def sketch_ingest_sink(
     )
 
 
+def kmeans_ingest_sink(
+    centroids,
+    artifact_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_dp: int = 6,
+):
+    """foreachBatch function: maintain the ANN serving index's moment
+    artifact over an embedding stream — each micro-batch assigns its
+    vectors to the FROZEN serving centroids (broadcast, one Arrow pass,
+    ≤ k×dim rows out; operators/similarity.kmeans_moment_partials) and
+    the fixed-point (cell, dim) sums + counts fold by EXACT BIGINT
+    addition into a versioned artifact, so merge == build-of-union
+    row-for-row (the census-sink algebra) and
+    ``similarity.kmeans_refit`` can roll the index to its next Lloyd
+    update at any point from k×dim numbers — the stream itself is never
+    re-read. Replay/crash contract: ``_artifact_fold_sink``. This is
+    index MAINTENANCE for the ivf_topk(centroids=...) serving path:
+    assign against frozen centroids per batch, refit on your schedule,
+    redeploy."""
+    import numpy as np
+
+    from ..operators.similarity import kmeans_moment_partials
+
+    cmat = np.asarray(centroids, dtype="float64")
+
+    def fold(ex: DataFrame | None, inc: DataFrame) -> DataFrame:
+        if ex is None:
+            return inc
+        return (
+            ex.unionByName(inc)
+            .groupBy("cell_id", "dim")
+            .agg(F.sum("s_fp").alias("s_fp"), F.sum("n").alias("n"))
+        )
+
+    return _artifact_fold_sink(
+        artifact_dir,
+        ["cell_id", "dim", "s_fp", "n"],
+        lambda b: kmeans_moment_partials(b, cmat, id_col, vec_col, fp_dp),
+        fold,
+    )
+
+
 def census_ingest_sink(
     build_fn,
     key_cols: list[str],

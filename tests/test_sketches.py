@@ -588,3 +588,57 @@ def test_qsk_quantiles_rejects_out_of_range_q(spark):
     for bad in ([], [1.5], [-0.1, 0.5]):
         with pytest.raises(ValueError, match="quantiles"):
             qsk_quantiles(sk, bad)
+
+
+def test_kmeans_ingest_sink_moment_fold_and_refit(spark, sf_dir, tmp_path):
+    """Streaming ANN index maintenance: the (cell, dim) fixed-point
+    moment artifact folds batches by exact BIGINT addition — replay is
+    a no-op, merge == build-of-union row-for-row — and kmeans_refit
+    rolls the frozen serving centroids to their next Lloyd update
+    BIT-identically from the folded artifact and from a from-scratch
+    single-batch build. The refit also matches the float trainer's
+    quantized round within fixed-point resolution."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_moment_partials,
+        kmeans_refit,
+    )
+    from mapreduce_stockheadlines_spark.sources.versioned import read_table
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        kmeans_ingest_sink,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, n_iters=1, quantize_dp=7)
+    art = str(tmp_path / "kmoments")
+    sink = kmeans_ingest_sink(cent, art)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once replay: must not double-count
+
+    folded = sorted(
+        map(
+            tuple,
+            read_table(spark, art)
+            .select("cell_id", "dim", "s_fp", "n")
+            .collect(),
+        )
+    )
+    whole = sorted(
+        map(tuple, kmeans_moment_partials(emb, cent).collect())
+    )
+    assert folded == whole  # merge == build-of-union, exactly
+
+    r_stream = kmeans_refit(
+        read_table(spark, art).select("cell_id", "dim", "s_fp", "n"), cent
+    )
+    r_batch = kmeans_refit(kmeans_moment_partials(emb, cent), cent)
+    assert np.array_equal(r_stream, r_batch)  # bit-identical roll
+    # and within fixed-point resolution of the float trainer's next
+    # quantized Lloyd round (same assignment contract, float sums)
+    r_float = kmeans_centroids(emb, k=8, n_iters=2, quantize_dp=7)
+    assert np.allclose(r_stream, r_float, atol=5e-5)
