@@ -111,7 +111,7 @@ def load_centroids(spark: SparkSession, out_dir: str) -> np.ndarray:
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["build", "search", "eval"])
+    ap.add_argument("mode", choices=["build", "search", "eval", "refit"])
     ap.add_argument("out_dir")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--sem-threshold", type=float, default=None,
@@ -138,10 +138,37 @@ def main(argv: list[str] | None = None) -> None:
                     help="search mode: comma-separated corpus vector ids")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-probe", type=int, default=4)
+    ap.add_argument("--moments-dir", default=None,
+                    help="refit mode: versioned (cell, dim) moment "
+                         "artifact maintained by kmeans_ingest_sink")
     args = ap.parse_args(argv)
 
     spark = get_spark("embed-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "refit":
+        # roll the serving index to its next Lloyd update from the
+        # streaming moment artifact — k x dim numbers, the stream is
+        # never re-read; the new centroids overwrite <out>/centroids so
+        # search/eval serve the rolled index immediately
+        from ..operators.similarity import kmeans_refit
+        from ..sources.versioned import read_table
+
+        if not args.moments_dir:
+            raise SystemExit("refit mode requires --moments-dir")
+        cent = load_centroids(spark, args.out_dir)
+        moments = read_table(spark, args.moments_dir).select(
+            "cell_id", "dim", "s_fp", "n"
+        )
+        new = kmeans_refit(moments, cent)
+        rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(new)]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{args.out_dir}/centroids")
+        moved = int((new != cent).any(axis=1).sum())
+        print(f"refit: {moved}/{len(new)} centroids moved -> "
+              f"{args.out_dir}/centroids")
+        return
 
     if args.mode == "build":
         emb = table(spark, args.sf_dir, "embeddings")

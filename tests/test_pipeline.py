@@ -807,6 +807,50 @@ def test_embed_pipeline_eval_cli(spark, tmp_path, sf_dir, capsys):
     assert all("recall=1.0" in ln for ln in lines)
 
 
+def test_embed_pipeline_refit_cli(spark, tmp_path, sf_dir, capsys):
+    """refit mode rolls the served index from a streaming moment
+    artifact: build an index, fold two embedding micro-batches through
+    kmeans_ingest_sink, refit, and (a) the persisted centroids equal a
+    driver-side kmeans_refit of the same artifact, (b) search still
+    serves from the rolled index."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import (
+        load_centroids,
+        main,
+    )
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        kmeans_refit,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.sources.versioned import read_table
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        kmeans_ingest_sink,
+    )
+
+    out_dir = str(tmp_path / "vec")
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--n-centroids", "4", "--train-iters", "1"])
+    cent0 = load_centroids(spark, out_dir)
+
+    emb = table(spark, sf_dir, "embeddings")
+    art = str(tmp_path / "moments")
+    sink = kmeans_ingest_sink(cent0, art)
+    sink(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    sink(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    main(["refit", out_dir, "--moments-dir", art])
+    assert "centroids moved" in capsys.readouterr().out
+    rolled = load_centroids(spark, out_dir)
+    want = kmeans_refit(
+        read_table(spark, art).select("cell_id", "dim", "s_fp", "n"), cent0
+    )
+    assert np.array_equal(rolled, want)
+
+    main(["search", out_dir, "--query-ids", "0", "--k", "3"])
+    assert len(capsys.readouterr().out.splitlines()) == 3
+
+
 def test_report_cli_save_census(spark, tmp_path, sf_dir, capsys):
     """--save-census persists the (term, freq) census whose token total
     equals the report's own total_ws_tokens row."""
