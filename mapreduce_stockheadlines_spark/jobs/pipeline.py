@@ -738,6 +738,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="hashed-n-gram model size for DSIR (default 65536)")
     ap.add_argument("--shuffle-output", action="store_true",
                     help="write output in deterministic hash-shuffled order")
+    ap.add_argument("--curriculum", action="store_true",
+                    help="attach curriculum_pos: a global training-order "
+                         "position (best-quality-first within each source, "
+                         "sources round-robin-interleaved) computed as pure "
+                         "integer arithmetic — no global sort; read back "
+                         "ordered by it for curriculum + source balance")
     ap.add_argument("--test-fraction", type=float, default=None,
                     help="hash-split a held-out set into <out>/test")
     ap.add_argument("--max-containment", type=float, default=None,
@@ -879,6 +885,13 @@ def main(argv: list[str] | None = None) -> None:
             df = SA.epoch_upsample(
                 df, "source", "doc_id", _parse_epochs(args.epoch_weights),
                 default_weight=1.0,  # CLI reading: name only the boosts
+            )
+        if args.curriculum:
+            # after every gate and the mixture (the position must rank
+            # exactly the rows being trained on, epochs included)
+            tb = ("doc_id", "epoch") if args.epoch_weights else ("doc_id",)
+            df = SA.curriculum_interleave(
+                df, "quality", "source", tiebreak_cols=tb
             )
         if args.shuffle_output:
             if args.epoch_weights:

@@ -759,3 +759,26 @@ def test_curriculum_interleave_round_robin_no_global_sort(spark):
     assert len(set(got.values())) == len(got)  # unique positions
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_pipeline_cli_curriculum(spark, tmp_path):
+    """--curriculum attaches a unique global training-order position:
+    within each source, quality is non-increasing along the position;
+    across sources, positions interleave by residue."""
+    from mapreduce_stockheadlines_spark.jobs.pipeline import main
+
+    out = str(tmp_path / "out")
+    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+          "--curriculum"])
+    pdf = spark.read.parquet(out).toPandas()
+    assert "curriculum_pos" in pdf.columns
+    assert pdf.curriculum_pos.is_unique
+    n_src = pdf.source.nunique()
+    for src, grp in pdf.groupby("source"):
+        g = grp.sort_values("curriculum_pos")
+        # one residue class per source, best quality first
+        assert g.curriculum_pos.nunique() == len(g)
+        assert (g.curriculum_pos.to_numpy() % n_src
+                == g.curriculum_pos.to_numpy()[0] % n_src).all()
+        q = g.quality.to_numpy()
+        assert (q[:-1] >= q[1:]).all()
