@@ -274,6 +274,12 @@ def kmeans_centroids(
     few ulps, which an independent engine cannot mirror).
     """
     spark = corpus.sparkSession
+    # NULL/empty embeddings carry no geometry — drop them up front (the
+    # pca_fit moment pass applies the same guard batch-side); a stray
+    # NULL would otherwise fail _to_matrix inside an executor
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
     init_pdf = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
         .orderBy(id_col)
@@ -348,6 +354,9 @@ def kmeans_assign(
     over the corpus — centroids broadcast (k×dim floats), no shuffle,
     corpus never collected."""
     spark = corpus.sparkSession
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
     cmat = np.asarray(centroids, dtype="float64")
     bc = spark.sparkContext.broadcast(cmat)
 
@@ -395,6 +404,9 @@ def kmeans_moment_partials(
     interleave or replay. One Arrow pass; ≤ k×dim rows per batch into a
     (cell, dim)-keyed aggregation — corpus never shuffled."""
     spark = corpus.sparkSession
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
     cmat = np.asarray(centroids, dtype="float64")
     bc = spark.sparkContext.broadcast(cmat)
     scale = 10**fp_dp
@@ -804,7 +816,9 @@ def semantic_neardup_pairs(
             cl = np.argmax(np.round(m @ cmat.T, 4), axis=1).astype("int32")
             yield pd.DataFrame({"cluster": cl, "id": pdf["id"], "v": pdf["v"]})
 
-    assigned = emb.select(
+    assigned = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
         F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
     ).mapInPandas(assign, "cluster int, id long, v array<double>")
     return _within_group_pairs(assigned, threshold, block_rows, "cluster")

@@ -2122,3 +2122,41 @@ def test_pca_fit_project_reference_and_invariance(spark, sf_dir):
     assert ev_full > 0.999
     _, _, ev8b = pca_fit(emb, "embedding", k=8, return_variance=True)
     assert abs(ev8b - ev8) < 1e-12
+
+
+def test_kmeans_family_ignores_null_embeddings(spark, sf_dir):
+    """NULL/empty embedding rows carry no geometry: training, assignment,
+    moment partials and semantic pairing all drop them up front instead
+    of failing inside an executor, and results equal the clean-corpus
+    run exactly."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+        kmeans_moment_partials,
+        semantic_neardup_pairs,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    dirty = emb.unionByName(
+        spark.createDataFrame(
+            [(990001, None, None), (990002, [], None)],
+            emb.schema,
+        )
+    )
+    cent_clean = kmeans_centroids(emb, k=4, n_iters=2, quantize_dp=7)
+    cent_dirty = kmeans_centroids(dirty, k=4, n_iters=2, quantize_dp=7)
+    assert np.array_equal(cent_clean, cent_dirty)
+
+    a = kmeans_assign(dirty, cent_clean)
+    assert a.count() == emb.count()  # null rows dropped, not scored
+    m_clean = sorted(map(tuple, kmeans_moment_partials(emb, cent_clean).collect()))
+    m_dirty = sorted(map(tuple, kmeans_moment_partials(dirty, cent_clean).collect()))
+    assert m_clean == m_dirty
+    p_clean = semantic_neardup_pairs(emb, threshold=0.5, centroids=cent_clean)
+    p_dirty = semantic_neardup_pairs(dirty, threshold=0.5, centroids=cent_clean)
+    assert sorted(map(tuple, p_clean.collect())) == sorted(
+        map(tuple, p_dirty.collect())
+    )
