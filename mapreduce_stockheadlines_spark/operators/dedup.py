@@ -145,6 +145,73 @@ def minhash_signatures_multi(
     return exploded.groupBy(id_col, "mode").agg(*aggs)
 
 
+_OPH_ROT = 1 << 40  # rotation offset: far above any 60-bit-hash bucket gap
+
+
+def minhash_signature_oph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int | None = None,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """One-permutation MinHash (Li/Owen/Zhang 2012) with rotation
+    densification (Shrivastava/Li 2014): ONE hash evaluation per token
+    instead of ``num_hashes`` — the token is hashed once, routed to
+    bucket ``h mod k``, and each bucket keeps its min; empty buckets
+    borrow the nearest following non-empty bucket's value plus
+    ``t·2^40`` (t = rotation distance), which keeps borrowed values
+    distinct from genuine ones and from other rotations. At corpus
+    scale this cuts signature-build hashing cost by ``num_hashes``×
+    while keeping the same (doc, mh0..mhk-1) schema —
+    ``signature_bands`` / ``lsh_candidate_pairs`` /
+    ``signature_agreement`` compose unchanged.
+
+    Same aggregation shape as ``minhash_signature``: one groupBy with k
+    conditional MINs (no per-hash row replication — the token stream is
+    1/k the classic builder's). Identical texts get identical
+    signatures (densification is a pure function of the bucket mins);
+    agreement remains an unbiased Jaccard estimator on non-empty
+    buckets and a slightly-biased one through rotations — the standard
+    OPH trade, property-pinned in tests. ``portable`` mode hashes via
+    md5 ('oph:'-salted, first 15 hex chars as a 60-bit BIGINT) so an
+    independent engine re-derives signatures bit-for-bit;
+    ``native`` uses one xxhash64 (sign-masked to the same 60-bit
+    domain so bucketing and rotation offsets behave identically)."""
+    if shingle_n is not None:
+        toks = doc_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
+    else:
+        toks = doc_tokens(df, id_col, text_col, distinct=False)
+    salted = F.concat(F.lit("oph:"), F.col("token"))
+    if hash_mode == "portable":
+        h = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    elif hash_mode == "native":
+        h = F.pmod(F.xxhash64(salted), F.lit(1 << 60)).cast("long")
+    else:
+        raise ValueError(f"minhash_signature_oph: unknown hash mode {hash_mode!r}")
+    b = F.pmod(h, F.lit(num_hashes)).cast("int")
+    raw = toks.groupBy(id_col).agg(
+        *[
+            F.min(F.when(b == i, h)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    dense = [
+        F.coalesce(
+            *[
+                F.col(f"_m{(i + t) % num_hashes}")
+                + F.lit(t * _OPH_ROT).cast("long")
+                for t in range(num_hashes)
+            ]
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return raw.select(id_col, *dense)
+
+
 def signature_bands(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:

@@ -2160,3 +2160,88 @@ def test_kmeans_family_ignores_null_embeddings(spark, sf_dir):
     assert sorted(map(tuple, p_clean.collect())) == sorted(
         map(tuple, p_dirty.collect())
     )
+
+
+def test_minhash_oph_signature_vs_duckdb_and_properties(spark, sf_dir):
+    """One-permutation MinHash: DuckDB re-derives the full signature
+    table bit-for-bit (one md5 per token, bucket = h mod k, per-bucket
+    MIN, rotation densification +t*2^40); identical texts get identical
+    signatures; the banding/agreement stack composes unchanged and the
+    OPH agreement tracks the classic k-hash estimate on real docs."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        minhash_signature_oph,
+        signature_agreement,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    K = 8
+    sig = minhash_signature_oph(docs, "doc_id", "text", num_hashes=K)
+    got = sorted(map(tuple, sig.collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    mins = ", ".join(
+        f"min(CASE WHEN h % {K} = {i} THEN h END) AS m{i}" for i in range(K)
+    )
+    dense = ", ".join(
+        "coalesce("
+        + ", ".join(
+            f"m{(i + t) % K} + {t} * (1::BIGINT << 40)" for t in range(K)
+        )
+        + f") AS mh{i}"
+        for i in range(K)
+    )
+    duck = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), ' +'),
+            t -> t <> '')) AS token
+          FROM documents WHERE doc_id % 7 = 0),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5('oph:' || token), 1, 15))
+                          AS BIGINT) AS h
+              FROM toks),
+        raw AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
+        SELECT doc_id, {dense} FROM raw ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in duck]
+
+    # identical texts -> identical signatures; banding finds the pair
+    twin = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    tsig = minhash_signature_oph(twin, "doc_id", "text", num_hashes=K)
+    rows = {r.doc_id: tuple(r)[1:] for r in tsig.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(tsig, "doc_id", num_hashes=K).collect()
+    }
+    assert (1, 2) in pairs
+
+    # OPH agreement tracks the classic estimator on the real docs
+    classic = minhash_signature(docs, "doc_id", "text", num_hashes=K)
+    cand = lsh_candidate_pairs(classic, "doc_id", num_hashes=K).limit(50)
+    a_oph = signature_agreement(cand, sig, sig, num_hashes=K)
+    a_cls = signature_agreement(cand, classic, classic, num_hashes=K)
+    joined = (
+        a_oph.withColumnRenamed("est_jaccard", "e1")
+        .join(a_cls, ["id_a", "id_b"])
+        .collect()
+    )
+    if joined:  # both are 1/K-granular estimators of the same quantity
+        diffs = [abs(r.e1 - r.est_jaccard) for r in joined]
+        assert sum(diffs) / len(diffs) <= 2.5 / K
