@@ -140,7 +140,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-probe", type=int, default=4)
     ap.add_argument("--moments-dir", default=None,
                     help="refit mode: versioned (cell, dim) moment "
-                         "artifact maintained by kmeans_ingest_sink")
+                         "artifact maintained by kmeans_ingest_sink "
+                         "AGAINST the currently-served centroids; after "
+                         "the refit, point the sink at a fresh artifact "
+                         "dir (one artifact generation per index "
+                         "generation)")
     args = ap.parse_args(argv)
 
     spark = get_spark("embed-pipeline")

@@ -888,10 +888,13 @@ def main(argv: list[str] | None = None) -> None:
             )
         if args.curriculum:
             # after every gate and the mixture (the position must rank
-            # exactly the rows being trained on, epochs included)
+            # exactly the rows being trained on, epochs included);
+            # materialize first — the operator's bounded sources-dim
+            # collect would otherwise execute the whole gate DAG once
+            # more (the --mix-alpha census pattern)
             tb = ("doc_id", "epoch") if args.epoch_weights else ("doc_id",)
             df = SA.curriculum_interleave(
-                df, "quality", "source", tiebreak_cols=tb
+                df.localCheckpoint(), "quality", "source", tiebreak_cols=tb
             )
         if args.shuffle_output:
             if args.epoch_weights:

@@ -222,6 +222,15 @@ def pca_fit(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    if return_variance and return_moments:
+        # the two flags reshape the return tuple differently — an
+        # order-dependent silent pick would hand the caller comps where
+        # it expects cov (code-review finding, round 7)
+        raise ValueError(
+            "pca_fit: return_variance and return_moments are mutually "
+            "exclusive; call twice or derive explained variance from "
+            "the returned covariance's trace"
+        )
     if return_variance:
         total = float(np.trace(cov))
         explained = (

@@ -471,8 +471,17 @@ def _jpeg_extend(v: int, n: int) -> int:
 def _decode_jpeg(content: bytes) -> np.ndarray:
     """Pure-numpy baseline JPEG decode → uint8 (H, W, 3) RGB (grayscale
     replicates to 3 channels). See the codec block comment for the
-    supported profile; anything else raises ValueError for the
-    non-strict stub tier."""
+    supported profile; anything else — including structurally truncated
+    segments, whose out-of-range reads surface as IndexError — raises
+    ValueError for the non-strict stub tier (the 'corrupt blobs must
+    not kill the task' contract)."""
+    try:
+        return _decode_jpeg_impl(content)
+    except IndexError as exc:
+        raise ValueError(f"malformed JPEG structure: {exc}") from exc
+
+
+def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     if len(content) < 4 or content[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

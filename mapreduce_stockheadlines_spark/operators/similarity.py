@@ -46,6 +46,19 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return m / norms
 
 
+def _argmax_cells(m, cmat, sim_dp: int = 4):
+    """THE trained-index assignment contract, shared by every consumer
+    (kmeans training's quantized branch, kmeans_assign,
+    kmeans_moment_partials, semantic_neardup_pairs, ivf_topk): 4dp-
+    rounded dot of normalized rows against the centroid matrix, argmax
+    taking the FIRST maximal centroid on ties. The x18 oracle pins
+    exactly this decision — keep all callers on this one kernel so a
+    contract change cannot silently fork them (code-review finding,
+    round 7). Returns (rounded_sims, cells)."""
+    sims = np.round(m @ cmat.T, sim_dp)
+    return sims, np.argmax(sims, axis=1)
+
+
 def _collect_query_side(
     queries: DataFrame, id_col: str, vec_col: str, max_query_rows: int, op: str
 ) -> pd.DataFrame:
@@ -299,10 +312,10 @@ def kmeans_centroids(
                 if len(pdf) == 0:
                     continue
                 m = _to_matrix(pdf["cv"])
-                sims = m @ cmat.T
                 if quantize_dp is not None:
-                    sims = np.round(sims, 4)
-                cl = np.argmax(sims, axis=1)
+                    _, cl = _argmax_cells(m, cmat)
+                else:
+                    cl = np.argmax(m @ cmat.T, axis=1)
                 sums = np.zeros_like(cmat)
                 np.add.at(sums, cl, m)
                 counts = np.bincount(cl, minlength=cmat.shape[0])
@@ -366,8 +379,7 @@ def kmeans_assign(
             if len(pdf) == 0:
                 continue
             m = _to_matrix(pdf["cv"])
-            sims = np.round(m @ cm.T, 4)
-            cl = np.argmax(sims, axis=1)
+            sims, cl = _argmax_cells(m, cm)
             yield pd.DataFrame(
                 {
                     "vid": pdf["vid"],
@@ -418,7 +430,7 @@ def kmeans_moment_partials(
             if len(pdf) == 0:
                 continue
             m = _to_matrix(pdf["cv"])
-            cl = np.argmax(np.round(m @ cm.T, 4), axis=1)
+            _, cl = _argmax_cells(m, cm)
             fp = np.round(m * scale).astype(np.int64)
             sums = np.zeros((k, d), dtype=np.int64)
             np.add.at(sums, cl, fp)
@@ -454,9 +466,28 @@ def kmeans_refit(
     index is a pure function of (row set, frozen centroids) regardless
     of how the stream was batched or replayed. Cells with no mass keep
     the previous centroid verbatim. Driver cost: k×dim rows — bounded
-    by the index size, never the stream."""
+    by the index size, never the stream.
+
+    Operational contract: the artifact must have been accumulated by
+    assigning against EXACTLY ``prev_centroids`` (shape-validated here —
+    a foreign artifact fails loudly, not with a stray IndexError), and
+    after a refit the artifact belongs to the RETIRED index: point the
+    sink at a fresh ``artifact_dir`` for the rolled centroids (re-using
+    the old one would re-apply history that was assigned under the
+    previous index — one Lloyd step per artifact GENERATION, the same
+    discipline as any frozen-index quantizer rebuild)."""
     cm = np.asarray(prev_centroids, dtype="float64")
     rows = moments.collect()
+    if rows:
+        max_cell = max(int(r["cell_id"]) for r in rows)
+        max_dim = max(int(r["dim"]) for r in rows)
+        if max_cell >= cm.shape[0] or max_dim >= cm.shape[1]:
+            raise ValueError(
+                f"kmeans_refit: moment artifact addresses cell "
+                f"{max_cell}/dim {max_dim} but prev_centroids is "
+                f"{cm.shape[0]}x{cm.shape[1]} — the artifact was built "
+                "against a different index"
+            )
     new = cm.copy()
     by_cell: dict[int, list] = {}
     for r in rows:
@@ -530,11 +561,11 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             m = _to_matrix(pdf["cv"])
-            # 4dp-rounded similarities, argmax picks the FIRST maximal
-            # centroid → a near-tie between cells resolves to the lower
-            # index in BOTH engines (the oracle ranks by
-            # (round(sim,4) DESC, idx)), not by float noise
-            cl = np.argmax(np.round(m @ cmat.T, 4), axis=1).astype("int32")
+            # a near-tie between cells resolves to the lower index in
+            # BOTH engines (the oracle ranks by (round(sim,4) DESC,
+            # idx)), not by float noise — _argmax_cells' contract
+            _, cl0 = _argmax_cells(m, cmat)
+            cl = cl0.astype("int32")
             yield pd.DataFrame(
                 {"cluster": cl, "neighbor_id": pdf["neighbor_id"], "cv": pdf["cv"]}
             )
@@ -811,9 +842,8 @@ def semantic_neardup_pairs(
             if len(pdf) == 0:
                 continue
             m = _to_matrix(pdf["v"])
-            # 4dp-rounded argmax, first maximal centroid on ties — the
-            # deterministic assignment contract shared with ivf_topk
-            cl = np.argmax(np.round(m @ cmat.T, 4), axis=1).astype("int32")
+            _, cl0 = _argmax_cells(m, cmat)
+            cl = cl0.astype("int32")
             yield pd.DataFrame({"cluster": cl, "id": pdf["id"], "v": pdf["v"]})
 
     assigned = emb.filter(

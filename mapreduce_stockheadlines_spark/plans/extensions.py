@@ -1113,6 +1113,12 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     truth = S.cosine_topk(queries, emb, k=10)
     ev = S.topk_eval(approx, truth)
     asg = S.kmeans_assign(emb, cent)
+    # semantic_neardup_pairs re-assigns the corpus internally rather
+    # than joining `asg` back: the assignment is one NARROW broadcast-
+    # centroid Arrow pass (no exchange), whereas reusing asg would cost
+    # a corpus-wide join shuffle — recompute is the cheaper side of
+    # that trade at every scale, and both run the same _argmax_cells
+    # kernel so they cannot disagree
     pairs = S.semantic_neardup_pairs(emb, threshold=0.5, centroids=cent)
     comp = D.neardup_clusters(pairs).select(
         F.col("id").alias("neighbor_id"), F.col("cluster_id").alias("_sem")
@@ -2222,8 +2228,17 @@ bp{r} AS MATERIALIZED (
           FROM bs{r - 1}))
   GROUP BY pair),
 bb{r} AS MATERIALIZED (
-  SELECT pair, replace(pair, ' ', '') AS joined
-  FROM bp{r} ORDER BY c DESC, pair LIMIT 1),
+  -- scalar-subquery form so this row ALWAYS exists: if the pair census
+  -- runs dry before round {num_merges} (BPE early-stop — the trainer
+  -- breaks out of the loop), the sentinel '~ ~' keeps the CROSS JOINs
+  -- below as no-ops ('~' is outside the a-z/</w> symbol alphabet, so
+  -- the replace never matches) instead of annihilating the seg/encode
+  -- chains to empty and silently zeroing every trained piece count
+  SELECT coalesce((SELECT pair FROM bp{r} ORDER BY c DESC, pair LIMIT 1),
+                  '~ ~') AS pair,
+         coalesce((SELECT replace(pair, ' ', '') FROM bp{r}
+                   ORDER BY c DESC, pair LIMIT 1),
+                  '~~') AS joined),
 bs{r} AS MATERIALIZED (
   SELECT w.word, w.freq,
          replace(replace(w.s, ' ' || b.pair || ' ', ' ' || b.joined || ' '),
@@ -2240,8 +2255,12 @@ be{r} AS MATERIALIZED (
     )
     out += f""",
 bfp AS (
-  SELECT substr(md5(string_agg(pair, '|' ORDER BY rank)), 1, 8) AS fp
-  FROM ({ranks})),
+  -- sentinel rounds (early-stop) are excluded from the fingerprint so
+  -- it hashes exactly the merges the trainer actually learned;
+  -- coalesce('') covers the zero-merge corpus (python md5 of '')
+  SELECT substr(md5(coalesce(string_agg(pair, '|' ORDER BY rank), '')),
+                1, 8) AS fp
+  FROM ({ranks}) WHERE pair <> '~ ~'),
 btc AS (
   SELECT word,
          CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))

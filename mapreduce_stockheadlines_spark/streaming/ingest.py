@@ -801,7 +801,10 @@ def kmeans_ingest_sink(
     re-read. Replay/crash contract: ``_artifact_fold_sink``. This is
     index MAINTENANCE for the ivf_topk(centroids=...) serving path:
     assign against frozen centroids per batch, refit on your schedule,
-    redeploy."""
+    redeploy — and START A FRESH artifact_dir for the rolled index
+    (this artifact's history was assigned under THESE centroids; one
+    artifact generation per index generation — kmeans_refit's
+    operational contract, and it shape-validates foreign artifacts)."""
     import numpy as np
 
     from ..operators.similarity import kmeans_moment_partials

@@ -299,3 +299,46 @@ def test_encode_replace_chain_handles_overlapping_occurrences(spark):
     by_word = dict(got)
     assert by_word["dining"] == ("d", "in", "in", "g", "</w>")
     assert by_word["banana"] == ("b", "an", "an", "a", "</w>")
+
+
+def test_x28_training_oracle_survives_early_stop():
+    """Code-review finding (round 7): if the pair census runs dry before
+    num_merges rounds, the oracle's per-round CROSS JOIN must become a
+    no-op (sentinel pair), NOT annihilate the seg/encode chains to
+    empty — pinned by running the actual oracle CTE generator over a
+    degenerate corpus (every doc one single-char word: exactly one
+    learnable merge) and comparing merges fingerprint + per-doc trained
+    piece counts against the Python trainer."""
+    import hashlib
+
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _x28_bpe_train_ctes,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        "(1, 'a a a'), (2, 'a'), (3, 'a a')) t(doc_id, text)"
+    )
+    sql = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(
+        regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+        t -> t <> '')) AS word
+      FROM docs){_x28_bpe_train_ctes(num_merges=8)}
+    SELECT w.doc_id, bpct.n_bpe_pieces_trained, (SELECT fp FROM bfp)
+    FROM (SELECT DISTINCT doc_id FROM words) w
+    JOIN bpct USING (doc_id) ORDER BY w.doc_id
+    """
+    got = con.execute(sql).fetchall()
+
+    # python trainer on the same census: one merge ('a', '</w>'), then dry
+    merges, _alpha = B._train_merges([("a", 6)], 8)
+    assert merges == [("a", "</w>")]
+    fp = hashlib.md5(
+        "|".join(a + " " + b for a, b in merges).encode()
+    ).hexdigest()[:8]
+    # each word 'a' encodes to ONE piece ('a</w>') under the learned merge
+    assert got == [(1, 3, fp), (2, 1, fp), (3, 2, fp)]

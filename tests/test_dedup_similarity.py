@@ -647,6 +647,27 @@ def test_multimodal_real_jpeg_decode(spark):
     }
     assert bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1") <= 2
 
+    # structurally truncated SOS (declares a component list it doesn't
+    # carry): the out-of-range read must surface as ValueError — the
+    # type the non-strict tier stubs — never a raw IndexError that
+    # would escape decode_media's catch and kill the task
+    trunc = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + bytes([1] * 64))
+        + _seg(0xC0, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + M._JPEG_ENC_DC_DHT)
+        + _seg(0xDA, bytes([1, 1]))
+    )
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        M._decode_jpeg(trunc)
+    tdf = spark.createDataFrame(
+        [(8, bytearray(trunc), "image/jpeg")], schema=M.MEDIA_SCHEMA
+    )
+    tstub = M.decode_media(tdf).collect()[0]
+    assert (tstub.width, tstub.height, tstub.n_frames) == M._fake_decode(
+        bytes(trunc)
+    )[:3]
+
     # progressive SOF2: ValueError from the decoder; stub tier
     # non-strict through Spark, PythonException in strict mode
     prog = (
