@@ -94,6 +94,14 @@ def build_index(
     cent = S.kmeans_centroids(
         emb, id_col, vec_col, k=n_centroids, n_iters=train_iters
     )
+    save_centroids(spark, cent, out_dir)
+
+
+def save_centroids(spark: SparkSession, cent, out_dir: str) -> None:
+    """ONE writer for the centroid artifact (build AND refit go through
+    it — two hand-synced copies of the schema would let a future change
+    make them write incompatible artifacts that load_centroids masks
+    until serve time)."""
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
     spark.createDataFrame(rows, "cell int, centroid array<double>").write.mode(
         "overwrite"
@@ -165,10 +173,7 @@ def main(argv: list[str] | None = None) -> None:
             "cell_id", "dim", "s_fp", "n"
         )
         new = kmeans_refit(moments, cent)
-        rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(new)]
-        spark.createDataFrame(
-            rows, "cell int, centroid array<double>"
-        ).write.mode("overwrite").parquet(f"{args.out_dir}/centroids")
+        save_centroids(spark, new, args.out_dir)
         moved = int((new != cent).any(axis=1).sum())
         print(f"refit: {moved}/{len(new)} centroids moved -> "
               f"{args.out_dir}/centroids")

@@ -892,9 +892,11 @@ def main(argv: list[str] | None = None) -> None:
             # materialize first — the operator's bounded sources-dim
             # collect would otherwise execute the whole gate DAG once
             # more (the --mix-alpha census pattern)
-            tb = ("doc_id", "epoch") if args.epoch_weights else ("doc_id",)
             df = SA.curriculum_interleave(
-                df.localCheckpoint(), "quality", "source", tiebreak_cols=tb
+                df.localCheckpoint(),
+                "quality",
+                "source",
+                epoch_col="epoch" if args.epoch_weights else None,
             )
         if args.shuffle_output:
             if args.epoch_weights:

@@ -149,6 +149,16 @@ def pca_fit(
 
     if k < 1:
         raise ValueError("pca_fit: k must be >= 1")
+    if return_variance and return_moments:
+        # argument validation belongs BEFORE the corpus pass — the two
+        # flags reshape the return tuple differently and an order-
+        # dependent silent pick would hand the caller comps where it
+        # expects cov
+        raise ValueError(
+            "pca_fit: return_variance and return_moments are mutually "
+            "exclusive; call twice or derive explained variance from "
+            "the returned covariance's trace"
+        )
 
     def moments(batches):
         import numpy as _np
@@ -222,15 +232,6 @@ def pca_fit(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    if return_variance and return_moments:
-        # the two flags reshape the return tuple differently — an
-        # order-dependent silent pick would hand the caller comps where
-        # it expects cov (code-review finding, round 7)
-        raise ValueError(
-            "pca_fit: return_variance and return_moments are mutually "
-            "exclusive; call twice or derive explained variance from "
-            "the returned covariance's trace"
-        )
     if return_variance:
         total = float(np.trace(cov))
         explained = (

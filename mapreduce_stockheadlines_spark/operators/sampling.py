@@ -312,6 +312,7 @@ def curriculum_interleave(
     source_col: str = "source",
     tiebreak_cols: tuple[str, ...] = ("doc_id",),
     out_col: str = "curriculum_pos",
+    epoch_col: str | None = None,
 ) -> DataFrame:
     """Global training-order position WITHOUT a global sort: curriculum
     + source balance in one integer expression. Reading the output back
@@ -344,7 +345,15 @@ def curriculum_interleave(
     does (code-review finding, round 7). No global exchange anywhere;
     the total order exists only as arithmetic. NULL sources group under
     '' (coalesce both sides — a map lookup on a NULL key would yield a
-    NULL position)."""
+    NULL position).
+
+    ``epoch_col``: with upsampled (doc, epoch) rows, ranking an epoch
+    column into the TIEBREAK would place a doc's replicas at
+    consecutive within-source ranks — back-to-back in the read-back
+    order, the exact clustering the epoch machinery exists to avoid.
+    Naming it here instead sorts (epoch ASC, score DESC, tiebreaks), so
+    each epoch is a complete best-first pass over its source and a
+    doc's replicas are separated by an entire source-epoch."""
     from pyspark.sql import Window
 
     srcs = sorted(
@@ -362,9 +371,10 @@ def curriculum_interleave(
             for lit in (F.lit(sname), F.lit(i).cast("bigint"))
         ]
     )
-    w = Window.partitionBy("_src").orderBy(
-        F.desc_nulls_last(score_col), *[F.asc(c) for c in tiebreak_cols]
-    )
+    order = (
+        [F.asc(epoch_col)] if epoch_col is not None else []
+    ) + [F.desc_nulls_last(score_col)] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy("_src").orderBy(*order)
     return (
         df.withColumn("_src", F.coalesce(F.col(source_col), F.lit("")))
         .withColumn("_wr", F.row_number().over(w).cast("bigint"))

@@ -59,6 +59,15 @@ def _argmax_cells(m, cmat, sim_dp: int = 4):
     return sims, np.argmax(sims, axis=1)
 
 
+def _nonempty_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL/empty embeddings — they carry no geometry, and a stray
+    NULL fails _to_matrix inside an executor. One helper shared by
+    every vector consumer in this module (training, assignment,
+    moments, semantic pairing, IVF serving, brute-force top-k) so the
+    guard cannot silently fork per call site."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+
+
 def _collect_query_side(
     queries: DataFrame, id_col: str, vec_col: str, max_query_rows: int, op: str
 ) -> pd.DataFrame:
@@ -101,6 +110,8 @@ def cosine_topk(
     ranks ≤ |queries|·k rows per batch instead of |queries|·|corpus|
     scored rows.
     """
+    corpus = _nonempty_vecs(corpus, vec_col)
+    queries = _nonempty_vecs(queries, vec_col)
     q_pdf = _collect_query_side(queries, id_col, vec_col, max_query_rows, "cosine_topk")
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _to_matrix(q_pdf["qv"])
@@ -290,9 +301,7 @@ def kmeans_centroids(
     # NULL/empty embeddings carry no geometry — drop them up front (the
     # pca_fit moment pass applies the same guard batch-side); a stray
     # NULL would otherwise fail _to_matrix inside an executor
-    corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
-    )
+    corpus = _nonempty_vecs(corpus, vec_col)
     init_pdf = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
         .orderBy(id_col)
@@ -367,9 +376,7 @@ def kmeans_assign(
     over the corpus — centroids broadcast (k×dim floats), no shuffle,
     corpus never collected."""
     spark = corpus.sparkSession
-    corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
-    )
+    corpus = _nonempty_vecs(corpus, vec_col)
     cmat = np.asarray(centroids, dtype="float64")
     bc = spark.sparkContext.broadcast(cmat)
 
@@ -400,7 +407,6 @@ def kmeans_assign(
 def kmeans_moment_partials(
     corpus: DataFrame,
     centroids: np.ndarray,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     fp_dp: int = 6,
 ) -> DataFrame:
@@ -416,9 +422,7 @@ def kmeans_moment_partials(
     interleave or replay. One Arrow pass; ≤ k×dim rows per batch into a
     (cell, dim)-keyed aggregation — corpus never shuffled."""
     spark = corpus.sparkSession
-    corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
-    )
+    corpus = _nonempty_vecs(corpus, vec_col)
     cmat = np.asarray(centroids, dtype="float64")
     bc = spark.sparkContext.broadcast(cmat)
     scale = 10**fp_dp
@@ -477,29 +481,39 @@ def kmeans_refit(
     previous index — one Lloyd step per artifact GENERATION, the same
     discipline as any frozen-index quantizer rebuild)."""
     cm = np.asarray(prev_centroids, dtype="float64")
-    rows = moments.collect()
-    if rows:
-        max_cell = max(int(r["cell_id"]) for r in rows)
-        max_dim = max(int(r["dim"]) for r in rows)
-        if max_cell >= cm.shape[0] or max_dim >= cm.shape[1]:
-            raise ValueError(
-                f"kmeans_refit: moment artifact addresses cell "
-                f"{max_cell}/dim {max_dim} but prev_centroids is "
-                f"{cm.shape[0]}x{cm.shape[1]} — the artifact was built "
-                "against a different index"
-            )
+    k, d = cm.shape
+    pdf = moments.toPandas()
     new = cm.copy()
-    by_cell: dict[int, list] = {}
-    for r in rows:
-        by_cell.setdefault(int(r["cell_id"]), []).append(r)
-    for cell, cell_rows in by_cell.items():
-        n = int(cell_rows[0]["n"])
-        if n <= 0:
-            continue
-        vec = np.zeros(cm.shape[1])
-        for r in cell_rows:
-            vec[int(r["dim"])] = (int(r["s_fp"]) / 10**fp_dp) / n
-        mean = np.round(vec, quantize_dp)
+    if len(pdf) == 0:
+        return new
+    cells = pdf["cell_id"].to_numpy(dtype=np.int64)
+    dims = pdf["dim"].to_numpy(dtype=np.int64)
+    # two-sided shape validation: the partials emit EVERY dim 0..d-1 for
+    # each non-empty cell, so a foreign artifact (different k OR d —
+    # e.g. moments of a PCA-projected index) fails loudly instead of
+    # silently zero-filling missing dimensions into garbage centroids
+    if cells.max() >= k or dims.max() != d - 1 or dims.min() != 0:
+        raise ValueError(
+            f"kmeans_refit: moment artifact addresses cells up to "
+            f"{int(cells.max())} and dims [{int(dims.min())}, "
+            f"{int(dims.max())}] but prev_centroids is {k}x{d} — the "
+            "artifact was built against a different index"
+        )
+    counts = np.bincount(cells, minlength=k)
+    if (counts[np.unique(cells)] != d).any():
+        raise ValueError(
+            "kmeans_refit: moment artifact has a partial dim set for "
+            "some cell — corrupt or mixed-generation artifact"
+        )
+    s_fp = np.zeros((k, d), dtype=np.int64)
+    n_by = np.zeros(k, dtype=np.int64)
+    s_fp[cells, dims] = pdf["s_fp"].to_numpy(dtype=np.int64)
+    n_by[cells] = pdf["n"].to_numpy(dtype=np.int64)
+    live = np.nonzero(n_by > 0)[0]
+    for cell in live:
+        mean = np.round(
+            (s_fp[cell] / 10**fp_dp) / n_by[cell], quantize_dp
+        )
         nrm = float(np.linalg.norm(mean)) or 1.0
         new[cell] = np.round(mean / nrm, quantize_dp)
     return new
@@ -539,6 +553,7 @@ def ivf_topk(
     property test against the exact ``cosine_topk``).
     """
     spark = corpus.sparkSession
+    corpus = _nonempty_vecs(corpus, vec_col)
     if centroids is not None:
         cent_mat = np.asarray(centroids, dtype="float64")
     elif train_iters > 0:
@@ -575,7 +590,10 @@ def ivf_topk(
         as_double(vec_col).alias("cv"),
     ).mapInPandas(assign, "cluster int, neighbor_id long, cv array<double>")
 
-    q_pdf = _collect_query_side(queries, id_col, vec_col, max_query_rows, "ivf_topk")
+    q_pdf = _collect_query_side(
+        _nonempty_vecs(queries, vec_col), id_col, vec_col, max_query_rows,
+        "ivf_topk",
+    )
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = _to_matrix(q_pdf["qv"])
     # 4dp-rounded + stable sort: equal-rounded-similarity centroids keep
@@ -846,9 +864,7 @@ def semantic_neardup_pairs(
             cl = cl0.astype("int32")
             yield pd.DataFrame({"cluster": cl, "id": pdf["id"], "v": pdf["v"]})
 
-    assigned = emb.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
-    ).select(
+    assigned = _nonempty_vecs(emb, vec_col).select(
         F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
     ).mapInPandas(assign, "cluster int, id long, v array<double>")
     return _within_group_pairs(assigned, threshold, block_rows, "cluster")

@@ -2620,12 +2620,14 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     )
     # curriculum_interleave (round-7 zero-slot promotion): the global
     # training-order position of each (doc, epoch) row — within-source
-    # rank by (score DESC, doc_id, epoch) interleaved round-robin
-    # across sources as pure integer arithmetic, no global sort. The
-    # score is integer-valued n_chars, so the rank order (and hence the
-    # position) is tie-exact across engines.
+    # rank by (epoch ASC, score DESC, doc_id) interleaved round-robin
+    # across sources as pure integer arithmetic, no global sort.
+    # epoch_col (not a tiebreak): each epoch is a complete best-first
+    # pass over its source, so a doc's replicas sit a whole source-
+    # epoch apart instead of back-to-back. The score is integer-valued
+    # n_chars, so the rank order is tie-exact across engines.
     mixed = SP.curriculum_interleave(
-        mixed, "score", "source", tiebreak_cols=("doc_id", "epoch")
+        mixed, "score", "source", epoch_col="epoch"
     )
     raw = docs.filter(F.col("text").isNotNull())
     ratios = SP.dsir_log_ratios(
@@ -2767,10 +2769,11 @@ mk AS (
                                1, 8)) AS BIGINT) / 4294967296.0) < r.mrate
            AS mix_kept
   FROM mixed m JOIN mr r ON m.source = r.source),
--- curriculum_interleave: within-source rank by (score DESC, doc_id,
--- epoch) round-robin-interleaved across sources as integer arithmetic
--- (pos = (rank-1)*n_sources + source_index) — ranks on integer-valued
--- n_chars, so the order is tie-exact cross-engine
+-- curriculum_interleave: within-source rank by (epoch ASC, score DESC,
+-- doc_id) round-robin-interleaved across sources as integer arithmetic
+-- (pos = (rank-1)*n_sources + source_index); epoch leads the sort so a
+-- doc's replicas sit a whole source-epoch apart — ranks on
+-- integer-valued n_chars, so the order is tie-exact cross-engine
 csd AS MATERIALIZED (
   SELECT src, row_number() OVER (ORDER BY src) - 1 AS sidx
   FROM (SELECT DISTINCT coalesce(source, '') AS src FROM mixed)),
@@ -2778,8 +2781,9 @@ cns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM csd),
 cur AS MATERIALIZED (
   SELECT m.doc_id, m.epoch,
          (row_number() OVER (PARTITION BY coalesce(m.source, '')
-                             ORDER BY sc.score DESC NULLS LAST,
-                                      m.doc_id, m.epoch) - 1)
+                             ORDER BY m.epoch,
+                                      sc.score DESC NULLS LAST,
+                                      m.doc_id) - 1)
            * (SELECT n FROM cns) + d.sidx AS curriculum_pos
   FROM mixed m
   JOIN s sc ON sc.doc_id = m.doc_id

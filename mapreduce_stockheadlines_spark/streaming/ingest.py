@@ -785,7 +785,6 @@ def sketch_ingest_sink(
 def kmeans_ingest_sink(
     centroids,
     artifact_dir: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     fp_dp: int = 6,
 ):
@@ -823,7 +822,7 @@ def kmeans_ingest_sink(
     return _artifact_fold_sink(
         artifact_dir,
         ["cell_id", "dim", "s_fp", "n"],
-        lambda b: kmeans_moment_partials(b, cmat, id_col, vec_col, fp_dp),
+        lambda b: kmeans_moment_partials(b, cmat, vec_col, fp_dp),
         fold,
     )
 

@@ -761,14 +761,14 @@ def test_curriculum_interleave_round_robin_no_global_sort(spark):
     assert "rangepartitioning" not in plan  # no global sort anywhere
 
 
-def test_pipeline_cli_curriculum(spark, tmp_path):
+def test_pipeline_cli_curriculum(spark, tmp_path, sf_dir):
     """--curriculum attaches a unique global training-order position:
     within each source, quality is non-increasing along the position;
     across sources, positions interleave by residue."""
     from mapreduce_stockheadlines_spark.jobs.pipeline import main
 
     out = str(tmp_path / "out")
-    main([out, "--sf-dir", "/root/testdata/sf0.001", "--min-quality", "0.0",
+    main([out, "--sf-dir", sf_dir, "--min-quality", "0.0",
           "--curriculum"])
     pdf = spark.read.parquet(out).toPandas()
     assert "curriculum_pos" in pdf.columns
