@@ -599,3 +599,99 @@ def test_pca_components_orthonormal_and_projection_centered(spark, vecs, k):
         [r.pca for r in pca_project(df, "embedding", mean, comps).collect()]
     )
     assert np.allclose(proj.mean(axis=0), 0.0, atol=1e-6)
+
+
+@given(
+    h=st.integers(3, 24),
+    w=st.integers(3, 24),
+    quality=st.sampled_from([70, 85, 95]),
+    sub=st.sampled_from(["444", "420"]),
+    ri=st.sampled_from([0, 2]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_jpeg_roundtrip_bounded_error_any_shape(h, w, quality, sub, ri, seed):
+    """Property: the baseline JPEG codec round-trips ANY image shape
+    (including non-multiple-of-8/16 edges) at bounded error — smooth
+    content within quantization error, arbitrary content without ever
+    erroring or changing shape. No Spark needed: pure codec."""
+    import numpy as np
+
+    import mapreduce_stockheadlines_spark.operators.multimodal as M
+
+    rng = np.random.RandomState(seed)
+    smooth = np.clip(
+        np.round(
+            128
+            + 80
+            * np.sin(np.arange(h)[:, None] / 5.0)
+            * np.cos(np.arange(w)[None, :] / 7.0)
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    smooth = np.repeat(smooth[..., None], 3, axis=2)
+    noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    for px, bound in ((smooth, 35), (noisy, 255)):
+        out = M._decode_jpeg(
+            M._encode_jpeg(px, quality=quality, subsample=sub,
+                           restart_interval=ri)
+        )
+        assert out.shape == px.shape
+        err = np.abs(out.astype(int) - px.astype(int)).max()
+        assert err <= bound, (h, w, quality, sub, ri, err)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
+                 min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_oph_signature_matches_python_reference(spark, docs):
+    """Property: the distributed one-permutation MinHash equals a pure-
+    python re-derivation (md5 bucket mins + rotation densification) on
+    arbitrary token multisets — including docs that leave most buckets
+    empty, the densification-heavy regime."""
+    import hashlib
+
+    from mapreduce_stockheadlines_spark.operators.dedup import (
+        _OPH_ROT,
+        minhash_signature_oph,
+    )
+
+    K = 8
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in minhash_signature_oph(df, "doc_id", "text",
+                                       num_hashes=K).collect()
+    }
+
+    def ref(words):
+        mins = [None] * K
+        for tok in words:
+            hv = int(hashlib.md5(f"oph:{tok}".encode()).hexdigest()[:15], 16)
+            b = hv % K
+            if mins[b] is None or hv < mins[b]:
+                mins[b] = hv
+        out = []
+        for i in range(K):
+            for t in range(K):
+                src = mins[(i + t) % K]
+                if src is not None:
+                    out.append(src + t * _OPH_ROT)
+                    break
+        return tuple(out)
+
+    for i, words in enumerate(docs):
+        assert got[i] == ref(words), (i, words)
