@@ -1328,11 +1328,22 @@ _X17_BUCKET = " + ".join(
     for i, p in enumerate(S._hyperplanes(64, 6))
 )
 
+# the multi-table recall knob's SECOND table (lsh_bucketed_pairs_multi
+# seeds table t with 42 + 1000*t) — its sign buckets are pinned as the
+# x17 `same_bucket_t2` column (round-7 zero-slot promotion)
+_X17_BUCKET_T2 = " + ".join(
+    f"(CASE WHEN round(list_dot_product(v, {_plane_literal(p)}), 4) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(S._hyperplanes(64, 6, seed=1042))
+)
+
 X17_SQL = f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT id, v, {_X17_BUCKET} AS bucket FROM e)
+b AS (SELECT id, v, {_X17_BUCKET} AS bucket, {_X17_BUCKET_T2} AS bucket2
+      FROM e)
 SELECT a.id AS id_a, c.id AS id_b,
-       round(list_cosine_similarity(a.v, c.v), 4) AS sim
+       round(list_cosine_similarity(a.v, c.v), 4) AS sim,
+       (a.bucket2 = c.bucket2) AS same_bucket_t2
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
 WHERE round(list_cosine_similarity(a.v, c.v), 4) > 0.35
 ORDER BY id_a, id_b
@@ -1340,10 +1351,35 @@ ORDER BY id_a, id_b
 
 
 def x17_lsh_bucketed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-table hyperplane-LSH near-dup (sign buckets → same-bucket
+    block-decomposed exact cosine verify).
+
+    Round-7 zero-slot promotion: ``same_bucket_t2`` — whether the pair
+    ALSO collides in ``lsh_bucketed_pairs_multi``'s second table
+    (seed-varied hyperplanes, the multi-table recall knob, previously
+    pytest-only) — pins the second table's sign computation
+    cross-engine: both engines evaluate the seed-1042 plane dots on the
+    same inlined literals and compare the 6-bit bucket keys."""
     emb = table(spark, sf, "embeddings")
-    return S.lsh_bucketed_pairs(
-        emb, dim=64, n_planes=6, threshold=0.35
-    ).orderBy("id_a", "id_b")
+    pairs = S.lsh_bucketed_pairs(emb, dim=64, n_planes=6, threshold=0.35)
+    planes2 = S._hyperplanes(64, 6, seed=1042)
+    b2 = emb.select(
+        F.col("vec_id").alias("_id"),
+        S.lsh_bucket(S.as_double("embedding"), planes2).alias("_b2"),
+    )
+    return (
+        pairs.join(
+            b2.select(F.col("_id").alias("id_a"), F.col("_b2").alias("_b2a")),
+            "id_a",
+        )
+        .join(
+            b2.select(F.col("_id").alias("id_b"), F.col("_b2").alias("_b2b")),
+            "id_b",
+        )
+        .withColumn("same_bucket_t2", F.col("_b2a") == F.col("_b2b"))
+        .drop("_b2a", "_b2b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --- x22 skew machinery: salted join + salted two-phase count ------------------
