@@ -113,6 +113,7 @@ def minhash_signatures_multi(
     num_hashes: int = 8,
     shingle_ns: tuple[int | None, ...] = (None, 3),
     hash_mode: str = "portable",
+    include_oph: bool = False,
 ) -> DataFrame:
     """Signatures for SEVERAL set representations in one pass: every mode's
     grams are extracted from the normalized text (lookahead regex, pure
@@ -124,7 +125,19 @@ def minhash_signatures_multi(
     gram's space count (tokens contain no spaces), so only flat strings
     flow through the Generate — the former per-element struct tagging was
     an interpreted HOF and measured ~1.6x slower. ``mode`` is 'unigram'
-    for shingle_n=None, else 'shingle{n}'."""
+    for shingle_n=None, else 'shingle{n}'.
+
+    ``include_oph=True`` appends the one-permutation MinHash signature
+    (``oph0..oph{k-1}`` — see ``minhash_signature_oph``) computed per
+    (doc, mode) in the SAME scan and aggregation: the OPH bucket mins
+    are just ``num_hashes`` more conditional-MIN aggregates over the
+    same exploded gram stream, so pinning both signature families costs
+    zero extra passes over the corpus."""
+    if include_oph and num_hashes > 8:
+        raise ValueError(
+            "minhash_signatures_multi: include_oph needs num_hashes <= 8 "
+            "(2^60 rotation offset int64 bound)"
+        )
     widths = [1 if n is None else n for n in shingle_ns]
     if len(set(widths)) != len(widths):
         raise ValueError(f"shingle_ns modes must have distinct widths: {shingle_ns}")
@@ -142,10 +155,52 @@ def minhash_signatures_multi(
         )
     exploded = exploded.select(id_col, mode.alias("mode"), "token")
     aggs = [_minhash_agg(i, hash_mode) for i in range(num_hashes)]
-    return exploded.groupBy(id_col, "mode").agg(*aggs)
+    if not include_oph:
+        return exploded.groupBy(id_col, "mode").agg(*aggs)
+    h = _oph_hash(hash_mode)
+    b = F.pmod(h, F.lit(num_hashes)).cast("int")
+    aggs += [
+        F.min(F.when(b == i, h)).alias(f"_m{i}") for i in range(num_hashes)
+    ]
+    raw = exploded.groupBy(id_col, "mode").agg(*aggs)
+    keep = [id_col, "mode"] + [f"mh{i}" for i in range(num_hashes)]
+    return raw.select(*keep, *_oph_dense(num_hashes, prefix="oph"))
 
 
-_OPH_ROT = 1 << 40  # rotation offset: far above any 60-bit-hash bucket gap
+# Rotation offset EXCEEDS the 60-bit hash universe, so a borrowed value
+# (h + t*2^60) is STRUCTURALLY distinct from every genuine minimum and from
+# every other rotation distance (Shrivastava/Li's construction requires the
+# offset to clear the hash domain). With num_hashes <= 8 the largest
+# possible value, 7*2^60 + (2^60 - 1) = 2^63 - 1, fits int64 exactly —
+# minhash_signature_oph guards that bound.
+_OPH_ROT = 1 << 60
+
+
+def _oph_hash(hash_mode: str):
+    """The single 60-bit token hash OPH routes and min-reduces ('oph:'-
+    salted so it is independent of every per-slot classic hash)."""
+    salted = F.concat(F.lit("oph:"), F.col("token"))
+    if hash_mode == "portable":
+        return F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    if hash_mode == "native":
+        return F.pmod(F.xxhash64(salted), F.lit(1 << 60)).cast("long")
+    raise ValueError(f"oph: unknown hash mode {hash_mode!r}")
+
+
+def _oph_dense(num_hashes: int, prefix: str = "mh") -> list:
+    """Rotation-densified signature columns from raw bucket mins _m0.._mk-1."""
+    return [
+        F.coalesce(
+            *[
+                F.col(f"_m{(i + t) % num_hashes}")
+                + F.lit(t * _OPH_ROT).cast("long")
+                for t in range(num_hashes)
+            ]
+        ).alias(f"{prefix}{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signature_oph(
@@ -161,8 +216,12 @@ def minhash_signature_oph(
     instead of ``num_hashes`` — the token is hashed once, routed to
     bucket ``h mod k``, and each bucket keeps its min; empty buckets
     borrow the nearest following non-empty bucket's value plus
-    ``t·2^40`` (t = rotation distance), which keeps borrowed values
-    distinct from genuine ones and from other rotations. At corpus
+    ``t·2^60`` (t = rotation distance) — the offset exceeds the 60-bit
+    hash universe, so borrowed values are structurally (not merely
+    probabilistically) distinct from genuine ones and from other
+    rotations, as in Shrivastava/Li. ``num_hashes`` is capped at 8 so
+    the largest densified value, 7·2^60 + (2^60−1) = 2^63−1, fits
+    int64 exactly. At corpus
     scale this cuts signature-build hashing cost by ``num_hashes``×
     while keeping the same (doc, mh0..mhk-1) schema —
     ``signature_bands`` / ``lsh_candidate_pairs`` /
@@ -179,19 +238,17 @@ def minhash_signature_oph(
     independent engine re-derives signatures bit-for-bit;
     ``native`` uses one xxhash64 (sign-masked to the same 60-bit
     domain so bucketing and rotation offsets behave identically)."""
+    if num_hashes > 8:
+        raise ValueError(
+            "minhash_signature_oph: num_hashes > 8 would overflow int64 "
+            "under the 2^60 rotation offset "
+            f"((k-1)*2^60 + max_hash needs k <= 8; got {num_hashes})"
+        )
     if shingle_n is not None:
         toks = doc_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     else:
         toks = doc_tokens(df, id_col, text_col, distinct=False)
-    salted = F.concat(F.lit("oph:"), F.col("token"))
-    if hash_mode == "portable":
-        h = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast(
-            "long"
-        )
-    elif hash_mode == "native":
-        h = F.pmod(F.xxhash64(salted), F.lit(1 << 60)).cast("long")
-    else:
-        raise ValueError(f"minhash_signature_oph: unknown hash mode {hash_mode!r}")
+    h = _oph_hash(hash_mode)
     b = F.pmod(h, F.lit(num_hashes)).cast("int")
     raw = toks.groupBy(id_col).agg(
         *[
@@ -199,17 +256,7 @@ def minhash_signature_oph(
             for i in range(num_hashes)
         ]
     )
-    dense = [
-        F.coalesce(
-            *[
-                F.col(f"_m{(i + t) % num_hashes}")
-                + F.lit(t * _OPH_ROT).cast("long")
-                for t in range(num_hashes)
-            ]
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return raw.select(id_col, *dense)
+    return raw.select(id_col, *_oph_dense(num_hashes, prefix="mh"))
 
 
 def signature_bands(

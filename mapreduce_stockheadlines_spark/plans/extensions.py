@@ -175,56 +175,139 @@ _MH_COLS = ",\n       ".join(
     f"min(md5('{i}:' || token)) AS mh{i}" for i in range(8)
 )
 
+# One-permutation MinHash, re-derived independently: one 60-bit hash per
+# gram (md5 'oph:'-salted, first 15 hex chars), bucket = h mod 8, per-bucket
+# conditional MIN, rotation densification + t*2^60 (offset above the hash
+# universe, so borrowed values can never collide with genuine minima).
+_OPH_H = "CAST(('0x' || substr(md5('oph:' || token), 1, 15)) AS BIGINT)"
+_OPH_MINS = ",\n       ".join(
+    f"min(CASE WHEN h % 8 = {i} THEN h END) AS _m{i}" for i in range(8)
+)
+_OPH_DENSE = ",\n       ".join(
+    "coalesce("
+    + ", ".join(f"_m{(i + t) % 8} + {t} * (1::BIGINT << 60)" for t in range(8))
+    + f") AS oph{i}"
+    for i in range(8)
+)
+_X03_MH_LIST = ", ".join(f"mh{i}" for i in range(8))
+
 
 def x03_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """Both set representations in one tagged result: unigram-token
     signatures and word-3-gram-shingle signatures (the order-sensitive
-    variant — 'shingle→minhash→band→bucket-join'). Computed in ONE scan
-    and ONE (doc_id, mode) aggregation (minhash_signatures_multi) rather
-    than a union of per-mode jobs; min() absorbs duplicate tokens so
-    there is no distinct shuffle before the aggregation."""
+    variant — 'shingle→minhash→band→bucket-join'), PLUS the
+    one-permutation-MinHash signature (``oph0..oph7``, rotation-densified
+    — the num_hashes-times-cheaper builder) for each mode. Computed in
+    ONE scan and ONE (doc_id, mode) aggregation (minhash_signatures_multi
+    include_oph: the OPH bucket mins are 8 more conditional MINs in the
+    same groupBy) rather than a union of per-mode jobs; min() absorbs
+    duplicate tokens so there is no distinct shuffle before the
+    aggregation."""
     docs = parallel_table(spark, sf, "documents")
     return D.minhash_signatures_multi(
-        docs, "doc_id", "text", num_hashes=8, shingle_ns=(None, 3)
+        docs, "doc_id", "text", num_hashes=8, shingle_ns=(None, 3),
+        include_oph=True,
     ).orderBy("mode", "doc_id")
 
 
 X03_SQL = f"""
 WITH toks AS ({_TOKS_CTE}),
-sh AS ({_SHINGLE_CTE})
-SELECT 'unigram' AS mode, doc_id,
-       {_MH_COLS}
-FROM toks GROUP BY doc_id
-UNION ALL
-SELECT 'shingle3' AS mode, doc_id,
-       {_MH_COLS}
-FROM sh GROUP BY doc_id
+sh AS ({_SHINGLE_CTE}),
+raw AS (
+  SELECT 'unigram' AS mode, doc_id,
+       {_MH_COLS},
+       {_OPH_MINS}
+  FROM (SELECT doc_id, token, {_OPH_H} AS h FROM toks) GROUP BY doc_id
+  UNION ALL
+  SELECT 'shingle3' AS mode, doc_id,
+       {_MH_COLS},
+       {_OPH_MINS}
+  FROM (SELECT doc_id, token, {_OPH_H} AS h FROM sh) GROUP BY doc_id)
+SELECT mode, doc_id, {_X03_MH_LIST},
+       {_OPH_DENSE}
+FROM raw
 ORDER BY mode, doc_id
 """
 
 # --- x04 MinHash LSH candidate pairs ----------------------------------------
 
+_X04_BANDS = """unnest([
+    '0:' || md5(mh0 || '|' || mh1),
+    '1:' || md5(mh2 || '|' || mh3),
+    '2:' || md5(mh4 || '|' || mh5),
+    '3:' || md5(mh6 || '|' || mh7)
+  ]) AS bucket"""
+
+
 def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Tag-union of the two LSH-candidate pipelines (the round-6
+    consolidation pattern — one registry slot, two verified operators):
+
+    - kind='self': the classic SELF-join banding — unigram signatures,
+      4 bands of 2, distinct same-bucket (a < b) pairs (jaccard NULL:
+      candidates are unverified by design).
+    - kind='fuzzy_link': ``fuzzy_text_join`` (operators/dedup.py), the
+      CROSS-TABLE record-linkage variant, run between the even-doc_id
+      and odd-doc_id halves of ``documents`` as two independent tables:
+      each side builds its own shingle-3 signature + band table, the
+      only cross-table shuffle is the band-digest equi-join, and the
+      emitted jaccard is the exact candidate-scoped shingle Jaccard
+      (> 0.5) on the 4dp contract — which the DuckDB oracle re-derives
+      end to end (both band tables, the cross join, and the verify)."""
     docs = parallel_table(spark, sf, "documents")
     sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=8)
-    return D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4).orderBy(
-        "id_a", "id_b"
+    self_part = D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4).select(
+        F.lit("self").alias("kind"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
     )
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    fuzzy_part = D.fuzzy_text_join(
+        even, odd, "doc_id", "doc_id", "text", "text", threshold=0.5
+    ).select(
+        F.lit("fuzzy_link").alias("kind"),
+        F.col("doc_id_l").alias("id_a"),
+        F.col("doc_id_r").alias("id_b"),
+        "jaccard",
+    )
+    return self_part.unionByName(fuzzy_part).orderBy("kind", "id_a", "id_b")
 
 
 X04_SQL = f"""
 WITH toks AS ({_TOKS_CTE}),
 sig AS (SELECT doc_id, {_MH_COLS} FROM toks GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, unnest([
-    '0:' || md5(mh0 || '|' || mh1),
-    '1:' || md5(mh2 || '|' || mh3),
-    '2:' || md5(mh4 || '|' || mh5),
-    '3:' || md5(mh6 || '|' || mh7)
-  ]) AS bucket FROM sig)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-ORDER BY id_a, id_b
+bands AS (SELECT doc_id, {_X04_BANDS} FROM sig),
+sh AS ({_SHINGLE_CTE}),
+ssig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+sbands AS (SELECT doc_id, {_X04_BANDS} FROM ssig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sbands a JOIN sbands b ON a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.token = a.token
+  GROUP BY c.id_a, c.id_b)
+SELECT * FROM (
+  SELECT DISTINCT 'self' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(NULL AS DOUBLE) AS jaccard
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT 'fuzzy_link' AS kind, c.id_a, c.id_b,
+         round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sz sa ON sa.doc_id = c.id_a
+  JOIN sz sb ON sb.doc_id = c.id_b
+  WHERE round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(i.ni, 0)), 4) > 0.5)
+ORDER BY kind, id_a, id_b
 """
 
 # --- x05 SimHash fingerprint + Hamming-banded near-dup pairs ------------------

@@ -2186,7 +2186,7 @@ def test_kmeans_family_ignores_null_embeddings(spark, sf_dir):
 def test_minhash_oph_signature_vs_duckdb_and_properties(spark, sf_dir):
     """One-permutation MinHash: DuckDB re-derives the full signature
     table bit-for-bit (one md5 per token, bucket = h mod k, per-bucket
-    MIN, rotation densification +t*2^40); identical texts get identical
+    MIN, rotation densification +t*2^60); identical texts get identical
     signatures; the banding/agreement stack composes unchanged and the
     OPH agreement tracks the classic k-hash estimate on real docs."""
     import duckdb
@@ -2215,7 +2215,7 @@ def test_minhash_oph_signature_vs_duckdb_and_properties(spark, sf_dir):
     dense = ", ".join(
         "coalesce("
         + ", ".join(
-            f"m{(i + t) % K} + {t} * (1::BIGINT << 40)" for t in range(K)
+            f"m{(i + t) % K} + {t} * (1::BIGINT << 60)" for t in range(K)
         )
         + f") AS mh{i}"
         for i in range(K)
@@ -2266,3 +2266,35 @@ def test_minhash_oph_signature_vs_duckdb_and_properties(spark, sf_dir):
     if joined:  # both are 1/K-granular estimators of the same quantity
         diffs = [abs(r.e1 - r.est_jaccard) for r in joined]
         assert sum(diffs) / len(diffs) <= 2.5 / K
+
+
+def test_round8_promoted_columns_nondegenerate(spark, sf_dir):
+    """Promotion guard for the round-8 zero-slot registry columns
+    (conftest.assert_column_nondegenerate — the x17 same_bucket_t2
+    lesson): x04's tag-union must actually contain BOTH kinds (the
+    cross-parity fuzzy links exist at every oracle SF: the planted
+    near-dup twins straddle the even/odd split with shingle-3 jaccard
+    ~0.99, and identical signatures always share a band), emitted
+    fuzzy jaccards must not all be 1.0, and x03's oph columns must
+    vary across documents AND disagree with the per-slot classic mh
+    columns (they pin a different hash family)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x03_minhash_signatures,
+        x04_minhash_lsh_pairs,
+    )
+
+    x04 = x04_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    assert_column_nondegenerate(x04, "kind", f"at {sf_dir}")
+    kinds = {r.kind for r in x04.select("kind").distinct().collect()}
+    assert kinds == {"self", "fuzzy_link"}
+    fuzzy = x04.filter(F.col("kind") == "fuzzy_link")
+    assert fuzzy.filter(F.col("jaccard") < 1.0).count() > 0
+    assert fuzzy.filter(F.col("jaccard") <= 0.5).count() == 0
+
+    x03 = x03_minhash_signatures(spark, sf_dir).limit(200).localCheckpoint()
+    assert_column_nondegenerate(x03, "oph0", f"at {sf_dir}")
+    # densified OPH values live in the 60-bit hash domain or above it
+    # (rotation offsets are multiples of 2^60) — never negative
+    assert x03.filter(F.col("oph0") < 0).count() == 0
