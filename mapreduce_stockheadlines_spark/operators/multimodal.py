@@ -487,6 +487,7 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None  # (h, w, comps) comps: list of (cid, hs, vs, tq)
+    adobe_transform = None  # APP14 color-transform tag, if present
     dri = 0
     pos = 2
     n = len(content)
@@ -550,9 +551,19 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            # Adobe transform=0 declares the 3 components are plain RGB,
+            # not YCbCr: decoding would SUCCEED with wrong colors and feed
+            # silently-wrong pixel features downstream — route to the
+            # digest stub instead (transform=1 is YCbCr, the normal path)
+            if adobe_transform == 0 and len(frame[2]) == 3:
+                raise ValueError(
+                    "Adobe APP14 transform=0 (RGB) JPEG unsupported"
+                )
             return _jpeg_decode_scan(
                 content, pos + seglen, frame, seg, qt, huff, dri
             )
@@ -576,6 +587,12 @@ def _jpeg_decode_scan(
         raise ValueError("non-interleaved multi-scan JPEG unsupported")
     if len(comps) not in (1, 3):
         raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved — data is
+        # plain 8x8 block order and the SOF sampling factors do NOT apply
+        # (grayscale files legally declare h/v > 1 to hint chroma-less
+        # 4:2:0 heritage); honoring them would mis-parse the MCU grid
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     scan_tables = {}
     for i in range(ns):
         cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
@@ -704,12 +721,18 @@ def _encode_jpeg(
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    gray: bool = False,
+    gray_declared_sampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """Minimal baseline JFIF encoder for tests/round-trips: 4:4:4 or
     4:2:0 (2x2-mean chroma downsample), quality-scaled Annex-K quant
     tables, fixed-length Huffman tables; ``restart_interval`` > 0 emits
     DRI and RSTn markers every N MCUs (exercising the decoder's
-    byte-align + predictor-reset path)."""
+    byte-align + predictor-reset path). ``gray=True`` emits a
+    SINGLE-component (luma-only) frame — per T.81 A.2.2 its scan is
+    non-interleaved plain 8x8 block order regardless of the SOF
+    sampling factors, so ``gray_declared_sampling`` may legally declare
+    h/v > 1 (exercising the decoder's nc==1 sampling-ignore path)."""
     a = px.astype(np.float64)
     if a.ndim == 2:
         a = np.repeat(a[..., None], 3, axis=2)
@@ -787,6 +810,44 @@ def _encode_jpeg(
             code, nbits = _JPEG_ENC_AC[0x00]
             writer.write(code, nbits)
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    if gray:
+        gyp = pad_to(y, 8)
+        n_mcu, rst_idx = 0, 0
+        for by in range(gyp.shape[0] // 8):
+            for bx in range(gyp.shape[1] // 8):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    writer.align()
+                    writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                    rst_idx = (rst_idx + 1) & 7
+                    preds[:] = [0, 0, 0]
+                n_mcu += 1
+                emit_block(gyp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                           qy_zz, 0)
+        gh, gv = gray_declared_sampling
+        gdri = (
+            seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
+        return (
+            b"\xff\xd8"
+            + seg(0xE0, app0)
+            + seg(0xDB, b"\x00" + qy_zz.astype(np.uint8).tobytes())
+            + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, (gh << 4) | gv, 0]))
+            + seg(0xC4, b"\x00" + _JPEG_ENC_DC_DHT)
+            + seg(0xC4, b"\x10" + _JPEG_ENC_AC_DHT)
+            + gdri
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + writer.flush()
+            + b"\xff\xd9"
+        )
+
     n_mcu, rst_idx = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -805,10 +866,6 @@ def _encode_jpeg(
             emit_block(crp[y0 : y0 + 8, x0 : x0 + 8], qc_zz, 2)
     data = writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     dqt = seg(
         0xDB,
         b"\x00" + qy_zz.astype(np.uint8).tobytes()

@@ -505,6 +505,14 @@ def kmeans_refit(
             "kmeans_refit: moment artifact has a partial dim set for "
             "some cell — corrupt or mixed-generation artifact"
         )
+    # (cell, dim) uniqueness: a duplicated row OFFSETTING a missing dim in
+    # the same cell passes the per-cell count above, then last-write-wins
+    # in the scatter while the missing dim silently stays 0
+    if np.unique(cells * d + dims).size != len(pdf):
+        raise ValueError(
+            "kmeans_refit: duplicate (cell_id, dim) rows in the moment "
+            "artifact — corrupt artifact"
+        )
     s_fp = np.zeros((k, d), dtype=np.int64)
     n_by = np.zeros(k, dtype=np.int64)
     s_fp[cells, dims] = pdf["s_fp"].to_numpy(dtype=np.int64)

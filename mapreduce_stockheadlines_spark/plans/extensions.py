@@ -1195,7 +1195,11 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     truth = S.cosine_topk(queries, emb, k=10)
     ev = S.topk_eval(approx, truth)
-    asg = S.kmeans_assign(emb, cent)
+    # localCheckpoint: asg is consumed TWICE below (row side + cell_n
+    # groupBy side of the self-join) — without it the kmeans_assign
+    # mapInPandas pass re-executes over the corpus per consumer (the
+    # same multi-consumer lineage the x31 edge checkpoint fixed)
+    asg = S.kmeans_assign(emb, cent).localCheckpoint()
     # semantic_neardup_pairs re-assigns the corpus internally rather
     # than joining `asg` back: the assignment is one NARROW broadcast-
     # centroid Arrow pass (no exchange), whereas reusing asg would cost

@@ -2298,3 +2298,54 @@ def test_round8_promoted_columns_nondegenerate(spark, sf_dir):
     # densified OPH values live in the 60-bit hash domain or above it
     # (rotation offsets are multiples of 2^60) — never negative
     assert x03.filter(F.col("oph0") < 0).count() == 0
+
+
+def test_jpeg_gray_sampling_and_adobe_app14():
+    """Round-8 ADVICE fixes: (1) T.81 A.2.2 — a single-component scan is
+    non-interleaved plain 8x8 block order, so SOF sampling factors
+    h/v > 1 on a grayscale file must be IGNORED (previously such files
+    mis-parsed and fell to the stub tier); (2) an Adobe APP14
+    transform=0 (RGB) 3-component JPEG would real-decode with WRONG
+    colors — it must route to the stub tier via ValueError instead,
+    while transform=1 (YCbCr, the normal tag) still real-decodes."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    g = np.clip(
+        128
+        + 60
+        * np.sin(np.arange(24)[:, None] / 3.0)
+        * np.cos(np.arange(40)[None, :] / 5.0),
+        0,
+        255,
+    ).astype(np.uint8)
+    base = M._encode_jpeg(g, quality=90, gray=True)
+    declared = M._encode_jpeg(
+        g, quality=90, gray=True, gray_declared_sampling=(2, 2)
+    )
+    d0 = M._decode_jpeg(base)
+    assert d0.shape == (24, 40, 3)
+    assert (d0 == M._decode_jpeg(declared)).all()  # sampling ignored nc==1
+    assert np.abs(d0[..., 0].astype(int) - g.astype(int)).max() <= 12
+    # restart markers through the single-component path: same pixels
+    dri = M._decode_jpeg(
+        M._encode_jpeg(g, quality=90, gray=True, restart_interval=2)
+    )
+    assert (dri == d0).all()
+
+    def _seg(marker, payload):
+        return _struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    color = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=2)
+    blob = M._encode_jpeg(color, quality=90)
+
+    def with_app14(transform):
+        app14 = _seg(0xEE, b"Adobe" + _struct.pack(">HHHB", 100, 0, 0,
+                                                   transform))
+        return blob[:2] + app14 + blob[2:]
+
+    with pytest.raises(ValueError, match="Adobe"):
+        M._decode_jpeg(with_app14(0))
+    assert (M._decode_jpeg(with_app14(1)) == M._decode_jpeg(blob)).all()
