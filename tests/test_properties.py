@@ -695,3 +695,61 @@ def test_oph_signature_matches_python_reference(spark, docs):
 
     for i, words in enumerate(docs):
         assert got[i] == ref(words), (i, words)
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    filt=st.integers(0, 4),
+    ctype=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=20, deadline=None, derandomize=True)
+def test_png_roundtrip_all_filters_and_color_types(h, w, filt, ctype, seed):
+    """Property (VERDICT r7 #6, the JPEG/OPH pattern): the PNG codec
+    round-trips ANY shape x all five filters x gray/RGB/gray-alpha/RGBA
+    losslessly — the decoder replicates gray to 3 channels and drops
+    alpha, so the expectation is the RGB-ified color plane. Pure codec,
+    no Spark."""
+    import numpy as np
+
+    import mapreduce_stockheadlines_spark.operators.multimodal as M
+
+    rng = np.random.RandomState(seed)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    px = rng.randint(0, 256, (h, w, channels)).astype(np.uint8)
+    out = M._decode_png(M._encode_png(px, filter_type=filt, color_type=ctype))
+    if ctype in (0, 4):
+        want = np.repeat(px[..., :1], 3, axis=2)
+    else:
+        want = px[..., :3]
+    assert out.shape == (h, w, 3)
+    assert (out == want).all(), (h, w, filt, ctype)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    n_colors=st.sampled_from([1, 2, 5, 16, 97, 256]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=16, deadline=None, derandomize=True)
+def test_gif_roundtrip_any_shape_palette_interlace(
+    h, w, n_colors, interlace, seed
+):
+    """Property: the GIF codec round-trips ANY shape x palette size x
+    interlacing LOSSLESSLY (GIF is an indexed format — unlike JPEG there
+    is no error bound, equality is exact). Exercises variable-width LZW
+    growth, the dict-full clear on larger rasters, single-pixel images
+    and the 4-pass interlace reorder. Pure codec, no Spark."""
+    import numpy as np
+
+    import mapreduce_stockheadlines_spark.operators.multimodal as M
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    px = pal[rng.randint(0, n_colors, (h, w))]
+    out = M._decode_gif(M._encode_gif(px, interlace=interlace))
+    assert out.shape == (h, w, 3)
+    assert (out == px).all(), (h, w, n_colors, interlace)
