@@ -333,3 +333,31 @@ def test_domain_blocklist_plan_broadcasts_blocklist(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_plans_md_regenerated_at_head():
+    """VERDICT r7 #4: the PLANS.md regeneration invariant. Re-derives the
+    full 50-plan dump in a FRESH interpreter (expression/plan-id counters
+    are session-global, so only a clean session in registry order
+    reproduces the committed artifact — dump_plans normalizes the
+    residual volatile counters) and fails if the committed PLANS.md is
+    stale. A plans/ change without `python scripts/dump_plans.py` goes
+    red here instead of relying on the builder remembering."""
+    import subprocess
+    import sys
+
+    # no env overrides: the dump was produced at the default local[32]
+    # session config and plan shapes (scan splits, shuffle partitions)
+    # depend on it
+    proc = subprocess.run(
+        [sys.executable, "scripts/dump_plans.py", "--verify"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        "PLANS.md is stale — regenerate with scripts/dump_plans.py\n"
+        + proc.stdout[-2000:]
+        + proc.stderr[-2000:]
+    )
