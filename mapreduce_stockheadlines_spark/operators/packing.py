@@ -146,6 +146,49 @@ def chunk_documents(
     )
 
 
+def chunk_summary_cols(
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> tuple:
+    """Scalar (per-doc, zero-shuffle) summary of ``chunk_documents``'s
+    output for registry pinning (VERDICT r7 #5): ``n_chunks`` and
+    ``chunk_fp8`` — an 8-hex md5 digest of the '|'-joined chunk texts in
+    chunk order. Built from the SAME tokenize / ceil-division / slice /
+    array_join fragments as the operator, with the explode replaced by
+    ``F.transform`` over the same sequence, so both stay pure codegen
+    collection expressions and fuse into the host projection
+    (tests pin digest equality against the real chunk_documents rows).
+    Empty and NULL-text docs get n_chunks=0 and a NULL digest — the
+    operator's 'no chunks' contract."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_summary_cols: chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_summary_cols: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    n_pos = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_pos - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    n_chunks = F.when(n > 0, n_pos).otherwise(F.lit(0)).alias("n_chunks")
+    fp8 = F.when(
+        n > 0, F.substring(F.md5(F.concat_ws("|", chunks)), 1, 8)
+    ).alias("chunk_fp8")
+    return n_chunks, fp8
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -24,6 +24,7 @@ from ..operators import multimodal as M
 from ..operators import relevance as RV
 from ..operators import sampling as SP
 from ..operators import similarity as S
+from ..operators import packing as PK
 from ..operators import skew as SK
 from ..operators import textstats as TS
 from .catalog import parallel_table, table
@@ -479,6 +480,11 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             (TS.fix_mojibake(F.col("_lat")) == F.col("_lat")).alias(
                 "moji_latin1_noop"
             ),
+            # round-8 zero-slot promotion: document chunking
+            # (operators/packing.chunk_documents semantics as scalar
+            # codegen — n_chunks + digest of the '|'-joined chunk texts;
+            # the projection stays zero-shuffle)
+            *PK.chunk_summary_cols("text", chunk_tokens=32, overlap=8),
         ],
     )
     return stats.orderBy("doc_id")
@@ -614,18 +620,43 @@ SELECT doc_id,
 FROM documents
 """
 
+# chunk_documents replay as a per-doc summary (chunk_tokens=32,
+# overlap=8 → stride=24): same tokenizer, same ceil-division chunk
+# count, same inclusive 1-based slices, digest over the '|'-joined
+# chunk texts in chunk order; empty/NULL-text docs → 0 chunks, NULL fp
+_X08_CHUNK_BODY = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM t)
+SELECT doc_id,
+       CAST(CASE WHEN n > 0
+                 THEN greatest((n - 8 + 23) // 24, 1) ELSE 0 END AS INT)
+         AS n_chunks,
+       CASE WHEN n > 0 THEN substr(md5(array_to_string(
+              list_transform(range(greatest((n - 8 + 23) // 24, 1)),
+                i -> array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')),
+              '|')), 1, 8)
+       END AS chunk_fp8
+FROM nn
+"""
+
 X08_SQL = f"""
 SELECT l.doc_id, l.pred_lang, l.marker_score,
        q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality,
        f.fp, f.fp8, f.norm_len, t.n_ws_tokens, t.n_bpe_tokens,
        h.html_stripped_len, h.html_fp8,
-       m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop
+       m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop,
+       c.n_chunks, c.chunk_fp8
 FROM ({_X08_LANG_BODY}) l
 JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
 JOIN ({_X08_FP_BODY}) f ON f.doc_id = l.doc_id
 JOIN ({_X08_TOK_BODY.format(bpe=TS.BPE_ISH_PATTERN)}) t ON t.doc_id = l.doc_id
 JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
 JOIN ({_X08_MOJI_BODY}) m ON m.doc_id = l.doc_id
+JOIN ({_X08_CHUNK_BODY}) c ON c.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
 

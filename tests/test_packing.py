@@ -321,3 +321,57 @@ def test_curate_chunk_paragraphs_mode(spark, sf_dir):
         assert r.doc_id == r.parent_doc_id * (1 << 20) + r.chunk_id
         for para in r.text.split("\n\n"):
             assert para in src[r.parent_doc_id]  # whole paragraphs only
+
+
+def test_chunk_summary_cols_match_operator(spark, sf_dir):
+    """The round-8 x08 registry columns (``chunk_summary_cols``) pin the
+    SAME chunking as ``chunk_documents``: per doc, n_chunks equals the
+    operator's row count and chunk_fp8 equals the md5-prefix of the
+    operator's chunk_texts '|'-joined in chunk order; docs with zero
+    chunks (empty/NULL text) carry 0/NULL and produce no operator rows.
+    Non-degenerate at the test SF (promotion guard)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        chunk_documents,
+        chunk_summary_cols,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    summ = docs.select(
+        "doc_id", *chunk_summary_cols("text", chunk_tokens=32, overlap=8)
+    )
+    assert_column_nondegenerate(summ, "n_chunks")
+    op = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "chunk_text"))
+    )
+    agg = op.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_op"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(ordered, lambda s: s.chunk_text), "|"
+                )
+            ),
+            1,
+            8,
+        ).alias("fp_op"),
+    )
+    joined = summ.join(
+        agg, summ.doc_id == agg.id, "left"
+    ).localCheckpoint()
+    bad = joined.filter(
+        (F.col("n_chunks") > 0)
+        & (
+            (F.col("n_chunks") != F.col("n_op"))
+            | (F.col("chunk_fp8") != F.col("fp_op"))
+        )
+    )
+    assert bad.count() == 0
+    # zero-chunk docs: summary says 0/NULL, operator emits nothing
+    assert joined.filter(
+        (F.col("n_chunks") == 0)
+        & (F.col("n_op").isNotNull() | F.col("chunk_fp8").isNotNull())
+    ).count() == 0
