@@ -4,15 +4,17 @@
 Two decode tiers. Formats with a pure-numpy decoder are decoded FOR REAL
 — PPM (P6, the netpbm raw-RGB format), uncompressed 24-bit BMP,
 8-bit non-interlaced PNG (stdlib ``zlib`` inflate + all five scanline
-filters) and baseline-sequential Huffman JPEG (marker parse, per-MCU
-Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample, YCbCr→RGB
-— PNG + JPEG together cover the overwhelming majority of real crawl
-images) for images, RIFF 16-bit-PCM WAV for audio, all parseable with
-struct + frombuffer + zlib + numpy, no codec library — including
-real pixel/PCM features and a real nearest-neighbor resample (images) /
-windowed frame sampling (audio). Formats that genuinely need codec
-libraries (MP3/video, palette/16-bit/interlaced PNG,
-progressive/arithmetic JPEG) stay stubbed (deterministic fake derived
+filters) and Huffman JPEG — both baseline-sequential (marker parse,
+per-MCU Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample,
+YCbCr→RGB) and PROGRESSIVE (SOF2: multi-scan spectral selection +
+successive approximation per T.81 annex G, coefficients accumulated
+across scans) — PNG + JPEG together cover the overwhelming majority of
+real crawl images — for images, RIFF 16-bit-PCM WAV for audio, all
+parseable with struct + frombuffer + zlib + numpy, no codec library —
+including real pixel/PCM features and a real nearest-neighbor resample
+(images) / windowed frame sampling (audio). Formats that genuinely need
+codec libraries (MP3/video, palette/16-bit/interlaced PNG, arithmetic
+or hierarchical JPEG) stay stubbed (deterministic fake derived
 from the content digest, or ``NotImplementedError`` in strict mode);
 GIF (LZW + palette, first frame) decodes for real since round 8.
 Either way the Spark-side plumbing is identical and real: binary schema,
@@ -799,6 +801,8 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None  # (h, w, comps) comps: list of (cid, hs, vs, tq)
     adobe_transform = None  # APP14 color-transform tag, if present
+    progressive = False
+    prog = None  # progressive coefficient accumulator across scans
     dri = 0
     pos = 2
     n = len(content)
@@ -843,7 +847,7 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG DHT")
                 huff[(tc, th)] = _jpeg_huff_decode_table(counts, symbols)
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -854,11 +858,12 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF, 0xDE):
             raise ValueError(
-                "only baseline-sequential Huffman JPEG supported "
-                f"(SOF marker 0x{marker:02X})"
+                "only baseline-sequential or progressive Huffman JPEG "
+                f"supported (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
@@ -875,11 +880,32 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
                 raise ValueError(
                     "Adobe APP14 transform=0 (RGB) JPEG unsupported"
                 )
+            if progressive:
+                if prog is None:
+                    geom = _jpeg_prog_geom(frame)
+                    comps_g = geom[0]
+                    mcux_g, mcuy_g = geom[3], geom[4]
+                    prog = {
+                        "geom": geom,
+                        "coefs": [
+                            np.zeros(
+                                (mcuy_g * vs, mcux_g * hs, 64), np.int32
+                            )
+                            for _, hs, vs, _ in comps_g
+                        ],
+                        "n_scans": 0,
+                    }
+                pos = _jpeg_progressive_scan(
+                    content, pos + seglen, seg, huff, dri, prog
+                )
+                continue
             return _jpeg_decode_scan(
                 content, pos + seglen, frame, seg, qt, huff, dri
             )
         # APPn / COM / others: skip
         pos += seglen
+    if prog is not None and prog["n_scans"]:
+        return _jpeg_progressive_reconstruct(prog, qt)
     raise ValueError("JPEG missing SOS")
 
 
@@ -967,6 +993,15 @@ def _jpeg_decode_scan(
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _jpeg_assemble(planes, comps, hmax, vmax, fh, fw)
+
+
+def _jpeg_assemble(
+    planes: list, comps: list, hmax: int, vmax: int, fh: int, fw: int
+) -> np.ndarray:
+    """Shared decode tail: upsample component planes to full resolution,
+    crop to the frame size, level-shift, and color-convert (single
+    component replicates to gray RGB; three components are YCbCr)."""
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         p = planes[ci]
@@ -982,6 +1017,247 @@ def _jpeg_decode_scan(
     return np.clip(
         np.round(np.stack([r, g, b], axis=2)), 0, 255
     ).astype(np.uint8)
+
+
+# --- progressive JPEG (SOF2, T.81 annex G) ------------------------------------
+#
+# Coefficients accumulate across scans in per-component int32 arrays
+# (zigzag index order); each SOS decodes one scan — DC first/refinement
+# (optionally interleaved), AC first/refinement (single-component,
+# spectral band Ss..Se, successive-approximation bit position Al) — and
+# reconstruction (dequantize + IDCT + upsample) runs once at EOI. The
+# entropy rules follow T.81 G.2 / the libjpeg reference decoder exactly:
+# EOB runs span blocks, refinement scans carry correction bits for
+# already-nonzero coefficients interleaved with newly-significant ones.
+
+
+def _jpeg_prog_geom(frame: tuple) -> tuple:
+    """Component geometry shared by every progressive scan: the
+    grayscale sampling-ignore rule (T.81 A.2.2, same as the baseline
+    path), MCU grid, and each component's REAL block dims — interleaved
+    DC scans cover the MCU-padded grid, non-interleaved scans cover
+    only ceil(comp_size/8) blocks."""
+    fh, fw, comps = frame
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    if len(comps) not in (1, 3):
+        raise ValueError(
+            f"unsupported JPEG component count {len(comps)}"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    dims = []
+    for cid, hs, vs, tq in comps:
+        cw = -(-fw * hs // hmax)
+        ch = -(-fh * vs // vmax)
+        dims.append((-(-cw // 8), -(-ch // 8)))  # (bw, bh) real blocks
+    return comps, hmax, vmax, mcux, mcuy, dims, fh, fw
+
+
+def _jpeg_progressive_scan(
+    content: bytes, data_pos: int, sos: bytes, huff: dict, dri: int,
+    prog: dict,
+) -> int:
+    """Decode one progressive scan into ``prog['coefs']``; returns the
+    byte position of the next marker after the entropy-coded data."""
+    comps, hmax, vmax, mcux, mcuy, dims, fh, fw = prog["geom"]
+    ns = sos[0]
+    if len(sos) < 4 + 2 * ns:
+        raise ValueError("truncated JPEG SOS header")
+    scomp = []
+    for i in range(ns):
+        cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
+        for j, c in enumerate(comps):
+            if c[0] == cs:
+                scomp.append((j, tda >> 4, tda & 15))
+                break
+        else:
+            raise ValueError("JPEG scan references unknown component")
+    ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+    ahal = sos[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError("invalid JPEG successive-approximation bounds")
+    reader = _JpegBitReader(content, data_pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC scan must have Se=0")
+        _jpeg_prog_dc_scan(reader, scomp, ah, al, huff, dri, prog)
+    else:
+        if ns != 1:
+            raise ValueError(
+                "JPEG progressive AC scan must be single-component"
+            )
+        if se > 63 or ss > se:
+            raise ValueError("invalid JPEG spectral band")
+        _jpeg_prog_ac_scan(reader, scomp[0], ss, se, ah, al, huff, dri,
+                           prog)
+    prog["n_scans"] += 1
+    # entropy data ends at reader.pos (consumed pad bits sit inside the
+    # last read byte); skip residual pad/stuffed bytes to the next true
+    # marker for the caller's segment loop
+    p, n = reader.pos, len(content)
+    while p + 1 < n and not (content[p] == 0xFF and content[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _jpeg_prog_dc_scan(
+    reader: "_JpegBitReader", scomp: list, ah: int, al: int, huff: dict,
+    dri: int, prog: dict,
+) -> None:
+    comps, hmax, vmax, mcux, mcuy, dims, fh, fw = prog["geom"]
+    coefs = prog["coefs"]
+    tabs = []
+    if ah == 0:  # refinement scans read raw bits, no Huffman table
+        for ci, td, ta in scomp:
+            if (0, td) not in huff:
+                raise ValueError("JPEG references undefined table")
+            tabs.append(huff[(0, td)])
+    preds = [0] * len(scomp)
+
+    def one(si: int, by: int, bx: int) -> None:
+        ci = scomp[si][0]
+        if ah == 0:
+            s = _jpeg_huff(reader, tabs[si])
+            preds[si] += _jpeg_extend(reader.read_bits(s), s)
+            coefs[ci][by, bx, 0] = preds[si] << al
+        elif reader.read_bit():
+            coefs[ci][by, bx, 0] |= 1 << al
+
+    nunit = 0
+    if len(scomp) == 1:
+        # non-interleaved: plain block order over the REAL grid
+        bw, bh = dims[scomp[0][0]]
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and nunit and nunit % dri == 0:
+                    reader.restart()
+                    preds[:] = [0] * len(scomp)
+                nunit += 1
+                one(0, by, bx)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and nunit and nunit % dri == 0:
+                    reader.restart()
+                    preds[:] = [0] * len(scomp)
+                nunit += 1
+                for si, (ci, td, ta) in enumerate(scomp):
+                    _, hs, vs, _ = comps[ci]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            one(si, my * vs + byy, mx * hs + bxx)
+
+
+def _jpeg_prog_ac_scan(
+    reader: "_JpegBitReader", sc: tuple, ss: int, se: int, ah: int,
+    al: int, huff: dict, dri: int, prog: dict,
+) -> None:
+    comps, hmax, vmax, mcux, mcuy, dims, fh, fw = prog["geom"]
+    ci, td, ta = sc
+    if (1, ta) not in huff:
+        raise ValueError("JPEG references undefined table")
+    ac = huff[(1, ta)]
+    coef = prog["coefs"][ci]
+    bw, bh = dims[ci]
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    nunit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and nunit and nunit % dri == 0:
+                reader.restart()
+                eobrun = 0
+            nunit += 1
+            row = coef[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff(reader, ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1  # this block included
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    row[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement: correction bits + newly-significant
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_huff(reader, ac)
+                        r, s = rs >> 4, rs & 15
+                        sval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid JPEG refinement symbol"
+                                )
+                            sval = p1 if reader.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r  # tail handles this block
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # advance past r zero-history coefficients,
+                        # emitting correction bits for nonzero-history
+                        # ones passed along the way (ZRL: r == 15 skips
+                        # 16 zero-history positions)
+                        while k <= se:
+                            c = int(row[k])
+                            if c:
+                                if reader.read_bit() and not (c & p1):
+                                    row[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if sval:
+                            if k > se:
+                                raise ValueError("JPEG AC index overflow")
+                            row[k] = sval
+                        k += 1
+                if eobrun:
+                    while k <= se:  # correction-bit tail of the EOB run
+                        c = int(row[k])
+                        if c and reader.read_bit() and not (c & p1):
+                            row[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _jpeg_progressive_reconstruct(prog: dict, qt: dict) -> np.ndarray:
+    comps, hmax, vmax, mcux, mcuy, dims, fh, fw = prog["geom"]
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("JPEG references undefined table")
+        deq = prog["coefs"][ci].astype(np.float64) * qt[tq][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _JPEG_ZIGZAG] = deq
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spat = _DCT_A.T @ blocks @ _DCT_A  # batched 8x8 IDCT
+        planes.append(spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _jpeg_assemble(planes, comps, hmax, vmax, fh, fw)
 
 
 class _JpegBitWriter:
@@ -1025,6 +1301,15 @@ _JPEG_ENC_DC_DHT = bytes(
 _JPEG_ENC_AC_DHT = bytes(
     [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
 ) + bytes(_JPEG_ENC_AC_SYMS)
+
+# progressive AC table: the sequential 162 symbols plus the fourteen
+# EOBn symbols 0x10..0xE0 (EOB runs of 2..16383 blocks, T.81 G.1.2.2) —
+# 176 fixed-length 8-bit codes, still canonical and legal
+_JPEG_PROG_AC_SYMS = _JPEG_ENC_AC_SYMS + [r << 4 for r in range(1, 15)]
+_JPEG_PROG_AC = {sym: (i, 8) for i, sym in enumerate(_JPEG_PROG_AC_SYMS)}
+_JPEG_PROG_AC_DHT = bytes(
+    [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8
+) + bytes(_JPEG_PROG_AC_SYMS)
 
 
 def _encode_jpeg(
@@ -1201,6 +1486,351 @@ def _encode_jpeg(
     )
 
 
+def _encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder for tests/round-trips, following
+    T.81 annex G / the libjpeg reference encoder: a libjpeg-style scan
+    script with spectral selection AND two-level successive
+    approximation (DC first at Al=1 + refinement; luma AC split 1-5 /
+    6-63 first-coded at a high bit position then refined to Al=0), so
+    every decoder path — EOB runs, ZRL-with-correction-bits, buffered
+    refinement bits, newly-significant coefficients — is exercised.
+    The script fully restores every coefficient bit, so the progressive
+    stream decodes to EXACTLY the same pixels as ``_encode_jpeg`` of
+    the same image at the same quality/subsampling (the cross-path pin
+    the property tests assert). ``restart_interval`` > 0 emits RSTn
+    every N MCUs (DC interleaved scans) / blocks (other scans)."""
+    a = px.astype(np.float64)
+    if a.ndim == 2:
+        a = np.repeat(a[..., None], 3, axis=2)
+    h, w = a.shape[:2]
+    qy, qc = _jpeg_quality_tables(quality)
+    qy_zz = qy.reshape(-1)[_JPEG_ZIGZAG]
+    qc_zz = qc.reshape(-1)[_JPEG_ZIGZAG]
+
+    def pad_to(img: np.ndarray, mult: int) -> np.ndarray:
+        ph = -(-img.shape[0] // mult) * mult
+        pw = -(-img.shape[1] // mult) * mult
+        return np.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])),
+            mode="edge",
+        )
+
+    def block_coefs(plane: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
+        # per-block loop with exactly _encode_jpeg's arithmetic, so the
+        # quantized coefficients are bit-identical to the baseline path
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((bh, bw, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                cf = _DCT_A @ (blk - 128.0) @ _DCT_A.T
+                out[by, bx] = np.round(
+                    cf.reshape(-1)[_JPEG_ZIGZAG] / q_zz
+                ).astype(np.int32)
+        return out
+
+    r_, g_, b_ = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    if gray:
+        hs = vs = 1
+        coefs = [block_coefs(pad_to(y, 8), qy_zz)]
+        dims = [coefs[0].shape[1::-1]]  # (bw, bh) real == padded
+        mcuy, mcux = coefs[0].shape[:2]
+        samplings = [(1, 1)]
+    else:
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        if subsample == "444":
+            hs = vs = 1
+        elif subsample == "420":
+            hs = vs = 2
+            cpad = pad_to(cb, 2), pad_to(cr, 2)
+            cb = cpad[0].reshape(
+                cpad[0].shape[0] // 2, 2, cpad[0].shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+            cr = cpad[1].reshape(
+                cpad[1].shape[0] // 2, 2, cpad[1].shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+        else:
+            raise ValueError("subsample must be '444' or '420'")
+        coefs = [
+            block_coefs(pad_to(y, 8 * vs), qy_zz),
+            block_coefs(pad_to(cb, 8), qc_zz),
+            block_coefs(pad_to(cr, 8), qc_zz),
+        ]
+        mcuy = coefs[0].shape[0] // vs
+        mcux = coefs[0].shape[1] // hs
+        # REAL block dims: luma ceil(h/8) x ceil(w/8) (may be less than
+        # the MCU-padded grid at 4:2:0); chroma real == padded
+        dims = [
+            (-(-w // 8), -(-h // 8)),
+            coefs[1].shape[1::-1],
+            coefs[2].shape[1::-1],
+        ]
+        samplings = [(hs, vs), (1, 1), (1, 1)]
+    ncomp = len(coefs)
+
+    def emit_restart(writer: "_JpegBitWriter", rst_idx: int) -> int:
+        writer.align()
+        writer.out += bytes([0xFF, 0xD0 + rst_idx])
+        return (rst_idx + 1) & 7
+
+    def enc_dc(writer: "_JpegBitWriter", ah: int, al: int) -> None:
+        preds = [0] * ncomp
+
+        def emit(ci: int, by: int, bx: int) -> None:
+            c = int(coefs[ci][by, bx, 0])
+            if ah == 0:
+                v = c >> al  # DC point transform: arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                ssss = abs(diff).bit_length()
+                code, nb = _JPEG_ENC_DC[ssss]
+                writer.write(code, nb)
+                if ssss:
+                    writer.write(
+                        diff if diff > 0 else diff + (1 << ssss) - 1, ssss
+                    )
+            else:
+                writer.write((c >> al) & 1, 1)
+
+        nunit, rst_idx = 0, 0
+        if ncomp == 1:
+            bw, bh = dims[0]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and nunit and (
+                        nunit % restart_interval == 0
+                    ):
+                        rst_idx = emit_restart(writer, rst_idx)
+                        preds[:] = [0] * ncomp
+                    nunit += 1
+                    emit(0, by, bx)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and nunit and (
+                        nunit % restart_interval == 0
+                    ):
+                        rst_idx = emit_restart(writer, rst_idx)
+                        preds[:] = [0] * ncomp
+                    nunit += 1
+                    for ci, (chs, cvs) in enumerate(samplings):
+                        for byy in range(cvs):
+                            for bxx in range(chs):
+                                emit(ci, my * cvs + byy, mx * chs + bxx)
+
+    def enc_ac_first(
+        writer: "_JpegBitWriter", ci: int, ss: int, se: int, al: int
+    ) -> None:
+        coef = coefs[ci]
+        bw, bh = dims[ci]
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, nb = _JPEG_PROG_AC[nbits << 4]
+                writer.write(code, nb)
+                if nbits:
+                    writer.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        nunit, rst_idx = 0, 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and nunit and (
+                    nunit % restart_interval == 0
+                ):
+                    flush_eobrun()
+                    rst_idx = emit_restart(writer, rst_idx)
+                nunit += 1
+                row = coef[by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    t = int(row[k])
+                    temp = (-t if t < 0 else t) >> al
+                    if temp == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        code, nb = _JPEG_PROG_AC[0xF0]
+                        writer.write(code, nb)
+                        r -= 16
+                    nbits = temp.bit_length()
+                    code, nb = _JPEG_PROG_AC[(r << 4) | nbits]
+                    writer.write(code, nb)
+                    writer.write(
+                        temp if t > 0 else (~temp) & ((1 << nbits) - 1),
+                        nbits,
+                    )
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+
+    def enc_ac_refine(
+        writer: "_JpegBitWriter", ci: int, ss: int, se: int, al: int
+    ) -> None:
+        coef = coefs[ci]
+        bw, bh = dims[ci]
+        eobrun = 0
+        pending: list[int] = []  # correction bits deferred to the EOBn
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, nb = _JPEG_PROG_AC[nbits << 4]
+                writer.write(code, nb)
+                if nbits:
+                    writer.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+            for bit in pending:
+                writer.write(bit, 1)
+            pending = []
+
+        nunit, rst_idx = 0, 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and nunit and (
+                    nunit % restart_interval == 0
+                ):
+                    flush_eobrun()
+                    rst_idx = emit_restart(writer, rst_idx)
+                nunit += 1
+                row = coef[by, bx]
+                absv = [
+                    (-int(row[k]) if row[k] < 0 else int(row[k])) >> al
+                    for k in range(ss, se + 1)
+                ]
+                eob_k = ss - 1  # last NEWLY-significant position
+                for i, v in enumerate(absv):
+                    if v == 1:
+                        eob_k = ss + i
+                r = 0
+                br: list[int] = []  # block-local correction bits
+                for k in range(ss, se + 1):
+                    temp = absv[k - ss]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    # ZRLs not foldable into the EOB run flush eagerly,
+                    # each carrying the correction bits buffered so far
+                    while r > 15 and k <= eob_k:
+                        flush_eobrun()
+                        code, nb = _JPEG_PROG_AC[0xF0]
+                        writer.write(code, nb)
+                        r -= 16
+                        for bit in br:
+                            writer.write(bit, 1)
+                        br = []
+                    if temp > 1:  # already nonzero: buffer correction bit
+                        br.append(temp & 1)
+                        continue
+                    flush_eobrun()
+                    code, nb = _JPEG_PROG_AC[(r << 4) | 1]
+                    writer.write(code, nb)
+                    writer.write(1 if int(row[k]) > 0 else 0, 1)
+                    for bit in br:
+                        writer.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF or len(pending) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    # libjpeg-style script: DC first at Al=1 (interleaved) + refinement,
+    # per-component AC bands with successive approximation down to Al=0
+    if gray:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 0, 6, 63, 0, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 0, 1, 5, 2, 1),
+            ("ac", 0, 6, 63, 1, 0),
+            ("ac", 0, 1, 5, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+
+    body = b""
+    for kind, ci, ss, se, ah, al in script:
+        writer = _JpegBitWriter()
+        if kind == "dc":
+            comp_spec = b"".join(
+                bytes([c + 1, 0x00]) for c in range(ncomp)
+            )
+            payload = bytes([ncomp]) + comp_spec + bytes(
+                [ss, se, (ah << 4) | al]
+            )
+            enc_dc(writer, ah, al)
+        else:
+            payload = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+            if ah == 0:
+                enc_ac_first(writer, ci, ss, se, al)
+            else:
+                enc_ac_refine(writer, ci, ss, se, al)
+        body += seg(0xDA, payload) + writer.flush()
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    if gray:
+        dqt = seg(0xDB, b"\x00" + qy_zz.astype(np.uint8).tobytes())
+        sof = seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+        )
+    else:
+        dqt = seg(
+            0xDB,
+            b"\x00" + qy_zz.astype(np.uint8).tobytes()
+            + b"\x01" + qc_zz.astype(np.uint8).tobytes(),
+        )
+        sof = seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    dht = (
+        seg(0xC4, b"\x00" + _JPEG_ENC_DC_DHT)
+        + seg(0xC4, b"\x10" + _JPEG_PROG_AC_DHT)
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + seg(0xE0, app0) + dqt + sof + dht + dri + body + b"\xff\xd9"
+
+
 def _pixel_feature(px: np.ndarray) -> list[float]:
     """8-dim feature from real pixels, all components in [0, 1]:
     per-channel means, gray mean/std/min/max, bright-pixel fraction."""
@@ -1312,7 +1942,8 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
 
     Rows whose mime has a pure-numpy decoder (``REAL_DECODERS``: PPM P6,
     uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib zlib,
-    baseline-sequential Huffman JPEG) are decoded for real — header-parsed width/height and an 8-dim
+    baseline-sequential AND progressive Huffman JPEG, GIF87a/89a) are
+    decoded for real — header-parsed width/height and an 8-dim
     pixel-statistics feature. Other mimes use the deterministic
     digest-derived fake; ``strict=True`` raises NotImplementedError for
     them instead (where a real codec would run). Batch shape: whole

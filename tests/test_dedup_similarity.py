@@ -560,8 +560,10 @@ def test_multimodal_real_jpeg_decode(spark):
     markers; a hand-assembled single-component grayscale JPEG decodes
     to exact known pixels byte-for-byte independent of the encoder;
     JPEG and PNG encodings of the SAME pixels land within pHash
-    hamming ≤ 2; progressive (SOF2) files are valid-but-unreadable →
-    digest stub non-strict, loud in strict mode."""
+    hamming ≤ 2; arithmetic-coded (SOF9) files are
+    valid-but-unreadable → digest stub non-strict, loud in strict
+    mode; progressive (SOF2) decodes FOR REAL to the exact same
+    pixels as the baseline encoding of the same image."""
     import struct as _struct
 
     import numpy as np
@@ -668,23 +670,55 @@ def test_multimodal_real_jpeg_decode(spark):
         bytes(trunc)
     )[:3]
 
-    # progressive SOF2: ValueError from the decoder; stub tier
+    # arithmetic-coded SOF9: ValueError from the decoder; stub tier
     # non-strict through Spark, PythonException in strict mode
-    prog = (
+    arith = (
         b"\xff\xd8"
         + _seg(0xDB, b"\x00" + bytes([1] * 64))
-        + _seg(0xC2, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC9, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     )
-    with pytest.raises(ValueError, match="baseline"):
-        M._decode_jpeg(prog)
+    with pytest.raises(ValueError, match="progressive Huffman"):
+        M._decode_jpeg(arith)
     pdf = spark.createDataFrame(
-        [(9, bytearray(prog), "image/jpeg")], schema=M.MEDIA_SCHEMA
+        [(9, bytearray(arith), "image/jpeg")], schema=M.MEDIA_SCHEMA
     )
     stub = M.decode_media(pdf).collect()[0]
-    want = M._fake_decode(bytes(prog))
+    want = M._fake_decode(bytes(arith))
     assert (stub.width, stub.height, stub.n_frames) == want[:3]
     with pytest.raises(Exception):
         M.decode_media(pdf, strict=True).collect()
+
+    # progressive SOF2 decodes FOR REAL: its multi-scan entropy layout
+    # (spectral selection + successive approximation) reconstructs the
+    # EXACT pixels the independently-tested baseline path produces for
+    # the same image/quality/subsampling — and decode_media routes it
+    # through the real tier (sniffed mime is plain image/jpeg)
+    prog_blob = M._encode_jpeg_progressive(smooth, quality=85,
+                                           subsample="420")
+    base_px = M._decode_jpeg(M._encode_jpeg(smooth, quality=85,
+                                            subsample="420"))
+    assert np.array_equal(M._decode_jpeg(prog_blob), base_px)
+    pdf2 = spark.createDataFrame(
+        [(10, bytearray(prog_blob), "image/jpeg")], schema=M.MEDIA_SCHEMA
+    )
+    real = M.decode_media(pdf2, strict=True).collect()[0]
+    assert (real.width, real.height) == (64, 48)
+    assert real.feature == pytest.approx(
+        M._pixel_feature(base_px), rel=1e-6
+    )
+
+    # structurally truncated progressive entropy stream: ValueError
+    # (never IndexError), digest stub through non-strict decode_media
+    cut = prog_blob[: len(prog_blob) // 2]
+    with pytest.raises(ValueError):
+        M._decode_jpeg(cut)
+    cdf = spark.createDataFrame(
+        [(11, bytearray(cut), "image/jpeg")], schema=M.MEDIA_SCHEMA
+    )
+    cstub = M.decode_media(cdf).collect()[0]
+    assert (cstub.width, cstub.height, cstub.n_frames) == M._fake_decode(
+        bytes(cut)
+    )[:3]
 
 
 def test_multimodal_real_resize_nearest_neighbor(spark):

@@ -643,6 +643,52 @@ def test_jpeg_roundtrip_bounded_error_any_shape(h, w, quality, sub, ri, seed):
 
 
 @given(
+    h=st.integers(3, 24),
+    w=st.integers(3, 24),
+    quality=st.sampled_from([60, 85, 95]),
+    sub=st.sampled_from(["444", "420"]),
+    ri=st.sampled_from([0, 2]),
+    gray=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_jpeg_progressive_decodes_to_exact_baseline_pixels(
+    h, w, quality, sub, ri, gray, seed
+):
+    """Property: the progressive (SOF2) encoding of ANY image decodes
+    to EXACTLY the pixels the baseline encoding of the same image
+    produces at the same quality/subsampling. Both encoders quantize
+    identically, so this pins the whole multi-scan entropy layer —
+    spectral selection, two-level successive approximation, EOB runs,
+    ZRL-with-correction-bits, restart markers — against the
+    independently-round-trip-tested baseline path. Pure codec, no
+    Spark."""
+    import numpy as np
+
+    import mapreduce_stockheadlines_spark.operators.multimodal as M
+
+    rng = np.random.RandomState(seed)
+    noisy = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(
+        np.uint8
+    )
+    flat = np.full_like(noisy, 130)  # long EOB runs across blocks
+    for px in (noisy, flat):
+        if gray:
+            base = M._encode_jpeg(px, quality=quality, gray=True)
+            prog = M._encode_jpeg_progressive(
+                px, quality=quality, gray=True, restart_interval=ri
+            )
+        else:
+            base = M._encode_jpeg(px, quality=quality, subsample=sub)
+            prog = M._encode_jpeg_progressive(
+                px, quality=quality, subsample=sub, restart_interval=ri
+            )
+        assert np.array_equal(
+            M._decode_jpeg(prog), M._decode_jpeg(base)
+        ), (h, w, quality, sub, ri, gray)
+
+
+@given(
     docs=st.lists(
         st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
                  min_size=1, max_size=12),
