@@ -1,0 +1,327 @@
+"""Product quantization (PQ) — Jégou/Douze/Schmid, "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011), the Faiss
+``IndexPQ``/``IVFPQ`` compression scheme.
+
+The vector space is split into ``m`` contiguous subspaces of
+``dim/m`` coordinates; each subspace gets its own tiny k-means
+codebook (``ksub`` centroids), and a vector is stored as the ``m``
+nearest-centroid indices — e.g. 64 float32 dims (256 B) compress to
+4 bytes at m=4/ksub=256, a 64x storage cut that also makes
+asymmetric-distance (ADC) scans table-lookup cheap: for a query,
+precompute the m x ksub table of subspace distances ONCE, then every
+corpus vector's approximate distance is just m table lookups summed.
+
+Scale shape (the part Spark owns):
+- ``pq_train``: ONE corpus pass per Lloyd round trains ALL m
+  subspace codebooks simultaneously — each Arrow batch emits at most
+  m x ksub partial-sum rows (tiny), the corpus is never shuffled, and
+  the driver folds m x ksub x dsub numbers. Same treeAggregate shape
+  as ``similarity.kmeans_centroids``, generalized over subspaces.
+- ``pq_encode``: one broadcast-codebook Arrow projection; per-row
+  output is the m int codes (plus measured reconstruction error), no
+  shuffle.
+- ``pq_adc_topk``: queries collected bounded (the broadcast-build-side
+  contract of ``similarity.cosine_topk``), LUTs built per batch, each
+  partition emits only its local top-k — the global window ranks
+  |Q| x k x partitions rows, never |Q| x |corpus|.
+
+Cross-engine determinism (the x18/x31 quantized-trainer recipe): the
+assignment argmin compares 4dp-ROUNDED squared L2 distances with
+first-min (lowest cell index) tie-break; centroid updates round the
+per-dim mean to ``quantize_dp`` decimals so distributed summation-order
+noise vanishes below the quantum; empty cells keep the previous
+centroid VERBATIM. ADC distances ship as fixed-point BIGINTs
+(``round(d2 * 10^4)`` summed over subspaces — integer, order-free), so
+the registry oracle (plans/extensions.x27) re-derives training,
+encoding, reconstruction error and ADC bit-for-bit in DuckDB.
+
+Reference parity note: the reference repo (195-line Java MapReduce)
+has no vector ops at all; PQ is part of the §2.2 LLM-pipeline
+extension surface (SURVEY.md), not a port.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double
+from .similarity import _collect_query_side, _nonempty_vecs
+
+ADC_FP_DP = 4  # fixed-point decimals for ADC lookup-table entries
+
+
+def _raw_matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list column into a dense float64 matrix, RAW
+    (PQ quantizes the actual coordinates; contrast similarity._to_matrix,
+    which L2-normalizes for the cosine operators)."""
+    return np.array(list(series), dtype=np.float64)
+
+
+def _argmin_cells(xsub: np.ndarray, cb_j: np.ndarray, d2_dp: int = 4):
+    """THE PQ assignment contract, shared by training, encoding and the
+    oracle: 4dp-rounded squared L2 distance per subspace, argmin taking
+    the FIRST minimal centroid on ties (lowest cell index). Returns
+    (rounded_d2, cells)."""
+    d2 = np.round(
+        ((xsub[:, None, :] - cb_j[None, :, :]) ** 2).sum(axis=2), d2_dp
+    )
+    return d2, np.argmin(d2, axis=1)
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 4,
+    n_iters: int = 2,
+    quantize_dp: int = 7,
+) -> np.ndarray:
+    """Train m subspace codebooks with Lloyd's k-means; returns an
+    ``(m, ksub, dim/m)`` float64 array.
+
+    Init is deterministic: subspace c's cell i starts at the subvector
+    of the i-th lowest-``id_col`` vector. Each Lloyd round is ONE
+    distributed pass that assigns and partial-sums ALL subspaces at
+    once (map-side combine; at most m x ksub rows per Arrow batch reach
+    the driver fold). Assignment/update follow the quantized contract
+    in the module docstring, so N rounds of double arithmetic are
+    bit-reproducible across engines and partitionings."""
+    spark = corpus.sparkSession
+    corpus = _nonempty_vecs(corpus, vec_col)
+    init_pdf = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .toPandas()
+    )
+    if len(init_pdf) < ksub:
+        raise ValueError(
+            f"pq_train: need at least ksub={ksub} vectors, "
+            f"got {len(init_pdf)}"
+        )
+    x0 = _raw_matrix(init_pdf["v"])
+    dim = x0.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cb = np.ascontiguousarray(
+        x0.reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )  # (m, ksub, dsub)
+    vecs = corpus.select(as_double(vec_col).alias("cv"))
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cb)
+
+        def partials(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            cbv = bc.value
+            mm, kk, ds = cbv.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = _raw_matrix(pdf["cv"]).reshape(len(pdf), mm, ds)
+                subs, cells, vsums, ns = [], [], [], []
+                for j in range(mm):
+                    _, cl = _argmin_cells(x[:, j, :], cbv[j])
+                    sums = np.zeros((kk, ds))
+                    np.add.at(sums, cl, x[:, j, :])
+                    counts = np.bincount(cl, minlength=kk)
+                    nz = np.nonzero(counts)[0]
+                    subs.extend([j] * len(nz))
+                    cells.extend(nz.tolist())
+                    vsums.extend(list(sums[nz]))
+                    ns.extend(counts[nz].tolist())
+                yield pd.DataFrame(
+                    {
+                        "sub": np.asarray(subs, dtype="int32"),
+                        "cell": np.asarray(cells, dtype="int32"),
+                        "vsum": vsums,
+                        "n": np.asarray(ns, dtype="int64"),
+                    }
+                )
+
+        folded = vecs.mapInPandas(
+            partials, "sub int, cell int, vsum array<double>, n long"
+        ).toPandas()
+        new_cb = cb.copy()  # empty cells keep prev centroid VERBATIM
+        for (j, c), grp in folded.groupby(["sub", "cell"]):
+            total = np.sum(np.stack(list(grp["vsum"])), axis=0)
+            n = int(grp["n"].sum())
+            if n > 0:
+                new_cb[int(j), int(c)] = np.round(total / n, quantize_dp)
+        cb = new_cb
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: np.ndarray | None = None,
+) -> DataFrame:
+    """Encode each vector as its m nearest-subspace-centroid indices:
+    ``(id, pq_codes array<int>, pq_rmse double)`` where ``pq_rmse`` is
+    the 4dp-rounded full-vector reconstruction error
+    sqrt(sum_d (x_d - recon_d)^2 / dim). With ``query_vec`` given, adds
+    ``adc_fp`` (bigint): the asymmetric distance of the query to this
+    vector's reconstruction as a SUM OF FIXED-POINT LUT ENTRIES —
+    round(||q_j - cb[j][code_j]||^2 * 10^4) per subspace, summed as
+    integers so the result is order-free and exactly re-derivable.
+    One broadcast-codebook Arrow pass, no shuffle."""
+    spark = corpus.sparkSession
+    corpus = _nonempty_vecs(corpus, vec_col)
+    cb = np.asarray(codebooks, dtype="float64")
+    mm, kk, ds = cb.shape
+    lut_fp = None
+    if query_vec is not None:
+        q = np.asarray(query_vec, dtype="float64").reshape(mm, ds)
+        lut_fp = np.round(
+            ((q[:, None, :] - cb) ** 2).sum(axis=2) * 10**ADC_FP_DP
+        ).astype(np.int64)  # (m, ksub)
+    bc = spark.sparkContext.broadcast((cb, lut_fp))
+    with_adc = lut_fp is not None
+    schema = "vid long, pq_codes array<int>, pq_rmse double" + (
+        ", adc_fp long" if with_adc else ""
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbv, lut = bc.value
+        mm2, kk2, ds2 = cbv.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _raw_matrix(pdf["cv"]).reshape(len(pdf), mm2, ds2)
+            codes = np.empty((len(pdf), mm2), dtype=np.int32)
+            recon = np.empty_like(x)
+            for j in range(mm2):
+                _, cl = _argmin_cells(x[:, j, :], cbv[j])
+                codes[:, j] = cl
+                recon[:, j, :] = cbv[j][cl]
+            err = np.round(
+                np.sqrt(
+                    ((x - recon) ** 2).reshape(len(pdf), -1).sum(axis=1)
+                    / (mm2 * ds2)
+                ),
+                4,
+            )
+            out = {
+                "vid": pdf["vid"],
+                "pq_codes": list(codes),
+                "pq_rmse": err,
+            }
+            if lut is not None:
+                out["adc_fp"] = lut[np.arange(mm2)[None, :], codes].sum(
+                    axis=1
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"),
+            as_double(vec_col).alias("cv"),
+        )
+        .mapInPandas(encode, schema)
+        .withColumnRenamed("vid", id_col)
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors per query by PQ asymmetric
+    distance: per Arrow batch, corpus vectors are encoded against the
+    broadcast codebooks and scored via each query's m x ksub
+    fixed-point LUT; only the local top-k per query leave the batch,
+    and the final window ranks the survivors. Distances ascend;
+    ``adc_fp = sum_j round(||q_j - cb[j][code_j]||^2 * 10^4)``, ties on
+    neighbor id. Returns (query_id, neighbor_id, adc_fp, rank).
+
+    Accuracy is the PQ trade: recall vs ``cosine_topk`` is bounded by
+    quantization error (tests pin top-1 self-retrieval and recall@k
+    against brute force on separable clusters); storage and scan cost
+    drop dim*4/m-fold."""
+    corpus = _nonempty_vecs(corpus, vec_col)
+    queries = _nonempty_vecs(queries, vec_col)
+    cb = np.asarray(codebooks, dtype="float64")
+    mm, kk, ds = cb.shape
+    q_pdf = _collect_query_side(
+        queries, id_col, vec_col, max_query_rows, "pq_adc_topk"
+    )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = _raw_matrix(q_pdf["qv"]).reshape(len(q_pdf), mm, ds)
+    # |Q| x m x ksub fixed-point LUTs, built once on the driver and
+    # broadcast (|Q|*m*ksub int64s — query-set sized, not corpus sized)
+    luts = np.round(
+        ((q_mat[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        * 10**ADC_FP_DP
+    ).astype(np.int64)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, luts, cb))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, luts_b, cbv = bq.value
+        mm2, kk2, ds2 = cbv.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_c = pdf["neighbor_id"].to_numpy()
+            x = _raw_matrix(pdf["cv"]).reshape(len(pdf), mm2, ds2)
+            codes = np.empty((len(pdf), mm2), dtype=np.int64)
+            for j in range(mm2):
+                _, codes[:, j] = _argmin_cells(x[:, j, :], cbv[j])
+            # dists[q, c] = sum_j luts[q, j, codes[c, j]]
+            gathered = luts_b[:, np.arange(mm2)[None, :], codes]
+            dists = gathered.sum(axis=2)  # |Q| x batch, int64
+            dists = dists.astype(np.float64)
+            dists[ids_q[:, None] == ids_c[None, :]] = np.inf  # mask self
+            kcut = min(k, dists.shape[1])
+            rows, cols, vals = [], [], []
+            for qi in range(dists.shape[0]):
+                part = np.argpartition(dists[qi], kcut - 1)[:kcut]
+                kth = dists[qi][part].max()
+                cand = np.nonzero(dists[qi] <= kth)[0]
+                order = cand[np.lexsort((ids_c[cand], dists[qi][cand]))][
+                    :kcut
+                ]
+                rows.extend([ids_q[qi]] * len(order))
+                cols.extend(order.tolist())
+                vals.extend(dists[qi][order].tolist())
+            cols = np.asarray(cols, dtype=np.int64)
+            vals = np.asarray(vals, dtype=np.float64)
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(rows, dtype=np.int64)[keep],
+                    "neighbor_id": ids_c[cols[keep]],
+                    "adc_fp": vals[keep].astype(np.int64),
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    )
+    scored = c.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, adc_fp long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_fp"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_fp", "rank")
+    )
