@@ -2127,10 +2127,43 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     order). The eigensolve stays driver-numpy on both sides (documented:
     float-summation-order inside LAPACK is not a cross-engine
     contract); what the registry verifies is that BOTH engines would
-    hand it bit-identical input."""
+    hand it bit-identical input.
+
+    Round-8 zero-slot promotion: PRODUCT QUANTIZATION (operators/pq.py
+    — the Jégou/Douze/Schmid scheme, trained end-to-end). ``pq_train``
+    learns m=4 subspace codebooks (ksub=4, 2 quantized Lloyd rounds,
+    quantize_dp=7, init = subvectors of the 4 lowest vec_ids) in one
+    corpus pass per round; every row then carries ``pq_codes_csv`` (its
+    4 subspace cell indices under the TRAINED codebooks),
+    ``pq_rmse`` (4dp reconstruction error), and ``pq_adc_fp`` — the
+    asymmetric distance to the lowest-vec_id query vector as a SUM OF
+    FIXED-POINT LUT ENTRIES (integer, order-free). DuckDB re-derives
+    the whole thing: both Lloyd rounds unrolled as MATERIALIZED CTEs
+    (4dp-rounded argmin with lowest-cell ties, 7dp-rounded means,
+    empty cells keeping the previous centroid verbatim), the final
+    assignment, the reconstruction error, and the ADC fold — the fifth
+    iterative trainer under the unrolled-CTE recipe, and the first
+    with data-parallel SUBSPACES inside each round."""
+    import numpy as np
+
+    from ..operators import pq as PQO
+
     emb = parallel_table(spark, sf, "embeddings")
     q = EB.quantize_embeddings(emb, "vec_id", "embedding")
     q = EB.quantization_error(q, "embedding", "qvec", "scale")
+    cbooks = PQO.pq_train(emb, m=4, ksub=4, n_iters=2)
+    q0 = np.asarray(
+        emb.orderBy("vec_id").limit(1).collect()[0]["embedding"],
+        dtype="float64",
+    )
+    pqe = PQO.pq_encode(emb, cbooks, query_vec=q0).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("pq_codes", lambda c: c.cast("string"))
+        ).alias("pq_codes_csv"),
+        "pq_rmse",
+        F.col("adc_fp").alias("pq_adc_fp"),
+    )
     mean, cov, _comps = EB.pca_fit(
         emb, "embedding", k=4, moment_dp=9, return_moments=True
     )
@@ -2159,6 +2192,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("m64", (F.col("vec_id") % 64).cast("int"))
         .join(F.broadcast(pm), "m64")
         .drop("m64")
+        .join(pqe, "vec_id")
         .orderBy("vec_id")
     )
 
@@ -2191,7 +2225,92 @@ pmom AS (SELECT g.i, g.j,
                   AS cov_ij
          FROM g2 g CROSS JOIN nn
          JOIN mu ma ON ma.dim = g.i
-         JOIN mu mb ON mb.dim = g.j)
+         JOIN mu mb ON mb.dim = g.j),
+-- ===== product quantization (round-8 zero slots): m=4 subspaces of 16
+-- dims, ksub=4, TWO quantized Lloyd rounds unrolled (operators/pq.py
+-- contract: 4dp-rounded squared-L2 argmin with lowest-cell ties,
+-- 7dp-rounded means, empty cells keep the previous centroid VERBATIM
+-- via the LEFT JOIN + COALESCE), then the trained-codebook encode,
+-- reconstruction error, and the fixed-point ADC fold =====
+psv AS MATERIALIZED (
+  SELECT vec_id, CAST((dim - 1) // 16 AS INTEGER) AS sub,
+         CAST((dim - 1) % 16 AS INTEGER) AS sd, x
+  FROM dd),
+pseed AS (SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cell
+          FROM v ORDER BY vec_id LIMIT 4),
+pcb0 AS MATERIALIZED (
+  SELECT s.cell, p.sub, p.sd, p.x AS c
+  FROM pseed s JOIN psv p USING (vec_id)),
+pd1 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.x - c.c) * (p.x - c.c)), 4) AS d2
+  FROM psv p JOIN pcb0 c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+pa1 AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM pd1) WHERE rn = 1),
+pm1 AS (SELECT a.sub, a.cell, p.sd, round(sum(p.x) / count(*), 7) AS c
+        FROM pa1 a JOIN psv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+        GROUP BY a.sub, a.cell, p.sd),
+pcb1 AS MATERIALIZED (
+  SELECT c0.sub, c0.cell, c0.sd, COALESCE(m.c, c0.c) AS c
+  FROM pcb0 c0 LEFT JOIN pm1 m
+    ON m.sub = c0.sub AND m.cell = c0.cell AND m.sd = c0.sd),
+pd2 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.x - c.c) * (p.x - c.c)), 4) AS d2
+  FROM psv p JOIN pcb1 c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+pa2 AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM pd2) WHERE rn = 1),
+pm2 AS (SELECT a.sub, a.cell, p.sd, round(sum(p.x) / count(*), 7) AS c
+        FROM pa2 a JOIN psv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+        GROUP BY a.sub, a.cell, p.sd),
+pcb2 AS MATERIALIZED (
+  SELECT c1.sub, c1.cell, c1.sd, COALESCE(m.c, c1.c) AS c
+  FROM pcb1 c1 LEFT JOIN pm2 m
+    ON m.sub = c1.sub AND m.cell = c1.cell AND m.sd = c1.sd),
+pd3 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.x - c.c) * (p.x - c.c)), 4) AS d2
+  FROM psv p JOIN pcb2 c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+penc AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM pd3) WHERE rn = 1),
+pcodes AS (SELECT vec_id,
+                  string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub)
+                    AS pq_codes_csv
+           FROM penc GROUP BY vec_id),
+prec AS (SELECT p.vec_id,
+                round(sqrt(sum((p.x - c.c) * (p.x - c.c)) / 64.0), 4)
+                  AS pq_rmse
+         FROM penc a
+         JOIN psv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+         JOIN pcb2 c ON c.sub = a.sub AND c.cell = a.cell AND c.sd = p.sd
+         GROUP BY p.vec_id),
+pq0 AS (SELECT sub, sd, x FROM psv
+        WHERE vec_id = (SELECT min(vec_id) FROM v)),
+plut AS (SELECT c.sub, c.cell,
+                CAST(round(sum((q0.x - c.c) * (q0.x - c.c)) * 10000)
+                     AS BIGINT) AS dfp
+         FROM pcb2 c JOIN pq0 q0 ON q0.sub = c.sub AND q0.sd = c.sd
+         GROUP BY c.sub, c.cell),
+padc AS (SELECT a.vec_id, CAST(sum(l.dfp) AS BIGINT) AS pq_adc_fp
+         FROM penc a JOIN plut l ON l.sub = a.sub AND l.cell = a.cell
+         GROUP BY a.vec_id)
 SELECT vec_id,
        CAST(len(qv) AS INTEGER) AS n_dims,
        sc AS scale,
@@ -2201,11 +2320,17 @@ SELECT vec_id,
              / greatest(len(e), 1)), 4) AS rmse,
        pii.mean_i AS pca_mean_i,
        pii.cov_ij AS pca_var_i,
-       pij.cov_ij AS pca_cov_ij
+       pij.cov_ij AS pca_cov_ij,
+       pc.pq_codes_csv,
+       pr.pq_rmse,
+       pa.pq_adc_fp
 FROM q
 JOIN pmom pii ON pii.i = vec_id % 64 + 1 AND pii.j = pii.i
 JOIN pmom pij ON pij.i = vec_id % 64 + 1
              AND pij.j = (31 * (vec_id % 64) + 7) % 64 + 1
+JOIN pcodes pc USING (vec_id)
+JOIN prec pr USING (vec_id)
+JOIN padc pa USING (vec_id)
 ORDER BY vec_id
 """
 

@@ -1,0 +1,152 @@
+"""Product quantization (operators/pq.py): training determinism,
+encode/reconstruction contracts, ADC exactness vs a pure-numpy
+reference, recall on separable clusters, and the x27 zero-slot
+promotion guards. The cross-engine pin itself lives in the registry
+oracle (plans/extensions.X27_SQL re-derives both Lloyd rounds, the
+encode, the reconstruction error and the ADC fold in DuckDB)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import mapreduce_stockheadlines_spark.operators.pq as PQ
+
+
+def _clustered(rng: np.random.RandomState, n_per: int = 20, dim: int = 8):
+    """Four well-separated clusters in every subspace: PQ with ksub=4
+    should reconstruct near-perfectly and ADC should rank same-cluster
+    vectors first. Ids interleave clusters (cluster = vec_id % 4) so the
+    deterministic lowest-id init seeds one centroid per cluster —
+    seeding all four cells inside ONE cluster would test Lloyd's
+    escape from a degenerate init, not the PQ contract."""
+    centers = np.array(
+        [[5.0] * dim, [-5.0] * dim, [5.0, -5.0] * (dim // 2),
+         [-5.0, 5.0] * (dim // 2)]
+    )
+    rows = []
+    for ci, c in enumerate(centers):
+        for i in range(n_per):
+            rows.append(
+                (i * 4 + ci, (c + rng.normal(0, 0.1, dim)).tolist())
+            )
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_pq_train_deterministic_across_partitionings(spark):
+    rng = np.random.RandomState(11)
+    df = _df(spark, _clustered(rng))
+    cb1 = PQ.pq_train(df, m=2, ksub=4, n_iters=2)
+    cb2 = PQ.pq_train(df.repartition(7), m=2, ksub=4, n_iters=2)
+    cb3 = PQ.pq_train(df.coalesce(1), m=2, ksub=4, n_iters=2)
+    assert cb1.shape == (2, 4, 4)
+    assert np.array_equal(cb1, cb2)
+    assert np.array_equal(cb1, cb3)
+    # quantized contract: every trained coordinate is on the 7dp grid
+    assert np.array_equal(cb1, np.round(cb1, 7))
+
+
+def test_pq_encode_codes_and_reconstruction(spark):
+    rng = np.random.RandomState(12)
+    rows = _clustered(rng)
+    df = _df(spark, rows)
+    cb = PQ.pq_train(df, m=2, ksub=4, n_iters=2)
+    enc = {r.vec_id: r for r in PQ.pq_encode(df, cb).collect()}
+    assert len(enc) == len(rows)
+    X = {i: np.asarray(v) for i, v in rows}
+    for vid, r in enc.items():
+        codes = list(r.pq_codes)
+        assert len(codes) == 2 and all(0 <= c < 4 for c in codes)
+        recon = np.concatenate([cb[j][codes[j]] for j in range(2)])
+        want = round(
+            float(np.sqrt(((X[vid] - recon) ** 2).sum() / 8)), 4
+        )
+        assert r.pq_rmse == pytest.approx(want, abs=1e-12)
+        # separable clusters + trained codebooks: tight reconstruction
+        assert r.pq_rmse < 0.5
+    # all four clusters map to distinct code pairs in each subspace
+    seen = {tuple(r.pq_codes) for r in enc.values()}
+    assert len(seen) == 4
+
+
+def test_pq_adc_matches_numpy_reference_exactly(spark):
+    """adc_fp is an INTEGER contract: sum over subspaces of
+    round(||q_j - cb[j][code_j]||^2 * 10^4). The Spark path must equal
+    a from-scratch numpy derivation bit-for-bit."""
+    rng = np.random.RandomState(13)
+    rows = _clustered(rng)
+    df = _df(spark, rows)
+    cb = PQ.pq_train(df, m=2, ksub=4, n_iters=2)
+    q0 = np.asarray(rows[0][1])
+    got = {
+        r.vec_id: (tuple(r.pq_codes), r.adc_fp)
+        for r in PQ.pq_encode(df, cb, query_vec=q0).collect()
+    }
+    qs = q0.reshape(2, 4)
+    lut = np.round(
+        ((qs[:, None, :] - cb) ** 2).sum(axis=2) * 10**4
+    ).astype(np.int64)
+    for vid, vec in rows:
+        x = np.asarray(vec).reshape(2, 4)
+        codes = []
+        for j in range(2):
+            d2 = np.round(((x[j] - cb[j]) ** 2).sum(axis=1), 4)
+            codes.append(int(np.argmin(d2)))
+        want_adc = int(lut[0, codes[0]] + lut[1, codes[1]])
+        assert got[vid] == (tuple(codes), want_adc), vid
+
+
+def test_pq_adc_topk_recall_on_separable_clusters(spark):
+    """ADC top-k retrieves same-cluster neighbors: with 4 clusters of
+    20 and k=5, every query's top-5 lives in its own cluster, distances
+    ascend, ranks are 1..5, and self is masked."""
+    rng = np.random.RandomState(14)
+    rows = _clustered(rng)
+    df = _df(spark, rows)
+    cb = PQ.pq_train(df, m=2, ksub=4, n_iters=2)
+    queries = df.filter("vec_id in (0, 25, 46, 71)")
+    out = PQ.pq_adc_topk(queries, df, cb, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 25, 46, 71}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != qid for r in rs)
+        dists = [r.adc_fp for r in rs]
+        assert dists == sorted(dists)
+        cluster = qid % 4
+        assert all(r.neighbor_id % 4 == cluster for r in rs)
+
+
+def test_pq_train_validates_inputs(spark):
+    rng = np.random.RandomState(15)
+    df = _df(spark, _clustered(rng))
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_train(df, m=3, ksub=4, n_iters=1)
+    with pytest.raises(ValueError, match="at least ksub"):
+        PQ.pq_train(df.filter("vec_id < 2"), m=2, ksub=4, n_iters=1)
+
+
+def test_x27_pq_columns_nondegenerate(spark, sf_dir):
+    """Promotion guard (VERDICT r7 #8) for the round-8 x27 zero slots:
+    the PQ code/distance columns must vary at the test SF, or the
+    registry hash would pin nothing."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x27_quantize_embeddings,
+    )
+
+    x27 = x27_quantize_embeddings(spark, sf_dir).localCheckpoint()
+    assert_column_nondegenerate(x27, "pq_codes_csv", f"at {sf_dir}")
+    assert_column_nondegenerate(x27, "pq_adc_fp", f"at {sf_dir}")
+    assert_column_nondegenerate(x27, "pq_rmse", f"at {sf_dir}")
