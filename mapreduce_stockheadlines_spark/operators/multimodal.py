@@ -3,20 +3,22 @@
 
 Two decode tiers. Formats with a pure-numpy decoder are decoded FOR REAL
 — PPM (P6, the netpbm raw-RGB format), uncompressed 24-bit BMP,
-8-bit non-interlaced PNG (stdlib ``zlib`` inflate + all five scanline
-filters) and Huffman JPEG — both baseline-sequential (marker parse,
-per-MCU Huffman entropy decode, dequant, 8x8 IDCT, chroma upsample,
-YCbCr→RGB) and PROGRESSIVE (SOF2: multi-scan spectral selection +
-successive approximation per T.81 annex G, coefficients accumulated
-across scans) — PNG + JPEG together cover the overwhelming majority of
-real crawl images — for images, RIFF 16-bit-PCM WAV for audio, all
-parseable with struct + frombuffer + zlib + numpy, no codec library —
-including real pixel/PCM features and a real nearest-neighbor resample
-(images) / windowed frame sampling (audio). Formats that genuinely need
-codec libraries (MP3/video, palette/16-bit/interlaced PNG, arithmetic
-or hierarchical JPEG) stay stubbed (deterministic fake derived
-from the content digest, or ``NotImplementedError`` in strict mode);
-GIF (LZW + palette, first frame) decodes for real since round 8.
+EVERY legal static PNG (stdlib ``zlib`` inflate + all five scanline
+filters; all five color types including palette, depths 1-16, Adam7
+interlacing — full since round 8) and Huffman JPEG — both
+baseline-sequential (marker parse, per-MCU Huffman entropy decode,
+dequant, 8x8 IDCT, chroma upsample, YCbCr→RGB) and PROGRESSIVE (SOF2:
+multi-scan spectral selection + successive approximation per T.81
+annex G, coefficients accumulated across scans) — PNG + JPEG together
+cover the overwhelming majority of real crawl images — for images,
+RIFF 16-bit-PCM WAV for audio, all parseable with struct + frombuffer
++ zlib + numpy, no codec library — including real pixel/PCM features
+and a real nearest-neighbor resample (images) / windowed frame
+sampling (audio). Formats that genuinely need codec libraries
+(MP3/video, arithmetic or hierarchical JPEG) stay stubbed
+(deterministic fake derived from the content digest, or
+``NotImplementedError`` in strict mode); GIF (LZW + palette, first
+frame) decodes for real since round 8.
 Either way the Spark-side plumbing is identical and real: binary schema,
 Arrow-batched ``mapInPandas``, per-batch vectorization,
 partition-preserving shape.
@@ -171,24 +173,115 @@ def _decode_bmp(content: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 interlace pass grid: (x_origin, y_origin, x_step, y_step)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_stride(width: int, channels: int, depth: int) -> int:
+    """Scanline byte length (excluding the filter byte)."""
+    return (width * channels * depth + 7) // 8
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, nrows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reverse the five spec filters (None/Sub/Up/Average/Paeth) over
+    ``nrows`` scanlines of ``stride`` bytes each, mod-256, with filter
+    delta ``bpp`` bytes (= ceil(channels*depth/8), the byte distance to
+    the pixel to the left). Returns the (nrows, stride) byte raster and
+    the position past the last line."""
+    out = np.empty((nrows, stride), dtype=np.uint8)
+    npix = stride // bpp  # exact: stride is a multiple of bpp, or bpp=1
+    prev = np.zeros((npix, bpp), dtype=np.int16)
+    for y in range(nrows):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        if f == 0:
+            cur = line.reshape(npix, bpp).astype(np.int16)
+        elif f == 2:  # Up — fully vectorized, mod-256 wrap
+            cur = (line.reshape(npix, bpp) + prev) & 0xFF
+        elif f == 1:  # Sub — per-byte-offset prefix sum mod 256
+            cur = (
+                np.cumsum(line.reshape(npix, bpp), axis=0, dtype=np.int64)
+                & 0xFF
+            ).astype(np.int16)
+        elif f == 3:  # Average — sequential in x, vectorized per pixel
+            enc = line.reshape(npix, bpp).astype(np.int16)
+            cur = np.empty_like(enc)
+            a = np.zeros(bpp, dtype=np.int16)
+            for x in range(npix):
+                a = (enc[x] + ((a + prev[x]) >> 1)) & 0xFF
+                cur[x] = a
+        elif f == 4:  # Paeth — sequential in x, vectorized per pixel
+            enc = line.reshape(npix, bpp).astype(np.int16)
+            cur = np.empty_like(enc)
+            a = np.zeros(bpp, dtype=np.int16)
+            c = np.zeros(bpp, dtype=np.int16)
+            for x in range(npix):
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (enc[x] + pr) & 0xFF
+                cur[x] = a
+                c = b
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8).reshape(-1)
+        prev = cur
+    return out, pos
+
+
+def _png_samples(
+    rows: np.ndarray, width: int, channels: int, depth: int
+) -> np.ndarray:
+    """Byte raster → (nrows, width, channels) uint8 samples: 16-bit
+    narrows to the high byte, sub-byte depths unpack MSB-first (raw
+    index/gray values, NOT yet scaled)."""
+    nrows = rows.shape[0]
+    if depth == 8:
+        return np.ascontiguousarray(
+            rows[:, : width * channels]
+        ).reshape(nrows, width, channels)
+    if depth == 16:
+        return np.ascontiguousarray(
+            rows.reshape(nrows, -1)[:, : 2 * width * channels : 2]
+        ).reshape(nrows, width, channels)
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(nrows, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (vals * weights).sum(axis=2).astype(np.uint8)
+    return v[:, :width].reshape(nrows, width, 1)
+
+
 def _decode_png(content: bytes) -> np.ndarray:
     """Pure stdlib-zlib/numpy PNG decode → uint8 (H, W, 3) RGB.
 
     Critical chunks only (CRCs not verified — a flipped bit shows up as
-    garbage pixels, same policy as the other decoders' tolerance), 8-bit
-    depth, non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha)
-    and 6 (RGBA) — the overwhelming majority of web PNGs outside palette
-    images. The single zlib stream is the concatenation of all IDAT
-    chunks; each inflated scanline leads with a filter byte and all five
-    filters (None/Sub/Up/Average/Paeth) are reversed per the spec's
-    mod-256 arithmetic. Gray replicates to 3 channels and alpha is
-    dropped (features/pHash operate on color, not coverage). Palette
-    (type 3), 16-bit and interlaced PNGs raise ValueError — valid files
-    this tier cannot read, routed to the digest stub in non-strict mode.
+    garbage pixels, same policy as the other decoders' tolerance).
+    Since round 8 the tier reads EVERY legal static PNG: color types 0
+    (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA);
+    every legal bit depth (1/2/4/8/16 — 16-bit narrows to the high
+    byte, sub-byte gray scales by exact bit replication: ×255, ×85,
+    ×17); and both interlace methods (none / Adam7's seven passes, each
+    independently filtered). The single zlib stream is the
+    concatenation of all IDAT chunks; each inflated scanline leads with
+    a filter byte and all five filters (None/Sub/Up/Average/Paeth) are
+    reversed per the spec's mod-256 arithmetic with the
+    ceil(channels·depth/8)-byte pixel delta. Gray replicates to 3
+    channels and alpha is dropped (features/pHash operate on color, not
+    coverage). Decompression stays bounded by the IHDR-derived raster
+    size (decompression-bomb guard).
     """
     if len(content) < 8 or not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG (missing signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(content):
         (clen,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
@@ -197,6 +290,8 @@ def _decode_png(content: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -207,15 +302,34 @@ def _decode_png(content: bytes) -> np.ndarray:
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_)
-    if channels is None:
-        raise ValueError("palette PNG unsupported")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("malformed PNG IHDR methods")
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if ctype_ not in legal_depths or depth not in legal_depths[ctype_]:
+        raise ValueError(
+            f"illegal PNG depth/color combination ({depth}, {ctype_})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_]
+    if ctype_ == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     if w == 0 or h == 0:
         raise ValueError("empty PNG")
-    stride = w * channels
-    want = h * (stride + 1)
+    bpp = max(1, channels * depth // 8)
+    if interlace:
+        passes = [
+            (x0, y0, dx, dy, -(-(w - x0) // dx), -(-(h - y0) // dy))
+            for x0, y0, dx, dy in _PNG_ADAM7
+        ]
+        passes = [p for p in passes if p[4] > 0 and p[5] > 0]
+    else:
+        passes = [(0, 0, 1, 1, w, h)]
+    want = sum(
+        ph * (1 + _png_stride(pw, channels, depth))
+        for _, _, _, _, pw, ph in passes
+    )
     # bounded inflate: the raster size is known from IHDR, so cap the
     # decompressed output at it — an adversarial decompression-bomb
     # PNG (tiny IDAT inflating to GBs) must reject as a ValueError the
@@ -230,88 +344,59 @@ def _decode_png(content: bytes) -> np.ndarray:
         raise ValueError("truncated PNG raster")
     if overflow:
         raise ValueError("PNG raster exceeds IHDR-declared size")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros((w, channels), dtype=np.int16)
+    samples = np.zeros((h, w, channels), dtype=np.uint8)
     pos = 0
-    for y in range(h):
-        f = raw[pos]
-        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
-        pos += 1 + stride
-        if f == 0:
-            cur = line.reshape(w, channels).astype(np.int16)
-        elif f == 2:  # Up — fully vectorized, mod-256 wrap
-            cur = (line.reshape(w, channels) + prev) & 0xFF
-        elif f == 1:  # Sub — per-channel prefix sum mod 256
-            cur = (
-                np.cumsum(line.reshape(w, channels), axis=0, dtype=np.int64)
-                & 0xFF
-            ).astype(np.int16)
-        elif f == 3:  # Average — sequential in x, vectorized per pixel
-            enc = line.reshape(w, channels).astype(np.int16)
-            cur = np.empty_like(enc)
-            a = np.zeros(channels, dtype=np.int16)
-            for x in range(w):
-                a = (enc[x] + ((a + prev[x]) >> 1)) & 0xFF
-                cur[x] = a
-        elif f == 4:  # Paeth — sequential in x, vectorized per pixel
-            enc = line.reshape(w, channels).astype(np.int16)
-            cur = np.empty_like(enc)
-            a = np.zeros(channels, dtype=np.int16)
-            c = np.zeros(channels, dtype=np.int16)
-            for x in range(w):
-                b = prev[x]
-                p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pr = np.where(
-                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                )
-                a = (enc[x] + pr) & 0xFF
-                cur[x] = a
-                c = b
-        else:
-            raise ValueError(f"unknown PNG filter {f}")
-        out[y] = cur.astype(np.uint8).reshape(-1)
-        prev = cur.astype(np.int16)
-    px = out.reshape(h, w, channels)
-    if channels == 1:
-        return np.repeat(px, 3, axis=2)
-    if channels == 2:
-        return np.repeat(px[..., :1], 3, axis=2)
-    if channels == 4:
-        return np.ascontiguousarray(px[..., :3])
-    return px
-
-
-def _encode_png(
-    px: np.ndarray, filter_type: int = 0, color_type: int = 2
-) -> bytes:
-    """Minimal PNG encoder for tests and round-trips: one zlib stream,
-    every scanline under ``filter_type`` (all five spec filters 0-4),
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) — exactly
-    the decoder's supported set. Input shape must match the color
-    type's channel count ((h, w) or (h, w, 1) for gray, else (h, w, c));
-    a 2-D input with the default ``color_type=2`` replicates to RGB for
-    backward compatibility."""
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    a = px.astype(np.uint8)
-    if a.ndim == 2:
-        a = a[..., None]
-        if color_type == 2:
-            a = np.repeat(a, 3, axis=2)
-    if a.shape[2] != channels:
-        raise ValueError(
-            f"color type {color_type} needs {channels} channels, "
-            f"got {a.shape[2]}"
+    for x0, y0, dx, dy, pw, ph in passes:
+        rows, pos = _png_unfilter(
+            raw, pos, ph, _png_stride(pw, channels, depth), bpp
         )
-    h, w = a.shape[:2]
-    bpp = channels  # bytes per pixel at depth 8
-    raster = a.reshape(h, w * channels).astype(np.int16)
-    prev = np.zeros(w * channels, dtype=np.int16)
-    rows = []
-    for y in range(h):
-        cur = raster[y]
+        samples[y0::dy, x0::dx] = _png_samples(rows, pw, channels, depth)
+    if ctype_ == 3:
+        if int(samples.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(pal[samples[..., 0]])
+    if ctype_ == 0 and depth < 8:
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    if channels == 1:
+        return np.repeat(samples, 3, axis=2)
+    if channels == 2:
+        return np.repeat(samples[..., :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(samples[..., :3])
+    return samples
+
+
+def _png_pack_rows(
+    sub: np.ndarray, depth: int
+) -> np.ndarray:
+    """(ph, pw, channels) samples → (ph, stride) byte raster: 16-bit
+    big-endian pairs, 8-bit as-is, sub-byte packed MSB-first with
+    zero-padded scanline tails."""
+    ph, pw, ch = sub.shape
+    if depth == 8:
+        return sub.astype(np.uint8).reshape(ph, pw * ch)
+    if depth == 16:
+        b = sub.astype(np.uint16)
+        return np.stack(
+            [(b >> 8).astype(np.uint8), (b & 0xFF).astype(np.uint8)],
+            axis=-1,
+        ).reshape(ph, pw * ch * 2)
+    v = sub.astype(np.uint8).reshape(ph, pw)
+    bits = (
+        (v[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(ph, pw * depth)
+    return np.packbits(bits, axis=1)  # zero-pads the tail
+
+
+def _png_filter_rows(
+    rows: np.ndarray, filter_type: int, bpp: int
+) -> bytes:
+    """Apply one spec filter to every scanline of a byte raster (the
+    encoder half of ``_png_unfilter``; mod-256, ``bpp``-byte delta)."""
+    out = []
+    prev = np.zeros(rows.shape[1], dtype=np.int16)
+    for y in range(rows.shape[0]):
+        cur = rows[y].astype(np.int16)
         left = np.zeros_like(cur)
         left[bpp:] = cur[:-bpp]
         if filter_type == 0:
@@ -337,10 +422,60 @@ def _encode_png(
             enc = cur - pred
         else:
             raise ValueError(f"unknown PNG filter {filter_type}")
-        rows.append(
+        out.append(
             bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes()
         )
         prev = cur
+    return b"".join(out)
+
+
+def _encode_png(
+    px: np.ndarray,
+    filter_type: int = 0,
+    color_type: int = 2,
+    depth: int = 8,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG encoder for tests and round-trips, covering exactly
+    the decoder's matrix: color types 0/2/3/4/6, depths 1/2/4/8/16,
+    optional Adam7 interlacing, every scanline under ``filter_type``
+    (all five spec filters 0-4). Input is the SAMPLE array — (h, w) or
+    (h, w, 1) for gray/palette (palette indices with ``palette`` as the
+    (n, 3) color table; sub-byte gray in 0..2^depth-1; 16-bit as
+    uint16), (h, w, channels) otherwise; a 2-D input with the default
+    ``color_type=2`` replicates to RGB for backward compatibility."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG needs the palette argument")
+    a = px.astype(np.uint16 if depth == 16 else np.uint8)
+    if a.ndim == 2:
+        a = a[..., None]
+        if color_type == 2:
+            a = np.repeat(a, 3, axis=2)
+    if a.shape[2] != channels:
+        raise ValueError(
+            f"color type {color_type} needs {channels} channels, "
+            f"got {a.shape[2]}"
+        )
+    h, w = a.shape[:2]
+    bpp = max(1, channels * depth // 8)
+    if interlace:
+        passes = [
+            (x0, y0, dx, dy)
+            for x0, y0, dx, dy in _PNG_ADAM7
+            if x0 < w and y0 < h
+        ]
+    else:
+        passes = [(0, 0, 1, 1)]
+    body = b"".join(
+        _png_filter_rows(
+            _png_pack_rows(a[y0::dy, x0::dx], depth), filter_type, bpp
+        )
+        for x0, y0, dx, dy in passes
+    )
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -350,11 +485,19 @@ def _encode_png(
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    plte = (
+        chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if color_type == 3
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + plte
+        + chunk(b"IDAT", zlib.compress(body))
         + chunk(b"IEND", b"")
     )
 
@@ -1941,7 +2084,7 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas``.
 
     Rows whose mime has a pure-numpy decoder (``REAL_DECODERS``: PPM P6,
-    uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib zlib,
+    uncompressed 24-bit BMP, every legal static PNG via stdlib zlib,
     baseline-sequential AND progressive Huffman JPEG, GIF87a/89a) are
     decoded for real — header-parsed width/height and an 8-dim
     pixel-statistics feature. Other mimes use the deterministic
@@ -1954,10 +2097,10 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     def decode_one(content, mime) -> tuple[int, int, int, list[float]]:
         decoder = REAL_DECODERS.get(mime)
         if decoder is not None:
-            # valid-magic files the tier can't read (palette/16-bit/
-            # interlaced PNG, 16-bit PPM, RLE BMP) and corrupt blobs
-            # must not kill the task in non-strict mode — digest stub,
-            # same contract as the audio tier below
+            # valid-magic files the tier can't read (16-bit PPM, RLE
+            # BMP, arithmetic JPEG) and corrupt blobs must not kill the
+            # task in non-strict mode — digest stub, same contract as
+            # the audio tier below
             try:
                 px = decoder(content)
             except (ValueError, struct.error, TypeError):

@@ -397,8 +397,9 @@ def test_multimodal_real_png_decode(spark):
     non-interlaced gray/RGB/RGBA with all five scanline filters decode
     to known pixels through the full Arrow mapInPandas path; the pHash
     of a PNG and a BMP encoding of the SAME pixels agree (hamming ≤ 2);
-    palette PNGs (valid files this tier can't read) fall back to the
-    digest stub non-strict and raise in strict mode."""
+    a PLTE-less palette PNG is MALFORMED and falls back to the digest
+    stub non-strict / raises in strict mode (well-formed palette PNGs
+    decode for real since round 8 — see the matrix property test)."""
     import struct as _struct
     import zlib as _zlib
 
@@ -501,14 +502,15 @@ def test_multimodal_real_png_decode(spark):
     with pytest.raises(ValueError):
         M._decode_png(bomb)
 
-    # palette PNG: digest stub non-strict, loud in strict mode
+    # PLTE-less palette PNG is malformed: digest stub non-strict, loud
+    # in strict mode (a WELL-FORMED palette PNG decodes for real below)
     ppng = (
         M._PNG_SIG
         + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
         + chunk(b"IDAT", _zlib.compress(b"\x00" * 5 * 4))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="PLTE"):
         M._decode_png(ppng)
     pal = spark.createDataFrame(
         [(9, bytearray(ppng), M.MIME_PNG)], schema=M.MEDIA_SCHEMA
@@ -518,6 +520,23 @@ def test_multimodal_real_png_decode(spark):
     assert (stub.width, stub.height, stub.n_frames) == want[:3]
     with pytest.raises(Exception):  # ValueError surfaces as PythonException
         M.decode_media(pal, strict=True).collect()
+
+    # well-formed palette PNG (round 8): real decode through strict
+    # decode_media — indices map through PLTE to exact known colors
+    plt = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250],
+                    [200, 200, 200]], np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], np.uint8)
+    good = M._encode_png(idx, color_type=3, depth=2, palette=plt,
+                         interlace=True)
+    assert np.array_equal(M._decode_png(good), plt[idx])
+    gdf = spark.createDataFrame(
+        [(10, bytearray(good), M.MIME_PNG)], schema=M.MEDIA_SCHEMA
+    )
+    r = M.decode_media(gdf, strict=True).collect()[0]
+    assert (r.width, r.height) == (4, 3)
+    assert r.feature == pytest.approx(
+        M._pixel_feature(plt[idx]), rel=1e-6
+    )
 
 
 def test_multimodal_detect_mime_and_sniffed_decode(spark):

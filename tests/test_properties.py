@@ -774,6 +774,82 @@ def test_png_roundtrip_all_filters_and_color_types(h, w, filt, ctype, seed):
 
 
 @given(
+    h=st.integers(1, 21),
+    w=st.integers(1, 21),
+    filt=st.integers(0, 4),
+    depth=st.sampled_from([1, 2, 4, 8, 16]),
+    ctype=st.sampled_from([0, 2, 3, 4, 6]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_png_full_matrix_roundtrip(h, w, filt, depth, ctype, interlace,
+                                   seed):
+    """Property (round 8): the PNG tier reads EVERY legal static PNG —
+    all five color types (palette via PLTE), every legal bit depth
+    (16-bit narrows to the high byte, sub-byte gray scales by exact bit
+    replication), Adam7 interlacing, all five filters, any shape
+    including the degenerate 1-pixel edge where most Adam7 passes are
+    empty. Illegal depth/color combinations are redrawn to the nearest
+    legal one so every example exercises a real file. Pure codec, no
+    Spark."""
+    import numpy as np
+
+    import mapreduce_stockheadlines_spark.operators.multimodal as M
+
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if depth not in legal[ctype]:
+        depth = 8
+    rng = np.random.RandomState(seed)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if ctype == 3:
+        n = 1 << depth
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        out = M._decode_png(
+            M._encode_png(idx, filter_type=filt, color_type=3,
+                          depth=depth, palette=pal, interlace=interlace)
+        )
+        want = pal[idx]
+    elif depth == 16:
+        px = rng.randint(0, 65536, (h, w, channels)).astype(np.uint16)
+        out = M._decode_png(
+            M._encode_png(px[..., 0] if channels == 1 else px,
+                          filter_type=filt, color_type=ctype, depth=16,
+                          interlace=interlace)
+        )
+        hi = (px >> 8).astype(np.uint8)
+        want = (
+            np.repeat(hi[..., :1], 3, axis=2)
+            if ctype in (0, 4) else hi[..., :3]
+        )
+    elif depth < 8:  # sub-byte gray
+        mx = (1 << depth) - 1
+        g = rng.randint(0, mx + 1, (h, w)).astype(np.uint8)
+        out = M._decode_png(
+            M._encode_png(g, filter_type=filt, color_type=0,
+                          depth=depth, interlace=interlace)
+        )
+        want = np.repeat(
+            (g * (255 // mx))[..., None], 3, axis=2
+        )
+    else:
+        px = rng.randint(0, 256, (h, w, channels)).astype(np.uint8)
+        out = M._decode_png(
+            M._encode_png(px[..., 0] if channels == 1 else px,
+                          filter_type=filt, color_type=ctype,
+                          interlace=interlace)
+        )
+        want = (
+            np.repeat(px[..., :1], 3, axis=2)
+            if ctype in (0, 4) else px[..., :3]
+        )
+    assert out.shape == (h, w, 3)
+    assert (out == want).all(), (h, w, filt, depth, ctype, interlace)
+
+
+@given(
     h=st.integers(1, 24),
     w=st.integers(1, 24),
     n_colors=st.sampled_from([1, 2, 5, 16, 97, 256]),
