@@ -325,3 +325,212 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_fp", "rank")
     )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    pq_iters: int = 2,
+    quantize_dp: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the two-level IVFPQ index (Jégou et al. §V / Faiss
+    ``IndexIVFPQ``): a coarse spherical-k-means quantizer over the
+    L2-normalized corpus (``similarity.kmeans_centroids``, the shared
+    x18 contract) plus PQ codebooks over the RESIDUALS
+    ``x_norm - coarse[cell(x)]`` — residual encoding is what makes the
+    fine quantizer spend its bits on within-cell structure instead of
+    re-describing the cell location. Returns
+    ``(coarse (n_centroids, dim), codebooks (m, ksub, dim/m))``.
+
+    Cost shape: coarse training is one corpus pass per Lloyd round;
+    residual PQ training adds one assignment+subtract projection feeding
+    ``pq_train``'s one-pass-per-round loop. Centroids/codebooks only
+    ever move driver->executor as broadcasts; the corpus never
+    shuffles."""
+    from .similarity import kmeans_centroids
+
+    corpus = _nonempty_vecs(corpus, vec_col)
+    coarse = kmeans_centroids(
+        corpus, id_col, vec_col, k=n_centroids, n_iters=coarse_iters,
+        quantize_dp=quantize_dp,
+    )
+    residuals = _ivfpq_residuals(corpus, coarse, id_col, vec_col)
+    codebooks = pq_train(
+        residuals, id_col, "residual", m=m, ksub=ksub, n_iters=pq_iters,
+        quantize_dp=quantize_dp,
+    )
+    return coarse, codebooks
+
+
+def _ivfpq_residuals(
+    corpus: DataFrame, coarse: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell, residual): normalized vector minus its coarse centroid
+    under the shared 4dp-argmax assignment contract. One broadcast
+    Arrow projection, no shuffle."""
+    from .similarity import _argmax_cells, _to_matrix
+
+    spark = corpus.sparkSession
+    cmat = np.asarray(coarse, dtype="float64")
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mnorm = _to_matrix(pdf["cv"])
+            _, cl = _argmax_cells(mnorm, cm)
+            res = mnorm - cm[cl]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cell": cl.astype("int32"),
+                    "residual": list(res),
+                }
+            )
+
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"),
+            as_double(vec_col).alias("cv"),
+        )
+        .mapInPandas(project, "vid long, cell int, residual array<double>")
+        .withColumnRenamed("vid", id_col)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """IVFPQ serving: probe the ``n_probe`` coarse cells nearest each
+    query, ADC-score ONLY rows in probed cells from their PQ codes —
+    the corpus is pruned to ~n_probe/n_centroids of its rows before any
+    distance work, and each scored row costs m table lookups instead of
+    a dim-length dot product. Returns (query_id, neighbor_id, adc_fp,
+    rank), adc_fp ascending (fixed-point squared L2 of the query
+    residual to the candidate's reconstructed residual, the
+    (query, cell)-dependent LUT sum).
+
+    Plan shape: one Arrow pass assigns + residual-encodes the corpus
+    (broadcast coarse + codebooks); the probe table (|Q| x n_probe) and
+    the per-(query, probed-cell) LUTs (|Q| x n_probe x m x ksub int64s
+    — query-set sized) broadcast; candidates flow cell-join -> LUT
+    rescore -> per-query top-k window. Recall < 1 by construction
+    (pinned by property tests against ``cosine_topk``); no oracle-SQL
+    entry — the PQ arithmetic itself is registry-pinned via x27."""
+    from .similarity import _argmax_cells, _to_matrix
+
+    spark = corpus.sparkSession
+    corpus = _nonempty_vecs(corpus, vec_col)
+    queries = _nonempty_vecs(queries, vec_col)
+    cmat = np.asarray(coarse, dtype="float64")
+    cb = np.asarray(codebooks, dtype="float64")
+    mm, kk, ds = cb.shape
+    benc = spark.sparkContext.broadcast((cmat, cb))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm, cbv = benc.value
+        mm2, _, ds2 = cbv.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mnorm = _to_matrix(pdf["cv"])
+            _, cl = _argmax_cells(mnorm, cm)
+            res = (mnorm - cm[cl]).reshape(len(pdf), mm2, ds2)
+            codes = np.empty((len(pdf), mm2), dtype=np.int32)
+            for j in range(mm2):
+                _, codes[:, j] = _argmin_cells(res[:, j, :], cbv[j])
+            yield pd.DataFrame(
+                {
+                    "cell": cl.astype("int32"),
+                    "neighbor_id": pdf["neighbor_id"],
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).mapInPandas(enc, "cell int, neighbor_id long, codes array<int>")
+
+    q_pdf = _collect_query_side(
+        queries, id_col, vec_col, max_query_rows, "ivfpq_topk"
+    )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_raw = np.array(list(q_pdf["qv"]), dtype=np.float64)
+    norms = np.linalg.norm(q_raw, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    q_mat = q_raw / norms
+    # deterministic probe sets: the ivf_topk contract (4dp round +
+    # stable argsort, lowest cell index on ties)
+    probe_order = np.argsort(
+        -np.round(q_mat @ cmat.T, 4), axis=1, kind="stable"
+    )[:, :n_probe]
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(c))
+            for qid, row in zip(q_ids, probe_order)
+            for c in row
+        ],
+        "query_id long, cell int",
+    )
+    # per-(query, probed cell) residual LUTs, fixed-point
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    for qi, qid in enumerate(q_ids):
+        for c in probe_order[qi]:
+            rq = (q_mat[qi] - cmat[int(c)]).reshape(mm, ds)
+            luts[(int(qid), int(c))] = np.round(
+                ((rq[:, None, :] - cb) ** 2).sum(axis=2) * 10**ADC_FP_DP
+            ).astype(np.int64)
+    blut = spark.sparkContext.broadcast(luts)
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = blut.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            adc = np.empty(len(pdf), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            qids = pdf["query_id"].to_numpy()
+            idx = np.arange(codes.shape[1])
+            for i in range(len(pdf)):
+                adc[i] = int(
+                    table[(int(qids[i]), int(cells[i]))][idx, codes[i]].sum()
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc_fp": adc,
+                }
+            )
+
+    candidates = encoded.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = candidates.select(
+        "query_id", "cell", "neighbor_id", "codes"
+    ).mapInPandas(rescore, "query_id long, neighbor_id long, adc_fp long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_fp"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_fp", "rank")
+    )

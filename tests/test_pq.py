@@ -150,3 +150,112 @@ def test_x27_pq_columns_nondegenerate(spark, sf_dir):
     assert_column_nondegenerate(x27, "pq_codes_csv", f"at {sf_dir}")
     assert_column_nondegenerate(x27, "pq_adc_fp", f"at {sf_dir}")
     assert_column_nondegenerate(x27, "pq_rmse", f"at {sf_dir}")
+
+
+def _norm(v):
+    n = np.linalg.norm(v)
+    return v / (n or 1.0)
+
+
+def test_ivfpq_trains_residual_codebooks_and_recalls(spark):
+    """IVFPQ end-to-end: coarse spherical k-means + PQ on residuals;
+    serving probes nearest cells and ADC-ranks candidates. On four
+    well-separated noisy clusters, top-3 per query stays within the
+    query's cluster and every returned neighbor is NEAR-OPTIMAL: its
+    true cosine similarity is within quantization tolerance of the
+    exact top-3 cut (PQ may legitimately reorder near-ties inside a
+    tight cluster — item-exact equality is asserted separately on the
+    duplicate-vector corpus where ADC is provably exact)."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = _clustered(rng, n_per=15)
+    df = _df(spark, rows)
+    coarse, cb = PQ.ivfpq_train(
+        df, n_centroids=4, coarse_iters=2, m=2, ksub=4, pq_iters=2
+    )
+    assert coarse.shape == (4, 8) and cb.shape == (2, 4, 4)
+    # residual codebooks describe WITHIN-cell structure: much smaller
+    # magnitude than the coarse centroids they sit on
+    assert np.abs(cb).max() < np.abs(coarse).max()
+    queries = df.filter("vec_id in (0, 1, 2, 3)")
+    got = PQ.ivfpq_topk(queries, df, coarse, cb, k=3, n_probe=1).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    exact_cut = {}  # worst true sim inside the exact top-3
+    for r in cosine_topk(queries, df, k=3).collect():
+        exact_cut[r.query_id] = min(
+            exact_cut.get(r.query_id, 1.0), r.sim
+        )
+    X = {i: _norm(np.asarray(v)) for i, v in rows}
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert all(r.neighbor_id % 4 == qid % 4 for r in rs)
+        dists = [r.adc_fp for r in rs]
+        assert dists == sorted(dists)
+        for r in rs:
+            true_sim = float(X[qid] @ X[r.neighbor_id])
+            assert true_sim >= exact_cut[qid] - 2e-3, (qid, r)
+
+
+def test_ivfpq_exact_on_duplicate_vector_clusters(spark):
+    """Zero-residual corpus (each cluster is one vector repeated): the
+    coarse centroids land exactly on the cluster points, residuals
+    vanish, ADC distances are EXACT, and ivfpq_topk's output equals
+    cosine_topk's item-for-item including the id-ascending tie order."""
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    dim = 8
+    centers = [[5.0] * dim, [-5.0] * dim, [5.0, -5.0] * 4,
+               [-5.0, 5.0] * 4]
+    rows = [
+        (i * 4 + ci, list(centers[ci]))
+        for ci in range(4)
+        for i in range(12)
+    ]
+    df = _df(spark, rows)
+    coarse, cb = PQ.ivfpq_train(df, n_centroids=4, m=2, ksub=4)
+    # residuals vanish up to the coarse centroids' 7dp quantization
+    # residue (|x_norm - round(x_norm, 7)| <= 5e-8), so every ADC LUT
+    # entry rounds to 0 and the ranking is exact
+    assert np.abs(cb).max() < 1e-6
+    queries = df.filter("vec_id in (0, 1, 2, 3)")
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in PQ.ivfpq_topk(queries, df, coarse, cb, k=4,
+                               n_probe=1).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk(queries, df, k=4).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_deterministic_across_partitionings(spark):
+    rng = np.random.RandomState(22)
+    rows = _clustered(rng, n_per=10)
+    df = _df(spark, rows)
+    coarse1, cb1 = PQ.ivfpq_train(df, n_centroids=4, m=2, ksub=4)
+    coarse2, cb2 = PQ.ivfpq_train(
+        df.repartition(9), n_centroids=4, m=2, ksub=4
+    )
+    assert np.array_equal(coarse1, coarse2)
+    assert np.array_equal(cb1, cb2)
+    q = df.filter("vec_id in (0, 5)")
+    a = sorted(
+        map(tuple, PQ.ivfpq_topk(q, df, coarse1, cb1, k=4,
+                                 n_probe=2).collect())
+    )
+    b = sorted(
+        map(tuple, PQ.ivfpq_topk(q, df.repartition(9), coarse1, cb1,
+                                 k=4, n_probe=2).collect())
+    )
+    assert a == b
