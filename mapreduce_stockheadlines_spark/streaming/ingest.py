@@ -827,6 +827,47 @@ def kmeans_ingest_sink(
     )
 
 
+def pq_ingest_sink(
+    codebooks,
+    artifact_dir: str,
+    vec_col: str = "embedding",
+    fp_dp: int = 6,
+):
+    """foreachBatch function: maintain the PQ index's moment artifact
+    over an embedding stream — ``kmeans_ingest_sink`` generalized to
+    product-quantization subspaces. Each micro-batch assigns its
+    subvectors to the FROZEN codebooks (broadcast, one Arrow pass,
+    ≤ m×ksub×dsub rows out; operators/pq.pq_moment_partials) and the
+    fixed-point (sub, cell, dim) sums + counts fold by EXACT BIGINT
+    addition into a versioned artifact (merge == build-of-union
+    row-for-row), so ``pq.pq_refit`` can roll the codebooks to their
+    next Lloyd update at any point from m×ksub×dsub numbers — the
+    stream itself is never re-read. Replay/crash contract:
+    ``_artifact_fold_sink``; one artifact GENERATION per codebook
+    generation (pq_refit shape-validates foreign artifacts)."""
+    import numpy as np
+
+    from ..operators.pq import pq_moment_partials
+
+    cb = np.asarray(codebooks, dtype="float64")
+
+    def fold(ex: DataFrame | None, inc: DataFrame) -> DataFrame:
+        if ex is None:
+            return inc
+        return (
+            ex.unionByName(inc)
+            .groupBy("sub", "cell", "dim")
+            .agg(F.sum("s_fp").alias("s_fp"), F.sum("n").alias("n"))
+        )
+
+    return _artifact_fold_sink(
+        artifact_dir,
+        ["sub", "cell", "dim", "s_fp", "n"],
+        lambda b: pq_moment_partials(b, cb, vec_col, fp_dp),
+        fold,
+    )
+
+
 def census_ingest_sink(
     build_fn,
     key_cols: list[str],

@@ -642,3 +642,57 @@ def test_kmeans_ingest_sink_moment_fold_and_refit(spark, sf_dir, tmp_path):
     # quantized Lloyd round (same assignment contract, float sums)
     r_float = kmeans_centroids(emb, k=8, n_iters=2, quantize_dp=7)
     assert np.allclose(r_stream, r_float, atol=5e-5)
+
+
+def test_pq_ingest_sink_moment_fold_and_refit(spark, sf_dir, tmp_path):
+    """Streaming PQ index maintenance (the kmeans moment-sink algebra
+    generalized over subspaces): the (sub, cell, dim) fixed-point
+    artifact folds batches by exact BIGINT addition — replay is a
+    no-op, merge == build-of-union row-for-row — and pq_refit rolls
+    the frozen codebooks to their next Lloyd update BIT-identically
+    from the folded artifact and from a from-scratch single-shot
+    build; the roll also lands within fixed-point resolution of the
+    float trainer's next quantized round. Foreign/corrupt artifacts
+    fail loudly."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators.pq import (
+        pq_moment_partials,
+        pq_refit,
+        pq_train,
+    )
+    from mapreduce_stockheadlines_spark.sources.versioned import read_table
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        pq_ingest_sink,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, ksub=4, n_iters=1, quantize_dp=7)
+    art = str(tmp_path / "pqmoments")
+    sink = pq_ingest_sink(cb, art)
+    sink(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    sink(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    sink(emb.filter(F.col("vec_id") % 2 == 1), 1)  # replay: no-op
+
+    cols = ["sub", "cell", "dim", "s_fp", "n"]
+    folded = sorted(
+        map(tuple, read_table(spark, art).select(*cols).collect())
+    )
+    whole = sorted(map(tuple, pq_moment_partials(emb, cb).collect()))
+    assert folded == whole  # merge == build-of-union, exactly
+
+    r_stream = pq_refit(read_table(spark, art).select(*cols), cb)
+    r_batch = pq_refit(pq_moment_partials(emb, cb), cb)
+    assert np.array_equal(r_stream, r_batch)  # bit-identical roll
+    r_float = pq_train(emb, m=4, ksub=4, n_iters=2, quantize_dp=7)
+    assert np.allclose(r_stream, r_float, atol=5e-5)
+
+    # foreign artifact (different geometry) fails loudly, not garbage
+    cb_other = pq_train(emb, m=2, ksub=4, n_iters=1)
+    with pytest.raises(ValueError, match="different index"):
+        pq_refit(read_table(spark, art).select(*cols), cb_other)
+    # corrupt artifact: duplicated (sub, cell, dim) row
+    dup = read_table(spark, art).select(*cols)
+    with pytest.raises(ValueError, match="duplicate|partial"):
+        pq_refit(dup.unionByName(dup.limit(1)), cb)
