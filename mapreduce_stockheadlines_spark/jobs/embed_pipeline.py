@@ -9,17 +9,23 @@ jobs/pipeline.py (text side).
                              --sem-threshold)
       → int8 quantization   (optional: symmetric max-abs codes + scale +
                              per-vector reconstruction RMSE — --quantize)
-      → IVF index build     (optional: distributed Lloyd training, the
+      → ANN index build     (optional: distributed Lloyd training, the
                              centroid matrix persisted as parquet next to
-                             the corpus, per-vector cell assignments in
-                             the output — --build-index)
+                             the corpus — --build-index; with
+                             --index-type ivfpq also trains PQ codebooks
+                             on the cell residuals and persists them to
+                             <out>/pq_codebooks, the Faiss-IndexIVFPQ
+                             layout)
       → corpus parquet      (survivors with whatever columns the stages
                              added)
 
 ``search`` mode serves approximate top-k from a built index: it loads
 the persisted centroid matrix (tiny — k×dim), takes query vectors by id
-from the corpus, and runs the IVF probe-and-rescore with NO training
-pass — the serve path of an offline-built ANN index.
+from the corpus, and runs the probe-and-rescore with NO training pass —
+the serve path of an offline-built ANN index. A persisted
+``<out>/pq_codebooks`` directory (written by ``--index-type ivfpq``)
+switches serving to the IVFPQ ADC path automatically — the artifact is
+the source of truth for what build trained.
 
 Usage:
     python -m mapreduce_stockheadlines_spark.jobs.embed_pipeline build \
@@ -135,6 +141,17 @@ def main(argv: list[str] | None = None) -> None:
                     help="attach int8 codes + scale + reconstruction rmse")
     ap.add_argument("--build-index", action="store_true",
                     help="train + persist IVF centroids for search mode")
+    ap.add_argument("--index-type", choices=["ivf", "ivfpq"],
+                    default="ivf",
+                    help="build mode: plain IVF (exact within-cell "
+                         "rescore) or IVFPQ (PQ codebooks on residuals, "
+                         "ADC candidate ranking — persisted to "
+                         "<out>/pq_codebooks; search/eval auto-detect "
+                         "it and serve the IVFPQ path)")
+    ap.add_argument("--pq-m", type=int, default=4,
+                    help="IVFPQ subspace count (dim must divide by it)")
+    ap.add_argument("--pq-ksub", type=int, default=16,
+                    help="IVFPQ per-subspace codebook size")
     ap.add_argument("--n-centroids", type=int, default=16)
     ap.add_argument("--train-iters", type=int, default=2)
     ap.add_argument("--profile", action="store_true",
@@ -218,12 +235,35 @@ def main(argv: list[str] | None = None) -> None:
         out.write.mode("overwrite").parquet(f"{args.out_dir}/corpus")
         if args.build_index:
             kept = spark.read.parquet(f"{args.out_dir}/corpus")
-            build_index(
-                kept,
-                args.out_dir,
-                n_centroids=args.n_centroids,
-                train_iters=args.train_iters,
-            )
+            if args.index_type == "ivfpq":
+                from ..operators import pq as PQO
+
+                coarse, cbooks = PQO.ivfpq_train(
+                    kept,
+                    n_centroids=args.n_centroids,
+                    coarse_iters=args.train_iters,
+                    m=args.pq_m,
+                    ksub=args.pq_ksub,
+                    pq_iters=args.train_iters,
+                )
+                save_centroids(spark, coarse, args.out_dir)
+                crows = [
+                    (int(j), int(c), [float(x) for x in cbooks[j, c]])
+                    for j in range(cbooks.shape[0])
+                    for c in range(cbooks.shape[1])
+                ]
+                spark.createDataFrame(
+                    crows, "sub int, cell int, centroid array<double>"
+                ).write.mode("overwrite").parquet(
+                    f"{args.out_dir}/pq_codebooks"
+                )
+            else:
+                build_index(
+                    kept,
+                    args.out_dir,
+                    n_centroids=args.n_centroids,
+                    train_iters=args.train_iters,
+                )
         n = spark.read.parquet(f"{args.out_dir}/corpus").count()
         print(f"kept {n} vectors -> {args.out_dir}/corpus")
     else:
@@ -231,16 +271,47 @@ def main(argv: list[str] | None = None) -> None:
         cent = load_centroids(spark, args.out_dir)
         ids = [int(x) for x in args.query_ids.split(",")]
         queries = corpus.filter(F.col("vec_id").isin(ids))
-        hits = S.ivf_topk(
-            queries,
-            corpus,
-            k=args.k,
-            n_probe=args.n_probe,
-            centroids=cent,
-        ).orderBy("query_id", "rank")
+        # a persisted pq_codebooks directory marks an IVFPQ index: serve
+        # the ADC path (the artifact is the source of truth — no flag to
+        # fall out of sync with what build actually trained)
+        import os
+
+        if os.path.isdir(f"{args.out_dir}/pq_codebooks"):
+            from ..operators import pq as PQO
+
+            cpdf = (
+                spark.read.parquet(f"{args.out_dir}/pq_codebooks")
+                .orderBy("sub", "cell")
+                .toPandas()
+            )
+            mm = int(cpdf["sub"].max()) + 1
+            kk = int(cpdf["cell"].max()) + 1
+            cbooks = np.stack(
+                [np.asarray(v, dtype="float64") for v in cpdf["centroid"]]
+            ).reshape(mm, kk, -1)
+            print(f"serving IVFPQ (m={mm}, ksub={kk})")
+            hits = PQO.ivfpq_topk(
+                queries, corpus, cent, cbooks, k=args.k,
+                n_probe=args.n_probe,
+            ).orderBy("query_id", "rank")
+        else:
+            hits = S.ivf_topk(
+                queries,
+                corpus,
+                k=args.k,
+                n_probe=args.n_probe,
+                centroids=cent,
+            ).orderBy("query_id", "rank")
         if args.mode == "search":
+            # IVF rows carry a cosine sim; IVFPQ rows carry the
+            # fixed-point ADC distance — print whichever score the
+            # serving path produced
+            score_col = "sim" if "sim" in hits.columns else "adc_fp"
             for r in hits.collect():
-                print(f"{r.query_id}\t{r.rank}\t{r.neighbor_id}\t{r.sim}")
+                print(
+                    f"{r.query_id}\t{r.rank}\t{r.neighbor_id}\t"
+                    f"{r[score_col]}"
+                )
             return
         # eval: measure THIS index configuration (centroids + n_probe)
         # against exact brute force on the same queries — recall@k and

@@ -1154,3 +1154,49 @@ def test_curate_max_per_domain_gate(spark):
     # the URL-less doc untouched
     assert 10 in kept and 11 in kept
     assert len([i for i in kept if i < 10]) == 2
+
+
+def test_embed_pipeline_ivfpq_cli(spark, tmp_path, sf_dir, capsys):
+    """--index-type ivfpq persists pq_codebooks next to the coarse
+    centroids; search/eval auto-detect the artifact and serve the ADC
+    path (printed marker + adc_fp score column), and every returned
+    rank list is well-formed. Recall against exact cosine on a
+    structureless random corpus is measured, not asserted — that
+    trade-off is exactly what eval mode exists to surface."""
+    import os
+
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import main
+
+    out_dir = str(tmp_path / "vecpq")
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--index-type", "ivfpq", "--n-centroids", "4",
+          "--train-iters", "1", "--pq-m", "4", "--pq-ksub", "4"])
+    assert os.path.isdir(f"{out_dir}/pq_codebooks")
+    cb = spark.read.parquet(f"{out_dir}/pq_codebooks")
+    assert cb.count() == 16  # m=4 x ksub=4
+    assert {r.sub for r in cb.select("sub").distinct().collect()} == {
+        0, 1, 2, 3
+    }
+    capsys.readouterr()
+    main(["search", out_dir, "--query-ids", "0,1", "--k", "3",
+          "--n-probe", "4"])
+    out = capsys.readouterr().out
+    assert "serving IVFPQ (m=4, ksub=4)" in out
+    rows = [ln.split("\t") for ln in out.splitlines() if "\t" in ln]
+    assert len(rows) == 6  # 2 queries x k=3
+    by_q: dict[str, list] = {}
+    for q, rank, nid, adc in rows:
+        by_q.setdefault(q, []).append((int(rank), int(nid), int(adc)))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == [1, 2, 3]
+        assert all(r[1] != int(q) for r in rs)  # self masked
+        assert [r[2] for r in rs] == sorted(r[2] for r in rs)
+    # eval mode runs the same serving path against exact brute force
+    main(["eval", out_dir, "--query-ids", "0,1", "--k", "3",
+          "--n-probe", "4"])
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if "recall=" in ln
+    ]
+    assert len(lines) == 3 and lines[-1].startswith("macro")
