@@ -123,6 +123,51 @@ def load_centroids(spark: SparkSession, out_dir: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype="float64") for v in pdf["centroid"]])
 
 
+def save_codebooks(spark: SparkSession, codebooks, out_dir: str) -> None:
+    """ONE writer for the IVFPQ codebook artifact (the save_centroids
+    one-writer rule applied to the second index artifact — an ad-hoc
+    writer and reader in different CLI branches could drift apart
+    silently)."""
+    cb = np.asarray(codebooks, dtype="float64")
+    rows = [
+        (int(j), int(c), [float(x) for x in cb[j, c]])
+        for j in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{out_dir}/pq_codebooks")
+
+
+def load_codebooks(spark: SparkSession, out_dir: str) -> np.ndarray:
+    pdf = (
+        spark.read.parquet(f"{out_dir}/pq_codebooks")
+        .orderBy("sub", "cell")
+        .toPandas()
+    )
+    mm = int(pdf["sub"].max()) + 1
+    kk = int(pdf["cell"].max()) + 1
+    return np.stack(
+        [np.asarray(v, dtype="float64") for v in pdf["centroid"]]
+    ).reshape(mm, kk, -1)
+
+
+def _codebooks_dir_exists(out_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(f"{out_dir}/pq_codebooks")
+
+
+def _drop_codebooks(out_dir: str) -> None:
+    """Remove a stale pq_codebooks artifact: rebuilding with a plain
+    IVF index (or any path that changes the coarse centroids) makes
+    residual codebooks trained under the OLD centroids wrong — serving
+    must not auto-detect them."""
+    import shutil
+
+    shutil.rmtree(f"{out_dir}/pq_codebooks", ignore_errors=True)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", choices=["build", "search", "eval", "refit"])
@@ -185,6 +230,16 @@ def main(argv: list[str] | None = None) -> None:
 
         if not args.moments_dir:
             raise SystemExit("refit mode requires --moments-dir")
+        if _codebooks_dir_exists(args.out_dir):
+            raise SystemExit(
+                "refit mode would roll the coarse centroids under an "
+                "IVFPQ index, leaving pq_codebooks trained on residuals "
+                "of the RETIRED centroids — serving would silently rank "
+                "with a mismatched index. Rebuild with --index-type "
+                "ivfpq instead (or maintain the codebooks themselves "
+                "via pq_ingest_sink + pq.pq_refit and rebuild the "
+                "coarse level offline)."
+            )
         cent = load_centroids(spark, args.out_dir)
         moments = read_table(spark, args.moments_dir).select(
             "cell_id", "dim", "s_fp", "n"
@@ -247,17 +302,13 @@ def main(argv: list[str] | None = None) -> None:
                     pq_iters=args.train_iters,
                 )
                 save_centroids(spark, coarse, args.out_dir)
-                crows = [
-                    (int(j), int(c), [float(x) for x in cbooks[j, c]])
-                    for j in range(cbooks.shape[0])
-                    for c in range(cbooks.shape[1])
-                ]
-                spark.createDataFrame(
-                    crows, "sub int, cell int, centroid array<double>"
-                ).write.mode("overwrite").parquet(
-                    f"{args.out_dir}/pq_codebooks"
-                )
+                save_codebooks(spark, cbooks, args.out_dir)
             else:
+                # a leftover pq_codebooks artifact from a previous
+                # IVFPQ build would make serving auto-detect an index
+                # whose residual codebooks no longer match the coarse
+                # centroids written below — drop it
+                _drop_codebooks(args.out_dir)
                 build_index(
                     kept,
                     args.out_dir,
@@ -273,23 +324,16 @@ def main(argv: list[str] | None = None) -> None:
         queries = corpus.filter(F.col("vec_id").isin(ids))
         # a persisted pq_codebooks directory marks an IVFPQ index: serve
         # the ADC path (the artifact is the source of truth — no flag to
-        # fall out of sync with what build actually trained)
-        import os
-
-        if os.path.isdir(f"{args.out_dir}/pq_codebooks"):
+        # fall out of sync with what build actually trained; build's ivf
+        # branch and refit mode both guard against it going stale)
+        if _codebooks_dir_exists(args.out_dir):
             from ..operators import pq as PQO
 
-            cpdf = (
-                spark.read.parquet(f"{args.out_dir}/pq_codebooks")
-                .orderBy("sub", "cell")
-                .toPandas()
+            cbooks = load_codebooks(spark, args.out_dir)
+            print(
+                f"serving IVFPQ (m={cbooks.shape[0]}, "
+                f"ksub={cbooks.shape[1]})"
             )
-            mm = int(cpdf["sub"].max()) + 1
-            kk = int(cpdf["cell"].max()) + 1
-            cbooks = np.stack(
-                [np.asarray(v, dtype="float64") for v in cpdf["centroid"]]
-            ).reshape(mm, kk, -1)
-            print(f"serving IVFPQ (m={mm}, ksub={kk})")
             hits = PQO.ivfpq_topk(
                 queries, corpus, cent, cbooks, k=args.k,
                 n_probe=args.n_probe,

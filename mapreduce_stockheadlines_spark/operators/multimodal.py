@@ -677,7 +677,10 @@ def _decode_gif_impl(content: bytes) -> np.ndarray:
         if (left, top, fw, fh) == (0, 0, sw, sh):
             return np.ascontiguousarray(frame)
         canvas = np.empty((sh, sw, 3), dtype=np.uint8)
-        canvas[:] = ct[bg] if bg < len(ct) else 0
+        # the Background Color Index addresses the GLOBAL color table
+        # (GIF89a §18) — a frame-local table must not recolor the
+        # uncovered canvas
+        canvas[:] = gct[bg] if gct is not None and bg < len(gct) else 0
         cw = min(fw, max(sw - left, 0))
         ch = min(fh, max(sh - top, 0))
         canvas[top : top + ch, left : left + cw] = frame[:ch, :cw]

@@ -282,31 +282,35 @@ def pq_adc_topk(
             codes = np.empty((len(pdf), mm2), dtype=np.int64)
             for j in range(mm2):
                 _, codes[:, j] = _argmin_cells(x[:, j, :], cbv[j])
-            # dists[q, c] = sum_j luts[q, j, codes[c, j]]
+            # dists[q, c] = sum_j luts[q, j, codes[c, j]] — kept int64
+            # end-to-end: a float64 detour would round adc_fp above
+            # 2^53 and break the exact integer contract
             gathered = luts_b[:, np.arange(mm2)[None, :], codes]
             dists = gathered.sum(axis=2)  # |Q| x batch, int64
-            dists = dists.astype(np.float64)
-            dists[ids_q[:, None] == ids_c[None, :]] = np.inf  # mask self
+            self_mask = ids_q[:, None] == ids_c[None, :]
             kcut = min(k, dists.shape[1])
             rows, cols, vals = [], [], []
             for qi in range(dists.shape[0]):
-                part = np.argpartition(dists[qi], kcut - 1)[:kcut]
-                kth = dists[qi][part].max()
-                cand = np.nonzero(dists[qi] <= kth)[0]
-                order = cand[np.lexsort((ids_c[cand], dists[qi][cand]))][
-                    :kcut
-                ]
+                cand = np.nonzero(~self_mask[qi])[0]
+                if len(cand) == 0:
+                    continue
+                d = dists[qi][cand]
+                take = min(kcut, len(cand))
+                part = np.argpartition(d, take - 1)[:take]
+                kth = d[part].max()
+                sel = cand[d <= kth]
+                order = sel[
+                    np.lexsort((ids_c[sel], dists[qi][sel]))
+                ][:take]
                 rows.extend([ids_q[qi]] * len(order))
                 cols.extend(order.tolist())
                 vals.extend(dists[qi][order].tolist())
             cols = np.asarray(cols, dtype=np.int64)
-            vals = np.asarray(vals, dtype=np.float64)
-            keep = np.isfinite(vals)
             yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(rows, dtype=np.int64)[keep],
-                    "neighbor_id": ids_c[cols[keep]],
-                    "adc_fp": vals[keep].astype(np.int64),
+                    "query_id": np.asarray(rows, dtype=np.int64),
+                    "neighbor_id": ids_c[cols] if len(cols) else cols,
+                    "adc_fp": np.asarray(vals, dtype=np.int64),
                 }
             )
 
@@ -507,11 +511,18 @@ def ivfpq_topk(
             adc = np.empty(len(pdf), dtype=np.int64)
             cells = pdf["cell"].to_numpy()
             qids = pdf["query_id"].to_numpy()
-            idx = np.arange(codes.shape[1])
-            for i in range(len(pdf)):
-                adc[i] = int(
-                    table[(int(qids[i]), int(cells[i]))][idx, codes[i]].sum()
-                )
+            idx = np.arange(codes.shape[1])[None, :]
+            # one vectorized gather per (query, cell) group — the LUT
+            # scan the design promises, not a per-row interpreter loop
+            key = qids * (cells.max() + 1) + cells
+            order = np.argsort(key, kind="stable")
+            bounds = np.nonzero(
+                np.diff(key[order], prepend=key[order[0]] - 1)
+            )[0]
+            for s, e in zip(bounds, np.append(bounds[1:], len(order))):
+                grp = order[s:e]
+                lut = table[(int(qids[grp[0]]), int(cells[grp[0]]))]
+                adc[grp] = lut[idx, codes[grp]].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": qids,

@@ -2457,6 +2457,22 @@ def test_multimodal_real_gif_decode(spark):
     assert (out[1, 1] == [10, 20, 30]).all()          # frame idx 0 = color 0
     assert (out[1, 2] == [200, 100, 50]).all()        # frame idx 1
 
+    # round-8 review finding: the Background Color Index addresses the
+    # GLOBAL color table even when the frame carries a LOCAL one — a
+    # local-palette frame must not recolor the uncovered canvas
+    loc = (
+        b"GIF89a" + bytes([4, 0, 3, 0, 0xF0, 1, 0])      # bg index 1
+        + bytes([10, 20, 30, 99, 99, 99])                 # GLOBAL table
+        + b"\x2c" + bytes([1, 0, 1, 0, 2, 0, 2, 0, 0x80])  # local CT flag
+        + bytes([1, 2, 3, 200, 100, 50])                   # LOCAL table
+        + bytes([2])
+        + bytes([4, 0x04, 0xC3, 0x10, 0x05, 0]) + b"\x3b"
+    )
+    lout = M._decode_gif(loc)
+    assert (lout[0, 0] == [99, 99, 99]).all()   # GLOBAL bg color 1
+    assert (lout[1, 1] == [1, 2, 3]).all()      # frame idx 0 = LOCAL 0
+    assert (lout[1, 2] == [200, 100, 50]).all()  # frame idx 1 = LOCAL 1
+
     # animation: FIRST image descriptor wins (second frame differs)
     f1 = M._encode_gif(px)
     # splice a GCE extension + reuse the image block twice

@@ -1200,3 +1200,26 @@ def test_embed_pipeline_ivfpq_cli(spark, tmp_path, sf_dir, capsys):
         if "recall=" in ln
     ]
     assert len(lines) == 3 and lines[-1].startswith("macro")
+
+
+def test_embed_pipeline_ivfpq_artifact_lifecycle(spark, tmp_path, sf_dir):
+    """Round-8 review findings: a rebuilt plain-IVF index drops the
+    stale pq_codebooks artifact (serving must not auto-detect residual
+    codebooks trained under retired centroids), and refit mode refuses
+    to roll the coarse centroids underneath an IVFPQ index."""
+    import os
+
+    import pytest
+
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import main
+
+    out_dir = str(tmp_path / "veclife")
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--index-type", "ivfpq", "--n-centroids", "4",
+          "--train-iters", "1", "--pq-m", "4", "--pq-ksub", "4"])
+    assert os.path.isdir(f"{out_dir}/pq_codebooks")
+    with pytest.raises(SystemExit, match="mismatched index"):
+        main(["refit", out_dir, "--moments-dir", str(tmp_path / "mom")])
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--n-centroids", "4", "--train-iters", "1"])
+    assert not os.path.isdir(f"{out_dir}/pq_codebooks")
