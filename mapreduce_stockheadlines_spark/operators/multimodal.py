@@ -15,10 +15,12 @@ RIFF 16-bit-PCM WAV for audio, all parseable with struct + frombuffer
 + zlib + numpy, no codec library — including real pixel/PCM features
 and a real nearest-neighbor resample (images) / windowed frame
 sampling (audio). Formats that genuinely need codec libraries
-(MP3/video, arithmetic or hierarchical JPEG) stay stubbed
+(MP3, video FRAMES, arithmetic or hierarchical JPEG) stay stubbed
 (deterministic fake derived from the content digest, or
 ``NotImplementedError`` in strict mode); GIF (LZW + palette, first
-frame) decodes for real since round 8.
+frame) decodes for real since round 8, and MP4 video gets REAL
+container metadata (width/height/frame count from a pure ISO-BMFF box
+walk) with only the pixel feature faked.
 Either way the Spark-side plumbing is identical and real: binary schema,
 Arrow-batched ``mapInPandas``, per-batch vectorization,
 partition-preserving shape.
@@ -73,6 +75,8 @@ _MAGIC_MIMES = (
     ("25504446", "application/pdf"),
 )
 
+_MP4_FTYP_HEX = "66747970"  # 'ftyp' at byte offset 4 (after the box size)
+
 
 def detect_mime(content_col) -> "F.Column":
     """Magic-byte mime sniff as a pure codegen expression (hex-prefix
@@ -95,6 +99,11 @@ def detect_mime(content_col) -> "F.Column":
             else F.lit(mime)
         )
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    # MP4/ISO-BMFF: the magic sits at offset 4 ('ftyp' after the first
+    # box's 32-bit size), so it can't ride the prefix table above
+    expr = expr.when(
+        F.hex(F.substring(content, 5, 4)) == _MP4_FTYP_HEX, "video/mp4"
+    )
     return expr.otherwise("application/octet-stream")
 
 
@@ -2065,6 +2074,83 @@ REAL_DECODERS = {
 AUDIO_DECODERS = {MIME_WAV: _decode_wav}
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in [start, end): yields (type, payload
+    start, payload end). Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0); a box that would not advance or overruns
+    its parent raises ValueError (the stub-routable malformed case)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box size")
+        yield buf[pos + 4 : pos + 8], pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4_meta(content: bytes) -> tuple[int, int, int]:
+    """REAL video metadata from an MP4/ISO-BMFF container — a pure
+    struct box walk, no codec: (width, height, n_samples) of the first
+    video track. Dims come from the track's ``tkhd`` (16.16 fixed
+    point, version 0 and 1 layouts), the frame count from its
+    ``stsz`` sample_count. Pixel/frame DECODE still needs a codec and
+    stays stubbed; this parser upgrades the video tier's width/height/
+    n_frames columns from digest fakes to container truth."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    moov = None
+    for btype, s, e in _mp4_boxes(content, 0, len(content)):
+        if btype == b"moov":
+            moov = (s, e)
+            break
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    for btype, s, e in _mp4_boxes(content, *moov):
+        if btype != b"trak":
+            continue
+        t_w = t_h = t_n = 0
+        is_video = False
+        for b2, s2, e2 in _mp4_boxes(content, s, e):
+            if b2 == b"tkhd":
+                ver = content[s2]
+                off = s2 + (88 if ver == 1 else 76)
+                if off + 8 > e2:
+                    raise ValueError("truncated MP4 tkhd")
+                w_fp, h_fp = struct.unpack_from(">II", content, off)
+                t_w, t_h = w_fp >> 16, h_fp >> 16
+            elif b2 == b"mdia":
+                for b3, s3, e3 in _mp4_boxes(content, s2, e2):
+                    if b3 == b"hdlr":
+                        is_video = content[s3 + 8 : s3 + 12] == b"vide"
+                    elif b3 == b"minf":
+                        for b4, s4, e4 in _mp4_boxes(content, s3, e3):
+                            if b4 != b"stbl":
+                                continue
+                            for b5, s5, e5 in _mp4_boxes(
+                                content, s4, e4
+                            ):
+                                if b5 == b"stsz" and s5 + 12 <= e5:
+                                    (t_n,) = struct.unpack_from(
+                                        ">I", content, s5 + 8
+                                    )
+        if is_video:
+            return t_w, t_h, t_n
+    raise ValueError("MP4 has no video track")
+
+
+# mime → metadata-only parser (container truth for dims/frame count;
+# pixel decode still codec-bound → feature stays the digest fake)
+VIDEO_META_PARSERS = {"video/mp4": _parse_mp4_meta}
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake decoder (this container has no codec libs).
 
@@ -2132,6 +2218,19 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 int(min(samples.shape[0], 2**31 - 1)),
                 _audio_feature(rate, samples),
             )
+        video = VIDEO_META_PARSERS.get(mime)
+        if video is not None and not strict:
+            # metadata tier: container box-walk gives REAL width/height/
+            # n_frames (struct-only, no codec); pixel FEATURES still
+            # need a codec, so the feature stays the digest fake and
+            # strict mode keeps raising below (a real decode would run
+            # there). Malformed containers fall to the stub like every
+            # other tier.
+            try:
+                w, h, nf = video(content)
+            except (ValueError, struct.error):
+                return _fake_decode(content)
+            return w, h, int(min(nf, 2**31 - 1)), _fake_decode(content)[3]
         if strict:
             raise NotImplementedError(
                 f"decode of mime {mime!r} requires codec libraries "

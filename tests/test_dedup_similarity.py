@@ -2518,3 +2518,60 @@ def test_multimodal_real_gif_decode(spark):
         M.decode_media(
             df.filter(F.col("media_id") == 2), strict=True
         ).collect()
+
+
+def test_multimodal_mp4_metadata_tier(spark):
+    """Round 8: the video tier's width/height/n_frames are REAL
+    container metadata (pure ISO-BMFF box walk — tkhd 16.16 dims,
+    stsz sample count), while the pixel feature stays the digest fake
+    and strict mode still raises (frame decode is codec-bound).
+    detect_mime sniffs 'ftyp' at offset 4; malformed boxes fall to the
+    digest stub."""
+    import struct as _struct
+
+    import pytest
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", len(payload) + 8) + btype + payload
+
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 72
+        + _struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide")
+    stsz = box(
+        b"stsz", b"\x00\x00\x00\x00" + _struct.pack(">II", 0, 240)
+    )
+    trak = box(
+        b"trak",
+        tkhd + box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsz))),
+    )
+    mp4 = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isommp41")
+        + box(b"moov", trak)
+    )
+    assert M._parse_mp4_meta(mp4) == (640, 360, 240)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4), None)],
+        "media_id long, content binary, declared string",
+    ).select("media_id", "content", M.detect_mime("content").alias("mime"))
+    assert df.collect()[0].mime == "video/mp4"
+    r = M.decode_media(df).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (640, 360, 240)
+    # the FEATURE is still the digest fake (pixels need a codec)...
+    assert r.feature == pytest.approx(M._fake_decode(bytes(mp4))[3])
+    # ...and strict mode stays loud — a real frame decode would run here
+    with pytest.raises(Exception):
+        M.decode_media(df, strict=True).collect()
+
+    # malformed container (box overruns the file): digest stub, no crash
+    bad = mp4[:40]
+    bdf = spark.createDataFrame(
+        [(2, bytearray(bad), "video/mp4")], schema=M.MEDIA_SCHEMA
+    )
+    stub = M.decode_media(bdf).collect()[0]
+    assert (stub.width, stub.height, stub.n_frames) == M._fake_decode(
+        bytes(bad)
+    )[:3]
