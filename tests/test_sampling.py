@@ -782,3 +782,115 @@ def test_pipeline_cli_curriculum(spark, tmp_path, sf_dir):
                 == g.curriculum_pos.to_numpy()[0] % n_src).all()
         q = g.quality.to_numpy()
         assert (q[:-1] >= q[1:]).all()
+
+
+def _doremi_python_reference(cen_rows, n_rounds, lr, add_k, qdp=6):
+    """Pure-python re-derivation of doremi_weights from the same
+    (source, bigram, count) census — same math, python sums."""
+    import math
+    from collections import defaultdict
+
+    masses = defaultdict(int)
+    for s, g, c in cen_rows:
+        masses[s] += c
+    sources = sorted(masses)
+    n_tot = sum(masses.values())
+    v = len({g for _, g, _ in cen_rows})
+    denom = {s: masses[s] + add_k * v for s in sources}
+    u = {s: add_k / denom[s] for s in sources}
+    nll_own = defaultdict(float)
+    for s, g, c in cen_rows:
+        nll_own[s] -= c * math.log((c + add_k) / denom[s])
+    ce_own = {s: round(nll_own[s] / masses[s], qdp) for s in sources}
+    weights = {s: round(1.0 / len(sources), qdp) for s in sources}
+    history = []
+    for _ in range(n_rounds):
+        floor = sum(weights[s] * u[s] for s in sources)
+        mix = defaultdict(lambda: floor)
+        for s, g, c in cen_rows:
+            mix[g] += c * weights[s] / denom[s]
+        nll_mix = defaultdict(float)
+        for s, g, c in cen_rows:
+            nll_mix[s] -= c * math.log(mix[g])
+        ce_mix = {s: round(nll_mix[s] / masses[s], qdp) for s in sources}
+        raw = {
+            s: weights[s]
+            * math.exp(lr * max(0.0, ce_mix[s] - ce_own[s]))
+            for s in sources
+        }
+        z = sum(raw.values())
+        weights = {s: round(raw[s] / z, qdp) for s in sources}
+        history.append(dict(weights))
+    return weights, history
+
+
+def _doremi_corpus(spark):
+    # A and B share a distribution; C is the odd domain a uniform
+    # mixture covers worst
+    rows = []
+    for i in range(30):
+        rows.append((f"a{i}", "A", "the quick brown fox jumps over the lazy dog"))
+        rows.append((f"b{i}", "B", "the quick brown fox runs over the lazy cat"))
+    for i in range(20):
+        rows.append((f"c{i}", "C",
+                     "zymurgy quark xenon plasma flux entropy vector"))
+    return spark.createDataFrame(rows, "doc_id string, src string, text string")
+
+
+def test_doremi_upweights_the_uncovered_domain(spark):
+    """DoReMi dynamics: the domain with the largest excess loss under
+    the uniform mixture (the one the mixture proxy covers worst) gains
+    weight; weights stay a distribution; a single-source corpus is a
+    fixed point at weight 1 (its mixture model IS its own model)."""
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    df = _doremi_corpus(spark)
+    w, hist = doremi_weights(df, "src", "text", n_rounds=3, lr=1.0)
+    assert set(w) == {"A", "B", "C"}
+    assert abs(sum(w.values()) - 1.0) < 1e-4
+    assert len(hist) == 3
+    assert w["C"] > w["A"] and w["C"] > w["B"]
+    assert abs(w["A"] - w["B"]) < 0.02  # near-identical domains stay close
+    # monotone concentration on the hard domain across rounds
+    assert hist[-1]["C"] >= hist[0]["C"]
+
+    solo, shist = doremi_weights(
+        df.filter("src = 'A'"), "src", "text", n_rounds=2
+    )
+    assert solo == {"A": 1.0}
+    assert all(h == {"A": 1.0} for h in shist)
+
+
+def test_doremi_deterministic_and_matches_python_reference(spark):
+    """The distributed loop is reproducible across partitionings and
+    equals a pure-python re-derivation from the same census after the
+    quantize_dp rounding (the OPH python-reference pattern applied to
+    the mixture trainer)."""
+    from mapreduce_stockheadlines_spark.operators.relevance import (
+        doc_bigrams,
+    )
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    df = _doremi_corpus(spark)
+    w1, h1 = doremi_weights(df, "src", "text", n_rounds=3, lr=0.7)
+    w2, h2 = doremi_weights(
+        df.repartition(7), "src", "text", n_rounds=3, lr=0.7
+    )
+    assert (w1, h1) == (w2, h2)
+
+    cen_rows = [
+        (r[0], r[1], int(r[2]))
+        for r in doc_bigrams(df, "src", "text")
+        .groupBy("src", "bigram")
+        .count()
+        .collect()
+    ]
+    wref, href = _doremi_python_reference(
+        cen_rows, n_rounds=3, lr=0.7, add_k=0.5
+    )
+    assert w1 == wref
+    assert h1 == href
