@@ -87,6 +87,8 @@ def curate(
     docs: DataFrame,
     lang: str = "en",
     min_quality: float = 0.5,
+    gopher_rules: bool = False,
+    c4_rules: bool = False,
     jaccard_threshold: float = 0.8,
     pack_budget: int | None = None,
     keep_top: float | None = None,
@@ -293,10 +295,24 @@ def curate(
     #    barrier column does NOT stop the pushdown in Spark 4).
     #    Redacting after the gates is also strictly less work: the
     #    regex chain runs only on rows that survived.
-    stats = TS.text_stats(docs, "doc_id", "text")
-    keep = stats.filter(
-        (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
-    ).select("doc_id", "quality")
+    extra_rule_cols = []
+    if gopher_rules:
+        extra_rule_cols += TS.gopher_rules_cols("text")
+    if c4_rules:
+        extra_rule_cols += TS.c4_rules_cols("text")
+    stats = TS.text_stats(
+        docs, "doc_id", "text", extra_cols=extra_rule_cols or None
+    )
+    keep_cond = (F.col("pred_lang") == lang) & (
+        F.col("quality") >= min_quality
+    )
+    # named-rule gates ride the SAME fused projection (zero extra
+    # passes): Gopher appendix-A1.1 rules / deterministic C4 heuristics
+    if gopher_rules:
+        keep_cond = keep_cond & F.col("gopher_kept")
+    if c4_rules:
+        keep_cond = keep_cond & F.col("c4_kept")
+    keep = stats.filter(keep_cond).select("doc_id", "quality")
     docs = docs.join(keep, "doc_id")
     docs = docs.withColumn("n_pii", TS.pii_count("text")).withColumn(
         "text", TS.pii_redacted("text")
@@ -610,6 +626,13 @@ def main(argv: list[str] | None = None) -> None:
                          "ingest")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="gate docs on the named Gopher quality rules "
+                         "(Rae et al. 2021 appendix A1.1) — fused into "
+                         "the same stats projection as the quality gate")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="gate docs on the deterministic document-level "
+                         "C4 heuristics (sentences, braces, lorem ipsum)")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="pack docs into token-budget training sequences")
@@ -815,6 +838,8 @@ def main(argv: list[str] | None = None) -> None:
         docs,
         lang=args.lang,
         min_quality=args.min_quality,
+        gopher_rules=args.gopher_rules,
+        c4_rules=args.c4_rules,
         jaccard_threshold=args.jaccard,
         pack_budget=args.pack_budget,
         keep_top=args.keep_top,

@@ -132,6 +132,153 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, *_quality_cols(text_col))
 
 
+# Gopher rule 7's required words (Rae et al. 2021 appendix A1.1: a doc
+# must contain at least 2 of these common English words).
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_cols(
+    text_col: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stop_hits: int = 2,
+) -> list[Column]:
+    """The named Gopher document-quality rules (Rae et al. 2021,
+    appendix A1.1 — the filter set FineWeb/Dolma/RefinedWeb all derive
+    from) as pure codegen column expressions, defaults = the paper's
+    thresholds: word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# and ellipsis) <= 0.1, <= 90% of lines
+    starting with a bullet, <= 30% ending with an ellipsis, >= 80% of
+    words containing a letter, and >= 2 of the 8 required English stop
+    words. Emits every rule's measured value (ratios rounded to 4dp so
+    the composite boolean compares identical doubles in any engine)
+    plus the conjunction ``gopher_kept``.
+
+    Cross-engine notes: counts are non-overlapping left-to-right regex
+    scans (Java and RE2 agree); line anchors use ``(?m)`` with
+    ``[ \\t]*`` (not ``\\s*``, which would cross newlines) and assume
+    \\n-terminated lines (Java's ``(?m)$`` also accepts \\r and U+2028
+    — corpora with those line endings should be normalized first)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+    n_words = F.size(words).cast("bigint")
+    nw1 = F.greatest(n_words, F.lit(1))
+    # sum of word lengths == count of non-whitespace chars (words
+    # partition them), so mean word length needs no per-word fold
+    n_nonws = F.length(F.regexp_replace(text, r"\s", "")).cast("bigint")
+    mean_word_len = F.round(n_nonws / nw1, 4)
+    n_sym = (
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    ).cast("bigint")
+    symbol_word_ratio = F.round(n_sym / nw1, 4)
+    n_lines = (F.regexp_count(text, F.lit(r"\n")) + 1).cast("bigint")
+    bullet_line_frac = F.round(
+        F.regexp_count(text, F.lit(r"(?m)^[ \t]*[-*•]")) / n_lines, 4
+    )
+    ellipsis_line_frac = F.round(
+        F.regexp_count(text, F.lit(r"(?m)(\.\.\.|…)$")) / n_lines, 4
+    )
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda t: t.rlike("[a-zA-Z]"))) / nw1, 4
+    )
+    low = F.lower(text)
+    hits = F.lit(0)
+    for w in GOPHER_REQUIRED_WORDS:
+        hits = hits + F.when(
+            F.regexp_count(low, F.lit(rf"\b{w}\b")) > 0, 1
+        ).otherwise(0)
+    req_stop_hits = hits.cast("int")
+    kept = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_word_ratio <= max_symbol_word_ratio)
+        & (bullet_line_frac <= max_bullet_line_frac)
+        & (ellipsis_line_frac <= max_ellipsis_line_frac)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (req_stop_hits >= min_required_stop_hits)
+    )
+    return [
+        n_words.alias("gopher_n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        req_stop_hits.alias("req_stop_hits"),
+        kept.alias("gopher_kept"),
+    ]
+
+
+def c4_rules_cols(
+    text_col: Column | str,
+    *,
+    min_sentences: int = 3,
+    min_words: int = 5,
+) -> list[Column]:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) that are
+    document-level and deterministic, as codegen columns: terminal-
+    punctuation line fraction (C4 keeps only lines ending in . ! ? "),
+    sentence count (pages with < 3 sentences are dropped), the curly-
+    brace code filter and the "lorem ipsum" placeholder filter, plus
+    the conjunction ``c4_kept``. The remaining C4 rules live elsewhere
+    in the engine by design: the bad-word list is a data input (the
+    blocklist-join shape is ``filter_blocked_domains``), and the
+    three-sentence-span dedup is ``remove_dup_windows``."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_words = F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    n_lines = (F.regexp_count(text, F.lit(r"\n")) + 1).cast("bigint")
+    term_line_frac = F.round(
+        F.regexp_count(text, F.lit(r"(?m)[.!?\"']$")) / n_lines, 4
+    )
+    n_sentences = F.regexp_count(text, F.lit(r"[.!?]+")).cast("bigint")
+    has_brace = text.contains("{")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    kept = (
+        ~has_brace
+        & ~has_lorem
+        & (n_sentences >= min_sentences)
+        & (n_words >= min_words)
+    )
+    return [
+        term_line_frac.alias("c4_term_line_frac"),
+        n_sentences.alias("c4_n_sentences"),
+        has_brace.alias("c4_has_brace"),
+        has_lorem.alias("c4_has_lorem"),
+        kept.alias("c4_kept"),
+    ]
+
+
+def gopher_c4_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gopher: dict | None = None,
+    c4: dict | None = None,
+) -> DataFrame:
+    """Per-doc Gopher + C4 rule evaluation in ONE zero-shuffle
+    projection — the named-rule companion to the composite
+    ``quality_score`` gate. ``gopher``/``c4`` override the respective
+    rule set's thresholds by keyword."""
+    return df.select(
+        id_col,
+        *gopher_rules_cols(text_col, **(gopher or {})),
+        *c4_rules_cols(text_col, **(c4 or {})),
+    )
+
+
 def text_stats(
     df: DataFrame,
     id_col: str,

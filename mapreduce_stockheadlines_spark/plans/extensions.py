@@ -417,6 +417,34 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 _MOJI_PROBE = "café — naïve ‘q’… 😀 über"
 _MOJI_PROBE_BROKEN = _MOJI_PROBE.encode("utf-8").decode("cp1252")
 
+# Gopher/C4 rule probes (round 8): the corpus is single-line lowercase
+# prose with no punctuation, so most named rules would be degenerate on
+# raw text. Each doc_id residue class appends a deterministic
+# decoration exercising one rule dimension — required stop words,
+# bullet lines, ellipsis line endings, code braces + lorem ipsum,
+# terminal-punctuation sentences, # symbols — and BOTH engines build
+# the same decorated text in-query (the x30 planting recipe). The
+# word-count rule needs no planting: raw docs span 10-100 words, so
+# they straddle the >= 50 cut on their own.
+_GC_ARMS: tuple[tuple[int, str], ...] = (
+    (3, " for that reason it would have to be of use with them"),
+    (5, "\n- first bullet point\n* second bullet point\n• third bullet point"),
+    (7, "\nto be continued...\nwait for more…"),
+    (11, "\nvar cfg = { lorem ipsum };"),
+    (13, '\nThis is a sentence. Another one follows! Does it? "Quoted."'),
+    (17, " ### ## #### # #####"),
+)
+
+
+def _gc_decorated() -> F.Column:
+    deco = F.col("text")
+    for mod, lit in _GC_ARMS:
+        deco = F.concat(
+            deco,
+            F.when(F.col("doc_id") % mod == 0, F.lit(lit)).otherwise(F.lit("")),
+        )
+    return deco
+
 
 def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Language ID (n-gram marker heuristic), quality scoring
@@ -464,7 +492,8 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         docs.withColumn("_stripped", stripped)
         .withColumn("_moji", TS.fix_mojibake(corrupted))
         .withColumn("_mixed", mixed)
-        .withColumn("_lat", latin1),
+        .withColumn("_lat", latin1)
+        .withColumn("_gc", _gc_decorated()),
         "doc_id",
         "text",
         include_fingerprint=True,
@@ -485,6 +514,12 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             # codegen — n_chunks + digest of the '|'-joined chunk texts;
             # the projection stays zero-shuffle)
             *PK.chunk_summary_cols("text", chunk_tokens=32, overlap=8),
+            # round-8 zero-slot promotion #2: the named Gopher + C4
+            # document-filter rules over the decorated text (_GC_ARMS —
+            # every rule dimension exercised; still pure codegen in the
+            # same projection)
+            *TS.gopher_rules_cols(F.col("_gc")),
+            *TS.c4_rules_cols(F.col("_gc")),
         ],
     )
     return stats.orderBy("doc_id")
@@ -643,13 +678,85 @@ SELECT doc_id,
 FROM nn
 """
 
+# Gopher/C4 rule replay over the same decorated text: the named-rule
+# counts are integer regex scans (Java and RE2 agree on every pattern —
+# (?m) anchors, \b, non-overlap), ratios round to 4dp before the
+# threshold comparisons, so the kept booleans derive from identical
+# doubles in both engines.
+_GC_DECO_SQL = "text" + "".join(
+    f" || CASE WHEN doc_id % {mod} = 0 THEN '{lit}' ELSE '' END"
+    for mod, lit in _GC_ARMS
+)
+_GC_HITS_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(lower(t), '\\b{w}\\b') THEN 1 ELSE 0 END"
+    for w in TS.GOPHER_REQUIRED_WORDS
+)
+
+_X08_GC_BODY = f"""
+WITH deco AS (SELECT doc_id, {_GC_DECO_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(trim(t), '\\s+'),
+                     x -> length(x) > 0) AS words,
+         CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS n_nonws,
+         CAST(len(regexp_extract_all(t, '\\n')) + 1 AS BIGINT) AS n_lines
+  FROM deco),
+m AS (
+  SELECT doc_id, n_lines, n_nonws,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(greatest(len(words), 1) AS BIGINT) AS nw1,
+         CAST(len(regexp_extract_all(t, '#'))
+              + len(regexp_extract_all(t, '\\.\\.\\.'))
+              + len(regexp_extract_all(t, '…')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT)
+           AS n_bullet,
+         CAST(len(regexp_extract_all(t, '(?m)(\\.\\.\\.|…)$')) AS BIGINT)
+           AS n_ell,
+         CAST(len(regexp_extract_all(t, '(?m)[.!?"'']$')) AS BIGINT)
+           AS n_term,
+         CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)
+           AS c4_n_sentences,
+         (position('{{' IN t) > 0) AS c4_has_brace,
+         contains(lower(t), 'lorem ipsum') AS c4_has_lorem,
+         CAST({_GC_HITS_SQL} AS INTEGER) AS req_stop_hits
+  FROM w),
+r AS (
+  SELECT doc_id, c4_n_sentences, c4_has_brace, c4_has_lorem, req_stop_hits,
+         n_words AS gopher_n_words,
+         round(CAST(n_nonws AS DOUBLE) / nw1, 4) AS mean_word_len,
+         round(CAST(n_sym AS DOUBLE) / nw1, 4) AS symbol_word_ratio,
+         round(CAST(n_bullet AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
+         round(CAST(n_ell AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac,
+         round(CAST(n_alpha AS DOUBLE) / nw1, 4) AS alpha_word_frac,
+         round(CAST(n_term AS DOUBLE) / n_lines, 4) AS c4_term_line_frac
+  FROM m)
+SELECT doc_id, gopher_n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, req_stop_hits,
+       (gopher_n_words >= 50 AND gopher_n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND req_stop_hits >= 2) AS gopher_kept,
+       c4_term_line_frac, c4_n_sentences, c4_has_brace, c4_has_lorem,
+       (NOT c4_has_brace AND NOT c4_has_lorem
+        AND c4_n_sentences >= 3 AND gopher_n_words >= 5) AS c4_kept
+FROM r
+"""
+
 X08_SQL = f"""
 SELECT l.doc_id, l.pred_lang, l.marker_score,
        q.n_tokens, q.n_chars_obs, q.punct_ratio, q.stop_ratio, q.quality,
        f.fp, f.fp8, f.norm_len, t.n_ws_tokens, t.n_bpe_tokens,
        h.html_stripped_len, h.html_fp8,
        m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop,
-       c.n_chunks, c.chunk_fp8
+       c.n_chunks, c.chunk_fp8,
+       g.gopher_n_words, g.mean_word_len, g.symbol_word_ratio,
+       g.bullet_line_frac, g.ellipsis_line_frac, g.alpha_word_frac,
+       g.req_stop_hits, g.gopher_kept,
+       g.c4_term_line_frac, g.c4_n_sentences, g.c4_has_brace,
+       g.c4_has_lorem, g.c4_kept
 FROM ({_X08_LANG_BODY}) l
 JOIN ({_X08_QUALITY_BODY}) q ON q.doc_id = l.doc_id
 JOIN ({_X08_FP_BODY}) f ON f.doc_id = l.doc_id
@@ -657,6 +764,7 @@ JOIN ({_X08_TOK_BODY.format(bpe=TS.BPE_ISH_PATTERN)}) t ON t.doc_id = l.doc_id
 JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
 JOIN ({_X08_MOJI_BODY}) m ON m.doc_id = l.doc_id
 JOIN ({_X08_CHUNK_BODY}) c ON c.doc_id = l.doc_id
+JOIN ({_X08_GC_BODY}) g ON g.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
 

@@ -1223,3 +1223,35 @@ def test_embed_pipeline_ivfpq_artifact_lifecycle(spark, tmp_path, sf_dir):
     main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
           "--n-centroids", "4", "--train-iters", "1"])
     assert not os.path.isdir(f"{out_dir}/pq_codebooks")
+
+
+def test_curate_gopher_and_c4_gates(spark):
+    """--gopher-rules / --c4-rules gate on the named rule conjunctions,
+    fused into the same stats projection as the quality gate."""
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it would "
+        "have to run far away with great speed because that is what "
+        "foxes do when they feel like running through fields of grass "
+        "and the wind blows softly over the hills while birds sing "
+        "their morning songs. They greet the new day. It is good."
+    )
+    good2 = (
+        "a small ship sails to the harbor and the crew would have to "
+        "wait for the tide to turn before they could be on their way "
+        "with the cargo of spices and silk that merchants from the "
+        "east had sent across the sea to trade for wool and grain in "
+        "the busy market town. The voyage was long. It went well."
+    )
+    rows = [
+        (1, good, "s"),
+        (2, "way too short for the gopher word count rule here", "s"),
+        # distinct prose (NOT a near-dup of 1) failing C4 only
+        (3, good2 + " var x = { a }; lorem ipsum", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    g = curate(docs, lang="en", min_quality=0.0, gopher_rules=True)
+    g_ids = sorted(r.doc_id for r in g.select("doc_id").collect())
+    assert 1 in g_ids and 2 not in g_ids and 3 in g_ids
+    c = curate(docs, lang="en", min_quality=0.0, c4_rules=True)
+    c_ids = sorted(r.doc_id for r in c.select("doc_id").collect())
+    assert 1 in c_ids and 3 not in c_ids

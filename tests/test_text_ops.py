@@ -590,3 +590,110 @@ def test_domain_frequency_cap(spark):
 
     with pytest.raises(ValueError):
         domain_frequency_cap(df, "doc_id", "dom", cap=0)
+
+
+def test_gopher_rules_hand_values(spark):
+    """gopher_rules_cols against hand-computed values for every rule
+    dimension (Rae et al. 2021 appendix A1.1 thresholds)."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        gopher_c4_filter,
+    )
+
+    long_good = (
+        "the quick brown fox jumps over a lazy dog and then it would "
+        "have to run far away with great speed because that is what "
+        "foxes do when they feel like running through fields of grass "
+        "and the wind blows softly over the hills while birds sing "
+        "their morning songs to greet the new day with joy and hope ok"
+    )  # 60 words, all alpha, >= 2 required stop words, no symbols
+    cases = [
+        (0, long_good),
+        (1, "short doc"),  # fails min_words
+        (2, "- b one\n- b two\nplain"),  # 2/3 bullet lines
+        (3, "ends here...\nand more…\nplain"),  # 2/3 ellipsis lines
+        (4, "# # # # # five symbols here now"),  # 5 syms / 11 words
+        (5, "1 2 3 4 %% !!"),  # alpha fraction 0
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_c4_filter(df, "doc_id", "text").collect()
+    }
+    g = out[0]
+    assert g["gopher_n_words"] == 60 and g["gopher_kept"] is True
+    assert 3.0 <= g["mean_word_len"] <= 10.0
+    assert g["req_stop_hits"] >= 2 and g["alpha_word_frac"] == 1.0
+    assert out[1]["gopher_kept"] is False  # word count
+    assert out[2]["bullet_line_frac"] == round(2 / 3, 4)
+    assert out[3]["ellipsis_line_frac"] == round(2 / 3, 4)
+    assert out[4]["symbol_word_ratio"] == round(5 / 9, 4)
+    assert out[5]["alpha_word_frac"] == 0.0
+
+
+def test_c4_rules_hand_values(spark):
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        gopher_c4_filter,
+    )
+
+    cases = [
+        (0, 'One thing here. Two things now! Three things? "Done."'),
+        (1, "var x = { a: 1 };"),  # brace
+        (2, "Lorem Ipsum dolor sit amet and more words here today."),
+        (3, "no terminal punctuation at all in this one"),
+        (4, "Line one.\nline two\nLine three!"),  # 2/3 terminal lines
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_c4_filter(df, "doc_id", "text").collect()
+    }
+    assert out[0]["c4_kept"] is True and out[0]["c4_n_sentences"] == 4
+    assert out[0]["c4_term_line_frac"] == 1.0
+    assert out[1]["c4_has_brace"] is True and out[1]["c4_kept"] is False
+    assert out[2]["c4_has_lorem"] is True and out[2]["c4_kept"] is False
+    assert out[3]["c4_n_sentences"] == 0 and out[3]["c4_kept"] is False
+    assert out[4]["c4_term_line_frac"] == round(2 / 3, 4)
+
+
+def test_gopher_c4_zero_shuffle_plan(spark):
+    """The fused rule projection must stay exchange-free (pure codegen
+    over one scan — the text_stats contract)."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        gopher_c4_filter,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        gopher_c4_filter(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_x08_gopher_c4_columns_nondegenerate(spark, sf_dir):
+    """Round-8 promotion guard: every new x08 rule column must take >= 2
+    values at the checked SF (conftest.assert_column_nondegenerate)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x08 = ALL_QUERIES["x08_text_stats"].builder(spark, sf_dir).cache()
+    try:
+        for col in (
+            "gopher_kept",
+            "c4_kept",
+            "c4_has_brace",
+            "c4_has_lorem",
+            "req_stop_hits",
+            "symbol_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+            "c4_term_line_frac",
+            "c4_n_sentences",
+        ):
+            assert_column_nondegenerate(x08, col, f"at {sf_dir}")
+    finally:
+        x08.unpersist()
