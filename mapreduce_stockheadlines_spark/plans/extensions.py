@@ -3005,6 +3005,18 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     mixed = mixed.join(tm, "_mk", "left").withColumn(
         "mix_kept", F.coalesce("mix_kept", F.lit(False))
     )
+    # stratified_sample membership (round-8 zero-slot promotion, the
+    # mix_kept pattern): EXACT per-source sampling — every source keeps
+    # exactly ceil(0.4·n_source) of the mixed rows, ranked by
+    # md5('strat:'+key) with key tiebreak. All-integer/string decisions
+    # (md5 hex order + a ceil on an integer count), so DuckDB re-derives
+    # the rank, the quota and every membership bit exactly.
+    st = SP.stratified_sample(mixed, "source", "_mk", 0.4).select(
+        "_mk", F.lit(True).alias("strat_kept")
+    )
+    mixed = mixed.join(st, "_mk", "left").withColumn(
+        "strat_kept", F.coalesce("strat_kept", F.lit(False))
+    )
     # curriculum_interleave (round-7 zero-slot promotion): the global
     # training-order position of each (doc, epoch) row — within-source
     # rank by (epoch ASC, score DESC, doc_id) interleaved round-robin
@@ -3043,7 +3055,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return enriched.select(
-        "doc_id", "source", "n_tokens", "epoch", "mix_kept",
+        "doc_id", "source", "n_tokens", "epoch", "mix_kept", "strat_kept",
         "curriculum_pos", "dsir_score", "n_features", "dsir_kept",
     ).orderBy("doc_id", "epoch")
 
@@ -3156,6 +3168,20 @@ mk AS (
                                1, 8)) AS BIGINT) / 4294967296.0) < r.mrate
            AS mix_kept
   FROM mixed m JOIN mr r ON m.source = r.source),
+-- stratified_sample membership: exact per-source quota — rank the
+-- mixed rows inside each source by md5('strat:' || doc:epoch) (key
+-- tiebreak) and keep rank <= ceil(0.4 * n_source); md5 hex order and
+-- the integer ceil are engine-portable, so the bit re-derives exactly
+stk AS (
+  SELECT doc_id, epoch,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY md5('strat:' || mkey), mkey)
+          <= CAST(ceil(count(*) OVER (PARTITION BY source) * 0.4)
+                  AS BIGINT)) AS strat_kept
+  FROM (SELECT doc_id, epoch, source,
+               CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)
+                 AS mkey
+        FROM mixed)),
 -- curriculum_interleave: within-source rank by (epoch ASC, score DESC,
 -- doc_id) round-robin-interleaved across sources as integer arithmetic
 -- (pos = (rank-1)*n_sources + source_index); epoch leads the sort so a
@@ -3175,13 +3201,14 @@ cur AS MATERIALIZED (
   FROM mixed m
   JOIN s sc ON sc.doc_id = m.doc_id
   JOIN csd d ON d.src = coalesce(m.source, ''))
-SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept,
+SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept, t.strat_kept,
        c.curriculum_pos,
        s.dsir_score, s.n_features,
        CASE WHEN s.doc_id IS NOT NULL
             THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept
 FROM mixed m
 JOIN mk k ON m.doc_id = k.doc_id AND m.epoch = k.epoch
+JOIN stk t ON m.doc_id = t.doc_id AND m.epoch = t.epoch
 JOIN cur c ON m.doc_id = c.doc_id AND m.epoch = c.epoch
 LEFT JOIN dscored s ON m.doc_id = s.doc_id
 LEFT JOIN dsel d ON m.doc_id = d.doc_id

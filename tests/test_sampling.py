@@ -894,3 +894,14 @@ def test_doremi_deterministic_and_matches_python_reference(spark):
     )
     assert w1 == wref
     assert h1 == href
+
+
+def test_x32_strat_kept_nondegenerate(spark, sf_dir):
+    """Round-8 promotion guard for the stratified_sample registry
+    column: both membership values must occur at the checked SF."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x32 = ALL_QUERIES["x32_sampling"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x32, "strat_kept", f"at {sf_dir}")
