@@ -1034,3 +1034,52 @@ def topk_eval(
             ).alias("reciprocal_rank"),
         )
     )
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    fp_scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked result
+    lists — the standard hybrid-retrieval combiner (dense ANN + lexical
+    BM25, or two ANN indexes with different trade-offs): each list
+    contributes ``1/(k + rank)`` per (query, item) and items are
+    re-ranked by the summed score. Scores are EXACT integer fixed-point
+    — ``fp_scale div (k + rank)`` (integer division, no float quotient)
+    summed as BIGINTs — so the fused order and every emitted score are
+    bit-reproducible across engines and partitionings; ties break by
+    item id ASC.
+
+    Scale shape: the inputs are result lists (queries × k rows, never
+    corpus-sized), so the union + one (query, item) aggregation + one
+    query-partitioned window are all result-bounded; nothing here
+    touches the corpus. An item missing from one list simply
+    contributes nothing for it (the RRF convention)."""
+    if len(results) < 2:
+        raise ValueError("rrf_fuse: need at least two result lists")
+    if k_rrf < 1 or fp_scale < 1:
+        raise ValueError("rrf_fuse: k_rrf and fp_scale must be >= 1")
+    contribs = None
+    for r in results:
+        part = r.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.expr(
+                f"CAST({fp_scale} AS BIGINT) div "
+                f"(CAST({k_rrf} AS BIGINT) + {rank_col})"
+            ).alias("_c"),
+        )
+        contribs = part if contribs is None else contribs.unionByName(part)
+    fused = contribs.groupBy(query_col, item_col).agg(
+        F.sum("_c").cast("long").alias("rrf_fp")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_fp"), F.col(item_col)
+    )
+    return fused.withColumn(
+        "rrf_rank", F.row_number().over(w).cast("int")
+    )

@@ -1329,10 +1329,15 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # same centroids cell the corpus for the per-row columns, and
     # SemDeDup pairs within the same cells.
     cent = S.kmeans_centroids(emb, k=16, n_iters=3, quantize_dp=7)
+    # localCheckpoint both result lists: each now has multiple consumers
+    # (topk_eval, rrf_fuse, the output join), and without the barrier
+    # every consumer would re-execute the corpus-scale probe/rescore or
+    # brute-force lineage (the asg/x31 multi-consumer lesson). Both
+    # frames are result-sized (queries x k rows).
     approx = S.ivf_topk(
         queries, emb, k=10, n_centroids=16, n_probe=4, centroids=cent
-    )
-    truth = S.cosine_topk(queries, emb, k=10)
+    ).localCheckpoint()
+    truth = S.cosine_topk(queries, emb, k=10).localCheckpoint()
     ev = S.topk_eval(approx, truth)
     # localCheckpoint: asg is consumed TWICE below (row side + cell_n
     # groupBy side of the self-join) — without it the kmeans_assign
@@ -1367,9 +1372,17 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("_sem")
     )
+    # rrf_fuse (round-8 zero-slot promotion): hybrid-retrieval fusion of
+    # the IVF list with the exact brute-force list — integer fixed-point
+    # 1/(60+rank) contributions summed per (query, neighbor), re-ranked.
+    # Each surfaced row carries its fused score and fused rank; truth-
+    # only candidates compete in the window, so the rrf_rank column pins
+    # the WHOLE fusion, not just the surfaced rows.
+    rrf = S.rrf_fuse([approx, truth])
     return (
         approx.join(ev, "query_id")
         .join(cells, "neighbor_id")
+        .join(rrf, ["query_id", "neighbor_id"])
         .orderBy("query_id", "rank")
     )
 
@@ -1521,15 +1534,36 @@ ev AS (SELECT pt.query_id, pt.n_truth,
               h.first_hit_rank,
               round(coalesce(1.0 / h.first_hit_rank, 0.0), 4)
                 AS reciprocal_rank
-       FROM pt LEFT JOIN hits h USING (query_id))
+       FROM pt LEFT JOIN hits h USING (query_id)),
+-- reciprocal-rank fusion of the IVF and truth lists: exact integer
+-- fixed-point 1e9 // (60 + rank) contributions, summed, re-ranked
+-- (rrf_fp DESC, neighbor ASC) — truth-only candidates compete too
+rrfc AS (
+  SELECT query_id, neighbor_id,
+         CAST(1000000000 // (60 + rank) AS BIGINT) AS c FROM ak
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(1000000000 // (60 + rank) AS BIGINT) AS c FROM tr),
+rrf AS (
+  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+  FROM rrfc GROUP BY query_id, neighbor_id),
+rrfr AS (
+  SELECT query_id, neighbor_id, rrf_fp,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_fp DESC, neighbor_id)
+              AS INTEGER) AS rrf_rank
+  FROM rrf)
 SELECT a.query_id, a.neighbor_id, a.sim, a.rank,
        ev.n_truth, ev.n_hit, ev.recall, ev.first_hit_rank,
        ev.reciprocal_rank,
-       f.cell_id, fcn.cell_n, f.cent_sim, srep.sem_rep
+       f.cell_id, fcn.cell_n, f.cent_sim, srep.sem_rep,
+       rf.rrf_fp, rf.rrf_rank
 FROM ak a JOIN ev USING (query_id)
 JOIN fasg f ON f.neighbor_id = a.neighbor_id
 JOIN fcn ON fcn.cell_id = f.cell_id
 JOIN srep ON srep.node = a.neighbor_id
+JOIN rrfr rf ON rf.query_id = a.query_id
+            AND rf.neighbor_id = a.neighbor_id
 ORDER BY a.query_id, a.rank
 """
 

@@ -2575,3 +2575,64 @@ def test_multimodal_mp4_metadata_tier(spark):
     assert (stub.width, stub.height, stub.n_frames) == M._fake_decode(
         bytes(bad)
     )[:3]
+
+
+def test_rrf_fuse_hand_values_and_duckdb_pin(spark):
+    """rrf_fuse: integer fixed-point 1e9 div (60+rank) contributions,
+    hand-computed fused order, id-ASC tie break, DuckDB re-derivation."""
+    import duckdb
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    out = rrf_fuse([a, b]).orderBy("rrf_rank").collect()
+    c1, c2 = 10**9 // 61, 10**9 // 62
+    assert [(r.neighbor_id, r.rrf_fp, r.rrf_rank) for r in out] == [
+        (20, c1 + c2, 1),  # in both lists
+        (10, c1, 2),  # rank-1 in one list only
+        (30, c2, 3),  # rank-2 in one list only
+    ]
+
+    got = duckdb.sql(
+        """
+        SELECT neighbor_id, rrf_fp,
+               CAST(row_number() OVER (ORDER BY rrf_fp DESC, neighbor_id)
+                    AS INTEGER) AS rrf_rank
+        FROM (SELECT neighbor_id, CAST(sum(1000000000 // (60 + rank))
+                                       AS BIGINT) AS rrf_fp
+              FROM (VALUES (10, 1), (20, 2), (20, 1), (30, 2))
+                   v(neighbor_id, rank)
+              GROUP BY neighbor_id)
+        ORDER BY rrf_rank
+        """
+    ).fetchall()
+    assert got == [(r.neighbor_id, r.rrf_fp, r.rrf_rank) for r in out]
+
+    with pytest.raises(ValueError):
+        rrf_fuse([a])
+
+
+def test_x18_rrf_columns_nondegenerate(spark, sf_dir):
+    """Round-8 promotion guard: the fused rank must actually reorder
+    relative to the IVF rank somewhere (otherwise the fusion column
+    would pin nothing beyond the rank column it rode in on)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x18 = ALL_QUERIES["x18_ivf_topk"].builder(spark, sf_dir).cache()
+    try:
+        assert_column_nondegenerate(x18, "rrf_fp", f"at {sf_dir}")
+        assert_column_nondegenerate(x18, "rrf_rank", f"at {sf_dir}")
+        # the fusion must disagree with the plain IVF rank on >= 1 row
+        from pyspark.sql import functions as F
+
+        assert x18.filter(F.col("rrf_rank") != F.col("rank")).count() > 0
+    finally:
+        x18.unpersist()
