@@ -1,0 +1,218 @@
+"""Unigram-LM subword tokenizer (SentencePiece-flavored, Kudo 2018
+"Subword Regularization", §3) — the probabilistic sibling of BPE
+(reference has no tokenizer at all; this extends the §2.2 LLM-pipeline
+surface the same way operators/bpe.py does).
+
+Shape of the algorithm (the paper's): seed a large candidate vocabulary
+from substrings of the corpus word census, run EM rounds that
+re-estimate piece probabilities from the census segmentations, prune to
+the target vocabulary size, then encode by Viterbi (max-probability
+segmentation). Two documented deviations keep every decision exactly
+re-derivable by a second engine:
+
+- **hard EM**: the E-step counts pieces along each word's single BEST
+  segmentation (Viterbi path, freq-weighted) instead of the full
+  forward-backward expectation — the standard fast approximation; and
+- **count pruning**: the final cut keeps the ``vocab_size`` most-used
+  multi-char pieces (count DESC, piece ASC) plus every single
+  character, instead of the paper's likelihood-loss ranking.
+
+Cross-engine contract (the x31/x33/k-means/BPE recipe, applied to the
+fourth kind of trainer — probabilistic): log-probabilities live in
+exact integer fixed point, ``lp = round_half_away(1e6 · ln(c/total))``
+as BIGINT, so Viterbi scores are BIGINT sums with no float order
+sensitivity; the best segmentation ties break on the space-joined piece
+string ASC (prefix-substitution preserves lexicographic order here
+because two distinct segmentations of the same prefix can never be
+string-prefixes of each other — they cover the same characters with
+spaces in different places); single characters carry a +1 count floor
+every round (coverage — a char piece can never die, so any census word
+stays segmentable). Training cost is bounded by the census
+(``max_word_types``), never the corpus: the one corpus-scale pass is
+the word census itself, and encode is per word TYPE through an
+Arrow-batched pandas UDF with a memo (the BPE encode contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_census
+
+LOGP_FP = 10**6
+
+
+def _round_half_away(x: float) -> int:
+    """round-half-away-from-zero (Spark F.round / DuckDB round
+    semantics — python's builtin round() is banker's and diverges at
+    .5 boundaries)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _logp_fp(c: int, total: int) -> int:
+    return _round_half_away(LOGP_FP * math.log(c / total))
+
+
+def _viterbi(
+    word: str, model: dict[str, int], max_piece_len: int
+) -> list[str] | None:
+    """Best segmentation of ``word`` under ``model`` (piece → fixed-
+    point logp): max BIGINT score, ties by space-joined piece string
+    ASC. Returns None when no segmentation exists (some character is
+    not a piece). DP carries (score, joined-string) per end position;
+    the string tie-break composes under concatenation because two
+    max-score prefixes of the same position are never prefixes of each
+    other (same covered characters, different space positions)."""
+    n = len(word)
+    # dp[i] = (score, joined) for word[:i]
+    dp: list[tuple[int, str] | None] = [None] * (n + 1)
+    dp[0] = (0, "")
+    for i in range(1, n + 1):
+        best: tuple[int, str] | None = None
+        for ln in range(1, min(max_piece_len, i) + 1):
+            prev = dp[i - ln]
+            if prev is None:
+                continue
+            lp = model.get(word[i - ln : i])
+            if lp is None:
+                continue
+            seg = (
+                word[i - ln : i]
+                if prev[1] == ""
+                else prev[1] + " " + word[i - ln : i]
+            )
+            cand = (prev[0] + lp, seg)
+            if best is None or cand[0] > best[0] or (
+                cand[0] == best[0] and cand[1] < best[1]
+            ):
+                best = cand
+        dp[i] = best
+    return dp[n][1].split(" ") if dp[n] is not None else None
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 32,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 512,
+    max_word_types: int = 1 << 16,
+) -> dict[str, int]:
+    """Train the unigram-LM piece table; returns piece → fixed-point
+    logp (BIGINT scale ``LOGP_FP``). One distributed corpus pass (the
+    word census); everything after is driver-side over the BOUNDED
+    census, like ``bpe.train_bpe``.
+
+    ``vocab_size`` counts MULTI-char pieces — every single character
+    survives unconditionally (coverage guarantee)."""
+    if vocab_size < 1 or n_rounds < 1 or max_piece_len < 1:
+        raise ValueError("train_unigram: sizes/rounds must be >= 1")
+    rows = word_census(df, text_col, max_word_types).collect()
+    census = [(r["word"], int(r["freq"])) for r in rows]
+    return _train_unigram_census(
+        census, vocab_size, n_rounds, max_piece_len, seed_size
+    )
+
+
+def _train_unigram_census(
+    census: list[tuple[str, int]],
+    vocab_size: int,
+    n_rounds: int,
+    max_piece_len: int,
+    seed_size: int,
+) -> dict[str, int]:
+    """Spark-free trainer over a (word, freq) census (the oracle
+    re-derives exactly this function end-to-end in SQL)."""
+    # seed: every substring up to max_piece_len, scored by the freq-
+    # weighted count of its occurrences (all start positions)
+    scores: dict[str, int] = {}
+    for w, f in census:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i : i + ln]
+                scores[p] = scores.get(p, 0) + f
+    if not scores:
+        return {}
+    singles = sorted(p for p in scores if len(p) == 1)
+    multis = sorted(
+        (p for p in scores if len(p) > 1),
+        key=lambda p: (-scores[p], p),
+    )[:seed_size]
+    vocab = set(singles) | set(multis)
+    total = sum(scores[p] for p in vocab)
+    model = {p: _logp_fp(scores[p], total) for p in vocab}
+
+    counts: dict[str, int] = {}
+    for _ in range(n_rounds):
+        # hard E-step: freq-weighted piece counts along best paths
+        counts = {}
+        for w, f in census:
+            seg = _viterbi(w, model, max_piece_len)
+            if seg is None:  # unreachable: singles never die
+                seg = list(w)
+            for p in seg:
+                counts[p] = counts.get(p, 0) + f
+        # +1 coverage floor on every alphabet char
+        for c in singles:
+            counts[c] = counts.get(c, 0) + 1
+        tot = sum(counts.values())
+        # M-step (pieces with zero count drop out — hard-EM prune)
+        model = {p: _logp_fp(c, tot) for p, c in counts.items()}
+
+    keep_multi = sorted(
+        (p for p in model if len(p) > 1),
+        key=lambda p: (-counts[p], p),
+    )[:vocab_size]
+    return {
+        p: lp
+        for p, lp in model.items()
+        if len(p) == 1 or p in set(keep_multi)
+    }
+
+
+def unigram_model_fp8(model: dict[str, int]) -> str:
+    """8-hex fingerprint of the trained table (piece ASC, ``p:lp``
+    joined by ``|``) — one wrong probability anywhere changes it."""
+    s = "|".join(f"{p}:{model[p]}" for p in sorted(model))
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+def unigram_encode_word_types(
+    words: DataFrame,
+    model: dict[str, int],
+    word_col: str = "word",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Viterbi-encode DISTINCT word types under a trained table:
+    (word, pieces array<string>). Arrow-batched pandas UDF with a
+    per-batch memo; the model ships in the closure (vocab-bounded — the
+    same bounded-side-data contract as ``bpe.encode_word_types``). A
+    word containing a character outside the model falls back to its
+    plain character list (len(word) pieces) — the rule the oracle
+    replicates with ``coalesce(np, length(word))``."""
+    from pyspark.sql.functions import pandas_udf
+
+    mdl = dict(model)
+    mpl = int(max_piece_len)
+
+    @pandas_udf("array<string>")
+    def enc(s: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                seg = _viterbi(w, mdl, mpl)
+                got = memo[w] = seg if seg is not None else list(w)
+            return got
+
+        return s.map(one)
+
+    return words.withColumn("pieces", enc(F.col(word_col)))

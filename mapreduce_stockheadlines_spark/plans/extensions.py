@@ -2581,12 +2581,43 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("_npt").cast("bigint").alias("n_bpe_pieces_trained"))
     )
+    # UNIGRAM-LM TRAINING (round-8 zero-slot promotion — the fifth
+    # iterative trainer under the unrolled-CTE recipe, and the first
+    # PROBABILISTIC one): train_unigram seeds substring candidates from
+    # the same word census, runs 2 hard-EM rounds (fixed-point Viterbi
+    # best segmentations -> freq-weighted counts with a +1 single-char
+    # coverage floor -> re-estimated 1e6-fixed-point ln probabilities)
+    # and prunes to 12 multi-char pieces + the alphabet. Two columns pin
+    # it: uni_model_fp8 (md5 prefix of the piece:logp table — one wrong
+    # probability anywhere breaks every row) and n_uni_pieces (each
+    # doc's Viterbi piece count under the trained table, encoded by the
+    # real Arrow path). DuckDB re-derives seed scores, both EM rounds
+    # (best paths via recursive-CTE enumeration vs the driver's DP — a
+    # cross-ALGORITHM pin with the same (score DESC, seg ASC) contract),
+    # the prune, the fingerprint and every per-doc count.
+    from ..operators import unigram as UG
+
+    uni = UG.train_unigram(
+        docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
+        seed_size=64, max_word_types=4096,
+    )
+    ufp = UG.unigram_model_fp8(uni)
+    enc_u = UG.unigram_encode_word_types(
+        words.select("word").distinct(), uni
+    ).select("word", F.size("pieces").cast("bigint").alias("_nu"))
+    upct = (
+        words.join(enc_u, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("_nu").cast("bigint").alias("n_uni_pieces"))
+    )
     return (
         ppl.join(bpc, "doc_id", "left")
         .join(bpct, "doc_id", "left")
+        .join(upct, "doc_id", "left")
         .na.fill({"n_bpe_pieces": 0, "max_word_pieces": 0,
-                  "n_bpe_pieces_trained": 0})
+                  "n_bpe_pieces_trained": 0, "n_uni_pieces": 0})
         .withColumn("bpe_merges_fp8", F.lit(mfp))
+        .withColumn("uni_model_fp8", F.lit(ufp))
         .orderBy("doc_id")
     )
 
@@ -2693,8 +2724,123 @@ bpct AS (
     return out
 
 
+def _x28_uni_train_ctes(
+    vocab_size: int = 12,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+) -> str:
+    """Unrolled unigram-LM training (operators/unigram.py) — the
+    BPE-trainer recipe applied to the probabilistic tokenizer. Every
+    decision is integer fixed-point (lp = round(1e6·ln(c/total)) as
+    BIGINT, so Viterbi scores are exact BIGINT sums) or string order
+    (best-path ties: space-joined segmentation ASC — binary collation,
+    matching python's str compare on this ASCII alphabet). Best paths
+    come from a full recursive-CTE enumeration of segmentations, a
+    DIFFERENT algorithm from the driver's DP — path counts are bounded
+    by the tetranacci of the census word length, and the census is the
+    truncated ``bw``. The +1 single-char count floor each round mirrors
+    the trainer's coverage guarantee. Doc words missing from the encode
+    (a character outside the model — only possible under census
+    truncation) fall back to length(word) pieces, exactly the
+    operator's char-list fallback."""
+    out = f""",
+uss AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS score FROM (
+    SELECT freq,
+           substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+    FROM (SELECT word, freq,
+                 unnest(range(1, length(word) + 1)) AS i
+          FROM bw)
+    CROSS JOIN range(1, {max_piece_len} + 1) u(l)
+    WHERE i + l <= length(word) + 1)
+  GROUP BY piece),
+uali AS MATERIALIZED (
+  SELECT piece, score FROM uss WHERE length(piece) = 1),
+uv0 AS MATERIALIZED (
+  SELECT piece, score FROM uali
+  UNION ALL
+  SELECT piece, score FROM (
+    SELECT piece, score FROM uss WHERE length(piece) > 1
+    ORDER BY score DESC, piece LIMIT {seed_size})),
+um0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(1000000.0 * ln(CAST(score AS DOUBLE) /
+              CAST((SELECT sum(score) FROM uv0) AS DOUBLE))) AS BIGINT)
+           AS lp
+  FROM uv0)"""
+    for r in range(1, n_rounds + 1):
+        out += f""",
+upath{r} AS (
+  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc, '' AS seg FROM bw
+  UNION ALL
+  SELECT p.word, p.freq, p.pos + length(m.piece), p.sc + m.lp,
+         CASE WHEN p.seg = '' THEN m.piece
+              ELSE p.seg || ' ' || m.piece END
+  FROM upath{r} p JOIN um{r - 1} m
+    ON m.piece = substr(p.word, p.pos + 1, length(m.piece))
+  WHERE p.pos < length(p.word)),
+useg{r} AS MATERIALIZED (
+  SELECT word, freq, seg FROM (
+    SELECT word, freq, seg,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY sc DESC, seg) AS rn
+    FROM upath{r} WHERE pos = length(word))
+  WHERE rn = 1),
+ucc{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split(seg, ' ')) AS piece, freq AS c
+    FROM useg{r}
+    UNION ALL
+    SELECT piece, 1 AS c FROM uali)
+  GROUP BY piece),
+um{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(1000000.0 * ln(CAST(c AS DOUBLE) /
+              CAST((SELECT sum(c) FROM ucc{r}) AS DOUBLE))) AS BIGINT)
+           AS lp
+  FROM ucc{r})"""
+    out += f""",
+ufin AS MATERIALIZED (
+  SELECT piece, lp FROM um{n_rounds} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, lp FROM (
+    SELECT m.piece, m.lp FROM um{n_rounds} m
+    JOIN ucc{n_rounds} c USING (piece)
+    WHERE length(m.piece) > 1
+    ORDER BY c.c DESC, m.piece LIMIT {vocab_size})),
+ufp8 AS (
+  SELECT substr(md5(coalesce(string_agg(
+           piece || ':' || CAST(lp AS VARCHAR), '|' ORDER BY piece), '')),
+         1, 8) AS fp
+  FROM ufin),
+uepath AS (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, '' AS seg
+  FROM (SELECT DISTINCT word FROM words)
+  UNION ALL
+  SELECT p.word, p.pos + length(m.piece), p.sc + m.lp,
+         CASE WHEN p.seg = '' THEN m.piece
+              ELSE p.seg || ' ' || m.piece END
+  FROM uepath p JOIN ufin m
+    ON m.piece = substr(p.word, p.pos + 1, length(m.piece))
+  WHERE p.pos < length(p.word)),
+uenc AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS np FROM (
+    SELECT word, seg,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY sc DESC, seg) AS rn
+    FROM uepath WHERE pos = length(word))
+  WHERE rn = 1),
+upct AS (
+  SELECT w.doc_id,
+         CAST(sum(coalesce(e.np, length(w.word))) AS BIGINT)
+           AS n_uni_pieces
+  FROM words w LEFT JOIN uenc e USING (word) GROUP BY w.doc_id)"""
+    return out
+
+
 X28_SQL = f"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_prepend('<s>', list_filter(
            string_split_regex(
@@ -2739,15 +2885,18 @@ encs AS (
 bpc AS (
   SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_bpe_pieces,
          CAST(max(np) AS BIGINT) AS max_word_pieces
-  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}
+  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}{_x28_uni_train_ctes()}
 SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        round(exp(-fx.avg_logp), 4) AS ppl,
        coalesce(bpc.n_bpe_pieces, 0) AS n_bpe_pieces,
        coalesce(bpc.max_word_pieces, 0) AS max_word_pieces,
        coalesce(bpct.n_bpe_pieces_trained, 0) AS n_bpe_pieces_trained,
-       (SELECT fp FROM bfp) AS bpe_merges_fp8
+       coalesce(upct.n_uni_pieces, 0) AS n_uni_pieces,
+       (SELECT fp FROM bfp) AS bpe_merges_fp8,
+       (SELECT fp FROM ufp8) AS uni_model_fp8
 FROM fx LEFT JOIN bpc USING (doc_id)
 LEFT JOIN bpct USING (doc_id)
+LEFT JOIN upct USING (doc_id)
 ORDER BY fx.doc_id
 """
 

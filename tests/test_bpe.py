@@ -342,3 +342,124 @@ def test_x28_training_oracle_survives_early_stop():
     ).hexdigest()[:8]
     # each word 'a' encodes to ONE piece ('a</w>') under the learned merge
     assert got == [(1, 3, fp), (2, 1, fp), (3, 2, fp)]
+
+
+# --- unigram-LM trainer (operators/unigram.py) -------------------------------
+
+
+def test_unigram_trainer_learns_frequent_substrings():
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        _train_unigram_census,
+        _viterbi,
+    )
+
+    census = [("data", 10), ("database", 5), ("dart", 3), ("the", 9)]
+    m = _train_unigram_census(
+        census, vocab_size=6, n_rounds=2, max_piece_len=4, seed_size=64
+    )
+    # the dominant whole words become pieces; every census word
+    # segments and the pieces re-join to the word (coverage)
+    assert "data" in m and "the" in m
+    for w, _ in census:
+        seg = _viterbi(w, m, 4)
+        assert seg is not None and "".join(seg) == w
+    # fixed-point logps are negative BIGINT-scale ints
+    assert all(isinstance(v, int) and v < 0 for v in m.values())
+
+
+def test_unigram_single_word_corpus_is_one_piece():
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        _train_unigram_census,
+        _viterbi,
+    )
+
+    m = _train_unigram_census(
+        [("spark", 7)], vocab_size=4, n_rounds=2, max_piece_len=5,
+        seed_size=64,
+    )
+    seg = _viterbi("spark", m, 5)
+    assert seg == ["spark"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=9),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_matches_bruteforce(census):
+    """The DP (score, min-joined-string) tie-break must equal a full
+    enumeration's (score DESC, seg ASC) argmax — the exact contract the
+    DuckDB oracle's recursive-CTE path enumeration checks at registry
+    scale."""
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        _train_unigram_census,
+        _viterbi,
+    )
+
+    census = list({w: f for w, f in census}.items())
+    m = _train_unigram_census(
+        census, vocab_size=5, n_rounds=2, max_piece_len=4, seed_size=32
+    )
+
+    def brute(w):
+        best = None
+
+        def rec(i, segs, sc):
+            nonlocal best
+            if i == len(w):
+                cand = (sc, " ".join(segs))
+                if (
+                    best is None
+                    or cand[0] > best[0]
+                    or (cand[0] == best[0] and cand[1] < best[1])
+                ):
+                    best = cand
+                return
+            for ln in range(1, min(4, len(w) - i) + 1):
+                p = w[i : i + ln]
+                if p in m:
+                    rec(i + ln, segs + [p], sc + m[p])
+
+        rec(0, [], 0)
+        return best[1].split(" ") if best else None
+
+    for w, _ in census:
+        assert _viterbi(w, m, 4) == brute(w)
+
+
+def test_unigram_encode_word_types_arrow_path(spark):
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        _train_unigram_census,
+        unigram_encode_word_types,
+    )
+
+    census = [("data", 10), ("dart", 3)]
+    m = _train_unigram_census(
+        census, vocab_size=4, n_rounds=2, max_piece_len=4, seed_size=32
+    )
+    words = spark.createDataFrame(
+        [("data",), ("dart",), ("zzz",)], ["word"]
+    )
+    out = {
+        r["word"]: list(r["pieces"])
+        for r in unigram_encode_word_types(words, m).collect()
+    }
+    assert "".join(out["data"]) == "data"
+    assert "".join(out["dart"]) == "dart"
+    # chars outside the model: plain char-list fallback
+    assert out["zzz"] == ["z", "z", "z"]
+
+
+def test_x28_unigram_columns_nondegenerate(spark, sf_dir):
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x28 = ALL_QUERIES["x28_lm_perplexity"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x28, "n_uni_pieces", f"at {sf_dir}")
