@@ -18,6 +18,9 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 duplicated-token-window fraction exceeds
                                 --max-dup-window-fraction)
       → language + quality     (ONE fused stats projection over the RAW
+                                text, optionally with the named Gopher /
+                                C4 rule gates riding the same projection
+                                — --gopher-rules / --c4-rules)
                                 text; filter both — see the inlining
                                 note at the stats stage for why the
                                 gates run before redaction)
@@ -46,6 +49,10 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 a save_bpe artifact — --encode-bpe-merges
                                 / --bpe-dir; packing budgets by piece
                                 count)
+      → unigram-LM encode      (optional alternative: probabilistic
+                                subword tokenizer self-trained on the
+                                survivors, hard-EM Viterbi —
+                                --encode-unigram-pieces)
       → sequence packing       (optional: per-partition FFD into token
                                 budgets — --pack-budget)
       → train/test split       (optional: hash-disjoint, growth-stable —
@@ -116,6 +123,7 @@ def curate(
     dsir_buckets: int = 65536,
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
+    unigram_pieces: int | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
@@ -129,12 +137,19 @@ def curate(
     # whole curation chain (checkpoint barriers, census collects), so a
     # config error surfacing there would come after the cluster already
     # did the full multi-pass run
-    if (bpe_merges is not None or bpe_model is not None) and (
-        encode_vocab_top is not None
-    ):
+    n_encode_stages = sum(
+        x is not None
+        for x in (
+            encode_vocab_top,
+            bpe_merges if bpe_model is None else bpe_model,
+            unigram_pieces,
+        )
+    )
+    if n_encode_stages > 1:
         raise ValueError(
-            "choose one encode stage: encode_vocab_top (word-level) "
-            "or bpe_merges/bpe_model (subword)"
+            "choose one encode stage: encode_vocab_top (word-level), "
+            "bpe_merges/bpe_model (BPE subword) or unigram_pieces "
+            "(unigram-LM subword)"
         )
     if bpe_merges is not None and bpe_model is not None:
         raise ValueError(
@@ -147,6 +162,10 @@ def curate(
         # tokenizer — same silent-misconfiguration class as
         # encode_vocab_top < 1 below
         raise ValueError(f"bpe_merges must be >= 1, got {bpe_merges}")
+    if unigram_pieces is not None and unigram_pieces < 1:
+        raise ValueError(
+            f"unigram_pieces must be >= 1, got {unigram_pieces}"
+        )
     if encode_vocab_top is not None and encode_vocab_top < 1:
         # vocabulary() treats 0 as "no cap" (falsy) — a user asking for
         # top-0 would silently get the FULL vocab; negatives would map
@@ -561,6 +580,30 @@ def curate(
         # this is a 1:1 inner join — no doc can drop here
         docs = docs.join(enc, "doc_id")
 
+    # 5f. (optional) unigram-LM encode: the probabilistic subword
+    #     tokenizer, self-trained on the survivors (hard-EM Viterbi —
+    #     operators/unigram.py). Same barrier rationale as the other
+    #     encode stages: the census collect executes the chain.
+    if unigram_pieces is not None:
+        from ..operators import unigram as UG
+
+        docs = (
+            docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
+        )
+        model = UG.train_unigram(docs, "text", vocab_size=unigram_pieces)
+        enc = UG.apply_unigram(
+            docs,
+            "doc_id",
+            "text",
+            model,
+            piece_ids=UG.unigram_piece_id_map(model),
+        ).select(
+            "doc_id",
+            "piece_token_ids",
+            F.col("n_pieces").alias("n_uni_pieces"),
+        )
+        docs = docs.join(enc, "doc_id")
+
     # 6. (optional) pack surviving docs into fixed token-budget training
     #    sequences; assignment joined back so rows keep their text
     if pack_budget is not None:
@@ -568,6 +611,8 @@ def curate(
             count_col = "n_vocab_tokens"
         elif bpe_merges is not None or bpe_model is not None:
             count_col = "n_bpe_pieces"
+        elif unigram_pieces is not None:
+            count_col = "n_uni_pieces"
         else:
             count_col = "n_ws_tokens"
         assignment = PK.pack_sequences(
@@ -686,6 +731,10 @@ def main(argv: list[str] | None = None) -> None:
                     choices=["NFC", "NFKC", "NFD", "NFKD"],
                     help="Unicode-normalize + strip accents before any "
                          "other stage (NFKC recommended for web text)")
+    ap.add_argument("--encode-unigram-pieces", type=int, default=None,
+                    help="self-train a unigram-LM subword tokenizer "
+                         "(hard-EM Viterbi, operators/unigram.py) with N "
+                         "multi-char pieces and encode the survivors")
     ap.add_argument("--encode-bpe-merges", type=int, default=None,
                     help="train a BPE tokenizer (this many merges) on "
                          "the survivors and attach subword piece-id "
@@ -874,6 +923,7 @@ def main(argv: list[str] | None = None) -> None:
         dsir_keep_frac=args.dsir_keep_frac,
         dsir_buckets=args.dsir_buckets,
         encode_vocab_top=args.encode_vocab_top,
+        unigram_pieces=args.encode_unigram_pieces,
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(
             BP.load_bpe(spark, args.bpe_dir) if args.bpe_dir else None

@@ -189,9 +189,11 @@ def unigram_encode_word_types(
     model: dict[str, int],
     word_col: str = "word",
     max_piece_len: int = 4,
+    piece_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """Viterbi-encode DISTINCT word types under a trained table:
-    (word, pieces array<string>). Arrow-batched pandas UDF with a
+    (word, pieces array<string>) plus, with ``piece_ids``, an ``ids``
+    array<int> (unknown pieces → 0). Arrow-batched pandas UDF with a
     per-batch memo; the model ships in the closure (vocab-bounded — the
     same bounded-side-data contract as ``bpe.encode_word_types``). A
     word containing a character outside the model falls back to its
@@ -201,6 +203,7 @@ def unigram_encode_word_types(
 
     mdl = dict(model)
     mpl = int(max_piece_len)
+    ids = dict(piece_ids) if piece_ids is not None else None
 
     @pandas_udf("array<string>")
     def enc(s: pd.Series) -> pd.Series:
@@ -215,4 +218,103 @@ def unigram_encode_word_types(
 
         return s.map(one)
 
-    return words.withColumn("pieces", enc(F.col(word_col)))
+    out = words.withColumn("pieces", enc(F.col(word_col)))
+    if ids is None:
+        return out
+
+    @pandas_udf("array<int>")
+    def to_ids(s: pd.Series) -> pd.Series:
+        return s.map(lambda ps: [ids.get(p, 0) for p in ps])
+
+    return out.withColumn("ids", to_ids(F.col("pieces")))
+
+
+def unigram_piece_id_map(model: dict[str, int]) -> dict[str, int]:
+    """piece → 1-based id: single characters first (ASC), then
+    multi-char pieces by probability DESC (logp DESC) with piece-ASC
+    ties — id 0 stays the unk/pad reservation (the
+    ``relevance.vocabulary`` / ``bpe.piece_id_map`` convention)."""
+    singles = sorted(p for p in model if len(p) == 1)
+    multis = sorted(
+        (p for p in model if len(p) > 1), key=lambda p: (-model[p], p)
+    )
+    return {p: i + 1 for i, p in enumerate(singles + multis)}
+
+
+def unigram_vocabulary(spark, model: dict[str, int]) -> DataFrame:
+    """``unigram_piece_id_map`` as a (piece, piece_id, logp_fp) frame —
+    the persistable artifact form."""
+    ids = unigram_piece_id_map(model)
+    return spark.createDataFrame(
+        sorted(
+            ((p, i, model[p]) for p, i in ids.items()),
+            key=lambda row: row[1],
+        ),
+        "piece string, piece_id int, logp_fp long",
+    )
+
+
+def apply_unigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict[str, int],
+    max_piece_len: int = 4,
+    piece_ids: dict[str, int] | None = None,
+) -> DataFrame:
+    """Tokenize documents into unigram-LM piece sequences: (id, pieces
+    in original order, n_words, n_pieces) and, with ``piece_ids``, a
+    parallel ``piece_token_ids`` array<int> — the probabilistic sibling
+    of ``bpe.apply_bpe`` with the identical scale shape: one posexplode,
+    Python work once per DISTINCT word type, one join back (AQE
+    broadcasts real vocabularies), one per-doc reassembly; token-less
+    docs survive with empty arrays."""
+    from ..functions.text import tokens_array
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_array(text_col)).alias("pos", "word"),
+    )
+    enc = unigram_encode_word_types(
+        toks.select("word").distinct(), model,
+        max_piece_len=max_piece_len, piece_ids=piece_ids,
+    )
+    joined = toks.join(enc, "word")
+    piece_seq = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("pieces")))
+            ),
+            lambda s: s["pieces"],
+        )
+    )
+    aggs = [
+        piece_seq.alias("pieces"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    ]
+    if piece_ids is not None:
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("ids")))
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("piece_token_ids")
+        )
+    out = toks.select(id_col).distinct().join(
+        joined.groupBy(id_col).agg(*aggs), id_col, "left"
+    )
+    enc_docs = df.select(id_col).join(out, id_col, "left")
+    fills = {
+        "pieces": F.array().cast("array<string>"),
+        "n_words": F.lit(0).cast("bigint"),
+    }
+    if piece_ids is not None:
+        fills["piece_token_ids"] = F.array().cast("array<int>")
+    for c, default in fills.items():
+        enc_docs = enc_docs.withColumn(c, F.coalesce(F.col(c), default))
+    return enc_docs.withColumn(
+        "n_pieces", F.size("pieces").cast("bigint")
+    )

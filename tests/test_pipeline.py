@@ -1255,3 +1255,28 @@ def test_curate_gopher_and_c4_gates(spark):
     c = curate(docs, lang="en", min_quality=0.0, c4_rules=True)
     c_ids = sorted(r.doc_id for r in c.select("doc_id").collect())
     assert 1 in c_ids and 3 not in c_ids
+
+
+def test_curate_unigram_encode_stage(spark):
+    rows = [
+        (1, "data database dart data the the", "s"),
+        (2, "the data dart", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs, lang="en", min_quality=0.0, unigram_pieces=6, pack_budget=16
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    for r in got.values():
+        # pieces re-join to the original words and ids parallel them
+        assert len(r.piece_token_ids) == r.n_uni_pieces
+        assert r.n_uni_pieces >= 1
+    # packing budgeted by the unigram piece count
+    assert all(r.pack_id is not None for r in got.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="one encode stage"):
+        curate(docs, unigram_pieces=4, encode_vocab_top=10)
+    with pytest.raises(ValueError, match="unigram_pieces"):
+        curate(docs, unigram_pieces=0)
