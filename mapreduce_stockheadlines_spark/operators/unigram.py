@@ -303,10 +303,11 @@ def apply_unigram(
                 )
             ).alias("piece_token_ids")
         )
-    out = toks.select(id_col).distinct().join(
+    # token-less docs restore via the df-side LEFT join below (the
+    # apply_bpe pattern) — no extra distinct pass over the token stream
+    enc_docs = df.select(id_col).join(
         joined.groupBy(id_col).agg(*aggs), id_col, "left"
     )
-    enc_docs = df.select(id_col).join(out, id_col, "left")
     fills = {
         "pieces": F.array().cast("array<string>"),
         "n_words": F.lit(0).cast("bigint"),
