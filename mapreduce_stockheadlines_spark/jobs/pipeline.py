@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import bpe as BP
+from ..operators import unigram as UG
 from ..operators import dedup as D
 from ..operators import packing as PK
 from ..operators import relevance as RV
@@ -124,6 +125,7 @@ def curate(
     encode_vocab_top: int | None = None,
     bpe_merges: int | None = None,
     unigram_pieces: int | None = None,
+    unigram_model: dict[str, int] | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
@@ -142,7 +144,7 @@ def curate(
         for x in (
             encode_vocab_top,
             bpe_merges if bpe_model is None else bpe_model,
-            unigram_pieces,
+            unigram_pieces if unigram_model is None else unigram_model,
         )
     )
     if n_encode_stages > 1:
@@ -162,6 +164,12 @@ def curate(
         # tokenizer — same silent-misconfiguration class as
         # encode_vocab_top < 1 below
         raise ValueError(f"bpe_merges must be >= 1, got {bpe_merges}")
+    if unigram_pieces is not None and unigram_model is not None:
+        raise ValueError(
+            "unigram_pieces (self-train) and unigram_model (pretrained "
+            "artifact) are mutually exclusive — silently preferring one "
+            "would mask a config error"
+        )
     if unigram_pieces is not None and unigram_pieces < 1:
         raise ValueError(
             f"unigram_pieces must be >= 1, got {unigram_pieces}"
@@ -584,13 +592,15 @@ def curate(
     #     tokenizer, self-trained on the survivors (hard-EM Viterbi —
     #     operators/unigram.py). Same barrier rationale as the other
     #     encode stages: the census collect executes the chain.
-    if unigram_pieces is not None:
-        from ..operators import unigram as UG
-
+    if unigram_pieces is not None or unigram_model is not None:
         docs = (
             docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
         )
-        model = UG.train_unigram(docs, "text", vocab_size=unigram_pieces)
+        model = (
+            unigram_model
+            if unigram_model is not None
+            else UG.train_unigram(docs, "text", vocab_size=unigram_pieces)
+        )
         enc = UG.apply_unigram(
             docs,
             "doc_id",
@@ -611,7 +621,7 @@ def curate(
             count_col = "n_vocab_tokens"
         elif bpe_merges is not None or bpe_model is not None:
             count_col = "n_bpe_pieces"
-        elif unigram_pieces is not None:
+        elif unigram_pieces is not None or unigram_model is not None:
             count_col = "n_uni_pieces"
         else:
             count_col = "n_ws_tokens"
@@ -743,6 +753,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--bpe-dir", default=None,
                     help="save_bpe artifact dir: encode with this "
                          "pretrained tokenizer instead of self-training")
+    ap.add_argument("--unigram-dir", default=None,
+                    help="save_unigram artifact dir: encode with this "
+                         "pretrained unigram-LM tokenizer instead of "
+                         "self-training")
     ap.add_argument("--max-dup-ngram-fraction", type=float, default=None,
                     help="drop docs whose within-doc duplicate-n-gram "
                          "share exceeds this (Gopher repetition rule)")
@@ -924,6 +938,10 @@ def main(argv: list[str] | None = None) -> None:
         dsir_buckets=args.dsir_buckets,
         encode_vocab_top=args.encode_vocab_top,
         unigram_pieces=args.encode_unigram_pieces,
+        unigram_model=(
+            UG.load_unigram(spark, args.unigram_dir)
+            if args.unigram_dir else None
+        ),
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(
             BP.load_bpe(spark, args.bpe_dir) if args.bpe_dir else None

@@ -105,6 +105,18 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "dup_window_frac_mean",
         F.avg("dup_fraction"),
     )
+    # named-rule pass rates (round 8): the fraction of docs the Gopher
+    # appendix-A1.1 / deterministic C4 conjunctions would keep — the
+    # dataset-card numbers a --gopher-rules / --c4-rules gate acts on
+    rules = TS.gopher_c4_filter(docs, id_col, text_col)
+    gopher = _metric(
+        rules, "gopher_kept_frac",
+        F.avg(F.when(F.col("gopher_kept"), 1.0).otherwise(0.0)),
+    )
+    c4 = _metric(
+        rules, "c4_kept_frac",
+        F.avg(F.when(F.col("c4_kept"), 1.0).otherwise(0.0)),
+    )
     report = size.unionAll(chars).unionAll(tokens)
     for q in quartiles:
         report = report.unionAll(q)
@@ -115,6 +127,8 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .unionAll(urls)
         .unionAll(clf)
         .unionAll(dupwin)
+        .unionAll(gopher)
+        .unionAll(c4)
     ).orderBy("metric")
     # the report is ~a dozen rows: materialize it, then release the
     # cached per-doc stats instead of pinning executor memory for the

@@ -254,6 +254,24 @@ def unigram_vocabulary(spark, model: dict[str, int]) -> DataFrame:
     )
 
 
+def save_unigram(spark, model: dict[str, int], path: str) -> None:
+    """Persist a trained unigram table as a parquet artifact (the
+    ``save_bpe`` deployment shape: train once, encode many corpora):
+    ``<path>/pieces`` carries (piece, piece_id, logp_fp)."""
+    unigram_vocabulary(spark, model).write.mode("overwrite").parquet(
+        f"{path}/pieces"
+    )
+
+
+def load_unigram(spark, path: str) -> dict[str, int]:
+    """Inverse of ``save_unigram`` (ids are re-derivable from the
+    table via ``unigram_piece_id_map``)."""
+    return {
+        r["piece"]: int(r["logp_fp"])
+        for r in spark.read.parquet(f"{path}/pieces").collect()
+    }
+
+
 def apply_unigram(
     df: DataFrame,
     id_col: str,

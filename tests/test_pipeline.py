@@ -495,6 +495,10 @@ def test_corpus_report_values(spark):
     # docs 1/2 are verbatim copies: every window duplicated (frac 1.0
     # each), docs 3/4 share nothing 8 tokens long -> mean = 2/4
     assert rep["dup_window_frac_mean"] == 0.5
+    # all four docs are ~10 words: every one fails Gopher's >= 50 word
+    # rule and C4's >= 3 sentence rule
+    assert rep["gopher_kept_frac"] == 0.0
+    assert rep["c4_kept_frac"] == 0.0
 
 
 def test_gates_pass_unscorable_docs(spark):
@@ -1280,3 +1284,30 @@ def test_curate_unigram_encode_stage(spark):
         curate(docs, unigram_pieces=4, encode_vocab_top=10)
     with pytest.raises(ValueError, match="unigram_pieces"):
         curate(docs, unigram_pieces=0)
+
+
+def test_pipeline_cli_unigram_artifact_round_trip(spark, tmp_path):
+    """save_unigram -> --unigram-dir encodes with the frozen table (the
+    save_bpe deployment shape) and matches the in-process encode."""
+    from mapreduce_stockheadlines_spark.operators import unigram as UG
+
+    rows = [
+        (1, "data database dart data the the", "s"),
+        (2, "the data dart", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    model = UG.train_unigram(docs, "text", vocab_size=6)
+    path = str(tmp_path / "uni")
+    UG.save_unigram(spark, model, path)
+    assert UG.load_unigram(spark, path) == model
+
+    direct = curate(docs, lang="en", min_quality=0.0, unigram_pieces=6)
+    frozen = curate(docs, lang="en", min_quality=0.0, unigram_model=model)
+    d = {r.doc_id: list(r.piece_token_ids) for r in direct.collect()}
+    f = {r.doc_id: list(r.piece_token_ids) for r in frozen.collect()}
+    assert d == f
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, unigram_pieces=4, unigram_model=model)
