@@ -20,10 +20,9 @@ operators composed the way a 100 TB pretraining-data job would use them.
       → language + quality     (ONE fused stats projection over the RAW
                                 text, optionally with the named Gopher /
                                 C4 rule gates riding the same projection
-                                — --gopher-rules / --c4-rules)
-                                text; filter both — see the inlining
-                                note at the stats stage for why the
-                                gates run before redaction)
+                                — --gopher-rules / --c4-rules; see the
+                                inlining note at the stats stage for why
+                                the gates run before redaction)
       → PII redaction          (codegen regex scrub of the survivors;
                                 keeps n_pii)
       → repetition gate        (optional: drop looping/boilerplate docs by
@@ -323,10 +322,12 @@ def curate(
     #    Redacting after the gates is also strictly less work: the
     #    regex chain runs only on rows that survived.
     extra_rule_cols = []
-    if gopher_rules:
-        extra_rule_cols += TS.gopher_rules_cols("text")
-    if c4_rules:
-        extra_rule_cols += TS.c4_rules_cols("text")
+    if gopher_rules or c4_rules:
+        _rb = TS._rule_base(F.col("text"))
+        if gopher_rules:
+            extra_rule_cols += TS.gopher_rules_cols("text", _base=_rb)
+        if c4_rules:
+            extra_rule_cols += TS.c4_rules_cols("text", _base=_rb)
     stats = TS.text_stats(
         docs, "doc_id", "text", extra_cols=extra_rule_cols or None
     )

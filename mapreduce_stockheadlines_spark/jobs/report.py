@@ -107,15 +107,31 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # named-rule pass rates (round 8): the fraction of docs the Gopher
     # appendix-A1.1 / deterministic C4 conjunctions would keep — the
-    # dataset-card numbers a --gopher-rules / --c4-rules gate acts on
-    rules = TS.gopher_c4_filter(docs, id_col, text_col)
-    gopher = _metric(
-        rules, "gopher_kept_frac",
-        F.avg(F.when(F.col("gopher_kept"), 1.0).otherwise(0.0)),
-    )
-    c4 = _metric(
-        rules, "c4_kept_frac",
-        F.avg(F.when(F.col("c4_kept"), 1.0).otherwise(0.0)),
+    # dataset-card numbers a --gopher-rules / --c4-rules gate acts on.
+    # ONE aggregation computes both rates (two separate _metric() aggs
+    # would re-run the regex-heavy rule projection over the corpus
+    # twice), unpivoted to the (metric, value) shape.
+    rule_rates = (
+        TS.gopher_c4_filter(docs, id_col, text_col)
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("gopher_kept"), 1.0).otherwise(0.0)), 4
+            ).alias("g"),
+            F.round(
+                F.avg(F.when(F.col("c4_kept"), 1.0).otherwise(0.0)), 4
+            ).alias("c"),
+        )
+        # in-plan unpivot (the profile-job shape): BOTH rows come out of
+        # the single 1-row aggregate — a second select over the agg
+        # would re-execute the rule projection over the corpus
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("gopher_kept_frac"), F.col("g"),
+                    F.lit("c4_kept_frac"), F.col("c"),
+                )
+            ).alias("metric", "value")
+        )
     )
     report = size.unionAll(chars).unionAll(tokens)
     for q in quartiles:
@@ -127,8 +143,7 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .unionAll(urls)
         .unionAll(clf)
         .unionAll(dupwin)
-        .unionAll(gopher)
-        .unionAll(c4)
+        .unionAll(rule_rates)
     ).orderBy("metric")
     # the report is ~a dozen rows: materialize it, then release the
     # cached per-doc stats instead of pinning executor memory for the

@@ -137,6 +137,17 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _rule_base(text: Column) -> tuple[Column, Column, Column]:
+    """(words, n_words, n_lines) shared by the Gopher and C4 rule
+    builders — factored out because Spark does not CSE higher-order-
+    function trees, so two builders in one projection would otherwise
+    tokenize every document twice."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+    n_words = F.size(words).cast("bigint")
+    n_lines = (F.regexp_count(text, F.lit(r"\n")) + 1).cast("bigint")
+    return words, n_words, n_lines
+
+
 def gopher_rules_cols(
     text_col: Column | str,
     *,
@@ -149,17 +160,21 @@ def gopher_rules_cols(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_required_stop_hits: int = 2,
+    _base: tuple[Column, Column, Column] | None = None,
 ) -> list[Column]:
     """The named Gopher document-quality rules (Rae et al. 2021,
     appendix A1.1 — the filter set FineWeb/Dolma/RefinedWeb all derive
     from) as pure codegen column expressions, defaults = the paper's
     thresholds: word count in [50, 100k], mean word length in [3, 10],
-    symbol-to-word ratio (# and ellipsis) <= 0.1, <= 90% of lines
-    starting with a bullet, <= 30% ending with an ellipsis, >= 80% of
-    words containing a letter, and >= 2 of the 8 required English stop
-    words. Emits every rule's measured value (ratios rounded to 4dp so
-    the composite boolean compares identical doubles in any engine)
-    plus the conjunction ``gopher_kept``.
+    symbol-to-word ratio <= 0.1 for EITHER hashes or ellipses (the
+    paper applies the threshold per symbol, so ``symbol_word_ratio``
+    is the max of the two per-symbol ratios — the rule's operative
+    number), <= 90% of lines starting with a bullet, <= 30% ending
+    with an ellipsis, >= 80% of words containing a letter, and >= 2 of
+    the 8 required English stop words. Emits every rule's measured
+    value (ratios rounded to 4dp so the composite boolean compares
+    identical doubles in any engine) plus the conjunction
+    ``gopher_kept``.
 
     Cross-engine notes: counts are non-overlapping left-to-right regex
     scans (Java and RE2 agree); line anchors use ``(?m)`` with
@@ -167,20 +182,22 @@ def gopher_rules_cols(
     \\n-terminated lines (Java's ``(?m)$`` also accepts \\r and U+2028
     — corpora with those line endings should be normalized first)."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
-    n_words = F.size(words).cast("bigint")
+    words, n_words, n_lines = (
+        _base if _base is not None else _rule_base(text)
+    )
     nw1 = F.greatest(n_words, F.lit(1))
     # sum of word lengths == count of non-whitespace chars (words
     # partition them), so mean word length needs no per-word fold
     n_nonws = F.length(F.regexp_replace(text, r"\s", "")).cast("bigint")
     mean_word_len = F.round(n_nonws / nw1, 4)
-    n_sym = (
-        F.regexp_count(text, F.lit("#"))
-        + F.regexp_count(text, F.lit(r"\.\.\."))
+    n_hash = F.regexp_count(text, F.lit("#")).cast("bigint")
+    n_ell_sym = (
+        F.regexp_count(text, F.lit(r"\.\.\."))
         + F.regexp_count(text, F.lit("…"))
     ).cast("bigint")
-    symbol_word_ratio = F.round(n_sym / nw1, 4)
-    n_lines = (F.regexp_count(text, F.lit(r"\n")) + 1).cast("bigint")
+    symbol_word_ratio = F.greatest(
+        F.round(n_hash / nw1, 4), F.round(n_ell_sym / nw1, 4)
+    )
     bullet_line_frac = F.round(
         F.regexp_count(text, F.lit(r"(?m)^[ \t]*[-*•]")) / n_lines, 4
     )
@@ -225,6 +242,7 @@ def c4_rules_cols(
     *,
     min_sentences: int = 3,
     min_words: int = 5,
+    _base: tuple[Column, Column, Column] | None = None,
 ) -> list[Column]:
     """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) that are
     document-level and deterministic, as codegen columns: terminal-
@@ -236,10 +254,9 @@ def c4_rules_cols(
     blocklist-join shape is ``filter_blocked_domains``), and the
     three-sentence-span dedup is ``remove_dup_windows``."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    n_words = F.size(
-        F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
-    ).cast("bigint")
-    n_lines = (F.regexp_count(text, F.lit(r"\n")) + 1).cast("bigint")
+    _words, n_words, n_lines = (
+        _base if _base is not None else _rule_base(text)
+    )
     term_line_frac = F.round(
         F.regexp_count(text, F.lit(r"(?m)[.!?\"']$")) / n_lines, 4
     )
@@ -271,11 +288,15 @@ def gopher_c4_filter(
     """Per-doc Gopher + C4 rule evaluation in ONE zero-shuffle
     projection — the named-rule companion to the composite
     ``quality_score`` gate. ``gopher``/``c4`` override the respective
-    rule set's thresholds by keyword."""
+    rule set's thresholds by keyword. The word array and line count
+    are built once and shared by both rule sets (Spark does not CSE
+    HOF trees)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = _rule_base(text)
     return df.select(
         id_col,
-        *gopher_rules_cols(text_col, **(gopher or {})),
-        *c4_rules_cols(text_col, **(c4 or {})),
+        *gopher_rules_cols(text_col, _base=base, **(gopher or {})),
+        *c4_rules_cols(text_col, _base=base, **(c4 or {})),
     )
 
 

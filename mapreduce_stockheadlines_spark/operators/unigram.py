@@ -68,6 +68,10 @@ def _viterbi(
     the string tie-break composes under concatenation because two
     max-score prefixes of the same position are never prefixes of each
     other (same covered characters, different space positions)."""
+    if not word:
+        # dp[0]=(0,'') would make '' "segment" into one empty piece —
+        # an empty word has an empty segmentation
+        return []
     n = len(word)
     # dp[i] = (score, joined) for word[:i]
     dp: list[tuple[int, str] | None] = [None] * (n + 1)
@@ -188,7 +192,7 @@ def unigram_encode_word_types(
     words: DataFrame,
     model: dict[str, int],
     word_col: str = "word",
-    max_piece_len: int = 4,
+    max_piece_len: int | None = None,
     piece_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """Viterbi-encode DISTINCT word types under a trained table:
@@ -202,7 +206,15 @@ def unigram_encode_word_types(
     from pyspark.sql.functions import pandas_udf
 
     mdl = dict(model)
-    mpl = int(max_piece_len)
+    # default: derive the window from the model itself — a piece longer
+    # than every model piece can never match, and hard-coding the
+    # training-time default would silently dead-letter longer pieces in
+    # a pretrained artifact (save_unigram round-trip)
+    mpl = (
+        int(max_piece_len)
+        if max_piece_len is not None
+        else max((len(p) for p in mdl), default=1)
+    )
     ids = dict(piece_ids) if piece_ids is not None else None
 
     @pandas_udf("array<string>")
@@ -277,7 +289,7 @@ def apply_unigram(
     id_col: str,
     text_col: str,
     model: dict[str, int],
-    max_piece_len: int = 4,
+    max_piece_len: int | None = None,
     piece_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """Tokenize documents into unigram-LM piece sequences: (id, pieces

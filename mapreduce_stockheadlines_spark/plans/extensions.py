@@ -488,6 +488,7 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     corrupted = F.concat(F.col("text"), F.lit(" " + _MOJI_PROBE_BROKEN))
     mixed = F.concat(corrupted, F.lit(" ✓"))
     latin1 = F.concat(F.col("text"), F.lit(" café"))
+    _gc_base = TS._rule_base(F.col("_gc"))
     stats = TS.text_stats(
         docs.withColumn("_stripped", stripped)
         .withColumn("_moji", TS.fix_mojibake(corrupted))
@@ -517,9 +518,9 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             # round-8 zero-slot promotion #2: the named Gopher + C4
             # document-filter rules over the decorated text (_GC_ARMS —
             # every rule dimension exercised; still pure codegen in the
-            # same projection)
-            *TS.gopher_rules_cols(F.col("_gc")),
-            *TS.c4_rules_cols(F.col("_gc")),
+            # same projection, word array/line count built once)
+            *TS.gopher_rules_cols(F.col("_gc"), _base=_gc_base),
+            *TS.c4_rules_cols(F.col("_gc"), _base=_gc_base),
         ],
     )
     return stats.orderBy("doc_id")
@@ -705,9 +706,9 @@ m AS (
   SELECT doc_id, n_lines, n_nonws,
          CAST(len(words) AS BIGINT) AS n_words,
          CAST(greatest(len(words), 1) AS BIGINT) AS nw1,
-         CAST(len(regexp_extract_all(t, '#'))
-              + len(regexp_extract_all(t, '\\.\\.\\.'))
-              + len(regexp_extract_all(t, '…')) AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(t, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(t, '\\.\\.\\.'))
+              + len(regexp_extract_all(t, '…')) AS BIGINT) AS n_ell_sym,
          CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
               AS BIGINT) AS n_alpha,
          CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT)
@@ -726,7 +727,9 @@ r AS (
   SELECT doc_id, c4_n_sentences, c4_has_brace, c4_has_lorem, req_stop_hits,
          n_words AS gopher_n_words,
          round(CAST(n_nonws AS DOUBLE) / nw1, 4) AS mean_word_len,
-         round(CAST(n_sym AS DOUBLE) / nw1, 4) AS symbol_word_ratio,
+         greatest(round(CAST(n_hash AS DOUBLE) / nw1, 4),
+                  round(CAST(n_ell_sym AS DOUBLE) / nw1, 4))
+           AS symbol_word_ratio,
          round(CAST(n_bullet AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
          round(CAST(n_ell AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac,
          round(CAST(n_alpha AS DOUBLE) / nw1, 4) AS alpha_word_frac,
