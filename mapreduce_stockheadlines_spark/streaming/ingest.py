@@ -138,6 +138,7 @@ def curated_ingest_sink(
     max_perplexity: float | None = None,
     lm_dir: str | None = None,
     bpe_dir: str | None = None,
+    unigram_dir: str | None = None,
     drift_census_dir: str | None = None,
     max_js_divergence: float | None = None,
     bloom_bits: int | None = None,
@@ -185,8 +186,17 @@ def curated_ingest_sink(
     surviving as a spurious near-variant.
     """
 
+    if bpe_dir is not None and unigram_dir is not None:
+        # both stages emit piece_token_ids/n_pieces — running both would
+        # collide on the join; one tokenizer per sink, chosen loudly
+        raise ValueError(
+            "bpe_dir and unigram_dir are mutually exclusive — "
+            "pick one tokenizer artifact per sink"
+        )
+
     _lm_cache: list = []  # one artifact load per sink lifetime
     _bpe_cache: list = []  # ditto for the BPE tokenizer
+    _uni_cache: list = []  # ditto for the unigram-LM tokenizer
     _drift_cache: list = []  # ditto for the reference token census
     _dsir_cache: list = []  # ditto for the DSIR ratio table
 
@@ -432,6 +442,25 @@ def curated_ingest_sink(
             merges, ids = _bpe_cache[0]
             enc = apply_bpe(
                 survivors, id_col, text_col, merges, piece_ids=ids
+            ).select(id_col, "piece_token_ids", "n_pieces")
+            survivors = survivors.join(enc, id_col)
+        if unigram_dir is not None:
+            # unigram-LM sibling of the BPE stage: same artifact-only
+            # contract (per-batch self-training would give every batch
+            # incompatible piece ids), same per-sink model cache, same
+            # word-TYPE-scoped encode cost inside apply_unigram
+            from ..operators.unigram import (
+                apply_unigram,
+                load_unigram,
+                unigram_piece_id_map,
+            )
+
+            if not _uni_cache:
+                mdl = load_unigram(spark, unigram_dir)
+                _uni_cache.append((mdl, unigram_piece_id_map(mdl)))
+            mdl, uids = _uni_cache[0]
+            enc = apply_unigram(
+                survivors, id_col, text_col, mdl, piece_ids=uids
             ).select(id_col, "piece_token_ids", "n_pieces")
             survivors = survivors.join(enc, id_col)
         # per-batch subdir + overwrite = idempotent under micro-batch retry

@@ -993,3 +993,78 @@ def test_curated_ingest_dsir_gate_with_pretrained_ratios(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dsir_ratios_dir"):
         sink(spark.createDataFrame(rows, schema), 0)
+
+
+def test_curated_ingest_unigram_encode_with_pretrained_artifact(
+    spark, tmp_path
+):
+    """The unigram-LM sibling of the BPE ingest stage: survivors carry
+    piece-id sequences consistent with the frozen save_unigram
+    artifact; bpe_dir+unigram_dir together fail loudly."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import unigram as UG
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the market closed higher today and the outlook is good"),
+            (2, "the market closed lower today and the outlook is weak"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = UG.train_unigram(ref, "text", vocab_size=10)
+    uni_dir = str(tmp_path / "uni")
+    UG.save_unigram(spark, model, uni_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (10, "the market closed higher today"),
+        (11, "the market closed higher today"),  # exact dup of 10
+        (12, "a wholly different note on commodities"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+        unigram_dir=uni_dir,
+    )
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert sorted(out) == [10, 12]  # 11 deduped
+    ids = UG.unigram_piece_id_map(model)
+    mpl = max(len(p) for p in model)
+    for doc_id, text in [(10, rows[0][1]), (12, rows[2][1])]:
+        want = []
+        for w in text.split():
+            seg = UG._viterbi(w, model, mpl)
+            want += [ids.get(p, 0) for p in (seg if seg else list(w))]
+        assert out[doc_id].piece_token_ids == want
+        assert out[doc_id].n_pieces == len(want)
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curated_ingest_sink(
+            str(tmp_path / "o2"), str(tmp_path / "i2"),
+            bpe_dir="x", unigram_dir="y",
+        )
