@@ -28,6 +28,7 @@ partition-preserving shape.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from collections.abc import Iterator
@@ -39,6 +40,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MIME_PPM = "image/x-portable-pixmap"
+MIME_PGM = "image/x-portable-graymap"
+MIME_PBM = "image/x-portable-bitmap"
 MIME_BMP = "image/bmp"
 MIME_PNG = "image/png"
 MIME_WAV = "audio/wav"
@@ -66,6 +69,11 @@ DECODED_SCHEMA = T.StructType(
 
 _MAGIC_MIMES = (
     ("5036", MIME_PPM),          # 'P6'
+    ("5033", MIME_PPM),          # 'P3' (ASCII pixmap)
+    ("5031", MIME_PBM),          # 'P1' (ASCII bitmap)
+    ("5034", MIME_PBM),          # 'P4' (binary bitmap)
+    ("5032", MIME_PGM),          # 'P2' (ASCII graymap)
+    ("5035", MIME_PGM),          # 'P5' (binary graymap)
     ("424D", MIME_BMP),          # 'BM'
     ("89504E47", MIME_PNG),
     ("FFD8FF", "image/jpeg"),
@@ -155,6 +163,102 @@ def _decode_ppm_p6(content: bytes) -> np.ndarray:
 def _encode_ppm_p6(px: np.ndarray) -> bytes:
     height, width = px.shape[:2]
     return b"P6\n%d %d\n255\n" % (width, height) + px.astype(np.uint8).tobytes()
+
+
+def _pnm_header_ints(content: bytes, n_vals: int) -> tuple[list[int], int]:
+    """Parse ``n_vals`` whitespace-separated decimal header tokens after
+    the 2-byte Netpbm magic, honoring ``#`` comments; returns
+    (values, position just past the last digit) — the P6 grammar,
+    shared by every family member."""
+    pos, vals = 2, []
+    while len(vals) < n_vals:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed Netpbm header")
+        vals.append(int(content[start:pos]))
+    return vals, pos
+
+
+def _gray3(gray: np.ndarray) -> np.ndarray:
+    """(H, W) gray → (H, W, 3) — the decode tier's channel convention."""
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_pnm(content: bytes) -> np.ndarray:
+    """Pure-numpy decode of the rest of the Netpbm family — P1 (ASCII
+    bitmap), P2 (ASCII graymap), P3 (ASCII pixmap), P4 (packed-bit
+    bitmap), P5 (binary graymap); P6 delegates to ``_decode_ppm_p6``.
+    Bitmaps map 1=black→0 and 0=white→255 (PBM ink convention);
+    gray/bitmap rasters replicate to (H, W, 3) — the tier's channel
+    convention, like the PNG gray path; 8-bit only (maxval <= 255,
+    carried without rescale — the P6 contract)."""
+    magic = content[:2]
+    if magic == b"P6":
+        return _decode_ppm_p6(content)
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+        raise ValueError("not a Netpbm image")
+    n_hdr = 2 if magic in (b"P1", b"P4") else 3
+    vals, pos = _pnm_header_ints(content, n_hdr)
+    if magic in (b"P1", b"P4"):
+        width, height = vals
+        maxval = 1
+    else:
+        width, height, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit Netpbm unsupported")
+    if width < 1 or height < 1:
+        raise ValueError("malformed Netpbm dimensions")
+    if magic == b"P4":
+        pos += 1  # exactly one whitespace byte before the raster
+        row_bytes = (width + 7) // 8
+        need = row_bytes * height
+        raw = np.frombuffer(content, np.uint8, count=-1, offset=pos)
+        if raw.size < need:
+            raise ValueError("truncated PBM raster")
+        bits = np.unpackbits(raw[:need].reshape(height, row_bytes), axis=1)
+        return _gray3(((1 - bits[:, :width]) * 255).astype(np.uint8))
+    if magic == b"P5":
+        pos += 1
+        need = width * height
+        raw = np.frombuffer(content, np.uint8, count=-1, offset=pos)
+        if raw.size < need:
+            raise ValueError("truncated PGM raster")
+        return _gray3(raw[:need].reshape(height, width))
+    # ASCII rasters: comments legal between any tokens — strip them,
+    # then tokenize the remainder
+    body = re.sub(rb"#[^\n]*", b"", content[pos:])
+    if magic == b"P1":
+        arr = np.frombuffer(body, np.uint8)
+        bits = arr[(arr == 0x30) | (arr == 0x31)] - 0x30
+        if bits.size < width * height:
+            raise ValueError("truncated P1 raster")
+        bits = bits[: width * height].reshape(height, width)
+        return _gray3(((1 - bits) * 255).astype(np.uint8))
+    try:
+        toks = [int(t) for t in body.split()]
+    except ValueError as exc:
+        raise ValueError("malformed ASCII Netpbm raster") from exc
+    ch = 3 if magic == b"P3" else 1
+    need = width * height * ch
+    if len(toks) < need:
+        raise ValueError("truncated ASCII Netpbm raster")
+    px = np.asarray(toks[:need], dtype=np.int64)
+    if px.min() < 0 or px.max() > maxval:
+        raise ValueError("ASCII Netpbm sample out of range")
+    px = px.astype(np.uint8)
+    return (
+        px.reshape(height, width, 3)
+        if magic == b"P3"
+        else _gray3(px.reshape(height, width))
+    )
 
 
 def _decode_bmp(content: bytes) -> np.ndarray:
@@ -2064,7 +2168,9 @@ def _audio_feature(rate: int, samples: np.ndarray) -> list[float]:
 
 # mime → pure-numpy pixel decoder; everything else hits the stub tier
 REAL_DECODERS = {
-    MIME_PPM: _decode_ppm_p6,
+    MIME_PPM: _decode_pnm,  # P6 (delegated) + ASCII P3
+    MIME_PGM: _decode_pnm,  # P2/P5 graymaps
+    MIME_PBM: _decode_pnm,  # P1/P4 bitmaps
     MIME_BMP: _decode_bmp,
     MIME_PNG: _decode_png,
     "image/jpeg": _decode_jpeg,

@@ -2636,3 +2636,68 @@ def test_x18_rrf_columns_nondegenerate(spark, sf_dir):
         assert x18.filter(F.col("rrf_rank") != F.col("rank")).count() > 0
     finally:
         x18.unpersist()
+
+
+def test_multimodal_real_netpbm_family_decode(spark):
+    """Round-8 Netpbm tier: P1-P5 decode for real (P6 delegated) —
+    ASCII == binary twins pixel-for-pixel, PBM ink convention, comment
+    handling, packed-bit rows at non-byte-aligned widths, and the
+    end-to-end decode_media path with sniffed mimes."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    px = (np.arange(12, dtype=np.uint8).reshape(3, 4) * 20).copy()
+    p2 = b"P2\n# c\n4 3\n255\n" + " ".join(
+        str(v) for v in px.ravel()
+    ).encode()
+    p5 = b"P5\n4 3\n255\n" + px.tobytes()
+    px3 = np.repeat(px[:, :, None], 3, axis=2)  # tier channel convention
+    assert np.array_equal(M._decode_pnm(p2), px3)
+    assert np.array_equal(M._decode_pnm(p5), px3)
+
+    bits = (np.arange(30).reshape(3, 10) % 3 == 0).astype(np.uint8)
+    p1 = b"P1\n10 3\n" + "".join(str(b) for b in bits.ravel()).encode()
+    p4 = b"P4\n10 3\n" + np.packbits(bits, axis=1).tobytes()
+    want = np.repeat(
+        ((1 - bits) * 255).astype(np.uint8)[:, :, None], 3, axis=2
+    )  # 1 = black ink
+    assert np.array_equal(M._decode_pnm(p1), want)
+    assert np.array_equal(M._decode_pnm(p4), want)
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3).copy()
+    p3 = b"P3\n4 2\n255\n" + " ".join(str(v) for v in rgb.ravel()).encode()
+    assert np.array_equal(M._decode_pnm(p3), rgb)
+    assert np.array_equal(
+        M._decode_pnm(b"P6\n4 2\n255\n" + rgb.tobytes()), rgb
+    )
+
+    for bad in (
+        b"P5\n4 3\n70000\n" + px.tobytes(),  # 16-bit
+        b"P2\n4 3\n255\n1 2",  # truncated ASCII
+        b"P4\n10 3\n\x00",  # truncated packed raster
+        b"P7 junk",  # not in the family
+    ):
+        with pytest.raises(ValueError):
+            M._decode_pnm(bad)
+
+    # end-to-end: mime=None -> magic sniff routes every variant to the
+    # real tier; gray twins agree on dims and feature
+    rows = [
+        (1, bytearray(p2), None),
+        (2, bytearray(p5), None),
+        (3, bytearray(p4), None),
+        (4, bytearray(p3), None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in M.decode_media(
+            df.withColumn("mime", M.detect_mime("content")), strict=True
+        ).collect()
+    }
+    assert (out[1].width, out[1].height) == (4, 3)
+    assert out[1].feature == out[2].feature  # P2 == P5 twins
+    assert (out[3].width, out[3].height) == (10, 3)
+    assert (out[4].width, out[4].height) == (4, 2)
