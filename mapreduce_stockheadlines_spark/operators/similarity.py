@@ -1013,16 +1013,30 @@ def topk_eval(
     # rank per pair — result-sized agg, still nothing corpus-sized.
     a = a.groupBy("_q", "_n").agg(F.min("_ar").alias("_ar"))
     hits = t.join(a, ["_q", "_n"])
+
+    # binary-relevance nDCG in exact integer fixed point: each rank
+    # contributes w(r) = round(1e6·ln(2)/ln(r+1)) — 1/log2(r+1) spelled
+    # as an ln ratio so both engines run the SAME libm steps (the
+    # established ln contract); BIGINT sums are summation-order-free,
+    # and the ideal DCG is the truth list's own ranks (truth ranks are
+    # dense 1..n_truth, i.e. every truth item retrieved at the top)
+    def _w_fp(rank_c) -> Column:
+        return F.round(
+            F.lit(10**6) * F.log(F.lit(2.0)) / F.log(rank_c + F.lit(1.0))
+        ).cast("long")
+
     per_q_hits = hits.groupBy("_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit"),
         F.min("_ar").cast("bigint").alias("first_hit_rank"),
+        F.sum(_w_fp(F.col("_ar"))).cast("bigint").alias("_dcg_fp"),
     )
     per_q_truth = t.groupBy("_q").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(_w_fp(F.col("_tr"))).cast("bigint").alias("_idcg_fp"),
     )
     return (
         per_q_truth.join(per_q_hits, "_q", "left")
-        .na.fill({"n_hit": 0})
+        .na.fill({"n_hit": 0, "_dcg_fp": 0})
         .select(
             F.col("_q").alias(query_col),
             "n_truth",
@@ -1032,6 +1046,7 @@ def topk_eval(
             F.round(
                 F.coalesce(1.0 / F.col("first_hit_rank"), F.lit(0.0)), 4
             ).alias("reciprocal_rank"),
+            F.round(F.col("_dcg_fp") / F.col("_idcg_fp"), 4).alias("ndcg"),
         )
     )
 

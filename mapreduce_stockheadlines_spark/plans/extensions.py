@@ -1525,10 +1525,14 @@ ha AS (SELECT query_id, neighbor_id, min(rank) AS ar
        FROM ak GROUP BY query_id, neighbor_id),
 hits AS (SELECT t.query_id,
                 CAST(count(*) AS BIGINT) AS n_hit,
-                CAST(min(h.ar) AS BIGINT) AS first_hit_rank
+                CAST(min(h.ar) AS BIGINT) AS first_hit_rank,
+                CAST(sum(CAST(round(1000000.0 * ln(2.0) / ln(h.ar + 1.0))
+                              AS BIGINT)) AS BIGINT) AS dcg_fp
          FROM tr t JOIN ha h USING (query_id, neighbor_id)
          GROUP BY t.query_id),
-pt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+pt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
+              CAST(sum(CAST(round(1000000.0 * ln(2.0) / ln(rank + 1.0))
+                            AS BIGINT)) AS BIGINT) AS idcg_fp
        FROM tr GROUP BY query_id),
 ev AS (SELECT pt.query_id, pt.n_truth,
               coalesce(h.n_hit, 0) AS n_hit,
@@ -1536,7 +1540,9 @@ ev AS (SELECT pt.query_id, pt.n_truth,
                 AS recall,
               h.first_hit_rank,
               round(coalesce(1.0 / h.first_hit_rank, 0.0), 4)
-                AS reciprocal_rank
+                AS reciprocal_rank,
+              round(CAST(coalesce(h.dcg_fp, 0) AS DOUBLE)
+                    / pt.idcg_fp, 4) AS ndcg
        FROM pt LEFT JOIN hits h USING (query_id)),
 -- reciprocal-rank fusion of the IVF and truth lists: exact integer
 -- fixed-point 1e9 // (60 + rank) contributions, summed, re-ranked
@@ -1558,7 +1564,7 @@ rrfr AS (
   FROM rrf)
 SELECT a.query_id, a.neighbor_id, a.sim, a.rank,
        ev.n_truth, ev.n_hit, ev.recall, ev.first_hit_rank,
-       ev.reciprocal_rank,
+       ev.reciprocal_rank, ev.ndcg,
        f.cell_id, fcn.cell_n, f.cent_sim, srep.sem_rep,
        rf.rrf_fp, rf.rrf_rank
 FROM ak a JOIN ev USING (query_id)

@@ -2701,3 +2701,47 @@ def test_multimodal_real_netpbm_family_decode(spark):
     assert out[1].feature == out[2].feature  # P2 == P5 twins
     assert (out[3].width, out[3].height) == (10, 3)
     assert (out[4].width, out[4].height) == (4, 2)
+
+
+def test_topk_eval_ndcg_hand_values(spark):
+    """Binary-relevance nDCG in integer fixed point: w(r) =
+    round(1e6·ln2/ln(r+1)); hand-checked hit/ideal sums, perfect
+    retrieval → 1.0, empty retrieval → 0.0."""
+    import math
+
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        topk_eval,
+    )
+
+    def w(r):
+        return round(10**6 * math.log(2) / math.log(r + 1))
+
+    truth = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (1, 103, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        # hits: 101 at approx rank 1, 103 at approx rank 4
+        [(1, 101, 1), (1, 999, 2), (1, 998, 3), (1, 103, 4)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    row = topk_eval(approx, truth).collect()[0]
+    want = round((w(1) + w(4)) / (w(1) + w(2) + w(3)), 4)
+    assert row.ndcg == want
+    # perfect retrieval: identical lists -> 1.0
+    perfect = topk_eval(truth, truth).collect()[0]
+    assert perfect.ndcg == 1.0
+    # nothing retrieved -> 0.0
+    miss = spark.createDataFrame(
+        [(1, 777, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    assert topk_eval(miss, truth).collect()[0].ndcg == 0.0
+
+
+def test_x18_ndcg_nondegenerate(spark, sf_dir):
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x18 = ALL_QUERIES["x18_ivf_topk"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x18, "ndcg", f"at {sf_dir}")
