@@ -107,6 +107,7 @@ def train_unigram(
     max_piece_len: int = 4,
     seed_size: int = 512,
     max_word_types: int = 1 << 16,
+    em: str = "hard",
 ) -> dict[str, int]:
     """Train the unigram-LM piece table; returns piece → fixed-point
     logp (BIGINT scale ``LOGP_FP``). One distributed corpus pass (the
@@ -114,14 +115,75 @@ def train_unigram(
     census, like ``bpe.train_bpe``.
 
     ``vocab_size`` counts MULTI-char pieces — every single character
-    survives unconditionally (coverage guarantee)."""
+    survives unconditionally (coverage guarantee).
+
+    ``em="hard"`` (default) counts pieces along each word's Viterbi
+    path — every decision integer/string-deterministic, which is what
+    lets the registry oracle re-derive training end-to-end.
+    ``em="soft"`` runs the paper's true E-step (forward-backward
+    expected counts over ALL segmentations — pytest-pinned against a
+    brute-force enumeration); its float posteriors are deterministic on
+    one driver but not cross-engine hashable, so soft models stay out
+    of the registry by design."""
     if vocab_size < 1 or n_rounds < 1 or max_piece_len < 1:
         raise ValueError("train_unigram: sizes/rounds must be >= 1")
+    if em not in ("hard", "soft"):
+        raise ValueError(f"train_unigram: em must be hard|soft, got {em!r}")
     rows = word_census(df, text_col, max_word_types).collect()
     census = [(r["word"], int(r["freq"])) for r in rows]
     return _train_unigram_census(
-        census, vocab_size, n_rounds, max_piece_len, seed_size
+        census, vocab_size, n_rounds, max_piece_len, seed_size, em=em
     )
+
+
+def _soft_expected_counts(
+    word: str, freq: int, model: dict[str, int], max_piece_len: int
+) -> dict[str, float]:
+    """Forward-backward expected piece counts over ALL segmentations of
+    ``word`` under ``model`` (the Kudo 2018 E-step with binary lattice
+    edges): E[count(p)] = Σ_{edges (j,i)=p} α_j · P(p) · β_i / Z, scaled
+    by the word's corpus frequency. Probabilities come back from fixed
+    point via exp(lp/1e6)."""
+    n = len(word)
+    if n == 0:
+        return {}
+
+    def p(j: int, i: int) -> float | None:
+        lp = model.get(word[j:i])
+        return math.exp(lp / LOGP_FP) if lp is not None else None
+
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        s = 0.0
+        for ln in range(1, min(max_piece_len, i) + 1):
+            pe = p(i - ln, i)
+            if pe is not None:
+                s += alpha[i - ln] * pe
+        alpha[i] = s
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for ln in range(1, min(max_piece_len, n - i) + 1):
+            pe = p(i, i + ln)
+            if pe is not None:
+                s += pe * beta[i + ln]
+        beta[i] = s
+    z = alpha[n]
+    out: dict[str, float] = {}
+    if z <= 0.0:
+        return out
+    for j in range(n):
+        for ln in range(1, min(max_piece_len, n - j) + 1):
+            pe = p(j, j + ln)
+            if pe is None:
+                continue
+            post = alpha[j] * pe * beta[j + ln] / z
+            if post > 0.0:
+                piece = word[j : j + ln]
+                out[piece] = out.get(piece, 0.0) + post * freq
+    return out
 
 
 def _train_unigram_census(
@@ -130,6 +192,7 @@ def _train_unigram_census(
     n_rounds: int,
     max_piece_len: int,
     seed_size: int,
+    em: str = "hard",
 ) -> dict[str, int]:
     """Spark-free trainer over a (word, freq) census (the oracle
     re-derives exactly this function end-to-end in SQL)."""
@@ -153,21 +216,31 @@ def _train_unigram_census(
     total = sum(scores[p] for p in vocab)
     model = {p: _logp_fp(scores[p], total) for p in vocab}
 
-    counts: dict[str, int] = {}
+    counts: dict[str, float] = {}
     for _ in range(n_rounds):
-        # hard E-step: freq-weighted piece counts along best paths
         counts = {}
-        for w, f in census:
-            seg = _viterbi(w, model, max_piece_len)
-            if seg is None:  # unreachable: singles never die
-                seg = list(w)
-            for p in seg:
-                counts[p] = counts.get(p, 0) + f
+        if em == "hard":
+            # hard E-step: freq-weighted piece counts along best paths
+            for w, f in census:
+                seg = _viterbi(w, model, max_piece_len)
+                if seg is None:  # unreachable: singles never die
+                    seg = list(w)
+                for p in seg:
+                    counts[p] = counts.get(p, 0) + f
+        else:
+            # soft E-step: forward-backward expected counts over all
+            # segmentations (the paper's EM; float posteriors)
+            for w, f in census:
+                for p, c in _soft_expected_counts(
+                    w, f, model, max_piece_len
+                ).items():
+                    counts[p] = counts.get(p, 0.0) + c
         # +1 coverage floor on every alphabet char
         for c in singles:
             counts[c] = counts.get(c, 0) + 1
         tot = sum(counts.values())
-        # M-step (pieces with zero count drop out — hard-EM prune)
+        # M-step (pieces with zero count drop out — hard-EM prune;
+        # soft counts are strictly positive on every lattice edge)
         model = {p: _logp_fp(c, tot) for p, c in counts.items()}
 
     keep_multi = sorted(

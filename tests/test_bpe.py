@@ -463,3 +463,70 @@ def test_x28_unigram_columns_nondegenerate(spark, sf_dir):
 
     x28 = ALL_QUERIES["x28_lm_perplexity"].builder(spark, sf_dir)
     assert_column_nondegenerate(x28, "n_uni_pieces", f"at {sf_dir}")
+
+
+def test_unigram_soft_em_counts_match_enumeration():
+    """The soft E-step's forward-backward expected counts must equal a
+    brute-force enumeration over ALL segmentations (probability-weighted
+    piece counts), and soft training must converge to a usable model."""
+    import itertools
+    import math
+
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        LOGP_FP,
+        _soft_expected_counts,
+        _train_unigram_census,
+        _viterbi,
+    )
+
+    model = {
+        "d": -2_000_000, "a": -1_500_000, "t": -2_200_000,
+        "da": -1_200_000, "at": -1_300_000, "ta": -1_800_000,
+        "dat": -1_000_000, "data": -800_000,
+    }
+
+    def enumerate_counts(w, f, L=4):
+        segs = []
+
+        def rec(i, seg):
+            if i == len(w):
+                segs.append(list(seg))
+                return
+            for ln in range(1, min(L, len(w) - i) + 1):
+                p = w[i : i + ln]
+                if p in model:
+                    rec(i + ln, seg + [p])
+
+        rec(0, [])
+        probs = [
+            math.prod(math.exp(model[p] / LOGP_FP) for p in s)
+            for s in segs
+        ]
+        z = sum(probs)
+        out = {}
+        for s, pr in zip(segs, probs):
+            for p in s:
+                out[p] = out.get(p, 0.0) + (pr / z) * f
+        return out
+
+    got = _soft_expected_counts("data", 7, model, 4)
+    want = enumerate_counts("data", 7)
+    assert set(got) == set(want)
+    for p in want:
+        assert math.isclose(got[p], want[p], rel_tol=1e-12), p
+
+    # totals conservation: expected pieces per word >= 1 and the whole
+    # mass is freq-scaled (sum over pieces of E[count] equals the
+    # expected segmentation length x freq, between 1x and len(w)x)
+    total = sum(got.values())
+    assert 7.0 <= total <= 7.0 * 4
+
+    # end-to-end: soft training yields a coverage-complete model
+    census = [("data", 10), ("database", 5), ("the", 9)]
+    m = _train_unigram_census(
+        census, vocab_size=6, n_rounds=2, max_piece_len=4,
+        seed_size=64, em="soft",
+    )
+    for w, _ in census:
+        seg = _viterbi(w, m, 4)
+        assert seg is not None and "".join(seg) == w
