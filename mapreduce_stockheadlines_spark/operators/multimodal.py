@@ -76,6 +76,8 @@ _MAGIC_MIMES = (
     ("5035", MIME_PGM),          # 'P5' (binary graymap)
     ("424D", MIME_BMP),          # 'BM'
     ("89504E47", MIME_PNG),
+    ("49492A00", "image/tiff"),   # little-endian 'II*\0'
+    ("4D4D002A", "image/tiff"),   # big-endian 'MM\0*'
     ("FFD8FF", "image/jpeg"),
     ("47494638", "image/gif"),   # 'GIF8'
     ("52494646", "audio/x-riff"),  # RIFF container (WAV/AVI/WebP outer)
@@ -190,6 +192,85 @@ def _pnm_header_ints(content: bytes, n_vals: int) -> tuple[list[int], int]:
 def _gray3(gray: np.ndarray) -> np.ndarray:
     """(H, W) gray → (H, W, 3) — the decode tier's channel convention."""
     return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_tiff(content: bytes) -> np.ndarray:
+    """Pure-struct baseline-TIFF decode → uint8 (H, W, 3): both byte
+    orders (II/MM), first IFD, uncompressed (Compression=1) 8-bit
+    chunky strips, grayscale (Photometric 0 = WhiteIsZero inverted,
+    1 = BlackIsZero) or RGB, any strip layout. LZW/JPEG-in-TIFF,
+    planar, tiled, or non-8-bit files raise ValueError (the stub-
+    routable class, like 16-bit PPM / RLE BMP)."""
+    if len(content) < 8 or content[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF (missing byte-order magic)")
+    e = "<" if content[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(e + "HI", content, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic number)")
+    if ifd_off + 2 > len(content):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(e + "H", content, ifd_off)
+    type_fmt = {3: ("H", 2), 4: ("I", 4)}  # SHORT, LONG
+
+    def values(pos: int) -> tuple[int, list[int]]:
+        tag, typ, cnt = struct.unpack_from(e + "HHI", content, pos)
+        got = type_fmt.get(typ)
+        if got is None:
+            return tag, []  # RATIONAL/ASCII etc. — not needed here
+        fmt, size = got
+        off = pos + 8 if cnt * size <= 4 else struct.unpack_from(
+            e + "I", content, pos + 8
+        )[0]
+        if off + cnt * size > len(content):
+            raise ValueError("truncated TIFF entry")
+        return tag, list(struct.unpack_from(e + str(cnt) + fmt, content, off))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, vals = values(ifd_off + 2 + 12 * i)
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    if width < 1 or height < 1:
+        raise ValueError("malformed TIFF dimensions")
+    if one(259, 1) != 1:
+        raise ValueError("compressed TIFF unsupported (codec class)")
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError("only 8-bit gray/RGB TIFF supported")
+    if photometric not in (0, 1, 2) or (photometric == 2) != (spp == 3):
+        raise ValueError("unsupported TIFF photometric/spp combination")
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF unsupported")
+    offsets = tags.get(273) or []
+    counts = tags.get(279) or []
+    if not offsets or len(offsets) != len(counts):
+        raise ValueError("malformed TIFF strip tables")
+    need = width * height * spp
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(content):
+            raise ValueError("truncated TIFF strip")
+        raw += content[off : off + cnt]
+    if len(raw) < need:
+        raise ValueError("truncated TIFF raster")
+    px = np.frombuffer(bytes(raw[:need]), np.uint8)
+    if spp == 3:
+        return px.reshape(height, width, 3).copy()
+    gray = px.reshape(height, width)
+    if photometric == 0:  # WhiteIsZero
+        gray = (255 - gray).astype(np.uint8)
+    return _gray3(gray)
 
 
 def _decode_pnm(content: bytes) -> np.ndarray:
@@ -2173,6 +2254,7 @@ REAL_DECODERS = {
     MIME_PBM: _decode_pnm,  # P1/P4 bitmaps
     MIME_BMP: _decode_bmp,
     MIME_PNG: _decode_png,
+    "image/tiff": _decode_tiff,
     "image/jpeg": _decode_jpeg,
     "image/gif": _decode_gif,
 }

@@ -2745,3 +2745,108 @@ def test_x18_ndcg_nondegenerate(spark, sf_dir):
 
     x18 = ALL_QUERIES["x18_ivf_topk"].builder(spark, sf_dir)
     assert_column_nondegenerate(x18, "ndcg", f"at {sf_dir}")
+
+
+def _make_test_tiff(px, endian="<", photometric=None, strips=1):
+    """Minimal in-test baseline-TIFF writer: chunky 8-bit strips, SHORT/
+    LONG entries, out-of-line arrays after the IFD."""
+    import struct
+
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else 3
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    data = px.tobytes()
+    rows_per = (h + strips - 1) // strips
+    row_bytes = w * spp
+    chunks = [
+        data[s * rows_per * row_bytes : min((s + 1) * rows_per, h) * row_bytes]
+        for s in range(strips)
+    ]
+    e = endian
+    pos, offs, cnts = 8, [], []
+    for c in chunks:
+        offs.append(pos)
+        cnts.append(len(c))
+        pos += len(c)
+
+    def vs(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def vl(v):
+        return struct.pack(e + "I", v)
+
+    items = [(256, 3, 1, vs(w)), (257, 3, 1, vs(h))]
+    items.append(
+        (258, 3, 1, vs(8)) if spp == 1 else (258, 3, 3, None)
+    )
+    items += [(259, 3, 1, vs(1)), (262, 3, 1, vs(photometric))]
+    if strips == 1:
+        items += [(273, 4, 1, vl(offs[0])), (279, 4, 1, vl(cnts[0]))]
+    else:
+        items += [(273, 4, len(offs), None), (279, 4, len(cnts), None)]
+    items += [(277, 3, 1, vs(spp)), (278, 3, 1, vs(rows_per))]
+    ifd_off = pos
+    ext_pos = ifd_off + 2 + 12 * len(items) + 4
+    body, ext = struct.pack(e + "H", len(items)), b""
+    for tag, typ, cnt, val in items:
+        if val is None:
+            body += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(
+                e + "I", ext_pos + len(ext)
+            )
+            ext += (
+                struct.pack(e + "3H", 8, 8, 8)
+                if tag == 258
+                else struct.pack(
+                    e + f"{len(offs)}I", *(offs if tag == 273 else cnts)
+                )
+            )
+        else:
+            body += struct.pack(e + "HHI", tag, typ, cnt) + val
+    body += struct.pack(e + "I", 0)
+    hdr = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    return hdr + b"".join(chunks) + body + ext
+
+
+def test_multimodal_real_tiff_decode(spark):
+    """Round-8 TIFF tier: both byte orders, multi-strip layouts, RGB and
+    gray (incl. WhiteIsZero inversion) decode for real; compressed/
+    BigTIFF inputs fall to ValueError (stub class); mime sniffing
+    routes both magics end-to-end."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    rgb = np.arange(60, dtype=np.uint8).reshape(4, 5, 3).copy()
+    for e in ("<", ">"):
+        for strips in (1, 3):
+            t = _make_test_tiff(rgb, endian=e, strips=strips)
+            assert np.array_equal(M._decode_tiff(t), rgb), (e, strips)
+    gray = (np.arange(20, dtype=np.uint8).reshape(4, 5) * 12).copy()
+    assert np.array_equal(
+        M._decode_tiff(_make_test_tiff(gray))[..., 0], gray
+    )
+    assert np.array_equal(
+        M._decode_tiff(_make_test_tiff(gray, photometric=0))[..., 0],
+        255 - gray,
+    )
+    with pytest.raises(ValueError):
+        M._decode_tiff(b"II+\x00\x08\x00\x00\x00")  # BigTIFF magic 43
+    with pytest.raises(ValueError):
+        M._decode_tiff(_make_test_tiff(rgb)[:40])  # truncated
+
+    le = _make_test_tiff(rgb, endian="<")
+    be = _make_test_tiff(rgb, endian=">")
+    df = spark.createDataFrame(
+        [(1, bytearray(le), None), (2, bytearray(be), None)],
+        M.MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r
+        for r in M.decode_media(
+            df.withColumn("mime", M.detect_mime("content")), strict=True
+        ).collect()
+    }
+    assert (out[1].width, out[1].height) == (5, 4)
+    assert out[1].feature == out[2].feature  # endianness twins
