@@ -104,7 +104,9 @@ def detect_mime(content_col) -> "F.Column":
     for prefix, mime in _MAGIC_MIMES:
         cond = h.startswith(prefix)
         val = (
-            F.when(riff_form == "57415645", MIME_WAV).otherwise(mime)
+            F.when(riff_form == "57415645", MIME_WAV)
+            .when(riff_form == "57454250", "image/webp")
+            .otherwise(mime)
             if prefix == "52494646"
             else F.lit(mime)
         )
@@ -2334,9 +2336,53 @@ def _parse_mp4_meta(content: bytes) -> tuple[int, int, int]:
     raise ValueError("MP4 has no video track")
 
 
+def _parse_webp_meta(content: bytes) -> tuple[int, int, int]:
+    """REAL WebP container metadata — (width, height, n_frames) from a
+    pure struct walk of the RIFF chunks: VP8X carries 24-bit LE dims-1,
+    VP8L packs 14-bit dims-1 after its 0x2f signature, lossy VP8 has
+    14-bit LE dims after the 0x9d012a start code; animations report
+    their ANMF frame count. Pixel DECODE needs the VP8 codec and stays
+    stubbed — this upgrades width/height/n_frames to container truth
+    (the MP4 tier's contract)."""
+    if len(content) < 16 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP magic)")
+    pos, end = 12, len(content)
+    w = h = 0
+    n_anmf = 0
+    while pos + 8 <= end:
+        fourcc = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8X" and size >= 10:
+            w = 1 + int.from_bytes(content[body + 4 : body + 7], "little")
+            h = 1 + int.from_bytes(content[body + 7 : body + 10], "little")
+        elif fourcc == b"VP8L" and size >= 5 and w == 0:
+            if content[body] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(content[body + 1 : body + 5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"VP8 " and size >= 10 and w == 0:
+            if content[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code")
+            w = struct.unpack_from("<H", content, body + 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", content, body + 8)[0] & 0x3FFF
+        elif fourcc == b"ANMF":
+            n_anmf += 1
+        pos = body + size + (size & 1)  # chunks pad to even
+    if w == 0 or h == 0:
+        raise ValueError("WebP carries no VP8/VP8L/VP8X dims")
+    return w, h, max(n_anmf, 1)
+
+
 # mime → metadata-only parser (container truth for dims/frame count;
 # pixel decode still codec-bound → feature stays the digest fake)
-VIDEO_META_PARSERS = {"video/mp4": _parse_mp4_meta}
+VIDEO_META_PARSERS = {
+    "video/mp4": _parse_mp4_meta,
+    "image/webp": _parse_webp_meta,
+}
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:

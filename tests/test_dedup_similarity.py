@@ -2850,3 +2850,64 @@ def test_multimodal_real_tiff_decode(spark):
     }
     assert (out[1].width, out[1].height) == (5, 4)
     assert out[1].feature == out[2].feature  # endianness twins
+
+
+def test_multimodal_webp_container_metadata(spark):
+    """Round-8 WebP metadata tier (the MP4 contract for images): real
+    width/height/n_frames from VP8X / VP8L / lossy-VP8 headers and ANMF
+    counts; pixel features stay the digest fake (codec-bound);
+    detect_mime refines the RIFF container by its WEBP form."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    def riff(chunks):
+        body = b"WEBP"
+        for fourcc, payload in chunks:
+            body += fourcc + struct.pack("<I", len(payload)) + payload
+            if len(payload) % 2:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # VP8L lossless: 0x2f then 14-bit (w-1) | 14-bit (h-1)
+    w, h = 300, 200
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = riff([(b"VP8L", b"\x2f" + struct.pack("<I", bits))])
+    assert M._parse_webp_meta(vp8l) == (300, 200, 1)
+
+    # lossy VP8: start code at +3, 14-bit LE dims at +6/+8
+    vp8 = riff(
+        [(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+          + struct.pack("<HH", 640, 480))]
+    )
+    assert M._parse_webp_meta(vp8) == (640, 480, 1)
+
+    # VP8X extended + 3 ANMF frames
+    vp8x = riff(
+        [
+            (b"VP8X", b"\x00\x00\x00\x00"
+             + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")),
+            (b"ANMF", b"\x00" * 16),
+            (b"ANMF", b"\x00" * 16),
+            (b"ANMF", b"\x00" * 16),
+        ]
+    )
+    assert M._parse_webp_meta(vp8x) == (100, 50, 3)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        M._parse_webp_meta(riff([(b"ALPH", b"\x00\x00")]))  # no dims
+    with pytest.raises(ValueError):
+        M._parse_webp_meta(b"RIFF\x04\x00\x00\x00WAVE")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(vp8l), None)], M.MEDIA_SCHEMA
+    )
+    out = M.decode_media(
+        df.withColumn("mime", M.detect_mime("content"))
+    ).collect()[0]
+    assert out.mime == "image/webp"
+    assert (out.width, out.height, out.n_frames) == (300, 200, 1)
