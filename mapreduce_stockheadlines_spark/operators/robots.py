@@ -1,0 +1,186 @@
+"""robots.txt crawl-politeness operators (§2.2 extension — the frontier
+companion of the URL-curation family: canonical_url dedups the frontier,
+domain_frequency_cap bounds it, this module filters it by the publisher's
+stated crawl policy before any fetch).
+
+Reference scope: the original REP (and its RFC 9309 codification) as
+implemented by major crawlers — User-agent groups (consecutive
+``User-agent:`` lines share one group), ``Allow``/``Disallow`` path
+prefixes, case-insensitive field names, ``#`` comments, most-specific
+agent group selection (an exact agent match beats the ``*`` group —
+substring agent matching is a documented simplification),
+longest-rule-wins matching with Allow winning length ties, and
+empty-pattern Disallow meaning "allow all". Wildcards (``*``/``$``)
+inside paths are NOT expanded — patterns containing them are kept as
+literal prefixes up to the first ``*`` (a conservative over-block for
+Disallow is crawl-safe; documented simplification).
+
+Scale shape: parsing is an Arrow-batched pandas UDF over the
+(domain, robots_txt) table — one row per PUBLISHER, bounded by distinct
+domains, never by the frontier — exploded into a (domain, agent, allow,
+prefix) rules table. Matching is one equi-join frontier⋈rules on the
+registered domain plus a per-URL argmax (longest prefix, allow wins
+ties) — rules-per-domain is small and bounded by the robots file, so a
+hot domain fans out by its rule count, not the corpus. The match stage
+is DuckDB-pinned; the parser is pinned on hand fixtures covering every
+grammar arm.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RULE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("agent", T.StringType()),
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("prefix", T.StringType()),
+        ]
+    )
+)
+
+
+def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
+    """One robots.txt → [(agent, allow, prefix)] rules. Pure python —
+    runs inside the Arrow batch parser below and is the pytest pin
+    target."""
+    if not text:
+        return []
+    rules: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    in_group_rules = False  # True once the current group saw a rule
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:
+                agents = []  # a new group starts
+                in_group_rules = False
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            if not agents:
+                continue  # rules before any User-agent line are void
+            in_group_rules = True
+            allow = field == "allow"
+            if value == "":
+                if not allow:
+                    continue  # empty Disallow = allow all (no rule)
+                # empty Allow matches nothing — skip too
+                continue
+            # conservative wildcard handling: keep the literal prefix
+            # up to the first '*'; drop a trailing '$' anchor
+            prefix = value.split("*", 1)[0]
+            if prefix.endswith("$"):
+                prefix = prefix[:-1]
+            if not prefix:
+                # pattern was '*' or '*something': matches everything
+                prefix = "/"
+            for a in agents:
+                rules.append((a, allow, prefix))
+        # other fields (Sitemap, Crawl-delay, ...) are ignored
+    return rules
+
+
+def parse_robots(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, robots_txt) → exploded (domain, agent, allow, prefix)
+    rules table. Arrow-batched parse, one python call per PUBLISHER
+    row (publisher-bounded, never frontier-bounded)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(RULE_SCHEMA)
+    def parse(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _parse_robots_text(t or ""))
+
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(parse(F.col(text_col))).alias("_r"),
+        )
+        .select(
+            "domain",
+            F.col("_r.agent").alias("agent"),
+            F.col("_r.allow").alias("allow"),
+            F.col("_r.prefix").alias("prefix"),
+        )
+    )
+
+
+def _url_path(url_col: Column) -> Column:
+    """Path component of a URL (incl. query for matching purposes —
+    robots patterns may constrain query strings); '/' when absent."""
+    # strip scheme://authority, keep from the first '/' after it
+    no_scheme = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    path = F.regexp_replace(no_scheme, r"^[^/]*", "")
+    return F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
+
+
+def filter_robots_disallowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    agent: str = "engine-bot",
+) -> DataFrame:
+    """Drop frontier URLs the publisher's robots.txt disallows for
+    ``agent``: select the most specific agent group per domain (exact
+    ``agent`` match beats ``*``; domains with neither — or with no
+    robots at all — allow everything), then longest-matching rule wins
+    with Allow winning length ties (the Google/RFC 9309 tiebreak).
+
+    One frontier⋈rules equi-join on the domain + a per-URL max_by —
+    rules-per-domain is file-bounded, so the fan-out per URL is the
+    rule count, never corpus-sized."""
+    agent = agent.lower()
+    r = rules.filter(
+        (F.col("agent") == agent) | (F.col("agent") == "*")
+    ).withColumn("_exact", (F.col("agent") == agent).cast("int"))
+    # most specific group: if the domain has any exact-agent rules, the
+    # '*' group is ignored (REP: one group applies, not the union)
+    has_exact = r.groupBy("domain").agg(
+        F.max("_exact").alias("_has_exact")
+    )
+    r = r.join(has_exact, "domain").filter(
+        (F.col("_exact") == 1) | (F.col("_has_exact") == 0)
+    )
+    u = urls.withColumn("_path", _url_path(F.col(url_col)))
+    # rules side renamed so the frontier's own domain column (often the
+    # same name) can't collide in the join/groupBy resolution
+    r = r.select(
+        F.col("domain").alias("_rdom"),
+        F.col("allow").alias("_rallow"),
+        F.col("prefix").alias("_rprefix"),
+    )
+    # the prefix match rides the JOIN condition (not a post-join WHERE,
+    # which would delete URLs whose domain has rules but none matching —
+    # those must fall through to the allow default as a null row)
+    joined = u.join(
+        r,
+        (F.col(domain_col) == F.col("_rdom"))
+        & F.col("_path").startswith(F.col("_rprefix")),
+        "left",
+    )
+    # verdict per URL: the longest matching prefix wins; Allow wins
+    # ties via the (length, allow) lexicographic max
+    # scalar precedence key: 2*prefix_len + allow — length dominates,
+    # Allow wins ties (allow in {0,1}); scalar (not struct) so the
+    # DuckDB pin can use the identical max_by overload
+    verdict = joined.groupBy(*[F.col(c) for c in urls.columns]).agg(
+        F.max_by(
+            "_rallow",
+            F.coalesce(F.length("_rprefix"), F.lit(-1)) * 2
+            + F.coalesce(F.col("_rallow").cast("int"), F.lit(1)),
+        ).alias("_allow")
+    )
+    return verdict.filter(
+        F.coalesce(F.col("_allow"), F.lit(True))
+    ).drop("_allow")
