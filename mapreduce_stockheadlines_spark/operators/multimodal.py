@@ -139,21 +139,7 @@ def _decode_ppm_p6(content: bytes) -> np.ndarray:
     8-bit (maxval <= 255) only — the overwhelmingly common case."""
     if not content or not content.startswith(b"P6"):
         raise ValueError("not a P6 PPM (missing magic)")
-    pos, vals = 2, []
-    while len(vals) < 3:
-        while pos < len(content) and content[pos : pos + 1].isspace():
-            pos += 1
-        if content[pos : pos + 1] == b"#":
-            while pos < len(content) and content[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(content) and content[pos : pos + 1].isdigit():
-            pos += 1
-        if start == pos:
-            raise ValueError("malformed PPM header")
-        vals.append(int(content[start:pos]))
-    width, height, maxval = vals
+    (width, height, maxval), pos = _pnm_header_ints(content, 3)
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     pos += 1  # exactly one whitespace byte separates header from raster

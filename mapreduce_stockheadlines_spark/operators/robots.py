@@ -52,6 +52,7 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
         return []
     rules: list[tuple[str, bool, str]] = []
     agents: list[str] = []
+    groups: list[list[str]] = []  # every group's agents, rules or not
     in_group_rules = False  # True once the current group saw a rule
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -61,8 +62,9 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if in_group_rules:
+            if in_group_rules or not agents:
                 agents = []  # a new group starts
+                groups.append(agents)
                 in_group_rules = False
             agents.append(value.lower())
         elif field in ("allow", "disallow"):
@@ -71,12 +73,15 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
             in_group_rules = True
             allow = field == "allow"
             if value == "":
-                if not allow:
-                    continue  # empty Disallow = allow all (no rule)
-                # empty Allow matches nothing — skip too
+                continue  # empty Disallow = allow all; empty Allow void
+            if allow and ("*" in value or value.endswith("$")):
+                # a truncated Allow WIDENS (over-crawls what the
+                # publisher disallowed — a politeness violation, unlike
+                # the safe over-block of a truncated Disallow), so
+                # wildcard/anchored Allow rules are dropped instead
                 continue
-            # conservative wildcard handling: keep the literal prefix
-            # up to the first '*'; drop a trailing '$' anchor
+            # conservative wildcard handling (Disallow): keep the
+            # literal prefix up to the first '*'; drop a trailing '$'
             prefix = value.split("*", 1)[0]
             if prefix.endswith("$"):
                 prefix = prefix[:-1]
@@ -86,6 +91,14 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
             for a in agents:
                 rules.append((a, allow, prefix))
         # other fields (Sitemap, Crawl-delay, ...) are ignored
+    # zero-length allow-all marker per group member: it never beats a
+    # real rule (precedence 2·0+1) but records GROUP EXISTENCE, so an
+    # exact-agent group whose rules all parse to nothing (the common
+    # 'User-agent: mybot / Disallow:' exemption) still suppresses the
+    # '*' group instead of silently inverting the publisher's policy
+    for g in groups:
+        for a in g:
+            rules.append((a, True, ""))
     return rules
 
 
@@ -116,12 +129,19 @@ def parse_robots(
 
 
 def _url_path(url_col: Column) -> Column:
-    """Path component of a URL (incl. query for matching purposes —
-    robots patterns may constrain query strings); '/' when absent."""
-    # strip scheme://authority, keep from the first '/' after it
+    """Path component of a URL (incl. query/fragment for matching —
+    robots patterns may constrain query strings); '/' when absent. A
+    query or fragment that follows the authority with NO slash
+    ('https://a.com?s=x') normalizes to '/?s=x', matching its
+    slash-normalized twin, so both spellings get one verdict."""
     no_scheme = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    path = F.regexp_replace(no_scheme, r"^[^/]*", "")
-    return F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
+    # the authority ends at the first '/', '?' or '#'
+    rest = F.regexp_replace(no_scheme, r"^[^/?#]*", "")
+    return (
+        F.when(rest.startswith("/"), rest)
+        .when(F.length(rest) > 0, F.concat(F.lit("/"), rest))
+        .otherwise(F.lit("/"))
+    )
 
 
 def filter_robots_disallowed(
@@ -154,33 +174,40 @@ def filter_robots_disallowed(
     )
     u = urls.withColumn("_path", _url_path(F.col(url_col)))
     # rules side renamed so the frontier's own domain column (often the
-    # same name) can't collide in the join/groupBy resolution
+    # same name) can't collide in the join resolution
     r = r.select(
         F.col("domain").alias("_rdom"),
         F.col("allow").alias("_rallow"),
         F.col("prefix").alias("_rprefix"),
     )
+    # the verdict is a pure function of (domain, path): compute it over
+    # the DISTINCT pairs and join it back, so the filter preserves row
+    # multiplicity (a full-column groupBy would silently dedup the
+    # frontier) and the rule join shuffles only distinct pairs
+    pairs = u.select(F.col(domain_col).alias("_vdom"), "_path").distinct()
     # the prefix match rides the JOIN condition (not a post-join WHERE,
-    # which would delete URLs whose domain has rules but none matching —
+    # which would delete pairs whose domain has rules but none matching —
     # those must fall through to the allow default as a null row)
-    joined = u.join(
+    joined = pairs.join(
         r,
-        (F.col(domain_col) == F.col("_rdom"))
+        (F.col("_vdom") == F.col("_rdom"))
         & F.col("_path").startswith(F.col("_rprefix")),
         "left",
     )
-    # verdict per URL: the longest matching prefix wins; Allow wins
-    # ties via the (length, allow) lexicographic max
-    # scalar precedence key: 2*prefix_len + allow — length dominates,
-    # Allow wins ties (allow in {0,1}); scalar (not struct) so the
-    # DuckDB pin can use the identical max_by overload
-    verdict = joined.groupBy(*[F.col(c) for c in urls.columns]).agg(
+    # longest matching prefix wins, Allow wins length ties — the scalar
+    # precedence key 2·prefix_len + allow (allow in {0,1}) encodes both,
+    # and stays scalar so the DuckDB pin uses the identical max_by
+    verdict = joined.groupBy("_vdom", "_path").agg(
         F.max_by(
             "_rallow",
             F.coalesce(F.length("_rprefix"), F.lit(-1)) * 2
             + F.coalesce(F.col("_rallow").cast("int"), F.lit(1)),
         ).alias("_allow")
     )
-    return verdict.filter(
-        F.coalesce(F.col("_allow"), F.lit(True))
-    ).drop("_allow")
+    kept = u.join(
+        verdict,
+        (F.col(domain_col) == F.col("_vdom"))
+        & (u["_path"] == verdict["_path"]),
+        "left",
+    ).filter(F.coalesce(F.col("_allow"), F.lit(True)))
+    return kept.select(*[u[c] for c in urls.columns])

@@ -147,39 +147,49 @@ def _soft_expected_counts(
     n = len(word)
     if n == 0:
         return {}
+    ninf = float("-inf")
 
-    def p(j: int, i: int) -> float | None:
-        lp = model.get(word[j:i])
-        return math.exp(lp / LOGP_FP) if lp is not None else None
+    def lp(j: int, i: int) -> float | None:
+        v = model.get(word[j:i])
+        return v / LOGP_FP if v is not None else None
 
-    alpha = [0.0] * (n + 1)
-    alpha[0] = 1.0
+    def lse(acc: float, x: float) -> float:
+        # streaming logsumexp — the lattice runs in LOG space so long
+        # census words cannot underflow alpha[n] to 0 and silently drop
+        # their frequency mass (linear-space probs die near ~350 pieces)
+        if acc == ninf:
+            return x
+        hi, lo = (acc, x) if acc >= x else (x, acc)
+        return hi + math.log1p(math.exp(lo - hi))
+
+    alpha = [ninf] * (n + 1)
+    alpha[0] = 0.0
     for i in range(1, n + 1):
-        s = 0.0
+        s = ninf
         for ln in range(1, min(max_piece_len, i) + 1):
-            pe = p(i - ln, i)
-            if pe is not None:
-                s += alpha[i - ln] * pe
+            e = lp(i - ln, i)
+            if e is not None and alpha[i - ln] != ninf:
+                s = lse(s, alpha[i - ln] + e)
         alpha[i] = s
-    beta = [0.0] * (n + 1)
-    beta[n] = 1.0
+    beta = [ninf] * (n + 1)
+    beta[n] = 0.0
     for i in range(n - 1, -1, -1):
-        s = 0.0
+        s = ninf
         for ln in range(1, min(max_piece_len, n - i) + 1):
-            pe = p(i, i + ln)
-            if pe is not None:
-                s += pe * beta[i + ln]
+            e = lp(i, i + ln)
+            if e is not None and beta[i + ln] != ninf:
+                s = lse(s, e + beta[i + ln])
         beta[i] = s
     z = alpha[n]
     out: dict[str, float] = {}
-    if z <= 0.0:
+    if z == ninf:
         return out
     for j in range(n):
         for ln in range(1, min(max_piece_len, n - j) + 1):
-            pe = p(j, j + ln)
-            if pe is None:
+            e = lp(j, j + ln)
+            if e is None or alpha[j] == ninf or beta[j + ln] == ninf:
                 continue
-            post = alpha[j] * pe * beta[j + ln] / z
+            post = math.exp(alpha[j] + e + beta[j + ln] - z)
             if post > 0.0:
                 piece = word[j : j + ln]
                 out[piece] = out.get(piece, 0.0) + post * freq

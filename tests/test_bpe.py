@@ -530,3 +530,14 @@ def test_unigram_soft_em_counts_match_enumeration():
     for w, _ in census:
         seg = _viterbi(w, m, 4)
         assert seg is not None and "".join(seg) == w
+
+
+def test_unigram_soft_em_survives_long_words():
+    """Log-space lattice regression: a census word far past the linear-
+    space underflow point (~350 pieces) keeps its full frequency mass."""
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        _soft_expected_counts,
+    )
+
+    out = _soft_expected_counts("a" * 500, 3, {"a": -2_000_000}, 4)
+    assert abs(out["a"] - 1500.0) < 1e-6  # 500 pieces x freq 3

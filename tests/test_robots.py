@@ -1,5 +1,8 @@
+"""robots.txt crawl-politeness operators (operators/robots.py)."""
+
+from __future__ import annotations
+
 import duckdb
-from pyspark.sql import functions as F
 
 from mapreduce_stockheadlines_spark.operators.robots import (
     _parse_robots_text,
@@ -30,13 +33,30 @@ Disallow:
     assert ("engine-bot", True, "/private/ok") in rules
     # consecutive User-agent lines share the group's rules
     assert ("a", False, "/shared") in rules and ("b", False, "/shared") in rules
-    # '$' anchor dropped, '*' truncates to the literal prefix
+    # '$' anchor dropped, '*' truncates to the literal prefix (Disallow)
     assert ("*", False, "/tmp") in rules
-    # empty Allow and empty Disallow emit no rule
-    assert not any(p == "" for _, _, p in rules)
+    # every group member gets the zero-length allow-all existence marker
+    for agent in ("engine-bot", "a", "b", "*"):
+        assert (agent, True, "") in rules
     assert _parse_robots_text("") == []
-    # rules before any User-agent are void
+    # rules before any User-agent are void (no group, no marker)
     assert _parse_robots_text("Disallow: /x") == []
+
+
+def test_parse_robots_conservative_arms():
+    # an exact group whose rules all parse to nothing must still emit
+    # its existence marker (the 'our bot is exempt' file — review
+    # finding: without it the '*' group inverted the policy)
+    txt = "User-agent: engine-bot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    rules = _parse_robots_text(txt)
+    assert ("engine-bot", True, "") in rules
+    assert ("*", False, "/") in rules
+    # wildcard/anchored ALLOW rules are dropped, not truncated — a
+    # truncated Allow widens, over-crawling disallowed URLs
+    txt2 = "User-agent: *\nDisallow: /private\nAllow: /private*/pub$\n"
+    rules2 = _parse_robots_text(txt2)
+    assert ("*", False, "/private") in rules2
+    assert not any(allow and p.startswith("/private") for _, allow, p in rules2)
 
 
 def test_filter_robots_disallowed_semantics(spark):
@@ -46,6 +66,9 @@ def test_filter_robots_disallowed_semantics(spark):
             ("b.com", "User-agent: engine-bot\nDisallow: /\n"
                       "User-agent: *\nDisallow: /none"),
             ("c.com", "User-agent: otherbot\nDisallow: /"),
+            # the exemption file: exact group allows all, '*' blocks all
+            ("e.com", "User-agent: engine-bot\nDisallow:\n\n"
+                      "User-agent: *\nDisallow: /"),
         ],
         ["domain", "robots_txt"],
     )
@@ -56,8 +79,9 @@ def test_filter_robots_disallowed_semantics(spark):
             (2, "a.com", "https://a.com/private/ok/page"), # allow wins (longer)
             (3, "a.com", "https://a.com/public"),          # no match -> allow
             (4, "b.com", "https://b.com/anything"),        # exact group: all blocked
-            (5, "c.com", "https://c.com/x"),   # only otherbot blocked -> '*absent' allow
+            (5, "c.com", "https://c.com/x"),   # only otherbot blocked -> allow
             (6, "d.com", "https://d.com/x"),   # no robots at all -> allow
+            (7, "e.com", "https://e.com/x"),   # exemption group -> allow
         ],
         ["doc_id", "domain", "url"],
     )
@@ -67,9 +91,10 @@ def test_filter_robots_disallowed_semantics(spark):
             urls, rules, agent="engine-bot"
         ).collect()
     )
-    assert kept == [2, 3, 5, 6]
+    assert kept == [2, 3, 5, 6, 7]
 
-    # DuckDB pin of the matching stage (longest prefix, allow wins ties)
+    # DuckDB pin of the matching stage (longest prefix, allow wins ties,
+    # same path normalization, same scalar precedence key)
     rpdf = rules.toPandas()
     updf = urls.toPandas()
     con = duckdb.connect()
@@ -83,9 +108,14 @@ def test_filter_robots_disallowed_semantics(spark):
         hx AS (SELECT domain, max(ex) AS hex FROM r GROUP BY domain),
         rr AS (SELECT r.* FROM r JOIN hx USING (domain)
                WHERE r.ex = 1 OR hx.hex = 0),
-        u AS (SELECT *, regexp_replace(regexp_replace(url,
-                 '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/]*', '') AS p
-              FROM urls),
+        u AS (SELECT *, CASE
+                 WHEN starts_with(rest, '/') THEN rest
+                 WHEN length(rest) > 0 THEN '/' || rest
+                 ELSE '/' END AS p
+              FROM (SELECT *, regexp_replace(regexp_replace(url,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                      '^[^/?#]*', '') AS rest
+                    FROM urls)),
         j AS (SELECT u.doc_id, rr.allow, length(rr.prefix) AS l
               FROM u LEFT JOIN rr
                 ON u.domain = rr.domain AND starts_with(u.p, rr.prefix)),
@@ -96,3 +126,27 @@ def test_filter_robots_disallowed_semantics(spark):
         """
     ).fetchall()
     assert [r[0] for r in got] == kept
+
+
+def test_filter_robots_query_urls_and_multiplicity(spark):
+    """Review regressions: a query string with no slash after the
+    authority normalizes to '/?...' (one verdict for both spellings),
+    and the filter preserves duplicate frontier rows (no silent
+    groupBy dedup)."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /?s=")],
+        ["domain", "robots_txt"],
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "https://a.com?s=secret"),   # slashless query
+            (2, "a.com", "https://a.com/?s=secret"),  # slashed twin
+            (3, "a.com", "https://a.com/fine"),
+            (3, "a.com", "https://a.com/fine"),       # duplicate row
+        ],
+        ["doc_id", "domain", "url"],
+    )
+    out = filter_robots_disallowed(urls, rules).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [3, 3]  # both query spellings blocked, dup preserved
