@@ -37,7 +37,22 @@ def _metric(df: DataFrame, name, value) -> DataFrame:
 def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(metric, value) rows summarizing the corpus through the engine's
     own curation signals."""
-    stats = TS.text_stats(docs, id_col, text_col).cache()
+    # the Gopher/C4 kept booleans (the documented LAST column of each
+    # rule builder) ride the SAME cached projection via extra_cols —
+    # as a separate gopher_c4_filter() pass they re-scanned the corpus
+    # through ~15 regexes for two rate rows (ADVICE r8)
+    rule_base = TS._rule_base(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+    stats = TS.text_stats(
+        docs,
+        id_col,
+        text_col,
+        extra_cols=[
+            TS.gopher_rules_cols(text_col, _base=rule_base)[-1],
+            TS.c4_rules_cols(text_col, _base=rule_base)[-1],
+        ],
+    ).cache()
     n_docs = F.count(F.lit(1)).cast("double")
 
     size = stats.agg(
@@ -108,12 +123,11 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # named-rule pass rates (round 8): the fraction of docs the Gopher
     # appendix-A1.1 / deterministic C4 conjunctions would keep — the
     # dataset-card numbers a --gopher-rules / --c4-rules gate acts on.
-    # ONE aggregation computes both rates (two separate _metric() aggs
-    # would re-run the regex-heavy rule projection over the corpus
-    # twice), unpivoted to the (metric, value) shape.
+    # Both booleans were fused into the cached stats projection above,
+    # so this is one agg over the cache, not a corpus re-scan;
+    # unpivoted to the (metric, value) shape.
     rule_rates = (
-        TS.gopher_c4_filter(docs, id_col, text_col)
-        .agg(
+        stats.agg(
             F.round(
                 F.avg(F.when(F.col("gopher_kept"), 1.0).otherwise(0.0)), 4
             ).alias("g"),

@@ -147,15 +147,41 @@ def pq_train(
                     }
                 )
 
-        folded = vecs.mapInPandas(
-            partials, "sub int, cell int, vsum array<double>, n long"
-        ).toPandas()
+        # distributed fold of the per-BATCH partials BEFORE toPandas
+        # (VERDICT r8): the driver receives ≤ m·ksub rows total instead
+        # of m·ksub rows per Arrow batch — at 100 TB batch counts the
+        # old per-batch collect was a multi-GB driver-side groupby.
+        # Summation-order noise from the distributed element-wise sum
+        # sits ~1e-12 relative, far below the quantize_dp quantum (the
+        # same argument that lets the DuckDB oracle sum in ITS order).
+        folded = (
+            vecs.mapInPandas(
+                partials, "sub int, cell int, vsum array<double>, n long"
+            )
+            .groupBy("sub", "cell")
+            .agg(
+                F.sum("n").alias("n"),
+                F.aggregate(
+                    # array_sort: collect_list order varies with task
+                    # completion; sorting the per-batch partials makes
+                    # the float fold order-deterministic run-to-run
+                    F.array_sort(F.collect_list("vsum")),
+                    F.array_repeat(F.lit(0.0), dsub),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("vsum"),
+            )
+            .toPandas()
+        )
+        assert len(folded) <= m * ksub, (
+            f"pq_train fold: {len(folded)} rows > m*ksub={m * ksub}"
+        )
         new_cb = cb.copy()  # empty cells keep prev centroid VERBATIM
-        for (j, c), grp in folded.groupby(["sub", "cell"]):
-            total = np.sum(np.stack(list(grp["vsum"])), axis=0)
-            n = int(grp["n"].sum())
+        for row in folded.itertuples(index=False):
+            n = int(row.n)
             if n > 0:
-                new_cb[int(j), int(c)] = np.round(total / n, quantize_dp)
+                new_cb[int(row.sub), int(row.cell)] = np.round(
+                    np.asarray(row.vsum, dtype=np.float64) / n, quantize_dp
+                )
         cb = new_cb
     return cb
 

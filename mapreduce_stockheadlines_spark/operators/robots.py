@@ -10,20 +10,30 @@ prefixes, case-insensitive field names, ``#`` comments, most-specific
 agent group selection (an exact agent match beats the ``*`` group —
 substring agent matching is a documented simplification),
 longest-rule-wins matching with Allow winning length ties, and
-empty-pattern Disallow meaning "allow all". Wildcards (``*``/``$``)
-inside paths are NOT expanded — patterns containing them are kept as
-literal prefixes up to the first ``*`` (a conservative over-block for
-Disallow is crawl-safe; documented simplification).
+empty-pattern Disallow meaning "allow all".
+
+Wildcard handling: each rule compiles to a (kind, literal) MATCHER —
+the common ``*LIT`` / ``*LIT$`` shapes (e.g. ``Disallow: *.pdf``) are
+expressed EXACTLY (a leading ``*`` absorbs any prefix, so the pattern
+means "path contains LIT", or "path ends with LIT" when ``$``-anchored
+— ADVICE r8: the old prefix truncation collapsed ``*.pdf`` to ``/``
+and blocked whole sites). Patterns with an interior ``*`` keep the
+literal prefix up to it — a conservative over-block, which is
+crawl-safe for Disallow; an Allow that cannot be expressed exactly is
+dropped instead (truncating it would WIDEN, over-crawling what the
+publisher disallowed). Rule specificity is the literal's length (REP
+counts the raw pattern's — a documented simplification).
 
 Scale shape: parsing is an Arrow-batched pandas UDF over the
 (domain, robots_txt) table — one row per PUBLISHER, bounded by distinct
 domains, never by the frontier — exploded into a (domain, agent, allow,
-prefix) rules table. Matching is one equi-join frontier⋈rules on the
-registered domain plus a per-URL argmax (longest prefix, allow wins
+kind, lit) rules table. Matching is one equi-join frontier⋈rules on the
+registered domain plus a per-URL argmax (longest literal, allow wins
 ties) — rules-per-domain is small and bounded by the robots file, so a
 hot domain fans out by its rule count, not the corpus. The match stage
-is DuckDB-pinned; the parser is pinned on hand fixtures covering every
-grammar arm.
+is DuckDB-pinned (and registry-pinned via x24's ``robots_allowed``
+column); the parser is pinned on hand fixtures covering every grammar
+arm.
 """
 
 from __future__ import annotations
@@ -38,19 +48,36 @@ RULE_SCHEMA = T.ArrayType(
         [
             T.StructField("agent", T.StringType()),
             T.StructField("allow", T.BooleanType()),
-            T.StructField("prefix", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("lit", T.StringType()),
         ]
     )
 )
 
 
-def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
-    """One robots.txt → [(agent, allow, prefix)] rules. Pure python —
+def _classify_pattern(value: str) -> tuple[str, str]:
+    """Rule pattern → (kind, literal) matcher. ``*LIT``/``*LIT$`` are
+    exact (contains/suffix); anything else keeps the literal prefix up
+    to the first ``*`` (dropping a trailing ``$`` anchor) — the
+    conservative over-block documented in the module docstring."""
+    if value.startswith("*") and "*" not in value[1:]:
+        lit = value[1:]
+        if lit.endswith("$"):
+            return "suffix", lit[:-1]
+        return "contains", lit
+    prefix = value.split("*", 1)[0]
+    if prefix.endswith("$"):
+        prefix = prefix[:-1]
+    return "prefix", prefix or "/"
+
+
+def _parse_robots_text(text: str) -> list[tuple[str, bool, str, str]]:
+    """One robots.txt → [(agent, allow, kind, lit)] rules. Pure python —
     runs inside the Arrow batch parser below and is the pytest pin
     target."""
     if not text:
         return []
-    rules: list[tuple[str, bool, str]] = []
+    rules: list[tuple[str, bool, str, str]] = []
     agents: list[str] = []
     groups: list[list[str]] = []  # every group's agents, rules or not
     in_group_rules = False  # True once the current group saw a rule
@@ -74,22 +101,18 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
             allow = field == "allow"
             if value == "":
                 continue  # empty Disallow = allow all; empty Allow void
-            if allow and ("*" in value or value.endswith("$")):
+            exact_shape = value.startswith("*") and "*" not in value[1:]
+            if allow and not exact_shape and (
+                "*" in value or value.endswith("$")
+            ):
                 # a truncated Allow WIDENS (over-crawls what the
                 # publisher disallowed — a politeness violation, unlike
-                # the safe over-block of a truncated Disallow), so
-                # wildcard/anchored Allow rules are dropped instead
+                # the safe over-block of a truncated Disallow), so an
+                # Allow the matcher can't express EXACTLY is dropped
                 continue
-            # conservative wildcard handling (Disallow): keep the
-            # literal prefix up to the first '*'; drop a trailing '$'
-            prefix = value.split("*", 1)[0]
-            if prefix.endswith("$"):
-                prefix = prefix[:-1]
-            if not prefix:
-                # pattern was '*' or '*something': matches everything
-                prefix = "/"
+            kind, lit = _classify_pattern(value)
             for a in agents:
-                rules.append((a, allow, prefix))
+                rules.append((a, allow, kind, lit))
         # other fields (Sitemap, Crawl-delay, ...) are ignored
     # zero-length allow-all marker per group member: it never beats a
     # real rule (precedence 2·0+1) but records GROUP EXISTENCE, so an
@@ -98,14 +121,14 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
     # '*' group instead of silently inverting the publisher's policy
     for g in groups:
         for a in g:
-            rules.append((a, True, ""))
+            rules.append((a, True, "prefix", ""))
     return rules
 
 
 def parse_robots(
     df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
 ) -> DataFrame:
-    """(domain, robots_txt) → exploded (domain, agent, allow, prefix)
+    """(domain, robots_txt) → exploded (domain, agent, allow, kind, lit)
     rules table. Arrow-batched parse, one python call per PUBLISHER
     row (publisher-bounded, never frontier-bounded)."""
     from pyspark.sql.functions import pandas_udf
@@ -123,7 +146,8 @@ def parse_robots(
             "domain",
             F.col("_r.agent").alias("agent"),
             F.col("_r.allow").alias("allow"),
-            F.col("_r.prefix").alias("prefix"),
+            F.col("_r.kind").alias("kind"),
+            F.col("_r.lit").alias("lit"),
         )
     )
 
@@ -155,7 +179,10 @@ def filter_robots_disallowed(
     ``agent``: select the most specific agent group per domain (exact
     ``agent`` match beats ``*``; domains with neither — or with no
     robots at all — allow everything), then longest-matching rule wins
-    with Allow winning length ties (the Google/RFC 9309 tiebreak).
+    with Allow winning length ties (the Google/RFC 9309 tiebreak; rule
+    length = the compiled matcher's literal). A rule matches per its
+    kind: ``prefix`` → path starts with lit, ``suffix`` → ends with
+    (a ``*LIT$`` pattern), ``contains`` → contains (``*LIT``).
 
     One frontier⋈rules equi-join on the domain + a per-URL max_by —
     rules-per-domain is file-bounded, so the fan-out per URL is the
@@ -178,29 +205,36 @@ def filter_robots_disallowed(
     r = r.select(
         F.col("domain").alias("_rdom"),
         F.col("allow").alias("_rallow"),
-        F.col("prefix").alias("_rprefix"),
+        F.col("kind").alias("_rkind"),
+        F.col("lit").alias("_rlit"),
     )
     # the verdict is a pure function of (domain, path): compute it over
     # the DISTINCT pairs and join it back, so the filter preserves row
     # multiplicity (a full-column groupBy would silently dedup the
     # frontier) and the rule join shuffles only distinct pairs
     pairs = u.select(F.col(domain_col).alias("_vdom"), "_path").distinct()
-    # the prefix match rides the JOIN condition (not a post-join WHERE,
-    # which would delete pairs whose domain has rules but none matching —
-    # those must fall through to the allow default as a null row)
-    joined = pairs.join(
-        r,
-        (F.col("_vdom") == F.col("_rdom"))
-        & F.col("_path").startswith(F.col("_rprefix")),
-        "left",
+    # the kind-dispatched match rides the JOIN condition (not a
+    # post-join WHERE, which would delete pairs whose domain has rules
+    # but none matching — those must fall through to the allow default
+    # as a null row)
+    matches = (
+        ((F.col("_rkind") == "prefix")
+         & F.col("_path").startswith(F.col("_rlit")))
+        | ((F.col("_rkind") == "suffix")
+           & F.col("_path").endswith(F.col("_rlit")))
+        | ((F.col("_rkind") == "contains")
+           & F.col("_path").contains(F.col("_rlit")))
     )
-    # longest matching prefix wins, Allow wins length ties — the scalar
-    # precedence key 2·prefix_len + allow (allow in {0,1}) encodes both,
+    joined = pairs.join(
+        r, (F.col("_vdom") == F.col("_rdom")) & matches, "left"
+    )
+    # longest matching literal wins, Allow wins length ties — the scalar
+    # precedence key 2·lit_len + allow (allow in {0,1}) encodes both,
     # and stays scalar so the DuckDB pin uses the identical max_by
     verdict = joined.groupBy("_vdom", "_path").agg(
         F.max_by(
             "_rallow",
-            F.coalesce(F.length("_rprefix"), F.lit(-1)) * 2
+            F.coalesce(F.length("_rlit"), F.lit(-1)) * 2
             + F.coalesce(F.col("_rallow").cast("int"), F.lit(1)),
         ).alias("_allow")
     )

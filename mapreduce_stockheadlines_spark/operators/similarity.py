@@ -337,21 +337,44 @@ def kmeans_centroids(
                     }
                 )
 
-        partials = vecs.mapInPandas(
-            partial_sums, "cluster int, vsum array<double>, n long"
-        ).toPandas()
+        # distributed fold of the per-BATCH partials BEFORE toPandas
+        # (VERDICT r8, the pq_train fix applied here too): the driver
+        # receives ≤ k rows total instead of k rows per Arrow batch.
+        # array_sort makes the float fold order-deterministic run-to-
+        # run (collect_list order varies with task completion); in the
+        # quantized mode any residual order noise also vanishes below
+        # the quantize_dp quantum (the DuckDB-oracle argument).
+        partials = (
+            vecs.mapInPandas(
+                partial_sums, "cluster int, vsum array<double>, n long"
+            )
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                F.aggregate(
+                    F.array_sort(F.collect_list("vsum")),
+                    F.array_repeat(F.lit(0.0), int(dim)),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("vsum"),
+            )
+            .toPandas()
+        )
+        assert len(partials) <= cent.shape[0], (
+            f"kmeans fold: {len(partials)} rows > k={cent.shape[0]}"
+        )
         new_cent = cent.copy()
-        for cl, grp in partials.groupby("cluster"):
-            total = np.sum(np.stack(list(grp["vsum"])), axis=0)
-            n = int(grp["n"].sum())
+        for row in partials.itertuples(index=False):
+            cl = int(row.cluster)
+            total = np.asarray(row.vsum, dtype=np.float64)
+            n = int(row.n)
             if n <= 0:
                 continue
             if quantize_dp is None:
-                new_cent[int(cl)] = total / n
+                new_cent[cl] = total / n
             else:
                 mean = np.round(total / n, quantize_dp)
                 nrm = float(np.linalg.norm(mean)) or 1.0
-                new_cent[int(cl)] = np.round(mean / nrm, quantize_dp)
+                new_cent[cl] = np.round(mean / nrm, quantize_dp)
         if quantize_dp is None:
             norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
@@ -987,7 +1010,11 @@ def topk_eval(
     - ``first_hit_rank``: the approx rank of the best-ranked retrieved
       truth neighbor (NULL if none);
     - ``reciprocal_rank``: 1 / first_hit_rank, 0.0 when nothing was
-      retrieved — AVG over the output is MRR.
+      retrieved — AVG over the output is MRR;
+    - ``ndcg``: binary-relevance nDCG@k, 4dp. The ideal DCG is the
+      truth list scored by its OWN ranks, which assumes truth ranks
+      are dense 1..n_truth per query (the ``cosine_topk`` shape); a
+      truth table with gapped ranks would understate the ideal.
 
     Queries present in truth but entirely absent from the approx result
     report recall 0, not a missing row (left-join restore). Scale
@@ -1080,13 +1107,20 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: k_rrf and fp_scale must be >= 1")
     contribs = None
     for r in results:
+        # fp_scale div (k + rank) as Column ops, not an F.expr string
+        # (a rank column named with spaces/reserved words would break
+        # or mis-resolve the parse — ADVICE r8). floor(a/b) on doubles
+        # equals integer div here: both operands are exact integers
+        # < 2^53, and a non-integer quotient sits ≥ 1/b > 1 ulp away
+        # from the nearest integer, so the floor cannot straddle it.
         part = r.select(
             F.col(query_col),
             F.col(item_col),
-            F.expr(
-                f"CAST({fp_scale} AS BIGINT) div "
-                f"(CAST({k_rrf} AS BIGINT) + {rank_col})"
-            ).alias("_c"),
+            F.floor(
+                F.lit(float(fp_scale)) / (F.lit(float(k_rrf)) + F.col(rank_col))
+            )
+            .cast("long")
+            .alias("_c"),
         )
         contribs = part if contribs is None else contribs.unionByName(part)
     fused = contribs.groupBy(query_col, item_col).agg(

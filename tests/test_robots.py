@@ -5,6 +5,7 @@ from __future__ import annotations
 import duckdb
 
 from mapreduce_stockheadlines_spark.operators.robots import (
+    _classify_pattern,
     _parse_robots_text,
     filter_robots_disallowed,
     parse_robots,
@@ -26,21 +27,41 @@ Allow:
 
 User-agent: *
 Disallow: /tmp*junk
+Disallow: *.pdf
+Disallow: *.cgi$
 Disallow:
 """
     rules = _parse_robots_text(txt)
-    assert ("engine-bot", False, "/private/") in rules
-    assert ("engine-bot", True, "/private/ok") in rules
+    assert ("engine-bot", False, "prefix", "/private/") in rules
+    assert ("engine-bot", True, "prefix", "/private/ok") in rules
     # consecutive User-agent lines share the group's rules
-    assert ("a", False, "/shared") in rules and ("b", False, "/shared") in rules
-    # '$' anchor dropped, '*' truncates to the literal prefix (Disallow)
-    assert ("*", False, "/tmp") in rules
+    assert ("a", False, "prefix", "/shared") in rules
+    assert ("b", False, "prefix", "/shared") in rules
+    # interior '*' truncates to the literal prefix (Disallow over-block)
+    assert ("*", False, "prefix", "/tmp") in rules
+    # '*LIT' / '*LIT$' compile to exact contains / suffix matchers
+    # (ADVICE r8: the old truncation collapsed '*.pdf' to '/')
+    assert ("*", False, "contains", ".pdf") in rules
+    assert ("*", False, "suffix", ".cgi") in rules
     # every group member gets the zero-length allow-all existence marker
     for agent in ("engine-bot", "a", "b", "*"):
-        assert (agent, True, "") in rules
+        assert (agent, True, "prefix", "") in rules
     assert _parse_robots_text("") == []
     # rules before any User-agent are void (no group, no marker)
     assert _parse_robots_text("Disallow: /x") == []
+
+
+def test_classify_pattern_shapes():
+    assert _classify_pattern("/a/b") == ("prefix", "/a/b")
+    assert _classify_pattern("/a$") == ("prefix", "/a")
+    assert _classify_pattern("/a*b") == ("prefix", "/a")
+    assert _classify_pattern("*.pdf") == ("contains", ".pdf")
+    assert _classify_pattern("*.pdf$") == ("suffix", ".pdf")
+    # bare '*' / '*$' match everything (contains/suffix of '')
+    assert _classify_pattern("*") == ("contains", "")
+    assert _classify_pattern("*$") == ("suffix", "")
+    # '*a*b' keeps only the conservative leading arm → prefix '/'
+    assert _classify_pattern("*a*b") == ("prefix", "/")
 
 
 def test_parse_robots_conservative_arms():
@@ -49,14 +70,23 @@ def test_parse_robots_conservative_arms():
     # finding: without it the '*' group inverted the policy)
     txt = "User-agent: engine-bot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
     rules = _parse_robots_text(txt)
-    assert ("engine-bot", True, "") in rules
-    assert ("*", False, "/") in rules
-    # wildcard/anchored ALLOW rules are dropped, not truncated — a
-    # truncated Allow widens, over-crawling disallowed URLs
-    txt2 = "User-agent: *\nDisallow: /private\nAllow: /private*/pub$\n"
+    assert ("engine-bot", True, "prefix", "") in rules
+    assert ("*", False, "prefix", "/") in rules
+    # an Allow the matcher can't express exactly is dropped, not
+    # truncated — a truncated Allow widens, over-crawling disallowed
+    # URLs. The exact '*LIT'/'*LIT$' shapes ARE kept.
+    txt2 = (
+        "User-agent: *\nDisallow: /private\nAllow: /private*/pub$\n"
+        "Allow: *.html$\nAllow: /x$\n"
+    )
     rules2 = _parse_robots_text(txt2)
-    assert ("*", False, "/private") in rules2
-    assert not any(allow and p.startswith("/private") for _, allow, p in rules2)
+    assert ("*", False, "prefix", "/private") in rules2
+    assert ("*", True, "suffix", ".html") in rules2
+    assert not any(
+        allow and lit.startswith("/")
+        for _, allow, _, lit in rules2
+        if lit  # markers aside, no truncated/anchored Allow survives
+    )
 
 
 def test_filter_robots_disallowed_semantics(spark):
@@ -69,6 +99,8 @@ def test_filter_robots_disallowed_semantics(spark):
             # the exemption file: exact group allows all, '*' blocks all
             ("e.com", "User-agent: engine-bot\nDisallow:\n\n"
                       "User-agent: *\nDisallow: /"),
+            # wildcard kinds: contains ('.pdf'), suffix ('.cgi$')
+            ("f.com", "User-agent: *\nDisallow: *.pdf\nDisallow: *.cgi$"),
         ],
         ["domain", "robots_txt"],
     )
@@ -82,6 +114,11 @@ def test_filter_robots_disallowed_semantics(spark):
             (5, "c.com", "https://c.com/x"),   # only otherbot blocked -> allow
             (6, "d.com", "https://d.com/x"),   # no robots at all -> allow
             (7, "e.com", "https://e.com/x"),   # exemption group -> allow
+            (8, "f.com", "https://f.com/docs/a.pdf"),      # contains -> blocked
+            (9, "f.com", "https://f.com/a.pdf/view"),      # contains -> blocked
+            (10, "f.com", "https://f.com/run.cgi"),        # suffix -> blocked
+            (11, "f.com", "https://f.com/run.cgi/extra"),  # suffix misses -> allow
+            (12, "f.com", "https://f.com/plain"),          # no match -> allow
         ],
         ["doc_id", "domain", "url"],
     )
@@ -91,10 +128,11 @@ def test_filter_robots_disallowed_semantics(spark):
             urls, rules, agent="engine-bot"
         ).collect()
     )
-    assert kept == [2, 3, 5, 6, 7]
+    assert kept == [2, 3, 5, 6, 7, 11, 12]
 
-    # DuckDB pin of the matching stage (longest prefix, allow wins ties,
-    # same path normalization, same scalar precedence key)
+    # DuckDB pin of the matching stage (kind-dispatched match, longest
+    # literal, allow wins ties, same path normalization, same scalar
+    # precedence key)
     rpdf = rules.toPandas()
     updf = urls.toPandas()
     con = duckdb.connect()
@@ -116,9 +154,12 @@ def test_filter_robots_disallowed_semantics(spark):
                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
                       '^[^/?#]*', '') AS rest
                     FROM urls)),
-        j AS (SELECT u.doc_id, rr.allow, length(rr.prefix) AS l
+        j AS (SELECT u.doc_id, rr.allow, length(rr.lit) AS l
               FROM u LEFT JOIN rr
-                ON u.domain = rr.domain AND starts_with(u.p, rr.prefix)),
+                ON u.domain = rr.domain
+               AND ((rr.kind = 'prefix' AND starts_with(u.p, rr.lit))
+                    OR (rr.kind = 'suffix' AND ends_with(u.p, rr.lit))
+                    OR (rr.kind = 'contains' AND contains(u.p, rr.lit)))),
         v AS (SELECT doc_id, max_by(allow, coalesce(l, -1) * 2
                      + coalesce(CAST(allow AS INT), 1)) AS a
               FROM j GROUP BY doc_id)
