@@ -22,6 +22,7 @@ from ..operators import embeddings as EB
 from ..operators import merge as MG
 from ..operators import multimodal as M
 from ..operators import relevance as RV
+from ..operators import robots as RB
 from ..operators import sampling as SP
 from ..operators import similarity as S
 from ..operators import packing as PK
@@ -1780,8 +1781,76 @@ ORDER BY c_custkey
 # newshub domains hold ~n/13 docs each so the cap genuinely bites,
 # while %9/%11 docs route to IPv4/localhost primaries (digit/'l' sorts
 # below 'n') and NULL-domain docs always survive.
+#
+# Round 9 folds robots.txt crawl-politeness in (zero slots): each doc's
+# frontier URL on its newshub domain runs through the REAL parse_robots
+# + filter_robots_disallowed path (operators/robots.py) against planted
+# per-domain policies — four arms over k%4 documented on
+# _x24_robots_body, seven path shapes on _x24_robots_path. The oracle
+# re-derives the EXPECTED rules table by construction (so a parser bug
+# on any grammar arm diverges the verdicts), the most-specific-group
+# selection, and the kind-dispatched longest-rule max_by verdict
+# (precedence 2·lit_len+allow); `robots_allowed` flags survivors.
 
 _X24_BLOCKLIST = ("spam-net.biz", "site3.co.uk", "192.168.18.9")
+
+
+def _x24_robots_body(k: int) -> str | None:
+    """Planted robots.txt for newshub<k>.com — four policy arms over
+    k%4 covering every matcher the operator compiles: an exact
+    engine-bot group (beats '*', with a prefix Disallow, a LONGER
+    prefix Allow override and a '*.pdf' contains rule), a '*'-only
+    group (prefix vs 8-char Allow tiebreak, a '*.pdf$' suffix rule, an
+    interior-wildcard truncation, and an otherbot group the agent
+    filter must ignore), the exemption file (exact group allows all
+    while '*' blocks all — the existence-marker arm), and no robots at
+    all (None: the domain never enters the publisher table). The parse
+    of each body is known BY CONSTRUCTION, so the oracle writes the
+    expected rules directly — a parser bug on any arm diverges the
+    verdicts and fails the hash."""
+    if k % 4 == 0:
+        return (
+            "User-agent: engine-bot\nDisallow: /private/\n"
+            "Allow: /private/ok\nDisallow: *.pdf\n\n"
+            "User-agent: *\nDisallow: /\n"
+        )
+    if k % 4 == 1:
+        return (
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /items/\nAllow: /items/1\n"
+            "Disallow: *.pdf$\nDisallow: /tmp*junk\n"
+        )
+    if k % 4 == 2:
+        return (
+            "User-agent: engine-bot\nDisallow:\n\n"
+            "User-agent: *\nDisallow: /\n"
+        )
+    return None
+
+
+def _x24_robots_path(did: Column) -> Column:
+    """Planted frontier path per doc — seven shapes hitting every rule
+    of every arm: blocked prefix, allow-override, quota'd /items/<n>
+    (blocked in arm 1 unless the n starts with '1' — the longest-rule
+    Allow tiebreak), a .pdf (contains in arm 0, suffix in arm 1), a
+    /tmpjunk path (the truncated interior-wildcard rule), an .html and
+    a plain path (no match → default allow)."""
+    d7 = did % 7
+    return (
+        F.when(d7 == 0, F.concat(F.lit("/private/x"), did.cast("string")))
+        .when(d7 == 1, F.concat(F.lit("/private/ok/p"), did.cast("string")))
+        .when(d7 == 2, F.concat(F.lit("/items/"), (did % 20).cast("string")))
+        .when(
+            d7 == 3,
+            F.concat(F.lit("/files/f"), did.cast("string"), F.lit(".pdf")),
+        )
+        .when(d7 == 4, F.concat(F.lit("/tmpjunk/"), did.cast("string")))
+        .when(
+            d7 == 5,
+            F.concat(F.lit("/docs/d"), did.cast("string"), F.lit(".html")),
+        )
+        .otherwise(F.concat(F.lit("/a/"), did.cast("string")))
+    )
 
 
 def _x24_frontier_url(did: Column) -> Column:
@@ -1870,6 +1939,36 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
     cap_surv = TS.domain_frequency_cap(
         cap_in, "doc_id", "dom", cap=7, order_col="n_chars"
     ).select("doc_id", F.lit(1).alias("domain_capped"))
+    # robots.txt crawl-politeness (round-9 zero-slot promotion): every
+    # doc's frontier URL on its newshub domain is filtered through the
+    # REAL parse_robots → filter_robots_disallowed path against planted
+    # per-domain robots bodies (arms documented on _x24_robots_body);
+    # survivors come back as the robots_allowed flag
+    rdom = F.concat(
+        F.lit("newshub"), (did % 13).cast("string"), F.lit(".com")
+    )
+    rfront = docs.select(
+        "doc_id",
+        rdom.alias("rdomain"),
+        F.concat(
+            F.lit("https://"), rdom, _x24_robots_path(did)
+        ).alias("rurl"),
+    )
+    robots_pub = spark.createDataFrame(
+        [
+            (f"newshub{k}.com", _x24_robots_body(k))
+            for k in range(13)
+            if _x24_robots_body(k) is not None
+        ],
+        ["domain", "robots_txt"],
+    )
+    rallow = RB.filter_robots_disallowed(
+        rfront,
+        RB.parse_robots(robots_pub),
+        url_col="rurl",
+        domain_col="rdomain",
+        agent="engine-bot",
+    ).select("doc_id", F.lit(1).alias("robots_allowed"))
     return (
         stats.join(kept, "doc_id", "left")
         # canonical_url is a pure codegen projection of doc_id (via the
@@ -1881,6 +1980,7 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(surv, "doc_id", "left")
         .join(cap_surv, "doc_id", "left")
+        .join(rallow, "doc_id", "left")
         .select(
             "doc_id",
             "n_urls",
@@ -1894,6 +1994,9 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("domain_capped", F.lit(0))
             .cast("int")
             .alias("domain_capped"),
+            F.coalesce("robots_allowed", F.lit(0))
+            .cast("int")
+            .alias("robots_allowed"),
         )
         .orderBy("doc_id")
     )
@@ -2017,14 +2120,67 @@ capr AS (SELECT p.doc_id,
                                    ORDER BY dd.n_chars DESC NULLS LAST,
                                             p.doc_id) AS rn
          FROM prim p JOIN documents dd ON dd.doc_id = p.doc_id),
-csurv AS (SELECT doc_id FROM capr WHERE rn <= 7)
+csurv AS (SELECT doc_id FROM capr WHERE rn <= 7),
+-- ===== robots.txt politeness (round-9 zero slot): the EXPECTED rules
+-- per _x24_robots_body arm, written by construction (agent-filtered to
+-- engine-bot/'*'; the arm-1 otherbot group is omitted because the
+-- operator's agent filter drops it before anything else); then the
+-- most-specific-group selection, the kind-dispatched match and the
+-- 2*lit_len+allow max_by — the operator's exact verdict pipeline =====
+rbr AS (SELECT unnest(range(0, 13)) AS k),
+rbrules AS (
+  SELECT k, 'engine-bot' AS agent, FALSE AS allow, 'prefix' AS kind,
+         '/private/' AS lit FROM rbr WHERE k % 4 = 0
+  UNION ALL SELECT k, 'engine-bot', TRUE, 'prefix', '/private/ok'
+    FROM rbr WHERE k % 4 = 0
+  UNION ALL SELECT k, 'engine-bot', FALSE, 'contains', '.pdf'
+    FROM rbr WHERE k % 4 = 0
+  UNION ALL SELECT k, '*', FALSE, 'prefix', '/' FROM rbr WHERE k % 4 = 0
+  UNION ALL SELECT k, 'engine-bot', TRUE, 'prefix', ''
+    FROM rbr WHERE k % 4 = 0
+  UNION ALL SELECT k, '*', TRUE, 'prefix', '' FROM rbr WHERE k % 4 = 0
+  UNION ALL SELECT k, '*', FALSE, 'prefix', '/items/'
+    FROM rbr WHERE k % 4 = 1
+  UNION ALL SELECT k, '*', TRUE, 'prefix', '/items/1'
+    FROM rbr WHERE k % 4 = 1
+  UNION ALL SELECT k, '*', FALSE, 'suffix', '.pdf' FROM rbr WHERE k % 4 = 1
+  UNION ALL SELECT k, '*', FALSE, 'prefix', '/tmp' FROM rbr WHERE k % 4 = 1
+  UNION ALL SELECT k, '*', TRUE, 'prefix', '' FROM rbr WHERE k % 4 = 1
+  UNION ALL SELECT k, 'engine-bot', TRUE, 'prefix', ''
+    FROM rbr WHERE k % 4 = 2
+  UNION ALL SELECT k, '*', FALSE, 'prefix', '/' FROM rbr WHERE k % 4 = 2
+  UNION ALL SELECT k, '*', TRUE, 'prefix', '' FROM rbr WHERE k % 4 = 2),
+rbhex AS (SELECT k, max(CASE WHEN agent = 'engine-bot' THEN 1 ELSE 0 END)
+                 AS hex
+          FROM rbrules GROUP BY k),
+rbsel AS (SELECT r.* FROM rbrules r JOIN rbhex USING (k)
+          WHERE r.agent = 'engine-bot' OR hex = 0),
+rbp AS (SELECT doc_id, doc_id % 13 AS k,
+               CASE doc_id % 7
+                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN '/items/' || CAST(doc_id % 20 AS VARCHAR)
+                 WHEN 3 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+                 WHEN 4 THEN '/tmpjunk/' || CAST(doc_id AS VARCHAR)
+                 WHEN 5 THEN '/docs/d' || CAST(doc_id AS VARCHAR) || '.html'
+                 ELSE '/a/' || CAST(doc_id AS VARCHAR) END AS p
+        FROM documents),
+rbj AS (SELECT d.doc_id, r.allow, length(r.lit) AS l
+        FROM rbp d LEFT JOIN rbsel r ON r.k = d.k
+         AND ((r.kind = 'prefix' AND starts_with(d.p, r.lit))
+           OR (r.kind = 'suffix' AND ends_with(d.p, r.lit))
+           OR (r.kind = 'contains' AND contains(d.p, r.lit)))),
+rbv AS (SELECT doc_id, max_by(allow, coalesce(l, -1) * 2
+               + coalesce(CAST(allow AS INT), 1)) AS ra
+        FROM rbj GROUP BY doc_id)
 SELECT s.doc_id, s.n_urls, coalesce(d.domains_csv, '') AS domains_csv,
        s.url_char_ratio,
        CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS kept,
        c.canonical_url,
        CASE WHEN fs.doc_id IS NULL THEN 0 ELSE 1 END AS frontier_kept,
        CASE WHEN p.pdom IS NULL OR cs.doc_id IS NOT NULL THEN 1
-            ELSE 0 END AS domain_capped
+            ELSE 0 END AS domain_capped,
+       CASE WHEN coalesce(rv.ra, TRUE) THEN 1 ELSE 0 END AS robots_allowed
 FROM stats s
 LEFT JOIN doms d ON d.doc_id = s.doc_id
 LEFT JOIN blocked b ON b.doc_id = s.doc_id
@@ -2032,6 +2188,7 @@ JOIN canon c ON c.doc_id = s.doc_id
 LEFT JOIN fsurv fs ON fs.doc_id = s.doc_id
 LEFT JOIN prim p ON p.doc_id = s.doc_id
 LEFT JOIN csurv cs ON cs.doc_id = s.doc_id
+LEFT JOIN rbv rv ON rv.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 

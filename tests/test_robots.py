@@ -169,6 +169,20 @@ def test_filter_robots_disallowed_semantics(spark):
     assert [r[0] for r in got] == kept
 
 
+def test_x24_robots_allowed_nondegenerate(spark, sf_dir):
+    """Promotion guard for the round-9 robots_allowed column: both
+    verdicts must occur at the tested SF, and the blocked set must be
+    non-trivial (arms 0/1 block several path shapes by design)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x24_url_curation,
+    )
+
+    x24 = x24_url_curation(spark, sf_dir)
+    assert_column_nondegenerate(x24, "robots_allowed", f"at {sf_dir}")
+
+
 def test_filter_robots_query_urls_and_multiplicity(spark):
     """Review regressions: a query string with no slash after the
     authority normalizes to '/?...' (one verdict for both spellings),
