@@ -2451,7 +2451,23 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     empty cells keeping the previous centroid verbatim), the final
     assignment, the reconstruction error, and the ADC fold — the fifth
     iterative trainer under the unrolled-CTE recipe, and the first
-    with data-parallel SUBSPACES inside each round."""
+    with data-parallel SUBSPACES inside each round.
+
+    Round-9 zero-slot promotion: IVFPQ SERVING end-to-end
+    (operators/pq.ivfpq_train / ivfpq_topk — Jégou et al. §V). A
+    two-level index is trained for real (coarse spherical k-means
+    k=4×2 rounds under the shared quantized contract, then PQ m=4/
+    ksub=4×2 rounds on the RESIDUALS x_norm − coarse[cell]); every row
+    carries its coarse cell (``ivf_cell``), residual PQ codes
+    (``ivfpq_codes_csv``), residual reconstruction error
+    (``ivfpq_rmse``), and probe membership for the lowest-vec_id query
+    under n_probe=2 (``ivf_probed``); the REAL ``ivfpq_topk`` then
+    serves that query and its top-10 rows carry ``ivfpq_adc_fp``/
+    ``ivfpq_rank`` (NULL elsewhere — rank-bounded by design, so the
+    registry never materializes a corpus-sized result). DuckDB
+    re-derives the coarse trainer (the x18 CTE shape at k=4),
+    residuals, the residual-PQ trainer, the per-probed-cell LUTs and
+    the serving rank — the full probe→residual-ADC→rank path."""
     import numpy as np
 
     from ..operators import pq as PQO
@@ -2471,6 +2487,43 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("pq_codes_csv"),
         "pq_rmse",
         F.col("adc_fp").alias("pq_adc_fp"),
+    )
+    # IVFPQ serving (round 9): train the real two-level index, then
+    # index-derived columns for every row + the real served top-10 for
+    # the lowest-vec_id query (rank-bounded by design — the registry
+    # never materializes a corpus-sized result list)
+    coarse, rcb = PQO.ivfpq_train(
+        emb, n_centroids=4, coarse_iters=2, m=4, ksub=4, pq_iters=2,
+        quantize_dp=7,
+    )
+    res = PQO._ivfpq_residuals(emb, coarse, "vec_id", "embedding")
+    rcells = res.select(
+        "vec_id", F.col("cell").cast("int").alias("ivf_cell")
+    )
+    renc = PQO.pq_encode(res, rcb, id_col="vec_id", vec_col="residual").select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("pq_codes", lambda c: c.cast("string"))
+        ).alias("ivfpq_codes_csv"),
+        F.col("pq_rmse").alias("ivfpq_rmse"),
+    )
+    # probe set of the fixed query under the ivf_topk contract (4dp
+    # round + stable argsort, lowest cell on ties) — 2 cells of 4,
+    # driver-computed from the broadcastable index, lands as a codegen
+    # isin (no join)
+    qn = q0 / (float(np.linalg.norm(q0)) or 1.0)
+    probed = [
+        int(c)
+        for c in np.argsort(
+            -np.round(qn @ coarse.T, 4), kind="stable"
+        )[:2]
+    ]
+    serv = PQO.ivfpq_topk(
+        emb.orderBy("vec_id").limit(1), emb, coarse, rcb, k=10, n_probe=2
+    ).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("adc_fp").alias("ivfpq_adc_fp"),
+        F.col("rank").alias("ivfpq_rank"),
     )
     mean, cov, _comps = EB.pca_fit(
         emb, "embedding", k=4, moment_dp=9, return_moments=True
@@ -2501,6 +2554,12 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(pm), "m64")
         .drop("m64")
         .join(pqe, "vec_id")
+        .join(rcells, "vec_id")
+        .join(renc, "vec_id")
+        .withColumn(
+            "ivf_probed", F.col("ivf_cell").isin(probed).cast("int")
+        )
+        .join(serv, "vec_id", "left")
         .orderBy("vec_id")
     )
 
@@ -2618,7 +2677,174 @@ plut AS (SELECT c.sub, c.cell,
          GROUP BY c.sub, c.cell),
 padc AS (SELECT a.vec_id, CAST(sum(l.dfp) AS BIGINT) AS pq_adc_fp
          FROM penc a JOIN plut l ON l.sub = a.sub AND l.cell = a.cell
-         GROUP BY a.vec_id)
+         GROUP BY a.vec_id),
+-- ===== IVFPQ serving (round-9 zero slots): coarse spherical k-means
+-- (the x18 CTE shape at k=4, 2 rounds, dp=7), residuals vs the trained
+-- coarse index, PQ trained ON THE RESIDUALS (same unrolled contract as
+-- the pcb chain above), then the fixed query's probe set (top-2 cells
+-- by 4dp dot, lowest idx ties), per-probed-cell fixed-point LUTs and
+-- the served top-10 rank =====
+ien AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, x -> x /
+           (CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN 1.0
+                 ELSE sqrt(list_dot_product(e, e)) END)) AS v
+  FROM v),
+ikd AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x
+  FROM ien),
+ic0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v
+  FROM (SELECT vec_id, v FROM ien ORDER BY vec_id LIMIT 4)),
+ia1 AS MATERIALIZED (
+  SELECT vec_id, idx AS cluster FROM (
+    SELECT ien.vec_id, c.idx,
+           row_number() OVER (PARTITION BY ien.vec_id
+                              ORDER BY round(list_dot_product(ien.v, c.v),
+                                             4) DESC,
+                                       c.idx) AS rn
+    FROM ien CROSS JOIN ic0 c) WHERE rn = 1),
+im1 AS (SELECT a.cluster, d.dim, round(sum(d.x) / count(*), 7) AS mv
+        FROM ia1 a JOIN ikd d USING (vec_id) GROUP BY a.cluster, d.dim),
+in1 AS (SELECT cluster, sqrt(sum(mv * mv)) AS nrm FROM im1
+        GROUP BY cluster),
+ic1 AS MATERIALIZED (
+  SELECT p.idx, coalesce(u.v, p.v) AS v
+  FROM ic0 p LEFT JOIN (
+    SELECT m.cluster AS idx,
+           list(round(m.mv / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
+                      7) ORDER BY m.dim) AS v
+    FROM im1 m JOIN in1 n USING (cluster)
+    GROUP BY m.cluster) u USING (idx)),
+ia2 AS MATERIALIZED (
+  SELECT vec_id, idx AS cluster FROM (
+    SELECT ien.vec_id, c.idx,
+           row_number() OVER (PARTITION BY ien.vec_id
+                              ORDER BY round(list_dot_product(ien.v, c.v),
+                                             4) DESC,
+                                       c.idx) AS rn
+    FROM ien CROSS JOIN ic1 c) WHERE rn = 1),
+im2 AS (SELECT a.cluster, d.dim, round(sum(d.x) / count(*), 7) AS mv
+        FROM ia2 a JOIN ikd d USING (vec_id) GROUP BY a.cluster, d.dim),
+in2 AS (SELECT cluster, sqrt(sum(mv * mv)) AS nrm FROM im2
+        GROUP BY cluster),
+ic2 AS MATERIALIZED (
+  SELECT p.idx, coalesce(u.v, p.v) AS v
+  FROM ic1 p LEFT JOIN (
+    SELECT m.cluster AS idx,
+           list(round(m.mv / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
+                      7) ORDER BY m.dim) AS v
+    FROM im2 m JOIN in2 n USING (cluster)
+    GROUP BY m.cluster) u USING (idx)),
+ifa AS MATERIALIZED (
+  SELECT vec_id, CAST(idx AS INTEGER) AS cell FROM (
+    SELECT ien.vec_id, c.idx,
+           row_number() OVER (PARTITION BY ien.vec_id
+                              ORDER BY round(list_dot_product(ien.v, c.v),
+                                             4) DESC,
+                                       c.idx) AS rn
+    FROM ien CROSS JOIN ic2 c) WHERE rn = 1),
+irsv AS MATERIALIZED (
+  SELECT d.vec_id, CAST((d.dim - 1) // 16 AS INTEGER) AS sub,
+         CAST((d.dim - 1) % 16 AS INTEGER) AS sd,
+         d.x - c.v[d.dim] AS r
+  FROM ikd d JOIN ifa f USING (vec_id) JOIN ic2 c ON c.idx = f.cell),
+jseed AS (SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cell
+          FROM ien ORDER BY vec_id LIMIT 4),
+jcb0 AS MATERIALIZED (
+  SELECT s.cell, p.sub, p.sd, p.r AS c
+  FROM jseed s JOIN irsv p USING (vec_id)),
+jd1 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.r - c.c) * (p.r - c.c)), 4) AS d2
+  FROM irsv p JOIN jcb0 c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+ja1 AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM jd1) WHERE rn = 1),
+jm1 AS (SELECT a.sub, a.cell, p.sd, round(sum(p.r) / count(*), 7) AS c
+        FROM ja1 a JOIN irsv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+        GROUP BY a.sub, a.cell, p.sd),
+jcb1 AS MATERIALIZED (
+  SELECT c0.sub, c0.cell, c0.sd, COALESCE(m.c, c0.c) AS c
+  FROM jcb0 c0 LEFT JOIN jm1 m
+    ON m.sub = c0.sub AND m.cell = c0.cell AND m.sd = c0.sd),
+jd2 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.r - c.c) * (p.r - c.c)), 4) AS d2
+  FROM irsv p JOIN jcb1 c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+ja2 AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM jd2) WHERE rn = 1),
+jm2 AS (SELECT a.sub, a.cell, p.sd, round(sum(p.r) / count(*), 7) AS c
+        FROM ja2 a JOIN irsv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+        GROUP BY a.sub, a.cell, p.sd),
+jcb2 AS MATERIALIZED (
+  SELECT c1.sub, c1.cell, c1.sd, COALESCE(m.c, c1.c) AS c
+  FROM jcb1 c1 LEFT JOIN jm2 m
+    ON m.sub = c1.sub AND m.cell = c1.cell AND m.sd = c1.sd),
+jd3 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.r - c.c) * (p.r - c.c)), 4) AS d2
+  FROM irsv p JOIN jcb2 c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+jenc AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM jd3) WHERE rn = 1),
+jcodes AS (SELECT vec_id,
+                  string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub)
+                    AS ivfpq_codes_csv
+           FROM jenc GROUP BY vec_id),
+jrec AS (SELECT p.vec_id,
+                round(sqrt(sum((p.r - c.c) * (p.r - c.c)) / 64.0), 4)
+                  AS ivfpq_rmse
+         FROM jenc a
+         JOIN irsv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+         JOIN jcb2 c ON c.sub = a.sub AND c.cell = a.cell AND c.sd = p.sd
+         GROUP BY p.vec_id),
+iq0 AS (SELECT v FROM ien WHERE vec_id = (SELECT min(vec_id) FROM ien)),
+iprob AS (SELECT idx AS cell FROM (
+    SELECT c.idx,
+           row_number() OVER (ORDER BY round(list_dot_product(q.v, c.v),
+                                             4) DESC,
+                                       c.idx) AS rn
+    FROM iq0 q CROSS JOIN ic2 c) WHERE rn <= 2),
+iqd AS (SELECT dim, x FROM ikd
+        WHERE vec_id = (SELECT min(vec_id) FROM ien)),
+iqr AS MATERIALIZED (
+  SELECT p.cell, CAST((d.dim - 1) // 16 AS INTEGER) AS sub,
+         CAST((d.dim - 1) % 16 AS INTEGER) AS sd,
+         d.x - c.v[d.dim] AS qr
+  FROM iprob p JOIN ic2 c ON c.idx = p.cell CROSS JOIN iqd d),
+ilut AS MATERIALIZED (
+  SELECT q.cell, cb.sub, cb.cell AS code,
+         CAST(round(sum((q.qr - cb.c) * (q.qr - cb.c)) * 10000) AS BIGINT)
+           AS dfp
+  FROM iqr q JOIN jcb2 cb ON cb.sub = q.sub AND cb.sd = q.sd
+  GROUP BY q.cell, cb.sub, cb.cell),
+iserv AS (
+  SELECT vec_id, adc,
+         CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS INTEGER)
+           AS rnk
+  FROM (SELECT f.vec_id, CAST(sum(l.dfp) AS BIGINT) AS adc
+        FROM ifa f JOIN jenc e ON e.vec_id = f.vec_id
+        JOIN ilut l ON l.cell = f.cell AND l.sub = e.sub
+                   AND l.code = e.cell
+        WHERE f.vec_id <> (SELECT min(vec_id) FROM ien)
+        GROUP BY f.vec_id)),
+itop AS (SELECT vec_id, adc, rnk FROM iserv WHERE rnk <= 10)
 SELECT vec_id,
        CAST(len(qv) AS INTEGER) AS n_dims,
        sc AS scale,
@@ -2631,7 +2857,13 @@ SELECT vec_id,
        pij.cov_ij AS pca_cov_ij,
        pc.pq_codes_csv,
        pr.pq_rmse,
-       pa.pq_adc_fp
+       pa.pq_adc_fp,
+       f2.cell AS ivf_cell,
+       jc.ivfpq_codes_csv,
+       jr.ivfpq_rmse,
+       CASE WHEN ipp.cell IS NOT NULL THEN 1 ELSE 0 END AS ivf_probed,
+       it.adc AS ivfpq_adc_fp,
+       it.rnk AS ivfpq_rank
 FROM q
 JOIN pmom pii ON pii.i = vec_id % 64 + 1 AND pii.j = pii.i
 JOIN pmom pij ON pij.i = vec_id % 64 + 1
@@ -2639,6 +2871,11 @@ JOIN pmom pij ON pij.i = vec_id % 64 + 1
 JOIN pcodes pc USING (vec_id)
 JOIN prec pr USING (vec_id)
 JOIN padc pa USING (vec_id)
+JOIN ifa f2 USING (vec_id)
+JOIN jcodes jc USING (vec_id)
+JOIN jrec jr USING (vec_id)
+LEFT JOIN iprob ipp ON ipp.cell = f2.cell
+LEFT JOIN itop it USING (vec_id)
 ORDER BY vec_id
 """
 
@@ -3319,7 +3556,17 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     re-derives feature buckets, both censuses, the fixed-point ratio
     table, every score, every Gumbel key, the key histogram and the
     suffix-sum cut — the full DSIR pipeline hash-matches, including
-    NULL score/kept on NULL-text docs that produce no features."""
+    NULL score/kept on NULL-text docs that produce no features.
+
+    Since round 9 each row also carries ``doremi_w``: the row's source
+    weight after TWO DoReMi exponentiated-gradient rounds
+    (operators/sampling.doremi_weights — the sixth iterative trainer
+    under the unrolled-CTE recipe). The quantized contract (6dp CEs
+    and weights) makes each round bit-reproducible; DuckDB re-derives
+    the BOS-padded (source, bigram) census, add-k denominators,
+    own-domain CEs and both mixture-CE → update → renormalize rounds
+    as MATERIALIZED CTEs, and the weight lands on the mixed rows as a
+    codegen CASE (no join — S driver scalars)."""
     docs = parallel_table(spark, sf, "documents")
     s = docs.select(
         "doc_id",
@@ -3403,9 +3650,28 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
                    F.coalesce(F.col("dsir_kept"), F.lit(False))),
         )
     )
+    # DoReMi mixture weights (round-9 zero-slot promotion): the SIXTH
+    # iterative trainer under the unrolled-CTE recipe (PageRank x31,
+    # LR x33, k-means x18, BPE+unigram x28, PQ x27). Two exponentiated-
+    # gradient rounds over the REAL 20-value source column; the
+    # operator's quantized contract (6dp CEs and weights) makes every
+    # round's update bit-reproducible, and DuckDB re-derives the BOS-
+    # padded bigram census, denominators, own-domain CEs, and both
+    # rounds' mixture CE → update → renormalize as MATERIALIZED CTEs.
+    # The final per-source weight lands on every mixed row as a pure
+    # codegen CASE over the driver dict — no join, the weights are S
+    # scalars.
+    dw, _hist = SP.doremi_weights(docs, "source", "text", n_rounds=2)
+    wexpr = F.lit(None).cast("double")
+    for _src in sorted(dw):
+        wexpr = F.when(F.col("source") == _src, F.lit(dw[_src])).otherwise(
+            wexpr
+        )
+    enriched = enriched.withColumn("doremi_w", wexpr)
     return enriched.select(
         "doc_id", "source", "n_tokens", "epoch", "mix_kept", "strat_kept",
         "curriculum_pos", "dsir_score", "n_features", "dsir_kept",
+        "doremi_w",
     ).orderBy("doc_id", "epoch")
 
 
@@ -3549,18 +3815,90 @@ cur AS MATERIALIZED (
            * (SELECT n FROM cns) + d.sidx AS curriculum_pos
   FROM mixed m
   JOIN s sc ON sc.doc_id = m.doc_id
-  JOIN csd d ON d.src = coalesce(m.source, ''))
+  JOIN csd d ON d.src = coalesce(m.source, '')),
+-- ===== DoReMi mixture weights (round-9 zero slot): the operator's
+-- quantized contract unrolled — BOS-padded bigram census per source,
+-- add-k denominators/unseen floors, own-domain CE (6dp), then TWO
+-- exponentiated-gradient rounds, each = mixture distribution over the
+-- census + per-source mixture CE (6dp) + w·exp(max(0, excess)) update
+-- renormalized and rounded to 6dp. Association kept operator-shaped:
+-- c * (w / denom); residual float order noise sits ~1e-16, far below
+-- the 6dp quantum (the shared trainer argument) =====
+dmtk AS (
+  SELECT source,
+         list_prepend('<s>', list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-zA-Z ]', ' ', 'g'), '\\s+'),
+           t -> t <> '')) AS ts
+  FROM documents WHERE text IS NOT NULL),
+dmg AS MATERIALIZED (
+  SELECT source, bigram, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1]))
+                 AS bigram
+        FROM dmtk)
+  GROUP BY source, bigram),
+dmm AS (SELECT source, CAST(sum(c) AS BIGINT) AS mass FROM dmg
+        GROUP BY source),
+dmv AS (SELECT CAST(count(DISTINCT bigram) AS BIGINT) AS v FROM dmg),
+dmd AS MATERIALIZED (
+  SELECT source, mass, mass + 0.5 * v AS denom,
+         0.5 / (mass + 0.5 * v) AS u
+  FROM dmm CROSS JOIN dmv),
+dmo AS MATERIALIZED (
+  SELECT g.source,
+         round(-sum(g.c * ln((g.c + 0.5) / d.denom)) / d.mass, 6) AS ce_own
+  FROM dmg g JOIN dmd d USING (source)
+  GROUP BY g.source, d.mass),
+dmw0 AS (SELECT source, round(1.0 / (SELECT count(*) FROM dmm), 6) AS w
+         FROM dmm),
+dmx1 AS MATERIALIZED (
+  SELECT g.bigram,
+         sum(g.c * (w.w / d.denom))
+           + (SELECT sum(w2.w * d2.u) FROM dmw0 w2
+              JOIN dmd d2 USING (source)) AS pmix
+  FROM dmg g JOIN dmd d USING (source) JOIN dmw0 w USING (source)
+  GROUP BY g.bigram),
+dmc1 AS (SELECT g.source,
+                round(-sum(g.c * ln(m.pmix)) / d.mass, 6) AS ce_mix
+         FROM dmg g JOIN dmx1 m USING (bigram) JOIN dmd d USING (source)
+         GROUP BY g.source, d.mass),
+dmr1 AS MATERIALIZED (
+  SELECT c.source,
+         w.w * exp(1.0 * greatest(0.0, c.ce_mix - o.ce_own)) AS raw
+  FROM dmc1 c JOIN dmo o USING (source) JOIN dmw0 w USING (source)),
+dmw1 AS (SELECT source, round(raw / (SELECT sum(raw) FROM dmr1), 6) AS w
+         FROM dmr1),
+dmx2 AS MATERIALIZED (
+  SELECT g.bigram,
+         sum(g.c * (w.w / d.denom))
+           + (SELECT sum(w2.w * d2.u) FROM dmw1 w2
+              JOIN dmd d2 USING (source)) AS pmix
+  FROM dmg g JOIN dmd d USING (source) JOIN dmw1 w USING (source)
+  GROUP BY g.bigram),
+dmc2 AS (SELECT g.source,
+                round(-sum(g.c * ln(m.pmix)) / d.mass, 6) AS ce_mix
+         FROM dmg g JOIN dmx2 m USING (bigram) JOIN dmd d USING (source)
+         GROUP BY g.source, d.mass),
+dmr2 AS MATERIALIZED (
+  SELECT c.source,
+         w.w * exp(1.0 * greatest(0.0, c.ce_mix - o.ce_own)) AS raw
+  FROM dmc2 c JOIN dmo o USING (source) JOIN dmw1 w USING (source)),
+dmw2 AS (SELECT source, round(raw / (SELECT sum(raw) FROM dmr2), 6) AS w
+         FROM dmr2)
 SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept, t.strat_kept,
        c.curriculum_pos,
        s.dsir_score, s.n_features,
        CASE WHEN s.doc_id IS NOT NULL
-            THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept
+            THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept,
+       dw.w AS doremi_w
 FROM mixed m
 JOIN mk k ON m.doc_id = k.doc_id AND m.epoch = k.epoch
 JOIN stk t ON m.doc_id = t.doc_id AND m.epoch = t.epoch
 JOIN cur c ON m.doc_id = c.doc_id AND m.epoch = c.epoch
 LEFT JOIN dscored s ON m.doc_id = s.doc_id
 LEFT JOIN dsel d ON m.doc_id = d.doc_id
+LEFT JOIN dmw2 dw ON dw.source = m.source
 ORDER BY m.doc_id, m.epoch
 """
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 import mapreduce_stockheadlines_spark.operators.pq as PQ
 
@@ -150,6 +151,15 @@ def test_x27_pq_columns_nondegenerate(spark, sf_dir):
     assert_column_nondegenerate(x27, "pq_codes_csv", f"at {sf_dir}")
     assert_column_nondegenerate(x27, "pq_adc_fp", f"at {sf_dir}")
     assert_column_nondegenerate(x27, "pq_rmse", f"at {sf_dir}")
+    # round-9 IVFPQ serving columns: cells spread over the 4-cell
+    # coarse index, probe membership takes both values (n_probe=2 of
+    # 4), and the served top-10 carries exactly 10 ranked rows
+    assert_column_nondegenerate(x27, "ivf_cell", f"at {sf_dir}")
+    assert_column_nondegenerate(x27, "ivfpq_codes_csv", f"at {sf_dir}")
+    assert_column_nondegenerate(x27, "ivf_probed", f"at {sf_dir}")
+    ranked = x27.filter(F.col("ivfpq_rank").isNotNull())
+    assert ranked.count() == 10
+    assert ranked.filter(F.col("ivf_probed") == 0).count() == 0
 
 
 def _norm(v):

@@ -905,3 +905,26 @@ def test_x32_strat_kept_nondegenerate(spark, sf_dir):
 
     x32 = ALL_QUERIES["x32_sampling"].builder(spark, sf_dir)
     assert_column_nondegenerate(x32, "strat_kept", f"at {sf_dir}")
+
+
+def test_x32_doremi_w_nondegenerate(spark, sf_dir):
+    """Round-9 promotion guard for the DoReMi registry column: the
+    trained per-source weights must differ across sources at the
+    checked SF (a constant column would hash-match even with the
+    trainer broken), must be positive, and must sum to ~1 over the 20
+    sources (renormalized each round)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x32 = ALL_QUERIES["x32_sampling"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x32, "doremi_w", f"at {sf_dir}")
+    per_source = {
+        r["source"]: r["doremi_w"]
+        for r in x32.select("source", "doremi_w").distinct().collect()
+    }
+    assert all(w is not None and w > 0 for w in per_source.values())
+    # mixed rows may not cover every source, so the sum over PRESENT
+    # sources is <= 1 (+ rounding slack), and close to 1 when all 20
+    # survive the token budget
+    assert sum(per_source.values()) <= 1.0 + 1e-4
