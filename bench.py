@@ -7,6 +7,19 @@ Prints ONE JSON line:
 Each query is executed to completion via the noop sink (all columns
 computed, no output cost) — ``count()`` would let Catalyst prune the plan
 and overstate throughput.
+
+Drift control (round 9 — VERDICT r8 #4: round-8's untouched queries
+read +17% purely from machine drift, so absolute cross-round deltas
+need an in-run baseline): the artifact also carries
+
+- ``control``: a fixed tiny workload (q01 + q13 + x31 — queries that
+  have not changed since round 7) timed FIRST and LAST in the same
+  process, so a cross-round comparison can normalize by the control
+  and see whether the machine — not the workload — moved, and whether
+  it moved WITHIN the run;
+- ``oracle_secs``: DuckDB wall-times for three fixed oracles over the
+  same parquet in the same process — a Spark-independent machine-speed
+  probe; publish spark/duckdb ratios and the machine cancels out.
 """
 
 from __future__ import annotations
@@ -60,6 +73,14 @@ HEADLINE_QUERIES = [
 ]
 
 
+# Fixed in-run drift controls: code untouched since round 7, spanning
+# the scan-bound (q01), tokenize/explode (q13) and iterative-many-
+# short-stages (x31) regimes the suite is sensitive to.
+CONTROL_QUERIES = ["q01_filter_project", "q13_tokenize_count", "x31_pagerank"]
+# DuckDB-side machine probe: moderate-cost oracles over the same files.
+ORACLE_CONTROL = ["q01_filter_project", "q02_group_agg", "q13_tokenize_count"]
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -68,10 +89,52 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _run_noop(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    ALL_QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.time() - t0, 3)
+
+
+def _time_controls(spark, sf_dir: str) -> dict[str, float]:
+    return {name: _run_noop(spark, name, sf_dir) for name in CONTROL_QUERIES}
+
+
+def _time_oracles(sf_dir: str) -> dict[str, float]:
+    """Best-of-2 DuckDB wall time per control oracle (first run pays IO
+    cache, matching the Spark side's warmed measurements)."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.plans.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in ORACLE_CONTROL:
+        sql = ALL_QUERIES[name].oracle
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # drift control, first bracket: one warm-up pass (JVM/JIT/IO-cache
+    # spin-up must not pollute the control), then one timed pass each
+    _time_controls(spark, sf_dir)
+    control_first = _time_controls(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -91,6 +154,10 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    # drift control, last bracket + the Spark-independent DuckDB probe
+    control_last = _time_controls(spark, sf_dir)
+    oracle_secs = _time_oracles(sf_dir)
+
     print(
         json.dumps(
             {
@@ -99,6 +166,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_from_dir(sf_dir),
+                "control": {"first": control_first, "last": control_last},
+                "oracle_secs": oracle_secs,
             }
         )
     )
