@@ -182,13 +182,137 @@ def _gray3(gray: np.ndarray) -> np.ndarray:
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
+def _tiff_lzw_decode(data: bytes, n_bytes: int) -> bytes:
+    """TIFF-flavor LZW (Compression=5) → exactly ``n_bytes`` raw bytes.
+    The same parent-pointer LZW core as ``_gif_lzw_decode`` with the
+    TIFF 6.0 §13 differences: MSB-first bit packing, fixed 8-bit
+    literals (256=Clear, 257=EOI, first entry 258), and the EarlyChange
+    off-by-one — the DECODER widens when next_code reaches 2^w − 1
+    (511/1023/2047), one code earlier than GIF's 2^w (the PDF
+    LZWDecode EarlyChange=1 rule; the paired encoder below widens at
+    2^w, preserving the one-entry encoder/decoder lag)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    for i in range(clear):
+        suffix[i] = i
+    next_code, width = 258, 9
+    acc = nbits = 0
+    prev = -1
+    pos, n = 0, len(data)
+    while len(out) < n_bytes:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            next_code, width, prev = 258, 9, -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("TIFF LZW first code not a literal")
+            out.append(code)
+            prev = code
+            continue
+        if code > next_code or code >= 4096:
+            raise ValueError("TIFF LZW code out of sequence")
+        probe = prev if code == next_code else code
+        seq = []
+        while probe >= 0:
+            seq.append(int(suffix[probe]))
+            probe = prefix[probe] if probe >= clear else -1
+        seq.reverse()
+        if code == next_code:
+            seq.append(seq[0])
+        out.extend(seq[: n_bytes - len(out)])
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = seq[0]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = code
+    if len(out) < n_bytes:
+        raise ValueError("TIFF LZW stream ended before strip complete")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder — the round-trip twin of
+    ``_tiff_lzw_decode`` (in-repo fixtures only, like the GIF/PNG
+    encoders): MSB-first packing, leading Clear, EarlyChange width bump
+    at next_code == 2^w (one after the decoder's 2^w − 1), table reset
+    via Clear before the decoder's 4094 ceiling."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(256)  # spec: streams begin with a Clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+        if next_code >= 4093:
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+    if w:
+        put(table[w])
+    put(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_undo_predictor2(chunk: bytes, rows: int, width: int,
+                          spp: int) -> bytes:
+    """Invert TIFF horizontal differencing (Predictor=2, 8-bit): each
+    row stores per-channel deltas left-to-right; a cumulative sum mod
+    256 along the row restores the samples."""
+    a = np.frombuffer(chunk, np.uint8, count=rows * width * spp).reshape(
+        rows, width, spp
+    )
+    return (
+        np.cumsum(a, axis=1, dtype=np.int64) % 256
+    ).astype(np.uint8).tobytes()
+
+
 def _decode_tiff(content: bytes) -> np.ndarray:
-    """Pure-struct baseline-TIFF decode → uint8 (H, W, 3): both byte
-    orders (II/MM), first IFD, uncompressed (Compression=1) 8-bit
-    chunky strips, grayscale (Photometric 0 = WhiteIsZero inverted,
-    1 = BlackIsZero) or RGB, any strip layout. LZW/JPEG-in-TIFF,
-    planar, tiled, or non-8-bit files raise ValueError (the stub-
-    routable class, like 16-bit PPM / RLE BMP)."""
+    """Pure-struct TIFF decode → uint8 (H, W, 3): both byte orders
+    (II/MM), first IFD, 8-bit chunky strips, grayscale (Photometric
+    0 = WhiteIsZero inverted, 1 = BlackIsZero) or RGB, any strip
+    layout; Compression 1 (none) or 5 (LZW — the most common
+    compressed flavor in the wild, per-strip streams) with horizontal
+    Predictor 2. JPEG-in-TIFF/deflate, planar, tiled, or non-8-bit
+    files raise ValueError (the stub-routable class, like 16-bit PPM /
+    RLE BMP)."""
     if len(content) < 8 or content[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF (missing byte-order magic)")
     e = "<" if content[:2] == b"II" else ">"
@@ -229,8 +353,12 @@ def _decode_tiff(content: bytes) -> np.ndarray:
     width, height = one(256), one(257)
     if width < 1 or height < 1:
         raise ValueError("malformed TIFF dimensions")
-    if one(259, 1) != 1:
-        raise ValueError("compressed TIFF unsupported (codec class)")
+    comp = one(259, 1)
+    if comp not in (1, 5):
+        raise ValueError(f"TIFF compression {comp} unsupported (codec class)")
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        raise ValueError(f"TIFF predictor {pred} unsupported")
     photometric = one(262, 1)
     spp = one(277, 1)
     bits = tags.get(258, [8])
@@ -245,11 +373,26 @@ def _decode_tiff(content: bytes) -> np.ndarray:
     if not offsets or len(offsets) != len(counts):
         raise ValueError("malformed TIFF strip tables")
     need = width * height * spp
+    rows_per = one(278, height)
+    if rows_per < 1:
+        raise ValueError("malformed TIFF RowsPerStrip")
+    row_bytes = width * spp
     raw = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(content):
             raise ValueError("truncated TIFF strip")
-        raw += content[off : off + cnt]
+        chunk = content[off : off + cnt]
+        rows_i = min(rows_per, height - i * rows_per)
+        if rows_i <= 0:
+            break  # surplus strip entries beyond the raster
+        if comp == 5:
+            # LZW is per-strip (each strip is an independent stream)
+            chunk = _tiff_lzw_decode(chunk, rows_i * row_bytes)
+        if pred == 2:
+            if len(chunk) < rows_i * row_bytes:
+                raise ValueError("truncated TIFF strip raster")
+            chunk = _tiff_undo_predictor2(chunk, rows_i, width, spp)
+        raw += chunk
     if len(raw) < need:
         raise ValueError("truncated TIFF raster")
     px = np.frombuffer(bytes(raw[:need]), np.uint8)

@@ -2747,10 +2747,15 @@ def test_x18_ndcg_nondegenerate(spark, sf_dir):
     assert_column_nondegenerate(x18, "ndcg", f"at {sf_dir}")
 
 
-def _make_test_tiff(px, endian="<", photometric=None, strips=1):
-    """Minimal in-test baseline-TIFF writer: chunky 8-bit strips, SHORT/
-    LONG entries, out-of-line arrays after the IFD."""
+def _make_test_tiff(px, endian="<", photometric=None, strips=1,
+                    compression=1, predictor=1):
+    """Minimal in-test TIFF writer: chunky 8-bit strips, SHORT/
+    LONG entries, out-of-line arrays after the IFD; Compression=5
+    LZW-encodes each strip independently (optionally after horizontal
+    Predictor=2 differencing) via the in-repo encoder."""
     import struct
+
+    import numpy as np
 
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else 3
@@ -2763,6 +2768,20 @@ def _make_test_tiff(px, endian="<", photometric=None, strips=1):
         data[s * rows_per * row_bytes : min((s + 1) * rows_per, h) * row_bytes]
         for s in range(strips)
     ]
+    if predictor == 2:
+        diffed = []
+        for c in chunks:
+            rows = len(c) // row_bytes
+            a = np.frombuffer(c, np.uint8).reshape(rows, w, spp)
+            d = a.astype(np.int16).copy()
+            d[:, 1:, :] = (a[:, 1:, :].astype(np.int16)
+                           - a[:, :-1, :].astype(np.int16)) % 256
+            diffed.append(d.astype(np.uint8).tobytes())
+        chunks = diffed
+    if compression == 5:
+        from mapreduce_stockheadlines_spark.operators import multimodal as _M
+
+        chunks = [_M._tiff_lzw_encode(c) for c in chunks]
     e = endian
     pos, offs, cnts = 8, [], []
     for c in chunks:
@@ -2780,7 +2799,9 @@ def _make_test_tiff(px, endian="<", photometric=None, strips=1):
     items.append(
         (258, 3, 1, vs(8)) if spp == 1 else (258, 3, 3, None)
     )
-    items += [(259, 3, 1, vs(1)), (262, 3, 1, vs(photometric))]
+    items += [(259, 3, 1, vs(compression)), (262, 3, 1, vs(photometric))]
+    if predictor != 1:
+        items += [(317, 3, 1, vs(predictor))]
     if strips == 1:
         items += [(273, 4, 1, vl(offs[0])), (279, 4, 1, vl(cnts[0]))]
     else:
@@ -2850,6 +2871,111 @@ def test_multimodal_real_tiff_decode(spark):
     }
     assert (out[1].width, out[1].height) == (5, 4)
     assert out[1].feature == out[2].feature  # endianness twins
+
+
+def test_multimodal_tiff_lzw_decode(spark):
+    """Round-9 TIFF-LZW tier (Compression=5 + horizontal Predictor=2):
+    round-trips vs the in-repo TIFF-flavor LZW encoder across byte
+    orders, strip layouts and predictor settings; the raw codec pair
+    crosses all three EarlyChange width bumps and the table-reset
+    Clear; TIFF-LZW and PNG of the same pixels pHash-identically;
+    other compressions stay in the stub class."""
+    import numpy as np
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for e in ("<", ">"):
+        for strips in (1, 4):
+            for pred in (1, 2):
+                t = _make_test_tiff(rgb, endian=e, strips=strips,
+                                    compression=5, predictor=pred)
+                assert np.array_equal(M._decode_tiff(t), rgb), (
+                    e, strips, pred,
+                )
+    gray = rng.integers(0, 256, size=(5, 11), dtype=np.uint8)
+    assert np.array_equal(
+        M._decode_tiff(
+            _make_test_tiff(gray, compression=5, predictor=2)
+        )[..., 0],
+        gray,
+    )
+    # raw codec round-trip: 80k random bytes force ~10 table resets
+    # (Clear at 4093) and every width bump; the repeated block hits the
+    # KwKwK case
+    blob = rng.integers(0, 256, size=80_000, dtype=np.uint8).tobytes()
+    assert M._tiff_lzw_decode(M._tiff_lzw_encode(blob), len(blob)) == blob
+    rep = b"abcabcabD" * 500
+    assert M._tiff_lzw_decode(M._tiff_lzw_encode(rep), len(rep)) == rep
+    with pytest.raises(ValueError):
+        M._tiff_lzw_decode(b"\x00\x01\x02", 100)  # truncated stream
+
+    # cross-format pixel pin: TIFF-LZW == PNG of the same image under
+    # the real pHash (the GIF-vs-PNG pin pattern)
+    yy, xx = np.mgrid[0:40, 0:48]
+    wavy = np.clip(
+        np.rint(
+            np.stack(
+                [
+                    128 + 90 * np.sin(xx / 6.0),
+                    128 + 80 * np.cos(xx / 11.0) * np.sin(yy / 5.0),
+                    128 + 70 * np.sin((xx + yy) / 8.0),
+                ],
+                axis=2,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    hdf = spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(
+                    _make_test_tiff(wavy, strips=5, compression=5,
+                                    predictor=2)
+                ),
+                "image/tiff",
+            ),
+            (2, bytearray(M._encode_png(wavy)), M.MIME_PNG),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    hashes = {
+        r.media_id: r.phash
+        for r in M.image_phash(hdf, strict=True).collect()
+    }
+    assert hashes[1] == hashes[2]
+
+    # deflate-in-TIFF (Compression=8) stays codec-bound → stub class
+    with pytest.raises(ValueError):
+        M._decode_tiff(_make_test_tiff(rgb, compression=8))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        chans=st.sampled_from([1, 3]),
+        strips=st.integers(1, 4),
+        pred=st.sampled_from([1, 2]),
+        endian=st.sampled_from(["<", ">"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, chans, strips, pred, endian, seed):
+        r = np.random.default_rng(seed)
+        shape = (h, w) if chans == 1 else (h, w, 3)
+        px = r.integers(0, 256, size=shape, dtype=np.uint8)
+        t = _make_test_tiff(px, endian=endian, strips=min(strips, h),
+                            compression=5, predictor=pred)
+        got = M._decode_tiff(t)
+        want = px if chans == 3 else np.repeat(px[:, :, None], 3, axis=2)
+        assert np.array_equal(got, want)
+
+    roundtrip()
 
 
 def test_multimodal_webp_container_metadata(spark):
