@@ -108,6 +108,7 @@ def train_unigram(
     seed_size: int = 512,
     max_word_types: int = 1 << 16,
     em: str = "hard",
+    count_dp: int | None = None,
 ) -> dict[str, int]:
     """Train the unigram-LM piece table; returns piece → fixed-point
     logp (BIGINT scale ``LOGP_FP``). One distributed corpus pass (the
@@ -122,17 +123,29 @@ def train_unigram(
     lets the registry oracle re-derive training end-to-end.
     ``em="soft"`` runs the paper's true E-step (forward-backward
     expected counts over ALL segmentations — pytest-pinned against a
-    brute-force enumeration); its float posteriors are deterministic on
-    one driver but not cross-engine hashable, so soft models stay out
-    of the registry by design."""
+    brute-force enumeration). Raw float posteriors are deterministic on
+    one driver but not cross-engine hashable; pass ``count_dp`` (round
+    9) to quantize each round's AGGREGATED expected counts to integer
+    fixed point (``round_half_away(count · 10^dp)``, coverage floor
+    ``10^dp``, pieces whose mass quantizes to zero drop — a quantized
+    prune), after which every M-step consumes exact BIGINTs and the
+    soft model is registry-eligible: summation-order / libm noise in
+    the posteriors (~1e-10 absolute on freq-weighted counts) vanishes
+    below the 10^-dp quantum, the same contract as the five other
+    trainers. The x28 oracle re-derives it cross-ALGORITHM: DuckDB
+    enumerates all segmentations per census word and folds
+    exp(score/1e6) directly, vs this forward-backward lattice."""
     if vocab_size < 1 or n_rounds < 1 or max_piece_len < 1:
         raise ValueError("train_unigram: sizes/rounds must be >= 1")
     if em not in ("hard", "soft"):
         raise ValueError(f"train_unigram: em must be hard|soft, got {em!r}")
+    if count_dp is not None and em != "soft":
+        raise ValueError("train_unigram: count_dp only applies to em='soft'")
     rows = word_census(df, text_col, max_word_types).collect()
     census = [(r["word"], int(r["freq"])) for r in rows]
     return _train_unigram_census(
-        census, vocab_size, n_rounds, max_piece_len, seed_size, em=em
+        census, vocab_size, n_rounds, max_piece_len, seed_size, em=em,
+        count_dp=count_dp,
     )
 
 
@@ -203,6 +216,7 @@ def _train_unigram_census(
     max_piece_len: int,
     seed_size: int,
     em: str = "hard",
+    count_dp: int | None = None,
 ) -> dict[str, int]:
     """Spark-free trainer over a (word, freq) census (the oracle
     re-derives exactly this function end-to-end in SQL)."""
@@ -245,12 +259,27 @@ def _train_unigram_census(
                     w, f, model, max_piece_len
                 ).items():
                     counts[p] = counts.get(p, 0.0) + c
-        # +1 coverage floor on every alphabet char
+        if em == "soft" and count_dp is not None:
+            # quantize the round's AGGREGATED expected counts to
+            # integer fixed point (cross-engine contract, see
+            # train_unigram); zero-quantized pieces drop here so the
+            # M-step never takes ln(0)
+            scale = 10**count_dp
+            counts = {
+                p: _round_half_away(c * scale)
+                for p, c in counts.items()
+                if _round_half_away(c * scale) > 0
+            }
+            floor = scale
+        else:
+            floor = 1
+        # coverage floor on every alphabet char (a char piece never dies)
         for c in singles:
-            counts[c] = counts.get(c, 0) + 1
+            counts[c] = counts.get(c, 0) + floor
         tot = sum(counts.values())
         # M-step (pieces with zero count drop out — hard-EM prune;
-        # soft counts are strictly positive on every lattice edge)
+        # unquantized soft counts are strictly positive on every
+        # lattice edge; quantized soft counts were floored above)
         model = {p: _logp_fp(c, tot) for p, c in counts.items()}
 
     keep_multi = sorted(

@@ -3005,6 +3005,18 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         seed_size=64, max_word_types=4096,
     )
     ufp = UG.unigram_model_fp8(uni)
+    # round 9: the TRUE soft-EM trainer under the gate too — expected
+    # counts quantized to integer fixed point per round (count_dp=4)
+    # make the forward-backward model cross-engine hashable; DuckDB
+    # re-derives it by ENUMERATING all segmentations per census word
+    # and folding exp(score/1e6) — a cross-ALGORITHM pin of the whole
+    # lattice (uni_soft_fp8 breaks if any expected count, floor, prune
+    # or M-step diverges)
+    uni_soft = UG.train_unigram(
+        docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
+        seed_size=64, max_word_types=4096, em="soft", count_dp=4,
+    )
+    usfp = UG.unigram_model_fp8(uni_soft)
     enc_u = UG.unigram_encode_word_types(
         words.select("word").distinct(), uni
     ).select("word", F.size("pieces").cast("bigint").alias("_nu"))
@@ -3021,6 +3033,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
                   "n_bpe_pieces_trained": 0, "n_uni_pieces": 0})
         .withColumn("bpe_merges_fp8", F.lit(mfp))
         .withColumn("uni_model_fp8", F.lit(ufp))
+        .withColumn("uni_soft_fp8", F.lit(usfp))
         .orderBy("doc_id")
     )
 
@@ -3239,6 +3252,70 @@ upct AS (
          CAST(sum(coalesce(e.np, length(w.word))) AS BIGINT)
            AS n_uni_pieces
   FROM words w LEFT JOIN uenc e USING (word) GROUP BY w.doc_id)"""
+    # ===== quantized soft-EM twin (round 9): same seed model um0, but
+    # each round's expected counts come from enumerating ALL
+    # segmentations and folding freq·exp(score/1e6)/Z — the true E-step
+    # by a DIFFERENT algorithm than the driver's forward-backward
+    # lattice. Quantizing the aggregated counts to integer fixed point
+    # (round-half-away ·1e4, zero-quantized pieces dropped, 1e4
+    # coverage floor per alphabet char) makes every M-step consume
+    # exact BIGINTs, so the trained model fingerprints identically
+    # cross-engine despite float internals. =====
+    prev = "um0"
+    for r in range(1, n_rounds + 1):
+        out += f""",
+spath{r} AS (
+  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc, '' AS seg FROM bw
+  UNION ALL
+  SELECT p.word, p.freq, p.pos + length(m.piece), p.sc + m.lp,
+         CASE WHEN p.seg = '' THEN m.piece
+              ELSE p.seg || ' ' || m.piece END
+  FROM spath{r} p JOIN {prev} m
+    ON m.piece = substr(p.word, p.pos + 1, length(m.piece))
+  WHERE p.pos < length(p.word)),
+sfull{r} AS MATERIALIZED (
+  SELECT word, freq, seg, sc FROM spath{r} WHERE pos = length(word)),
+sz{r} AS MATERIALIZED (
+  SELECT word, sum(exp(CAST(sc AS DOUBLE) / 1000000.0)) AS z
+  FROM sfull{r} GROUP BY word),
+sec{r} AS MATERIALIZED (
+  SELECT piece, c FROM (
+    SELECT piece,
+           CAST(round(10000.0 * sum(freq * exp(CAST(sc AS DOUBLE)
+                                               / 1000000.0) / z))
+                AS BIGINT) AS c
+    FROM (SELECT s.freq, s.sc, z.z,
+                 unnest(string_split(s.seg, ' ')) AS piece
+          FROM sfull{r} s JOIN sz{r} z USING (word))
+    GROUP BY piece)
+  WHERE c > 0),
+scc{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT piece, c FROM sec{r}
+    UNION ALL
+    SELECT piece, CAST(10000 AS BIGINT) AS c FROM uali)
+  GROUP BY piece),
+sm{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(1000000.0 * ln(CAST(c AS DOUBLE) /
+              CAST((SELECT sum(c) FROM scc{r}) AS DOUBLE))) AS BIGINT)
+           AS lp
+  FROM scc{r})"""
+        prev = f"sm{r}"
+    out += f""",
+ssfin AS MATERIALIZED (
+  SELECT piece, lp FROM sm{n_rounds} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, lp FROM (
+    SELECT m.piece, m.lp FROM sm{n_rounds} m
+    JOIN scc{n_rounds} c USING (piece)
+    WHERE length(m.piece) > 1
+    ORDER BY c.c DESC, m.piece LIMIT {vocab_size})),
+usfp8 AS (
+  SELECT substr(md5(coalesce(string_agg(
+           piece || ':' || CAST(lp AS VARCHAR), '|' ORDER BY piece), '')),
+         1, 8) AS fp
+  FROM ssfin)"""
     return out
 
 
@@ -3296,7 +3373,8 @@ SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        coalesce(bpct.n_bpe_pieces_trained, 0) AS n_bpe_pieces_trained,
        coalesce(upct.n_uni_pieces, 0) AS n_uni_pieces,
        (SELECT fp FROM bfp) AS bpe_merges_fp8,
-       (SELECT fp FROM ufp8) AS uni_model_fp8
+       (SELECT fp FROM ufp8) AS uni_model_fp8,
+       (SELECT fp FROM usfp8) AS uni_soft_fp8
 FROM fx LEFT JOIN bpc USING (doc_id)
 LEFT JOIN bpct USING (doc_id)
 LEFT JOIN upct USING (doc_id)

@@ -532,6 +532,94 @@ def test_unigram_soft_em_counts_match_enumeration():
         assert seg is not None and "".join(seg) == w
 
 
+def test_unigram_soft_em_quantized_matches_enumeration_training():
+    """Round-9 registry contract: soft-EM with count_dp quantizes each
+    round's aggregated expected counts to integer fixed point, and the
+    trained model must equal a pure-python re-derivation that gets the
+    SAME expected counts by enumerating all segmentations (the x28
+    oracle's algorithm) — cross-algorithm, like the DuckDB pin."""
+    import itertools  # noqa: F401 — parity with the sibling test
+    import math
+
+    from mapreduce_stockheadlines_spark.operators.unigram import (
+        LOGP_FP,
+        _round_half_away,
+        _train_unigram_census,
+        unigram_model_fp8,
+    )
+
+    census = [("data", 10), ("database", 5), ("the", 9), ("a", 3)]
+    vocab_size, n_rounds, L, seed_size, dp = 6, 2, 4, 64, 4
+
+    got = _train_unigram_census(
+        census, vocab_size, n_rounds, L, seed_size, em="soft",
+        count_dp=dp,
+    )
+
+    # independent re-derivation: same seed, then per round enumerate
+    # ALL segmentations per word, fold freq*P(seg)/Z per piece, then
+    # quantize/floor/M-step exactly per the documented contract
+    scores: dict[str, int] = {}
+    for w, f in census:
+        for i in range(len(w)):
+            for ln in range(1, min(L, len(w) - i) + 1):
+                p = w[i : i + ln]
+                scores[p] = scores.get(p, 0) + f
+    singles = sorted(p for p in scores if len(p) == 1)
+    multis = sorted(
+        (p for p in scores if len(p) > 1), key=lambda p: (-scores[p], p)
+    )[:seed_size]
+    vocab = set(singles) | set(multis)
+    total = sum(scores[p] for p in vocab)
+    model = {
+        p: _round_half_away(LOGP_FP * math.log(scores[p] / total))
+        for p in vocab
+    }
+    counts: dict[str, int] = {}
+    for _ in range(n_rounds):
+        raw: dict[str, float] = {}
+        for w, f in census:
+            segs: list[list[str]] = []
+
+            def rec(i, seg, w=w, segs=segs):
+                if i == len(w):
+                    segs.append(list(seg))
+                    return
+                for ln in range(1, min(L, len(w) - i) + 1):
+                    p = w[i : i + ln]
+                    if p in model:
+                        rec(i + ln, seg + [p])
+
+            rec(0, [])
+            probs = [
+                math.exp(sum(model[p] for p in s) / LOGP_FP) for s in segs
+            ]
+            z = sum(probs)
+            for s, pr in zip(segs, probs):
+                for p in s:
+                    raw[p] = raw.get(p, 0.0) + (pr / z) * f
+        counts = {
+            p: _round_half_away(c * 10**dp)
+            for p, c in raw.items()
+            if _round_half_away(c * 10**dp) > 0
+        }
+        for c in singles:
+            counts[c] = counts.get(c, 0) + 10**dp
+        tot = sum(counts.values())
+        model = {
+            p: _round_half_away(LOGP_FP * math.log(c / tot))
+            for p, c in counts.items()
+        }
+    keep = sorted(
+        (p for p in model if len(p) > 1), key=lambda p: (-counts[p], p)
+    )[:vocab_size]
+    want = {
+        p: lp for p, lp in model.items() if len(p) == 1 or p in set(keep)
+    }
+    assert got == want
+    assert unigram_model_fp8(got) == unigram_model_fp8(want)
+
+
 def test_unigram_soft_em_survives_long_words():
     """Log-space lattice regression: a census word far past the linear-
     space underflow point (~350 pieces) keeps its full frequency mass."""
