@@ -430,12 +430,18 @@ def lm_perplexity(
         )
     else:
         scored = scored.withColumn("logp_eff", F.col("logp"))
-    # The per-gram logps are 4dp-rounded, i.e. exact multiples of 1e-4 —
-    # so the mean is computed in integer 1e-4 units (exact, order-free
-    # sum + HALF_UP integer division), not a float avg: a float sum's
-    # order-dependent last ulp can flip the 4dp rounding of the mean
-    # (observed once in 500 docs), and summation order differs across
-    # engines. Same fixed-point trick as textstats._quality_cols.
+    return _doc_ppl_from_scored(scored, id_col)
+
+
+def _doc_ppl_from_scored(scored: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc (n_bigrams, avg_logp, ppl) from a gram stream carrying
+    ``logp_eff``. The per-gram logps are 4dp-rounded, i.e. exact
+    multiples of 1e-4 — so the mean is computed in integer 1e-4 units
+    (exact, order-free sum + HALF_UP integer division), not a float
+    avg: a float sum's order-dependent last ulp can flip the 4dp
+    rounding of the mean (observed once in 500 docs), and summation
+    order differs across engines. Same fixed-point trick as
+    textstats._quality_cols."""
     logp4 = F.round(F.col("logp_eff") * 10000).cast("long")
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -455,6 +461,152 @@ def lm_perplexity(
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 4))
         .drop("s4")
     )
+
+
+def train_bigram_lm_kn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    cont_k: float = 0.5,
+    grams: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    interpolated form of Chen & Goodman 1998) — the smoothing the add-k
+    model above trades away. The KN insight: a word's UNIGRAM backoff
+    weight should be how many distinct contexts it follows
+    (continuation count), not how often it occurs — 'francisco' is
+    frequent but follows only 'san', so it gets almost no backoff mass.
+
+        P(w2|w1)  = (c12 − D)/c1  +  (D·N1+(w1·)/c1) · Pcont(w2)
+        Pcont(w2) = (N1+(·w2) + k) / (T + k·V)
+
+    with D the absolute discount, N1+(w1·) the distinct followers of
+    w1, N1+(·w2) the distinct left-contexts of w2, T the total bigram
+    TYPE count and V the vocabulary — Pcont is add-k smoothed so unseen
+    words keep mass and every score stays finite. Per seen context the
+    distribution sums to exactly 1 (the discounted mass D·N1+(w1·)/c1
+    is redistributed through Pcont, which itself sums to 1 over the
+    vocabulary) — property-pinned in tests.
+
+    Returns ``(lm, ctx, cont, n_bigram_types, vocab_size)``:
+    ``lm`` (bigram, w1, logp) 4dp-rounded seen-bigram scores;
+    ``ctx`` (w1, c1, n1f) context totals + distinct-follower counts —
+    the backoff weights; ``cont`` (w2, n1b) continuation counts. The
+    two ints collect as bounded one-row scalars (train_bigram_lm's
+    literal-embedding argument).
+
+    Scale shape: identical to train_bigram_lm — ONE bigram census from
+    the gram stream, everything else aggregations OF that census
+    (vocab²-bounded). The continuation table adds one census-sized
+    groupBy, not a corpus pass. All float decisions round to 4dp
+    before any cross-engine comparison (the x28/x29 contract).
+
+    ``grams``: share a materialized (id, bigram) stream with scoring
+    (see train_bigram_lm)."""
+    if not 0.0 < discount < 1.0:
+        # D >= 1 would zero or negate singleton-bigram probabilities →
+        # ln() of <= 0; a config error, not a row to drop
+        raise ValueError(
+            f"train_bigram_lm_kn: discount must be in (0, 1), got {discount}"
+        )
+    if grams is None:
+        grams = doc_bigrams(df, id_col, text_col)
+    bg = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    bg = bg.withColumn("w1", F.split("bigram", " ")[0]).withColumn(
+        "w2", F.split("bigram", " ")[1]
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.countDistinct("w2").cast("bigint").alias("n1f"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.countDistinct("w1").cast("bigint").alias("n1b")
+    )
+    row = bg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.countDistinct("w2").cast("bigint").alias("v"),
+    ).first()
+    n_types, vocab_size = int(row["t"]), int(row["v"])
+    lm = bg.join(ctx, "w1").join(cont, "w2").select(
+        "bigram",
+        "w1",
+        F.round(
+            F.log(
+                (F.col("c12") - F.lit(discount)) / F.col("c1")
+                + F.lit(discount) * F.col("n1f") / F.col("c1")
+                * _kn_pcont(F.col("n1b"), n_types, vocab_size, cont_k)
+            ),
+            4,
+        ).alias("logp"),
+    )
+    return lm, ctx, cont, n_types, vocab_size
+
+
+def _kn_pcont(n1b, n_types: int, vocab_size: int, cont_k: float):
+    """Add-k-smoothed continuation probability — one expression tree,
+    shared by train and backoff scoring so both engines (and both call
+    sites) evaluate the same double operations in the same order."""
+    return (n1b + F.lit(cont_k)) / (
+        F.lit(float(n_types)) + F.lit(cont_k) * F.lit(float(vocab_size))
+    )
+
+
+def lm_perplexity_kn(
+    df: DataFrame,
+    lm: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    n_bigram_types: int,
+    vocab_size: int,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    cont_k: float = 0.5,
+    backoff: bool = True,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document perplexity under a Kneser-Ney bigram LM — the same
+    fixed-point doc mean as lm_perplexity, with KN's three-tier unseen
+    handling instead of the add-k floor:
+
+    - unseen bigram, seen context:  P = (D·N1+(w1·)/c1) · Pcont(w2)
+      (the interpolation term alone — exactly the mass training set
+      aside for it);
+    - unseen context:               P = Pcont(w2) (all mass continues);
+    - unseen w2:                    Pcont's add-k floor k/(T + k·V).
+
+    Join shape matches lm_perplexity: gram stream → model (many-to-one,
+    vocab²-bounded build side), plus ctx/cont joins only on the backoff
+    path. ``backoff=False`` is the self-trained fast path (every gram in
+    the model by construction; a doc with ANY unseen gram nulls out
+    loudly — lm_perplexity's contract)."""
+    if grams is None:
+        grams = doc_bigrams(df, id_col, text_col)
+    scored = grams.join(lm.select("bigram", "logp"), "bigram", "left")
+    if backoff:
+        pc = _kn_pcont(
+            F.coalesce("n1b", F.lit(0)), n_bigram_types, vocab_size, cont_k
+        )
+        lam = F.when(
+            F.col("c1").isNotNull(),
+            F.lit(discount) * F.col("n1f") / F.col("c1"),
+        ).otherwise(F.lit(1.0))
+        scored = (
+            scored.withColumn("w1", F.split("bigram", " ")[0])
+            .withColumn("w2", F.split("bigram", " ")[1])
+            .join(ctx, "w1", "left")
+            .join(cont, "w2", "left")
+            .withColumn(
+                "logp_eff",
+                F.coalesce("logp", F.round(F.log(lam * pc), 4)),
+            )
+        )
+    else:
+        scored = scored.withColumn("logp_eff", F.col("logp"))
+    return _doc_ppl_from_scored(scored, id_col)
 
 
 def apply_vocabulary(

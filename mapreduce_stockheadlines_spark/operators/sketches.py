@@ -308,3 +308,227 @@ def qsk_quantiles(
         .groupBy(*group_cols, "q")
         .agg(F.min("qb").alias("quantile_estimate"))
     )
+
+
+# --- KMV / theta sketches (k-minimum-values: distinct + SET ALGEBRA) ----------
+#
+# The fourth leg of the artifact family closes the gap HLL leaves
+# open: set EXPRESSIONS. An HLL union is exact over the sketch
+# algebra, but intersections and differences ("users who clicked AND
+# purchased", "docs in crawl N but not crawl N-1") have no HLL
+# answer. A KMV sketch — keep the k SMALLEST salted-md5 hash values of
+# the distinct keys — supports all three: under a common threshold
+# theta = min(theta_a, theta_b), the surviving hashes are a uniform
+# coordinated sample of the key space, so |A∩B|, |A∪B| and |A\B| all
+# estimate as (matching hashes below theta) * SPACE / theta
+# (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+# Multiset Operations", SIGMOD'07 — the theta-sketch construction).
+#
+# Portability is the strongest-pin kind, NOT the x16 tolerance
+# contract: the hash is the same 60-bit md5 primitive as the Bloom /
+# CMS cells, ranking and theta selection are integer comparisons, and
+# the estimate is one exact integer multiply-and-floor-divide
+# (DECIMAL(38,0) DIV on the Spark side, HUGEINT // on the DuckDB side
+# — cross-checked operand-for-operand), so DuckDB re-derives the
+# entire sketch AND every union/intersection/difference estimate
+# bit-for-bit. An APPROXIMATE structure under an EXACT cross-engine
+# pin, like the CMS and the quantile buckets.
+#
+# Exactness floor: an unsaturated sketch (fewer than k distinct keys)
+# has theta = SPACE and its estimate is the EXACT distinct count —
+# small groups pay no error at all.
+#
+# Scale shape: build is distinct-hash (map-side partial dedup absorbs
+# duplicate keys before the shuffle) followed by the bucketed
+# row_number construction (the vocabulary builder's pattern): a
+# per-(group, hv mod B) top-k prunes to <= B*k rows per group WITHOUT
+# a single-partition pass over the distinct set, then the global
+# per-group top-k ranks the survivors. Merge re-ranks a union of
+# k-sized inputs; estimates aggregate k-sized sketches — after the
+# build, nothing ever touches the data again. Sketches merge exactly:
+# kmv_merge(build(A), build(B)) == build(A UNION ALL B) row-for-row
+# (pinned), so per-period KMV artifacts fold like the HLL/CMS/QSK ones
+# and pair with sources/versioned.py history.
+
+DEFAULT_KMV_K = 256  # RSE ~ 1/sqrt(k-2) ~ 6.3%
+_KMV_SPACE = 1 << 60  # 15 md5 hex chars, the Bloom/CMS hash space
+_KMV_BUCKETS = 32  # pre-prune fan-out for the bucketed row_number
+
+
+def kmv_hash(value: Column | str, salt: str = "kmv") -> Column:
+    """60-bit salted-md5 hash of a key (codegen, JVM-side). NULL keys
+    hash as '' — the same stable-key convention as bloom_positions."""
+    v = F.col(value) if isinstance(value, str) else value
+    v = F.coalesce(v.cast("string"), F.lit(""))
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), v).cast("binary"))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_KMV_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV sketch per group: group_cols + ``hv`` rows, the <= k
+    smallest distinct hash values. Two-level top-k (per-bucket then
+    per-group) keeps the rank window off the full distinct set — the
+    correctness argument is containment: the k smallest overall are
+    each among the k smallest of their own bucket."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_build: k must be >= 2, got {k}")
+    group_cols = list(group_cols or [])
+    hv = df.select(
+        *group_cols, kmv_hash(value_col, salt).alias("hv")
+    ).distinct()
+    w_bucket = Window.partitionBy(
+        *group_cols, F.pmod(F.col("hv"), F.lit(_KMV_BUCKETS))
+    ).orderBy("hv")
+    w_group = Window.partitionBy(*group_cols).orderBy("hv")
+    pruned = (
+        hv.withColumn("_r", F.row_number().over(w_bucket))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    return (
+        pruned.withColumn("_r", F.row_number().over(w_group))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """Fold two sketches built with the same (k, salt): union the hash
+    sets and keep the k smallest again. EXACTLY build-of-union
+    (pinned) — the upsert for per-period KMV artifacts."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols or [])
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        u.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def _kmv_div_est(n_below, theta) -> Column:
+    """floor(n_below * SPACE / theta) as exact integer arithmetic —
+    DECIMAL(38,0) keeps the ~2^80 intermediate exact; DuckDB's HUGEINT
+    // is the cross-engine twin (operand-level checked)."""
+    return F.expr(
+        f"CAST((CAST({n_below} AS DECIMAL(38,0))"
+        f" * CAST({_KMV_SPACE} AS DECIMAL(38,0)))"
+        f" DIV CAST(greatest({theta}, 1) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """Distinct estimate per group: group_cols + ``theta`` +
+    ``distinct_estimate``. theta is the k-th smallest hash when the
+    sketch saturated, else SPACE; the sample is the hashes STRICTLY
+    below theta (k-1 when saturated, all n when not), so the one
+    formula n_below*SPACE div theta is exact for small groups and
+    ~1/sqrt(k-2) relative error for large ones."""
+    group_cols = list(group_cols or [])
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("hv").alias("_mx")
+    )
+    theta = F.when(F.col("_n") < k, F.lit(_KMV_SPACE)).otherwise(
+        F.col("_mx")
+    )
+    n_below = F.when(F.col("_n") < k, F.col("_n")).otherwise(F.lit(k - 1))
+    return (
+        agg.withColumn("theta", theta)
+        .withColumn("_nb", n_below)
+        .select(
+            *group_cols,
+            "theta",
+            _kmv_div_est("_nb", "theta").alias("distinct_estimate"),
+        )
+    )
+
+
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str] | None = None,
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """Theta-sketch set algebra between two sketch tables joined on
+    ``on``: per key, ``union_estimate`` / ``intersect_estimate`` /
+    ``diff_estimate`` (|A\\B|), all exact-integer decisions. Keys on
+    one side only get the one-sided semantics (intersection 0, diff =
+    A's own estimate, union = the present side). The common threshold
+    theta = min(theta_a, theta_b) makes the two surviving hash sets a
+    COORDINATED uniform sample, which is what licenses intersection
+    estimation — plain independent samples would not."""
+    on = list(on or [])
+    drop_key = False
+    if not on:
+        # global (ungrouped) sketches: joins need at least one key —
+        # a constant key makes the single-row path share the grouped code
+        a = a.withColumn("_g", F.lit(1))
+        b = b.withColumn("_g", F.lit(1))
+        on, drop_key = ["_g"], True
+
+    def _theta(s: DataFrame, tag: str) -> DataFrame:
+        agg = s.groupBy(*on).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("hv").alias("_mx")
+        )
+        return agg.select(
+            *on,
+            F.when(F.col("_n") < k, F.lit(_KMV_SPACE))
+            .otherwise(F.col("_mx"))
+            .alias(f"theta_{tag}"),
+        )
+    thetas = _theta(a, "a").join(_theta(b, "b"), on, "full_outer")
+    thetas = thetas.select(
+        *on,
+        F.least(
+            F.coalesce("theta_a", F.lit(_KMV_SPACE)),
+            F.coalesce("theta_b", F.lit(_KMV_SPACE)),
+        ).alias("theta"),
+    )
+
+    def _sample(s: DataFrame) -> DataFrame:
+        return s.join(thetas, on).filter(F.col("hv") < F.col("theta")).select(
+            *on, "hv"
+        )
+    sa, sb = _sample(a), _sample(b)
+    inter = sa.join(sb, [*on, "hv"]).groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    only_a = sa.join(sb, [*on, "hv"], "left_anti").groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n_only_a")
+    )
+    union = sa.unionByName(sb).distinct().groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n_union")
+    )
+    out = (
+        thetas.join(union, on, "left")
+        .join(inter, on, "left")
+        .join(only_a, on, "left")
+        .na.fill(0, ["n_union", "n_inter", "n_only_a"])
+    )
+    out = out.select(
+        *on,
+        "theta",
+        _kmv_div_est("n_union", "theta").alias("union_estimate"),
+        _kmv_div_est("n_inter", "theta").alias("intersect_estimate"),
+        _kmv_div_est("n_only_a", "theta").alias("diff_estimate"),
+    )
+    return out.drop("_g") if drop_key else out

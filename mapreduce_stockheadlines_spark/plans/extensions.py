@@ -1157,7 +1157,22 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     columns, the sketch construction is pure INTEGER arithmetic, so
     DuckDB re-derives the log2 bucket table, the cumulative rank rule
     and both estimates bit-for-bit — an approximate structure under an
-    EXACT cross-engine pin."""
+    EXACT cross-engine pin.
+
+    KMV promotion (round 9, zero slots — the same pattern): each row
+    also carries the theta-sketch family
+    (operators/sketches.kmv_build/kmv_estimate/kmv_set_estimates) over
+    the type's distinct USER-DAYS (user_id : epoch-day — per-type user
+    SETS are identical by generator construction, user-day sets are
+    not): ``kmv_theta`` (the k-th smallest 60-bit md5 hash, k=8 —
+    saturated at every SF), ``kmv_user_days`` (the floor-divide
+    distinct estimate) and ``kmv_inter_click`` / ``kmv_diff_click``
+    (set-algebra estimates vs the 'click' type's sketch under the
+    common theta — the capability HLL lacks). Every decision is
+    integer (ranking, theta min, DECIMAL(38,0) DIV), so DuckDB
+    re-derives the whole sketch AND all four columns bit-for-bit —
+    the approximate-structure-under-EXACT-pin contract again, not the
+    tolerance gate."""
     from ..operators import sketches as QS
 
     e = table(spark, sf, "events")
@@ -1207,18 +1222,66 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("pctl_within_rank_err"),
     )
+    # KMV columns: one sketch per event_type over user-day keys, set
+    # algebra vs the 'click' sketch broadcast to every group key
+    k_kmv = 8
+    keyed = e.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.expr("CAST(CAST(ts AS LONG) DIV 86400 AS STRING)"),
+        ).alias("user_day"),
+    )
+    sk = QS.kmv_build(keyed, "user_day", ["event_type"], k=k_kmv)
+    kest = QS.kmv_estimate(sk, ["event_type"], k=k_kmv).select(
+        "event_type",
+        F.col("theta").alias("kmv_theta"),
+        F.col("distinct_estimate").alias("kmv_user_days"),
+    )
+    # broadcast the (≤k-row) click sketch under every group key via the
+    # _zero_key non-foldable equi-join (relevance._zero_key): a plain
+    # crossJoin of the two bounded dims compiles to the
+    # BroadcastNestedLoopJoin the plan guard forbids
+    from ..operators.relevance import _zero_key
+
+    click_sk = sk.filter(F.col("event_type") == "click").select(
+        "hv", _zero_key("hv").alias("_zk")
+    )
+    ref = (
+        sk.select("event_type")
+        .distinct()
+        .withColumn("_zk", _zero_key("event_type"))
+        .join(click_sk, "_zk")
+        .drop("_zk")
+    )
+    ksets = QS.kmv_set_estimates(sk, ref, ["event_type"], k=k_kmv).select(
+        "event_type",
+        F.col("intersect_estimate").alias("kmv_inter_click"),
+        F.col("diff_estimate").alias("kmv_diff_click"),
+    )
     # LEFT join: a group whose values are all NULL builds no sketch
     # buckets — it must keep its exact/HLL columns (the pre-promotion
     # contract) with NULL sketch estimates, not vanish from the output
-    return agg.join(qp, "event_type", "left").select(
-        "event_type",
-        "exact_users",
-        "exact_median_value",
-        "hll_within_rel_err",
-        "pctl_within_rank_err",
-        "qsk_p50_millis",
-        "qsk_p99_millis",
-    ).orderBy("event_type")
+    return (
+        agg.join(qp, "event_type", "left")
+        .join(kest, "event_type", "left")
+        .join(ksets, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_users",
+            "exact_median_value",
+            "hll_within_rel_err",
+            "pctl_within_rank_err",
+            "qsk_p50_millis",
+            "qsk_p99_millis",
+            "kmv_theta",
+            "kmv_user_days",
+            "kmv_inter_click",
+            "kmv_diff_click",
+        )
+        .orderBy("event_type")
+    )
 
 
 X16_SQL = """
@@ -1246,15 +1309,73 @@ qp AS (
   SELECT event_type,
          max(CASE WHEN q = 0.5 THEN est END) AS qsk_p50_millis,
          max(CASE WHEN q = 0.99 THEN est END) AS qsk_p99_millis
-  FROM qq GROUP BY 1)
+  FROM qq GROUP BY 1),
+khv AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5('kmv:' || coalesce(
+             CAST(user_id AS VARCHAR) || ':' ||
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR),
+             '')), 1, 15)) AS BIGINT) AS hv
+  FROM events),
+krk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+  FROM khv),
+ksk AS (SELECT event_type, hv FROM krk WHERE r <= 8),
+kagg AS (SELECT event_type, count(*) AS n, max(hv) AS mx FROM ksk GROUP BY 1),
+kth AS (
+  SELECT event_type,
+         CASE WHEN n < 8 THEN 1152921504606846976 ELSE mx END AS theta_a,
+         CASE WHEN n < 8 THEN n ELSE 7 END AS nb
+  FROM kagg),
+cth AS (
+  SELECT CASE WHEN count(*) < 8 THEN 1152921504606846976
+              ELSE max(hv) END AS theta_b
+  FROM ksk WHERE event_type = 'click'),
+kj AS (SELECT event_type, theta_a, nb, least(theta_a, theta_b) AS ti
+       FROM kth, cth),
+kin AS (
+  SELECT j.event_type, count(*) AS n_inter
+  FROM kj j
+  JOIN ksk a ON a.event_type = j.event_type AND a.hv < j.ti
+  JOIN ksk c ON c.event_type = 'click' AND c.hv = a.hv
+  GROUP BY 1),
+kdf AS (
+  SELECT j.event_type, count(*) AS n_da
+  FROM kj j
+  JOIN ksk a ON a.event_type = j.event_type AND a.hv < j.ti
+  WHERE NOT EXISTS (SELECT 1 FROM ksk c
+                    WHERE c.event_type = 'click' AND c.hv = a.hv)
+  GROUP BY 1),
+kmv AS (
+  SELECT kj.event_type,
+         kj.theta_a AS kmv_theta,
+         CAST((kj.nb::HUGEINT * 1152921504606846976::HUGEINT)
+              // greatest(kj.theta_a, 1)::HUGEINT AS BIGINT)
+           AS kmv_user_days,
+         CAST((coalesce(kin.n_inter, 0)::HUGEINT
+               * 1152921504606846976::HUGEINT)
+              // greatest(kj.ti, 1)::HUGEINT AS BIGINT)
+           AS kmv_inter_click,
+         CAST((coalesce(kdf.n_da, 0)::HUGEINT
+               * 1152921504606846976::HUGEINT)
+              // greatest(kj.ti, 1)::HUGEINT AS BIGINT)
+           AS kmv_diff_click
+  FROM kj LEFT JOIN kin USING (event_type) LEFT JOIN kdf USING (event_type))
 SELECT e.event_type,
        count(DISTINCT e.user_id) AS exact_users,
        round(quantile_cont(e.value, 0.5), 4) AS exact_median_value,
        1 AS hll_within_rel_err,
        1 AS pctl_within_rank_err,
        any_value(qp.qsk_p50_millis) AS qsk_p50_millis,
-       any_value(qp.qsk_p99_millis) AS qsk_p99_millis
-FROM events e LEFT JOIN qp ON e.event_type = qp.event_type
+       any_value(qp.qsk_p99_millis) AS qsk_p99_millis,
+       any_value(kmv.kmv_theta) AS kmv_theta,
+       any_value(kmv.kmv_user_days) AS kmv_user_days,
+       any_value(kmv.kmv_inter_click) AS kmv_inter_click,
+       any_value(kmv.kmv_diff_click) AS kmv_diff_click
+FROM events e
+LEFT JOIN qp ON e.event_type = qp.event_type
+LEFT JOIN kmv ON e.event_type = kmv.event_type
 GROUP BY e.event_type ORDER BY e.event_type
 """
 
@@ -2942,6 +3063,25 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     ppl = RV.lm_perplexity(
         docs, lm, ctx, v, "doc_id", "text", backoff=False, grams=grams
     )
+    # KNESER-NEY promotion (round 9, zero slots): the same gram stream
+    # feeds the interpolated-KN model (train_bigram_lm_kn — absolute
+    # discount + continuation-count backoff mass, the smoothing add-k
+    # trades away) and each row carries kn_avg_logp / kn_ppl. DuckDB
+    # re-derives the census, the continuation counts, every 4dp logp
+    # and the fixed-point doc mean; backoff=False for the same
+    # self-scored reason as ppl (the backoff arm is DuckDB-pinned on a
+    # held-out split in tests/test_relevance.py).
+    knlm, knctx, kncont, knt, knv = RV.train_bigram_lm_kn(
+        docs, "doc_id", "text", discount=0.75, cont_k=0.5, grams=grams
+    )
+    knppl = RV.lm_perplexity_kn(
+        docs, knlm, knctx, kncont, knt, knv, "doc_id", "text",
+        backoff=False, grams=grams,
+    ).select(
+        "doc_id",
+        F.col("avg_logp").alias("kn_avg_logp"),
+        F.col("ppl").alias("kn_ppl"),
+    )
     from ..functions.text import tokens_array
 
     words = docs.select(
@@ -3000,6 +3140,31 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # the prune, the fingerprint and every per-doc count.
     from ..operators import unigram as UG
 
+    # WORDPIECE TRAINING (round-9 zero-slot promotion — the SEVENTH
+    # trainer under the unrolled-CTE recipe, and the first whose merge
+    # decision is a likelihood SCORE rather than a raw count): 8
+    # score-ranked merges from the same word census, greedy
+    # longest-match encode over every word type (the BERT algorithm —
+    # NOT merge replay; DuckDB walks it with a recursive CTE). Two
+    # columns pin it: wp_vocab_fp8 (md5 prefix of the ordered piece
+    # list) and n_wp_pieces. The score's cross-engine determinism is
+    # IEEE-exact, not quantized: float(c)/(float(ca)*float(cb)) is the
+    # same cast-cast-multiply-divide sequence both engines run
+    # (operators/wordpiece.py module doc).
+    from ..operators import wordpiece as WP
+
+    wp_vocab, _wp_merges, _wp_alpha = WP.train_wordpiece(
+        docs, "text", num_merges=8, max_word_types=4096
+    )
+    wfp = WP.wordpiece_vocab_fp8(wp_vocab)
+    enc_w = WP.encode_word_types_wp(
+        words.select("word").distinct(), wp_vocab
+    ).select("word", F.size("pieces").cast("bigint").alias("_nw"))
+    wpct = (
+        words.join(enc_w, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("_nw").cast("bigint").alias("n_wp_pieces"))
+    )
     uni = UG.train_unigram(
         docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
         seed_size=64, max_word_types=4096,
@@ -3026,14 +3191,18 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("_nu").cast("bigint").alias("n_uni_pieces"))
     )
     return (
-        ppl.join(bpc, "doc_id", "left")
+        ppl.join(knppl, "doc_id", "left")
+        .join(bpc, "doc_id", "left")
         .join(bpct, "doc_id", "left")
         .join(upct, "doc_id", "left")
+        .join(wpct, "doc_id", "left")
         .na.fill({"n_bpe_pieces": 0, "max_word_pieces": 0,
-                  "n_bpe_pieces_trained": 0, "n_uni_pieces": 0})
+                  "n_bpe_pieces_trained": 0, "n_uni_pieces": 0,
+                  "n_wp_pieces": 0})
         .withColumn("bpe_merges_fp8", F.lit(mfp))
         .withColumn("uni_model_fp8", F.lit(ufp))
         .withColumn("uni_soft_fp8", F.lit(usfp))
+        .withColumn("wp_vocab_fp8", F.lit(wfp))
         .orderBy("doc_id")
     )
 
@@ -3137,6 +3306,142 @@ btc AS (
 bpct AS (
   SELECT doc_id, CAST(sum(npt) AS BIGINT) AS n_bpe_pieces_trained
   FROM words JOIN btc USING (word) GROUP BY doc_id)"""
+    return out
+
+
+def _x28_wp_train_ctes(
+    num_merges: int = 8, max_word_types: int = 4096, wp_unroll: int = 12
+) -> str:
+    """Unrolled WORDPIECE training (the seventh trainer under the
+    unrolled-CTE recipe) + recursive-CTE greedy encode.
+
+    Per round over the freq-weighted census segmentation (first char
+    bare, rest ##-prefixed): adjacent-pair census AND symbol census,
+    best = ORDER BY score DESC, pair ASC LIMIT 1 where score =
+    CAST(c AS DOUBLE) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) —
+    the EXACT IEEE op sequence the python trainer runs (cast, cast,
+    multiply, divide, each correctly rounded), so the two engines pick
+    identical merges at any count magnitude (operators/wordpiece.py
+    module doc). Apply via the double-replace trick (exactness argument
+    at ``_x28_bpe_enc_sql``; '#' never appears inside a-z text so the
+    ##-marked symbols collide with nothing). Early-stop sentinel '~ ~'
+    as in the BPE chain.
+
+    Encoding is NOT merge replay (the WordPiece/BERT contract): an
+    UNROLLED strip-longest-piece walk — ``wp_unroll`` plain CTE steps,
+    each taking the LONGEST vocabulary piece prefixing the remainder
+    (##-matched after the first piece; max_by is safe because two
+    distinct same-length pieces cannot both prefix one remainder).
+    Unrolled rather than recursive: DuckDB 1.0 plans a correlated
+    subquery inside a RECURSIVE member inconsistently (the same walk
+    returns 0 recursion rows under one outer query and full rows under
+    another — measured on this exact query), while the identical
+    subquery in plain CTE steps is reliable. The unroll bound covers
+    words up to ``wp_unroll`` pieces (testdata max word length is 8
+    chars = at most 8 single-char pieces); a word stuck with no match
+    (true [UNK]) or deeper than the bound counts 1 — for in-alphabet
+    corpora only the [UNK] arm can fire, and a bound regression breaks
+    the registry hash loudly."""
+    out = f""",
+wpw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM words GROUP BY word
+  ORDER BY freq DESC, word LIMIT {max_word_types}),
+wps0 AS MATERIALIZED (
+  SELECT word, freq,
+         ' ' || substr(word, 1, 1) || ' ' ||
+         regexp_replace(substr(word, 2), '(.)', '##\\1 ', 'g') AS s
+  FROM wpw)"""
+    for r in range(1, num_merges + 1):
+        out += f""",
+wpp{r} AS MATERIALIZED (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+    FROM (SELECT freq,
+                 list_filter(string_split(s, ' '), x -> x <> '') AS syms
+          FROM wps{r - 1}))
+  GROUP BY pair),
+wpy{r} AS MATERIALIZED (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(list_filter(string_split(s, ' '), x -> x <> ''))
+             AS sym
+    FROM wps{r - 1})
+  GROUP BY sym),
+wpb{r} AS MATERIALIZED (
+  SELECT coalesce(
+           (SELECT p.pair
+            FROM wpp{r} p
+            JOIN wpy{r} a ON a.sym = split_part(p.pair, ' ', 1)
+            JOIN wpy{r} b ON b.sym = split_part(p.pair, ' ', 2)
+            ORDER BY CAST(p.c AS DOUBLE)
+                       / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC,
+                     p.pair
+            LIMIT 1),
+           '~ ~') AS pair),
+wpj{r} AS MATERIALIZED (
+  SELECT pair,
+         split_part(pair, ' ', 1) ||
+         CASE WHEN split_part(pair, ' ', 2) LIKE '##%'
+              THEN substr(split_part(pair, ' ', 2), 3)
+              ELSE split_part(pair, ' ', 2) END AS joined
+  FROM wpb{r}),
+wps{r} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         replace(replace(w.s, ' ' || b.pair || ' ', ' ' || b.joined || ' '),
+                 ' ' || b.pair || ' ', ' ' || b.joined || ' ') AS s
+  FROM wps{r - 1} w CROSS JOIN wpj{r} b)"""
+    ranks = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pair, joined FROM wpj{r}"
+        for r in range(1, num_merges + 1)
+    )
+    out += f""",
+wpalpha AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_filter(string_split(s, ' '), x -> x <> ''))
+           AS piece
+  FROM wps0),
+wpvoc AS MATERIALIZED (
+  -- vocabulary: alphabet in sorted order, then merges in learned order;
+  -- min(ord) is the first-occurrence-wins dedup of the python builder
+  SELECT piece, min(ord) AS ord FROM (
+    SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS ord
+    FROM wpalpha
+    UNION ALL
+    SELECT joined AS piece, 1000000 + rank AS ord
+    FROM ({ranks}) WHERE pair <> '~ ~')
+  GROUP BY piece),
+wfp AS (
+  SELECT substr(md5(coalesce(string_agg(piece, '|' ORDER BY ord), '')),
+                1, 8) AS fp
+  FROM wpvoc),
+wk0 AS MATERIALIZED (
+  SELECT word, word AS rest, 0 AS np
+  FROM (SELECT DISTINCT word FROM words))"""
+    for i in range(1, wp_unroll + 1):
+        out += f""",
+wk{i} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN best IS NULL THEN rest
+              ELSE substr(rest, 1 + length(best) -
+                          CASE WHEN np > 0 THEN 2 ELSE 0 END) END AS rest,
+         CASE WHEN best IS NULL THEN np ELSE np + 1 END AS np
+  FROM (
+    SELECT word, rest, np,
+           (SELECT max_by(v.piece, length(v.piece))
+            FROM wpvoc v
+            WHERE (np = 0 AND v.piece NOT LIKE '##%'
+                   AND starts_with(rest, v.piece))
+               OR (np > 0 AND v.piece LIKE '##%'
+                   AND starts_with(rest, substr(v.piece, 3)))
+           ) AS best
+    FROM wk{i - 1}))"""
+    out += f""",
+wpnp AS MATERIALIZED (
+  SELECT word, CAST(CASE WHEN rest = '' THEN np ELSE 1 END AS BIGINT) AS np
+  FROM wk{wp_unroll}),
+wpct AS (
+  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_wp_pieces
+  FROM words JOIN wpnp USING (word) GROUP BY doc_id)"""
     return out
 
 
@@ -3351,6 +3656,30 @@ fx AS (SELECT doc_id, n_bigrams,
               ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
                 * sign(s4) / 10000.0 AS avg_logp
        FROM agg),
+knctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(DISTINCT w2) AS BIGINT) AS n1f
+          FROM bgx GROUP BY w1),
+kncont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1b
+           FROM bgx GROUP BY w2),
+kntv AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bgx),
+knlm AS (
+  SELECT bigram,
+         round(ln((c12 - 0.75) / c1
+                  + 0.75 * n1f / c1
+                  * ((n1b + 0.5)
+                     / (CAST(t AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))),
+               4) AS logp
+  FROM bgx JOIN knctx USING (w1) JOIN kncont USING (w2)
+  CROSS JOIN kntv CROSS JOIN v),
+knagg AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(logp * 10000) AS BIGINT)) AS BIGINT) AS s4
+          FROM grams JOIN knlm USING (bigram)
+          GROUP BY doc_id),
+knfx AS (SELECT doc_id,
+                ((2 * abs(s4) + n) // (2 * n)) * sign(s4) / 10000.0
+                  AS kn_avg_logp
+         FROM knagg),
 words AS (
   SELECT doc_id, unnest(list_filter(
            string_split_regex(
@@ -3365,19 +3694,25 @@ encs AS (
 bpc AS (
   SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_bpe_pieces,
          CAST(max(np) AS BIGINT) AS max_word_pieces
-  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}{_x28_uni_train_ctes()}
+  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}{_x28_wp_train_ctes()}{_x28_uni_train_ctes()}
 SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        round(exp(-fx.avg_logp), 4) AS ppl,
+       knfx.kn_avg_logp,
+       round(exp(-knfx.kn_avg_logp), 4) AS kn_ppl,
        coalesce(bpc.n_bpe_pieces, 0) AS n_bpe_pieces,
        coalesce(bpc.max_word_pieces, 0) AS max_word_pieces,
        coalesce(bpct.n_bpe_pieces_trained, 0) AS n_bpe_pieces_trained,
        coalesce(upct.n_uni_pieces, 0) AS n_uni_pieces,
+       coalesce(wpct.n_wp_pieces, 0) AS n_wp_pieces,
        (SELECT fp FROM bfp) AS bpe_merges_fp8,
        (SELECT fp FROM ufp8) AS uni_model_fp8,
-       (SELECT fp FROM usfp8) AS uni_soft_fp8
-FROM fx LEFT JOIN bpc USING (doc_id)
+       (SELECT fp FROM usfp8) AS uni_soft_fp8,
+       (SELECT fp FROM wfp) AS wp_vocab_fp8
+FROM fx LEFT JOIN knfx USING (doc_id)
+LEFT JOIN bpc USING (doc_id)
 LEFT JOIN bpct USING (doc_id)
 LEFT JOIN upct USING (doc_id)
+LEFT JOIN wpct USING (doc_id)
 ORDER BY fx.doc_id
 """
 

@@ -470,3 +470,241 @@ def test_scalar_attach_avoids_nested_loop_join(spark):
         plan = formatted_plan(df)
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+# --- Kneser-Ney bigram LM ----------------------------------------------------
+
+
+def test_kn_bigram_lm_hand_values(spark):
+    """Hand-checked interpolated KN model on the add-k tests' corpus:
+    bigrams '<s> a':2, 'a b':2, 'b a':1 → ctx (<s>:2/1, a:2/1, b:1/1),
+    cont (a:2, b:1), T=3, V=2, Pcont(a)=2.5/4, Pcont(b)=1.5/4."""
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b a")], ["doc_id", "text"]
+    )
+    lm, ctx, cont, t, v = R.train_bigram_lm_kn(
+        docs, "doc_id", "text", discount=0.75, cont_k=0.5
+    )
+    assert (t, v) == (3, 2)
+    assert {r.w2: r.n1b for r in cont.collect()} == {"a": 2, "b": 1}
+    assert {r.w1: (r.c1, r.n1f) for r in ctx.collect()} == {
+        "<s>": (2, 1), "a": (2, 1), "b": (1, 1),
+    }
+    got = {r.bigram: r.logp for r in lm.collect()}
+    pc_a, pc_b = 2.5 / 4, 1.5 / 4
+    want = {
+        "<s> a": round(math.log((2 - 0.75) / 2 + 0.75 * 1 / 2 * pc_a), 4),
+        "a b": round(math.log((2 - 0.75) / 2 + 0.75 * 1 / 2 * pc_b), 4),
+        "b a": round(math.log((1 - 0.75) / 1 + 0.75 * 1 / 1 * pc_a), 4),
+    }
+    assert got == want
+
+
+def test_kn_distribution_sums_to_one_per_context(spark):
+    """The defining KN invariant: for every seen context, the seen-arm
+    probabilities plus the interpolation mass over the FULL vocabulary
+    sum to exactly 1 (the discount is redistributed, never lost)."""
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c a a"), (2, "c c b a")],
+        ["doc_id", "text"],
+    )
+    lm, ctx, cont, t, v = R.train_bigram_lm_kn(docs, "doc_id", "text")
+    D, k = 0.75, 0.5
+    bg = {
+        (r.bigram.split(" ")[0], r.bigram.split(" ")[1]): None
+        for r in lm.collect()
+    }
+    cx = {r.w1: (r.c1, r.n1f) for r in ctx.collect()}
+    cn = {r.w2: r.n1b for r in cont.collect()}
+    vocab = list(cn)
+
+    def pcont(w2):
+        return (cn.get(w2, 0) + k) / (t + k * v)
+
+    # exact census re-derivation of c12 from the raw corpus
+    import collections
+
+    c12 = collections.Counter()
+    for _, text in [(0, "a b c a b"), (1, "b c a a"), (2, "c c b a")]:
+        toks = ["<s>"] + text.split()
+        for i in range(len(toks) - 1):
+            c12[(toks[i], toks[i + 1])] += 1
+    for w1, (c1, n1f) in cx.items():
+        lam = D * n1f / c1
+        total = sum(
+            max(c12.get((w1, w2), 0) - D, 0) / c1 + lam * pcont(w2)
+            for w2 in vocab
+        )
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+    assert bg  # the model is non-empty
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The 'san francisco' property: a word that is FREQUENT but follows
+    one context gets less continuation mass than a rarer word seen
+    after many contexts — the distinction add-k smoothing cannot make."""
+    docs = spark.createDataFrame(
+        [
+            (0, "san francisco san francisco san francisco san francisco"),
+            (1, "the dog ran"),
+            (2, "a cat ran"),
+            (3, "my fish ran"),
+        ],
+        ["doc_id", "text"],
+    )
+    _, _, cont, t, v = R.train_bigram_lm_kn(docs, "doc_id", "text")
+    cn = {r.w2: r.n1b for r in cont.collect()}
+    # francisco occurs 4x but only ever after 'san'; ran occurs 3x after
+    # three distinct contexts
+    assert cn["francisco"] == 1
+    assert cn["ran"] == 3
+    assert cn["ran"] > cn["francisco"]
+
+
+def test_kn_perplexity_backoff_three_tiers(spark):
+    """Held-out scoring hits all three unseen tiers with hand values:
+    unseen bigram under a seen context (interpolation mass alone),
+    unseen context (all mass to Pcont), unseen w2 (the add-k floor)."""
+    train = spark.createDataFrame([(0, "a b"), (1, "a b a")], ["doc_id", "text"])
+    lm, ctx, cont, t, v = R.train_bigram_lm_kn(train, "doc_id", "text")
+    pc_a, pc_zz = 2.5 / 4, 0.5 / 4  # Pcont(a), Pcont(unseen)
+    held = spark.createDataFrame([(9, "a a zz"), (10, "zz a")], ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in R.lm_perplexity_kn(
+            held, lm, ctx, cont, t, v, "doc_id", "text"
+        ).collect()
+    }
+    lam_a = 0.75 * 1 / 2
+    logp_sa = round(math.log((2 - 0.75) / 2 + lam_a * pc_a), 4)  # seen
+    logp_aa = round(math.log(lam_a * pc_a), 4)  # unseen gram, seen ctx
+    logp_azz = round(math.log(lam_a * pc_zz), 4)  # unseen w2
+    logp_zza = round(math.log(1.0 * pc_a), 4)  # unseen ctx
+    want9 = _half_up_mean4([logp_sa, logp_aa, logp_azz])
+    assert out[9].n_bigrams == 3
+    assert out[9].avg_logp == want9
+    assert out[9].ppl == round(math.exp(-want9), 4)
+    # doc 10: '<s> zz' = unseen w2 under seen ctx <s>; 'zz a' = unseen ctx
+    lam_s = 0.75 * 1 / 2
+    logp_szz = round(math.log(lam_s * pc_zz), 4)
+    want10 = _half_up_mean4([logp_szz, logp_zza])
+    assert out[10].avg_logp == want10
+
+
+def _half_up_mean4(logps):
+    """The operators' exact fixed-point mean: integer 1e-4 units,
+    HALF-UP division on the absolute value, sign restored, back to
+    float — mirrors _doc_ppl_from_scored."""
+    s4 = sum(int(round(lp * 10000)) for lp in logps)
+    n = len(logps)
+    q = (2 * abs(s4) + n) // (2 * n)
+    return (q if s4 >= 0 else -q) / 10000.0
+
+
+def test_kn_matches_duckdb_on_documents_held_out(spark, sf_dir):
+    """Full cross-engine pin of the BACKOFF path (the arm x28's
+    self-scored registry query never exercises): train on even docs,
+    score odd docs; DuckDB re-derives census, continuation counts,
+    the three-tier fallback and the fixed-point doc mean."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    lm, ctx, cont, t, v = R.train_bigram_lm_kn(train, "doc_id", "text")
+    got = [
+        (r.doc_id, r.n_bigrams, r.avg_logp, r.ppl)
+        for r in R.lm_perplexity_kn(
+            held, lm, ctx, cont, t, v, "doc_id", "text"
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(KN_HELD_OUT_ORACLE).fetchall()]
+    assert got == want
+
+
+KN_HELD_OUT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+           t -> t <> '')) AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks),
+bgx AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c12,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM grams WHERE doc_id % 2 = 0 GROUP BY bigram),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(DISTINCT w2) AS BIGINT) AS n1f
+        FROM bgx GROUP BY w1),
+cont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1b
+         FROM bgx GROUP BY w2),
+tv AS (SELECT CAST(count(*) AS BIGINT) AS t,
+              CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bgx),
+lm AS (
+  SELECT bigram,
+         round(ln((c12 - 0.75) / c1
+                  + 0.75 * n1f / c1
+                  * ((n1b + 0.5) / (CAST(t AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))),
+               4) AS logp
+  FROM bgx JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tv),
+sc AS (
+  SELECT g.doc_id, g.bigram,
+         coalesce(
+           lm.logp,
+           round(ln(
+             (CASE WHEN ctx.c1 IS NOT NULL
+                   THEN 0.75 * ctx.n1f / ctx.c1 ELSE 1.0 END)
+             * ((coalesce(cont.n1b, 0) + 0.5)
+                / (CAST(tv.t AS DOUBLE) + 0.5 * CAST(tv.v AS DOUBLE)))), 4)
+         ) AS logp_eff
+  FROM grams g
+  LEFT JOIN lm USING (bigram)
+  LEFT JOIN ctx ON ctx.w1 = split_part(g.bigram, ' ', 1)
+  LEFT JOIN cont ON cont.w2 = split_part(g.bigram, ' ', 2)
+  CROSS JOIN tv
+  WHERE g.doc_id % 2 = 1),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(round(logp_eff * 10000) AS BIGINT)) AS BIGINT) AS s4
+  FROM sc GROUP BY doc_id),
+fx AS (
+  SELECT doc_id, n_bigrams,
+         ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
+           * sign(s4) / 10000.0 AS avg_logp
+  FROM agg)
+SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+FROM fx ORDER BY doc_id
+"""
+
+
+def test_x28_kn_columns_nondegenerate_and_distinct_from_addk(spark, sf_dir):
+    """Promotion guard for the round-9 KN columns: kn_ppl varies across
+    docs, and KN is genuinely a different smoothing — per-doc scores
+    differ from the add-k model's on real text (if they coincided the
+    column would pin nothing new)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x28_lm_perplexity,
+    )
+
+    x28 = x28_lm_perplexity(spark, sf_dir).cache()
+    try:
+        assert_column_nondegenerate(x28, "kn_ppl", f"at {sf_dir}")
+        assert_column_nondegenerate(x28, "kn_avg_logp", f"at {sf_dir}")
+        n_diff = x28.filter(F.col("kn_ppl") != F.col("ppl")).count()
+        assert n_diff > 0
+    finally:
+        x28.unpersist()

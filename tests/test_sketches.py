@@ -696,3 +696,240 @@ def test_pq_ingest_sink_moment_fold_and_refit(spark, sf_dir, tmp_path):
     dup = read_table(spark, art).select(*cols)
     with pytest.raises(ValueError, match="duplicate|partial"):
         pq_refit(dup.unionByName(dup.limit(1)), cb)
+
+
+# --- KMV / theta sketches ----------------------------------------------------
+
+
+def _kmv_duck_hv_sql(value_expr: str, salt: str = "kmv") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || "
+        f"coalesce(CAST({value_expr} AS VARCHAR), '')), 1, 15)) AS BIGINT)"
+    )
+
+
+def test_kmv_merge_exactly_equals_build_of_union(spark, sf_dir):
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        kmv_build,
+        kmv_merge,
+    )
+
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 != 0)
+    k = 32
+    merged = kmv_merge(
+        kmv_build(a, "user_id", ["event_type"], k=k),
+        kmv_build(b, "user_id", ["event_type"], k=k),
+        ["event_type"],
+        k=k,
+    )
+    whole = kmv_build(e, "user_id", ["event_type"], k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_kmv_exact_when_unsaturated_and_partition_invariant(spark, sf_dir):
+    """A sketch with fewer than k distinct keys carries theta = SPACE
+    and an EXACT distinct count; the sketch itself is a set, so input
+    partitioning cannot move it."""
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        _KMV_SPACE,
+        kmv_build,
+        kmv_estimate,
+    )
+
+    e = table(spark, sf_dir, "events")
+    k = 10_000
+    sk = kmv_build(e, "user_id", ["event_type"], k=k)
+    sk13 = kmv_build(e.repartition(13), "user_id", ["event_type"], k=k)
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, sk13.collect())
+    )
+    est = {
+        r["event_type"]: (r["theta"], r["distinct_estimate"])
+        for r in kmv_estimate(sk, ["event_type"], k=k).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for et, (theta, d) in est.items():
+        assert theta == _KMV_SPACE
+        assert d == exact[et]
+
+
+def test_kmv_estimate_error_bound_when_saturated(spark):
+    """Saturated estimate lands within 5x the ~1/sqrt(k-2) RSE of the
+    true distinct count (deterministic given the md5 hash, so this is
+    a fixed regression pin, not a flaky statistical gate)."""
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    n, k = 5000, 128
+    df = spark.range(n).select(F.concat(F.lit("u"), "id").alias("key"))
+    est = kmv_estimate(kmv_build(df, "key", k=k), k=k).collect()[0]
+    rel = abs(est["distinct_estimate"] - n) / n
+    assert rel <= 5.0 / (k - 2) ** 0.5, (est["distinct_estimate"], n)
+
+
+def test_kmv_build_estimate_vs_duckdb(spark, sf_dir):
+    """DuckDB re-derives the salted-md5 hashes, the per-group k-smallest
+    ranking, theta selection AND the integer floor-divide estimate
+    bit-for-bit — the strongest-pin contract, not a tolerance gate."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        _KMV_SPACE,
+        kmv_build,
+        kmv_estimate,
+    )
+
+    k = 32
+    e = table(spark, sf_dir, "events")
+    sk = kmv_build(e, "user_id", ["event_type"], k=k)
+    est = kmv_estimate(sk, ["event_type"], k=k)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    hv = _kmv_duck_hv_sql("user_id")
+    duck_sk = con.execute(
+        f"""
+        WITH hv AS (SELECT DISTINCT event_type, {hv} AS hv FROM events),
+        rk AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+               FROM hv)
+        SELECT event_type, hv FROM rk WHERE r <= {k} ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert duck_sk == sorted(map(tuple, sk.collect()))
+    duck_est = con.execute(
+        f"""
+        WITH hv AS (SELECT DISTINCT event_type, {hv} AS hv FROM events),
+        rk AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+               FROM hv),
+        sk AS (SELECT event_type, hv FROM rk WHERE r <= {k}),
+        agg AS (SELECT event_type, count(*) AS n, max(hv) AS mx
+                FROM sk GROUP BY 1)
+        SELECT event_type,
+               CASE WHEN n < {k} THEN {_KMV_SPACE} ELSE mx END AS theta,
+               CAST(((CASE WHEN n < {k} THEN n ELSE {k - 1} END)::HUGEINT
+                     * {_KMV_SPACE}::HUGEINT)
+                    // greatest(CASE WHEN n < {k} THEN {_KMV_SPACE} ELSE mx END,
+                                1)::HUGEINT AS BIGINT) AS est
+        FROM agg ORDER BY 1
+        """
+    ).fetchall()
+    assert duck_est == sorted(map(tuple, est.collect()))
+
+
+def test_kmv_set_estimates_semantics_and_vs_duckdb(spark, sf_dir):
+    """Set algebra under the common theta: exact when both sides are
+    unsaturated, and the saturated path's union/intersect/difference
+    decisions re-derive bit-for-bit in DuckDB."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        kmv_build,
+        kmv_set_estimates,
+    )
+
+    e = table(spark, sf_dir, "events")
+    a_raw = e.filter(F.col("event_type").isin("click", "view"))
+    b_raw = e.filter(F.col("event_type").isin("purchase", "view"))
+
+    # exact arm: unsaturated on both sides → plain set cardinalities
+    big_k = 10_000
+    ex = kmv_set_estimates(
+        kmv_build(a_raw, "user_id", k=big_k),
+        kmv_build(b_raw, "user_id", k=big_k),
+        k=big_k,
+    ).collect()[0]
+    ua = {r[0] for r in a_raw.select("user_id").distinct().collect()}
+    ub = {r[0] for r in b_raw.select("user_id").distinct().collect()}
+    assert ex["union_estimate"] == len(ua | ub)
+    assert ex["intersect_estimate"] == len(ua & ub)
+    assert ex["diff_estimate"] == len(ua - ub)
+
+    # saturated arm: DuckDB re-derives every decision bit-for-bit
+    k = 16
+    est = kmv_set_estimates(
+        kmv_build(a_raw.withColumn("g", F.lit(1)), "user_id", ["g"], k=k),
+        kmv_build(b_raw.withColumn("g", F.lit(1)), "user_id", ["g"], k=k),
+        ["g"],
+        k=k,
+    )
+    rows = sorted(map(tuple, est.collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    hv = _kmv_duck_hv_sql("user_id")
+    duck = con.execute(
+        f"""
+        WITH hva AS (SELECT DISTINCT {hv} AS hv FROM events
+                     WHERE event_type IN ('click', 'view')),
+        hvb AS (SELECT DISTINCT {hv} AS hv FROM events
+                WHERE event_type IN ('purchase', 'view')),
+        ska AS (SELECT hv FROM (
+                  SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM hva)
+                WHERE r <= {k}),
+        skb AS (SELECT hv FROM (
+                  SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM hvb)
+                WHERE r <= {k}),
+        th AS (SELECT least(
+                 (SELECT CASE WHEN count(*) < {k} THEN {1 << 60}
+                         ELSE max(hv) END FROM ska),
+                 (SELECT CASE WHEN count(*) < {k} THEN {1 << 60}
+                         ELSE max(hv) END FROM skb)) AS theta),
+        sa AS (SELECT hv FROM ska, th WHERE hv < theta),
+        sb AS (SELECT hv FROM skb, th WHERE hv < theta),
+        c AS (SELECT
+                (SELECT count(*) FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)) AS nu,
+                (SELECT count(*) FROM sa WHERE hv IN (SELECT hv FROM sb)) AS ni,
+                (SELECT count(*) FROM sa WHERE hv NOT IN (SELECT hv FROM sb)) AS nd)
+        SELECT 1 AS g, theta,
+               CAST((nu::HUGEINT * {1 << 60}::HUGEINT)
+                    // greatest(theta, 1)::HUGEINT AS BIGINT) AS u,
+               CAST((ni::HUGEINT * {1 << 60}::HUGEINT)
+                    // greatest(theta, 1)::HUGEINT AS BIGINT) AS i,
+               CAST((nd::HUGEINT * {1 << 60}::HUGEINT)
+                    // greatest(theta, 1)::HUGEINT AS BIGINT) AS d
+        FROM th, c
+        """
+    ).fetchall()
+    assert duck == rows
+
+
+def test_x16_kmv_columns_nondegenerate(spark, sf_dir):
+    """Promotion guard for the round-9 KMV columns: per-type user-DAY
+    sets differ (user SETS are generator-identical — the reason the
+    key is user:epoch-day), and k=8 saturates at every SF, so theta,
+    the distinct estimate and both set-algebra estimates must all
+    vary across event types."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x16_approx_aggregates,
+    )
+
+    x16 = x16_approx_aggregates(spark, sf_dir).cache()
+    try:
+        for col in (
+            "kmv_theta",
+            "kmv_user_days",
+            "kmv_inter_click",
+            "kmv_diff_click",
+        ):
+            assert_column_nondegenerate(x16, col, f"at {sf_dir}")
+    finally:
+        x16.unpersist()
