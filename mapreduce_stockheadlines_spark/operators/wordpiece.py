@@ -53,6 +53,8 @@ __all__ = [
     "train_wordpiece",
     "encode_word_types_wp",
     "wordpiece_vocab_fp8",
+    "save_wordpiece",
+    "load_wordpiece",
 ]
 
 UNK = "[UNK]"
@@ -234,3 +236,21 @@ def wordpiece_vocab_fp8(vocab: list[str]) -> str:
     import hashlib
 
     return hashlib.md5("|".join(vocab).encode()).hexdigest()[:8]
+
+
+def save_wordpiece(spark, vocab: list[str], path: str) -> None:
+    """Persist a trained WordPiece vocabulary as a parquet artifact
+    (the save_bpe/save_bigram_lm deployment shape: train once, encode
+    many corpora): ``<path>/vocab`` (ord, piece) — ord is the encoding
+    table's order (alphabet then merges), which the fingerprint hashes."""
+    spark.createDataFrame(
+        list(enumerate(vocab)), "ord int, piece string"
+    ).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_wordpiece(spark, path: str) -> list[str]:
+    """Inverse of ``save_wordpiece``."""
+    return [
+        r["piece"]
+        for r in spark.read.parquet(f"{path}/vocab").orderBy("ord").collect()
+    ]

@@ -811,6 +811,36 @@ def sketch_ingest_sink(
     )
 
 
+def kmv_ingest_sink(
+    group_cols: list[str],
+    value_col: str,
+    artifact_dir: str,
+    k: int = 256,
+    salt: str = "kmv",
+):
+    """foreachBatch function: maintain a KMV theta-sketch artifact
+    (operators/sketches.kmv_build) over a stream — each micro-batch's
+    per-group k-smallest hash sets fold via ``kmv_merge``, which is
+    EXACTLY build-of-union (pinned), so any artifact version answers
+    distinct-count questions AND set-algebra questions
+    (``kmv_set_estimates`` vs any other KMV artifact built with the
+    same (k, salt): users-in-both-periods, docs-in-N-not-N-1) from
+    ≤ k rows per group. The set-expression capability is what the HLL
+    sketch_ingest_sink cannot provide. Replay/crash contract:
+    ``_artifact_fold_sink``. Per-batch cost: one distinct-hash pass of
+    the batch + a read of the ≤ k·groups-row artifact."""
+    from ..operators.sketches import kmv_build, kmv_merge
+
+    return _artifact_fold_sink(
+        artifact_dir,
+        [*group_cols, "hv"],
+        lambda b: kmv_build(b, value_col, group_cols, k, salt),
+        lambda ex, inc: inc if ex is None else kmv_merge(
+            ex, inc, group_cols, k
+        ),
+    )
+
+
 def kmeans_ingest_sink(
     centroids,
     artifact_dir: str,

@@ -933,3 +933,69 @@ def test_x16_kmv_columns_nondegenerate(spark, sf_dir):
             assert_column_nondegenerate(x16, col, f"at {sf_dir}")
     finally:
         x16.unpersist()
+
+
+def test_kmv_ingest_sink_folds_batches_idempotently(spark, tmp_path):
+    """Streaming KMV artifact maintenance: batches fold incrementally,
+    a replayed batch is a no-op, the final sketch equals a from-scratch
+    build over the union (kmv_merge == build-of-union), and the version
+    history time-travels. Set algebra works ACROSS artifacts: the
+    maintained sketch intersects exactly with a second sketch when both
+    are unsaturated."""
+    from mapreduce_stockheadlines_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_set_estimates,
+    )
+    from mapreduce_stockheadlines_spark.sources.versioned import read_table
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        kmv_ingest_sink,
+    )
+
+    art = str(tmp_path / "kmv_artifact")
+    k = 16
+    sink = kmv_ingest_sink(["g"], "v", art, k=k)
+    b0 = spark.createDataFrame(
+        [("x", i) for i in range(40)] + [("y", i) for i in range(10)],
+        "g string, v int",
+    )
+    b1 = spark.createDataFrame(
+        [("x", i) for i in range(20, 60)] + [("z", i) for i in range(5)],
+        "g string, v int",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once replay: must not fold twice
+
+    got = sorted(
+        map(tuple, read_table(spark, art).select("g", "hv").collect())
+    )
+    want = sorted(
+        map(tuple, kmv_build(b0.unionAll(b1), "v", ["g"], k=k).collect())
+    )
+    assert got == want  # incremental == batch, replay included
+    # version history: v1 holds only batch 0's state
+    v1 = sorted(
+        map(
+            tuple,
+            read_table(spark, art, version=1).select("g", "hv").collect(),
+        )
+    )
+    assert v1 == sorted(
+        map(tuple, kmv_build(b0, "v", ["g"], k=k).collect())
+    )
+    # cross-artifact set algebra: z (5 values, unsaturated) vs a fresh
+    # sketch over an overlapping set → exact intersection
+    fresh = kmv_build(
+        spark.createDataFrame(
+            [("z", i) for i in range(3, 8)], "g string, v int"
+        ),
+        "v",
+        ["g"],
+        k=k,
+    )
+    maintained = read_table(spark, art).select("g", "hv").filter("g = 'z'")
+    est = kmv_set_estimates(maintained, fresh, ["g"], k=k).collect()[0]
+    assert est["intersect_estimate"] == 2  # {3, 4} of {0..4} ∩ {3..7}
+    assert est["union_estimate"] == 8
+    assert est["diff_estimate"] == 3

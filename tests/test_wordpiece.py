@@ -237,3 +237,14 @@ def test_x28_wp_columns_nondegenerate_and_distinct_from_bpe(spark, sf_dir):
         assert n_diff > 0
     finally:
         x28.unpersist()
+
+
+def test_save_load_round_trip(spark, tmp_path, sf_dir):
+    """Deploy shape: a vocabulary saved and reloaded encodes
+    identically (and the fingerprint survives the round trip)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab, _, _ = W.train_wordpiece(docs, "text", num_merges=6)
+    W.save_wordpiece(spark, vocab, str(tmp_path / "wp"))
+    back = W.load_wordpiece(spark, str(tmp_path / "wp"))
+    assert back == vocab
+    assert W.wordpiece_vocab_fp8(back) == W.wordpiece_vocab_fp8(vocab)
