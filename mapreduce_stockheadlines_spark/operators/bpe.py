@@ -93,6 +93,7 @@ def train_bpe(
     text_col: str,
     num_merges: int,
     max_word_types: int = 1 << 16,
+    census: list[tuple[str, int]] | None = None,
 ) -> tuple[list[tuple[str, str]], list[str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns
     ``(merges, alphabet)``: merges in learned order (their index IS the
@@ -101,11 +102,18 @@ def train_bpe(
 
     Stops early if the corpus runs out of co-occurring pairs. Ties in
     pair frequency break on the pair's lexical order, so the model is a
-    pure function of the census."""
-    rows = word_census(df, text_col, max_word_types).collect()
-    return _train_merges(
-        [(r["word"], int(r["freq"])) for r in rows], num_merges
-    )
+    pure function of the census.
+
+    ``census``: a pre-collected (word, freq) list — when several
+    trainers run over the same corpus (the x28 shape: BPE + WordPiece
+    + two unigram-EM variants), collect ``word_census`` ONCE and pass
+    it to all of them; without it each trainer pays its own
+    tokenize+explode+census pass (the ``grams=`` sharing contract of
+    train_bigram_lm, applied to the census)."""
+    if census is None:
+        rows = word_census(df, text_col, max_word_types).collect()
+        census = [(r["word"], int(r["freq"])) for r in rows]
+    return _train_merges(census, num_merges)
 
 
 def _train_merges(

@@ -397,6 +397,24 @@ def ivfpq_train(
     return coarse, codebooks
 
 
+def ivf_probe_cells(
+    q_mat: np.ndarray, coarse: np.ndarray, n_probe: int
+) -> np.ndarray:
+    """Deterministic probe sets under the shared ivf_topk contract:
+    4dp-rounded similarities, stable argsort, lowest cell index on
+    ties. The SINGLE definition of the probe rule — serving
+    (``ivfpq_topk``) and the x27 registry pin both call it, so a
+    tie-break or rounding change cannot silently diverge the two
+    (round-9 review finding). ``q_mat``: (n_queries, dim), already
+    L2-normalized."""
+    cmat = np.asarray(coarse, dtype="float64")
+    return np.argsort(
+        -np.round(np.asarray(q_mat, dtype="float64") @ cmat.T, 4),
+        axis=1,
+        kind="stable",
+    )[:, :n_probe]
+
+
 def _ivfpq_residuals(
     corpus: DataFrame, coarse: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -505,11 +523,7 @@ def ivfpq_topk(
     norms = np.linalg.norm(q_raw, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     q_mat = q_raw / norms
-    # deterministic probe sets: the ivf_topk contract (4dp round +
-    # stable argsort, lowest cell index on ties)
-    probe_order = np.argsort(
-        -np.round(q_mat @ cmat.T, 4), axis=1, kind="stable"
-    )[:, :n_probe]
+    probe_order = ivf_probe_cells(q_mat, cmat, n_probe)
     probes = spark.createDataFrame(
         [
             (int(qid), int(c))

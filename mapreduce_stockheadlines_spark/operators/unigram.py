@@ -109,6 +109,7 @@ def train_unigram(
     max_word_types: int = 1 << 16,
     em: str = "hard",
     count_dp: int | None = None,
+    census: list[tuple[str, int]] | None = None,
 ) -> dict[str, int]:
     """Train the unigram-LM piece table; returns piece → fixed-point
     logp (BIGINT scale ``LOGP_FP``). One distributed corpus pass (the
@@ -141,8 +142,11 @@ def train_unigram(
         raise ValueError(f"train_unigram: em must be hard|soft, got {em!r}")
     if count_dp is not None and em != "soft":
         raise ValueError("train_unigram: count_dp only applies to em='soft'")
-    rows = word_census(df, text_col, max_word_types).collect()
-    census = [(r["word"], int(r["freq"])) for r in rows]
+    if census is None:
+        # share one collect across co-trained tokenizers via census=
+        # (the train_bpe contract)
+        rows = word_census(df, text_col, max_word_types).collect()
+        census = [(r["word"], int(r["freq"])) for r in rows]
     return _train_unigram_census(
         census, vocab_size, n_rounds, max_piece_len, seed_size, em=em,
         count_dp=count_dp,
@@ -266,9 +270,9 @@ def _train_unigram_census(
             # M-step never takes ln(0)
             scale = 10**count_dp
             counts = {
-                p: _round_half_away(c * scale)
+                p: q
                 for p, c in counts.items()
-                if _round_half_away(c * scale) > 0
+                if (q := _round_half_away(c * scale)) > 0
             }
             floor = scale
         else:

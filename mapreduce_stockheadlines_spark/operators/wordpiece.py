@@ -156,16 +156,21 @@ def train_wordpiece(
     text_col: str,
     num_merges: int,
     max_word_types: int = 1 << 16,
+    census: list[tuple[str, int]] | None = None,
 ) -> tuple[list[str], list[tuple[str, str]], list[str]]:
     """Learn a WordPiece vocabulary from the corpus. Returns
     ``(vocab, merges, alphabet)``: vocab is the ENCODING table —
     alphabet pieces in sorted order, then each merge's joined symbol in
     learned order (first occurrence wins on the rare collision where a
-    later merge re-creates an existing piece)."""
-    rows = word_census(df, text_col, max_word_types).collect()
-    merges, alphabet = _train_wordpiece(
-        [(r["word"], int(r["freq"])) for r in rows], num_merges
-    )
+    later merge re-creates an existing piece).
+
+    ``census``: a pre-collected (word, freq) list — share one
+    ``word_census`` collect across co-trained tokenizers (the
+    train_bpe contract)."""
+    if census is None:
+        rows = word_census(df, text_col, max_word_types).collect()
+        census = [(r["word"], int(r["freq"])) for r in rows]
+    merges, alphabet = _train_wordpiece(census, num_merges)
     vocab: list[str] = []
     seen: set[str] = set()
     for p in list(alphabet) + [_wp_join(a, b) for a, b in merges]:

@@ -1233,7 +1233,13 @@ def x16_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(CAST(ts AS LONG) DIV 86400 AS STRING)"),
         ).alias("user_day"),
     )
-    sk = QS.kmv_build(keyed, "user_day", ["event_type"], k=k_kmv)
+    # the sketch feeds four consumers (estimate, click filter, group
+    # list, set-algebra `a` side) — materialize it once (the x18 `asg`
+    # localCheckpoint pattern) instead of re-running the distinct-hash
+    # pass + two rank windows per consumer
+    sk = QS.kmv_build(
+        keyed, "user_day", ["event_type"], k=k_kmv
+    ).localCheckpoint()
     kest = QS.kmv_estimate(sk, ["event_type"], k=k_kmv).select(
         "event_type",
         F.col("theta").alias("kmv_theta"),
@@ -2617,7 +2623,12 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         emb, n_centroids=4, coarse_iters=2, m=4, ksub=4, pq_iters=2,
         quantize_dp=7,
     )
-    res = PQO._ivfpq_residuals(emb, coarse, "vec_id", "embedding")
+    # materialize the residual projection once: rcells and renc both
+    # consume it, and without the checkpoint each re-runs the broadcast
+    # Arrow pass over the corpus (round-9 review finding)
+    res = PQO._ivfpq_residuals(
+        emb, coarse, "vec_id", "embedding"
+    ).localCheckpoint()
     rcells = res.select(
         "vec_id", F.col("cell").cast("int").alias("ivf_cell")
     )
@@ -2628,16 +2639,13 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ivfpq_codes_csv"),
         F.col("pq_rmse").alias("ivfpq_rmse"),
     )
-    # probe set of the fixed query under the ivf_topk contract (4dp
-    # round + stable argsort, lowest cell on ties) — 2 cells of 4,
-    # driver-computed from the broadcastable index, lands as a codegen
-    # isin (no join)
+    # probe set of the fixed query — 2 cells of 4, driver-computed from
+    # the broadcastable index via the SAME helper ivfpq_topk serves
+    # with (pq.ivf_probe_cells, the shared 4dp/stable/lowest-cell
+    # contract), landing as a codegen isin (no join)
     qn = q0 / (float(np.linalg.norm(q0)) or 1.0)
     probed = [
-        int(c)
-        for c in np.argsort(
-            -np.round(qn @ coarse.T, 4), kind="stable"
-        )[:2]
+        int(c) for c in PQO.ivf_probe_cells(qn[None, :], coarse, 2)[0]
     ]
     serv = PQO.ivfpq_topk(
         emb.orderBy("vec_id").limit(1), emb, coarse, rcb, k=10, n_probe=2
@@ -3111,8 +3119,15 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # and replays the learned merges over every word type.
     import hashlib
 
+    # ONE census collect for all four trainers (BPE, WordPiece, hard-
+    # and soft-EM unigram): each used to run its own tokenize+explode+
+    # census+collect pass — 3 redundant corpus scans in a benchmarked
+    # headline query (round-9 review finding)
+    _census_rows = BP.word_census(docs, "text", 4096).collect()
+    shared_census = [(r["word"], int(r["freq"])) for r in _census_rows]
     merges, _alpha = BP.train_bpe(docs, "text", num_merges=8,
-                                  max_word_types=4096)
+                                  max_word_types=4096,
+                                  census=shared_census)
     mfp = hashlib.md5(
         "|".join(a + " " + b for a, b in merges).encode()
     ).hexdigest()[:8]
@@ -3154,7 +3169,8 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import wordpiece as WP
 
     wp_vocab, _wp_merges, _wp_alpha = WP.train_wordpiece(
-        docs, "text", num_merges=8, max_word_types=4096
+        docs, "text", num_merges=8, max_word_types=4096,
+        census=shared_census,
     )
     wfp = WP.wordpiece_vocab_fp8(wp_vocab)
     enc_w = WP.encode_word_types_wp(
@@ -3167,7 +3183,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
     uni = UG.train_unigram(
         docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
-        seed_size=64, max_word_types=4096,
+        seed_size=64, max_word_types=4096, census=shared_census,
     )
     ufp = UG.unigram_model_fp8(uni)
     # round 9: the TRUE soft-EM trainer under the gate too — expected
@@ -3180,6 +3196,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     uni_soft = UG.train_unigram(
         docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
         seed_size=64, max_word_types=4096, em="soft", count_dp=4,
+        census=shared_census,
     )
     usfp = UG.unigram_model_fp8(uni_soft)
     enc_u = UG.unigram_encode_word_types(
@@ -3309,9 +3326,7 @@ bpct AS (
     return out
 
 
-def _x28_wp_train_ctes(
-    num_merges: int = 8, max_word_types: int = 4096, wp_unroll: int = 12
-) -> str:
+def _x28_wp_train_ctes(num_merges: int = 8, wp_unroll: int = 12) -> str:
     """Unrolled WORDPIECE training (the seventh trainer under the
     unrolled-CTE recipe) + recursive-CTE greedy encode.
 
@@ -3341,17 +3356,20 @@ def _x28_wp_train_ctes(
     chars = at most 8 single-char pieces); a word stuck with no match
     (true [UNK]) or deeper than the bound counts 1 — for in-alphabet
     corpora only the [UNK] arm can fire, and a bound regression breaks
-    the registry hash loudly."""
-    out = f""",
-wpw AS MATERIALIZED (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq
-  FROM words GROUP BY word
-  ORDER BY freq DESC, word LIMIT {max_word_types}),
+    the registry hash loudly.
+
+    This fragment REQUIRES ``_x28_bpe_train_ctes`` earlier in the same
+    WITH list: the word census comes from its ``bw`` CTE (one census
+    aggregation for both trainers, and ONE place owning the
+    max_word_types LIMIT so the two chains cannot silently diverge
+    from the Spark side) and the all-types word list from its
+    ``be0``."""
+    out = """,
 wps0 AS MATERIALIZED (
   SELECT word, freq,
          ' ' || substr(word, 1, 1) || ' ' ||
          regexp_replace(substr(word, 2), '(.)', '##\\1 ', 'g') AS s
-  FROM wpw)"""
+  FROM bw)"""
     for r in range(1, num_merges + 1):
         out += f""",
 wpp{r} AS MATERIALIZED (
@@ -3415,8 +3433,7 @@ wfp AS (
                 1, 8) AS fp
   FROM wpvoc),
 wk0 AS MATERIALIZED (
-  SELECT word, word AS rest, 0 AS np
-  FROM (SELECT DISTINCT word FROM words))"""
+  SELECT word, word AS rest, 0 AS np FROM be0)"""
     for i in range(1, wp_unroll + 1):
         out += f""",
 wk{i} AS MATERIALIZED (

@@ -815,7 +815,7 @@ def kmv_ingest_sink(
     group_cols: list[str],
     value_col: str,
     artifact_dir: str,
-    k: int = 256,
+    k: int | None = None,
     salt: str = "kmv",
 ):
     """foreachBatch function: maintain a KMV theta-sketch artifact
@@ -828,9 +828,14 @@ def kmv_ingest_sink(
     ≤ k rows per group. The set-expression capability is what the HLL
     sketch_ingest_sink cannot provide. Replay/crash contract:
     ``_artifact_fold_sink``. Per-batch cost: one distinct-hash pass of
-    the batch + a read of the ≤ k·groups-row artifact."""
-    from ..operators.sketches import kmv_build, kmv_merge
+    the batch + a read of the ≤ k·groups-row artifact. ``k`` defaults
+    to sketches.DEFAULT_KMV_K (not a local literal — streaming and
+    batch sketches must keep the same k or their merges/set algebra
+    silently mix thetas)."""
+    from ..operators.sketches import DEFAULT_KMV_K, kmv_build, kmv_merge
 
+    if k is None:
+        k = DEFAULT_KMV_K
     return _artifact_fold_sink(
         artifact_dir,
         [*group_cols, "hv"],

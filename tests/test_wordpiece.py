@@ -176,6 +176,7 @@ def test_wp_train_and_encode_match_duckdb_unrolled_ctes(spark, sf_dir):
     correlated subquery inside a RECURSIVE member inconsistently
     (measured — the registry fragment documents it)."""
     from mapreduce_stockheadlines_spark.plans.extensions import (
+        _x28_bpe_train_ctes,
         _x28_wp_train_ctes,
     )
 
@@ -209,7 +210,10 @@ def test_wp_train_and_encode_match_duckdb_unrolled_ctes(spark, sf_dir):
                    regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
                  t -> t <> '')) AS word
           FROM documents)"""
-    ctes = _x28_wp_train_ctes()
+    # the wp fragment consumes the bpe fragment's bw census and be0
+    # word list (one census for both trainers — the coupling is the
+    # point), so the standalone harness prepends it
+    ctes = _x28_bpe_train_ctes() + _x28_wp_train_ctes()
     want_fp = con.execute(head + ctes + "\nSELECT fp FROM wfp").fetchall()
     assert want_fp == [(W.wordpiece_vocab_fp8(vocab),)]
     want_enc = con.execute(
