@@ -52,6 +52,11 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 subword tokenizer self-trained on the
                                 survivors, hard-EM Viterbi —
                                 --encode-unigram-pieces)
+      → WordPiece encode       (optional alternative: likelihood-scored
+                                merges + greedy longest-match, self-
+                                trained or from a save_wordpiece
+                                artifact — --encode-wordpiece-merges /
+                                --wordpiece-dir)
       → sequence packing       (optional: per-partition FFD into token
                                 budgets — --pack-budget)
       → train/test split       (optional: hash-disjoint, growth-stable —
@@ -81,6 +86,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe as BP
 from ..operators import unigram as UG
+from ..operators.wordpiece import load_wordpiece as _load_wordpiece
 from ..operators import dedup as D
 from ..operators import packing as PK
 from ..operators import relevance as RV
@@ -126,6 +132,8 @@ def curate(
     unigram_pieces: int | None = None,
     unigram_model: dict[str, int] | None = None,
     bpe_model: tuple[list[tuple[str, str]], list[str]] | None = None,
+    wordpiece_merges: int | None = None,
+    wordpiece_vocab: list[str] | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The full curation plan over a (doc_id, text, ...) frame; returns the
@@ -144,13 +152,25 @@ def curate(
             encode_vocab_top,
             bpe_merges if bpe_model is None else bpe_model,
             unigram_pieces if unigram_model is None else unigram_model,
+            wordpiece_merges if wordpiece_vocab is None else wordpiece_vocab,
         )
     )
     if n_encode_stages > 1:
         raise ValueError(
             "choose one encode stage: encode_vocab_top (word-level), "
-            "bpe_merges/bpe_model (BPE subword) or unigram_pieces "
-            "(unigram-LM subword)"
+            "bpe_merges/bpe_model (BPE subword), unigram_pieces "
+            "(unigram-LM subword) or wordpiece_merges/wordpiece_vocab "
+            "(WordPiece subword)"
+        )
+    if wordpiece_merges is not None and wordpiece_vocab is not None:
+        raise ValueError(
+            "wordpiece_merges (self-train) and wordpiece_vocab "
+            "(pretrained artifact) are mutually exclusive — silently "
+            "preferring one would mask a config error"
+        )
+    if wordpiece_merges is not None and wordpiece_merges < 1:
+        raise ValueError(
+            f"wordpiece_merges must be >= 1, got {wordpiece_merges}"
         )
     if bpe_merges is not None and bpe_model is not None:
         raise ValueError(
@@ -615,6 +635,36 @@ def curate(
         )
         docs = docs.join(enc, "doc_id")
 
+    # 5g. (optional) WordPiece encode: greedy longest-match subword
+    #     pieces — self-trained on the survivors (wordpiece_merges) or
+    #     a pretrained save_wordpiece vocabulary (wordpiece_vocab, the
+    #     deployment shape). Same barrier rationale as the other encode
+    #     stages: the census collect executes the chain.
+    if wordpiece_merges is not None or wordpiece_vocab is not None:
+        from ..operators import wordpiece as WPO
+
+        docs = (
+            docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
+        )
+        if wordpiece_vocab is not None:
+            wvocab = wordpiece_vocab
+        else:
+            wvocab, _, _ = WPO.train_wordpiece(
+                docs, "text", num_merges=wordpiece_merges
+            )
+        enc = WPO.apply_wordpiece(
+            docs,
+            "doc_id",
+            "text",
+            wvocab,
+            piece_ids=WPO.wordpiece_piece_id_map(wvocab),
+        ).select(
+            "doc_id",
+            "piece_token_ids",
+            F.col("n_pieces").alias("n_wp_pieces"),
+        )
+        docs = docs.join(enc, "doc_id")
+
     # 6. (optional) pack surviving docs into fixed token-budget training
     #    sequences; assignment joined back so rows keep their text
     if pack_budget is not None:
@@ -624,6 +674,8 @@ def curate(
             count_col = "n_bpe_pieces"
         elif unigram_pieces is not None or unigram_model is not None:
             count_col = "n_uni_pieces"
+        elif wordpiece_merges is not None or wordpiece_vocab is not None:
+            count_col = "n_wp_pieces"
         else:
             count_col = "n_ws_tokens"
         assignment = PK.pack_sequences(
@@ -757,6 +809,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--unigram-dir", default=None,
                     help="save_unigram artifact dir: encode with this "
                          "pretrained unigram-LM tokenizer instead of "
+                         "self-training")
+    ap.add_argument("--encode-wordpiece-merges", type=int, default=None,
+                    help="self-train a WordPiece tokenizer with this many "
+                         "likelihood-scored merges on the survivors and "
+                         "encode piece ids (greedy longest match)")
+    ap.add_argument("--wordpiece-dir", default=None,
+                    help="save_wordpiece artifact dir: encode with this "
+                         "pretrained WordPiece vocabulary instead of "
                          "self-training")
     ap.add_argument("--max-dup-ngram-fraction", type=float, default=None,
                     help="drop docs whose within-doc duplicate-n-gram "
@@ -946,6 +1006,11 @@ def main(argv: list[str] | None = None) -> None:
         bpe_merges=args.encode_bpe_merges,
         bpe_model=(
             BP.load_bpe(spark, args.bpe_dir) if args.bpe_dir else None
+        ),
+        wordpiece_merges=args.encode_wordpiece_merges,
+        wordpiece_vocab=(
+            _load_wordpiece(spark, args.wordpiece_dir)
+            if args.wordpiece_dir else None
         ),
         reliable_checkpoint=bool(args.checkpoint_dir),
     )

@@ -275,6 +275,21 @@ def apply_bpe(
     enc = encode_word_types(
         toks.select("word").distinct(), merges, piece_ids=piece_ids
     )
+    return _apply_encoded_types(df, id_col, toks, enc, piece_ids is not None)
+
+
+def _apply_encoded_types(
+    df: DataFrame,
+    id_col: str,
+    toks: DataFrame,
+    enc: DataFrame,
+    with_ids: bool,
+) -> DataFrame:
+    """Shared reassembly for word-TYPE-scoped subword encoders
+    (BPE/WordPiece/unigram callers): join encodings back to the
+    (id, pos, word) stream, rebuild per-doc piece sequences in token
+    order, restore token-less docs with empty arrays. ``enc`` carries
+    (word, pieces[, ids])."""
     joined = toks.join(enc, "word")
     piece_seq = F.flatten(
         F.transform(
@@ -286,7 +301,7 @@ def apply_bpe(
         piece_seq.alias("pieces"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
     ]
-    if piece_ids is not None:
+    if with_ids:
         aggs.append(
             F.flatten(
                 F.transform(
@@ -306,7 +321,7 @@ def apply_bpe(
         "n_words": F.coalesce("n_words", F.lit(0).cast("bigint")),
         "n_pieces": F.coalesce("n_pieces", F.lit(0).cast("bigint")),
     }
-    if piece_ids is not None:
+    if with_ids:
         fills["piece_token_ids"] = F.coalesce(
             "piece_token_ids", F.array().cast("array<int>")
         )

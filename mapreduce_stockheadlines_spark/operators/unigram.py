@@ -425,43 +425,6 @@ def apply_unigram(
         toks.select("word").distinct(), model,
         max_piece_len=max_piece_len, piece_ids=piece_ids,
     )
-    joined = toks.join(enc, "word")
-    piece_seq = F.flatten(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("pieces")))
-            ),
-            lambda s: s["pieces"],
-        )
-    )
-    aggs = [
-        piece_seq.alias("pieces"),
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-    ]
-    if piece_ids is not None:
-        aggs.append(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("ids")))
-                    ),
-                    lambda s: s["ids"],
-                )
-            ).alias("piece_token_ids")
-        )
-    # token-less docs restore via the df-side LEFT join below (the
-    # apply_bpe pattern) — no extra distinct pass over the token stream
-    enc_docs = df.select(id_col).join(
-        joined.groupBy(id_col).agg(*aggs), id_col, "left"
-    )
-    fills = {
-        "pieces": F.array().cast("array<string>"),
-        "n_words": F.lit(0).cast("bigint"),
-    }
-    if piece_ids is not None:
-        fills["piece_token_ids"] = F.array().cast("array<int>")
-    for c, default in fills.items():
-        enc_docs = enc_docs.withColumn(c, F.coalesce(F.col(c), default))
-    return enc_docs.withColumn(
-        "n_pieces", F.size("pieces").cast("bigint")
-    )
+    from .bpe import _apply_encoded_types
+
+    return _apply_encoded_types(df, id_col, toks, enc, piece_ids is not None)

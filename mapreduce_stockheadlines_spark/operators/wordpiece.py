@@ -52,6 +52,8 @@ from .bpe import word_census
 __all__ = [
     "train_wordpiece",
     "encode_word_types_wp",
+    "apply_wordpiece",
+    "wordpiece_piece_id_map",
     "wordpiece_vocab_fp8",
     "save_wordpiece",
     "load_wordpiece",
@@ -205,19 +207,31 @@ def _encode_word_wp(word: str, vocab: set[str]) -> list[str]:
     return pieces
 
 
+def wordpiece_piece_id_map(vocab: list[str]) -> dict[str, int]:
+    """piece → 1-based id in vocabulary order (alphabet then merges) —
+    the ``bpe.piece_id_map`` layout. 0 stays the unk/pad reservation,
+    which is exactly where the greedy encoder's ``[UNK]`` piece lands
+    (absent from the map → id 0)."""
+    return {p: i + 1 for i, p in enumerate(vocab)}
+
+
 def encode_word_types_wp(
     words: DataFrame,
     vocab: list[str],
     word_col: str = "word",
+    piece_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """Encode DISTINCT word types by greedy longest match: (word,
-    pieces array<string>). Arrow-batched scalar pandas UDF with a
-    per-batch memo; the vocab set ships in the closure — bounded by
+    pieces array<string>) plus, with ``piece_ids``
+    (a ``wordpiece_piece_id_map``), (..., ids array<int>) with unknown
+    pieces → 0. Arrow-batched scalar pandas UDF with a per-batch memo;
+    the vocab set ships in the closure — bounded by
     alphabet+num_merges entries, the broadcast-class side-data
     contract shared with ``bpe.encode_word_types``."""
     from pyspark.sql.functions import pandas_udf
 
     vset = set(vocab)
+    ids = dict(piece_ids) if piece_ids is not None else None
 
     @pandas_udf("array<string>")
     def enc(s: pd.Series) -> pd.Series:
@@ -231,7 +245,43 @@ def encode_word_types_wp(
 
         return s.map(one)
 
-    return words.withColumn("pieces", enc(F.col(word_col)))
+    out = words.withColumn("pieces", enc(F.col(word_col)))
+    if ids is None:
+        return out
+
+    @pandas_udf("array<int>")
+    def to_ids(s: pd.Series) -> pd.Series:
+        return s.map(lambda ps: [ids.get(p, 0) for p in ps])
+
+    return out.withColumn("ids", to_ids(F.col("pieces")))
+
+
+def apply_wordpiece(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    piece_ids: dict[str, int] | None = None,
+) -> DataFrame:
+    """Tokenize documents into WordPiece piece sequences: (id, pieces
+    in original order, n_words, n_pieces) and, with ``piece_ids``, a
+    parallel ``piece_token_ids`` array<int> — the greedy-longest-match
+    sibling of ``bpe.apply_bpe`` with the identical scale shape (one
+    posexplode, Python work once per DISTINCT type, one join back,
+    shared per-doc reassembly); token-less docs survive with empty
+    arrays."""
+    from ..functions.text import tokens_array
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_array(text_col)).alias("pos", "word"),
+    )
+    enc = encode_word_types_wp(
+        toks.select("word").distinct(), vocab, piece_ids=piece_ids
+    )
+    from .bpe import _apply_encoded_types
+
+    return _apply_encoded_types(df, id_col, toks, enc, piece_ids is not None)
 
 
 def wordpiece_vocab_fp8(vocab: list[str]) -> str:

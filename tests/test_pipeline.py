@@ -1311,3 +1311,83 @@ def test_pipeline_cli_unigram_artifact_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         curate(docs, unigram_pieces=4, unigram_model=model)
+
+
+def test_curate_wordpiece_encode_stage(spark):
+    rows = [
+        (1, "data database dart data the the", "s"),
+        (2, "the data dart", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs, lang="en", min_quality=0.0, wordpiece_merges=6, pack_budget=16
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    for r in got.values():
+        # ids parallel the pieces; trained alphabet covers the corpus,
+        # so no [UNK] (id 0) appears
+        assert len(r.piece_token_ids) == r.n_wp_pieces
+        assert r.n_wp_pieces >= 1
+        assert 0 not in r.piece_token_ids
+    # packing budgeted by the WordPiece piece count
+    assert all(r.pack_id is not None for r in got.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="one encode stage"):
+        curate(docs, wordpiece_merges=4, encode_vocab_top=10)
+    with pytest.raises(ValueError, match="wordpiece_merges"):
+        curate(docs, wordpiece_merges=0)
+
+
+def test_curate_wordpiece_frozen_vocab_matches_self_trained(spark):
+    """save_wordpiece -> wordpiece_vocab encodes with the frozen
+    vocabulary (the save_bpe deployment shape) and matches the
+    in-process self-trained encode."""
+    from mapreduce_stockheadlines_spark.operators import wordpiece as WPO
+
+    rows = [
+        (1, "data database dart data the the", "s"),
+        (2, "the data dart", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    vocab, _, _ = WPO.train_wordpiece(docs, "text", num_merges=6)
+
+    direct = curate(docs, lang="en", min_quality=0.0, wordpiece_merges=6)
+    frozen = curate(docs, lang="en", min_quality=0.0, wordpiece_vocab=vocab)
+    d = {r.doc_id: list(r.piece_token_ids) for r in direct.collect()}
+    f = {r.doc_id: list(r.piece_token_ids) for r in frozen.collect()}
+    assert d == f
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, wordpiece_merges=4, wordpiece_vocab=vocab)
+
+
+def test_apply_wordpiece_reassembles_in_order_and_restores_empty(spark):
+    """apply_wordpiece: pieces re-spell each doc's words in token
+    order; token-less docs survive with empty arrays; piece ids
+    parallel the pieces with [UNK] -> 0."""
+    from mapreduce_stockheadlines_spark.operators import wordpiece as WPO
+
+    docs = spark.createDataFrame(
+        [(1, "hello help"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    vocab, _, _ = WPO.train_wordpiece(
+        docs.filter("doc_id = 1"), "text", num_merges=3
+    )
+    out = {
+        r.doc_id: r
+        for r in WPO.apply_wordpiece(
+            docs, "doc_id", "text", vocab,
+            piece_ids=WPO.wordpiece_piece_id_map(vocab),
+        ).collect()
+    }
+    joined = "".join(
+        p[2:] if p.startswith("##") else p for p in out[1].pieces
+    )
+    assert joined == "hellohelp"
+    assert len(out[1].piece_token_ids) == out[1].n_pieces
+    assert out[2].pieces == [] and out[2].n_pieces == 0
+    assert out[3].pieces == [] and out[3].piece_token_ids == []
