@@ -1132,3 +1132,55 @@ def rrf_fuse(
     return fused.withColumn(
         "rrf_rank", F.row_number().over(w).cast("int")
     )
+
+
+def mine_hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    n_negatives: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training data
+    (Karpukhin et al. 2020, DPR; the standard bi-encoder recipe): from
+    a ranked candidate list, remove each query's KNOWN positives and
+    re-rank what remains — the nearest non-answers are the negatives
+    that teach a contrastive model the most (random negatives are too
+    easy; the confusable ones define the decision boundary).
+
+    ``candidates``: a (query, item, rank, ...) result list from any of
+    the retrieval paths (``cosine_topk`` exact, ``ivf_topk`` /
+    ``pq.ivfpq_topk`` at scale, ``relevance.bm25_scores`` ranked, or an
+    ``rrf_fuse`` hybrid — the rank column name is a parameter).
+    ``positives``: (query, item) known-relevant pairs. Output: the
+    candidates' non-positive rows + ``hard_neg_rank`` (1-based in
+    original rank order, per query), truncated to ``n_negatives`` when
+    given. Callers retrieving k candidates should retrieve
+    k ≥ n_negatives + max positives per query, or fewer than
+    n_negatives rows survive — that underflow is visible (fewer output
+    rows), never silent mis-ranking.
+
+    Scale shape: one anti-join against the positives (per-query
+    positives are few — a broadcast-class build side) + one
+    query-partitioned window, both over RESULT-sized rows (queries × k,
+    never the corpus)."""
+    from pyspark.sql import Window
+
+    neg = candidates.join(
+        positives.select(query_col, item_col).distinct(),
+        [query_col, item_col],
+        "left_anti",
+    )
+    w = Window.partitionBy(query_col).orderBy(rank_col, item_col)
+    out = neg.withColumn(
+        "hard_neg_rank", F.row_number().over(w).cast("int")
+    )
+    if n_negatives is not None:
+        if n_negatives < 1:
+            raise ValueError(
+                f"mine_hard_negatives: n_negatives must be >= 1, "
+                f"got {n_negatives}"
+            )
+        out = out.filter(F.col("hard_neg_rank") <= n_negatives)
+    return out

@@ -1510,10 +1510,21 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # only candidates compete in the window, so the rrf_rank column pins
     # the WHOLE fusion, not just the surfaced rows.
     rrf = S.rrf_fuse([approx, truth])
+    # hard-negative mining (round-9 zero-slot promotion — the DPR
+    # bi-encoder recipe, operators/similarity.mine_hard_negatives):
+    # positives = each query's exact top-3 (truth rank <= 3); the IVF
+    # candidate list re-ranks with them removed — one anti-join + one
+    # query window over result-sized rows. NULL hard_neg_rank marks a
+    # candidate that IS a positive, so the column pins both arms.
+    pos = truth.filter(F.col("rank") <= 3).select("query_id", "neighbor_id")
+    hneg = S.mine_hard_negatives(approx, pos).select(
+        "query_id", "neighbor_id", "hard_neg_rank"
+    )
     return (
         approx.join(ev, "query_id")
         .join(cells, "neighbor_id")
         .join(rrf, ["query_id", "neighbor_id"])
+        .join(hneg, ["query_id", "neighbor_id"], "left")
         .orderBy("query_id", "rank")
     )
 
@@ -1689,18 +1700,32 @@ rrfr AS (
          CAST(row_number() OVER (PARTITION BY query_id
                                  ORDER BY rrf_fp DESC, neighbor_id)
               AS INTEGER) AS rrf_rank
-  FROM rrf)
+  FROM rrf),
+-- hard-negative mining (DPR): IVF candidates that are NOT among the
+-- query's exact top-3, re-ranked 1.. in original candidate-rank order
+hneg AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rank, neighbor_id)
+              AS INTEGER) AS hard_neg_rank
+  FROM ak a
+  WHERE NOT EXISTS (SELECT 1 FROM tr t
+                    WHERE t.query_id = a.query_id
+                      AND t.neighbor_id = a.neighbor_id
+                      AND t.rank <= 3))
 SELECT a.query_id, a.neighbor_id, a.sim, a.rank,
        ev.n_truth, ev.n_hit, ev.recall, ev.first_hit_rank,
        ev.reciprocal_rank, ev.ndcg,
        f.cell_id, fcn.cell_n, f.cent_sim, srep.sem_rep,
-       rf.rrf_fp, rf.rrf_rank
+       rf.rrf_fp, rf.rrf_rank, hn.hard_neg_rank
 FROM ak a JOIN ev USING (query_id)
 JOIN fasg f ON f.neighbor_id = a.neighbor_id
 JOIN fcn ON fcn.cell_id = f.cell_id
 JOIN srep ON srep.node = a.neighbor_id
 JOIN rrfr rf ON rf.query_id = a.query_id
             AND rf.neighbor_id = a.neighbor_id
+LEFT JOIN hneg hn ON hn.query_id = a.query_id
+                 AND hn.neighbor_id = a.neighbor_id
 ORDER BY a.query_id, a.rank
 """
 

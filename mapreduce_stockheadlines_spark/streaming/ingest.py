@@ -139,6 +139,7 @@ def curated_ingest_sink(
     lm_dir: str | None = None,
     bpe_dir: str | None = None,
     unigram_dir: str | None = None,
+    wordpiece_dir: str | None = None,
     drift_census_dir: str | None = None,
     max_js_divergence: float | None = None,
     bloom_bits: int | None = None,
@@ -186,17 +187,18 @@ def curated_ingest_sink(
     surviving as a spurious near-variant.
     """
 
-    if bpe_dir is not None and unigram_dir is not None:
-        # both stages emit piece_token_ids/n_pieces — running both would
-        # collide on the join; one tokenizer per sink, chosen loudly
+    if sum(d is not None for d in (bpe_dir, unigram_dir, wordpiece_dir)) > 1:
+        # all three stages emit piece_token_ids/n_pieces — running two
+        # would collide on the join; one tokenizer per sink, chosen loudly
         raise ValueError(
-            "bpe_dir and unigram_dir are mutually exclusive — "
-            "pick one tokenizer artifact per sink"
+            "bpe_dir, unigram_dir and wordpiece_dir are mutually "
+            "exclusive — pick one tokenizer artifact per sink"
         )
 
     _lm_cache: list = []  # one artifact load per sink lifetime
     _bpe_cache: list = []  # ditto for the BPE tokenizer
     _uni_cache: list = []  # ditto for the unigram-LM tokenizer
+    _wp_cache: list = []  # ditto for the WordPiece tokenizer
     _drift_cache: list = []  # ditto for the reference token census
     _dsir_cache: list = []  # ditto for the DSIR ratio table
 
@@ -461,6 +463,25 @@ def curated_ingest_sink(
             mdl, uids = _uni_cache[0]
             enc = apply_unigram(
                 survivors, id_col, text_col, mdl, piece_ids=uids
+            ).select(id_col, "piece_token_ids", "n_pieces")
+            survivors = survivors.join(enc, id_col)
+        if wordpiece_dir is not None:
+            # WordPiece sibling: same artifact-only contract (per-batch
+            # self-training would give every batch incompatible piece
+            # ids), same per-sink model cache, same word-TYPE-scoped
+            # encode cost inside apply_wordpiece
+            from ..operators.wordpiece import (
+                apply_wordpiece,
+                load_wordpiece,
+                wordpiece_piece_id_map,
+            )
+
+            if not _wp_cache:
+                wv = load_wordpiece(spark, wordpiece_dir)
+                _wp_cache.append((wv, wordpiece_piece_id_map(wv)))
+            wv, wids = _wp_cache[0]
+            enc = apply_wordpiece(
+                survivors, id_col, text_col, wv, piece_ids=wids
             ).select(id_col, "piece_token_ids", "n_pieces")
             survivors = survivors.join(enc, id_col)
         # per-batch subdir + overwrite = idempotent under micro-batch retry

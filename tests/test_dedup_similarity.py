@@ -3037,3 +3037,75 @@ def test_multimodal_webp_container_metadata(spark):
     ).collect()[0]
     assert out.mime == "image/webp"
     assert (out.width, out.height, out.n_frames) == (300, 200, 1)
+
+
+# --- hard-negative mining (DPR recipe) ----------------------------------------
+
+
+def test_mine_hard_negatives_hand_values(spark):
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            (1, 100, 1), (1, 101, 2), (1, 102, 3), (1, 103, 4),
+            (2, 200, 1), (2, 201, 2),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    pos = spark.createDataFrame(
+        [(1, 101), (1, 999), (2, 200), (2, 200)],  # 999 not a candidate;
+        "query_id long, neighbor_id long",         # (2,200) duplicated
+    )
+    out = {
+        (r.query_id, r.neighbor_id): r.hard_neg_rank
+        for r in mine_hard_negatives(cands, pos).collect()
+    }
+    # q1: 101 removed; 100, 102, 103 re-rank 1, 2, 3
+    assert out == {
+        (1, 100): 1, (1, 102): 2, (1, 103): 3,
+        (2, 201): 1,
+    }
+    # truncation keeps the hardest n
+    top1 = {
+        (r.query_id, r.neighbor_id)
+        for r in mine_hard_negatives(cands, pos, n_negatives=1).collect()
+    }
+    assert top1 == {(1, 100), (2, 201)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_negatives"):
+        mine_hard_negatives(cands, pos, n_negatives=0)
+
+
+def test_x18_hard_neg_rank_nondegenerate_and_consistent(spark, sf_dir):
+    """Promotion guard for the round-9 hard_neg_rank column: the x18
+    candidate lists contain both positives (NULL rank) and negatives
+    (1..n in candidate-rank order, contiguous per query)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x18 = ALL_QUERIES["x18_ivf_topk"].builder(spark, sf_dir).cache()
+    try:
+        assert_column_nondegenerate(x18, "hard_neg_rank", f"at {sf_dir}")
+        rows = x18.select(
+            "query_id", "rank", "hard_neg_rank"
+        ).collect()
+        assert any(r.hard_neg_rank is None for r in rows)  # positives exist
+        by_q: dict = {}
+        for r in rows:
+            if r.hard_neg_rank is not None:
+                by_q.setdefault(r.query_id, []).append(
+                    (r.rank, r.hard_neg_rank)
+                )
+        for q, pairs in by_q.items():
+            pairs.sort()
+            # re-ranking preserves candidate order and is contiguous 1..n
+            assert [hn for _, hn in pairs] == list(
+                range(1, len(pairs) + 1)
+            ), (q, pairs)
+    finally:
+        x18.unpersist()

@@ -1068,3 +1068,77 @@ def test_curated_ingest_unigram_encode_with_pretrained_artifact(
             str(tmp_path / "o2"), str(tmp_path / "i2"),
             bpe_dir="x", unigram_dir="y",
         )
+
+
+def test_curated_ingest_wordpiece_encode_with_pretrained_artifact(
+    spark, tmp_path
+):
+    """The WordPiece sibling of the BPE/unigram ingest stages:
+    survivors carry piece-id sequences consistent with the frozen
+    save_wordpiece artifact; any two tokenizer dirs together fail
+    loudly."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import wordpiece as WPO
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        curated_ingest_sink,
+        run_curated_ingest,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the market closed higher today and the outlook is good"),
+            (2, "the market closed lower today and the outlook is weak"),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab, _, _ = WPO.train_wordpiece(ref, "text", num_merges=10)
+    wp_dir = str(tmp_path / "wp")
+    WPO.save_wordpiece(spark, vocab, wp_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (10, "the market closed higher today"),
+        (11, "the market closed higher today"),  # exact dup of 10
+        (12, "a wholly different note on commodities"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_curated_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+        wordpiece_dir=wp_dir,
+    )
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert sorted(out) == [10, 12]  # 11 deduped
+    ids = WPO.wordpiece_piece_id_map(vocab)
+    vset = set(vocab)
+    for doc_id, text in [(10, rows[0][1]), (12, rows[2][1])]:
+        want = []
+        for w in text.split():
+            want += [
+                ids.get(p, 0) for p in WPO._encode_word_wp(w, vset)
+            ]
+        assert out[doc_id].piece_token_ids == want
+        assert out[doc_id].n_pieces == len(want)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curated_ingest_sink(
+            str(tmp_path / "o2"), str(tmp_path / "i2"),
+            unigram_dir="y", wordpiece_dir="z",
+        )
