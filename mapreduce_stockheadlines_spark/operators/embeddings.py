@@ -297,3 +297,62 @@ def pca_explained_variance(df: DataFrame, vec_col: str, k: int) -> float:
     return_variance=True)`` shares the single pass."""
     _, _, explained = pca_fit(df, vec_col, k=k, return_variance=True)
     return explained
+
+
+def truncate_dims(
+    df: DataFrame, vec_col: str, d: int, out_col: str | None = None
+) -> DataFrame:
+    """Matryoshka-style prefix truncation (Kusupati et al. 2022, MRL):
+    keep the first ``d`` dimensions. MRL-trained embeddings order
+    information front-to-back, so serving at a prefix cuts index
+    storage and scan bandwidth dim/d× for a measured recall cost
+    (pair with ``similarity.topk_eval`` for the measurement). Pure
+    codegen slice — zero Python, zero shuffle; cosine over prefixes
+    renormalizes implicitly, so no renormalization pass is needed for
+    ranking."""
+    if d < 1:
+        raise ValueError(f"truncate_dims: d must be >= 1, got {d}")
+    return df.withColumn(out_col or vec_col, F.slice(F.col(vec_col), 1, d))
+
+
+def fixed_query_cosine(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    d: int | None = None,
+    out_col: str = "sim",
+    dp: int = 4,
+) -> DataFrame:
+    """``dp``-rounded cosine of each vector (or its first-``d`` MRL
+    prefix) against ONE fixed query vector — the zero-Python path for
+    single-query scoring/eval columns (the x27 registry shape): dot and
+    norm are ``aggregate``/``zip_with`` HOFs inside codegen, the query
+    prefix is a literal array, and the decision surface is the rounded
+    value (the shared 4dp cross-engine float contract). A zero-norm
+    vector gets NULL (unrankable, the lm_perplexity loud-null
+    convention), never a division error or a fake 0."""
+    import math
+
+    qd = [float(x) for x in (query if d is None else query[:d])]
+    qnorm = math.sqrt(sum(x * x for x in qd))
+    if qnorm == 0.0:
+        raise ValueError("fixed_query_cosine: query has zero norm")
+    v = (
+        F.col(vec_col)
+        if d is None
+        else F.slice(F.col(vec_col), 1, int(d))
+    )
+    v = F.transform(v, lambda x: x.cast("double"))
+    qlit = F.array(*[F.lit(x) for x in qd])
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.when(
+        vnorm > 0.0, F.round(dot / (vnorm * F.lit(qnorm)), dp)
+    )
+    return df.withColumn(out_col, sim)

@@ -34,6 +34,9 @@ __all__ = [
     "oov_stats",
     "train_bigram_lm",
     "lm_perplexity",
+    "train_bigram_lm_kn",
+    "lm_perplexity_kn",
+    "ppl_buckets",
     "apply_vocabulary",
     "save_bigram_lm",
     "load_bigram_lm",
@@ -681,3 +684,62 @@ def load_bigram_lm(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     ctx = spark.read.parquet(f"{path}/ctx")
     v = int(spark.read.parquet(f"{path}/meta").first()["v"])
     return lm, ctx, v
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    ppl_col: str = "ppl",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): rank
+    the corpus by (perplexity ASC, id) and split the ranking into
+    ``n_buckets`` near-equal slices — bucket 1 is the head (most
+    fluent), bucket n the tail. CCNet trains on the head/middle and
+    holds the tail for inspection; the BUCKET label, not a hard drop,
+    is the operator (filtering is one more predicate).
+
+    Output: (id, ppl_rank, ppl_bucket). A NULL perplexity (the
+    backoff=False loud-null contract) keeps its row with NULL
+    rank/bucket — unrankable, not silently ranked last.
+
+    Every decision is integer: rank comes from the skew-proof bucketed
+    row_number (no SinglePartition pass over the corpus — floor(ppl)
+    is the monotone bucket prefix of the (ppl, id) order), the corpus
+    count attaches via the non-foldable zero-key broadcast join, and
+    ``ppl_bucket = (rank−1)·n div total + 1`` — so both the rank and
+    the bucket are cross-engine hashable."""
+    from .rank import bucketed_row_number
+
+    if n_buckets < 1:
+        raise ValueError(
+            f"ppl_buckets: n_buckets must be >= 1, got {n_buckets}"
+        )
+    rankable = scored.filter(F.col(ppl_col).isNotNull()).select(
+        id_col, ppl_col
+    )
+    ranked = bucketed_row_number(
+        rankable.withColumn("_pb", F.floor(F.col(ppl_col)).cast("long")),
+        ["_pb"],
+        [F.col(ppl_col).asc(), F.col(id_col).asc()],
+        "ppl_rank",
+    ).drop("_pb")
+    total = rankable.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_total")
+    ).withColumn("_zk", _zero_key("_n_total"))
+    ranked = (
+        ranked.withColumn("_zk", _zero_key(id_col))
+        .join(F.broadcast(total), "_zk")
+        .withColumn(
+            "ppl_bucket",
+            (
+                F.expr(
+                    f"CAST(((ppl_rank - 1) * {int(n_buckets)}) "
+                    "div _n_total AS INT)"
+                )
+                + F.lit(1)
+            ),
+        )
+        .select(id_col, "ppl_rank", "ppl_bucket")
+    )
+    return scored.select(id_col).join(ranked, id_col, "left")

