@@ -709,3 +709,259 @@ def pq_refit(
             (s_fp[j, c] / 10**fp_dp) / n_by[j, c], quantize_dp
         )
     return new
+
+
+# --- OPQ: Optimized Product Quantization (rotation-trained PQ) ---------------
+
+
+def rotate_vectors(
+    corpus: DataFrame,
+    rotation: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "vr",
+) -> DataFrame:
+    """(id, out_col = R·x) — one broadcast-rotation Arrow pass, no
+    shuffle; the projection OPQ interposes before every PQ step."""
+    spark = corpus.sparkSession
+    corpus = _nonempty_vecs(corpus, vec_col)
+    br = spark.sparkContext.broadcast(
+        np.asarray(rotation, dtype="float64")
+    )
+
+    def rot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = br.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _raw_matrix(pdf["cv"])
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "vr": list(x @ rr.T)}
+            )
+
+    return corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        as_double(vec_col).alias("cv"),
+    ).mapInPandas(rot, f"vid long, {out_col} array<double>").select(
+        F.col("vid").alias(id_col), out_col
+    )
+
+
+def opq_cross_moment(
+    corpus: DataFrame,
+    rotation: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    moment_dp: int | None = 9,
+) -> np.ndarray:
+    """The Procrustes input: A = (1/n)·Σ x·ŷᵀ (d×d), where ŷ is the PQ
+    reconstruction of the ROTATED vector R·x under the current
+    codebooks. Accumulated DISTRIBUTEDLY (per-batch d×d partials →
+    per-row-index zip_with fold, the pca_fit shape — the driver
+    receives d² numbers however many partitions), then normalized and
+    rounded to ``moment_dp``: the 1/n-normalized entries are
+    O(1)-magnitude at any corpus size, so distributed summation noise
+    vanishes below the quantum and the matrix the SVD consumes is
+    partitioning-invariant (the quantized-moment contract pca_fit
+    established)."""
+    spark = corpus.sparkSession
+    corpus = _nonempty_vecs(corpus, vec_col)
+    rr = np.asarray(rotation, dtype="float64")
+    cb = np.asarray(codebooks, dtype="float64")
+    mm, kk, ds = cb.shape
+    dim = rr.shape[0]
+    bc = spark.sparkContext.broadcast((rr, cb))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_, cb_ = bc.value
+        mm2, _, ds2 = cb_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _raw_matrix(pdf["cv"])
+            xr = (x @ r_.T).reshape(len(pdf), mm2, ds2)
+            yhat = np.empty_like(xr)
+            for j in range(mm2):
+                _, cl = _argmin_cells(xr[:, j, :], cb_[j])
+                yhat[:, j, :] = cb_[j][cl]
+            a = x.T @ yhat.reshape(len(pdf), -1)  # (dim, dim)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(a.shape[0], dtype="int32"),
+                    "arow": list(a),
+                    "n": np.full(a.shape[0], len(pdf), dtype="int64"),
+                }
+            )
+
+    folded = (
+        corpus.select(as_double(vec_col).alias("cv"))
+        .mapInPandas(partials, "i int, arow array<double>, n long")
+        .groupBy("i")
+        .agg(
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.array_sort(F.collect_list("arow")),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("arow"),
+        )
+        .toPandas()
+    )
+    a = np.zeros((dim, dim))
+    n_total = 0
+    for row in folded.itertuples(index=False):
+        a[int(row.i)] = np.asarray(row.arow, dtype=np.float64)
+        n_total = max(n_total, int(row.n))
+    if n_total == 0:
+        raise ValueError("opq_cross_moment: empty corpus")
+    a /= n_total
+    if moment_dp is not None:
+        a = np.round(a, moment_dp)
+    return a
+
+
+def opq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 4,
+    n_iters: int = 2,
+    pq_iters: int = 1,
+    quantize_dp: int = 7,
+    moment_dp: int | None = 9,
+    init: str = "pca",
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ, non-parametric variant (Ge et al. CVPR 2013; the Faiss
+    ``OPQMatrix`` scheme): learn an ORTHONORMAL rotation R jointly with
+    the PQ codebooks by alternating
+
+      1. codebooks ← ``pq_train`` over the rotated corpus R·x;
+      2. R ← the orthogonal-Procrustes solution of
+         min_R Σ‖R·x − ŷ‖² — with A = (1/n)·Σ x·ŷᵀ and A = U·S·Vᵀ,
+         R = V·Uᵀ (maximizes tr(R·A); each alternation is
+         non-increasing in reconstruction error, pinned in tests),
+
+    then one final codebook fit under the final R so the returned pair
+    is consistent. Plain PQ is the R = I special case (n_iters=0
+    returns identity + pq_train's codebooks exactly — pinned). The
+    rotation aligns the m independent subspace quantizers with the
+    data's correlated directions: on correlated data OPQ cuts
+    reconstruction error vs plain PQ at the same (m, ksub) bit budget
+    (pinned), and serving composes unchanged — rotate the query once,
+    then every PQ/ADC path below applies verbatim.
+
+    Returns ``(rotation (dim, dim), codebooks (m, ksub, dim/m))``.
+
+    Initialization matters: the alternation is a LOCAL method, and from
+    the identity it stalls whenever the plain-PQ reconstructions are
+    already axis-aligned-ish (A is then near-symmetric and the
+    Procrustes step returns ≈I — measured on rank-1-plus-noise data).
+    ``init="pca"`` (default) is therefore the OPQ-P seed (Ge et al.
+    §4): rotate onto the principal directions with GREEDY EIGENVALUE
+    ALLOCATION — components assigned, in descending-eigenvalue order,
+    to the subspace with the smallest running log-eigenvalue product
+    and free capacity — which balances variance products across the m
+    quantizers before the non-parametric refinement. ``init="identity"``
+    keeps the pure OPQ-NP behavior (and n_iters=0 then IS plain PQ —
+    pinned).
+
+    Scale shape: the rotation is a dim×dim broadcast applied inside
+    the same Arrow passes as everything else (rotating never
+    shuffles); the PCA init is pca_fit's one distributed moment pass;
+    each alternation costs pq_iters distributed Lloyd passes + ONE
+    cross-moment pass whose d×d partials fold distributedly
+    (``opq_cross_moment``). The SVD/eigensolve run driver-side on d×d
+    quantized moments — the pca_fit eigensolve argument: LAPACK
+    factorization order is not a cross-engine contract, so what gets
+    pinned is the MOMENT each factorization consumes, which is
+    partitioning-invariant under the moment_dp quantum."""
+    dim_row = corpus.select(as_double(vec_col).alias("v")).first()
+    if dim_row is None:
+        raise ValueError("opq_train: empty corpus")
+    dim = len(dim_row["v"])
+    if init == "pca":
+        rot = _opq_pca_init(corpus, vec_col, dim, m)
+        train_src: DataFrame = rotate_vectors(corpus, rot, id_col, vec_col)
+        train_col = "vr"
+    elif init == "identity":
+        rot = np.eye(dim)
+        train_src, train_col = corpus, vec_col
+    else:
+        raise ValueError(
+            f"opq_train: init must be 'pca' or 'identity', got {init!r}"
+        )
+    cb = pq_train(
+        train_src, id_col, train_col, m=m, ksub=ksub, n_iters=pq_iters,
+        quantize_dp=quantize_dp,
+    )
+    for _ in range(n_iters):
+        a = opq_cross_moment(
+            corpus, rot, cb, id_col, vec_col, moment_dp=moment_dp
+        )
+        u, _s, vt = np.linalg.svd(a)
+        rot = vt.T @ u.T  # R = V·Uᵀ
+        rotated = rotate_vectors(corpus, rot, id_col, vec_col)
+        cb = pq_train(
+            rotated, id_col, "vr", m=m, ksub=ksub, n_iters=pq_iters,
+            quantize_dp=quantize_dp,
+        )
+    return rot, cb
+
+
+def _opq_pca_init(
+    corpus: DataFrame, vec_col: str, dim: int, m: int
+) -> np.ndarray:
+    """OPQ-P seed rotation: principal components as rows, assigned to
+    subspaces by greedy eigenvalue allocation — each component (in
+    descending-eigenvalue order) goes to the not-yet-full subspace
+    with the smallest running Σlog λ, balancing the variance PRODUCT
+    across the m quantizers (the bit-allocation argument of Ge et al.
+    §4). Built on pca_fit's quantized distributed moments, so the seed
+    is partitioning-invariant like everything downstream."""
+    from .embeddings import pca_fit
+
+    # one moment pass: comps ordered by descending eigenvalue, λ_i
+    # recovered as the quadratic form against the returned covariance
+    _mean, cov, comps = pca_fit(corpus, vec_col, k=dim, return_moments=True)
+    lam = np.array([c @ cov @ c for c in comps], dtype="float64")
+    dsub = dim // m
+    log_lam = np.log(np.maximum(lam, 1e-12))
+    sums = np.zeros(m)
+    counts = np.zeros(m, dtype=int)
+    rows = [[] for _ in range(m)]
+    for i in range(dim):
+        # smallest running log-product among subspaces with capacity;
+        # lowest index on ties — deterministic
+        cand = [j for j in range(m) if counts[j] < dsub]
+        j = min(cand, key=lambda jj: (sums[jj], jj))
+        rows[j].append(i)
+        sums[j] += log_lam[i]
+        counts[j] += 1
+    order = [i for j in range(m) for i in rows[j]]
+    return np.ascontiguousarray(comps[order])
+
+
+def opq_encode(
+    corpus: DataFrame,
+    rotation: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: np.ndarray | None = None,
+) -> DataFrame:
+    """``pq_encode`` in the rotated space: rotate (one Arrow pass),
+    encode, and — with ``query_vec`` — ADC against the ROTATED query
+    (rotation is orthonormal, so rotated-space L2 equals original-space
+    L2 and the ADC semantics carry over unchanged)."""
+    rr = np.asarray(rotation, dtype="float64")
+    rotated = rotate_vectors(corpus, rr, id_col, vec_col)
+    qv = (
+        rr @ np.asarray(query_vec, dtype="float64")
+        if query_vec is not None
+        else None
+    )
+    return pq_encode(
+        rotated, codebooks, id_col=id_col, vec_col="vr", query_vec=qv
+    )

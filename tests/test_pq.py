@@ -269,3 +269,142 @@ def test_ivfpq_deterministic_across_partitionings(spark):
                                  k=4, n_probe=2).collect())
     )
     assert a == b
+
+
+# --- OPQ: rotation-trained PQ -------------------------------------------------
+
+
+def _correlated(spark, n: int = 48, dim: int = 8):
+    """The construction OPQ exists for: TWO independent high-variance
+    signals landing in the SAME contiguous subspace (dims 0 and 1),
+    rest noise. Plain PQ must cover their 2-D square with one
+    codebook's ksub cells (≈√ksub levels per axis); eigenvalue
+    allocation routes each signal to its OWN subspace, giving each a
+    full ksub levels — a ~4× MSE cut at ksub=4. (Rank-ONE data is the
+    counter-case: every subspace's cell choice is perfectly
+    correlated, the combined reconstruction is ksub points with or
+    without rotation, and OPQ provably gains nothing.)"""
+    rng = np.random.RandomState(7)
+    u = rng.uniform(-10, 10, size=n)
+    v = rng.uniform(-10, 10, size=n)
+    x = rng.normal(0, 0.05, size=(n, dim))
+    x[:, 0] += u
+    x[:, 1] += v
+    return (
+        spark.createDataFrame(
+            [(i, [float(val) for val in x[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ),
+        x,
+    )
+
+
+def test_opq_identity_special_case(spark):
+    """init='identity', n_iters=0 is plain PQ exactly: identity
+    rotation, bit-identical codebooks. The default PCA seed at
+    n_iters=0 is OPQ-P alone: an orthonormal rotation (permuted
+    principal components)."""
+    df, _ = _correlated(spark)
+    rot, cb = PQ.opq_train(
+        df, m=4, ksub=4, n_iters=0, pq_iters=1, init="identity"
+    )
+    assert np.array_equal(rot, np.eye(8))
+    cb_plain = PQ.pq_train(df, m=4, ksub=4, n_iters=1)
+    assert np.array_equal(cb, cb_plain)
+    rot_p, _cb_p = PQ.opq_train(df, m=4, ksub=4, n_iters=0, pq_iters=1)
+    assert np.allclose(rot_p @ rot_p.T, np.eye(8), atol=1e-10)
+    assert not np.array_equal(rot_p, np.eye(8))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="init"):
+        PQ.opq_train(df, m=4, ksub=4, init="nope")
+
+
+def test_opq_rotation_orthonormal_and_beats_plain_pq(spark):
+    df, _ = _correlated(spark)
+    rot, cb = PQ.opq_train(df, m=4, ksub=4, n_iters=2, pq_iters=2)
+    assert np.allclose(rot @ rot.T, np.eye(8), atol=1e-10)
+    opq_err = (
+        PQ.opq_encode(df, rot, cb)
+        .agg(F.avg("pq_rmse").alias("e"))
+        .collect()[0]["e"]
+    )
+    cb_plain = PQ.pq_train(df, m=4, ksub=4, n_iters=2)
+    pq_err = (
+        PQ.pq_encode(df, cb_plain)
+        .agg(F.avg("pq_rmse").alias("e"))
+        .collect()[0]["e"]
+    )
+    # note: rotation is orthonormal, so rotated-space reconstruction
+    # error is comparable to original-space error
+    assert opq_err < pq_err * 0.8, (opq_err, pq_err)
+
+
+def test_opq_alternation_nonincreasing_and_partition_invariant(spark):
+    """More alternations never hurt (beyond quantization jitter), and
+    the trained (rotation, codebooks) are bit-identical across input
+    partitionings — the quantized-moment contract."""
+    df, _ = _correlated(spark)
+    errs = []
+    for it in (0, 1, 2):
+        rot, cb = PQ.opq_train(df, m=4, ksub=4, n_iters=it, pq_iters=2)
+        errs.append(
+            PQ.opq_encode(df, rot, cb)
+            .agg(F.avg("pq_rmse").alias("e"))
+            .collect()[0]["e"]
+        )
+    assert errs[1] <= errs[0] + 1e-3
+    assert errs[2] <= errs[1] + 1e-3
+
+    rot1, cb1 = PQ.opq_train(df, m=4, ksub=4, n_iters=1, pq_iters=1)
+    rot2, cb2 = PQ.opq_train(
+        df.repartition(7), m=4, ksub=4, n_iters=1, pq_iters=1
+    )
+    assert np.array_equal(rot1, rot2)
+    assert np.array_equal(cb1, cb2)
+
+
+def test_opq_encode_equals_manual_composition(spark):
+    """opq_encode is exactly rotate → pq_encode (with the query rotated
+    once) — the serving-path compatibility contract."""
+    df, _ = _correlated(spark, n=24)
+    rot, cb = PQ.opq_train(df, m=4, ksub=4, n_iters=1, pq_iters=1)
+    q0 = np.asarray(
+        df.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    )
+    got = sorted(
+        (r.vec_id, list(r.pq_codes), r.pq_rmse, r.adc_fp)
+        for r in PQ.opq_encode(df, rot, cb, query_vec=q0).collect()
+    )
+    manual = sorted(
+        (r.vec_id, list(r.pq_codes), r.pq_rmse, r.adc_fp)
+        for r in PQ.pq_encode(
+            PQ.rotate_vectors(df, rot), cb, vec_col="vr",
+            query_vec=rot @ q0,
+        ).collect()
+    )
+    assert got == manual
+
+
+def test_opq_cross_moment_matches_numpy_reference(spark):
+    """The distributed d×d moment fold equals a driver-side numpy
+    re-derivation (assignment under the shared 4dp contract,
+    (1/n)·Σ x·ŷᵀ, 9dp round) — the pca_fit quantized-moment pin,
+    applied to the Procrustes input."""
+    df, x = _correlated(spark, n=30)
+    cb = PQ.pq_train(df, m=4, ksub=4, n_iters=1)
+    rot = np.eye(8)
+    got = PQ.opq_cross_moment(df, rot, cb, moment_dp=9)
+    xr = x.reshape(len(x), 4, 2)
+    yhat = np.empty_like(xr)
+    for j in range(4):
+        d2 = np.round(
+            ((xr[:, j, :][:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2),
+            4,
+        )
+        yhat[:, j, :] = cb[j][np.argmin(d2, axis=1)]
+    want = np.round(
+        (x.T @ yhat.reshape(len(x), -1)) / len(x), 9
+    )
+    assert np.array_equal(got, want)
