@@ -848,3 +848,110 @@ def doremi_weights(
         weights = {s: round(raw[s] / z, quantize_dp) for s in sources}
         history.append(dict(weights))
     return weights, history
+
+
+def unimax_allocation(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs_num: int,
+    max_epochs_den: int = 1,
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget across sources as
+    UNIFORMLY as possible subject to a per-source epoch cap — the
+    fairness alternative to temperature sampling, which still
+    over-weights head sources. This is exactly water-filling:
+
+        alloc_s = min(cap_s, θ),  cap_s = ⌊n_s · E⌋,
+        θ the level where Σ_s min(cap_s, θ) = budget
+
+    — small sources saturate at their epoch cap, the rest share the
+    remaining budget equally. The epoch cap E is a RATIONAL
+    (max_epochs_num/max_epochs_den) so caps stay exact integers.
+
+    Output, one row per source: (source, n_tokens, cap, saturated,
+    alloc_fp, epochs_fp) — allocation and realized epochs in
+    ``fp_scale`` fixed point. Every decision is integer: the
+    saturated set is the ascending-cap prefix where
+    cap_i·(S−i+1) + cum_{i−1} ≤ budget (monotone, so prefix-ness is a
+    theorem, not an assumption), and θ's floor quantization runs
+    through exact DECIMAL(38,0) division (the KMV estimate contract) —
+    fully cross-engine hashable. budget ≥ Σcaps saturates everything
+    (the budget is then under-filled — UniMax's signal to raise E).
+
+    Scale shape: one source-keyed aggregation of the corpus; all
+    windows below it run over the SOURCE-COUNT-sized table (the
+    accepted post-aggregation scalar class — KBs however big the
+    corpus)."""
+    if budget < 0 or max_epochs_num < 1 or max_epochs_den < 1:
+        raise ValueError(
+            "unimax_allocation: budget must be >= 0 and the epoch cap "
+            f"a positive rational, got budget={budget}, "
+            f"E={max_epochs_num}/{max_epochs_den}"
+        )
+    from pyspark.sql import Window
+
+    src = df.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("n_tokens")
+    )
+    cap = F.expr(
+        f"CAST((n_tokens * {int(max_epochs_num)}) "
+        f"div {int(max_epochs_den)} AS BIGINT)"
+    )
+    src = src.withColumn("cap", cap)
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col(source_col).asc())
+    w_all = Window.partitionBy()
+    src = (
+        src.withColumn("_i", F.row_number().over(w_ord).cast("bigint"))
+        .withColumn("_cum", F.sum("cap").over(w_ord))
+        .withColumn("_s", F.count(F.lit(1)).over(w_all))
+    )
+    sat = (
+        F.col("cap") * (F.col("_s") - F.col("_i") + 1)
+        + (F.col("_cum") - F.col("cap"))
+    ) <= F.lit(int(budget))
+    src = src.withColumn("saturated", sat)
+    src = src.withColumn(
+        "_k", F.sum(F.col("saturated").cast("bigint")).over(w_all)
+    ).withColumn(
+        "_satsum",
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("cap"))).over(w_all),
+            F.lit(0),
+        ),
+    )
+    theta_fp = F.expr(
+        f"CAST((CAST({int(budget)} - _satsum AS DECIMAL(38,0))"
+        f" * CAST({int(fp_scale)} AS DECIMAL(38,0)))"
+        " DIV CAST(greatest(_s - _k, 1) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    alloc_fp = F.when(
+        F.col("saturated"), F.col("cap") * F.lit(int(fp_scale))
+    ).otherwise(theta_fp)
+    epochs_fp = F.when(
+        F.col("saturated"),
+        F.expr(
+            f"CAST((CAST(cap AS DECIMAL(38,0))"
+            f" * CAST({int(fp_scale)} AS DECIMAL(38,0)))"
+            " DIV CAST(greatest(n_tokens, 1) AS DECIMAL(38,0)) AS BIGINT)"
+        ),
+    ).otherwise(
+        F.expr(
+            f"CAST((CAST({int(budget)} - _satsum AS DECIMAL(38,0))"
+            f" * CAST({int(fp_scale)} AS DECIMAL(38,0)))"
+            " DIV CAST(greatest((_s - _k) * n_tokens, 1)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+    return src.select(
+        source_col,
+        "n_tokens",
+        "cap",
+        "saturated",
+        alloc_fp.alias("alloc_fp"),
+        epochs_fp.alias("epochs_fp"),
+    )

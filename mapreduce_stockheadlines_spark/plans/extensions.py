@@ -4188,10 +4188,34 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
             wexpr
         )
     enriched = enriched.withColumn("doremi_w", wexpr)
+    # UniMax allocation (round-9 zero-slot promotion —
+    # operators/sampling.unimax_allocation, Chung et al. 2023):
+    # water-filling the budget across sources under an epoch cap.
+    # Cap = 2 epochs, budget = 1.9 epochs of the corpus: source sizes
+    # straddle the mean at every SF, so BOTH arms populate — small
+    # sources saturate at their cap, large ones share θ (promotion-
+    # guarded non-degenerate). Every decision is integer (monotone
+    # prefix test, DECIMAL DIV floors), so all three columns are exact
+    # cross-engine pins. The allocation table is source-count-sized —
+    # a broadcast dim onto the mixed rows.
+    um = SP.unimax_allocation(s, "source", "n_tokens",
+                              (19 * total) // 10, 2)
+    enriched = enriched.join(
+        F.broadcast(
+            um.select(
+                "source",
+                F.col("saturated").alias("unimax_sat"),
+                F.col("alloc_fp").alias("unimax_alloc_fp"),
+                F.col("epochs_fp").alias("unimax_epochs_fp"),
+            )
+        ),
+        "source",
+        "left",
+    )
     return enriched.select(
         "doc_id", "source", "n_tokens", "epoch", "mix_kept", "strat_kept",
         "curriculum_pos", "dsir_score", "n_features", "dsir_kept",
-        "doremi_w",
+        "doremi_w", "unimax_sat", "unimax_alloc_fp", "unimax_epochs_fp",
     ).orderBy("doc_id", "epoch")
 
 
@@ -4405,13 +4429,50 @@ dmr2 AS MATERIALIZED (
          w.w * exp(1.0 * greatest(0.0, c.ce_mix - o.ce_own)) AS raw
   FROM dmc2 c JOIN dmo o USING (source) JOIN dmw1 w USING (source)),
 dmw2 AS (SELECT source, round(raw / (SELECT sum(raw) FROM dmr2), 6) AS w
-         FROM dmr2)
+         FROM dmr2),
+-- UniMax water-filling: cap = 2 epochs, budget = 1.9 epochs; the
+-- saturated set is the ascending-cap prefix (monotone test), θ floors
+-- through HUGEINT division (the Spark DECIMAL DIV twin)
+umb AS (SELECT CAST((sum(n_tokens) * 19) // 10 AS BIGINT) AS b FROM s),
+umr AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n,
+               CAST(sum(n_tokens) * 2 AS BIGINT) AS cap
+        FROM s GROUP BY source),
+umo AS (SELECT source, n, cap,
+               row_number() OVER (ORDER BY cap, source) AS i,
+               sum(cap) OVER (ORDER BY cap, source) AS cum,
+               count(*) OVER () AS sc
+        FROM umr),
+umx AS (SELECT *,
+               (cap * (sc - i + 1) + (cum - cap)) <= (SELECT b FROM umb)
+                 AS sat
+        FROM umo),
+umk AS (SELECT CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k,
+               CAST(coalesce(sum(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+                 AS satsum,
+               CAST(max(sc) AS BIGINT) AS sc
+        FROM umx),
+umf AS (SELECT u.source, u.sat AS unimax_sat,
+               CASE WHEN u.sat THEN u.cap * 1000000
+                    ELSE CAST(((umb.b - umk.satsum)::HUGEINT
+                               * 1000000::HUGEINT)
+                              // greatest(umk.sc - umk.k, 1)::HUGEINT
+                              AS BIGINT) END AS unimax_alloc_fp,
+               CASE WHEN u.sat
+                    THEN CAST((u.cap::HUGEINT * 1000000::HUGEINT)
+                              // greatest(u.n, 1)::HUGEINT AS BIGINT)
+                    ELSE CAST(((umb.b - umk.satsum)::HUGEINT
+                               * 1000000::HUGEINT)
+                              // greatest((umk.sc - umk.k) * u.n,
+                                          1)::HUGEINT AS BIGINT)
+               END AS unimax_epochs_fp
+        FROM umx u, umb, umk)
 SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept, t.strat_kept,
        c.curriculum_pos,
        s.dsir_score, s.n_features,
        CASE WHEN s.doc_id IS NOT NULL
             THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept,
-       dw.w AS doremi_w
+       dw.w AS doremi_w,
+       um.unimax_sat, um.unimax_alloc_fp, um.unimax_epochs_fp
 FROM mixed m
 JOIN mk k ON m.doc_id = k.doc_id AND m.epoch = k.epoch
 JOIN stk t ON m.doc_id = t.doc_id AND m.epoch = t.epoch
@@ -4419,6 +4480,7 @@ JOIN cur c ON m.doc_id = c.doc_id AND m.epoch = c.epoch
 LEFT JOIN dscored s ON m.doc_id = s.doc_id
 LEFT JOIN dsel d ON m.doc_id = d.doc_id
 LEFT JOIN dmw2 dw ON dw.source = m.source
+LEFT JOIN umf um ON um.source = m.source
 ORDER BY m.doc_id, m.epoch
 """
 

@@ -928,3 +928,82 @@ def test_x32_doremi_w_nondegenerate(spark, sf_dir):
     # sources is <= 1 (+ rounding slack), and close to 1 when all 20
     # survive the token budget
     assert sum(per_source.values()) <= 1.0 + 1e-4
+
+
+# --- UniMax budget allocation --------------------------------------------------
+
+
+def test_unimax_hand_values(spark):
+    """Water-filling with hand numbers: caps [4, 10, 10] (E=1),
+    budget 18 → the small source saturates at 4, the other two share
+    θ = 7 each; Σalloc == budget exactly here (θ integral)."""
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 4), ("b", 10), ("c", 10)], "source string, n long"
+    )
+    out = {
+        r.source: r
+        for r in unimax_allocation(df, "source", "n", 18, 1).collect()
+    }
+    assert out["a"].saturated and out["a"].alloc_fp == 4 * 10**6
+    assert out["a"].epochs_fp == 10**6  # exactly 1 epoch
+    for s in ("b", "c"):
+        assert not out[s].saturated
+        assert out[s].alloc_fp == 7 * 10**6
+        assert out[s].epochs_fp == 700_000  # 0.7 epochs
+    # rational epoch cap: E = 3/2 on n=4 → cap 6
+    out2 = unimax_allocation(df, "source", "n", 100, 3, 2).collect()
+    caps = {r.source: r.cap for r in out2}
+    assert caps == {"a": 6, "b": 15, "c": 15}
+    # budget >= Σcaps: everything saturates at its cap
+    assert all(r.saturated and r.alloc_fp == r.cap * 10**6 for r in out2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        unimax_allocation(df, "source", "n", -1, 1)
+
+
+def test_unimax_waterfill_identity_and_fairness(spark):
+    """Σ alloc_fp lands within (S−k) floor-quanta of the exact budget,
+    and no unsaturated source is allocated less than any saturated
+    cap (θ ≥ every saturated cap — the uniformity guarantee)."""
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    rows = [(f"s{i}", 100 + 37 * i) for i in range(9)]
+    df = spark.createDataFrame(rows, "source string, n long")
+    budget = int(sum(n for _, n in rows) * 1.3)
+    out = unimax_allocation(df, "source", "n", budget, 2).collect()
+    fp = 10**6
+    total_alloc = sum(r.alloc_fp for r in out)
+    n_unsat = sum(not r.saturated for r in out)
+    assert 0 < n_unsat < len(out)  # both arms live
+    assert budget * fp - n_unsat < total_alloc <= budget * fp
+    theta = min(r.alloc_fp for r in out if not r.saturated)
+    assert all(r.cap * fp <= theta for r in out if r.saturated)
+
+
+def test_x32_unimax_columns_nondegenerate(spark, sf_dir):
+    """Promotion guard: with cap = 2 epochs and budget = 1.9 epochs,
+    source sizes straddle the mean, so both saturation arms populate
+    and the fixed-point allocations vary."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x32 = ALL_QUERIES["x32_sampling"].builder(spark, sf_dir).cache()
+    try:
+        assert_column_nondegenerate(x32, "unimax_sat", f"at {sf_dir}")
+        assert_column_nondegenerate(x32, "unimax_epochs_fp", f"at {sf_dir}")
+        # saturated rows sit exactly at the 2-epoch cap
+        two_ep = x32.filter(
+            F.col("unimax_sat") & (F.col("unimax_epochs_fp") != 2 * 10**6)
+        ).count()
+        assert two_ep == 0
+    finally:
+        x32.unpersist()
