@@ -15,7 +15,11 @@ jobs/pipeline.py (text side).
                              --index-type ivfpq also trains PQ codebooks
                              on the cell residuals and persists them to
                              <out>/pq_codebooks, the Faiss-IndexIVFPQ
-                             layout)
+                             layout; --index-type opq instead trains a
+                             rotation jointly with flat PQ codebooks
+                             (pq.opq_train) and persists it to
+                             <out>/opq_rotation — serving auto-detects
+                             the artifact and scans rotated ADC codes)
       → corpus parquet      (survivors with whatever columns the stages
                              added)
 
@@ -168,6 +172,41 @@ def _drop_codebooks(out_dir: str) -> None:
     shutil.rmtree(f"{out_dir}/pq_codebooks", ignore_errors=True)
 
 
+def save_rotation(spark: SparkSession, rotation, out_dir: str) -> None:
+    """ONE writer for the OPQ rotation artifact (the save_centroids
+    one-writer rule; serving auto-detects this directory and switches
+    to the rotated-ADC path)."""
+    rr = np.asarray(rotation, dtype="float64")
+    rows = [(int(i), [float(x) for x in rr[i]]) for i in range(rr.shape[0])]
+    spark.createDataFrame(rows, "row int, vec array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/opq_rotation")
+
+
+def load_rotation(spark: SparkSession, out_dir: str) -> np.ndarray:
+    pdf = (
+        spark.read.parquet(f"{out_dir}/opq_rotation")
+        .orderBy("row")
+        .toPandas()
+    )
+    return np.stack([np.asarray(v, dtype="float64") for v in pdf["vec"]])
+
+
+def _rotation_dir_exists(out_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(f"{out_dir}/opq_rotation")
+
+
+def _drop_rotation(out_dir: str) -> None:
+    """Remove a stale opq_rotation artifact: an IVF/IVFPQ rebuild's
+    codebooks are trained in the UNROTATED space — serving must not
+    auto-rotate against them."""
+    import shutil
+
+    shutil.rmtree(f"{out_dir}/opq_rotation", ignore_errors=True)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", choices=["build", "search", "eval", "refit"])
@@ -186,7 +225,7 @@ def main(argv: list[str] | None = None) -> None:
                     help="attach int8 codes + scale + reconstruction rmse")
     ap.add_argument("--build-index", action="store_true",
                     help="train + persist IVF centroids for search mode")
-    ap.add_argument("--index-type", choices=["ivf", "ivfpq"],
+    ap.add_argument("--index-type", choices=["ivf", "ivfpq", "opq"],
                     default="ivf",
                     help="build mode: plain IVF (exact within-cell "
                          "rescore) or IVFPQ (PQ codebooks on residuals, "
@@ -230,6 +269,14 @@ def main(argv: list[str] | None = None) -> None:
 
         if not args.moments_dir:
             raise SystemExit("refit mode requires --moments-dir")
+        if _rotation_dir_exists(args.out_dir):
+            raise SystemExit(
+                "refit mode rolls coarse CENTROIDS; an OPQ index has "
+                "none — its codebooks live in the rotated space and a "
+                "kmeans refit does not apply. Rebuild with "
+                "--index-type opq (or maintain the codebooks via "
+                "pq_ingest_sink + pq.pq_refit over rotated vectors)."
+            )
         if _codebooks_dir_exists(args.out_dir):
             raise SystemExit(
                 "refit mode would roll the coarse centroids under an "
@@ -290,9 +337,23 @@ def main(argv: list[str] | None = None) -> None:
         out.write.mode("overwrite").parquet(f"{args.out_dir}/corpus")
         if args.build_index:
             kept = spark.read.parquet(f"{args.out_dir}/corpus")
-            if args.index_type == "ivfpq":
+            if args.index_type == "opq":
                 from ..operators import pq as PQO
 
+                _drop_rotation(args.out_dir)
+                rot, cbooks = PQO.opq_train(
+                    kept,
+                    m=args.pq_m,
+                    ksub=args.pq_ksub,
+                    n_iters=args.train_iters,
+                    pq_iters=args.train_iters,
+                )
+                save_rotation(spark, rot, args.out_dir)
+                save_codebooks(spark, cbooks, args.out_dir)
+            elif args.index_type == "ivfpq":
+                from ..operators import pq as PQO
+
+                _drop_rotation(args.out_dir)
                 coarse, cbooks = PQO.ivfpq_train(
                     kept,
                     n_centroids=args.n_centroids,
@@ -304,11 +365,12 @@ def main(argv: list[str] | None = None) -> None:
                 save_centroids(spark, coarse, args.out_dir)
                 save_codebooks(spark, cbooks, args.out_dir)
             else:
-                # a leftover pq_codebooks artifact from a previous
-                # IVFPQ build would make serving auto-detect an index
-                # whose residual codebooks no longer match the coarse
-                # centroids written below — drop it
+                # leftover pq_codebooks / opq_rotation artifacts from a
+                # previous IVFPQ/OPQ build would make serving
+                # auto-detect an index whose codebooks no longer match
+                # what is written below — drop them
                 _drop_codebooks(args.out_dir)
+                _drop_rotation(args.out_dir)
                 build_index(
                     kept,
                     args.out_dir,
@@ -319,14 +381,34 @@ def main(argv: list[str] | None = None) -> None:
         print(f"kept {n} vectors -> {args.out_dir}/corpus")
     else:
         corpus = spark.read.parquet(f"{args.out_dir}/corpus")
-        cent = load_centroids(spark, args.out_dir)
         ids = [int(x) for x in args.query_ids.split(",")]
         queries = corpus.filter(F.col("vec_id").isin(ids))
+        # a persisted opq_rotation directory marks an OPQ index: serve
+        # the rotated flat-ADC path (artifact-is-source-of-truth, like
+        # the pq_codebooks detection below; --n-probe does not apply —
+        # the flat index scans codes, there are no cells to probe)
+        if _rotation_dir_exists(args.out_dir):
+            from ..operators import pq as PQO
+
+            rot = load_rotation(spark, args.out_dir)
+            cbooks = load_codebooks(spark, args.out_dir)
+            print(
+                f"serving OPQ (m={cbooks.shape[0]}, "
+                f"ksub={cbooks.shape[1]}, rotated flat ADC)"
+            )
+            hits = PQO.pq_adc_topk(
+                PQO.rotate_vectors(queries, rot),
+                PQO.rotate_vectors(corpus, rot),
+                cbooks,
+                vec_col="vr",
+                k=args.k,
+            ).orderBy("query_id", "rank")
         # a persisted pq_codebooks directory marks an IVFPQ index: serve
         # the ADC path (the artifact is the source of truth — no flag to
         # fall out of sync with what build actually trained; build's ivf
         # branch and refit mode both guard against it going stale)
-        if _codebooks_dir_exists(args.out_dir):
+        elif _codebooks_dir_exists(args.out_dir):
+            cent = load_centroids(spark, args.out_dir)
             from ..operators import pq as PQO
 
             cbooks = load_codebooks(spark, args.out_dir)
@@ -344,7 +426,7 @@ def main(argv: list[str] | None = None) -> None:
                 corpus,
                 k=args.k,
                 n_probe=args.n_probe,
-                centroids=cent,
+                centroids=load_centroids(spark, args.out_dir),
             ).orderBy("query_id", "rank")
         if args.mode == "search":
             # IVF rows carry a cosine sim; IVFPQ rows carry the

@@ -1391,3 +1391,55 @@ def test_apply_wordpiece_reassembles_in_order_and_restores_empty(spark):
     assert len(out[1].piece_token_ids) == out[1].n_pieces
     assert out[2].pieces == [] and out[2].n_pieces == 0
     assert out[3].pieces == [] and out[3].piece_token_ids == []
+
+
+def test_embed_pipeline_opq_build_search_eval(spark, tmp_path, sf_dir, capsys):
+    """--index-type opq persists rotation + codebooks; serving
+    auto-detects the rotation artifact (rotated flat ADC, banner
+    printed), eval runs end-to-end, refit refuses the OPQ index
+    loudly, and a plain-IVF rebuild drops the stale rotation so
+    serving falls back to IVF."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.jobs.embed_pipeline import (
+        _rotation_dir_exists,
+        load_rotation,
+        main,
+    )
+
+    out_dir = str(tmp_path / "vec")
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--index-type", "opq", "--pq-m", "4", "--pq-ksub", "4",
+          "--train-iters", "1"])
+    capsys.readouterr()
+    assert _rotation_dir_exists(out_dir)
+    rot = load_rotation(spark, out_dir)
+    assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-10)
+
+    main(["search", out_dir, "--query-ids", "0", "--k", "3"])
+    out = capsys.readouterr().out
+    assert "serving OPQ" in out
+    hit_lines = [ln for ln in out.splitlines() if ln.startswith("0\t")]
+    assert len(hit_lines) == 3
+    # fixed-point ADC distances ascend with rank (NOTE: the self-match
+    # need not rank first — ADC measures the query against candidate
+    # RECONSTRUCTIONS, and another vector's reconstruction can sit
+    # nearer the query than the query's own does)
+    adcs = [int(ln.split("\t")[3]) for ln in hit_lines]
+    assert adcs == sorted(adcs)
+
+    main(["eval", out_dir, "--query-ids", "0,1", "--k", "5"])
+    ev = capsys.readouterr().out
+    assert "macro\trecall=" in ev
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="OPQ index"):
+        main(["refit", out_dir, "--moments-dir", str(tmp_path / "m")])
+
+    main(["build", out_dir, "--sf-dir", sf_dir, "--build-index",
+          "--n-centroids", "4", "--train-iters", "1"])
+    capsys.readouterr()
+    assert not _rotation_dir_exists(out_dir)
+    main(["search", out_dir, "--query-ids", "0", "--k", "3"])
+    assert "serving OPQ" not in capsys.readouterr().out
