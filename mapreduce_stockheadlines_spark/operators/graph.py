@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "domain_authority"]
+__all__ = ["pagerank", "domain_authority", "hits"]
 
 
 def pagerank(
@@ -190,3 +190,103 @@ def domain_authority(
         ranked.select(F.col("node")), "node", "left_anti"
     ).withColumn("rank", F.lit(0.0))
     return ranked.unionByName(lonely).withColumnRenamed("node", "domain")
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reliable_checkpoint: bool = False,
+    quantize_dp: int | None = None,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) — PageRank's
+    bidirectional sibling: a good AUTHORITY is linked from good hubs,
+    a good HUB links to good authorities. For corpus curation the two
+    scores separate roles PageRank conflates: link farms score as hubs
+    but not authorities, canonical sources score as authorities
+    without linking out. Returns (node, hub, auth) after ``n_iters``
+    rounds of
+
+        auth(v) = Σ_{(u,v)∈E} hub(u),   then L1-normalize
+        hub(u)  = Σ_{(u,v)∈E} auth(v),  then L1-normalize
+
+    L1 normalization (divide by the sum) rather than the textbook L2:
+    the two are identical up to per-round scale — rankings and the
+    fixed-point direction are unchanged — and L1 keeps every operation
+    a sum and one division, which is what lets ``quantize_dp``
+    rounding make the whole iteration bit-reproducible across engines
+    and partitionings (the pagerank contract; an L2 norm inserts a
+    libm sqrt into every round). Nodes without in-edges get auth 0,
+    without out-edges hub 0; an edge-less graph returns all zeros
+    rather than dividing by the zero sum.
+
+    Scale shape per round: two edge-sized equi-joins + two node-keyed
+    sums; the normalizing sums are one-row aggregates of the
+    node-sized score table folded back via constant-key broadcast
+    equi-joins (pagerank's dangling-mass pattern — no driver collect
+    per round). Lineage truncates every ``checkpoint_interval`` rounds
+    (pagerank's re-expansion argument)."""
+    if n_iters < 1:
+        raise ValueError("hits: n_iters must be >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("hits: checkpoint_interval must be >= 1")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
+    def _q(col):
+        return F.round(col, quantize_dp) if quantize_dp is not None else col
+
+    e = _ckpt(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "auth", F.lit(0.0)
+        )
+    scores = nodes.withColumn("hub", F.lit(1.0 / n_nodes))
+
+    def _phase(prev: DataFrame, in_col: str, join_on: str, group_to: str,
+               out_col: str) -> DataFrame:
+        """One half-round: sum ``in_col`` over edges joined on
+        ``join_on``, grouped to ``group_to``, L1-normalized + quantized
+        as ``out_col`` over ALL nodes (absent → 0)."""
+        raw = (
+            e.join(
+                prev.select(F.col("node").alias(join_on), in_col), join_on
+            )
+            .groupBy(F.col(group_to).alias("node"))
+            .agg(F.sum(in_col).alias("_raw"))
+        )
+        total = raw.agg(
+            F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot")
+        ).withColumn("_k", F.lit(1))
+        val = F.when(
+            F.col("_tot") > 0.0,
+            _q(F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_tot")),
+        ).otherwise(F.lit(0.0))
+        return (
+            nodes.join(raw, "node", "left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(total), "_k")
+            .select("node", val.alias(out_col))
+        )
+
+    for it in range(n_iters):
+        auths = _phase(scores, "hub", "src", "dst", "auth")
+        hubs = _phase(auths, "auth", "dst", "src", "hub")
+        scores = hubs.join(auths, "node")
+        if (it + 1) % checkpoint_interval == 0 or it == n_iters - 1:
+            scores = _ckpt(scores)
+    return scores.select(
+        "node", F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    )

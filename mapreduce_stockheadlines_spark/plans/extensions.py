@@ -3974,7 +3974,50 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     ).select(F.col("id").alias("node"), F.col("cluster_id").alias("cc_label"))
     ranks = G.pagerank(edges, damping=0.85, n_iters=10, quantize_dp=10)
-    return ranks.join(cc, "node").orderBy("node")
+    # HITS (round-9 zero-slot promotion — operators/graph.hits,
+    # Kleinberg 1999): 5 hub↔authority rounds over the SAME planted
+    # graph under the quantize_dp=10 contract (L1 normalization keeps
+    # every round sum+divide — no libm sqrt — so DuckDB re-derives all
+    # ten half-rounds as unrolled MATERIALIZED CTEs and the hash is
+    # exact). The planted src%7==0 residues receive links but emit
+    # none: their hub is structurally 0 while their auth is positive —
+    # the role separation PageRank conflates, pinned per row.
+    hub_auth = G.hits(edges, n_iters=5, quantize_dp=10)
+    return ranks.join(cc, "node").join(hub_auth, "node").orderBy("node")
+
+
+def _x31_hits_ctes(n_iters: int = 5, dp: int = 10) -> str:
+    """Unrolled HITS (graph.hits): per round an authority half
+    (sum hubs over in-edges, L1-normalize, round) then a hub half
+    (sum auths over out-edges, likewise) — the same
+    round(coalesce(raw,0)/tot, dp) association as the Spark side, with
+    the tot>0 guard keeping an edge-less graph at zeros instead of a
+    division error."""
+    out = """,
+hh0 AS MATERIALIZED (SELECT node, 1.0 / p.n AS hub FROM nodes, params p)"""
+    for k in range(1, n_iters + 1):
+        out += f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS raw
+  FROM e JOIN hh{k - 1} h ON h.node = e.src GROUP BY e.dst),
+at{k} AS MATERIALIZED (SELECT coalesce(sum(raw), 0.0) AS tot FROM ar{k}),
+aa{k} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN t.tot > 0
+              THEN round(coalesce(r.raw, 0.0) / t.tot, {dp})
+              ELSE 0.0 END AS auth
+  FROM nodes n CROSS JOIN at{k} t LEFT JOIN ar{k} r USING (node)),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS raw
+  FROM e JOIN aa{k} a ON a.node = e.dst GROUP BY e.src),
+ht{k} AS MATERIALIZED (SELECT coalesce(sum(raw), 0.0) AS tot FROM hr{k}),
+hh{k} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN t.tot > 0
+              THEN round(coalesce(r.raw, 0.0) / t.tot, {dp})
+              ELSE 0.0 END AS hub
+  FROM nodes n CROSS JOIN ht{k} t LEFT JOIN hr{k} r USING (node))"""
+    return out
 
 
 def _x31_oracle_sql(n_iters: int = 10) -> str:
@@ -4032,9 +4075,12 @@ reach AS (
   SELECT r.a, u.b FROM reach r JOIN ue u ON r.b = u.a),
 cc AS MATERIALIZED (
   SELECT a AS node, CAST(min(b) AS BIGINT) AS cc_label FROM reach GROUP BY a),
-r0 AS MATERIALIZED (SELECT node, 1.0 / p.n AS rank FROM nodes, params p){its}
-SELECT r.node, round(r.rank, 8) AS rank, cc.cc_label
-FROM r{n_iters} r JOIN cc USING (node) ORDER BY r.node
+r0 AS MATERIALIZED (SELECT node, 1.0 / p.n AS rank FROM nodes, params p){its}{_x31_hits_ctes()}
+SELECT r.node, round(r.rank, 8) AS rank, cc.cc_label,
+       round(hh5.hub, 8) AS hub, round(aa5.auth, 8) AS auth
+FROM r{n_iters} r JOIN cc USING (node)
+JOIN hh5 USING (node) JOIN aa5 USING (node)
+ORDER BY r.node
 """
 
 
