@@ -34,9 +34,25 @@ def _metric(df: DataFrame, name, value) -> DataFrame:
     )
 
 
-def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def corpus_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer_pieces: int | None = None,
+) -> DataFrame:
     """(metric, value) rows summarizing the corpus through the engine's
-    own curation signals."""
+    own curation signals.
+
+    ``tokenizer_pieces`` (opt-in — the rows cost one census collect +
+    three driver-side trainings, the ADVICE-r8 lesson about putting
+    extra passes behind flags): self-train all three subword families
+    at this budget (BPE merges / WordPiece merges / unigram pieces)
+    and report each tokenizer's FERTILITY — freq-weighted pieces per
+    word over the census head — the dataset-card number for comparing
+    tokenizer fit to a corpus (lower = fewer pieces per word = cheaper
+    sequences). Census-bounded: the corpus is scanned once for the
+    (word, freq) census; training and encoding run driver-side over
+    that bounded head, adding ZERO further corpus passes."""
     # the Gopher/C4 kept booleans (the documented LAST column of each
     # rule builder) ride the SAME cached projection via extra_cols —
     # as a separate gopher_c4_filter() pass they re-scanned the corpus
@@ -158,13 +174,64 @@ def corpus_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .unionAll(clf)
         .unionAll(dupwin)
         .unionAll(rule_rates)
-    ).orderBy("metric")
+    )
+    if tokenizer_pieces is not None:
+        report = report.unionAll(
+            _tokenizer_fertility_rows(docs, text_col, tokenizer_pieces)
+        )
+    report = report.orderBy("metric")
     # the report is ~a dozen rows: materialize it, then release the
     # cached per-doc stats instead of pinning executor memory for the
     # rest of the session
     rows = report.collect()
     stats.unpersist()
     return docs.sparkSession.createDataFrame(rows, report.schema)
+
+
+def _tokenizer_fertility_rows(
+    docs: DataFrame, text_col: str, n_pieces: int
+) -> DataFrame:
+    """Three (metric, value) rows: bpe/wordpiece/unigram fertility at a
+    shared training budget, from ONE census collect (the x28
+    shared-census contract) + driver-side encodes of the census word
+    TYPES (freq-weighted back to token fertility — no corpus pass)."""
+    from ..operators import bpe as B
+    from ..operators import unigram as UGo
+    from ..operators import wordpiece as WPo
+
+    rows = B.word_census(docs, text_col, 4096).collect()
+    census = [(r["word"], int(r["freq"])) for r in rows]
+    spark = docs.sparkSession
+    tot = sum(f for _, f in census)
+    if tot == 0:
+        return spark.createDataFrame([], "metric string, value double")
+    merges, _alpha = B.train_bpe(docs, text_col, n_pieces, census=census)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    wp_vocab, _m, _a = WPo.train_wordpiece(
+        docs, text_col, n_pieces, census=census
+    )
+    wset = set(wp_vocab)
+    uni = UGo.train_unigram(
+        docs, text_col, vocab_size=n_pieces, census=census
+    )
+    mpl = max((len(pc) for pc in uni), default=1)
+
+    def _uni_len(w: str) -> int:
+        seg = UGo._viterbi(w, uni, mpl)
+        return len(seg) if seg else len(w)  # char fallback, apply_unigram's
+
+    sums = {"bpe": 0, "wordpiece": 0, "unigram": 0}
+    for w, f in census:
+        sums["bpe"] += f * len(B._encode_word(w, ranks))
+        sums["wordpiece"] += f * len(WPo._encode_word_wp(w, wset))
+        sums["unigram"] += f * _uni_len(w)
+    return spark.createDataFrame(
+        [
+            (f"{name}_fertility", round(v / tot, 4))
+            for name, v in sorted(sums.items())
+        ],
+        "metric string, value double",
+    )
 
 
 def corpus_drift_report(
@@ -219,6 +286,16 @@ def main(argv: list[str] | None = None) -> None:
         "(JS divergence, vocab overlap, top diverging terms) vs --sf-dir",
     )
     ap.add_argument(
+        "--tokenizer-metrics",
+        type=int,
+        default=None,
+        metavar="N",
+        help="self-train BPE/WordPiece/unigram at this piece budget on "
+        "the census head and report each tokenizer's fertility "
+        "(freq-weighted pieces per word) — one extra census collect, "
+        "no extra corpus passes",
+    )
+    ap.add_argument(
         "--save-census",
         default=None,
         help="also persist this corpus's token census (term, freq) as "
@@ -240,7 +317,9 @@ def main(argv: list[str] | None = None) -> None:
         # drift section below reads the vocab-sized parquet back instead
         # of re-tokenizing the whole corpus a second time
         census_a = spark.read.parquet(args.save_census)
-    report = corpus_report(docs, "doc_id", "text")
+    report = corpus_report(
+        docs, "doc_id", "text", tokenizer_pieces=args.tokenizer_metrics
+    )
     if args.compare_dir:
         other = parallel_table(spark, args.compare_dir, "documents")
         div = None

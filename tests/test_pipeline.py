@@ -1443,3 +1443,44 @@ def test_embed_pipeline_opq_build_search_eval(spark, tmp_path, sf_dir, capsys):
     assert not _rotation_dir_exists(out_dir)
     main(["search", out_dir, "--query-ids", "0", "--k", "3"])
     assert "serving OPQ" not in capsys.readouterr().out
+
+
+def test_report_tokenizer_fertility_rows(spark, capsys):
+    """--tokenizer-metrics: three fertility rows, each the freq-weighted
+    census fertility of a self-trained tokenizer; absent without the
+    flag; hand-checked against driver-side encodes."""
+    from mapreduce_stockheadlines_spark.jobs.report import corpus_report
+    from mapreduce_stockheadlines_spark.operators import bpe as B
+    from mapreduce_stockheadlines_spark.operators import wordpiece as WPO
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data database dart data the the", "s"),
+            (2, "the data dart", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    base = {r.metric for r in corpus_report(docs, "doc_id", "text").collect()}
+    assert not any(m.endswith("_fertility") for m in base)
+
+    rep = {
+        r.metric: r.value
+        for r in corpus_report(
+            docs, "doc_id", "text", tokenizer_pieces=6
+        ).collect()
+    }
+    for m in ("bpe_fertility", "wordpiece_fertility", "unigram_fertility"):
+        assert m in rep and rep[m] >= 1.0, m
+
+    census = [
+        (r["word"], int(r["freq"]))
+        for r in B.word_census(docs, "text", 4096).collect()
+    ]
+    tot = sum(f for _, f in census)
+    vocab, _, _ = WPO.train_wordpiece(docs, "text", 6, census=census)
+    vset = set(vocab)
+    want_wp = round(
+        sum(f * len(WPO._encode_word_wp(w, vset)) for w, f in census) / tot,
+        4,
+    )
+    assert rep["wordpiece_fertility"] == want_wp
