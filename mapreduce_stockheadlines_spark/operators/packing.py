@@ -256,6 +256,7 @@ def chunk_by_paragraphs(
     text_col: str,
     chunk_tokens: int = 512,
     sep_pattern: str = r"\n\s*\n",
+    join_sep: str = "\n\n",
 ) -> DataFrame:
     """Split each document into chunks at PARAGRAPH boundaries — the
     natural-boundary complement of ``chunk_documents``'s fixed token
@@ -318,7 +319,43 @@ def chunk_by_paragraphs(
                     F.array_sort(F.collect_list(F.struct("para_id", "para"))),
                     lambda s: s["para"],
                 ),
-                "\n\n",
+                join_sep,
             ).alias("chunk_text"),
         )
+    )
+
+
+# Sentence boundary: split AFTER a terminator run, keeping it attached
+# to its sentence (Java-regex lookbehind), with fixed-width negative
+# lookbehinds for the common abbreviation traps. Deliberately a
+# heuristic — a perfect segmenter needs a language model; these rules
+# are the deterministic, engine-portable core every pipeline starts
+# from (and the pattern is a parameter for corpora that need more).
+SENTENCE_BOUNDARY = (
+    r"(?<=[.!?])(?<!\bMr\.)(?<!\bMrs\.)(?<!\bDr\.)(?<!\bSt\.)"
+    r"(?<!\bvs\.)(?<!\betc\.)(?<!\be\.g\.)(?<!\bi\.e\.)\s+"
+)
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    boundary_pattern: str = SENTENCE_BOUNDARY,
+) -> DataFrame:
+    """Split each document into chunks at SENTENCE boundaries — the
+    finer-grained sibling of ``chunk_by_paragraphs`` (same
+    budget-ALIGNED grouping rule, same engine-portability argument;
+    RAG-style retrieval chunks usually want sentence edges, not
+    paragraph edges). Output: (id, chunk_id, n_sentences,
+    n_chunk_tokens, has_oversize_sentence, chunk_text) with sentences
+    re-joined by one space in original order."""
+    out = chunk_by_paragraphs(
+        df, id_col, text_col, chunk_tokens,
+        sep_pattern=boundary_pattern, join_sep=" ",
+    )
+    return (
+        out.withColumnRenamed("n_paragraphs", "n_sentences")
+        .withColumnRenamed("has_oversize_paragraph", "has_oversize_sentence")
     )

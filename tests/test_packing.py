@@ -375,3 +375,50 @@ def test_chunk_summary_cols_match_operator(spark, sf_dir):
         (F.col("n_chunks") == 0)
         & (F.col("n_op").isNotNull() | F.col("chunk_fp8").isNotNull())
     ).count() == 0
+
+
+def test_chunk_by_sentences_boundaries_and_abbreviations(spark):
+    """Sentence chunking: terminators stay attached, common
+    abbreviations don't split, budget-aligned grouping matches the
+    paragraph chunker's rule."""
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        chunk_by_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Dr. Smith arrived early. The market closed higher! "
+                "Was it rain? Nobody knew."),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    # budget 8 tokens: sentences have 4 ('Dr. Smith arrived early.'),
+    # 4, 3, 2 tokens → cum-before 0, 4, 8, 11 → chunks 0, 0, 1, 1
+    out = {
+        (r.id, r.chunk_id): r
+        for r in chunk_by_sentences(docs, "doc_id", "text", 8).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1)}
+    c0, c1 = out[(1, 0)], out[(1, 1)]
+    assert c0.n_sentences == 2 and c1.n_sentences == 2
+    # 'Dr.' did not split; the terminator stays with its sentence
+    assert c0.chunk_text == (
+        "Dr. Smith arrived early. The market closed higher!"
+    )
+    assert c1.chunk_text == "Was it rain? Nobody knew."
+    assert c0.n_chunk_tokens == 8 and c1.n_chunk_tokens == 5
+    assert not c0.has_oversize_sentence
+
+
+def test_chunk_by_sentences_oversize_flag(spark):
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        chunk_by_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven. ok.")],
+        "doc_id long, text string",
+    )
+    rows = chunk_by_sentences(docs, "doc_id", "text", 3).collect()
+    assert any(r.has_oversize_sentence for r in rows)
