@@ -199,6 +199,14 @@ def _tokenizer_fertility_rows(
     from ..operators import unigram as UGo
     from ..operators import wordpiece as WPo
 
+    if n_pieces < 1:
+        # num_merges=0 would silently self-train merge-less
+        # character-level tokenizers and report their fertility as if
+        # they were real subword fits — the silent-misconfiguration
+        # class curate()'s encode stages reject loudly (review finding)
+        raise ValueError(
+            f"tokenizer_pieces must be >= 1, got {n_pieces}"
+        )
     rows = B.word_census(docs, text_col, 4096).collect()
     census = [(r["word"], int(r["freq"])) for r in rows]
     spark = docs.sparkSession

@@ -333,6 +333,14 @@ def fixed_query_cosine(
     convention), never a division error or a fake 0."""
     import math
 
+    if d is not None and len(query) < d:
+        # query[:d] would silently truncate and zip_with would
+        # NULL-pad against the longer vector slice, NULLing every sim —
+        # indistinguishable from the zero-norm arm (review finding)
+        raise ValueError(
+            f"fixed_query_cosine: query has {len(query)} dims, "
+            f"fewer than d={d}"
+        )
     qd = [float(x) for x in (query if d is None else query[:d])]
     qnorm = math.sqrt(sum(x * x for x in qd))
     if qnorm == 0.0:

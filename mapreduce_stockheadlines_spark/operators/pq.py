@@ -881,6 +881,13 @@ def opq_train(
     if dim_row is None:
         raise ValueError("opq_train: empty corpus")
     dim = len(dim_row["v"])
+    if dim % m:
+        # validate BEFORE the corpus passes: the pca init would
+        # otherwise run a full distributed moment pass and then die
+        # inside the greedy allocation with an opaque empty-min
+        # (review finding, round 9); the identity path would reach
+        # pq_train's check only after the rotation pass
+        raise ValueError(f"opq_train: dim {dim} not divisible by m={m}")
     if init == "pca":
         rot = _opq_pca_init(corpus, vec_col, dim, m)
         train_src: DataFrame = rotate_vectors(corpus, rot, id_col, vec_col)

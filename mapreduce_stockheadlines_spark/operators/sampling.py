@@ -874,8 +874,13 @@ def unimax_allocation(
     (max_epochs_num/max_epochs_den) so caps stay exact integers.
 
     Output, one row per source: (source, n_tokens, cap, saturated,
-    alloc_fp, epochs_fp) — allocation and realized epochs in
-    ``fp_scale`` fixed point. Every decision is integer: the
+    alloc_tokens, epochs_fp) — the allocation in WHOLE tokens (a
+    saturated source gets its integer cap verbatim, an unsaturated one
+    ⌊θ⌋; whole tokens rather than a fixed-point allocation because
+    cap·fp_scale overflows BIGINT at real corpus sizes — review
+    finding, round 9), realized epochs in ``fp_scale`` fixed point
+    (epochs are O(E)-magnitude, so their fixed point cannot overflow).
+    Every decision is integer: the
     saturated set is the ascending-cap prefix where
     cap_i·(S−i+1) + cum_{i−1} ≤ budget (monotone, so prefix-ness is a
     theorem, not an assumption), and θ's floor quantization runs
@@ -924,14 +929,13 @@ def unimax_allocation(
             F.lit(0),
         ),
     )
-    theta_fp = F.expr(
-        f"CAST((CAST({int(budget)} - _satsum AS DECIMAL(38,0))"
-        f" * CAST({int(fp_scale)} AS DECIMAL(38,0)))"
+    theta_tokens = F.expr(
+        f"CAST(CAST({int(budget)} - _satsum AS DECIMAL(38,0))"
         " DIV CAST(greatest(_s - _k, 1) AS DECIMAL(38,0)) AS BIGINT)"
     )
-    alloc_fp = F.when(
-        F.col("saturated"), F.col("cap") * F.lit(int(fp_scale))
-    ).otherwise(theta_fp)
+    alloc_tokens = F.when(F.col("saturated"), F.col("cap")).otherwise(
+        theta_tokens
+    )
     epochs_fp = F.when(
         F.col("saturated"),
         F.expr(
@@ -952,6 +956,6 @@ def unimax_allocation(
         "n_tokens",
         "cap",
         "saturated",
-        alloc_fp.alias("alloc_fp"),
+        alloc_tokens.alias("alloc_tokens"),
         epochs_fp.alias("epochs_fp"),
     )

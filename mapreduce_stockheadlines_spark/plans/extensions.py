@@ -4251,7 +4251,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
             um.select(
                 "source",
                 F.col("saturated").alias("unimax_sat"),
-                F.col("alloc_fp").alias("unimax_alloc_fp"),
+                F.col("alloc_tokens").alias("unimax_alloc_tokens"),
                 F.col("epochs_fp").alias("unimax_epochs_fp"),
             )
         ),
@@ -4261,7 +4261,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     return enriched.select(
         "doc_id", "source", "n_tokens", "epoch", "mix_kept", "strat_kept",
         "curriculum_pos", "dsir_score", "n_features", "dsir_kept",
-        "doremi_w", "unimax_sat", "unimax_alloc_fp", "unimax_epochs_fp",
+        "doremi_w", "unimax_sat", "unimax_alloc_tokens", "unimax_epochs_fp",
     ).orderBy("doc_id", "epoch")
 
 
@@ -4498,11 +4498,12 @@ umk AS (SELECT CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k,
                CAST(max(sc) AS BIGINT) AS sc
         FROM umx),
 umf AS (SELECT u.source, u.sat AS unimax_sat,
-               CASE WHEN u.sat THEN u.cap * 1000000
-                    ELSE CAST(((umb.b - umk.satsum)::HUGEINT
-                               * 1000000::HUGEINT)
+               -- whole-token allocation (cap*1e6 fixed point would
+               -- overflow BIGINT at real corpus sizes — review finding)
+               CASE WHEN u.sat THEN u.cap
+                    ELSE CAST((umb.b - umk.satsum)::HUGEINT
                               // greatest(umk.sc - umk.k, 1)::HUGEINT
-                              AS BIGINT) END AS unimax_alloc_fp,
+                              AS BIGINT) END AS unimax_alloc_tokens,
                CASE WHEN u.sat
                     THEN CAST((u.cap::HUGEINT * 1000000::HUGEINT)
                               // greatest(u.n, 1)::HUGEINT AS BIGINT)
@@ -4518,7 +4519,7 @@ SELECT m.doc_id, m.source, m.n_tokens, m.epoch, k.mix_kept, t.strat_kept,
        CASE WHEN s.doc_id IS NOT NULL
             THEN COALESCE(d.dsir_kept, FALSE) END AS dsir_kept,
        dw.w AS doremi_w,
-       um.unimax_sat, um.unimax_alloc_fp, um.unimax_epochs_fp
+       um.unimax_sat, um.unimax_alloc_tokens, um.unimax_epochs_fp
 FROM mixed m
 JOIN mk k ON m.doc_id = k.doc_id AND m.epoch = k.epoch
 JOIN stk t ON m.doc_id = t.doc_id AND m.epoch = t.epoch

@@ -3218,3 +3218,17 @@ def test_x27_mrl_columns_nondegenerate_and_rank_consistent(spark, sf_dir):
         assert [r.mrl_rank_d16 for r in order] == ranks
     finally:
         x27.unpersist()
+
+
+def test_fixed_query_cosine_rejects_short_query(spark):
+    from mapreduce_stockheadlines_spark.operators.embeddings import (
+        fixed_query_cosine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="fewer than d"):
+        fixed_query_cosine(df, "embedding", [1.0, 2.0], d=4)

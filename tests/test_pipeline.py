@@ -1484,3 +1484,15 @@ def test_report_tokenizer_fertility_rows(spark, capsys):
         4,
     )
     assert rep["wordpiece_fertility"] == want_wp
+
+
+def test_report_tokenizer_metrics_rejects_zero(spark):
+    from mapreduce_stockheadlines_spark.jobs.report import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s")], "doc_id long, text string, source string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="tokenizer_pieces"):
+        corpus_report(docs, "doc_id", "text", tokenizer_pieces=0).collect()

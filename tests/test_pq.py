@@ -408,3 +408,9 @@ def test_opq_cross_moment_matches_numpy_reference(spark):
         (x.T @ yhat.reshape(len(x), -1)) / len(x), 9
     )
     assert np.array_equal(got, want)
+
+
+def test_opq_rejects_indivisible_dim_before_corpus_pass(spark):
+    df, _ = _correlated(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.opq_train(df, m=3, ksub=4)

@@ -948,18 +948,18 @@ def test_unimax_hand_values(spark):
         r.source: r
         for r in unimax_allocation(df, "source", "n", 18, 1).collect()
     }
-    assert out["a"].saturated and out["a"].alloc_fp == 4 * 10**6
+    assert out["a"].saturated and out["a"].alloc_tokens == 4
     assert out["a"].epochs_fp == 10**6  # exactly 1 epoch
     for s in ("b", "c"):
         assert not out[s].saturated
-        assert out[s].alloc_fp == 7 * 10**6
+        assert out[s].alloc_tokens == 7
         assert out[s].epochs_fp == 700_000  # 0.7 epochs
     # rational epoch cap: E = 3/2 on n=4 → cap 6
     out2 = unimax_allocation(df, "source", "n", 100, 3, 2).collect()
     caps = {r.source: r.cap for r in out2}
     assert caps == {"a": 6, "b": 15, "c": 15}
     # budget >= Σcaps: everything saturates at its cap
-    assert all(r.saturated and r.alloc_fp == r.cap * 10**6 for r in out2)
+    assert all(r.saturated and r.alloc_tokens == r.cap for r in out2)
 
     import pytest
 
@@ -979,13 +979,13 @@ def test_unimax_waterfill_identity_and_fairness(spark):
     df = spark.createDataFrame(rows, "source string, n long")
     budget = int(sum(n for _, n in rows) * 1.3)
     out = unimax_allocation(df, "source", "n", budget, 2).collect()
-    fp = 10**6
-    total_alloc = sum(r.alloc_fp for r in out)
+    total_alloc = sum(r.alloc_tokens for r in out)
     n_unsat = sum(not r.saturated for r in out)
     assert 0 < n_unsat < len(out)  # both arms live
-    assert budget * fp - n_unsat < total_alloc <= budget * fp
-    theta = min(r.alloc_fp for r in out if not r.saturated)
-    assert all(r.cap * fp <= theta for r in out if r.saturated)
+    # whole-token floors lose < 1 token per unsaturated source
+    assert budget - n_unsat < total_alloc <= budget
+    theta = min(r.alloc_tokens for r in out if not r.saturated)
+    assert all(r.cap <= theta for r in out if r.saturated)
 
 
 def test_x32_unimax_columns_nondegenerate(spark, sf_dir):
