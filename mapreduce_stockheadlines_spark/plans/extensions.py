@@ -2640,6 +2640,29 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "pq_rmse",
         F.col("adc_fp").alias("pq_adc_fp"),
     )
+    # OPQ cross-moment pin (round-9, the pca_fit moment-pin pattern):
+    # the orthogonal-Procrustes step consumes A = (1/n)·Σ x·ŷᵀ
+    # (operators/pq.opq_cross_moment) — the SVD stays driver-numpy on
+    # both sides by the documented pca design, and what the registry
+    # verifies is that BOTH engines hand it bit-identical input. Under
+    # the identity rotation ŷ is the plain-PQ reconstruction DuckDB
+    # already re-derives (penc/pcb2), so each row pins its residue
+    # dimension's diagonal entry and one planted off-diagonal
+    # (j = (17·i+3) mod 64 — never i, and a bijection over columns).
+    a_mom = PQO.opq_cross_moment(
+        emb, np.eye(len(q0)), cbooks, moment_dp=9
+    )
+    om_rows = [
+        (
+            m,
+            float(a_mom[m, m]),
+            float(a_mom[m, (17 * m + 3) % len(q0)]),
+        )
+        for m in range(len(q0))
+    ]
+    om = spark.createDataFrame(
+        om_rows, "m64o int, opq_xmom_ii double, opq_xmom_ij double"
+    )
     # Matryoshka prefix serving (round-9 zero-slot promotion —
     # operators/embeddings.truncate_dims + fixed_query_cosine, Kusupati
     # et al. 2022): every row carries mrl_sim_d16 (4dp cosine of the
@@ -2733,6 +2756,9 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("m64", (F.col("vec_id") % 64).cast("int"))
         .join(F.broadcast(pm), "m64")
         .drop("m64")
+        .withColumn("m64o", (F.col("vec_id") % 64).cast("int"))
+        .join(F.broadcast(om), "m64o")
+        .drop("m64o")
         .join(pqe, "vec_id")
         .join(mrl, "vec_id")
         .join(rcells, "vec_id")
@@ -2849,6 +2875,20 @@ prec AS (SELECT p.vec_id,
          JOIN psv p ON p.vec_id = a.vec_id AND p.sub = a.sub
          JOIN pcb2 c ON c.sub = a.sub AND c.cell = a.cell AND c.sd = p.sd
          GROUP BY p.vec_id),
+-- OPQ cross-moment entries: ŷ per dimension from the FINAL assignment
+-- + codebooks (penc/pcb2 — the same 4dp-argmin contract the operator's
+-- identity-rotation encode runs), selective to the planted (i,i) and
+-- (i, (17(i-1)+3) mod 64 + 1) pairs, summed then 1/n-normalized then
+-- 9dp-rounded in the operator's association order
+pyh AS MATERIALIZED (
+  SELECT a.vec_id, (c.sub * 16 + c.sd + 1) AS dim, c.c AS yh
+  FROM penc a JOIN pcb2 c ON c.sub = a.sub AND c.cell = a.cell),
+oxg AS (SELECT a.dim AS i, b.dim AS j, sum(a.x * b.yh) AS sxy
+        FROM dd a JOIN pyh b USING (vec_id)
+        WHERE b.dim = a.dim OR b.dim = ((a.dim - 1) * 17 + 3) % 64 + 1
+        GROUP BY a.dim, b.dim),
+oxm AS (SELECT g.i, g.j, round(g.sxy / nn.n, 9) AS mom
+        FROM oxg g CROSS JOIN nn),
 pq0 AS (SELECT sub, sd, x FROM psv
         WHERE vec_id = (SELECT min(vec_id) FROM v)),
 plut AS (SELECT c.sub, c.cell,
@@ -3052,6 +3092,8 @@ SELECT vec_id,
        pc.pq_codes_csv,
        pr.pq_rmse,
        pa.pq_adc_fp,
+       oii.mom AS opq_xmom_ii,
+       oij.mom AS opq_xmom_ij,
        mr.mrl_sim_d16,
        mr.mrl_rank_d16,
        f2.cell AS ivf_cell,
@@ -3067,6 +3109,9 @@ JOIN pmom pij ON pij.i = vec_id % 64 + 1
 JOIN pcodes pc USING (vec_id)
 JOIN prec pr USING (vec_id)
 JOIN padc pa USING (vec_id)
+JOIN oxm oii ON oii.i = vec_id % 64 + 1 AND oii.j = oii.i
+JOIN oxm oij ON oij.i = vec_id % 64 + 1
+            AND oij.j = ((vec_id % 64) * 17 + 3) % 64 + 1
 JOIN mrlr mr USING (vec_id)
 JOIN ifa f2 USING (vec_id)
 JOIN jcodes jc USING (vec_id)

