@@ -3232,3 +3232,69 @@ def test_fixed_query_cosine_rejects_short_query(spark):
 
     with pytest.raises(ValueError, match="fewer than d"):
         fixed_query_cosine(df, "embedding", [1.0, 2.0], d=4)
+
+
+def test_audio_spectral_features_tone_and_noise(spark):
+    """A pure tone's dominant/centroid frequencies sit at the tone and
+    its flatness near 0; white-ish noise has flatness near 1; a
+    non-audio mime gets NULLs (typed Hz columns refuse digest fakes);
+    strict mode raises."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    rate = 8000
+    t = np.arange(4096) / rate
+    tone = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    rng = np.random.RandomState(5)
+    noise = (6000 * rng.uniform(-1, 1, 4096)).astype(np.int16)
+    rows = [
+        (1, bytearray(_mono_wav_bytes(tone)), M.MIME_WAV),
+        (2, bytearray(_mono_wav_bytes(noise)), M.MIME_WAV),
+        (3, bytearray(b"\x89PNG fake"), "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    out = {
+        r.media_id: r for r in M.audio_spectral_features(df).collect()
+    }
+    t1 = out[1]
+    assert abs(t1.dominant_hz - 1000.0) < 4.0  # rfft bin width ~1.95 Hz
+    assert abs(t1.spec_centroid_hz - 1000.0) < 25.0
+    assert t1.spec_flatness < 0.05
+    assert abs(t1.spec_rolloff_hz - 1000.0) < 25.0
+    n2 = out[2]
+    assert n2.spec_flatness > 0.4
+    assert n2.spec_centroid_hz > 1200.0  # noise mass spreads upward
+    assert out[3].spec_centroid_hz is None
+    assert out[3].dominant_hz is None
+
+    with pytest.raises(Exception, match="codec"):
+        M.audio_spectral_features(
+            df.filter("media_id = 3"), strict=True
+        ).collect()
+
+
+def test_audio_spectral_features_degenerate_inputs(spark):
+    """Silence and a truncated WAV: silence yields all-zeros (never
+    NaN), an undecodable blob NULLs in non-strict mode."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    silent = np.zeros(1024, dtype=np.int16)
+    good = _mono_wav_bytes(silent)
+    rows = [
+        (1, bytearray(good), M.MIME_WAV),
+        (2, bytearray(good[:20]), M.MIME_WAV),  # truncated header
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    out = {
+        r.media_id: r for r in M.audio_spectral_features(df).collect()
+    }
+    assert out[1].spec_centroid_hz == 0.0 and out[1].spec_flatness == 0.0
+    assert out[2].spec_centroid_hz is None
