@@ -136,18 +136,37 @@ def _decode_ppm_p6(content: bytes) -> np.ndarray:
 
     Header grammar: ``P6 <ws> width <ws> height <ws> maxval <one ws>``
     with ``#``-comments allowed between tokens; raw RGB bytes follow.
-    8-bit (maxval <= 255) only — the overwhelmingly common case."""
+    maxval <= 255 carries bytes verbatim (the historical 8-bit
+    contract); maxval 256..65535 (round 9) reads big-endian two-byte
+    samples per the spec and scales round(v·255/maxval) to the tier's
+    uint8 convention — high-byte narrowing would mis-scale every
+    maxval except 65535."""
     if not content or not content.startswith(b"P6"):
         raise ValueError("not a P6 PPM (missing magic)")
     (width, height, maxval), pos = _pnm_header_ints(content, 3)
-    if maxval > 255:
-        raise ValueError("16-bit PPM unsupported")
+    if maxval > 65535 or maxval < 1:
+        raise ValueError("Netpbm maxval out of range")
     pos += 1  # exactly one whitespace byte separates header from raster
     need = width * height * 3
-    px = np.frombuffer(content, dtype=np.uint8, count=-1, offset=pos)
-    if px.size < need:
-        raise ValueError("truncated PPM raster")
-    return px[:need].reshape(height, width, 3)
+    if maxval > 255:
+        px = np.frombuffer(content, dtype=">u2", count=-1, offset=pos)
+        if px.size < need:
+            raise ValueError("truncated PPM raster")
+        px = _pnm_narrow16(px[:need], maxval)
+    else:
+        px = np.frombuffer(content, dtype=np.uint8, count=-1, offset=pos)
+        if px.size < need:
+            raise ValueError("truncated PPM raster")
+        px = px[:need]
+    return px.reshape(height, width, 3).copy()
+
+
+def _pnm_narrow16(samples: np.ndarray, maxval: int) -> np.ndarray:
+    """Scale >8-bit Netpbm samples to uint8: round(v·255/maxval) —
+    exact 0→0 and maxval→255 endpoints at any legal maxval."""
+    return np.round(
+        samples.astype(np.float64) * (255.0 / maxval)
+    ).astype(np.uint8)
 
 
 def _encode_ppm_p6(px: np.ndarray) -> bytes:
@@ -410,8 +429,10 @@ def _decode_pnm(content: bytes) -> np.ndarray:
     bitmap), P5 (binary graymap); P6 delegates to ``_decode_ppm_p6``.
     Bitmaps map 1=black→0 and 0=white→255 (PBM ink convention);
     gray/bitmap rasters replicate to (H, W, 3) — the tier's channel
-    convention, like the PNG gray path; 8-bit only (maxval <= 255,
-    carried without rescale — the P6 contract)."""
+    convention, like the PNG gray path. maxval <= 255 carries samples
+    verbatim (the P6 contract); 16-bit rasters (round 9) read
+    big-endian two-byte samples (binary) / plain tokens (ASCII) and
+    scale through ``_pnm_narrow16``."""
     magic = content[:2]
     if magic == b"P6":
         return _decode_ppm_p6(content)
@@ -424,8 +445,8 @@ def _decode_pnm(content: bytes) -> np.ndarray:
         maxval = 1
     else:
         width, height, maxval = vals
-        if maxval > 255:
-            raise ValueError("16-bit Netpbm unsupported")
+        if maxval > 65535 or maxval < 1:
+            raise ValueError("Netpbm maxval out of range")
     if width < 1 or height < 1:
         raise ValueError("malformed Netpbm dimensions")
     if magic == b"P4":
@@ -440,6 +461,13 @@ def _decode_pnm(content: bytes) -> np.ndarray:
     if magic == b"P5":
         pos += 1
         need = width * height
+        if maxval > 255:
+            raw = np.frombuffer(content, ">u2", count=-1, offset=pos)
+            if raw.size < need:
+                raise ValueError("truncated PGM raster")
+            return _gray3(
+                _pnm_narrow16(raw[:need], maxval).reshape(height, width)
+            )
         raw = np.frombuffer(content, np.uint8, count=-1, offset=pos)
         if raw.size < need:
             raise ValueError("truncated PGM raster")
@@ -465,7 +493,7 @@ def _decode_pnm(content: bytes) -> np.ndarray:
     px = np.asarray(toks[:need], dtype=np.int64)
     if px.min() < 0 or px.max() > maxval:
         raise ValueError("ASCII Netpbm sample out of range")
-    px = px.astype(np.uint8)
+    px = _pnm_narrow16(px, maxval) if maxval > 255 else px.astype(np.uint8)
     return (
         px.reshape(height, width, 3)
         if magic == b"P3"
@@ -474,25 +502,103 @@ def _decode_pnm(content: bytes) -> np.ndarray:
 
 
 def _decode_bmp(content: bytes) -> np.ndarray:
-    """Pure-numpy uncompressed 24-bit BMP decode → uint8 (H, W, 3) RGB.
+    """Pure-numpy BMP decode → uint8 (H, W, 3) RGB: uncompressed
+    24-bit, uncompressed 8-bit palette, and RLE8-compressed 8-bit
+    palette (round 9 — previously a documented valid-magic gap routed
+    to the stub).
 
     BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: rows are padded to
-    4-byte multiples, stored bottom-up when height > 0, channels BGR."""
+    4-byte multiples, stored bottom-up when height > 0, channels BGR;
+    the palette (BGRA quads, biClrUsed entries or 256) sits right
+    after the info header. RLE8 (BI_RLE8): (count, index) runs;
+    count=0 escapes to end-of-line (0), end-of-bitmap (1), delta (2 —
+    dx, dy follow; skipped pixels stay index 0 per the de-facto
+    convention) or absolute mode (n literal indices, word-aligned)."""
     if len(content) < 54 or content[:2] != b"BM":
         raise ValueError("not a BMP (missing magic)")
     (data_off,) = struct.unpack_from("<I", content, 10)
-    _hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
     _planes, bpp = struct.unpack_from("<HH", content, 26)
     (compression,) = struct.unpack_from("<I", content, 30)
-    if bpp != 24 or compression != 0:
-        raise ValueError("only uncompressed 24-bit BMP supported")
     bottom_up, h_abs = height > 0, abs(height)
-    row_bytes = (width * 3 + 3) // 4 * 4
-    raw = np.frombuffer(
-        content, dtype=np.uint8, count=row_bytes * h_abs, offset=data_off
-    ).reshape(h_abs, row_bytes)
-    px = raw[:, : width * 3].reshape(h_abs, width, 3)[..., ::-1]  # BGR→RGB
-    return px[::-1] if bottom_up else px
+    if width < 1 or h_abs < 1:
+        raise ValueError("malformed BMP dimensions")
+    if bpp == 24 and compression == 0:
+        row_bytes = (width * 3 + 3) // 4 * 4
+        raw = np.frombuffer(
+            content, dtype=np.uint8, count=row_bytes * h_abs, offset=data_off
+        ).reshape(h_abs, row_bytes)
+        px = raw[:, : width * 3].reshape(h_abs, width, 3)[..., ::-1]
+        return (px[::-1] if bottom_up else px).copy()
+    if bpp == 8 and compression in (0, 1):
+        (clr_used,) = struct.unpack_from("<I", content, 46)
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        quads = np.frombuffer(
+            content, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        )
+        if quads.size < n_pal * 4:
+            raise ValueError("truncated BMP palette")
+        palette = quads.reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRA→RGB
+        if compression == 0:
+            row_bytes = (width + 3) // 4 * 4
+            raw = np.frombuffer(
+                content, dtype=np.uint8, count=row_bytes * h_abs,
+                offset=data_off,
+            ).reshape(h_abs, row_bytes)
+            idx = raw[:, :width]
+        else:
+            idx = _bmp_rle8(content[data_off:], width, h_abs)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        px = palette[idx]
+        return (px[::-1] if bottom_up else px).copy()
+    raise ValueError(
+        "only uncompressed 24-bit / palette-8 / RLE8 BMP supported"
+    )
+
+
+def _bmp_rle8(data: bytes, width: int, height: int) -> np.ndarray:
+    """RLE8 run decode → (height, width) palette indices, rows in STORED
+    order (caller flips for bottom-up). Overflow past a row edge or the
+    raster, and a truncated stream, raise — malformed compression must
+    route to the stub, not wrap silently."""
+    idx = np.zeros((height, width), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= height or x + cnt > width:
+                raise ValueError("RLE8 run overflows row")
+            idx[y, x : x + cnt] = val
+            x += cnt
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+            continue
+        if val == 1:  # end of bitmap
+            return idx
+        if val == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("RLE8 delta overflows raster")
+            continue
+        # absolute mode: val literal indices, padded to a word boundary
+        run = data[pos : pos + val]
+        if len(run) < val:
+            raise ValueError("truncated RLE8 absolute run")
+        if y >= height or x + val > width:
+            raise ValueError("RLE8 absolute run overflows row")
+        idx[y, x : x + val] = np.frombuffer(run, np.uint8)
+        x += val
+        pos += val + (val & 1)
+    raise ValueError("RLE8 stream missing end-of-bitmap")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -3298,3 +3298,120 @@ def test_audio_spectral_features_degenerate_inputs(spark):
     }
     assert out[1].spec_centroid_hz == 0.0 and out[1].spec_flatness == 0.0
     assert out[2].spec_centroid_hz is None
+
+
+def _bmp8_bytes(idx, palette, rle=False):
+    """Hand-build an 8-bit palette BMP (bottom-up) from (H, W) uint8
+    indices + (N, 3) RGB palette; rle=True emits an RLE8 stream (naive
+    per-row encoded runs + end-of-line, end-of-bitmap last)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    h, w = idx.shape
+    n_pal = palette.shape[0]
+    quads = b"".join(
+        bytes([int(b), int(g), int(r), 0]) for r, g, b in palette
+    )
+    if not rle:
+        row_bytes = (w + 3) // 4 * 4
+        raster = b"".join(
+            idx[r].tobytes().ljust(row_bytes, b"\x00")
+            for r in range(h - 1, -1, -1)
+        )
+        comp = 0
+    else:
+        out = bytearray()
+        for r in range(h - 1, -1, -1):
+            row = idx[r]
+            j = 0
+            while j < w:
+                k = j
+                while k < w and row[k] == row[j] and k - j < 255:
+                    k += 1
+                out += bytes([k - j, int(row[j])])
+                j = k
+            out += b"\x00\x00"  # end of line
+        out += b"\x00\x01"  # end of bitmap
+        raster = bytes(out)
+        comp = 1
+    off = 14 + 40 + len(quads)
+    fh = b"BM" + _struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    ih = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(raster), 2835, 2835,
+        n_pal, 0,
+    )
+    return fh + ih + quads + raster
+
+
+def test_bmp_palette_and_rle8_decode(spark):
+    """8-bit palette BMPs decode for real, uncompressed and RLE8 give
+    IDENTICAL pixels for the same image, and both match the 24-bit
+    encoding of the same pixels (cross-path pin). Malformed RLE routes
+    to ValueError (the stub arm)."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(9)
+    idx = rng.randint(0, 5, size=(7, 11)).astype(np.uint8)
+    idx[2, :] = 3  # a long run for the RLE arm
+    palette = rng.randint(0, 256, size=(5, 3)).astype(np.uint8)
+    want = palette[idx]
+
+    plain = M._decode_bmp(_bmp8_bytes(idx, palette, rle=False))
+    rle = M._decode_bmp(_bmp8_bytes(idx, palette, rle=True))
+    assert np.array_equal(plain, want)
+    assert np.array_equal(rle, want)
+    truecolor = M._decode_bmp(_bmp_bytes(want))
+    assert np.array_equal(truecolor, want)
+
+    # malformed RLE: run overflowing the row must raise, not wrap
+    bad = bytearray(_bmp8_bytes(idx, palette, rle=True))
+    (off,) = __import__("struct").unpack_from("<I", bytes(bad), 10)
+    bad[off] = 255  # first run longer than any row
+    with pytest.raises(ValueError, match="RLE8"):
+        M._decode_bmp(bytes(bad))
+    # out-of-range palette index must raise
+    idx_bad = idx.copy()
+    idx_bad[0, 0] = 9  # palette has 5 entries
+    with pytest.raises(ValueError, match="palette index"):
+        M._decode_bmp(_bmp8_bytes(idx_bad, palette, rle=False))
+
+
+def test_netpbm_16bit_decode_all_families(spark):
+    """16-bit Netpbm (round 9): binary P5/P6 read big-endian two-byte
+    samples, ASCII P2/P3 plain tokens; all scale round(v·255/maxval)
+    with exact endpoints, and a 16-bit raster equals the 8-bit raster
+    of the pre-scaled image (cross-path pin)."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(4)
+    maxval = 1023
+    g16 = rng.randint(0, maxval + 1, size=(5, 7)).astype(">u2")
+    g16[0, 0], g16[0, 1] = 0, maxval  # exact endpoints
+    want_g = np.round(g16.astype(np.float64) * 255.0 / maxval).astype(
+        np.uint8
+    )
+
+    p5 = b"P5\n7 5\n%d\n" % maxval + g16.tobytes()
+    got5 = M._decode_pnm(p5)
+    assert np.array_equal(got5[..., 0], want_g)
+    assert got5[0, 0, 0] == 0 and got5[0, 1, 0] == 255
+
+    p2 = (b"P2\n7 5\n%d\n" % maxval
+          + " ".join(str(int(v)) for v in g16.ravel()).encode())
+    assert np.array_equal(M._decode_pnm(p2), got5)
+
+    c16 = rng.randint(0, maxval + 1, size=(4, 3, 3)).astype(">u2")
+    want_c = np.round(c16.astype(np.float64) * 255.0 / maxval).astype(
+        np.uint8
+    )
+    p6 = b"P6\n3 4\n%d\n" % maxval + c16.tobytes()
+    assert np.array_equal(M._decode_ppm_p6(p6), want_c)
+    p3 = (b"P3\n3 4\n%d\n" % maxval
+          + " ".join(str(int(v)) for v in c16.ravel()).encode())
+    assert np.array_equal(M._decode_pnm(p3), want_c)
