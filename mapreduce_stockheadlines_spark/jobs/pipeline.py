@@ -37,7 +37,9 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 --keep-top)
       → chunking               (optional: split long docs into
                                 overlapping fixed-token windows —
-                                --chunk-tokens/--chunk-overlap)
+                                --chunk-tokens/--chunk-overlap; or at
+                                paragraph/sentence boundaries —
+                                --chunk-paragraphs / --chunk-sentences)
       → token accounting       (whitespace + BPE-ish counts per doc)
       → vocabulary encode      (optional: top-V vocab built on survivors,
                                 ordered token-id sequences attached —
@@ -108,6 +110,7 @@ def curate(
     chunk_tokens: int | None = None,
     chunk_overlap: int = 16,
     chunk_paragraphs: bool = False,
+    chunk_sentences: bool = False,
     blocked_domains: DataFrame | None = None,
     strip_boilerplate: bool = False,
     max_dup_window_fraction: float | None = None,
@@ -210,11 +213,18 @@ def curate(
                 "dsir_target_source needs a 'source' column to select "
                 "the target subset"
             )
-    if chunk_paragraphs and chunk_tokens is None:
+    if (chunk_paragraphs or chunk_sentences) and chunk_tokens is None:
         # without the guard the flag is a silent no-op (the chunk stage
-        # is keyed on chunk_tokens) — the user asked for paragraph
+        # is keyed on chunk_tokens) — the user asked for boundary
         # chunking and would get unchunked docs with no warning
-        raise ValueError("chunk_paragraphs requires chunk_tokens")
+        raise ValueError(
+            "chunk_paragraphs/chunk_sentences require chunk_tokens"
+        )
+    if chunk_paragraphs and chunk_sentences:
+        raise ValueError(
+            "chunk_paragraphs and chunk_sentences are mutually "
+            "exclusive — pick one boundary"
+        )
 
     # -1. (optional) mojibake repair — before even Unicode
     #    normalization (ftfy's ordering: NFKC of garbled text bakes the
@@ -505,6 +515,12 @@ def curate(
             chunks = PK.chunk_by_paragraphs(
                 docs, "doc_id", "text", chunk_tokens
             ).withColumnRenamed("id", "parent_doc_id")
+        elif chunk_sentences:
+            # finer natural boundary: never cut mid-sentence (the RAG
+            # retrieval-chunk edge; same budget-aligned rule)
+            chunks = PK.chunk_by_sentences(
+                docs, "doc_id", "text", chunk_tokens
+            ).withColumnRenamed("id", "parent_doc_id")
         else:
             chunks = PK.chunk_documents(
                 docs, "doc_id", "text", chunk_tokens, chunk_overlap
@@ -753,6 +769,11 @@ def main(argv: list[str] | None = None) -> None:
                          "boundaries (never mid-paragraph; may overrun "
                          "the budget by one paragraph) instead of "
                          "fixed token windows")
+    ap.add_argument("--chunk-sentences", action="store_true",
+                    help="with --chunk-tokens: chunk at sentence "
+                         "boundaries (lookbehind segmenter with "
+                         "abbreviation guards) instead of fixed token "
+                         "windows")
     ap.add_argument("--chunk-overlap", type=int, default=16,
                     help="token overlap between adjacent chunks")
     ap.add_argument("--blocked-domains", default=None,
@@ -971,6 +992,7 @@ def main(argv: list[str] | None = None) -> None:
         chunk_tokens=args.chunk_tokens,
         chunk_overlap=args.chunk_overlap,
         chunk_paragraphs=args.chunk_paragraphs,
+        chunk_sentences=args.chunk_sentences,
         blocked_domains=blocked,
         strip_boilerplate=args.strip_boilerplate,
         max_dup_window_fraction=args.max_dup_window_fraction,

@@ -1496,3 +1496,30 @@ def test_report_tokenizer_metrics_rejects_zero(spark):
 
     with pytest.raises(ValueError, match="tokenizer_pieces"):
         corpus_report(docs, "doc_id", "text", tokenizer_pieces=0).collect()
+
+
+def test_curate_chunk_sentences_stage(spark):
+    """--chunk-sentences: chunks split at sentence boundaries with the
+    composite-id convention, require chunk_tokens, and exclude
+    chunk_paragraphs."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran far away. Birds sing songs.", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = curate(
+        docs, lang="en", min_quality=0.0, chunk_tokens=6,
+        chunk_sentences=True,
+    ).collect()
+    assert len(out) >= 2
+    assert all(r.parent_doc_id == 1 for r in out)
+    for r in out:
+        assert r.doc_id == (1 << 20) + r.chunk_id
+        assert r.text.rstrip().endswith(".")  # never cut mid-sentence
+
+    with pytest.raises(ValueError, match="require chunk_tokens"):
+        curate(docs, chunk_sentences=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, chunk_tokens=6, chunk_sentences=True,
+               chunk_paragraphs=True)
