@@ -149,10 +149,16 @@ def _decode_ppm_p6(content: bytes) -> np.ndarray:
     pos += 1  # exactly one whitespace byte separates header from raster
     need = width * height * 3
     if maxval > 255:
-        px = np.frombuffer(content, dtype=">u2", count=-1, offset=pos)
+        avail = (len(content) - pos) // 2  # ignore a trailing odd byte
+        px = np.frombuffer(content, dtype=">u2", count=avail, offset=pos)
         if px.size < need:
             raise ValueError("truncated PPM raster")
-        px = _pnm_narrow16(px[:need], maxval)
+        px = px[:need]
+        if int(px.max(initial=0)) > maxval:
+            # the ASCII path validates range; the binary path must too,
+            # or out-of-range samples wrap mod 256 after narrowing
+            raise ValueError("binary Netpbm sample out of range")
+        px = _pnm_narrow16(px, maxval)
     else:
         px = np.frombuffer(content, dtype=np.uint8, count=-1, offset=pos)
         if px.size < need:
@@ -462,11 +468,15 @@ def _decode_pnm(content: bytes) -> np.ndarray:
         pos += 1
         need = width * height
         if maxval > 255:
-            raw = np.frombuffer(content, ">u2", count=-1, offset=pos)
+            avail = (len(content) - pos) // 2  # ignore a trailing odd byte
+            raw = np.frombuffer(content, ">u2", count=avail, offset=pos)
             if raw.size < need:
                 raise ValueError("truncated PGM raster")
+            raw = raw[:need]
+            if int(raw.max(initial=0)) > maxval:
+                raise ValueError("binary Netpbm sample out of range")
             return _gray3(
-                _pnm_narrow16(raw[:need], maxval).reshape(height, width)
+                _pnm_narrow16(raw, maxval).reshape(height, width)
             )
         raw = np.frombuffer(content, np.uint8, count=-1, offset=pos)
         if raw.size < need:
@@ -534,11 +544,14 @@ def _decode_bmp(content: bytes) -> np.ndarray:
         (clr_used,) = struct.unpack_from("<I", content, 46)
         n_pal = clr_used or 256
         pal_off = 14 + hdr_size
-        quads = np.frombuffer(
-            content, dtype=np.uint8, count=n_pal * 4, offset=pal_off
-        )
+        # count=-1 + explicit size check: an explicit count makes
+        # numpy raise its own error first and the diagnostic below
+        # becomes unreachable (review finding)
+        quads = np.frombuffer(content, dtype=np.uint8, count=-1,
+                              offset=pal_off)
         if quads.size < n_pal * 4:
             raise ValueError("truncated BMP palette")
+        quads = quads[: n_pal * 4]
         palette = quads.reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRA→RGB
         if compression == 0:
             row_bytes = (width + 3) // 4 * 4

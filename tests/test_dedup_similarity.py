@@ -3415,3 +3415,43 @@ def test_netpbm_16bit_decode_all_families(spark):
     p3 = (b"P3\n3 4\n%d\n" % maxval
           + " ".join(str(int(v)) for v in c16.ravel()).encode())
     assert np.array_equal(M._decode_pnm(p3), want_c)
+
+
+def test_netpbm_16bit_rejects_out_of_range_and_allows_trailing_byte(spark):
+    """Binary 16-bit rasters validate sample range like the ASCII path
+    (no silent mod-256 wrap), and a trailing odd byte (writer newline)
+    does not reject an otherwise complete image."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    maxval = 300
+    good = np.full((2, 3), 250, dtype=">u2")
+    p5 = b"P5\n3 2\n%d\n" % maxval + good.tobytes()
+    assert M._decode_pnm(p5 + b"\n").shape == (2, 3, 3)  # trailing byte ok
+
+    bad = good.copy()
+    bad[0, 0] = 65535  # > maxval: corrupt / full-range writer
+    p5_bad = b"P5\n3 2\n%d\n" % maxval + bad.tobytes()
+    with pytest.raises(ValueError, match="out of range"):
+        M._decode_pnm(p5_bad)
+    rgb_bad = np.full((1, 2, 3), 400, dtype=">u2")
+    rgb_bad[0, 0, 0] = 60000
+    p6_bad = b"P6\n2 1\n500\n" + rgb_bad.tobytes()
+    with pytest.raises(ValueError, match="out of range"):
+        M._decode_ppm_p6(p6_bad)
+
+
+def test_bmp_truncated_palette_raises_diagnostic(spark):
+    import numpy as np
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    palette = np.zeros((4, 3), dtype=np.uint8)
+    blob = _bmp8_bytes(idx, palette)
+    cut = blob[: 14 + 40 + 7]  # mid-palette
+    with pytest.raises(ValueError, match="palette"):
+        M._decode_bmp(cut)
