@@ -246,7 +246,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--query-ids", default="0",
                     help="search mode: comma-separated corpus vector ids")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--n-probe", type=int, default=4)
+    ap.add_argument("--n-probe", type=int, default=None,
+                    help="IVF/IVFPQ cells probed per query (default 4). "
+                         "Not applicable to an OPQ flat-ADC index — "
+                         "passing it there prints a loud notice instead "
+                         "of being silently ignored")
     ap.add_argument("--moments-dir", default=None,
                     help="refit mode: versioned (cell, dim) moment "
                          "artifact maintained by kmeans_ingest_sink "
@@ -255,6 +259,9 @@ def main(argv: list[str] | None = None) -> None:
                          "dir (one artifact generation per index "
                          "generation)")
     args = ap.parse_args(argv)
+    # None = "not explicitly set" (the OPQ-path notice keys on it);
+    # every probing path gets the historical default of 4
+    n_probe = 4 if args.n_probe is None else args.n_probe
 
     spark = get_spark("embed-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
@@ -390,6 +397,15 @@ def main(argv: list[str] | None = None) -> None:
         if _rotation_dir_exists(args.out_dir):
             from ..operators import pq as PQO
 
+            if args.n_probe is not None:
+                # a user tuning --n-probe against an OPQ index would
+                # otherwise see unchanged results with no signal
+                # (round-10 review finding)
+                print(
+                    f"notice: --n-probe {args.n_probe} ignored — this "
+                    "is an OPQ flat-ADC index (codes are scanned, "
+                    "there are no cells to probe)"
+                )
             rot = load_rotation(spark, args.out_dir)
             cbooks = load_codebooks(spark, args.out_dir)
             print(
@@ -418,14 +434,14 @@ def main(argv: list[str] | None = None) -> None:
             )
             hits = PQO.ivfpq_topk(
                 queries, corpus, cent, cbooks, k=args.k,
-                n_probe=args.n_probe,
+                n_probe=n_probe,
             ).orderBy("query_id", "rank")
         else:
             hits = S.ivf_topk(
                 queries,
                 corpus,
                 k=args.k,
-                n_probe=args.n_probe,
+                n_probe=n_probe,
                 centroids=load_centroids(spark, args.out_dir),
             ).orderBy("query_id", "rank")
         if args.mode == "search":

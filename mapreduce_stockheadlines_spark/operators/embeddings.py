@@ -330,7 +330,11 @@ def fixed_query_cosine(
     prefix is a literal array, and the decision surface is the rounded
     value (the shared 4dp cross-engine float contract). A zero-norm
     vector gets NULL (unrankable, the lm_perplexity loud-null
-    convention), never a division error or a fake 0."""
+    convention), never a division error or a fake 0 — and so does a
+    vector with too few dims (< ``d``, or != len(query) when ``d`` is
+    None): the size check is an EXPLICIT when-guard, not an accident
+    of zip_with NULL-padding, so a short vector can never produce a
+    silently-truncated sim (review finding, round 10)."""
     import math
 
     if d is not None and len(query) < d:
@@ -360,7 +364,17 @@ def fixed_query_cosine(
     vnorm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # explicit dimensionality guard: with d, the vector must carry at
+    # least d elements (F.slice of a shorter array returns fewer and
+    # zip_with would NULL-pad); without d, it must match the query
+    # exactly. Either violation is loud-NULL by contract, never a
+    # truncated-but-plausible sim.
+    sized = (
+        F.size(F.col(vec_col)) >= int(d)
+        if d is not None
+        else F.size(F.col(vec_col)) == len(qd)
+    )
     sim = F.when(
-        vnorm > 0.0, F.round(dot / (vnorm * F.lit(qnorm)), dp)
+        sized & (vnorm > 0.0), F.round(dot / (vnorm * F.lit(qnorm)), dp)
     )
     return df.withColumn(out_col, sim)

@@ -136,11 +136,12 @@ def _decode_ppm_p6(content: bytes) -> np.ndarray:
 
     Header grammar: ``P6 <ws> width <ws> height <ws> maxval <one ws>``
     with ``#``-comments allowed between tokens; raw RGB bytes follow.
-    maxval <= 255 carries bytes verbatim (the historical 8-bit
-    contract); maxval 256..65535 (round 9) reads big-endian two-byte
-    samples per the spec and scales round(v·255/maxval) to the tier's
-    uint8 convention — high-byte narrowing would mis-scale every
-    maxval except 65535."""
+    maxval == 255 carries bytes verbatim; every other maxval scales
+    round(v·255/maxval) per the spec (one-byte samples for maxval
+    2..254 — round 10; big-endian two-byte samples for 256..65535 —
+    round 9), so the same image re-encoded at a different maxval
+    decodes to the same pixels. High-byte narrowing would mis-scale
+    every maxval except 65535."""
     if not content or not content.startswith(b"P6"):
         raise ValueError("not a P6 PPM (missing magic)")
     (width, height, maxval), pos = _pnm_header_ints(content, 3)
@@ -158,18 +159,27 @@ def _decode_ppm_p6(content: bytes) -> np.ndarray:
             # the ASCII path validates range; the binary path must too,
             # or out-of-range samples wrap mod 256 after narrowing
             raise ValueError("binary Netpbm sample out of range")
-        px = _pnm_narrow16(px, maxval)
+        px = _pnm_rescale(px, maxval)
     else:
         px = np.frombuffer(content, dtype=np.uint8, count=-1, offset=pos)
         if px.size < need:
             raise ValueError("truncated PPM raster")
         px = px[:need]
+        if maxval != 255:
+            if int(px.max(initial=0)) > maxval:
+                raise ValueError("binary Netpbm sample out of range")
+            px = _pnm_rescale(px, maxval)
     return px.reshape(height, width, 3).copy()
 
 
-def _pnm_narrow16(samples: np.ndarray, maxval: int) -> np.ndarray:
-    """Scale >8-bit Netpbm samples to uint8: round(v·255/maxval) —
-    exact 0→0 and maxval→255 endpoints at any legal maxval."""
+def _pnm_rescale(samples: np.ndarray, maxval: int) -> np.ndarray:
+    """Scale Netpbm samples to uint8: round(v·255/maxval) — exact 0→0
+    and maxval→255 endpoints at any legal maxval. Applied to EVERY
+    maxval != 255, not just the two-byte rasters: per the Netpbm spec
+    all sample values are fractions of maxval, so an image re-encoded
+    at maxval 200 vs 400 must decode to the same pixels or pHash /
+    near-dup signals desynchronize across re-encodings (round-10
+    review finding; only maxval == 255 carries bytes verbatim)."""
     return np.round(
         samples.astype(np.float64) * (255.0 / maxval)
     ).astype(np.uint8)
@@ -435,10 +445,10 @@ def _decode_pnm(content: bytes) -> np.ndarray:
     bitmap), P5 (binary graymap); P6 delegates to ``_decode_ppm_p6``.
     Bitmaps map 1=black→0 and 0=white→255 (PBM ink convention);
     gray/bitmap rasters replicate to (H, W, 3) — the tier's channel
-    convention, like the PNG gray path. maxval <= 255 carries samples
-    verbatim (the P6 contract); 16-bit rasters (round 9) read
-    big-endian two-byte samples (binary) / plain tokens (ASCII) and
-    scale through ``_pnm_narrow16``."""
+    convention, like the PNG gray path. maxval == 255 carries samples
+    verbatim (the P6 contract); every other maxval — one-byte 2..254
+    and two-byte 256..65535 (big-endian binary / plain ASCII tokens)
+    — scales through ``_pnm_rescale``."""
     magic = content[:2]
     if magic == b"P6":
         return _decode_ppm_p6(content)
@@ -476,12 +486,17 @@ def _decode_pnm(content: bytes) -> np.ndarray:
             if int(raw.max(initial=0)) > maxval:
                 raise ValueError("binary Netpbm sample out of range")
             return _gray3(
-                _pnm_narrow16(raw, maxval).reshape(height, width)
+                _pnm_rescale(raw, maxval).reshape(height, width)
             )
         raw = np.frombuffer(content, np.uint8, count=-1, offset=pos)
         if raw.size < need:
             raise ValueError("truncated PGM raster")
-        return _gray3(raw[:need].reshape(height, width))
+        raw = raw[:need]
+        if maxval != 255:
+            if int(raw.max(initial=0)) > maxval:
+                raise ValueError("binary Netpbm sample out of range")
+            raw = _pnm_rescale(raw, maxval)
+        return _gray3(raw.reshape(height, width))
     # ASCII rasters: comments legal between any tokens — strip them,
     # then tokenize the remainder
     body = re.sub(rb"#[^\n]*", b"", content[pos:])
@@ -503,7 +518,7 @@ def _decode_pnm(content: bytes) -> np.ndarray:
     px = np.asarray(toks[:need], dtype=np.int64)
     if px.min() < 0 or px.max() > maxval:
         raise ValueError("ASCII Netpbm sample out of range")
-    px = _pnm_narrow16(px, maxval) if maxval > 255 else px.astype(np.uint8)
+    px = _pnm_rescale(px, maxval) if maxval != 255 else px.astype(np.uint8)
     return (
         px.reshape(height, width, 3)
         if magic == b"P3"

@@ -182,11 +182,23 @@ def train_wordpiece(
     return vocab, merges, alphabet
 
 
+#: BERT's ``max_input_chars_per_word``: a word longer than this is
+#: [UNK] outright. Besides matching the reference tokenizer, the cap
+#: bounds the greedy walk — without it one pathological multi-KB token
+#: type costs O(len^2) vocab probes inside the Arrow UDF (round-10
+#: review finding). The x28 SQL twin mirrors the cap in its ``wpnp``
+#: piece-count CTE so the two engines agree on capped words too.
+MAX_WORD_CHARS = 100
+
+
 def _encode_word_wp(word: str, vocab: set[str]) -> list[str]:
     """Greedy longest-match-first segmentation (the BERT WordPiece
     algorithm): at each position take the LONGEST vocabulary piece
     prefixing the remainder (##-prefixed after the first piece); if no
-    piece matches at any position the whole word is ``[UNK]``."""
+    piece matches at any position — or the word exceeds
+    ``MAX_WORD_CHARS`` — the whole word is ``[UNK]``."""
+    if len(word) > MAX_WORD_CHARS:
+        return [UNK]
     pieces: list[str] = []
     i, n = 0, len(word)
     while i < n:

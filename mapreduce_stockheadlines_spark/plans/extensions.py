@@ -3476,9 +3476,11 @@ def _x28_wp_train_ctes(num_merges: int = 8, wp_unroll: int = 12) -> str:
     subquery in plain CTE steps is reliable. The unroll bound covers
     words up to ``wp_unroll`` pieces (testdata max word length is 8
     chars = at most 8 single-char pieces); a word stuck with no match
-    (true [UNK]) or deeper than the bound counts 1 — for in-alphabet
-    corpora only the [UNK] arm can fire, and a bound regression breaks
-    the registry hash loudly.
+    (true [UNK]), deeper than the bound, or longer than BERT's
+    100-char ``max_input_chars_per_word`` cap
+    (``wordpiece.MAX_WORD_CHARS``) counts 1 — for in-alphabet corpora
+    only the [UNK] arm can fire, and a bound regression breaks the
+    registry hash loudly.
 
     This fragment REQUIRES ``_x28_bpe_train_ctes`` earlier in the same
     WITH list: the word census comes from its ``bw`` CTE (one census
@@ -3576,7 +3578,10 @@ wk{i} AS MATERIALIZED (
     FROM wk{i - 1}))"""
     out += f""",
 wpnp AS MATERIALIZED (
-  SELECT word, CAST(CASE WHEN rest = '' THEN np ELSE 1 END AS BIGINT) AS np
+  -- length(word) > 100: BERT's max_input_chars_per_word cap -> [UNK]
+  -- counts 1 piece (mirrors wordpiece.MAX_WORD_CHARS, round 10)
+  SELECT word, CAST(CASE WHEN length(word) > 100 THEN 1
+                         WHEN rest = '' THEN np ELSE 1 END AS BIGINT) AS np
   FROM wk{wp_unroll}),
 wpct AS (
   SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_wp_pieces
