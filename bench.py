@@ -40,6 +40,10 @@ HEADLINE_QUERIES = [
     "q03_topk_rank",
     "q09_window_partitioned",
     "q13_tokenize_count",
+    # round 10: the StockCount analogue — the reference's own headline
+    # workload and the BASELINE.md row — timed first-class (VERDICT r9
+    # #7) instead of derived from q15
+    "q14_stock_count_analogue",
     "q15_word_count_analogue",
     "q19_large_join",
     "q21_time_windows",
@@ -70,6 +74,20 @@ HEADLINE_QUERIES = [
     "x31_pagerank",
     "x32_sampling",
     "x33_train_classifier",
+]
+
+
+# Fat multi-stage x-queries (VERDICT r9 "What's wrong" #1): one extra
+# attribution pass each — the builders accept a _stage_secs sink and
+# record the wall time of their EAGER sections (collects,
+# localCheckpoints, unrolled trainer rounds); the lazy assembly's cost
+# lands in the "execute" entry. Cross-round deltas on these queries
+# attribute to a named stage instead of requiring commit archaeology.
+STAGED_QUERIES = [
+    "x27_quantize_embeddings",
+    "x28_lm_perplexity",
+    "x31_pagerank",
+    "x32_sampling",
 ]
 
 
@@ -154,6 +172,18 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    # per-stage attribution pass for the fat x-queries (single run —
+    # these are attribution hints for cross-round adjudication, not
+    # headline numbers; the headline timing above stays best-of-3)
+    stage_secs: dict[str, dict[str, float]] = {}
+    for name in STAGED_QUERIES:
+        stages: dict[str, float] = {}
+        df = ALL_QUERIES[name].builder(spark, sf_dir, _stage_secs=stages)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        stages["execute"] = round(time.time() - t0, 3)
+        stage_secs[name] = stages
+
     # drift control, last bracket + the Spark-independent DuckDB probe
     control_last = _time_controls(spark, sf_dir)
     oracle_secs = _time_oracles(sf_dir)
@@ -168,6 +198,7 @@ def main() -> None:
                 "sf": sf_from_dir(sf_dir),
                 "control": {"first": control_first, "last": control_last},
                 "oracle_secs": oracle_secs,
+                "stage_secs": stage_secs,
             }
         )
     )

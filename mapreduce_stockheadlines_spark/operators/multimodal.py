@@ -2486,6 +2486,20 @@ def _decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
     )
 
 
+def _encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono 16-bit integer PCM WAV encode — the inverse of
+    ``_decode_wav`` for the planted/test path (the audio analogue of
+    ``_encode_ppm_p6``): canonical 44-byte RIFF header (fmt 16 bytes,
+    format 1, 1 channel) + little-endian samples."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(data)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", n) + data
+    )
+
+
 def _audio_feature(rate: int, samples: np.ndarray) -> list[float]:
     """8-dim feature from real PCM samples: duration (s), rms, mean abs,
     peak (all amplitudes normalized to [0, 1]), zero-crossing rate,

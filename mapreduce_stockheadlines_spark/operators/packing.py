@@ -359,3 +359,87 @@ def chunk_by_sentences(
         out.withColumnRenamed("n_paragraphs", "n_sentences")
         .withColumnRenamed("has_oversize_paragraph", "has_oversize_sentence")
     )
+
+
+def sentence_chunk_summary_cols(
+    src,
+    chunk_tokens: int = 512,
+    boundary_pattern: str = SENTENCE_BOUNDARY,
+    n_alias: str = "n_sent_chunks",
+    fp_alias: str = "sent_chunk_fp8",
+) -> tuple:
+    """Scalar (per-doc, zero-shuffle) summary of ``chunk_by_sentences``
+    for registry pinning (VERDICT r9 #2) — the ``chunk_summary_cols``
+    recipe applied to the budget-aligned sentence chunker:
+    ``n_sent_chunks`` plus an 8-hex md5 of the '|'-joined chunk texts
+    (sentences ' '-joined within a chunk, original order). The real
+    operator's posexplode + window + groupBy collapse into ONE
+    ``aggregate`` fold over the split array with a struct accumulator
+    (running exclusive token prefix, previous chunk id, chunk count,
+    output string) — chunk membership is ``floor(tokens_before /
+    chunk_tokens)`` exactly as in ``chunk_by_paragraphs``, so the fold
+    emits '|' precisely where the grouped operator starts a new chunk
+    (digest equality vs the real operator is pytest-pinned). Stays a
+    codegen collection expression that fuses into the host projection.
+    ``src`` may be a column name or a Column (decorated text). Docs
+    with no token-bearing sentence (empty/NULL text) get 0 / NULL —
+    the 'no chunks' contract."""
+    from pyspark.sql import Column
+
+    if chunk_tokens <= 0:
+        raise ValueError(
+            "sentence_chunk_summary_cols: chunk_tokens must be positive"
+        )
+    col = src if isinstance(src, Column) else F.col(src)
+
+    def ntok(s):
+        return F.size(
+            F.filter(F.split(F.trim(s), r"\s+"), lambda t: F.length(t) > 0)
+        )
+
+    sents = F.filter(F.split(col, boundary_pattern), lambda s: ntok(s) > 0)
+    zipped = F.transform(
+        sents,
+        lambda s: F.struct(s.alias("s"), ntok(s).cast("long").alias("nt")),
+    )
+
+    def fold():
+        init = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit("").alias("out"),
+        )
+
+        def step(acc, x):
+            # chunk id of THIS sentence: floor(exclusive prefix / budget)
+            # — doubles are exact here (token counts << 2^53, the
+            # chunk_documents argument)
+            chunk = F.floor(acc["cum"] / F.lit(chunk_tokens)).cast("long")
+            first = acc["n"] == F.lit(0)
+            newc = chunk > acc["prev"]
+            out = (
+                F.when(first, x["s"])
+                .when(newc, F.concat(acc["out"], F.lit("|"), x["s"]))
+                .otherwise(F.concat(acc["out"], F.lit(" "), x["s"]))
+            )
+            n = acc["n"] + F.when(first | newc, F.lit(1)).otherwise(F.lit(0))
+            return F.struct(
+                (acc["cum"] + x["nt"]).alias("cum"),
+                chunk.alias("prev"),
+                n.cast("long").alias("n"),
+                out.alias("out"),
+            )
+
+        return F.aggregate(zipped, init, step)
+
+    n_col = (
+        F.when(F.size(sents) > 0, fold()["n"])
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias(n_alias)
+    )
+    fp_col = F.when(
+        F.size(sents) > 0, F.substring(F.md5(fold()["out"]), 1, 8)
+    ).alias(fp_alias)
+    return n_col, fp_col

@@ -13,6 +13,8 @@ instead.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,25 @@ from ..operators import skew as SK
 from ..operators import textstats as TS
 from .catalog import parallel_table, table
 from .core import QuerySpec
+
+
+def _mark(sink: "dict | None", name: str, t0: float) -> float:
+    """Stage attribution for the fat x-queries (round-10 — VERDICT r9
+    'What's wrong' #1: per-operator wall time stopped being observable
+    from BENCH once x27/x28/x31/x32 grew multiple co-trained stages).
+    The trainers run EAGERLY inside these builders (collects,
+    localCheckpoints, unrolled Lloyd/EM rounds), so attribution has to
+    happen here: record the wall time since ``t0`` under ``name`` when
+    a sink dict is passed (bench.py's stage pass) and return a fresh
+    t0. The registry/driver path passes no sink — two clock reads of
+    overhead, no behavior change. The lazy assembly's cost lands in
+    bench's ``execute`` entry."""
+    import time
+
+    now = time.time()
+    if sink is not None:
+        sink[name] = round(now - t0, 3)
+    return now
 
 _TOKS_CTE = """
   SELECT DISTINCT doc_id, token FROM (
@@ -447,6 +468,17 @@ def _gc_decorated() -> F.Column:
     return deco
 
 
+# Sentence-chunk decoration (round-10 promotion): a period after every
+# 5th whitespace token — same leftmost non-overlapping scan in Java and
+# RE2 — then a fixed suffix covering every abbreviation arm of
+# packing.SENTENCE_BOUNDARY plus the ! and ? terminators.
+_SENT_SPLIT5 = r"((\S+\s+){4}\S+)\s+"
+_SENT_DECO_SUFFIX = (
+    " Mr. Smith met Mrs. Day and Dr. Jones at St. Paul vs. the rest "
+    "etc. more i.e. that is e.g. for example! Done? Yes."
+)
+
+
 def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Language ID (n-gram marker heuristic), quality scoring
     (length/punct/stopword components), document fingerprint (md5 of
@@ -476,6 +508,21 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     char (✓) keeps the whole string, and genuine Latin-1 prose
     (invalid as UTF-8 bytes) survives the U+FFFD gate untouched."""
     docs = parallel_table(spark, sf, "documents")
+    # round-10 zero-slot promotion: SENTENCE chunking
+    # (operators/packing.chunk_by_sentences semantics as a scalar
+    # aggregate fold — sentence_chunk_summary_cols). The corpus text
+    # carries no sentence terminators at any shipped SF, so the chunk
+    # source is DECORATED: a period after every 5th word (varying
+    # per-doc sentence structure) plus a fixed suffix exercising every
+    # abbreviation lookbehind arm (Mr./Mrs./Dr./St./vs./etc./i.e./
+    # e.g.) and the !/? terminators. DuckDB has no lookbehind (RE2),
+    # so the oracle protects abbreviation dots with a chr(2)
+    # placeholder, splits on a chr(1) marker, and restores — the
+    # emulation is exact because the exception lists are identical.
+    sent_src = F.concat(
+        F.regexp_replace(F.col("text"), _SENT_SPLIT5, "$1. "),
+        F.lit(_SENT_DECO_SUFFIX),
+    )
     html = F.concat(
         F.lit('<div class="d"><p>'),
         F.col("text"),
@@ -516,6 +563,9 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             # codegen — n_chunks + digest of the '|'-joined chunk texts;
             # the projection stays zero-shuffle)
             *PK.chunk_summary_cols("text", chunk_tokens=32, overlap=8),
+            # round-10 zero-slot promotion: sentence chunking over the
+            # decorated source (see above) — still scalar codegen
+            *PK.sentence_chunk_summary_cols(sent_src, chunk_tokens=16),
             # round-8 zero-slot promotion #2: the named Gopher + C4
             # document-filter rules over the decorated text (_GC_ARMS —
             # every rule dimension exercised; still pure codegen in the
@@ -680,6 +730,62 @@ SELECT doc_id,
 FROM nn
 """
 
+# chunk_by_sentences replay (chunk_tokens=16) over the decorated
+# source. RE2 has no lookbehind, so the Java boundary regex
+# `(?<=[.!?])(?<!abbrev)\s+` is emulated exactly: protect each
+# exception-list abbreviation's final dot with chr(2) (the whitespace
+# after it is captured and re-emitted, not consumed), rewrite every
+# remaining terminator+\s+ run to terminator+chr(1), split on chr(1),
+# restore chr(2) -> '.'. The exception lists are identical, so the
+# split points are identical. Then the standard ordered-unnest →
+# exclusive prefix sum → floor-div chunk id → two-level string_agg.
+_X08_SENT_BODY = f"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+\\s+){{4}}\\S+)\\s+', '\\1. ', 'g')
+           || '{_SENT_DECO_SUFFIX}' AS t
+  FROM documents),
+marked AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '\\b(Mrs|Mr|Dr|St|vs|etc)\\.(\\s)',
+                            '\\1' || chr(2) || '\\2', 'g'),
+             '\\b(e\\.g|i\\.e)\\.(\\s)', '\\1' || chr(2) || '\\2', 'g'),
+           '([.!?])\\s+', '\\1' || chr(1), 'g') AS m
+  FROM src),
+sents AS (
+  SELECT doc_id, u.i AS ord, replace(u.s, chr(2), '.') AS sent
+  FROM marked,
+       unnest(list_transform(string_split(m, chr(1)),
+                             (x, i) -> struct_pack(s := x, i := i)))
+         AS tt(u)),
+tok AS (
+  SELECT doc_id, ord, sent,
+         CAST(len(list_filter(string_split_regex(trim(sent), '\\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS nt
+  FROM sents),
+cum AS (
+  SELECT doc_id, ord, sent,
+         coalesce(sum(nt) OVER (PARTITION BY doc_id ORDER BY ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cb
+  FROM tok WHERE nt > 0),
+sg AS (
+  SELECT doc_id, CAST(cb // 16 AS BIGINT) AS chunk_id,
+         string_agg(sent, ' ' ORDER BY ord) AS ctext
+  FROM cum GROUP BY doc_id, CAST(cb // 16 AS BIGINT)),
+sf_ AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent_chunks,
+         substr(md5(string_agg(ctext, '|' ORDER BY chunk_id)), 1, 8)
+           AS sent_chunk_fp8
+  FROM sg GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(sf_.n_sent_chunks, CAST(0 AS BIGINT)) AS n_sent_chunks,
+       sf_.sent_chunk_fp8
+FROM documents d LEFT JOIN sf_ USING (doc_id)
+"""
+
 # Gopher/C4 rule replay over the same decorated text: the named-rule
 # counts are integer regex scans (Java and RE2 agree on every pattern —
 # (?m) anchors, \b, non-overlap), ratios round to 4dp before the
@@ -756,6 +862,7 @@ SELECT l.doc_id, l.pred_lang, l.marker_score,
        h.html_stripped_len, h.html_fp8,
        m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop,
        c.n_chunks, c.chunk_fp8,
+       sc.n_sent_chunks, sc.sent_chunk_fp8,
        g.gopher_n_words, g.mean_word_len, g.symbol_word_ratio,
        g.bullet_line_frac, g.ellipsis_line_frac, g.alpha_word_frac,
        g.req_stop_hits, g.gopher_kept,
@@ -768,6 +875,7 @@ JOIN ({_X08_TOK_BODY.format(bpe=TS.BPE_ISH_PATTERN)}) t ON t.doc_id = l.doc_id
 JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
 JOIN ({_X08_MOJI_BODY}) m ON m.doc_id = l.doc_id
 JOIN ({_X08_CHUNK_BODY}) c ON c.doc_id = l.doc_id
+JOIN ({_X08_SENT_BODY}) sc ON sc.doc_id = l.doc_id
 JOIN ({_X08_GC_BODY}) g ON g.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
@@ -1018,6 +1126,75 @@ FROM c ORDER BY doc_id
 # canonicalizer in round 1), and immune to float-to-string formatting
 # differences between engines.
 
+# Planted-tone audio contract (round-10 promotion — VERDICT r9 #1):
+# per media_id, a REAL mono 16-bit PCM WAV of two bin-aligned sines
+# (N=256 samples at rate 8192 -> exact 32 Hz bins; k1 in 3..7 at
+# amplitude 12000, k2 in 9..15 at 6000, samples rounded to EVEN ints
+# so the half-volume twin divides exactly). The Spark side runs the
+# REAL decode + rfft feature path (audio_spectral_features) and the
+# REAL spectrogram pHash (audio_phash); the oracle recomputes the
+# expectations in closed form from the generation parameters:
+#   centroid = (f1·A1² + f2·A2²)/(A1²+A2²) = 32·(4k1+k2)/5 Hz
+#   bandwidth = |f1−f2|·sqrt(w1·w2)        = 64·(k2−k1)/5 Hz
+#   rolloff(85%) = f2 (w1 = 0.8 < 0.85)     dominant = f1 (A1 > A2)
+# Integer-Hz rounding is safe: quantization noise shifts the features
+# by < 0.01 Hz while every closed form sits >= 0.1 from a .5 boundary
+# (k-ranges disjoint, denominators 5; verified over all 200 ids).
+# media_id % 4 == 0 plants SILENCE (features 0, phash exactly 0 — the
+# flat-spectrogram contract) and % 4 == 1 gives the twin DIFFERENT
+# tones (k-shifted), so both pinned booleans take both values:
+# audio_phash_zero pins the silence arm + that real tones hash
+# nonzero; audio_twin_same pins volume invariance (exact-half twin
+# collides) + discriminability (different tones do not).
+_X13_AUDIO_RATE, _X13_AUDIO_N = 8192, 256
+_X13_A1, _X13_A2 = 12000.0, 6000.0
+
+
+def _x13_tone_samples(media_id: int, twin: bool):
+    import numpy as np
+
+    variant = media_id % 4
+    if variant == 0:
+        return np.zeros(_X13_AUDIO_N, dtype=np.int64)
+    if twin and variant == 1:
+        k1, k2 = 3 + (media_id + 1) % 5, 9 + (media_id + 2) % 7
+    else:
+        k1, k2 = 3 + media_id % 5, 9 + media_id % 7
+    n = np.arange(_X13_AUDIO_N)
+    x = _X13_A1 * np.sin(2 * np.pi * k1 * n / _X13_AUDIO_N) + _X13_A2 * np.sin(
+        2 * np.pi * k2 * n / _X13_AUDIO_N
+    )
+    s = (2 * np.round(x / 2)).astype(np.int64)
+    if twin and variant != 1:
+        s = s // 2  # exact: every sample is even by construction
+    return s
+
+
+def _x13_planted_wav(df, twin: bool):
+    """(media_id) → (media_id, content, mime) with the planted WAV
+    bytes — Arrow-batched synth, the attach_binary shape."""
+    from ..operators.multimodal import MIME_WAV, _encode_wav_pcm16
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        _encode_wav_pcm16(
+                            _x13_tone_samples(int(m), twin), _X13_AUDIO_RATE
+                        )
+                        for m in pdf["media_id"]
+                    ],
+                    "mime": MIME_WAV,
+                }
+            )
+
+    return df.select("media_id").mapInPandas(
+        batches, "media_id long, content binary, mime string"
+    )
+
+
 def _feature_bytes_csv(col_name: str):
     return F.concat_ws(
         ",",
@@ -1044,10 +1221,43 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     resized = M.resize_media(media, 64, 64).select("media_id", "content", "mime")
     decoded = M.decode_media(resized)
     frames = M.sample_frames(resized, max_frames=3)
+    # round-10 zero-slot promotion: the spectral-audio family over the
+    # planted two-tone WAV rows (contract at _x13_tone_samples) — the
+    # REAL RIFF decode + rfft features + spectrogram pHash run per
+    # media_id; the oracle re-derives every value in closed form
+    ids = e.select(F.col("event_id").cast("long").alias("media_id"))
+    wav = _x13_planted_wav(ids, twin=False)
+    twin = _x13_planted_wav(ids, twin=True)
+    audio = (
+        M.audio_spectral_features(wav)
+        .join(M.audio_phash(wav).select("media_id", "phash"), "media_id")
+        .join(
+            M.audio_phash(twin).select(
+                "media_id", F.col("phash").alias("phash2")
+            ),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            F.round("spec_centroid_hz").cast("long").alias(
+                "spec_centroid_hzi"
+            ),
+            F.round("spec_bandwidth_hz").cast("long").alias(
+                "spec_bandwidth_hzi"
+            ),
+            F.round("spec_rolloff_hz").cast("long").alias(
+                "spec_rolloff_hzi"
+            ),
+            F.round("dominant_hz").cast("long").alias("spec_dominant_hzi"),
+            (F.col("phash") == 0).alias("audio_phash_zero"),
+            (F.col("phash") == F.col("phash2")).alias("audio_twin_same"),
+        )
+    )
     return (
         decoded.join(frames, "media_id")
         .join(meta, "media_id")
         .join(k, "media_id")
+        .join(audio, "media_id")
         .select(
             "media_id",
             "mime",
@@ -1060,6 +1270,12 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             _feature_bytes_csv("feature").alias("feature_bytes"),
             "frame_idx",
             _feature_bytes_csv("frame_feature").alias("frame_feature_bytes"),
+            "spec_centroid_hzi",
+            "spec_bandwidth_hzi",
+            "spec_rolloff_hzi",
+            "spec_dominant_hzi",
+            "audio_phash_zero",
+            "audio_twin_same",
         )
         .orderBy("media_id", "frame_idx")
     )
@@ -1086,13 +1302,35 @@ idx AS (SELECT *, least(3, n_frames) AS take,
                unnest(generate_series(0, least(3, n_frames) - 1)) AS j
         FROM d),
 fr AS (SELECT *, CAST((j * n_frames) // take AS INTEGER) AS frame_idx FROM idx),
-withfh AS (SELECT *, md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS fh FROM fr)
+withfh AS (SELECT *, md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS fh FROM fr),
+aud AS (
+  -- planted-tone closed forms (contract at _x13_tone_samples): the
+  -- Spark side MEASURES these with a real rfft over real WAV bytes
+  SELECT media_id,
+         (media_id % 4 = 0) AS silent,
+         3 + media_id % 5 AS k1,
+         9 + media_id % 7 AS k2,
+         (media_id % 4 <> 1) AS twin_same
+  FROM m)
 SELECT w.media_id, 'image/fake' AS mime, w.n_bytes,
        w.h AS content_hash,
        CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k_value,
        w.width, w.height, w.n_frames,
-       w.feature_bytes, w.frame_idx, {_FRAME_FEAT_CSV} AS frame_feature_bytes
+       w.feature_bytes, w.frame_idx, {_FRAME_FEAT_CSV} AS frame_feature_bytes,
+       CAST(CASE WHEN a.silent THEN 0
+                 ELSE round(32.0 * (4 * a.k1 + a.k2) / 5.0) END AS BIGINT)
+         AS spec_centroid_hzi,
+       CAST(CASE WHEN a.silent THEN 0
+                 ELSE round(64.0 * (a.k2 - a.k1) / 5.0) END AS BIGINT)
+         AS spec_bandwidth_hzi,
+       CAST(CASE WHEN a.silent THEN 0 ELSE 32 * a.k2 END AS BIGINT)
+         AS spec_rolloff_hzi,
+       CAST(CASE WHEN a.silent THEN 0 ELSE 32 * a.k1 END AS BIGINT)
+         AS spec_dominant_hzi,
+       a.silent AS audio_phash_zero,
+       a.twin_same AS audio_twin_same
 FROM withfh w JOIN events e ON CAST(e.event_id AS BIGINT) = w.media_id
+JOIN aud a ON a.media_id = w.media_id
 ORDER BY w.media_id, w.frame_idx
 """
 
@@ -2567,7 +2805,9 @@ ORDER BY doc_id
 # rounded (4dp float contract). The codes ship as a csv string because
 # the compare canonicalizes scalars, not arrays.
 
-def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+def x27_quantize_embeddings(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """Symmetric max-abs int8 quantization of the embedding column plus
     per-vector reconstruction RMSE — one narrow projection over the
     scan, zero data shuffle (operators/embeddings.py; parallel_table
@@ -2620,10 +2860,13 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     re-derives the coarse trainer (the x18 CTE shape at k=4),
     residuals, the residual-PQ trainer, the per-probed-cell LUTs and
     the serving rank — the full probe→residual-ADC→rank path."""
+    import time as _time
+
     import numpy as np
 
     from ..operators import pq as PQO
 
+    _t = _time.time()
     emb = parallel_table(spark, sf, "embeddings")
     q = EB.quantize_embeddings(emb, "vec_id", "embedding")
     q = EB.quantization_error(q, "embedding", "qvec", "scale")
@@ -2640,6 +2883,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "pq_rmse",
         F.col("adc_fp").alias("pq_adc_fp"),
     )
+    _t = _mark(_stage_secs, "pq_train_encode", _t)
     # OPQ cross-moment pin (round-9, the pca_fit moment-pin pattern):
     # the orthogonal-Procrustes step consumes A = (1/n)·Σ x·ŷᵀ
     # (operators/pq.opq_cross_moment) — the SVD stays driver-numpy on
@@ -2663,6 +2907,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     om = spark.createDataFrame(
         om_rows, "m64o int, opq_xmom_ii double, opq_xmom_ij double"
     )
+    _t = _mark(_stage_secs, "opq_moment", _t)
     # Matryoshka prefix serving (round-9 zero-slot promotion —
     # operators/embeddings.truncate_dims + fixed_query_cosine, Kusupati
     # et al. 2022): every row carries mrl_sim_d16 (4dp cosine of the
@@ -2689,6 +2934,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         [F.col("_mk").asc(), F.col("vec_id").asc()],
         "mrl_rank_d16",
     ).drop("_mk")
+    _t = _mark(_stage_secs, "mrl", _t)
     # IVFPQ serving (round 9): train the real two-level index, then
     # index-derived columns for every row + the real served top-10 for
     # the lowest-vec_id query (rank-bounded by design — the registry
@@ -2728,6 +2974,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         F.col("adc_fp").alias("ivfpq_adc_fp"),
         F.col("rank").alias("ivfpq_rank"),
     )
+    _t = _mark(_stage_secs, "ivfpq_train_serve", _t)
     mean, cov, _comps = EB.pca_fit(
         emb, "embedding", k=4, moment_dp=9, return_moments=True
     )
@@ -2743,6 +2990,7 @@ def x27_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     pm = spark.createDataFrame(
         pm_rows, "m64 int, pca_mean_i double, pca_var_i double, pca_cov_ij double"
     )
+    _t = _mark(_stage_secs, "pca_moments", _t)
     return (
         q.select(
             "vec_id",
@@ -3155,7 +3403,9 @@ _X28_BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+def x28_lm_perplexity(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """Per-document bigram-LM perplexity, model self-trained on the
     corpus: one gram census (train) + one gram→model join (score);
     model tables vocab²-bounded, never the corpus again
@@ -3177,7 +3427,11 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # ONE tokenize+explode pass for train AND score: the gram stream is
     # materialized once (localCheckpoint) and shared — without it both
     # halves re-run the scan+regex pipeline independently
+    import time as _time
+
+    _t = _time.time()
     grams = RV.doc_bigrams(docs, "doc_id", "text").localCheckpoint()
+    _t = _mark(_stage_secs, "gram_census", _t)
     lm, ctx, v = RV.train_bigram_lm(
         docs, "doc_id", "text", add_k=0.5, grams=grams
     )
@@ -3211,6 +3465,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # (rank−1)·3 div total — both cross-engine hashable.
     ppl = ppl.localCheckpoint()  # consumed by the bucket rank AND the output join
     buckets = RV.ppl_buckets(ppl, "doc_id", "ppl", n_buckets=3)
+    _t = _mark(_stage_secs, "addk_kn_lm", _t)
     from ..functions.text import tokens_array
 
     words = docs.select(
@@ -3246,6 +3501,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # headline query (round-9 review finding)
     _census_rows = BP.word_census(docs, "text", 4096).collect()
     shared_census = [(r["word"], int(r["freq"])) for r in _census_rows]
+    _t = _mark(_stage_secs, "word_census", _t)
     merges, _alpha = BP.train_bpe(docs, "text", num_merges=8,
                                   max_word_types=4096,
                                   census=shared_census)
@@ -3260,6 +3516,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("_npt").cast("bigint").alias("n_bpe_pieces_trained"))
     )
+    _t = _mark(_stage_secs, "bpe_train", _t)
     # UNIGRAM-LM TRAINING (round-8 zero-slot promotion — the fifth
     # iterative trainer under the unrolled-CTE recipe, and the first
     # PROBABILISTIC one): train_unigram seeds substring candidates from
@@ -3302,6 +3559,7 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("_nw").cast("bigint").alias("n_wp_pieces"))
     )
+    _t = _mark(_stage_secs, "wp_train", _t)
     uni = UG.train_unigram(
         docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
         seed_size=64, max_word_types=4096, census=shared_census,
@@ -3328,6 +3586,37 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("_nu").cast("bigint").alias("n_uni_pieces"))
     )
+    _t = _mark(_stage_secs, "unigram_em", _t)
+    # TOKENIZER FERTILITY (round-10 zero-slot promotion — VERDICT r9
+    # #3, jobs/report._tokenizer_fertility_rows under the gate): the
+    # three corpus-level fertility ratios — freq-weighted mean pieces
+    # per word over the SAME shared census the trainers consume — as
+    # 1e6 fixed-point BIGINTs under the exact integer-DIV contract:
+    # floor((sum freq·pieces · 1e6) / sum freq), python int // here,
+    # HUGEINT // in the oracle (the KMV/UniMax twin). Driver cost: one
+    # loop over the ≤4096 census types already in hand — no extra
+    # corpus pass, no collect. Like the model fingerprints these are
+    # corpus CONSTANTS: the pin is the value (a wrong merge / vocab
+    # entry / probability anywhere moves the sum), not per-row
+    # variation.
+    _ranks = {pair: i for i, pair in enumerate(merges)}
+    _wset = set(wp_vocab)
+    _mpl = max((len(pc) for pc in uni), default=1)
+    _tot = sum(f for _, f in shared_census)
+    _s_bpe = _s_wp = _s_uni = 0
+    for _w, _f in shared_census:
+        _s_bpe += _f * len(BP._encode_word(_w, _ranks))
+        _s_wp += _f * len(WP._encode_word_wp(_w, _wset))
+        _seg = UG._viterbi(_w, uni, _mpl)
+        # char fallback when no segmentation exists — apply_unigram's
+        # convention, mirrored by the oracle's coalesce(np, length)
+        _s_uni += _f * (len(_seg) if _seg else len(_w))
+    fert = {
+        "bpe_fert_fp": _s_bpe * 1_000_000 // _tot if _tot else 0,
+        "uni_fert_fp": _s_uni * 1_000_000 // _tot if _tot else 0,
+        "wp_fert_fp": _s_wp * 1_000_000 // _tot if _tot else 0,
+    }
+    _t = _mark(_stage_secs, "fertility", _t)
     return (
         ppl.join(buckets, "doc_id", "left")
         .join(knppl, "doc_id", "left")
@@ -3342,6 +3631,9 @@ def x28_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("uni_model_fp8", F.lit(ufp))
         .withColumn("uni_soft_fp8", F.lit(usfp))
         .withColumn("wp_vocab_fp8", F.lit(wfp))
+        .withColumn("bpe_fert_fp", F.lit(fert["bpe_fert_fp"]).cast("long"))
+        .withColumn("uni_fert_fp", F.lit(fert["uni_fert_fp"]).cast("long"))
+        .withColumn("wp_fert_fp", F.lit(fert["wp_fert_fp"]).cast("long"))
         .orderBy("doc_id")
     )
 
@@ -3849,7 +4141,21 @@ encs AS (
 bpc AS (
   SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_bpe_pieces,
          CAST(max(np) AS BIGINT) AS max_word_pieces
-  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}{_x28_wp_train_ctes()}{_x28_uni_train_ctes()}
+  FROM words JOIN encs USING (word) GROUP BY doc_id){_x28_bpe_train_ctes()}{_x28_wp_train_ctes()}{_x28_uni_train_ctes()},
+fert AS (
+  -- round-10 fertility promotion: freq-weighted mean pieces per word
+  -- over the census, 1e6 fixed point under the exact HUGEINT //
+  -- contract (python int // on the Spark side). btc/wpnp cover every
+  -- word type; uenc misses unsegmentable words -> the char fallback
+  SELECT CAST(CAST(sum(b.freq * t.npt) * 1000000 AS HUGEINT)
+              // sum(b.freq) AS BIGINT) AS bpe_fert_fp,
+         CAST(CAST(sum(b.freq * coalesce(u.np, length(b.word))) * 1000000
+                   AS HUGEINT) // sum(b.freq) AS BIGINT) AS uni_fert_fp,
+         CAST(CAST(sum(b.freq * w.np) * 1000000 AS HUGEINT)
+              // sum(b.freq) AS BIGINT) AS wp_fert_fp
+  FROM bw b JOIN btc t USING (word)
+            JOIN wpnp w USING (word)
+            LEFT JOIN uenc u USING (word))
 SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        round(exp(-fx.avg_logp), 4) AS ppl,
        pbk.ppl_rank, pbk.ppl_bucket,
@@ -3863,13 +4169,15 @@ SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        (SELECT fp FROM bfp) AS bpe_merges_fp8,
        (SELECT fp FROM ufp8) AS uni_model_fp8,
        (SELECT fp FROM usfp8) AS uni_soft_fp8,
-       (SELECT fp FROM wfp) AS wp_vocab_fp8
+       (SELECT fp FROM wfp) AS wp_vocab_fp8,
+       fert.bpe_fert_fp, fert.uni_fert_fp, fert.wp_fert_fp
 FROM fx LEFT JOIN pbk USING (doc_id)
 LEFT JOIN knfx USING (doc_id)
 LEFT JOIN bpc USING (doc_id)
 LEFT JOIN bpct USING (doc_id)
 LEFT JOIN upct USING (doc_id)
 LEFT JOIN wpct USING (doc_id)
+CROSS JOIN fert
 ORDER BY fx.doc_id
 """
 
@@ -3978,7 +4286,9 @@ ORDER BY term
 
 # --- x31 PageRank over a planted link graph ----------------------------------
 
-def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+def x31_pagerank(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """Iterative PageRank (operators/graph.py) hash-matched against an
     independent DuckDB unrolled power iteration — the registry promotion
     the round-5 verdict asked for (the operator was previously pinned
@@ -4003,8 +4313,11 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     re-derives it independently via a recursive-CTE transitive closure,
     not label propagation, so the pin is cross-ALGORITHM as well as
     cross-engine."""
+    import time as _time
+
     from ..operators import graph as G
 
+    _t = _time.time()
     docs = parallel_table(spark, sf, "documents")
     edges = (
         docs.select(
@@ -4020,10 +4333,13 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         # x31 practices it too).
         .localCheckpoint()
     )
+    _t = _mark(_stage_secs, "edges", _t)
     cc = D.neardup_clusters(
         edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     ).select(F.col("id").alias("node"), F.col("cluster_id").alias("cc_label"))
+    _t = _mark(_stage_secs, "components", _t)
     ranks = G.pagerank(edges, damping=0.85, n_iters=10, quantize_dp=10)
+    _t = _mark(_stage_secs, "pagerank", _t)
     # HITS (round-9 zero-slot promotion — operators/graph.hits,
     # Kleinberg 1999): 5 hub↔authority rounds over the SAME planted
     # graph under the quantize_dp=10 contract (L1 normalization keeps
@@ -4033,6 +4349,7 @@ def x31_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # none: their hub is structurally 0 while their auth is positive —
     # the role separation PageRank conflates, pinned per row.
     hub_auth = G.hits(edges, n_iters=5, quantize_dp=10)
+    _t = _mark(_stage_secs, "hits", _t)
     return ranks.join(cc, "node").join(hub_auth, "node").orderBy("node")
 
 
@@ -4139,7 +4456,9 @@ X31_SQL = _x31_oracle_sql()
 
 # --- x32 mixture construction: token budget + epoch upsampling + DSIR --------
 
-def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
+def x32_sampling(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """The mixture-construction stages a curation user touches on day
     one (operators/sampling.py), registry-promoted in round 6 (slot
     freed by folding q26's pivot into q25): token_budget_filter fills
@@ -4183,6 +4502,9 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     own-domain CEs and both mixture-CE → update → renormalize rounds
     as MATERIALIZED CTEs, and the weight lands on the mixed rows as a
     codegen CASE (no join — S driver scalars)."""
+    import time as _time
+
+    _t = _time.time()
     docs = parallel_table(spark, sf, "documents")
     s = docs.select(
         "doc_id",
@@ -4240,6 +4562,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     mixed = SP.curriculum_interleave(
         mixed, "score", "source", epoch_col="epoch"
     )
+    _t = _mark(_stage_secs, "budget_mix_strat", _t)
     raw = docs.filter(F.col("text").isNotNull())
     ratios = SP.dsir_log_ratios(
         raw, None, "doc_id", "text", n_buckets=4096,
@@ -4257,6 +4580,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     sel = SP.dsir_resample(scored, "doc_id", "dsir_score", n_keep).select(
         "doc_id", F.lit(True).alias("dsir_kept")
     )
+    _t = _mark(_stage_secs, "dsir", _t)
     enriched = (
         mixed.join(scored, "doc_id", "left")
         .join(sel, "doc_id", "left")
@@ -4278,6 +4602,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     # codegen CASE over the driver dict — no join, the weights are S
     # scalars.
     dw, _hist = SP.doremi_weights(docs, "source", "text", n_rounds=2)
+    _t = _mark(_stage_secs, "doremi", _t)
     wexpr = F.lit(None).cast("double")
     for _src in sorted(dw):
         wexpr = F.when(F.col("source") == _src, F.lit(dw[_src])).otherwise(
@@ -4296,6 +4621,7 @@ def x32_sampling(spark: SparkSession, sf: str) -> DataFrame:
     # a broadcast dim onto the mixed rows.
     um = SP.unimax_allocation(s, "source", "n_tokens",
                               (19 * total) // 10, 2)
+    _t = _mark(_stage_secs, "unimax", _t)
     enriched = enriched.join(
         F.broadcast(
             um.select(

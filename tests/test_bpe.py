@@ -465,6 +465,53 @@ def test_x28_unigram_columns_nondegenerate(spark, sf_dir):
     assert_column_nondegenerate(x28, "n_uni_pieces", f"at {sf_dir}")
 
 
+def test_x28_fertility_columns_match_census_recompute(spark, sf_dir):
+    """The round-10 fertility constants (bpe/uni/wp_fert_fp) are corpus
+    CONSTANTS like the model fingerprints — the pin is the value, not
+    per-row variation: each must equal an independent recomputation
+    from the word census + the co-trained models at the x28 budget,
+    sit at >= 1e6 (>= 1 piece per word by construction), and be
+    identical on every row."""
+    from mapreduce_stockheadlines_spark.operators import bpe as B
+    from mapreduce_stockheadlines_spark.operators import unigram as UG
+    from mapreduce_stockheadlines_spark.operators import wordpiece as WP
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x28 = ALL_QUERIES["x28_lm_perplexity"].builder(spark, sf_dir)
+    rows = x28.select(
+        "bpe_fert_fp", "uni_fert_fp", "wp_fert_fp"
+    ).distinct().collect()
+    assert len(rows) == 1  # constant across rows
+    got = rows[0].asDict()
+
+    docs = table(spark, sf_dir, "documents")
+    census = [
+        (r["word"], int(r["freq"]))
+        for r in B.word_census(docs, "text", 4096).collect()
+    ]
+    merges, _ = B.train_bpe(docs, "text", 8, census=census)
+    ranks = {p: i for i, p in enumerate(merges)}
+    wp_vocab, _m, _a = WP.train_wordpiece(docs, "text", 8, census=census)
+    wset = set(wp_vocab)
+    uni = UG.train_unigram(
+        docs, "text", vocab_size=12, n_rounds=2, max_piece_len=4,
+        seed_size=64, census=census,
+    )
+    mpl = max((len(pc) for pc in uni), default=1)
+    tot = sum(f for _, f in census)
+    s = {"bpe_fert_fp": 0, "uni_fert_fp": 0, "wp_fert_fp": 0}
+    for w, f in census:
+        s["bpe_fert_fp"] += f * len(B._encode_word(w, ranks))
+        s["wp_fert_fp"] += f * len(WP._encode_word_wp(w, wset))
+        seg = UG._viterbi(w, uni, mpl)
+        s["uni_fert_fp"] += f * (len(seg) if seg else len(w))
+    for k in s:
+        want = s[k] * 1_000_000 // tot
+        assert got[k] == want, (k, got[k], want)
+        assert got[k] >= 1_000_000
+
+
 def test_unigram_soft_em_counts_match_enumeration():
     """The soft E-step's forward-backward expected counts must equal a
     brute-force enumeration over ALL segmentations (probability-weighted

@@ -2618,6 +2618,63 @@ def test_rrf_fuse_hand_values_and_duckdb_pin(spark):
         rrf_fuse([a])
 
 
+def test_x13_audio_columns_nondegenerate(spark, sf_dir):
+    """Round-10 promotion guard: every planted-tone audio column on x13
+    takes >= 2 values (silent vs tone rows for the features and the
+    phash-zero flag; volume-twin vs alt-tone rows for twin_same), and
+    the measured features agree with the closed forms the oracle pins
+    (spot-checked here so a failure points at the operator, not just a
+    registry hash diff)."""
+    from conftest import assert_column_nondegenerate
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x13 = ALL_QUERIES["x13_multimodal_pipeline"].builder(
+        spark, sf_dir
+    ).cache()
+    try:
+        for c in (
+            "spec_centroid_hzi",
+            "spec_bandwidth_hzi",
+            "spec_rolloff_hzi",
+            "spec_dominant_hzi",
+            "audio_phash_zero",
+            "audio_twin_same",
+        ):
+            assert_column_nondegenerate(x13, c, f"at {sf_dir}")
+        bad = x13.filter(
+            (
+                (F.col("media_id") % 4 == 0)
+                & (
+                    (F.col("spec_centroid_hzi") != 0)
+                    | ~F.col("audio_phash_zero")
+                )
+            )
+            | (
+                (F.col("media_id") % 4 != 0)
+                & (
+                    (
+                        F.col("spec_dominant_hzi")
+                        != 32 * (3 + F.col("media_id") % 5)
+                    )
+                    | (
+                        F.col("spec_rolloff_hzi")
+                        != 32 * (9 + F.col("media_id") % 7)
+                    )
+                    | F.col("audio_phash_zero")
+                )
+            )
+            | (
+                F.col("audio_twin_same") != (F.col("media_id") % 4 != 1)
+            )
+        )
+        assert bad.count() == 0
+    finally:
+        x13.unpersist()
+
+
 def test_x18_rrf_columns_nondegenerate(spark, sf_dir):
     """Round-8 promotion guard: the fused rank must actually reorder
     relative to the IVF rank somewhere (otherwise the fusion column

@@ -377,6 +377,100 @@ def test_chunk_summary_cols_match_operator(spark, sf_dir):
     ).count() == 0
 
 
+def test_sentence_chunk_summary_cols_match_operator(spark, sf_dir):
+    """The round-10 x08 registry columns (``sentence_chunk_summary_cols``)
+    pin the SAME chunking as ``chunk_by_sentences``: per doc,
+    n_sent_chunks equals the operator's chunk count and sent_chunk_fp8
+    equals the md5-prefix of the chunk_texts '|'-joined in chunk order,
+    over the x08 decorated source (period every 5th word + the
+    abbreviation-arm suffix); empty/NULL docs carry 0/NULL.
+    Non-degenerate at the test SF (promotion guard)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        chunk_by_sentences,
+        sentence_chunk_summary_cols,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _SENT_DECO_SUFFIX,
+        _SENT_SPLIT5,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "_src",
+        F.concat(
+            F.regexp_replace(F.col("text"), _SENT_SPLIT5, "$1. "),
+            F.lit(_SENT_DECO_SUFFIX),
+        ),
+    )
+    summ = docs.select(
+        "doc_id", *sentence_chunk_summary_cols("_src", chunk_tokens=16)
+    )
+    assert_column_nondegenerate(summ, "n_sent_chunks")
+    assert_column_nondegenerate(summ, "sent_chunk_fp8")
+    op = chunk_by_sentences(docs, "doc_id", "_src", chunk_tokens=16)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "chunk_text"))
+    )
+    agg = op.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_op"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(ordered, lambda s: s.chunk_text), "|"
+                )
+            ),
+            1,
+            8,
+        ).alias("fp_op"),
+    )
+    joined = summ.join(
+        agg, summ.doc_id == agg.id, "left"
+    ).localCheckpoint()
+    bad = joined.filter(
+        (F.col("n_sent_chunks") > 0)
+        & (
+            (F.col("n_sent_chunks") != F.col("n_op"))
+            | (F.col("sent_chunk_fp8") != F.col("fp_op"))
+        )
+    )
+    assert bad.count() == 0
+    assert joined.filter(
+        (F.col("n_sent_chunks") == 0)
+        & (F.col("n_op").isNotNull() | F.col("sent_chunk_fp8").isNotNull())
+    ).count() == 0
+
+
+def test_sentence_chunk_summary_cols_edge_contracts(spark):
+    """Empty / NULL / single-sentence docs under the scalar fold: 0 and
+    NULL for no-sentence docs, 1 chunk for a short doc; an oversize
+    sentence still lands in one chunk (budget-aligned rule)."""
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        sentence_chunk_summary_cols,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "short one."),
+            (2, ""),
+            (3, None),
+            (4, "w " * 50 + "end."),  # one 51-token sentence, budget 16
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_sent_chunks, r.sent_chunk_fp8)
+        for r in df.select(
+            "doc_id", *sentence_chunk_summary_cols("text", chunk_tokens=16)
+        ).collect()
+    }
+    assert out[1][0] == 1 and out[1][1] is not None
+    assert out[2] == (0, None)
+    assert out[3] == (0, None)
+    assert out[4][0] == 1  # never split mid-sentence
+
+
 def test_chunk_by_sentences_boundaries_and_abbreviations(spark):
     """Sentence chunking: terminators stay attached, common
     abbreviations don't split, budget-aligned grouping matches the
