@@ -466,6 +466,84 @@ def _doc_ppl_from_scored(scored: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def moore_lewis_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    in_domain,
+    add_k: float = 0.5,
+    grams: DataFrame | None = None,
+    general: tuple[DataFrame, DataFrame, int] | None = None,
+) -> DataFrame:
+    """Moore & Lewis (ACL 2010) cross-entropy-difference data
+    selection: score each document by its avg bigram log-probability
+    under an IN-DOMAIN LM minus under the GENERAL (whole-pool) LM —
+    positive means 'reads more like the target domain than like the
+    pool'. THE classic LM-based selection method; DSIR
+    (sampling.dsir_*) is its hashed-ngram importance-ratio descendant,
+    this is the exact-LM form, and the two rank differently on small
+    vocabularies (worth having both — the selection literature
+    routinely reports M-L as the baseline).
+
+    ``in_domain``: boolean Column selecting the target rows (they
+    score under their own model too — standard M-L; the ranking of
+    POOL docs is what selection consumes). Output: (id, n_bigrams,
+    ml_in_avg_logp, ml_gen_avg_logp, ml_excess_fp) with
+    ``ml_excess_fp = round((in − gen)·10⁴)`` as BIGINT — both averages
+    are exact 1e-4 multiples by the ``_doc_ppl_from_scored``
+    integer-mean contract, so the difference is exact and cross-engine
+    hashable (the x28 registry shape).
+
+    The general side scores ``backoff=False`` (self-trained — every
+    gram is in the model by construction); the in-domain side scores
+    the WHOLE pool, so OOV grams take the smoothed backoff floor
+    ``ln(k / (c1 + k·V_in))`` via the context table (lm_perplexity's
+    backoff arm — an unseen context is the uniform ln(1/V_in) floor).
+
+    Scale: the in-domain model is one census aggregation over the
+    target subset of the SAME materialized gram stream; scoring is the
+    lm_perplexity join shape (gram stream vs vocab²-bounded model
+    tables, AQE-broadcast) run twice — no extra corpus tokenization,
+    no corpus×corpus joins. Pass ``grams`` (a localCheckpoint'd
+    ``doc_bigrams``) and ``general`` (a pre-trained (lm, ctx, V)) to
+    share work with a co-resident perplexity stage, as x28 does."""
+    if grams is None:
+        grams = doc_bigrams(df, id_col, text_col)
+    if general is None:
+        general = train_bigram_lm(df, id_col, text_col, add_k, grams=grams)
+    glm, gctx, gv = general
+    in_grams = grams.join(
+        df.filter(in_domain).select(F.col(id_col)), id_col
+    )
+    ilm, ictx, iv = train_bigram_lm(
+        df.filter(in_domain), id_col, text_col, add_k, grams=in_grams
+    )
+    gen = lm_perplexity(
+        df, glm, gctx, gv, id_col, text_col, add_k,
+        backoff=False, grams=grams,
+    ).select(
+        id_col,
+        "n_bigrams",
+        F.col("avg_logp").alias("ml_gen_avg_logp"),
+    )
+    ind = lm_perplexity(
+        df, ilm, ictx, iv, id_col, text_col, add_k,
+        backoff=True, grams=grams,
+    ).select(id_col, F.col("avg_logp").alias("ml_in_avg_logp"))
+    return gen.join(ind, id_col).select(
+        id_col,
+        "n_bigrams",
+        "ml_in_avg_logp",
+        "ml_gen_avg_logp",
+        F.round(
+            (F.col("ml_in_avg_logp") - F.col("ml_gen_avg_logp"))
+            * 10000
+        )
+        .cast("long")
+        .alias("ml_excess_fp"),
+    )
+
+
 def train_bigram_lm_kn(
     df: DataFrame,
     id_col: str,

@@ -351,6 +351,168 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, *fingerprint_cols(text_col))
 
 
+# Winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS algorithm):
+# base-131 polynomial k-gram hashes mod a prime, then the minimum of
+# every w-hash window. Guarantee: any substring match of length >=
+# w + k - 1 characters shares at least one selected hash, while the
+# selected set is a ~2/(w+1) compression of the gram stream — the
+# whole-document md5 above catches only EXACT copies; winnowing spots
+# partially-shared text (quotes, boilerplate, plagiarized spans).
+# Exact integer arithmetic at every step (max term 127·131^4 < 2^45,
+# summed in BIGINT before one mod), so the DuckDB oracle re-derives
+# every hash bit-for-bit.
+WINNOW_BASE, WINNOW_MOD = 131, 1_000_003
+
+
+def _winnow_norm(text_col) -> Column:
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def winnow_gram_col(text_col, k: int = 5) -> Column:
+    """The k-gram rolling-hash array (NULL when the normalized text is
+    shorter than k — Spark's sequence(1, stop) DESCENDS when stop < 1,
+    so the array is when-GATED on n >= k, never clamped; a clamp-to-0
+    stop yields the bogus [1, 0] index list, and a NULL n slips through
+    greatest(), which skips NULLs).
+
+    MUST be materialized as its own column before ``winnow_sel_col``
+    consumes it: a HOF lambda body re-evaluates every free
+    subexpression PER ELEMENT, so nesting this O(n·k) array inside the
+    per-window transform would cost O(n²·k) per document (measured:
+    the fused form spun a 9-minute single-stage burn at sf0.001 that
+    the staged form does in seconds)."""
+    if k < 2:
+        raise ValueError("winnow: need k >= 2")
+    norm = _winnow_norm(text_col)
+    n = F.length(norm)
+    pows = [WINNOW_BASE ** (k - 1 - j) for j in range(k)]
+
+    def gram(i):
+        acc = None
+        for j, p in enumerate(pows):
+            term = F.ascii(norm.substr(i + j, F.lit(1))).cast("long") * p
+            acc = term if acc is None else acc + term
+        return acc % WINNOW_MOD
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+    )
+
+
+def winnow_sel_col(grams_col, w: int = 4) -> Column:
+    """Sorted distinct window minima over a BOUND gram-array column
+    (see winnow_gram_col for why it must be bound). NULL passes
+    through (the no-grams contract)."""
+    if w < 1:
+        raise ValueError("winnow: need w >= 1")
+    grams = (
+        grams_col if isinstance(grams_col, Column) else F.col(grams_col)
+    )
+    ng = F.size(grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1))),
+        lambda t: F.array_min(F.slice(grams, t, w)),
+    )
+    return F.when(ng >= 1, F.array_sort(F.array_distinct(mins)))
+
+
+def winnow_cols_from(sel_col) -> tuple[Column, Column]:
+    """(n_winnow, winnow_fp8) registry shape from a bound selected-set
+    column: the count of distinct selected hashes and an 8-hex md5 of
+    their sorted comma-join. Docs shorter than k normalized chars
+    carry 0 / NULL (no grams — the chunking 'no output' convention)."""
+    sel = sel_col if isinstance(sel_col, Column) else F.col(sel_col)
+    n_col = (
+        F.coalesce(F.size(sel), F.lit(0)).cast("bigint").alias("n_winnow")
+    )
+    fp = F.when(
+        sel.isNotNull(),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(sel, lambda x: x.cast("string"))
+                )
+            ),
+            1,
+            8,
+        ),
+    ).alias("winnow_fp8")
+    return n_col, fp
+
+
+def winnow_fingerprint_summary(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(id, n_winnow, winnow_fp8) — the staged two-projection
+    composition of the three column builders above."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            winnow_gram_col(text_col, k).alias("_wg"),
+        )
+        .select("id", winnow_sel_col("_wg", w).alias("_ws"))
+        .select("id", *winnow_cols_from("_ws"))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(id, whash) — one row per selected hash, the exploded index form
+    ``winnow_neardup_pairs`` joins on. Narrow staged projections + one
+    explode, no shuffle."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            winnow_gram_col(text_col, k).alias("_wg"),
+        )
+        .select("id", winnow_sel_col("_wg", w).alias("_ws"))
+        .select("id", F.explode("_ws").alias("whash"))
+    )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Partial-overlap near-duplicate pairs by shared winnow hashes:
+    (id_a, id_b, n_shared) with id_a < id_b and n_shared >=
+    ``min_shared``. The join key is the selected hash — docs sharing
+    any substring of w + k - 1 normalized chars collide by the
+    winnowing guarantee, which MinHash (whole-set similarity) dilutes
+    away when the shared span is a small fraction of each doc.
+
+    Scale: hashes occurring in more than ``max_df`` documents are
+    dropped BEFORE the self-join (one census aggregation) — the
+    ubiquitous-boilerplate hash is exactly the key whose bucket
+    explodes quadratically, and a hash shared by >max_df docs carries
+    no pair-discriminating signal. Same hot-key bound as the LSH band
+    join; candidate pairs stay linear in true overlap."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).distinct()
+    rare = (
+        fp.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("whash")
+    )
+    fp = fp.join(rare, "whash")
+    a = fp.select(F.col("id").alias("id_a"), "whash")
+    b = fp.select(F.col("id").alias("id_b"), "whash")
+    return (
+        a.join(b, "whash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # PII patterns kept to syntax valid AND equivalent in both Java regex
 # (Spark) and RE2 (DuckDB oracle): character classes, bounded repetition,
 # ASCII \b word boundaries — no lookaround, no backreferences.

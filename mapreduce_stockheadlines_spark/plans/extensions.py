@@ -542,7 +542,15 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("_moji", TS.fix_mojibake(corrupted))
         .withColumn("_mixed", mixed)
         .withColumn("_lat", latin1)
-        .withColumn("_gc", _gc_decorated()),
+        .withColumn("_gc", _gc_decorated())
+        # winnowing MUST stage through bound columns: a HOF lambda
+        # re-evaluates free subexpressions per element, so the O(n·k)
+        # gram array nested inside the per-window transform costs
+        # O(n²·k) per doc (docstring at winnow_gram_col). Both stages
+        # are referenced >= 3 times in their consumers' trees, which is
+        # what keeps CollapseProject from inlining them back.
+        .withColumn("_wgrams", TS.winnow_gram_col("text"))
+        .withColumn("_wsel", TS.winnow_sel_col("_wgrams")),
         "doc_id",
         "text",
         include_fingerprint=True,
@@ -566,6 +574,11 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             # round-10 zero-slot promotion: sentence chunking over the
             # decorated source (see above) — still scalar codegen
             *PK.sentence_chunk_summary_cols(sent_src, chunk_tokens=16),
+            # round-10 zero-slot promotion #3: winnowing fingerprints
+            # (Schleimer et al. 2003 — rolling k-gram hashes -> window
+            # minima, all exact BIGINT arithmetic; staged through the
+            # _wgrams/_wsel columns above)
+            *TS.winnow_cols_from(F.col("_wsel")),
             # round-8 zero-slot promotion #2: the named Gopher + C4
             # document-filter rules over the decorated text (_GC_ARMS —
             # every rule dimension exercised; still pure codegen in the
@@ -786,6 +799,47 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sf_ USING (doc_id)
 """
 
+# winnowing replay (k=5, w=4): base-131 polynomial k-gram hashes mod
+# 1000003 over the whitespace-normalized lowercase text, window minima,
+# sorted distinct set -> count + 8-hex digest. Every step is exact
+# integer arithmetic, so the hashes match bit-for-bit; short/NULL docs
+# carry 0 / NULL (the no-grams contract).
+_X08_WINNOW_BODY = """
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 5 THEN
+           list_transform(range(1, length(t) - 4 + 1), i ->
+             (CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT)
+                * 294499921
+            + CAST(ascii(substr(t, CAST(i AS INT) + 1, 1)) AS BIGINT)
+                * 2248091
+            + CAST(ascii(substr(t, CAST(i AS INT) + 2, 1)) AS BIGINT)
+                * 17161
+            + CAST(ascii(substr(t, CAST(i AS INT) + 3, 1)) AS BIGINT)
+                * 131
+            + CAST(ascii(substr(t, CAST(i AS INT) + 4, 1)) AS BIGINT))
+             % 1000003)
+         END AS grams
+  FROM nrm),
+wsel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(grams) - 3, 1) + 1),
+           t -> list_min(grams[CAST(t AS INT):CAST(t AS INT) + 3]))))
+           AS sel
+  FROM gr WHERE grams IS NOT NULL)
+SELECT n.doc_id,
+       coalesce(CAST(len(s.sel) AS BIGINT), 0) AS n_winnow,
+       CASE WHEN s.sel IS NOT NULL
+            THEN substr(md5(array_to_string(s.sel, ',')), 1, 8)
+       END AS winnow_fp8
+FROM nrm n LEFT JOIN wsel s USING (doc_id)
+"""
+
 # Gopher/C4 rule replay over the same decorated text: the named-rule
 # counts are integer regex scans (Java and RE2 agree on every pattern —
 # (?m) anchors, \b, non-overlap), ratios round to 4dp before the
@@ -863,6 +917,7 @@ SELECT l.doc_id, l.pred_lang, l.marker_score,
        m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop,
        c.n_chunks, c.chunk_fp8,
        sc.n_sent_chunks, sc.sent_chunk_fp8,
+       wn.n_winnow, wn.winnow_fp8,
        g.gopher_n_words, g.mean_word_len, g.symbol_word_ratio,
        g.bullet_line_frac, g.ellipsis_line_frac, g.alpha_word_frac,
        g.req_stop_hits, g.gopher_kept,
@@ -876,6 +931,7 @@ JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
 JOIN ({_X08_MOJI_BODY}) m ON m.doc_id = l.doc_id
 JOIN ({_X08_CHUNK_BODY}) c ON c.doc_id = l.doc_id
 JOIN ({_X08_SENT_BODY}) sc ON sc.doc_id = l.doc_id
+JOIN ({_X08_WINNOW_BODY}) wn ON wn.doc_id = l.doc_id
 JOIN ({_X08_GC_BODY}) g ON g.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
@@ -2908,6 +2964,32 @@ def x27_quantize_embeddings(
         om_rows, "m64o int, opq_xmom_ii double, opq_xmom_ij double"
     )
     _t = _mark(_stage_secs, "opq_moment", _t)
+    # OPQ SERVING (round-10 zero-slot promotion — VERDICT r9 #5): the
+    # rotated-codes path under a FIXED exact Givens rotation (contract
+    # + cross-engine argument at _x27_opq_serve_ctes): rotate_vectors →
+    # 9dp coordinate quantization → pq_train → pq_encode against the
+    # rotated query — the opq_encode composition, with the REAL
+    # operators end-to-end. The rotated query is read back from the
+    # quantized frame itself so both engines consume the identically
+    # rounded values.
+    rg = np.eye(len(q0))
+    rg[0, 0], rg[0, 16], rg[16, 0], rg[16, 16] = 0.6, 0.8, -0.8, 0.6
+    vrq = PQO.rotate_vectors(emb, rg).withColumn(
+        "vr", F.transform("vr", lambda x: F.round(x, 9))
+    )
+    ocb = PQO.pq_train(vrq, vec_col="vr", m=4, ksub=4, n_iters=2)
+    oq0 = np.asarray(
+        vrq.orderBy("vec_id").limit(1).collect()[0]["vr"], dtype="float64"
+    )
+    oenc = PQO.pq_encode(vrq, ocb, vec_col="vr", query_vec=oq0).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("pq_codes", lambda c: c.cast("string"))
+        ).alias("opq_codes_csv"),
+        F.col("pq_rmse").alias("opq_rmse"),
+        F.col("adc_fp").alias("opq_adc_fp"),
+    )
+    _t = _mark(_stage_secs, "opq_serve", _t)
     # Matryoshka prefix serving (round-9 zero-slot promotion —
     # operators/embeddings.truncate_dims + fixed_query_cosine, Kusupati
     # et al. 2022): every row carries mrl_sim_d16 (4dp cosine of the
@@ -3008,6 +3090,7 @@ def x27_quantize_embeddings(
         .join(F.broadcast(om), "m64o")
         .drop("m64o")
         .join(pqe, "vec_id")
+        .join(oenc, "vec_id")
         .join(mrl, "vec_id")
         .join(rcells, "vec_id")
         .join(renc, "vec_id")
@@ -3017,6 +3100,105 @@ def x27_quantize_embeddings(
         .join(serv, "vec_id", "left")
         .orderBy("vec_id")
     )
+
+
+def _x27_opq_serve_ctes() -> str:
+    """OPQ SERVING under the oracle (round-10 — VERDICT r9 #5): the
+    rotated-codes path (operators/pq.rotate_vectors → pq_train →
+    pq_encode — the ``opq_encode`` composition, pinned equal to it in
+    tests/test_pq.py) cross-engine under a FIXED exact Givens rotation:
+    cos 0.6 / sin 0.8 between dims (1, 17) — one dim from each of the
+    first two SUBSPACES, because a within-subspace rotation is an
+    isometry of every Lloyd distance (seeds rotate with the data) and
+    would leave the codes bit-identical to the plain-PQ twins, pinning
+    nothing new (measured, round 10) — identity elsewhere. '0.6' and
+    '0.8' parse to identical doubles in numpy and DuckDB, and the
+    rotated coordinates are QUANTIZED to 9dp before any training step
+    (the 'quantized rotation' contract), so BLAS-vs-SQL last-ulp
+    summation noise vanishes below the quantum. The LEARNED Procrustes
+    rotation stays driver-numpy on both sides by the documented pca_fit
+    design (SVD float order is not a cross-engine contract); its input
+    is pinned via the opq_xmom_* columns and its properties
+    (orthonormality, monotone objective, gain over plain PQ on
+    two-dim-variance data) in tests/test_pq.py. The chain below is the
+    pcb/penc trainer recipe verbatim over the rotated subvectors —
+    same seeds (pseed), same 4dp-argmin / 7dp-mean / empty-cell-
+    carryover contract — ending in the served columns
+    opq_codes_csv / opq_rmse / opq_adc_fp."""
+    out = """,
+ovr AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, len(e) + 1), i ->
+           round(CASE WHEN i = 1 THEN 0.6 * e[1] + 0.8 * e[17]
+                      WHEN i = 17 THEN -0.8 * e[1] + 0.6 * e[17]
+                      ELSE e[i] END, 9)) AS e
+  FROM v),
+osv AS MATERIALIZED (
+  SELECT vec_id, CAST((dim - 1) // 16 AS INTEGER) AS sub,
+         CAST((dim - 1) % 16 AS INTEGER) AS sd, x
+  FROM (SELECT vec_id, unnest(range(1, len(e) + 1)) AS dim,
+               unnest(e) AS x
+        FROM ovr)),
+ocb0 AS MATERIALIZED (
+  SELECT s.cell, p.sub, p.sd, p.x AS c
+  FROM pseed s JOIN osv p USING (vec_id))"""
+    prev = "ocb0"
+    for r in (1, 2):
+        out += f""",
+od{r} AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.x - c.c) * (p.x - c.c)), 4) AS d2
+  FROM osv p JOIN {prev} c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+oa{r} AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM od{r}) WHERE rn = 1),
+om{r} AS (SELECT a.sub, a.cell, p.sd, round(sum(p.x) / count(*), 7) AS c
+        FROM oa{r} a JOIN osv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+        GROUP BY a.sub, a.cell, p.sd),
+ocb{r} AS MATERIALIZED (
+  SELECT c0.sub, c0.cell, c0.sd, COALESCE(m.c, c0.c) AS c
+  FROM {prev} c0 LEFT JOIN om{r} m
+    ON m.sub = c0.sub AND m.cell = c0.cell AND m.sd = c0.sd)"""
+        prev = f"ocb{r}"
+    out += f""",
+od3 AS MATERIALIZED (
+  SELECT p.vec_id, p.sub, c.cell,
+         round(sum((p.x - c.c) * (p.x - c.c)), 4) AS d2
+  FROM osv p JOIN {prev} c ON c.sub = p.sub AND c.sd = p.sd
+  GROUP BY p.vec_id, p.sub, c.cell),
+oenc AS MATERIALIZED (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM od3) WHERE rn = 1),
+ocodes AS (SELECT vec_id,
+                  string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub)
+                    AS opq_codes_csv
+           FROM oenc GROUP BY vec_id),
+orec AS (SELECT p.vec_id,
+                round(sqrt(sum((p.x - c.c) * (p.x - c.c)) / 64.0), 4)
+                  AS opq_rmse
+         FROM oenc a
+         JOIN osv p ON p.vec_id = a.vec_id AND p.sub = a.sub
+         JOIN {prev} c ON c.sub = a.sub AND c.cell = a.cell
+                      AND c.sd = p.sd
+         GROUP BY p.vec_id),
+oq0s AS (SELECT sub, sd, x FROM osv
+         WHERE vec_id = (SELECT min(vec_id) FROM v)),
+olut AS (SELECT c.sub, c.cell,
+                CAST(round(sum((q0.x - c.c) * (q0.x - c.c)) * 10000)
+                     AS BIGINT) AS dfp
+         FROM {prev} c JOIN oq0s q0 ON q0.sub = c.sub AND q0.sd = c.sd
+         GROUP BY c.sub, c.cell),
+oadc AS (SELECT a.vec_id, CAST(sum(l.dfp) AS BIGINT) AS opq_adc_fp
+         FROM oenc a JOIN olut l ON l.sub = a.sub AND l.cell = a.cell
+         GROUP BY a.vec_id)"""
+    return out
 
 
 X27_SQL = """
@@ -3326,7 +3508,7 @@ mrlr AS (SELECT vec_id, mrl_sim_d16,
                 CAST(row_number() OVER (
                   ORDER BY mrl_sim_d16 DESC, vec_id) AS BIGINT)
                   AS mrl_rank_d16
-         FROM mrls)
+         FROM mrls)""" + _x27_opq_serve_ctes() + """
 SELECT vec_id,
        CAST(len(qv) AS INTEGER) AS n_dims,
        sc AS scale,
@@ -3342,6 +3524,9 @@ SELECT vec_id,
        pa.pq_adc_fp,
        oii.mom AS opq_xmom_ii,
        oij.mom AS opq_xmom_ij,
+       oc.opq_codes_csv,
+       orc.opq_rmse,
+       oad.opq_adc_fp,
        mr.mrl_sim_d16,
        mr.mrl_rank_d16,
        f2.cell AS ivf_cell,
@@ -3360,6 +3545,9 @@ JOIN padc pa USING (vec_id)
 JOIN oxm oii ON oii.i = vec_id % 64 + 1 AND oii.j = oii.i
 JOIN oxm oij ON oij.i = vec_id % 64 + 1
             AND oij.j = ((vec_id % 64) * 17 + 3) % 64 + 1
+JOIN ocodes oc USING (vec_id)
+JOIN orec orc USING (vec_id)
+JOIN oadc oad USING (vec_id)
 JOIN mrlr mr USING (vec_id)
 JOIN ifa f2 USING (vec_id)
 JOIN jcodes jc USING (vec_id)
@@ -3466,6 +3654,19 @@ def x28_lm_perplexity(
     ppl = ppl.localCheckpoint()  # consumed by the bucket rank AND the output join
     buckets = RV.ppl_buckets(ppl, "doc_id", "ppl", n_buckets=3)
     _t = _mark(_stage_secs, "addk_kn_lm", _t)
+    # Moore-Lewis cross-entropy-difference selection (round-10
+    # zero-slot promotion — relevance.moore_lewis_scores, Moore & Lewis
+    # ACL 2010): in-domain = source 'src0' (the x32 DSIR target, so the
+    # two selection families are comparable on the same target). Shares
+    # the materialized gram stream AND the already-trained general LM;
+    # the in-domain model is one census aggregation over the src0
+    # subset, OOV grams take the backoff floor. ml_excess_fp is the
+    # exact 1e-4 fixed-point difference of the two integer-mean logps.
+    ml = RV.moore_lewis_scores(
+        docs, "doc_id", "text", F.col("source") == "src0",
+        grams=grams, general=(lm, ctx, v),
+    ).select("doc_id", "ml_excess_fp")
+    _t = _mark(_stage_secs, "moore_lewis", _t)
     from ..functions.text import tokens_array
 
     words = docs.select(
@@ -3620,6 +3821,7 @@ def x28_lm_perplexity(
     return (
         ppl.join(buckets, "doc_id", "left")
         .join(knppl, "doc_id", "left")
+        .join(ml, "doc_id", "left")
         .join(bpc, "doc_id", "left")
         .join(bpct, "doc_id", "left")
         .join(upct, "doc_id", "left")
@@ -4103,6 +4305,44 @@ pbk AS (
                  ORDER BY round(exp(-avg_logp), 4), doc_id) AS rn,
                count(*) OVER () AS tot
         FROM fx)),
+-- Moore-Lewis (round 10): in-domain (source = 'src0') add-k LM over
+-- the SAME gram stream, whole-pool scoring with the backoff floor
+-- ln(0.5 / (c1_in + 0.5·V_in)) for OOV grams (unseen context -> c1 0),
+-- then the exact integer-mean difference vs the general side's fx
+mlg AS MATERIALIZED (
+  SELECT g.doc_id, g.bigram
+  FROM grams g JOIN documents d USING (doc_id)
+  WHERE d.source = 'src0'),
+mlb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+        FROM mlg GROUP BY bigram),
+mlbx AS (SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+                split_part(bigram, ' ', 2) AS w2
+         FROM mlb),
+mlctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+          FROM mlbx GROUP BY w1),
+mlv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM mlbx),
+mllm AS (SELECT bigram,
+                round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 4) AS logp
+         FROM mlbx JOIN mlctx USING (w1) CROSS JOIN mlv),
+mlsc AS (SELECT g.doc_id,
+                coalesce(m.logp,
+                         round(ln(0.5 / (coalesce(c.c1, 0) + 0.5 * v.v)),
+                               4)) AS logp
+         FROM grams g
+         LEFT JOIN mllm m USING (bigram)
+         LEFT JOIN mlctx c ON c.w1 = split_part(g.bigram, ' ', 1)
+         CROSS JOIN mlv v),
+mlagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(logp * 10000) AS BIGINT)) AS BIGINT)
+                   AS s4
+          FROM mlsc GROUP BY doc_id),
+mlfx AS (SELECT doc_id,
+                ((2 * abs(s4) + n) // (2 * n)) * sign(s4) AS in4
+         FROM mlagg),
+mlex AS (SELECT f.doc_id,
+                CAST(m.in4 - CAST(round(f.avg_logp * 10000) AS BIGINT)
+                     AS BIGINT) AS ml_excess_fp
+         FROM mlfx m JOIN fx f USING (doc_id)),
 knctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
                  CAST(count(DISTINCT w2) AS BIGINT) AS n1f
           FROM bgx GROUP BY w1),
@@ -4161,6 +4401,7 @@ SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        pbk.ppl_rank, pbk.ppl_bucket,
        knfx.kn_avg_logp,
        round(exp(-knfx.kn_avg_logp), 4) AS kn_ppl,
+       mlex.ml_excess_fp,
        coalesce(bpc.n_bpe_pieces, 0) AS n_bpe_pieces,
        coalesce(bpc.max_word_pieces, 0) AS max_word_pieces,
        coalesce(bpct.n_bpe_pieces_trained, 0) AS n_bpe_pieces_trained,
@@ -4173,6 +4414,7 @@ SELECT fx.doc_id, fx.n_bigrams, fx.avg_logp,
        fert.bpe_fert_fp, fert.uni_fert_fp, fert.wp_fert_fp
 FROM fx LEFT JOIN pbk USING (doc_id)
 LEFT JOIN knfx USING (doc_id)
+LEFT JOIN mlex USING (doc_id)
 LEFT JOIN bpc USING (doc_id)
 LEFT JOIN bpct USING (doc_id)
 LEFT JOIN upct USING (doc_id)

@@ -431,3 +431,28 @@ def test_x27_opq_moment_columns_nondegenerate(spark, sf_dir):
     x27 = x27_quantize_embeddings(spark, sf_dir).localCheckpoint()
     assert_column_nondegenerate(x27, "opq_xmom_ii", f"at {sf_dir}")
     assert_column_nondegenerate(x27, "opq_xmom_ij", f"at {sf_dir}")
+
+
+def test_x27_opq_serving_columns_nondegenerate_and_rotated(spark, sf_dir):
+    """Promotion guard for the round-10 OPQ serving columns
+    (opq_codes_csv / opq_rmse / opq_adc_fp): each varies across rows,
+    and the rotation is REAL — the rotated-space codes must disagree
+    with the plain-PQ codes on at least one row and the rotated
+    reconstruction error must differ somewhere too (a broken rotation
+    that degenerated to identity would make both columns mirror the
+    pq_* twins and pin nothing new)."""
+    from conftest import assert_column_nondegenerate
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x27_quantize_embeddings,
+    )
+
+    x27 = x27_quantize_embeddings(spark, sf_dir).localCheckpoint()
+    for c in ("opq_codes_csv", "opq_rmse", "opq_adc_fp"):
+        assert_column_nondegenerate(x27, c, f"at {sf_dir}")
+    assert x27.filter(
+        F.col("opq_codes_csv") != F.col("pq_codes_csv")
+    ).count() > 0
+    assert x27.filter(F.col("opq_rmse") != F.col("pq_rmse")).count() > 0

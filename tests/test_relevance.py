@@ -786,3 +786,50 @@ def test_ppl_buckets_no_single_partition_and_x28_nondegenerate(spark, sf_dir):
         assert max(sizes.values()) - min(sizes.values()) <= 1
     finally:
         x28.unpersist()
+
+
+def test_moore_lewis_scores_direction_and_backoff(spark):
+    """Moore & Lewis cross-entropy difference: pool docs that read like
+    the in-domain subset score HIGHER (less negative excess) than docs
+    full of in-domain-OOV words; in-domain docs themselves sit at the
+    top; the excess fixed point equals the integer difference of the
+    two avg-logp fixed points (the exactness contract)."""
+    from mapreduce_stockheadlines_spark.operators import relevance as RV
+
+    rows = [
+        # in-domain: finance-ish
+        (1, "the market rallied and the shares closed higher", "tgt"),
+        (2, "the shares rallied while the market closed mixed", "tgt"),
+        # pool doc resembling the domain
+        (3, "the market closed higher and the shares rallied", "pool"),
+        # pool doc far from the domain (all OOV under the target LM)
+        (4, "purple elephants juggle quantum bananas under neon rain",
+         "pool"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in RV.moore_lewis_scores(
+            df, "doc_id", "text", F.col("source") == "tgt"
+        ).collect()
+    }
+    assert len(out) == 4
+    # similar pool doc beats the OOV pool doc
+    assert out[3].ml_excess_fp > out[4].ml_excess_fp
+    # in-domain docs score at least as well as the OOV doc
+    assert min(out[1].ml_excess_fp, out[2].ml_excess_fp) > out[4].ml_excess_fp
+    # exact fixed-point contract
+    for r in out.values():
+        want = round(
+            round(r.ml_in_avg_logp * 10000) - round(r.ml_gen_avg_logp * 10000)
+        )
+        assert r.ml_excess_fp == want
+
+
+def test_x28_moore_lewis_column_nondegenerate(spark, sf_dir):
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x28 = ALL_QUERIES["x28_lm_perplexity"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x28, "ml_excess_fp", f"at {sf_dir}")

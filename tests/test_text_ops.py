@@ -697,3 +697,90 @@ def test_x08_gopher_c4_columns_nondegenerate(spark, sf_dir):
             assert_column_nondegenerate(x08, col, f"at {sf_dir}")
     finally:
         x08.unpersist()
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Winnowing (Schleimer et al. 2003): (a) two docs sharing a long
+    normalized substring share selected hashes (the w+k-1 guarantee)
+    while unrelated docs don't pair at min_shared; (b) the fingerprint
+    is reflow/case-invariant; (c) short/NULL docs carry 0/NULL; (d) a
+    hash present in more than max_df docs is dropped before the
+    self-join (the hot-boilerplate quadratic guard)."""
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the "
+            "river bank today"),
+        (2, "Totally different text about stock markets and trading "
+            "volumes rising fast"),
+        (3, "Intro words first.   the QUICK   brown fox jumps over "
+            "the lazy dog near\nthe river   then more unique trailing "
+            "content here"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_winnow, r.winnow_fp8)
+        for r in TS.winnow_fingerprint_summary(df, "doc_id", "text").collect()
+    }
+    assert out[4] == (0, None) and out[5] == (0, None)
+    assert out[1][0] > 0 and out[1][1] is not None
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in TS.winnow_neardup_pairs(
+            df, "doc_id", "text", min_shared=3
+        ).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 3
+    assert (1, 2) not in pairs and (2, 3) not in pairs
+    # reflow/case invariance
+    df2 = spark.createDataFrame(
+        [(10, "THE quick\t\tbrown   fox jumps over the lazy dog near "
+              "the river bank today")],
+        "doc_id long, text string",
+    )
+    got = TS.winnow_fingerprint_summary(df2, "doc_id", "text").collect()[0]
+    assert got.winnow_fp8 == out[1][1]
+    # max_df drops ubiquitous hashes before the join
+    many = spark.createDataFrame(
+        [(i, "shared boiler plate line") for i in range(12)],
+        "doc_id long, text string",
+    )
+    assert (
+        TS.winnow_neardup_pairs(
+            many, "doc_id", "text", min_shared=1, max_df=5
+        ).count()
+        == 0
+    )
+
+
+def test_x08_winnow_columns_nondegenerate(spark, sf_dir):
+    """Round-10 promotion guard: the registry-pinned winnow columns
+    vary across docs at the test SF, and the x08 wiring equals the
+    standalone operator row-for-row."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x08 = ALL_QUERIES["x08_text_stats"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x08, "n_winnow", f"at {sf_dir}")
+    assert_column_nondegenerate(x08, "winnow_fp8", f"at {sf_dir}")
+    docs = table(spark, sf_dir, "documents")
+    op = TS.winnow_fingerprint_summary(docs, "doc_id", "text")
+    joined = x08.select("doc_id", "n_winnow", "winnow_fp8").join(
+        op.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_winnow").alias("n_op"),
+            F.col("winnow_fp8").alias("fp_op"),
+        ),
+        "doc_id",
+    )
+    assert joined.filter(
+        (F.col("n_winnow") != F.col("n_op"))
+        | ~(
+            F.col("winnow_fp8").eqNullSafe(F.col("fp_op"))
+        )
+    ).count() == 0
