@@ -116,10 +116,14 @@ def curate(
     max_dup_window_fraction: float | None = None,
     dup_window_tokens: int = 8,
     remove_dup_spans: bool = False,
+    winnow_min_shared: int | None = None,
+    winnow_max_df: int = 1000,
     min_clf_score: float | None = None,
     clf_weights: DataFrame | None = None,
     max_perplexity: float | None = None,
     lm_model: tuple[DataFrame, DataFrame, int] | None = None,
+    ml_target_source: str | None = None,
+    min_ml_excess: float | None = None,
     max_dup_ngram_fraction: float | None = None,
     rep_ngram_n: int = 3,
     fix_mojibake: bool = False,
@@ -202,6 +206,20 @@ def curate(
         # everything to unk. Both are config errors.
         raise ValueError(
             f"encode_vocab_top must be >= 1, got {encode_vocab_top}"
+        )
+    if min_ml_excess is not None and ml_target_source is None:
+        raise ValueError(
+            "min_ml_excess needs ml_target_source to define the "
+            "in-domain subset"
+        )
+    if ml_target_source is not None and "source" not in docs.columns:
+        raise ValueError(
+            "ml_target_source needs a 'source' column to select the "
+            "target subset"
+        )
+    if winnow_min_shared is not None and winnow_min_shared < 1:
+        raise ValueError(
+            f"winnow_min_shared must be >= 1, got {winnow_min_shared}"
         )
     if dsir_target_source is not None:
         if not 0.0 < dsir_keep_frac <= 1.0:
@@ -337,6 +355,25 @@ def curate(
             cut.select("doc_id", "text"), "doc_id"
         )
 
+    # 2d. (optional) winnowing near-dup collapse: docs sharing >=
+    #     winnow_min_shared selected rolling-hash fingerprints collapse
+    #     to one representative (transitive, via the same
+    #     connected-components machinery as stage 2). Catches
+    #     PARTIAL-overlap copies — a long shared span inside otherwise
+    #     original docs — that whole-set MinHash similarity dilutes
+    #     below any workable jaccard threshold. Ubiquitous hashes
+    #     (boilerplate in > winnow_max_df docs) are dropped before the
+    #     self-join (textstats.winnow_neardup_pairs).
+    if winnow_min_shared is not None:
+        wpairs = TS.winnow_neardup_pairs(
+            docs, "doc_id", "text",
+            min_shared=winnow_min_shared, max_df=winnow_max_df,
+        )
+        docs = D.dedup_by_pairs(
+            docs, wpairs, "doc_id",
+            reliable_checkpoint=reliable_checkpoint,
+        )
+
     # 3+4. language and quality gates from ONE fused stats projection,
     #    computed on the RAW text, then PII scrub on the survivors.
     #    Order matters for plan health, not just cost: the stats
@@ -436,6 +473,24 @@ def curate(
         junk = ppl.filter(F.col("ppl") > max_perplexity).select("doc_id")
         docs = docs.join(junk, "doc_id", "left_anti")
 
+    # 4c. (optional) Moore-Lewis cross-entropy-difference gate
+    #     (relevance.moore_lewis_scores): keep docs whose avg bigram
+    #     logp under the in-domain LM beats the general-pool LM by at
+    #     least min_ml_excess nats — the classic LM-based domain
+    #     selection (the exact-LM sibling of the DSIR gate below; both
+    #     can run, they rank differently). Like every model gate it
+    #     runs on the heuristic survivors only; score-less docs (no
+    #     bigrams) pass — gates act on positive evidence.
+    if min_ml_excess is not None:
+        ml = RV.moore_lewis_scores(
+            docs, "doc_id", "text",
+            F.col("source") == ml_target_source,
+        )
+        off_domain = ml.filter(
+            F.col("ml_excess_fp") < int(round(min_ml_excess * 10000))
+        ).select("doc_id")
+        docs = docs.join(off_domain, "doc_id", "left_anti")
+
     # 5a. (optional) per-domain frequency cap (FineWeb-style): no single
     #     site floods the corpus, best-quality docs survive first. Runs
     #     after the per-doc gates (the cap should ration SURVIVORS, and
@@ -469,6 +524,20 @@ def curate(
     #      text yields no features (token-less) cannot carry a score
     #      and are not selectable; the target's own surviving docs
     #      compete like any others.
+    if min_ml_excess is not None and ml_target_source is None:
+        raise ValueError(
+            "min_ml_excess needs ml_target_source to define the "
+            "in-domain subset"
+        )
+    if ml_target_source is not None and "source" not in docs.columns:
+        raise ValueError(
+            "ml_target_source needs a 'source' column to select the "
+            "target subset"
+        )
+    if winnow_min_shared is not None and winnow_min_shared < 1:
+        raise ValueError(
+            f"winnow_min_shared must be >= 1, got {winnow_min_shared}"
+        )
     if dsir_target_source is not None:
         docs = (
             docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()
@@ -850,6 +919,22 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--clf-weights", default=None,
                     help="TSV of 'token<TAB>weight' model rows for the "
                          "classifier gate")
+    ap.add_argument("--winnow-min-shared", type=int, default=None,
+                    help="collapse docs sharing at least this many "
+                         "winnowing fingerprints (partial-overlap "
+                         "near-dup — MOSS-style rolling-hash minima) "
+                         "to one representative")
+    ap.add_argument("--winnow-max-df", type=int, default=1000,
+                    help="drop winnow hashes present in more than this "
+                         "many docs before the pair join (boilerplate "
+                         "hot-key guard)")
+    ap.add_argument("--ml-target-source", default=None,
+                    help="source value defining the Moore-Lewis "
+                         "in-domain subset (with --min-ml-excess)")
+    ap.add_argument("--min-ml-excess", type=float, default=None,
+                    help="drop docs whose Moore-Lewis cross-entropy "
+                         "difference (in-domain minus general avg "
+                         "bigram logp, nats) is below this")
     ap.add_argument("--max-perplexity", type=float, default=None,
                     help="drop docs whose bigram-LM perplexity exceeds "
                          "this (self-trained, or --lm-dir for a "
@@ -998,6 +1083,10 @@ def main(argv: list[str] | None = None) -> None:
         max_dup_window_fraction=args.max_dup_window_fraction,
         dup_window_tokens=args.dup_window_tokens,
         remove_dup_spans=args.remove_dup_spans,
+        winnow_min_shared=args.winnow_min_shared,
+        winnow_max_df=args.winnow_max_df,
+        ml_target_source=args.ml_target_source,
+        min_ml_excess=args.min_ml_excess,
         min_clf_score=args.min_clf_score,
         clf_weights=(
             spark.read.option("sep", "\t")

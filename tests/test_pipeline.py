@@ -1623,3 +1623,62 @@ def test_pipeline_warc_end_to_end_matches_parquet_path(
     }
     assert rep.get("lang_frac_en") == 1.0
     assert rep.get("exact_dup_frac") == 0.0
+
+
+def test_curate_winnow_neardup_stage(spark):
+    """--winnow-min-shared: a doc embedding a long span copied from
+    another doc collapses onto one representative even though
+    whole-set MinHash jaccard sits far below the 0.8 near-dup gate;
+    with the stage off both survive."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank today while the sun is high"
+    )
+    rows = [
+        (1, shared + " and the first document continues with its own "
+            "unique closing words about the market and the weather "
+            "and the trading day ahead of the close", "s"),
+        (2, "a completely different opening paragraph with its own "
+            "story begins here before quoting " + shared, "s"),
+        (3, "totally unrelated text about gardens and the flowers "
+            "that bloom in the spring with the rain and the sun", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = curate(docs, lang="en", min_quality=0.0)
+    assert base.count() == 3  # MinHash jaccard never fires
+    out = curate(
+        docs, lang="en", min_quality=0.0, winnow_min_shared=5
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {1, 3}  # min-id representative of {1, 2} plus the
+    # unrelated doc
+
+
+def test_curate_moore_lewis_gate(spark):
+    """--ml-target-source/--min-ml-excess: pool docs that read like the
+    in-domain subset survive the gate, OOV-heavy pool docs drop, and
+    config errors raise before any work."""
+    import pytest
+
+    rows = [
+        (1, "the market rallied and the shares closed higher while "
+            "the trading volume rose", "tgt"),
+        (2, "the shares rallied while the market closed mixed and "
+            "the volume fell again", "tgt"),
+        (3, "the market closed higher and the shares rallied while "
+            "the volume rose", "pool"),
+        (4, "purple elephants juggle quantum bananas under neon rain "
+            "beside plasma volcanoes tonight", "pool"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        docs, lang="en", min_quality=0.0,
+        ml_target_source="tgt", min_ml_excess=-1.0,
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 3 in ids and 4 not in ids
+    with pytest.raises(ValueError, match="ml_target_source"):
+        curate(docs, min_ml_excess=0.0)
+    with pytest.raises(ValueError, match="source"):
+        curate(docs.drop("source"), ml_target_source="tgt",
+               min_ml_excess=0.0)
