@@ -443,6 +443,8 @@ def curate(
         # them (an undefined score is not evidence of low quality)
         low = clf.filter(F.col("clf_score") < min_clf_score).select("doc_id")
         docs = docs.join(low, "doc_id", "left_anti")
+    _shared_grams = None
+    _shared_general = None
     if max_perplexity is not None:
         grams = None
         if lm_model is not None:
@@ -460,6 +462,11 @@ def curate(
             lm, ctx, v = RV.train_bigram_lm(
                 docs, "doc_id", "text", grams=grams
             )
+            # the Moore-Lewis gate below reuses this SELF-trained pool
+            # model + its materialized gram stream (a pretrained
+            # lm_model is a different corpus' LM — never M-L's general
+            # side)
+            _shared_grams, _shared_general = grams, (lm, ctx, v)
         # self-trained → every gram is in the model; skip the backoff
         # join (a second pass over the gram stream it can never use)
         ppl = RV.lm_perplexity(
@@ -482,9 +489,21 @@ def curate(
     #     runs on the heuristic survivors only; score-less docs (no
     #     bigrams) pass — gates act on positive evidence.
     if min_ml_excess is not None:
+        ml_grams = _shared_grams
+        if ml_grams is None:
+            # moore_lewis_scores consumes the stream four times (two
+            # trainings, two scorings) — materialize once, the 4b
+            # self-train policy
+            ml_grams = RV.doc_bigrams(docs, "doc_id", "text")
+            ml_grams = (
+                ml_grams.checkpoint()
+                if reliable_checkpoint
+                else ml_grams.localCheckpoint()
+            )
         ml = RV.moore_lewis_scores(
             docs, "doc_id", "text",
             F.col("source") == ml_target_source,
+            grams=ml_grams, general=_shared_general,
         )
         off_domain = ml.filter(
             F.col("ml_excess_fp") < int(round(min_ml_excess * 10000))
@@ -524,20 +543,6 @@ def curate(
     #      text yields no features (token-less) cannot carry a score
     #      and are not selectable; the target's own surviving docs
     #      compete like any others.
-    if min_ml_excess is not None and ml_target_source is None:
-        raise ValueError(
-            "min_ml_excess needs ml_target_source to define the "
-            "in-domain subset"
-        )
-    if ml_target_source is not None and "source" not in docs.columns:
-        raise ValueError(
-            "ml_target_source needs a 'source' column to select the "
-            "target subset"
-        )
-    if winnow_min_shared is not None and winnow_min_shared < 1:
-        raise ValueError(
-            f"winnow_min_shared must be >= 1, got {winnow_min_shared}"
-        )
     if dsir_target_source is not None:
         docs = (
             docs.checkpoint() if reliable_checkpoint else docs.localCheckpoint()

@@ -41,6 +41,7 @@ __all__ = [
     "save_bigram_lm",
     "load_bigram_lm",
     "doc_bigrams",
+    "moore_lewis_scores",
 ]
 
 
@@ -474,6 +475,7 @@ def moore_lewis_scores(
     add_k: float = 0.5,
     grams: DataFrame | None = None,
     general: tuple[DataFrame, DataFrame, int] | None = None,
+    general_scored: DataFrame | None = None,
 ) -> DataFrame:
     """Moore & Lewis (ACL 2010) cross-entropy-difference data
     selection: score each document by its avg bigram log-probability
@@ -505,8 +507,15 @@ def moore_lewis_scores(
     lm_perplexity join shape (gram stream vs vocab²-bounded model
     tables, AQE-broadcast) run twice — no extra corpus tokenization,
     no corpus×corpus joins. Pass ``grams`` (a localCheckpoint'd
-    ``doc_bigrams``) and ``general`` (a pre-trained (lm, ctx, V)) to
-    share work with a co-resident perplexity stage, as x28 does."""
+    ``doc_bigrams``), ``general`` (a pre-trained (lm, ctx, V)) and
+    ``general_scored`` (the lm_perplexity(backoff=False) output under
+    that model — (id, n_bigrams, avg_logp)) to share work with a
+    co-resident perplexity stage, as x28 does; with all three, the
+    general side costs nothing new. An EMPTY in-domain subset raises
+    loudly: a vocab-0 model's backoff floor is ln(0.5/0) = +Inf, whose
+    fixed-point cast saturates and wraps — garbage scores that would
+    otherwise silently gate the whole corpus (round-10 review
+    finding)."""
     if grams is None:
         grams = doc_bigrams(df, id_col, text_col)
     if general is None:
@@ -518,14 +527,28 @@ def moore_lewis_scores(
     ilm, ictx, iv = train_bigram_lm(
         df.filter(in_domain), id_col, text_col, add_k, grams=in_grams
     )
-    gen = lm_perplexity(
-        df, glm, gctx, gv, id_col, text_col, add_k,
-        backoff=False, grams=grams,
-    ).select(
-        id_col,
-        "n_bigrams",
-        F.col("avg_logp").alias("ml_gen_avg_logp"),
-    )
+    if iv == 0:
+        raise ValueError(
+            "moore_lewis_scores: the in_domain filter selects no "
+            "scorable docs (in-domain vocabulary is empty) — check the "
+            "target value; scoring against a vocab-0 model would "
+            "produce saturated/wrapped garbage, not a ranking"
+        )
+    if general_scored is not None:
+        gen = general_scored.select(
+            id_col,
+            "n_bigrams",
+            F.col("avg_logp").alias("ml_gen_avg_logp"),
+        )
+    else:
+        gen = lm_perplexity(
+            df, glm, gctx, gv, id_col, text_col, add_k,
+            backoff=False, grams=grams,
+        ).select(
+            id_col,
+            "n_bigrams",
+            F.col("avg_logp").alias("ml_gen_avg_logp"),
+        )
     ind = lm_perplexity(
         df, ilm, ictx, iv, id_col, text_col, add_k,
         backoff=True, grams=grams,

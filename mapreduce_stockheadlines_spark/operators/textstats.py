@@ -494,7 +494,10 @@ def winnow_neardup_pairs(
     explodes quadratically, and a hash shared by >max_df docs carries
     no pair-discriminating signal. Same hot-key bound as the LSH band
     join; candidate pairs stay linear in true overlap."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, w).distinct()
+    # (id, whash) rows are already distinct by construction —
+    # winnow_sel_col applies array_distinct per doc before the explode —
+    # so no dedup shuffle is spent here (round-10 review finding)
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
     rare = (
         fp.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -2976,7 +2976,9 @@ def x27_quantize_embeddings(
     rg[0, 0], rg[0, 16], rg[16, 0], rg[16, 16] = 0.6, 0.8, -0.8, 0.6
     vrq = PQO.rotate_vectors(emb, rg).withColumn(
         "vr", F.transform("vr", lambda x: F.round(x, 9))
-    )
+    ).localCheckpoint()  # consumed by 2 Lloyd passes + the query
+    # collect + the encode — without the cut each re-runs the Arrow
+    # rotation pass over the corpus (round-10 review finding)
     ocb = PQO.pq_train(vrq, vec_col="vr", m=4, ksub=4, n_iters=2)
     oq0 = np.asarray(
         vrq.orderBy("vec_id").limit(1).collect()[0]["vr"], dtype="float64"
@@ -3664,7 +3666,7 @@ def x28_lm_perplexity(
     # exact 1e-4 fixed-point difference of the two integer-mean logps.
     ml = RV.moore_lewis_scores(
         docs, "doc_id", "text", F.col("source") == "src0",
-        grams=grams, general=(lm, ctx, v),
+        grams=grams, general=(lm, ctx, v), general_scored=ppl,
     ).select("doc_id", "ml_excess_fp")
     _t = _mark(_stage_secs, "moore_lewis", _t)
     from ..functions.text import tokens_array
