@@ -457,17 +457,41 @@ def winnow_fingerprint_summary(
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_per_doc: int | None = None,
 ) -> DataFrame:
     """(id, whash) — one row per selected hash, the exploded index form
     ``winnow_neardup_pairs`` joins on. Narrow staged projections + one
-    explode, no shuffle."""
+    explode, no shuffle.
+
+    ``max_per_doc`` caps the index rows per document by keeping the
+    ``max_per_doc`` SMALLEST selected hashes — deterministic (the set
+    is sorted) and uniform (the polynomial hash is value-agnostic), the
+    MinHash-style sampling rule. Winnowing already compresses the gram
+    stream ~2/(w+1)×, but that is still ~0.4 hashes per normalized
+    character: at 100 TB the uncapped index is tens of TB, while a
+    256-hash cap bounds it at rows×2 KB and two documents sharing a
+    LONG span still collide with high probability (each contributes
+    its smallest hashes, and a shared span's hashes are identical in
+    both). The uncapped default keeps the exact w+k-1 guarantee for
+    moderate corpora."""
+    sel = winnow_sel_col("_wg", w)
+    if max_per_doc is not None:
+        if max_per_doc < 1:
+            raise ValueError(
+                f"winnow: max_per_doc must be >= 1, got {max_per_doc}"
+            )
+        sel = F.slice(sel, 1, int(max_per_doc))
     return (
         df.select(
             F.col(id_col).alias("id"),
             winnow_gram_col(text_col, k).alias("_wg"),
         )
-        .select("id", winnow_sel_col("_wg", w).alias("_ws"))
+        .select("id", sel.alias("_ws"))
         .select("id", F.explode("_ws").alias("whash"))
     )
 
@@ -480,6 +504,7 @@ def winnow_neardup_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 1000,
+    max_per_doc: int | None = None,
 ) -> DataFrame:
     """Partial-overlap near-duplicate pairs by shared winnow hashes:
     (id_a, id_b, n_shared) with id_a < id_b and n_shared >=
@@ -493,11 +518,16 @@ def winnow_neardup_pairs(
     ubiquitous-boilerplate hash is exactly the key whose bucket
     explodes quadratically, and a hash shared by >max_df docs carries
     no pair-discriminating signal. Same hot-key bound as the LSH band
-    join; candidate pairs stay linear in true overlap."""
+    join; candidate pairs stay linear in true overlap. ``max_per_doc``
+    bounds the index side itself (smallest-hash sampling — see
+    winnow_fingerprints) for corpus scales where even the winnowed
+    stream is too large to self-join whole."""
     # (id, whash) rows are already distinct by construction —
     # winnow_sel_col applies array_distinct per doc before the explode —
     # so no dedup shuffle is spent here (round-10 review finding)
-    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    fp = winnow_fingerprints(
+        df, id_col, text_col, k, w, max_per_doc=max_per_doc
+    )
     rare = (
         fp.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("_df"))
