@@ -351,6 +351,52 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, *fingerprint_cols(text_col))
 
 
+def char_entropy_col(text_col, alias: str = "char_entropy_fp6") -> Column:
+    """Shannon entropy of the lowercased character distribution, in
+    1e-6-nat fixed point (BIGINT): ``-Σ_c round(10⁶ · p_c · ln p_c)``
+    over the doc's distinct characters, ``p_c = n_c / n``. The classic
+    cheap junk detector the length/punct/stopword trio misses both
+    tails of: looping/repetitive text compresses the distribution
+    (low entropy), encrypted/base64/random noise flattens it (high) —
+    normal prose sits in a stable band (~2.8-3.1 nats for English).
+
+    Cross-engine contract: counts are integers, ``p`` is one DOUBLE
+    divide, and each term is rounded to fixed point BEFORE the sum, so
+    the sum is an exact order-free integer fold (summation order
+    differs between Spark's first-occurrence array_distinct walk and
+    DuckDB's group-by — a float sum would flip last digits). ln's
+    libm last-ulp divergence cannot move a 1e-6 rounding except within
+    ~1e-19 of a boundary (the x29 js_contrib argument). Empty/NULL
+    docs are NULL (no distribution — the loud-null convention).
+
+    Scalar codegen (split/array_distinct/aggregate) — the per-doc cost
+    is O(alphabet · n) with the alphabet a few dozen; fuses into the
+    host projection without the winnow staging dance because the
+    re-evaluated free expression is one cheap split, not a hash
+    cascade."""
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    # filter empties: Java ''.split('') is [''] while DuckDB's char
+    # split of '' is [] — an empty doc must be NULL in both engines
+    chars = F.filter(F.split(F.lower(col), ""), lambda x: F.length(x) > 0)
+    n = F.size(chars)
+
+    def term(c):
+        p = F.size(F.filter(chars, lambda x: x == c)) / n
+        return F.round(p * F.log(p) * 1_000_000).cast("long")
+
+    ent = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + term(c),
+    )
+    return F.when(n > 0, -ent).alias(alias)
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, char_entropy_fp6) — the operator form of the column."""
+    return df.select(id_col, char_entropy_col(text_col))
+
+
 # Winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS algorithm):
 # base-131 polynomial k-gram hashes mod a prime, then the minimum of
 # every w-hash window. Guarantee: any substring match of length >=

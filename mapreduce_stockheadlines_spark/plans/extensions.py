@@ -574,6 +574,10 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             # round-10 zero-slot promotion: sentence chunking over the
             # decorated source (see above) — still scalar codegen
             *PK.sentence_chunk_summary_cols(sent_src, chunk_tokens=16),
+            # round-10 zero-slot promotion #4: character-distribution
+            # Shannon entropy (textstats.char_entropy_col — exact
+            # fixed-point integer fold, contract in its docstring)
+            TS.char_entropy_col("text"),
             # round-10 zero-slot promotion #3: winnowing fingerprints
             # (Schleimer et al. 2003 — rolling k-gram hashes -> window
             # minima, all exact BIGINT arithmetic; staged through the
@@ -799,6 +803,27 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sf_ USING (doc_id)
 """
 
+# char-entropy replay: per-doc char census of the lowercased text,
+# p = count/total as DOUBLE, each term rounded to 1e-6-nat fixed point
+# BEFORE the sum (order-free integer fold — see char_entropy_col)
+_X08_ENTROPY_BODY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+  FROM documents),
+cc AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS nc,
+         CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM ch GROUP BY doc_id, c)
+SELECT d.doc_id,
+       -e.s AS char_entropy_fp6
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         CAST(sum(CAST(round(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)
+                             * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM cc GROUP BY doc_id) e USING (doc_id)
+"""
+
 # winnowing replay (k=5, w=4): base-131 polynomial k-gram hashes mod
 # 1000003 over the whitespace-normalized lowercase text, window minima,
 # sorted distinct set -> count + 8-hex digest. Every step is exact
@@ -917,6 +942,7 @@ SELECT l.doc_id, l.pred_lang, l.marker_score,
        m.moji_fixed_len, m.moji_fp8, m.moji_mixed_noop, m.moji_latin1_noop,
        c.n_chunks, c.chunk_fp8,
        sc.n_sent_chunks, sc.sent_chunk_fp8,
+       ce.char_entropy_fp6,
        wn.n_winnow, wn.winnow_fp8,
        g.gopher_n_words, g.mean_word_len, g.symbol_word_ratio,
        g.bullet_line_frac, g.ellipsis_line_frac, g.alpha_word_frac,
@@ -931,6 +957,7 @@ JOIN ({_X08_HTML_BODY}) h ON h.doc_id = l.doc_id
 JOIN ({_X08_MOJI_BODY}) m ON m.doc_id = l.doc_id
 JOIN ({_X08_CHUNK_BODY}) c ON c.doc_id = l.doc_id
 JOIN ({_X08_SENT_BODY}) sc ON sc.doc_id = l.doc_id
+JOIN ({_X08_ENTROPY_BODY}) ce ON ce.doc_id = l.doc_id
 JOIN ({_X08_WINNOW_BODY}) wn ON wn.doc_id = l.doc_id
 JOIN ({_X08_GC_BODY}) g ON g.doc_id = l.doc_id
 ORDER BY l.doc_id

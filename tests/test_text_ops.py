@@ -784,3 +784,32 @@ def test_x08_winnow_columns_nondegenerate(spark, sf_dir):
             F.col("winnow_fp8").eqNullSafe(F.col("fp_op"))
         )
     ).count() == 0
+
+
+def test_char_entropy_hand_values_and_edges(spark):
+    """Character entropy: zero for a single-symbol doc, exact ln(4)
+    fixed point for a uniform 4-symbol doc, case-folded, NULL for
+    empty/NULL docs; the x08 registry column is nondegenerate."""
+    import math
+
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    rows = [(1, "aaaa"), (2, "abcd"), (3, ""), (4, None), (5, "AaBb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.char_entropy_fp6
+        for r in TS.char_entropy(df, "doc_id", "text").collect()
+    }
+    assert out[1] == 0
+    assert out[3] is None and out[4] is None
+    assert out[2] == -4 * round(0.25 * math.log(0.25) * 1e6)
+    assert out[5] == -2 * round(0.5 * math.log(0.5) * 1e6)  # case-folds
+
+
+def test_x08_char_entropy_nondegenerate(spark, sf_dir):
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.registry import ALL_QUERIES
+
+    x08 = ALL_QUERIES["x08_text_stats"].builder(spark, sf_dir)
+    assert_column_nondegenerate(x08, "char_entropy_fp6", f"at {sf_dir}")
