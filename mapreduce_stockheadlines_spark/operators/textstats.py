@@ -374,10 +374,33 @@ def char_entropy_col(text_col, alias: str = "char_entropy_fp6") -> Column:
     host projection without the winnow staging dance because the
     re-evaluated free expression is one cheap split, not a hash
     cascade."""
+    return char_entropy_from_chars(char_array_col(text_col), alias)
+
+
+def char_array_col(text_col) -> Column:
+    """The lowercased character array feeding ``char_entropy_from_chars``
+    — empties filtered (Java ''.split('') is [''] while DuckDB's char
+    split of '' is [], and an empty doc must be NULL in both engines).
+    Hosts embedding the entropy in a wide projection should stage THIS
+    through a bound column (the winnow_gram_col lesson): the entropy
+    fold's per-distinct-char filter re-evaluates a free chars
+    expression — an O(n) split — once per alphabet symbol."""
     col = text_col if isinstance(text_col, Column) else F.col(text_col)
-    # filter empties: Java ''.split('') is [''] while DuckDB's char
-    # split of '' is [] — an empty doc must be NULL in both engines
-    chars = F.filter(F.split(F.lower(col), ""), lambda x: F.length(x) > 0)
+    return F.filter(
+        F.split(F.lower(col), ""), lambda x: F.length(x) > 0
+    )
+
+
+def char_entropy_from_chars(
+    chars_col, alias: str = "char_entropy_fp6"
+) -> Column:
+    """The entropy fold over a (preferably bound) char-array column —
+    referenced >= 3 times in this tree, which keeps CollapseProject
+    from inlining a staged column back (the winnow staging
+    argument)."""
+    chars = (
+        chars_col if isinstance(chars_col, Column) else F.col(chars_col)
+    )
     n = F.size(chars)
 
     def term(c):

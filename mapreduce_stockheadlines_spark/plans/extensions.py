@@ -550,7 +550,9 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         # are referenced >= 3 times in their consumers' trees, which is
         # what keeps CollapseProject from inlining them back.
         .withColumn("_wgrams", TS.winnow_gram_col("text"))
-        .withColumn("_wsel", TS.winnow_sel_col("_wgrams")),
+        .withColumn("_wsel", TS.winnow_sel_col("_wgrams"))
+        # char-entropy stages its char array for the same reason
+        .withColumn("_wchars", TS.char_array_col("text")),
         "doc_id",
         "text",
         include_fingerprint=True,
@@ -577,7 +579,7 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             # round-10 zero-slot promotion #4: character-distribution
             # Shannon entropy (textstats.char_entropy_col — exact
             # fixed-point integer fold, contract in its docstring)
-            TS.char_entropy_col("text"),
+            TS.char_entropy_from_chars(F.col("_wchars")),
             # round-10 zero-slot promotion #3: winnowing fingerprints
             # (Schleimer et al. 2003 — rolling k-gram hashes -> window
             # minima, all exact BIGINT arithmetic; staged through the
