@@ -118,6 +118,7 @@ def curate(
     remove_dup_spans: bool = False,
     winnow_min_shared: int | None = None,
     winnow_max_df: int = 1000,
+    winnow_max_per_doc: int | None = None,
     min_clf_score: float | None = None,
     clf_weights: DataFrame | None = None,
     max_perplexity: float | None = None,
@@ -368,6 +369,7 @@ def curate(
         wpairs = TS.winnow_neardup_pairs(
             docs, "doc_id", "text",
             min_shared=winnow_min_shared, max_df=winnow_max_df,
+            max_per_doc=winnow_max_per_doc,
         )
         docs = D.dedup_by_pairs(
             docs, wpairs, "doc_id",
@@ -933,6 +935,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="drop winnow hashes present in more than this "
                          "many docs before the pair join (boilerplate "
                          "hot-key guard)")
+    ap.add_argument("--winnow-fp-per-doc", type=int, default=None,
+                    help="cap the winnow index at this many smallest "
+                         "hashes per doc (bounds index size at corpus "
+                         "scale; long shared spans still collide)")
     ap.add_argument("--ml-target-source", default=None,
                     help="source value defining the Moore-Lewis "
                          "in-domain subset (with --min-ml-excess)")
@@ -1090,6 +1096,7 @@ def main(argv: list[str] | None = None) -> None:
         remove_dup_spans=args.remove_dup_spans,
         winnow_min_shared=args.winnow_min_shared,
         winnow_max_df=args.winnow_max_df,
+        winnow_max_per_doc=args.winnow_fp_per_doc,
         ml_target_source=args.ml_target_source,
         min_ml_excess=args.min_ml_excess,
         min_clf_score=args.min_clf_score,

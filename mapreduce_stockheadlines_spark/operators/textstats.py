@@ -369,11 +369,13 @@ def char_entropy_col(text_col, alias: str = "char_entropy_fp6") -> Column:
     ~1e-19 of a boundary (the x29 js_contrib argument). Empty/NULL
     docs are NULL (no distribution — the loud-null convention).
 
-    Scalar codegen (split/array_distinct/aggregate) — the per-doc cost
-    is O(alphabet · n) with the alphabet a few dozen; fuses into the
-    host projection without the winnow staging dance because the
-    re-evaluated free expression is one cheap split, not a hash
-    cascade."""
+    Scalar codegen (split/array_distinct/transform/aggregate) — the
+    per-doc cost is O(alphabet · n) with the alphabet a few dozen.
+    Hosts embedding this in a wide projection should use
+    ``char_array_col`` + ``char_entropy_from_chars`` and stage the char
+    array through a bound column (the winnow_gram_col lesson — the
+    fused form re-split the array once per alphabet symbol, a measured
+    12.2→8.2 s difference on the x08 bench line)."""
     return char_entropy_from_chars(char_array_col(text_col), alias)
 
 
@@ -402,15 +404,25 @@ def char_entropy_from_chars(
         chars_col if isinstance(chars_col, Column) else F.col(chars_col)
     )
     n = F.size(chars)
+    # count FIRST (transform), fold SECOND: inside the fold the count
+    # is the bound lambda variable, so the O(n) filter scan runs once
+    # per distinct char — folding over the chars directly would run it
+    # twice (once for p, once inside ln p; HOF lambda bodies get no
+    # CSE — round-10 review finding, visible as two filter subtrees in
+    # the pre-fix PLANS.md)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
 
-    def term(c):
-        p = F.size(F.filter(chars, lambda x: x == c)) / n
+    def term(nc):
+        p = nc / n
         return F.round(p * F.log(p) * 1_000_000).cast("long")
 
     ent = F.aggregate(
-        F.array_distinct(chars),
+        counts,
         F.lit(0).cast("long"),
-        lambda acc, c: acc + term(c),
+        lambda acc, nc: acc + term(nc),
     )
     return F.when(n > 0, -ent).alias(alias)
 

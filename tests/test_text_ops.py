@@ -813,3 +813,55 @@ def test_x08_char_entropy_nondegenerate(spark, sf_dir):
 
     x08 = ALL_QUERIES["x08_text_stats"].builder(spark, sf_dir)
     assert_column_nondegenerate(x08, "char_entropy_fp6", f"at {sf_dir}")
+
+
+def test_winnow_max_per_doc_cap_semantics(spark):
+    """The smallest-hash per-doc cap: exactly the k SMALLEST selected
+    hashes survive, capped pairs are a subset of uncapped pairs, long
+    shared spans still collide under the cap, and max_per_doc < 1
+    raises."""
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank today while the sun is high"
+    )
+    rows = [
+        (1, shared + " plus original closing words about the markets"),
+        (2, "another opening story here before quoting " + shared),
+        (3, "totally unrelated text about gardens and the flowers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = sorted(
+        r.whash
+        for r in TS.winnow_fingerprints(df, "doc_id", "text").filter(
+            "id = 1"
+        ).collect()
+    )
+    capped = sorted(
+        r.whash
+        for r in TS.winnow_fingerprints(
+            df, "doc_id", "text", max_per_doc=7
+        ).filter("id = 1").collect()
+    )
+    assert capped == full[:7]
+    pairs_full = {
+        (r.id_a, r.id_b)
+        for r in TS.winnow_neardup_pairs(
+            df, "doc_id", "text", min_shared=2
+        ).collect()
+    }
+    pairs_cap = {
+        (r.id_a, r.id_b)
+        for r in TS.winnow_neardup_pairs(
+            df, "doc_id", "text", min_shared=2, max_per_doc=16
+        ).collect()
+    }
+    assert pairs_cap <= pairs_full
+    assert (1, 2) in pairs_cap  # the long shared span still collides
+    with pytest.raises(ValueError, match="max_per_doc"):
+        TS.winnow_fingerprints(
+            df, "doc_id", "text", max_per_doc=0
+        ).collect()
