@@ -1214,8 +1214,9 @@ FROM c ORDER BY doc_id
 # Planted-tone audio contract (round-10 promotion — VERDICT r9 #1):
 # per media_id, a REAL mono 16-bit PCM WAV of two bin-aligned sines
 # (N=256 samples at rate 8192 -> exact 32 Hz bins; k1 in 3..7 at
-# amplitude 12000, k2 in 9..15 at 6000, samples rounded to EVEN ints
-# so the half-volume twin divides exactly). The Spark side runs the
+# amplitude A1 = _X13_AMPS[media_id % 8], k2 in 9..15 at A1/2 — the
+# 4:1 power ratio the spectral forms assume; samples rounded to EVEN
+# ints so the half-volume twin divides exactly). The Spark side runs the
 # REAL decode + rfft feature path (audio_spectral_features) and the
 # REAL spectrogram pHash (audio_phash); the oracle recomputes the
 # expectations in closed form from the generation parameters:
@@ -1232,7 +1233,14 @@ FROM c ORDER BY doc_id
 # nonzero; audio_twin_same pins volume invariance (exact-half twin
 # collides) + discriminability (different tones do not).
 _X13_AUDIO_RATE, _X13_AUDIO_N = 8192, 256
-_X13_A1, _X13_A2 = 12000.0, 6000.0
+# Per-row amplitudes (A2 = A1/2 keeps the 4:1 power ratio every
+# spectral closed form assumes — they depend only on the RATIO): eight
+# values chosen so the closed-form rms·10⁴ sits >= 0.3 from every
+# rounding boundary (quantization's cross term shifts the measured rms
+# by up to ~6e-6 — too big for a 6dp pin, far under the 4dp quantum;
+# margins verified over all 200 ids). Silence rows are 512 samples so
+# the duration column takes two values (31250 vs 62500 µs).
+_X13_AMPS = (8000, 8700, 9350, 9550, 10200, 10400, 11050, 11750)
 
 
 def _x13_tone_samples(media_id: int, twin: bool):
@@ -1240,13 +1248,14 @@ def _x13_tone_samples(media_id: int, twin: bool):
 
     variant = media_id % 4
     if variant == 0:
-        return np.zeros(_X13_AUDIO_N, dtype=np.int64)
+        return np.zeros(2 * _X13_AUDIO_N, dtype=np.int64)
     if twin and variant == 1:
         k1, k2 = 3 + (media_id + 1) % 5, 9 + (media_id + 2) % 7
     else:
         k1, k2 = 3 + media_id % 5, 9 + media_id % 7
+    a1 = float(_X13_AMPS[media_id % 8])
     n = np.arange(_X13_AUDIO_N)
-    x = _X13_A1 * np.sin(2 * np.pi * k1 * n / _X13_AUDIO_N) + _X13_A2 * np.sin(
+    x = a1 * np.sin(2 * np.pi * k1 * n / _X13_AUDIO_N) + (a1 / 2) * np.sin(
         2 * np.pi * k2 * n / _X13_AUDIO_N
     )
     s = (2 * np.round(x / 2)).astype(np.int64)
@@ -1313,8 +1322,22 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ids = e.select(F.col("event_id").cast("long").alias("media_id"))
     wav = _x13_planted_wav(ids, twin=False)
     twin = _x13_planted_wav(ids, twin=True)
+    # time-domain columns ride decode_media's REAL audio tier (round
+    # 10): feature[1] = duration (exact — 2⁻⁵ vs 2⁻⁴ s), feature[2] =
+    # 6dp rms, pinned at 1e-4 fixed point against the closed form
+    # sqrt((A1² + A2²)/2)/32768 (amplitudes planted per row)
+    td = M.decode_media(wav).select(
+        "media_id",
+        F.round(F.element_at("feature", 1) * 1000000)
+        .cast("long")
+        .alias("audio_dur_fp"),
+        F.round(F.element_at("feature", 2) * 10000)
+        .cast("long")
+        .alias("audio_rms_fp4"),
+    )
     audio = (
         M.audio_spectral_features(wav)
+        .join(td, "media_id")
         .join(M.audio_phash(wav).select("media_id", "phash"), "media_id")
         .join(
             M.audio_phash(twin).select(
@@ -1336,6 +1359,8 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.round("dominant_hz").cast("long").alias("spec_dominant_hzi"),
             (F.col("phash") == 0).alias("audio_phash_zero"),
             (F.col("phash") == F.col("phash2")).alias("audio_twin_same"),
+            "audio_dur_fp",
+            "audio_rms_fp4",
         )
     )
     return (
@@ -1361,6 +1386,8 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             "spec_dominant_hzi",
             "audio_phash_zero",
             "audio_twin_same",
+            "audio_dur_fp",
+            "audio_rms_fp4",
         )
         .orderBy("media_id", "frame_idx")
     )
@@ -1390,12 +1417,17 @@ fr AS (SELECT *, CAST((j * n_frames) // take AS INTEGER) AS frame_idx FROM idx),
 withfh AS (SELECT *, md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS fh FROM fr),
 aud AS (
   -- planted-tone closed forms (contract at _x13_tone_samples): the
-  -- Spark side MEASURES these with a real rfft over real WAV bytes
+  -- Spark side MEASURES these with a real rfft / real PCM stats over
+  -- real WAV bytes
   SELECT media_id,
          (media_id % 4 = 0) AS silent,
          3 + media_id % 5 AS k1,
          9 + media_id % 7 AS k2,
-         (media_id % 4 <> 1) AS twin_same
+         (media_id % 4 <> 1) AS twin_same,
+         CASE media_id % 8
+           WHEN 0 THEN 8000.0 WHEN 1 THEN 8700.0 WHEN 2 THEN 9350.0
+           WHEN 3 THEN 9550.0 WHEN 4 THEN 10200.0 WHEN 5 THEN 10400.0
+           WHEN 6 THEN 11050.0 ELSE 11750.0 END AS amp
   FROM m)
 SELECT w.media_id, 'image/fake' AS mime, w.n_bytes,
        w.h AS content_hash,
@@ -1413,7 +1445,13 @@ SELECT w.media_id, 'image/fake' AS mime, w.n_bytes,
        CAST(CASE WHEN a.silent THEN 0 ELSE 32 * a.k1 END AS BIGINT)
          AS spec_dominant_hzi,
        a.silent AS audio_phash_zero,
-       a.twin_same AS audio_twin_same
+       a.twin_same AS audio_twin_same,
+       CAST(CASE WHEN a.silent THEN 62500 ELSE 31250 END AS BIGINT)
+         AS audio_dur_fp,
+       CAST(CASE WHEN a.silent THEN 0
+                 ELSE round(sqrt((a.amp * a.amp + (a.amp / 2) * (a.amp / 2))
+                                 / 2.0) / 32768.0 * 10000) END AS BIGINT)
+         AS audio_rms_fp4
 FROM withfh w JOIN events e ON CAST(e.event_id AS BIGINT) = w.media_id
 JOIN aud a ON a.media_id = w.media_id
 ORDER BY w.media_id, w.frame_idx

@@ -2642,8 +2642,29 @@ def test_x13_audio_columns_nondegenerate(spark, sf_dir):
             "spec_dominant_hzi",
             "audio_phash_zero",
             "audio_twin_same",
+            "audio_dur_fp",
+            "audio_rms_fp4",
         ):
             assert_column_nondegenerate(x13, c, f"at {sf_dir}")
+        # time-domain closed forms: duration is exactly 2^-4 s for the
+        # 512-sample silence rows and 2^-5 s for the tones; silent rms 0
+        bad_td = x13.filter(
+            (
+                (F.col("media_id") % 4 == 0)
+                & (
+                    (F.col("audio_dur_fp") != 62500)
+                    | (F.col("audio_rms_fp4") != 0)
+                )
+            )
+            | (
+                (F.col("media_id") % 4 != 0)
+                & (
+                    (F.col("audio_dur_fp") != 31250)
+                    | (F.col("audio_rms_fp4") <= 0)
+                )
+            )
+        )
+        assert bad_td.count() == 0
         bad = x13.filter(
             (
                 (F.col("media_id") % 4 == 0)
