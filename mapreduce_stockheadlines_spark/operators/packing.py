@@ -361,34 +361,36 @@ def chunk_by_sentences(
     )
 
 
-def sentence_chunk_summary_cols(
+def sentence_chunk_fold_col(
     src,
     chunk_tokens: int = 512,
     boundary_pattern: str = SENTENCE_BOUNDARY,
-    n_alias: str = "n_sent_chunks",
-    fp_alias: str = "sent_chunk_fp8",
-) -> tuple:
-    """Scalar (per-doc, zero-shuffle) summary of ``chunk_by_sentences``
-    for registry pinning (VERDICT r9 #2) — the ``chunk_summary_cols``
-    recipe applied to the budget-aligned sentence chunker:
-    ``n_sent_chunks`` plus an 8-hex md5 of the '|'-joined chunk texts
-    (sentences ' '-joined within a chunk, original order). The real
-    operator's posexplode + window + groupBy collapse into ONE
-    ``aggregate`` fold over the split array with a struct accumulator
-    (running exclusive token prefix, previous chunk id, chunk count,
-    output string) — chunk membership is ``floor(tokens_before /
-    chunk_tokens)`` exactly as in ``chunk_by_paragraphs``, so the fold
-    emits '|' precisely where the grouped operator starts a new chunk
-    (digest equality vs the real operator is pytest-pinned). Stays a
-    codegen collection expression that fuses into the host projection.
-    ``src`` may be a column name or a Column (decorated text). Docs
-    with no token-bearing sentence (empty/NULL text) get 0 / NULL —
-    the 'no chunks' contract."""
+) -> "F.Column":
+    """The ONE-walk fold struct behind the sentence-chunk registry
+    columns: ``struct(n_sents, agg)`` where ``agg`` is the aggregate
+    accumulator (running exclusive token prefix, previous chunk id,
+    chunk count, '|'-delimited output string) of the
+    ``chunk_by_sentences`` replay. Hosts MUST stage this through a
+    bound column (``withColumn``) and project with
+    ``sentence_chunk_cols_from`` — the fold is the expensive
+    O(sentences) expression, and referencing it from two output
+    columns directly would evaluate it twice (HOF aggregate bodies get
+    no CSE — the round-10 lesson; the pre-fix form paid the fold 2×
+    per row, VERDICT r10 "What's wrong" #1). ``cols_from`` references
+    the staged column 4× in its tree, which keeps CollapseProject from
+    inlining the alias back.
+
+    Chunk membership is ``floor(tokens_before / chunk_tokens)`` exactly
+    as in ``chunk_by_paragraphs`` (doubles exact: token counts << 2^53,
+    the chunk_documents argument), so the fold emits '|' precisely
+    where the grouped operator starts a new chunk — digest equality vs
+    the real operator is pytest-pinned. ``src`` may be a column name or
+    a Column (decorated text)."""
     from pyspark.sql import Column
 
     if chunk_tokens <= 0:
         raise ValueError(
-            "sentence_chunk_summary_cols: chunk_tokens must be positive"
+            "sentence_chunk_fold_col: chunk_tokens must be positive"
         )
     col = src if isinstance(src, Column) else F.col(src)
 
@@ -403,43 +405,76 @@ def sentence_chunk_summary_cols(
         lambda s: F.struct(s.alias("s"), ntok(s).cast("long").alias("nt")),
     )
 
-    def fold():
-        init = F.struct(
-            F.lit(0).cast("long").alias("cum"),
-            F.lit(-1).cast("long").alias("prev"),
-            F.lit(0).cast("long").alias("n"),
-            F.lit("").alias("out"),
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit("").alias("out"),
+    )
+
+    def step(acc, x):
+        # chunk id of THIS sentence: floor(exclusive prefix / budget)
+        chunk = F.floor(acc["cum"] / F.lit(chunk_tokens)).cast("long")
+        first = acc["n"] == F.lit(0)
+        newc = chunk > acc["prev"]
+        out = (
+            F.when(first, x["s"])
+            .when(newc, F.concat(acc["out"], F.lit("|"), x["s"]))
+            .otherwise(F.concat(acc["out"], F.lit(" "), x["s"]))
+        )
+        n = acc["n"] + F.when(first | newc, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            (acc["cum"] + x["nt"]).alias("cum"),
+            chunk.alias("prev"),
+            n.cast("long").alias("n"),
+            out.alias("out"),
         )
 
-        def step(acc, x):
-            # chunk id of THIS sentence: floor(exclusive prefix / budget)
-            # — doubles are exact here (token counts << 2^53, the
-            # chunk_documents argument)
-            chunk = F.floor(acc["cum"] / F.lit(chunk_tokens)).cast("long")
-            first = acc["n"] == F.lit(0)
-            newc = chunk > acc["prev"]
-            out = (
-                F.when(first, x["s"])
-                .when(newc, F.concat(acc["out"], F.lit("|"), x["s"]))
-                .otherwise(F.concat(acc["out"], F.lit(" "), x["s"]))
-            )
-            n = acc["n"] + F.when(first | newc, F.lit(1)).otherwise(F.lit(0))
-            return F.struct(
-                (acc["cum"] + x["nt"]).alias("cum"),
-                chunk.alias("prev"),
-                n.cast("long").alias("n"),
-                out.alias("out"),
-            )
+    return F.struct(
+        F.size(sents).cast("long").alias("n_sents"),
+        F.aggregate(zipped, init, step).alias("agg"),
+    )
 
-        return F.aggregate(zipped, init, step)
 
+def sentence_chunk_cols_from(
+    staged,
+    n_alias: str = "n_sent_chunks",
+    fp_alias: str = "sent_chunk_fp8",
+) -> tuple:
+    """(n_sent_chunks, sent_chunk_fp8) projected from a BOUND
+    ``sentence_chunk_fold_col`` column: the chunk count plus an 8-hex
+    md5 of the '|'-joined chunk texts (sentences ' '-joined within a
+    chunk, original order). Docs with no token-bearing sentence
+    (empty/NULL text) get 0 / NULL — the 'no chunks' contract."""
+    from pyspark.sql import Column
+
+    st = staged if isinstance(staged, Column) else F.col(staged)
+    has = st["n_sents"] > 0
     n_col = (
-        F.when(F.size(sents) > 0, fold()["n"])
+        F.when(has, st["agg"]["n"])
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias(n_alias)
     )
     fp_col = F.when(
-        F.size(sents) > 0, F.substring(F.md5(fold()["out"]), 1, 8)
+        has, F.substring(F.md5(st["agg"]["out"]), 1, 8)
     ).alias(fp_alias)
     return n_col, fp_col
+
+
+def sentence_chunk_summary_cols(
+    src,
+    chunk_tokens: int = 512,
+    boundary_pattern: str = SENTENCE_BOUNDARY,
+    n_alias: str = "n_sent_chunks",
+    fp_alias: str = "sent_chunk_fp8",
+) -> tuple:
+    """Scalar (per-doc, zero-shuffle) summary of ``chunk_by_sentences``
+    — the self-contained two-column form. NOTE: this form repeats the
+    fold expression per output column (no staging is possible from
+    inside a column-tuple builder); projection hosts that care about
+    the 2× fold cost should use ``sentence_chunk_fold_col`` staged
+    through a bound column + ``sentence_chunk_cols_from`` (what x08
+    does since round 11)."""
+    fold = sentence_chunk_fold_col(src, chunk_tokens, boundary_pattern)
+    return sentence_chunk_cols_from(fold, n_alias, fp_alias)

@@ -52,6 +52,27 @@ def _mark(sink: "dict | None", name: str, t0: float) -> float:
         sink[name] = round(now - t0, 3)
     return now
 
+
+def _probe(sink: "dict | None", name: str, df: DataFrame) -> None:
+    """Stage attribution for the LAZY fat x-queries (round 11 — VERDICT
+    r10 'What's wrong' #2: x08 became the suite's #5 cost with zero
+    stage_secs attribution, so its +5.9 s round-10 delta had to be
+    adjudicated by commit archaeology). These queries are single lazy
+    plans with no eager sections, so per-stage walls come from running
+    each component SUB-PLAN to the noop sink when a sink dict is passed
+    (bench.py's attribution pass only — the registry/driver path passes
+    no sink and this is a no-op). Column pruning cuts each probe to its
+    own component's expressions, but the probes share the scan, so
+    stage walls OVERLAP and do not partition 'execute' — they are
+    attribution hints for cross-round adjudication, not a sum."""
+    if sink is None:
+        return
+    import time
+
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    sink[name] = round(time.time() - t0, 3)
+
 _TOKS_CTE = """
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id, unnest(string_split_regex(
@@ -479,7 +500,9 @@ _SENT_DECO_SUFFIX = (
 )
 
 
-def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+def x08_text_stats(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """Language ID (n-gram marker heuristic), quality scoring
     (length/punct/stopword components), document fingerprint (md5 of
     whitespace-normalized text) and raw whitespace/BPE-ish token counts
@@ -537,7 +560,7 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     mixed = F.concat(corrupted, F.lit(" ✓"))
     latin1 = F.concat(F.col("text"), F.lit(" café"))
     _gc_base = TS._rule_base(F.col("_gc"))
-    stats = TS.text_stats(
+    base = (
         docs.withColumn("_stripped", stripped)
         .withColumn("_moji", TS.fix_mojibake(corrupted))
         .withColumn("_mixed", mixed)
@@ -552,45 +575,83 @@ def x08_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("_wgrams", TS.winnow_gram_col("text"))
         .withColumn("_wsel", TS.winnow_sel_col("_wgrams"))
         # char-entropy stages its char array for the same reason
-        .withColumn("_wchars", TS.char_array_col("text")),
+        .withColumn("_wchars", TS.char_array_col("text"))
+        # the sentence-chunk fold stages for the same reason (round 11 —
+        # VERDICT r10 "What's wrong" #1: the unstaged form paid the
+        # O(sentences) aggregate walk once per output column)
+        .withColumn(
+            "_schunk", PK.sentence_chunk_fold_col(sent_src, chunk_tokens=16)
+        )
+    )
+    # named column groups (order fixed — this IS the output schema
+    # order); the stage-attribution probes below reuse them verbatim
+    html_moji_cols = [
+        F.length("_stripped").cast("bigint").alias("html_stripped_len"),
+        F.substring(F.md5("_stripped"), 1, 8).alias("html_fp8"),
+        F.length("_moji").cast("bigint").alias("moji_fixed_len"),
+        F.substring(F.md5("_moji"), 1, 8).alias("moji_fp8"),
+        (TS.fix_mojibake(F.col("_mixed")) == F.col("_mixed")).alias(
+            "moji_mixed_noop"
+        ),
+        (TS.fix_mojibake(F.col("_lat")) == F.col("_lat")).alias(
+            "moji_latin1_noop"
+        ),
+    ]
+    # round-8 zero-slot promotion: document chunking
+    # (operators/packing.chunk_documents semantics as scalar codegen —
+    # n_chunks + digest of the '|'-joined chunk texts; zero shuffle)
+    tok_chunk_cols = [*PK.chunk_summary_cols("text", chunk_tokens=32, overlap=8)]
+    # round-10 zero-slot promotion: sentence chunking over the decorated
+    # source (see above) — projected from the ONE staged fold (_schunk)
+    sent_chunk_cols = [*PK.sentence_chunk_cols_from(F.col("_schunk"))]
+    # round-10 zero-slot promotion #4: character-distribution Shannon
+    # entropy (textstats.char_entropy_col — exact fixed-point fold)
+    entropy_cols = [TS.char_entropy_from_chars(F.col("_wchars"))]
+    # round-10 zero-slot promotion #3: winnowing fingerprints
+    # (Schleimer et al. 2003 — rolling k-gram hashes -> window minima,
+    # all exact BIGINT arithmetic; staged through _wgrams/_wsel above)
+    winnow_cols = [*TS.winnow_cols_from(F.col("_wsel"))]
+    # round-8 zero-slot promotion #2: the named Gopher + C4 document-
+    # filter rules over the decorated text (_GC_ARMS — every rule
+    # dimension exercised; word array/line count built once)
+    gc_cols = [
+        *TS.gopher_rules_cols(F.col("_gc"), _base=_gc_base),
+        *TS.c4_rules_cols(F.col("_gc"), _base=_gc_base),
+    ]
+    if _stage_secs is not None:
+        # bench attribution pass (VERDICT r10 #2): per-component
+        # sub-plan walls — column pruning cuts each probe to its own
+        # expressions (see _probe's overlap caveat)
+        _probe(
+            _stage_secs,
+            "base_stats",
+            TS.text_stats(
+                base, "doc_id", "text",
+                include_fingerprint=True, include_token_counts=True,
+            ),
+        )
+        for pname, pcols in [
+            ("html_moji", html_moji_cols),
+            ("tok_chunks", tok_chunk_cols),
+            ("sent_chunks", sent_chunk_cols),
+            ("entropy", entropy_cols),
+            ("winnow", winnow_cols),
+            ("gopher_c4", gc_cols),
+        ]:
+            _probe(_stage_secs, pname, base.select("doc_id", *pcols))
+    stats = TS.text_stats(
+        base,
         "doc_id",
         "text",
         include_fingerprint=True,
         include_token_counts=True,
         extra_cols=[
-            F.length("_stripped").cast("bigint").alias("html_stripped_len"),
-            F.substring(F.md5("_stripped"), 1, 8).alias("html_fp8"),
-            F.length("_moji").cast("bigint").alias("moji_fixed_len"),
-            F.substring(F.md5("_moji"), 1, 8).alias("moji_fp8"),
-            (TS.fix_mojibake(F.col("_mixed")) == F.col("_mixed")).alias(
-                "moji_mixed_noop"
-            ),
-            (TS.fix_mojibake(F.col("_lat")) == F.col("_lat")).alias(
-                "moji_latin1_noop"
-            ),
-            # round-8 zero-slot promotion: document chunking
-            # (operators/packing.chunk_documents semantics as scalar
-            # codegen — n_chunks + digest of the '|'-joined chunk texts;
-            # the projection stays zero-shuffle)
-            *PK.chunk_summary_cols("text", chunk_tokens=32, overlap=8),
-            # round-10 zero-slot promotion: sentence chunking over the
-            # decorated source (see above) — still scalar codegen
-            *PK.sentence_chunk_summary_cols(sent_src, chunk_tokens=16),
-            # round-10 zero-slot promotion #4: character-distribution
-            # Shannon entropy (textstats.char_entropy_col — exact
-            # fixed-point integer fold, contract in its docstring)
-            TS.char_entropy_from_chars(F.col("_wchars")),
-            # round-10 zero-slot promotion #3: winnowing fingerprints
-            # (Schleimer et al. 2003 — rolling k-gram hashes -> window
-            # minima, all exact BIGINT arithmetic; staged through the
-            # _wgrams/_wsel columns above)
-            *TS.winnow_cols_from(F.col("_wsel")),
-            # round-8 zero-slot promotion #2: the named Gopher + C4
-            # document-filter rules over the decorated text (_GC_ARMS —
-            # every rule dimension exercised; still pure codegen in the
-            # same projection, word array/line count built once)
-            *TS.gopher_rules_cols(F.col("_gc"), _base=_gc_base),
-            *TS.c4_rules_cols(F.col("_gc"), _base=_gc_base),
+            *html_moji_cols,
+            *tok_chunk_cols,
+            *sent_chunk_cols,
+            *entropy_cols,
+            *winnow_cols,
+            *gc_cols,
         ],
     )
     return stats.orderBy("doc_id")
@@ -1299,7 +1360,9 @@ def _feature_bytes_csv(col_name: str):
     )
 
 
-def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+def x13_multimodal_pipeline(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """meta → resize → decode → frame-sample over a binary media column;
     the metadata-only path (media_meta: codegen byte length + content
     hash, no decode) and a typed-metadata JSON extract join in alongside
@@ -1363,6 +1426,19 @@ def x13_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             "audio_rms_fp4",
         )
     )
+    if _stage_secs is not None:
+        # bench attribution pass (VERDICT r10 #2) — component sub-plan
+        # walls; overlap caveat on _probe
+        _probe(_stage_secs, "img_decode", decoded)
+        _probe(_stage_secs, "img_frames", frames)
+        _probe(_stage_secs, "meta_json", meta.join(k, "media_id"))
+        _probe(_stage_secs, "audio_spectral", M.audio_spectral_features(wav))
+        _probe(_stage_secs, "audio_td", td)
+        _probe(
+            _stage_secs,
+            "audio_phash",
+            M.audio_phash(wav).unionByName(M.audio_phash(twin)),
+        )
     return (
         decoded.join(frames, "media_id")
         .join(meta, "media_id")
@@ -1769,7 +1845,9 @@ GROUP BY e.event_type ORDER BY e.event_type
 # float-summation noise therefore resolves identically everywhere,
 # while any real kernel regression ≥ 1e-4 still breaks the hash.
 
-def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def x18_ivf_topk(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     """IVF probe-and-rescore: coarse-quantize the corpus into 16 cells
     (TRAINED — since round 7 the index comes from 3 quantized Lloyd
     rounds, see below), probe the 4 cells nearest each query,
@@ -1811,6 +1889,9 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     label propagation + pointer jumping, so the pin is cross-ALGORITHM
     too (the x31 cc_label recipe, now over DATA-derived float pairs
     rather than a planted integer graph)."""
+    import time
+
+    _t = time.time()
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     # ONE quantized training serves everything below: the IVF probes a
@@ -1821,6 +1902,7 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # same centroids cell the corpus for the per-row columns, and
     # SemDeDup pairs within the same cells.
     cent = S.kmeans_centroids(emb, k=16, n_iters=3, quantize_dp=7)
+    _t = _mark(_stage_secs, "kmeans_train", _t)
     # localCheckpoint both result lists: each now has multiple consumers
     # (topk_eval, rrf_fuse, the output join), and without the barrier
     # every consumer would re-execute the corpus-scale probe/rescore or
@@ -1829,13 +1911,16 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     approx = S.ivf_topk(
         queries, emb, k=10, n_centroids=16, n_probe=4, centroids=cent
     ).localCheckpoint()
+    _t = _mark(_stage_secs, "ivf_probe", _t)
     truth = S.cosine_topk(queries, emb, k=10).localCheckpoint()
+    _t = _mark(_stage_secs, "brute_truth", _t)
     ev = S.topk_eval(approx, truth)
     # localCheckpoint: asg is consumed TWICE below (row side + cell_n
     # groupBy side of the self-join) — without it the kmeans_assign
     # mapInPandas pass re-executes over the corpus per consumer (the
     # same multi-consumer lineage the x31 edge checkpoint fixed)
     asg = S.kmeans_assign(emb, cent).localCheckpoint()
+    _t = _mark(_stage_secs, "assign", _t)
     # semantic_neardup_pairs re-assigns the corpus internally rather
     # than joining `asg` back: the assignment is one NARROW broadcast-
     # centroid Arrow pass (no exchange), whereas reusing asg would cost
@@ -1846,6 +1931,7 @@ def x18_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     comp = D.neardup_clusters(pairs).select(
         F.col("id").alias("neighbor_id"), F.col("cluster_id").alias("_sem")
     )
+    _t = _mark(_stage_secs, "semdedup_cc", _t)
     cells = (
         asg.join(
             asg.groupBy("cell_id").agg(F.count("*").alias("cell_n")),
@@ -2397,7 +2483,9 @@ def _x24_frontier_url(did: Column) -> Column:
     )
 
 
-def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
+def x24_url_curation(
+    spark: SparkSession, sf: str, _stage_secs: dict | None = None
+) -> DataFrame:
     docs = parallel_table(spark, sf, "documents")
     did = F.col("doc_id")
     aug = F.concat(
@@ -2482,6 +2570,14 @@ def x24_url_curation(spark: SparkSession, sf: str) -> DataFrame:
         domain_col="rdomain",
         agent="engine-bot",
     ).select("doc_id", F.lit(1).alias("robots_allowed"))
+    if _stage_secs is not None:
+        # bench attribution pass (VERDICT r10 #2) — component sub-plan
+        # walls; overlap caveat on _probe
+        _probe(_stage_secs, "url_stats", stats)
+        _probe(_stage_secs, "blocklist", kept)
+        _probe(_stage_secs, "frontier_dedup", surv)
+        _probe(_stage_secs, "domain_cap", cap_surv)
+        _probe(_stage_secs, "robots", rallow)
     return (
         stats.join(kept, "doc_id", "left")
         # canonical_url is a pure codegen projection of doc_id (via the
