@@ -575,6 +575,24 @@ def winnow_fingerprints(
     ``winnow_neardup_pairs`` joins on. Narrow staged projections + one
     explode, no shuffle.
 
+    The explode is ``explode_outer`` + a post-filter on the GENERATED
+    attribute, not a plain ``explode`` — deliberately (round 11, a
+    measured pathology): on a non-outer Generate, Catalyst's
+    InferFiltersFromGenerate adds ``size(child) > 0 AND
+    isnotnull(child)`` and PushDownPredicates then inlines the full
+    generator-child expression through every staging Project down to
+    the scan — the winnow chain arrives at the Filter as the FUSED
+    sel(grams(text)) form whose per-window lambda re-evaluates the
+    whole gram array per element (O(n²·k) per doc, interpreted since
+    HOFs don't codegen; measured ~1 min/doc at sf0.001 — hours for one
+    500-doc index). The outer explode infers no such filter, and the
+    ``whash IS NOT NULL`` predicate references the generator OUTPUT,
+    which cannot be pushed below the Generate, so staging survives.
+    Semantics are identical: the selected set is NULL or non-empty by
+    construction (winnow_sel_col gates on ng >= 1), so the outer
+    explode's one NULL row per empty doc is exactly what the filter
+    removes.
+
     ``max_per_doc`` caps the index rows per document by keeping the
     ``max_per_doc`` SMALLEST selected hashes — deterministic (the set
     is sorted) and uniform (the polynomial hash is value-agnostic), the
@@ -599,7 +617,8 @@ def winnow_fingerprints(
             winnow_gram_col(text_col, k).alias("_wg"),
         )
         .select("id", sel.alias("_ws"))
-        .select("id", F.explode("_ws").alias("whash"))
+        .select("id", F.explode_outer("_ws").alias("whash"))
+        .filter(F.col("whash").isNotNull())
     )
 
 

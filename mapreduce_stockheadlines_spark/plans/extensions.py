@@ -283,9 +283,47 @@ _X04_BANDS = """unnest([
   ]) AS bucket"""
 
 
+# Winnow-pair planting (round-11 promotion — VERDICT r10 #1: the pair-
+# JOIN path of winnow_neardup_pairs had only pytest pins). Docs pair up
+# as (2g, 2g+1); every doc carries a COMMON boilerplate whose winnow
+# hashes land in >max_df documents — the census guard must drop them
+# or the pair set explodes quadratically — and each pair group plants
+# one of three arms: a LONG shared span (well past w+k-1, many shared
+# selected hashes -> survives min_shared=2), a SHORT span (barely the
+# w+k-1 guarantee, ~1 shared hash -> filtered), or nothing. The long
+# span interleaves the GROUP id into every word: a constant span would
+# itself be max_df-ubiquitous across the ~n/6 long groups and be
+# census-dropped wholesale (the first cut of this plant was — only
+# grams whose 5-char window straddles the group digits are df=2, so
+# the digits must recur every few characters for the pair to keep
+# enough census-surviving shared hashes).
+_X04_WINNOW_BOILER = (
+    " common footer boilerplate shared across every document in this corpus"
+)
+_X04_WINNOW_WORDS = ("span", "alpha", "beta", "gamma", "delta", "epsi", "zeta")
+
+
+def _x04_winnow_docs(docs: DataFrame) -> DataFrame:
+    g = F.floor(F.col("doc_id") / 2).cast("long")
+    gs = g.cast("string")
+    long_parts: list[Column] = []
+    for wd in _X04_WINNOW_WORDS:
+        long_parts.append(F.lit(f" {wd}"))
+        long_parts.append(gs)
+    wtext = F.concat(
+        F.col("text"),
+        F.lit(_X04_WINNOW_BOILER),
+        F.when(g % 3 == 0, F.concat(*long_parts))
+        .when(g % 3 == 1, F.concat(F.lit(" tiny"), gs, F.lit("xq")))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", wtext.alias("text"))
+
+
 def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Tag-union of the two LSH-candidate pipelines (the round-6
-    consolidation pattern — one registry slot, two verified operators):
+    """Tag-union of the three candidate-pair pipelines (the round-6
+    consolidation pattern — one registry slot, multiple verified
+    operators):
 
     - kind='self': the classic SELF-join banding — unigram signatures,
       4 bands of 2, distinct same-bucket (a < b) pairs (jaccard NULL:
@@ -297,7 +335,17 @@ def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
       only cross-table shuffle is the band-digest equi-join, and the
       emitted jaccard is the exact candidate-scoped shingle Jaccard
       (> 0.5) on the 4dp contract — which the DuckDB oracle re-derives
-      end to end (both band tables, the cross join, and the verify)."""
+      end to end (both band tables, the cross join, and the verify).
+    - kind='winnow' (round 11): ``winnow_neardup_pairs``
+      (operators/textstats.py) — the partial-overlap dedup path MinHash
+      dilutes away — over the planted corpus at ``_x04_winnow_docs``:
+      fingerprint index → max_df=20 boilerplate census (which must drop
+      the common footer every doc carries) → hash self-join →
+      ``n_shared >= 2`` threshold. The DuckDB oracle re-derives every
+      rolling hash, the window minima, the census, the join and the
+      threshold bit-for-bit (exact BIGINT arithmetic throughout), so
+      the emitted (id_a, id_b, n_shared) pins the operator's
+      USER-FACING output end to end, at every SF."""
     docs = parallel_table(spark, sf, "documents")
     sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=8)
     self_part = D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4).select(
@@ -305,6 +353,7 @@ def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "id_a",
         "id_b",
         F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("n_shared"),
     )
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
@@ -315,8 +364,82 @@ def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id_l").alias("id_a"),
         F.col("doc_id_r").alias("id_b"),
         "jaccard",
+        F.lit(None).cast("long").alias("n_shared"),
     )
-    return self_part.unionByName(fuzzy_part).orderBy("kind", "id_a", "id_b")
+    win_part = TS.winnow_neardup_pairs(
+        _x04_winnow_docs(docs), "doc_id", "text", min_shared=2, max_df=20
+    ).select(
+        F.lit("winnow").alias("kind"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        "n_shared",
+    )
+    return (
+        self_part.unionByName(fuzzy_part)
+        .unionByName(win_part)
+        .orderBy("kind", "id_a", "id_b")
+    )
+
+
+def _winnow_sql_ctes(src: str, prefix: str = "w") -> str:
+    """The {prefix}nrm/{prefix}gr/{prefix}sel CTE chain re-deriving
+    winnow_gram_col + winnow_sel_col (k=5, w=4) over ``src`` (doc_id,
+    text) — every rolling hash in exact BIGINT arithmetic, shared by
+    the x08 per-doc pin and the x04 pair-join pin."""
+    return f"""{prefix}nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM {src}),
+{prefix}gr AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 5 THEN
+           list_transform(range(1, length(t) - 4 + 1), i ->
+             (CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT)
+                * 294499921
+            + CAST(ascii(substr(t, CAST(i AS INT) + 1, 1)) AS BIGINT)
+                * 2248091
+            + CAST(ascii(substr(t, CAST(i AS INT) + 2, 1)) AS BIGINT)
+                * 17161
+            + CAST(ascii(substr(t, CAST(i AS INT) + 3, 1)) AS BIGINT)
+                * 131
+            + CAST(ascii(substr(t, CAST(i AS INT) + 4, 1)) AS BIGINT))
+             % 1000003)
+         END AS grams
+  FROM {prefix}nrm),
+{prefix}sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(grams) - 3, 1) + 1),
+           t -> list_min(grams[CAST(t AS INT):CAST(t AS INT) + 3]))))
+           AS sel
+  FROM {prefix}gr WHERE grams IS NOT NULL)"""
+
+
+# winnow pair-join replay over the planted corpus (_x04_winnow_docs):
+# decorated text -> fingerprint index -> max_df census -> self-join ->
+# n_shared threshold, mirroring winnow_neardup_pairs step for step.
+_X04_WINNOW_LONG_SQL = " || ".join(
+    f"' {wd}' || CAST(doc_id // 2 AS VARCHAR)" for wd in _X04_WINNOW_WORDS
+)
+_X04_WINNOW_CTES = f"""wdocs AS (
+  SELECT doc_id,
+         text || '{_X04_WINNOW_BOILER}'
+              || CASE WHEN (doc_id // 2) % 3 = 0
+                      THEN {_X04_WINNOW_LONG_SQL}
+                      WHEN (doc_id // 2) % 3 = 1
+                      THEN ' tiny' || CAST(doc_id // 2 AS VARCHAR) || 'xq'
+                      ELSE '' END AS text
+  FROM documents),
+{_winnow_sql_ctes('wdocs', 'w')},
+widx AS (SELECT doc_id, unnest(sel) AS whash FROM wsel),
+wrare AS (SELECT whash FROM widx GROUP BY whash HAVING count(*) <= 20),
+wkept AS (SELECT i.doc_id, i.whash FROM widx i JOIN wrare r USING (whash)),
+wpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM wkept a JOIN wkept b ON a.whash = b.whash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2)"""
 
 
 X04_SQL = f"""
@@ -336,21 +459,27 @@ inter AS (
   FROM cand c
   JOIN sh a ON a.doc_id = c.id_a
   JOIN sh b ON b.doc_id = c.id_b AND b.token = a.token
-  GROUP BY c.id_a, c.id_b)
+  GROUP BY c.id_a, c.id_b),
+{_X04_WINNOW_CTES}
 SELECT * FROM (
   SELECT DISTINCT 'self' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(NULL AS DOUBLE) AS jaccard
+         CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS BIGINT) AS n_shared
   FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
   UNION ALL
   SELECT 'fuzzy_link' AS kind, c.id_a, c.id_b,
          round(CAST(coalesce(i.ni, 0) AS DOUBLE)
-               / (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+               / (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard,
+         CAST(NULL AS BIGINT) AS n_shared
   FROM cand c
   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   JOIN sz sa ON sa.doc_id = c.id_a
   JOIN sz sb ON sb.doc_id = c.id_b
   WHERE round(CAST(coalesce(i.ni, 0) AS DOUBLE)
-              / (sa.n + sb.n - coalesce(i.ni, 0)), 4) > 0.5)
+              / (sa.n + sb.n - coalesce(i.ni, 0)), 4) > 0.5
+  UNION ALL
+  SELECT 'winnow' AS kind, id_a, id_b, CAST(NULL AS DOUBLE) AS jaccard,
+         n_shared
+  FROM wpairs)
 ORDER BY kind, id_a, id_b
 """
 
@@ -892,40 +1021,14 @@ FROM documents d LEFT JOIN (
 # sorted distinct set -> count + 8-hex digest. Every step is exact
 # integer arithmetic, so the hashes match bit-for-bit; short/NULL docs
 # carry 0 / NULL (the no-grams contract).
-_X08_WINNOW_BODY = """
-WITH nrm AS (
-  SELECT doc_id,
-         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents),
-gr AS (
-  SELECT doc_id,
-         CASE WHEN length(t) >= 5 THEN
-           list_transform(range(1, length(t) - 4 + 1), i ->
-             (CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT)
-                * 294499921
-            + CAST(ascii(substr(t, CAST(i AS INT) + 1, 1)) AS BIGINT)
-                * 2248091
-            + CAST(ascii(substr(t, CAST(i AS INT) + 2, 1)) AS BIGINT)
-                * 17161
-            + CAST(ascii(substr(t, CAST(i AS INT) + 3, 1)) AS BIGINT)
-                * 131
-            + CAST(ascii(substr(t, CAST(i AS INT) + 4, 1)) AS BIGINT))
-             % 1000003)
-         END AS grams
-  FROM nrm),
-wsel AS (
-  SELECT doc_id,
-         list_sort(list_distinct(list_transform(
-           range(1, greatest(len(grams) - 3, 1) + 1),
-           t -> list_min(grams[CAST(t AS INT):CAST(t AS INT) + 3]))))
-           AS sel
-  FROM gr WHERE grams IS NOT NULL)
+_X08_WINNOW_BODY = f"""
+WITH {_winnow_sql_ctes('documents', 'w')}
 SELECT n.doc_id,
        coalesce(CAST(len(s.sel) AS BIGINT), 0) AS n_winnow,
        CASE WHEN s.sel IS NOT NULL
             THEN substr(md5(array_to_string(s.sel, ',')), 1, 8)
        END AS winnow_fp8
-FROM nrm n LEFT JOIN wsel s USING (doc_id)
+FROM wnrm n LEFT JOIN wsel s USING (doc_id)
 """
 
 # Gopher/C4 rule replay over the same decorated text: the named-rule

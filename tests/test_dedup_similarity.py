@@ -2341,10 +2341,45 @@ def test_round8_promoted_columns_nondegenerate(spark, sf_dir):
     x04 = x04_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
     assert_column_nondegenerate(x04, "kind", f"at {sf_dir}")
     kinds = {r.kind for r in x04.select("kind").distinct().collect()}
-    assert kinds == {"self", "fuzzy_link"}
+    assert kinds == {"self", "fuzzy_link", "winnow"}
     fuzzy = x04.filter(F.col("kind") == "fuzzy_link")
     assert fuzzy.filter(F.col("jaccard") < 1.0).count() > 0
     assert fuzzy.filter(F.col("jaccard") <= 0.5).count() == 0
+
+    # round-11 winnow arm (VERDICT r10 #1 — the pair-JOIN path of
+    # winnow_neardup_pairs under the registry oracle): every LONG-span
+    # planted pair must survive (the spans are far past the w+k-1
+    # winnowing guarantee, so n_shared >= 2 is structural), at least
+    # one SHORT-span pair must be threshold-filtered (it carries the
+    # bare >= 1-shared-hash guarantee, usually exactly 1), and
+    # n_shared varies and is winnow-kind-only. If the max_df census
+    # guard broke, the common boilerplate every doc carries would pair
+    # ALL docs — the long-pair set check below would drown in ~n²/2
+    # rows long before the oracle hash did.
+    from mapreduce_stockheadlines_spark.plans.catalog import parallel_table
+
+    n_docs = parallel_table(spark, sf_dir, "documents").count()
+    win = x04.filter(F.col("kind") == "winnow")
+    assert_column_nondegenerate(win, "n_shared", f"at {sf_dir}")
+    won = {(r.id_a, r.id_b): r.n_shared for r in win.collect()}
+    long_pairs = [
+        (2 * g, 2 * g + 1) for g in range(n_docs // 2) if g % 3 == 0
+    ]
+    short_pairs = [
+        (2 * g, 2 * g + 1) for g in range(n_docs // 2) if g % 3 == 1
+    ]
+    assert long_pairs and all(
+        won.get(p, 0) >= 2 for p in long_pairs
+    ), f"planted long-span winnow pairs missing at {sf_dir}"
+    assert any(
+        p not in won for p in short_pairs
+    ), f"no short-span pair was threshold-filtered at {sf_dir}"
+    assert (
+        x04.filter(F.col("kind") != "winnow")
+        .filter(F.col("n_shared").isNotNull())
+        .count()
+        == 0
+    )
 
     x03 = x03_minhash_signatures(spark, sf_dir).limit(200).localCheckpoint()
     assert_column_nondegenerate(x03, "oph0", f"at {sf_dir}")
