@@ -1501,6 +1501,44 @@ def x13_multimodal_pipeline(
         .cast("long")
         .alias("audio_rms_fp4"),
     )
+    # round-11 zero-slot promotion (VERDICT r10 #4): the near-dup
+    # BANDING path itself — each planted row's REAL pigeonhole band
+    # join + popcount verify (dedup.simhash_neardup_pairs, the exact
+    # machinery image/audio_neardup_pairs run) against its twin at
+    # id+1000. Audio: the twin is the half-volume (phash-identical) or
+    # k-shifted (hamming >= 9 over all 200 ids — measured, margin 5
+    # over the max_hamming=4 verify) tone, so the oracle's closed form
+    # is media_id % 4 <> 1. Image: the twin is the same fake-mime bytes
+    # (even ids) or corrupted bytes (odd ids — one appended 'X'), and
+    # the digest-derived phash (md5 little-endian — operators/
+    # multimodal._fake_phash) lets DuckDB re-derive the full band table
+    # AND the hamming verify bit-for-bit from the content bytes.
+    ph_w = M.audio_phash(wav).select(
+        "media_id", F.col("phash").alias("simhash")
+    )
+    ph_t = M.audio_phash(twin).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.col("phash").alias("simhash"),
+    )
+    apairs = D.simhash_neardup_pairs(
+        ph_w.unionByName(ph_t), "media_id", max_hamming=4
+    )
+    audio_band = apairs.filter(
+        F.col("id_b") == F.col("id_a") + 1000
+    ).select(F.col("id_a").alias("media_id"), F.lit(True).alias("_ab"))
+    img_twin = media.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.when(F.col("media_id") % 2 == 0, F.col("content"))
+        .otherwise(F.concat(F.col("content"), F.lit(b"X")))
+        .alias("content"),
+        "mime",
+    )
+    ipairs = M.image_neardup_pairs(
+        media.unionByName(img_twin), max_hamming=4
+    )
+    img_band = ipairs.filter(
+        F.col("id_b") == F.col("id_a") + 1000
+    ).select(F.col("id_a").alias("media_id"), F.lit(True).alias("_ib"))
     audio = (
         M.audio_spectral_features(wav)
         .join(td, "media_id")
@@ -1511,6 +1549,8 @@ def x13_multimodal_pipeline(
             ),
             "media_id",
         )
+        .join(audio_band, "media_id", "left")
+        .join(img_band, "media_id", "left")
         .select(
             "media_id",
             F.round("spec_centroid_hz").cast("long").alias(
@@ -1527,6 +1567,12 @@ def x13_multimodal_pipeline(
             (F.col("phash") == F.col("phash2")).alias("audio_twin_same"),
             "audio_dur_fp",
             "audio_rms_fp4",
+            F.coalesce(F.col("_ab"), F.lit(False)).alias(
+                "audio_band_neardup"
+            ),
+            F.coalesce(F.col("_ib"), F.lit(False)).alias(
+                "image_band_neardup"
+            ),
         )
     )
     if _stage_secs is not None:
@@ -1567,6 +1613,8 @@ def x13_multimodal_pipeline(
             "audio_twin_same",
             "audio_dur_fp",
             "audio_rms_fp4",
+            "audio_band_neardup",
+            "image_band_neardup",
         )
         .orderBy("media_id", "frame_idx")
     )
@@ -1577,6 +1625,27 @@ _FEAT_CSV = " || ',' || ".join(
 )
 _FRAME_FEAT_CSV = " || ',' || ".join(
     f"CAST({_hexbyte('fh', i)} AS VARCHAR)" for i in range(0, 8)
+)
+
+
+def _bits64_sql(hexvar: str) -> str:
+    """64-char '0'/'1' string of the LITTLE-ENDIAN int64 built from the
+    first 8 bytes of a hex digest — bit i (position i+1) = bit i%8 of
+    byte i//8, exactly multimodal._fake_phash's int.from_bytes(...,
+    'little') mapping, so simhash_bands' bit ranges are substrings."""
+    return " || ".join(
+        f"(CASE WHEN ({_hexbyte(hexvar, i // 8)} >> {i % 8}) & 1 = 1 "
+        "THEN '1' ELSE '0' END)"
+        for i in range(64)
+    )
+
+
+# simhash_bands with max_hamming=4: 5 bands of width 64//5=12; the last
+# band takes the remainder bits [48, 64).
+_X13_BAND_EQ = " OR ".join(
+    f"(substr(i.ba, {12 * b + 1}, {12 if b < 4 else 16}) = "
+    f"substr(i.bb, {12 * b + 1}, {12 if b < 4 else 16}))"
+    for b in range(5)
 )
 
 X13_SQL = f"""
@@ -1607,7 +1676,18 @@ aud AS (
            WHEN 0 THEN 8000.0 WHEN 1 THEN 8700.0 WHEN 2 THEN 9350.0
            WHEN 3 THEN 9550.0 WHEN 4 THEN 10200.0 WHEN 5 THEN 10400.0
            WHEN 6 THEN 11050.0 ELSE 11750.0 END AS amp
-  FROM m)
+  FROM m),
+imgh AS (
+  -- image fake-phash banding twin: identical bytes for even ids, one
+  -- appended 'X' for odd — md5 is the _fake_phash digest, so the band
+  -- table and popcount verify re-derive from the content bytes
+  SELECT CAST(event_id AS BIGINT) AS media_id, md5(props) AS ha,
+         CASE WHEN CAST(event_id AS BIGINT) % 2 = 0 THEN md5(props)
+              ELSE md5(props || 'X') END AS hb
+  FROM events WHERE event_id < 200),
+ibits AS (SELECT media_id, {_bits64_sql('ha')} AS ba,
+                 {_bits64_sql('hb')} AS bb
+          FROM imgh)
 SELECT w.media_id, 'image/fake' AS mime, w.n_bytes,
        w.h AS content_hash,
        CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k_value,
@@ -1630,9 +1710,17 @@ SELECT w.media_id, 'image/fake' AS mime, w.n_bytes,
        CAST(CASE WHEN a.silent THEN 0
                  ELSE round(sqrt((a.amp * a.amp + (a.amp / 2) * (a.amp / 2))
                                  / 2.0) / 32768.0 * 10000) END AS BIGINT)
-         AS audio_rms_fp4
+         AS audio_rms_fp4,
+       -- banding verdicts (round 11): audio in closed form (identical
+       -- phash for every non-k-shifted twin -> some band always equal,
+       -- hamming 0; the k-shifted twin's measured hamming >= 9 > 4 on
+       -- every planted id), image re-derived from the digest bits
+       (w.media_id % 4 <> 1) AS audio_band_neardup,
+       (({_X13_BAND_EQ}) AND hamming(i.ba, i.bb) <= 4)
+         AS image_band_neardup
 FROM withfh w JOIN events e ON CAST(e.event_id AS BIGINT) = w.media_id
 JOIN aud a ON a.media_id = w.media_id
+JOIN ibits i ON i.media_id = w.media_id
 ORDER BY w.media_id, w.frame_idx
 """
 

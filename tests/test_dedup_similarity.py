@@ -2727,6 +2727,25 @@ def test_x13_audio_columns_nondegenerate(spark, sf_dir):
             )
         )
         assert bad.count() == 0
+        # round-11 promotion guard: the near-dup BANDING verdicts. The
+        # REAL band-join + popcount verify must pair every row with its
+        # phash-identical twin (audio: volume-halved tones + silence;
+        # image: byte-identical even ids) and reject every discriminable
+        # twin (audio: k-shifted tones, measured hamming >= 9 > 4;
+        # image: odd ids' corrupted bytes, md5-independent digests).
+        for c in ("audio_band_neardup", "image_band_neardup"):
+            assert_column_nondegenerate(x13, c, f"at {sf_dir}")
+        bad_band = x13.filter(
+            (
+                F.col("audio_band_neardup")
+                != (F.col("media_id") % 4 != 1)
+            )
+            | (
+                F.col("image_band_neardup")
+                != (F.col("media_id") % 2 == 0)
+            )
+        )
+        assert bad_band.count() == 0
     finally:
         x13.unpersist()
 
