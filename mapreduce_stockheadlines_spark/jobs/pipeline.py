@@ -370,6 +370,7 @@ def curate(
             docs, "doc_id", "text",
             min_shared=winnow_min_shared, max_df=winnow_max_df,
             max_per_doc=winnow_max_per_doc,
+            reliable_checkpoint=reliable_checkpoint,
         )
         docs = D.dedup_by_pairs(
             docs, wpairs, "doc_id",

@@ -478,3 +478,114 @@ def sentence_chunk_summary_cols(
     does since round 11)."""
     fold = sentence_chunk_fold_col(src, chunk_tokens, boundary_pattern)
     return sentence_chunk_cols_from(fold, n_alias, fp_alias)
+
+
+def cdc_cut_cols_from(
+    grams_col,
+    divisor: int = 64,
+    rem: int = 0,
+    min_size: int = 16,
+    n_alias: str = "n_cdc_chunks",
+    fp_alias: str = "cdc_fp8",
+) -> tuple:
+    """Content-defined chunking (Rabin rolling-hash boundaries — LBFS,
+    Muthitacharoen et al. SOSP'01; the min-size guard is FastCDC's
+    refinement) over a BOUND rolling-hash gram column (the winnow
+    ``_wgrams`` staging — textstats.winnow_gram_col; one gram array
+    feeds both operators): position ``i`` (1-based gram index) is a cut
+    CANDIDATE when ``hash_i % divisor == rem``, and the greedy walk
+    accepts a candidate only when it is at least ``min_size`` positions
+    past the previous accepted cut. Chunk boundaries therefore move
+    with CONTENT, not offsets — an insertion early in a document shifts
+    every fixed-width chunk but only the one CDC chunk it lands in,
+    which is what makes CDC the dedup-stable chunking for training-data
+    pipelines (dedup keys survive edits).
+
+    Registry shape: ``n_cdc_chunks`` = accepted cuts + 1 (the tail
+    chunk; 0 for gram-less docs) and ``cdc_fp8`` = 8-hex md5 of the
+    comma-prefixed accepted-cut-position list (pins the exact boundary
+    SET, not just the count; NULL for gram-less docs). All exact
+    integer arithmetic on the winnow hash contract, so a DuckDB twin
+    re-derives every boundary bit-for-bit (the greedy walk unrolls as
+    plain CTE steps — min-gap selection has no closed window form).
+
+    ONE aggregate walk per output column pair would re-run per column —
+    hosts get both columns from a single fold here because the fold
+    struct is consumed via ``sentence_chunk_cols_from``-style gating on
+    the same expression; embed in a wide projection by staging the
+    GRAM column (the expensive part), the fold itself is O(candidates).
+    """
+    from pyspark.sql import Column
+
+    if divisor < 2:
+        raise ValueError(f"cdc: divisor must be >= 2, got {divisor}")
+    if not 0 <= rem < divisor:
+        raise ValueError(f"cdc: need 0 <= rem < divisor, got {rem}")
+    if min_size < 1:
+        raise ValueError(f"cdc: min_size must be >= 1, got {min_size}")
+    grams = (
+        grams_col if isinstance(grams_col, Column) else F.col(grams_col)
+    )
+    cands = F.filter(
+        F.sequence(F.lit(1), F.size(grams)),
+        lambda i: F.element_at(grams, i) % divisor == rem,
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit("").alias("csv"),
+    )
+
+    def step(acc, c):
+        accept = (c.cast("long") - acc["last"]) >= min_size
+        return F.struct(
+            F.when(accept, c.cast("long")).otherwise(acc["last"]).alias(
+                "last"
+            ),
+            (
+                acc["n"]
+                + F.when(accept, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n"),
+            F.when(
+                accept, F.concat(acc["csv"], F.lit(","), c.cast("string"))
+            )
+            .otherwise(acc["csv"])
+            .alias("csv"),
+        )
+
+    fold = F.aggregate(cands, init, step)
+    n_col = (
+        F.when(grams.isNotNull(), fold["n"] + 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias(n_alias)
+    )
+    fp_col = F.when(
+        grams.isNotNull(), F.substring(F.md5(fold["csv"]), 1, 8)
+    ).alias(fp_alias)
+    return n_col, fp_col
+
+
+def cdc_chunk_summary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    divisor: int = 64,
+    rem: int = 0,
+    min_size: int = 16,
+) -> DataFrame:
+    """(id, n_cdc_chunks, cdc_fp8) — the standalone operator form:
+    stages the rolling-hash gram array through a bound column (the
+    winnow staging requirement — see winnow_gram_col) and projects the
+    CDC summary from it."""
+    from .textstats import winnow_gram_col
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        winnow_gram_col(text_col, k).alias("_wg"),
+    ).select(
+        "id", *cdc_cut_cols_from("_wg", divisor, rem, min_size)
+    )

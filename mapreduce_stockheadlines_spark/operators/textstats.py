@@ -631,6 +631,7 @@ def winnow_neardup_pairs(
     min_shared: int = 2,
     max_df: int = 1000,
     max_per_doc: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Partial-overlap near-duplicate pairs by shared winnow hashes:
     (id_a, id_b, n_shared) with id_a < id_b and n_shared >=
@@ -654,6 +655,13 @@ def winnow_neardup_pairs(
     fp = winnow_fingerprints(
         df, id_col, text_col, k, w, max_per_doc=max_per_doc
     )
+    # the index has THREE consumers below (census + both self-join
+    # sides) — without a barrier each re-executes the rolling-hash +
+    # window-minima chain over the corpus (round 11: 3x the dominant
+    # cost, measured; the dedup_by_pairs/x31 multi-consumer policy).
+    # localCheckpoint by default; reliable_checkpoint=True writes to
+    # the configured checkpoint dir for fault tolerance on a cluster.
+    fp = fp.checkpoint() if reliable_checkpoint else fp.localCheckpoint()
     rare = (
         fp.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("_df"))

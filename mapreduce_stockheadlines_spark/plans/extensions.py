@@ -303,7 +303,9 @@ _X04_WINNOW_BOILER = (
 _X04_WINNOW_WORDS = ("span", "alpha", "beta", "gamma", "delta", "epsi", "zeta")
 
 
-def _x04_winnow_docs(docs: DataFrame) -> DataFrame:
+def _x04_winnow_docs(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     g = F.floor(F.col("doc_id") / 2).cast("long")
     gs = g.cast("string")
     long_parts: list[Column] = []
@@ -317,7 +319,7 @@ def _x04_winnow_docs(docs: DataFrame) -> DataFrame:
         .when(g % 3 == 1, F.concat(F.lit(" tiny"), gs, F.lit("xq")))
         .otherwise(F.lit("")),
     )
-    return docs.select("doc_id", wtext.alias("text"))
+    return docs.select("doc_id", wtext.alias("text"), *extra_cols)
 
 
 def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -421,25 +423,41 @@ def _winnow_sql_ctes(src: str, prefix: str = "w") -> str:
 _X04_WINNOW_LONG_SQL = " || ".join(
     f"' {wd}' || CAST(doc_id // 2 AS VARCHAR)" for wd in _X04_WINNOW_WORDS
 )
-_X04_WINNOW_CTES = f"""wdocs AS (
-  SELECT doc_id,
-         text || '{_X04_WINNOW_BOILER}'
+# the decoration as a scalar SQL expression (also the curate gate-stack
+# pytest pin's planted corpus — it re-derives the SAME plant)
+_X04_WINNOW_DECO_SQL = f"""text || '{_X04_WINNOW_BOILER}'
               || CASE WHEN (doc_id // 2) % 3 = 0
                       THEN {_X04_WINNOW_LONG_SQL}
                       WHEN (doc_id // 2) % 3 = 1
                       THEN ' tiny' || CAST(doc_id // 2 AS VARCHAR) || 'xq'
-                      ELSE '' END AS text
-  FROM documents),
-{_winnow_sql_ctes('wdocs', 'w')},
+                      ELSE '' END"""
+
+
+def _winnow_pairs_sql_ctes(
+    src: str, max_df: int = 20, min_shared: int = 2
+) -> str:
+    """widx/wrare/wkept/wpairs chain replaying winnow_neardup_pairs
+    over ``src`` (doc_id, text): fingerprint index -> max_df census ->
+    hash self-join -> n_shared threshold. Shared by the x04 oracle and
+    the curate gate-stack pytest pin."""
+    return f"""{_winnow_sql_ctes(src, 'w')},
 widx AS (SELECT doc_id, unnest(sel) AS whash FROM wsel),
-wrare AS (SELECT whash FROM widx GROUP BY whash HAVING count(*) <= 20),
+wrare AS (SELECT whash FROM widx GROUP BY whash
+          HAVING count(*) <= {max_df}),
 wkept AS (SELECT i.doc_id, i.whash FROM widx i JOIN wrare r USING (whash)),
 wpairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(count(*) AS BIGINT) AS n_shared
   FROM wkept a JOIN wkept b ON a.whash = b.whash AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-  HAVING count(*) >= 2)"""
+  HAVING count(*) >= {min_shared})"""
+
+
+_X04_WINNOW_CTES = f"""wdocs AS (
+  SELECT doc_id,
+         {_X04_WINNOW_DECO_SQL} AS text
+  FROM documents),
+{_winnow_pairs_sql_ctes('wdocs')}"""
 
 
 X04_SQL = f"""
@@ -740,6 +758,11 @@ def x08_text_stats(
     # (Schleimer et al. 2003 — rolling k-gram hashes -> window minima,
     # all exact BIGINT arithmetic; staged through _wgrams/_wsel above)
     winnow_cols = [*TS.winnow_cols_from(F.col("_wsel"))]
+    # round-11 zero-slot promotion: content-defined chunking (Rabin
+    # rolling-hash boundaries + FastCDC min-size guard,
+    # packing.cdc_cut_cols_from) — rides the SAME staged _wgrams array
+    # the winnow family consumes; one gram pass feeds both operators
+    cdc_cols = [*PK.cdc_cut_cols_from(F.col("_wgrams"))]
     # round-8 zero-slot promotion #2: the named Gopher + C4 document-
     # filter rules over the decorated text (_GC_ARMS — every rule
     # dimension exercised; word array/line count built once)
@@ -765,6 +788,7 @@ def x08_text_stats(
             ("sent_chunks", sent_chunk_cols),
             ("entropy", entropy_cols),
             ("winnow", winnow_cols),
+            ("cdc", cdc_cols),
             ("gopher_c4", gc_cols),
         ]:
             _probe(_stage_secs, pname, base.select("doc_id", *pcols))
@@ -780,6 +804,7 @@ def x08_text_stats(
             *sent_chunk_cols,
             *entropy_cols,
             *winnow_cols,
+            *cdc_cols,
             *gc_cols,
         ],
     )
@@ -1031,6 +1056,60 @@ SELECT n.doc_id,
 FROM wnrm n LEFT JOIN wsel s USING (doc_id)
 """
 
+
+def _cdc_sql_ctes(
+    divisor: int = 64, rem: int = 0, min_size: int = 16,
+    max_steps: int = 64,
+) -> str:
+    """Unrolled greedy CDC walk over the shared winnow gram CTE
+    (``wgr`` — packing.cdc_cut_cols_from's contract): cut candidates
+    where ``hash % divisor == rem``, then ``max_steps`` plain CTE steps
+    each accepting the smallest candidate >= previous cut + min_size.
+    Greedy min-gap selection has no closed window form, recursive CTEs
+    are out (DuckDB 1.0 forbids the aggregate recursive member and
+    plans correlated ones inconsistently), so the walk unrolls — the
+    x28 WordPiece recipe. ``max_steps`` bounds accepted cuts per doc;
+    docs are <= ~100 words (~700 normalized chars -> <= ~44 cuts at
+    min_size 16) at EVERY SF — corpus-structural, and the pytest guard
+    pins that the deepest step is empty."""
+    steps, union = [], []
+    for j in range(1, max_steps + 1):
+        steps.append(
+            f"cdcs{j} AS MATERIALIZED (SELECT c.doc_id, min(c.pos) AS cut"
+            f" FROM cdccand c JOIN cdcs{j - 1} p USING (doc_id)"
+            f" WHERE c.pos >= p.cut + {min_size} GROUP BY c.doc_id)"
+        )
+        union.append(f"SELECT doc_id, cut FROM cdcs{j}")
+    nl = ",\n"
+    return f"""cdccand AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(grams) + 1),
+                                    i -> grams[i] % {divisor} = {rem}))
+           AS pos
+  FROM wgr WHERE grams IS NOT NULL),
+cdcs0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS cut
+          FROM wgr WHERE grams IS NOT NULL),
+{nl.join(steps)},
+cdcuts AS ({" UNION ALL ".join(union)}),
+cdc AS (
+  SELECT g.doc_id,
+         CAST(coalesce(u.nc, 0) + 1 AS BIGINT) AS n_cdc_chunks,
+         substr(md5(coalesce(u.csv, '')), 1, 8) AS cdc_fp8
+  FROM (SELECT doc_id FROM wgr WHERE grams IS NOT NULL) g
+  LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc,
+                    ',' || string_agg(CAST(cut AS VARCHAR), ','
+                                      ORDER BY cut) AS csv
+             FROM cdcuts GROUP BY doc_id) u USING (doc_id))"""
+
+
+_X08_CDC_BODY = f"""
+WITH {_winnow_sql_ctes('documents', 'w')},
+{_cdc_sql_ctes()}
+SELECT n.doc_id,
+       CAST(coalesce(c.n_cdc_chunks, 0) AS BIGINT) AS n_cdc_chunks,
+       c.cdc_fp8
+FROM wnrm n LEFT JOIN cdc c USING (doc_id)
+"""
+
 # Gopher/C4 rule replay over the same decorated text: the named-rule
 # counts are integer regex scans (Java and RE2 agree on every pattern —
 # (?m) anchors, \b, non-overlap), ratios round to 4dp before the
@@ -1110,6 +1189,7 @@ SELECT l.doc_id, l.pred_lang, l.marker_score,
        sc.n_sent_chunks, sc.sent_chunk_fp8,
        ce.char_entropy_fp6,
        wn.n_winnow, wn.winnow_fp8,
+       cd.n_cdc_chunks, cd.cdc_fp8,
        g.gopher_n_words, g.mean_word_len, g.symbol_word_ratio,
        g.bullet_line_frac, g.ellipsis_line_frac, g.alpha_word_frac,
        g.req_stop_hits, g.gopher_kept,
@@ -1125,6 +1205,7 @@ JOIN ({_X08_CHUNK_BODY}) c ON c.doc_id = l.doc_id
 JOIN ({_X08_SENT_BODY}) sc ON sc.doc_id = l.doc_id
 JOIN ({_X08_ENTROPY_BODY}) ce ON ce.doc_id = l.doc_id
 JOIN ({_X08_WINNOW_BODY}) wn ON wn.doc_id = l.doc_id
+JOIN ({_X08_CDC_BODY}) cd ON cd.doc_id = l.doc_id
 JOIN ({_X08_GC_BODY}) g ON g.doc_id = l.doc_id
 ORDER BY l.doc_id
 """
@@ -4618,8 +4699,10 @@ usfp8 AS (
     return out
 
 
-X28_SQL = f"""
-WITH RECURSIVE toks AS (
+# Add-k bigram-LM CTE chain (toks -> grams -> add-k model -> exact
+# integer-mean per-doc avg logp), shared by X28 and the curate
+# gate-stack pytest pin (round 11 — the composed-pipeline oracle).
+_ADDK_LM_CTES = """toks AS (
   SELECT doc_id,
          list_prepend('<s>', list_filter(
            string_split_regex(
@@ -4649,26 +4732,20 @@ agg AS (SELECT doc_id,
 fx AS (SELECT doc_id, n_bigrams,
               ((2 * abs(s4) + n_bigrams) // (2 * n_bigrams))
                 * sign(s4) / 10000.0 AS avg_logp
-       FROM agg),
-pbk AS (
-  -- CCNet terciles: rank by the 4dp ppl (ties by doc_id), bucket =
-  -- (rank-1)*3 // total + 1 — the exact integer contract of
-  -- relevance.ppl_buckets
-  SELECT doc_id, CAST(rn AS BIGINT) AS ppl_rank,
-         CAST(((rn - 1) * 3) // tot + 1 AS INTEGER) AS ppl_bucket
-  FROM (SELECT doc_id,
-               row_number() OVER (
-                 ORDER BY round(exp(-avg_logp), 4), doc_id) AS rn,
-               count(*) OVER () AS tot
-        FROM fx)),
--- Moore-Lewis (round 10): in-domain (source = 'src0') add-k LM over
--- the SAME gram stream, whole-pool scoring with the backoff floor
--- ln(0.5 / (c1_in + 0.5·V_in)) for OOV grams (unseen context -> c1 0),
--- then the exact integer-mean difference vs the general side's fx
-mlg AS MATERIALIZED (
+       FROM agg)"""
+
+
+def _ml_excess_sql_ctes(target_source: str) -> str:
+    """Moore-Lewis CTE chain over _ADDK_LM_CTES' grams/fx: in-domain
+    (source = target) add-k LM over the SAME gram stream, whole-pool
+    scoring with the backoff floor ln(0.5 / (c1_in + 0.5·V_in)) for OOV
+    grams (unseen context -> c1 0), then the exact integer-mean
+    difference vs the general side's fx — relevance.moore_lewis_scores
+    step for step. Shared by X28 and the curate gate-stack pin."""
+    return f"""mlg AS MATERIALIZED (
   SELECT g.doc_id, g.bigram
   FROM grams g JOIN documents d USING (doc_id)
-  WHERE d.source = 'src0'),
+  WHERE d.source = '{target_source}'),
 mlb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
         FROM mlg GROUP BY bigram),
 mlbx AS (SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
@@ -4698,7 +4775,24 @@ mlfx AS (SELECT doc_id,
 mlex AS (SELECT f.doc_id,
                 CAST(m.in4 - CAST(round(f.avg_logp * 10000) AS BIGINT)
                      AS BIGINT) AS ml_excess_fp
-         FROM mlfx m JOIN fx f USING (doc_id)),
+         FROM mlfx m JOIN fx f USING (doc_id))"""
+
+
+X28_SQL = f"""
+WITH RECURSIVE {_ADDK_LM_CTES},
+pbk AS (
+  -- CCNet terciles: rank by the 4dp ppl (ties by doc_id), bucket =
+  -- (rank-1)*3 // total + 1 — the exact integer contract of
+  -- relevance.ppl_buckets
+  SELECT doc_id, CAST(rn AS BIGINT) AS ppl_rank,
+         CAST(((rn - 1) * 3) // tot + 1 AS INTEGER) AS ppl_bucket
+  FROM (SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY round(exp(-avg_logp), 4), doc_id) AS rn,
+               count(*) OVER () AS tot
+        FROM fx)),
+-- Moore-Lewis (round 10; CTEs shared with the curate gate-stack pin)
+{_ml_excess_sql_ctes('src0')},
 knctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
                  CAST(count(DISTINCT w2) AS BIGINT) AS n1f
           FROM bgx GROUP BY w1),

@@ -516,3 +516,102 @@ def test_chunk_by_sentences_oversize_flag(spark):
     )
     rows = chunk_by_sentences(docs, "doc_id", "text", 3).collect()
     assert any(r.has_oversize_sentence for r in rows)
+
+
+def test_cdc_chunk_summary_matches_python_reference(spark, sf_dir):
+    """Round-11 promotion pin: content-defined chunking
+    (packing.cdc_cut_cols_from — Rabin rolling-hash boundaries with the
+    FastCDC min-size guard) must reproduce an independent pure-python
+    greedy walk boundary-for-boundary on real corpus docs."""
+    import hashlib
+    import re
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        cdc_chunk_summary,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    def ref(text, k=5, divisor=64, rem=0, min_size=16):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        if len(norm) < k:
+            return (0, None)
+        grams = [
+            sum(ord(norm[i + j]) * 131 ** (k - 1 - j) for j in range(k))
+            % 1_000_003
+            for i in range(len(norm) - k + 1)
+        ]
+        cuts, last = [], 0
+        for pos, h in enumerate(grams, start=1):
+            if h % divisor == rem and pos - last >= min_size:
+                cuts.append(pos)
+                last = pos
+        csv = "".join(f",{c}" for c in cuts)
+        return (
+            len(cuts) + 1,
+            hashlib.md5(csv.encode()).hexdigest()[:8],
+        )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    got = {
+        r.id: (r.n_cdc_chunks, r.cdc_fp8)
+        for r in cdc_chunk_summary(docs, "doc_id", "text").collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert got == {d: ref(t) for d, t in texts.items()}
+    # the boundary walk actually cut somewhere (not all single-chunk)
+    assert any(n > 1 for n, _ in got.values())
+
+
+def test_cdc_edge_contracts_and_x08_columns(spark, sf_dir):
+    """CDC edge contracts (empty/NULL/short docs -> 0/NULL; a doc with
+    grams but no qualifying boundary -> 1 chunk, md5('') digest) plus
+    the x08 registry nondegeneracy guard and the oracle's unroll-depth
+    bound (no doc may need more greedy steps than the DuckDB twin
+    unrolls)."""
+    import hashlib
+
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        cdc_chunk_summary,
+    )
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x08_text_stats,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "abc"),  # shorter than k=5 normalized chars
+        (4, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_cdc_chunks, r.cdc_fp8)
+        for r in cdc_chunk_summary(df, "doc_id", "text").collect()
+    }
+    assert out == {1: (0, None), 2: (0, None), 3: (0, None), 4: (0, None)}
+    # a real gram array with no boundary candidate at all still yields
+    # the whole-doc chunk and the empty-cut-list digest
+    empty8 = hashlib.md5(b"").hexdigest()[:8]
+    df2 = spark.createDataFrame(
+        [(1, "abcdef")], "doc_id long, text string"
+    )
+    got2 = cdc_chunk_summary(
+        df2, "doc_id", "text", divisor=1_000_003, rem=1_000_002
+    ).collect()[0]
+    # 'abcdef' has exactly two grams hashing to 431031 and 195445 —
+    # rem 1000002 matches neither, so zero cuts: one whole-doc chunk
+    # with the empty-cut-list digest
+    assert (got2.n_cdc_chunks, got2.cdc_fp8) == (1, empty8)
+
+    x08 = x08_text_stats(spark, sf_dir)
+    assert_column_nondegenerate(x08, "n_cdc_chunks", f"at {sf_dir}")
+    assert_column_nondegenerate(x08, "cdc_fp8", f"at {sf_dir}")
+    # oracle unroll bound: the DuckDB twin unrolls 64 greedy steps, so
+    # no doc may accept more than 64 cuts (n_cdc_chunks <= 65). Checked
+    # via an AGGREGATE, not a filter: a pushed-down predicate on the
+    # derived column would inline the staged CDC fold below the
+    # projections (the explode_outer/InferFiltersFromGenerate lesson,
+    # filter-pushdown flavor) and run the fused O(n^2 k) form.
+    assert x08.agg(F.max("n_cdc_chunks")).first()[0] <= 65

@@ -1682,3 +1682,108 @@ def test_curate_moore_lewis_gate(spark):
     with pytest.raises(ValueError, match="source"):
         curate(docs.drop("source"), ml_target_source="tgt",
                min_ml_excess=0.0)
+
+
+def test_curate_winnow_ml_gate_stack_oracle(spark, sf_dir):
+    """Round-11 composition pin (VERDICT r10 #7): the curate gate STACK
+    — planted corpus -> exact dedup -> winnow near-dup collapse ->
+    lang/quality gates -> Moore-Lewis selection — with the survivor id
+    set re-derived end to end by DuckDB. Each stage's operator is
+    already oracle-pinned on its own registry query (x01/x04/x08/x28);
+    this pins their COMPOSITION: every stage's input is the previous
+    stage's survivor set, so a wrong intermediate set changes the ML
+    training corpus and with it the final ids. MinHash near-dup is
+    neutralized (4dp jaccard can never exceed 1.01), so the winnow
+    stage sees exactly the exact-dedup survivors; the model gates that
+    don't run (clf/ppl/repetition) default off."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _ADDK_LM_CTES,
+        _ml_excess_sql_ctes,
+        _winnow_pairs_sql_ctes,
+        _x04_winnow_docs,
+        _X04_WINNOW_DECO_SQL,
+        _X08_LANG_BODY,
+        _X08_QUALITY_BODY,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = _x04_winnow_docs(docs, extra_cols=("source",))
+    out = curate(
+        w,
+        lang="en",
+        min_quality=0.5,
+        jaccard_threshold=1.01,
+        winnow_min_shared=2,
+        winnow_max_df=20,
+        ml_target_source="src0",
+        min_ml_excess=0.0,
+    ).localCheckpoint()
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # PII redaction is the identity on this corpus (no planted PII), so
+    # the DuckDB ML phase below may score the unredacted text
+    assert out.agg(F.sum("n_pii")).first()[0] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW rawdocs AS SELECT doc_id, text, source "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    # the planted corpus (the x04 decoration), then stage 1: exact dedup
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT doc_id, {_X04_WINNOW_DECO_SQL} AS text, source "
+        "FROM rawdocs"
+    )
+    con.execute(
+        "CREATE TABLE d1 AS SELECT d.* FROM documents d JOIN ("
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ") k USING (doc_id)"
+    )
+    # stage 2d: winnow pairs + transitive min-id collapse (the
+    # dedup_by_pairs policy) via a recursive closure over the pair graph
+    con.execute(
+        f"""CREATE TABLE d2 AS
+WITH RECURSIVE {_winnow_pairs_sql_ctes('d1')},
+e2 AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       UNION ALL SELECT id_b AS a, id_a AS b FROM wpairs),
+rr(a, b) AS (SELECT a, b FROM e2
+             UNION
+             SELECT rr.a, e.b FROM rr JOIN e2 e ON rr.b = e.a
+             WHERE e.b <> rr.a),
+rep AS (SELECT a AS id, least(a, min(b)) AS rep FROM rr GROUP BY a)
+SELECT * FROM d1
+WHERE doc_id NOT IN (SELECT id FROM rep WHERE rep <> id)"""
+    )
+    # stages 3+4: the fused lang + quality gates over winnow survivors
+    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM d2")
+    con.execute(
+        f"""CREATE TABLE d3 AS
+SELECT d2.* FROM d2
+JOIN ({_X08_LANG_BODY}) l USING (doc_id)
+JOIN ({_X08_QUALITY_BODY}) q USING (doc_id)
+WHERE l.pred_lang = 'en' AND q.quality >= 0.5"""
+    )
+    # stage 4c: Moore-Lewis over the gate survivors (threshold 0.0 ->
+    # drop ml_excess_fp < 0; gram-less docs have no mlex row and pass)
+    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM d3")
+    off = {
+        r[0]
+        for r in con.execute(
+            f"""WITH RECURSIVE {_ADDK_LM_CTES},
+{_ml_excess_sql_ctes('src0')}
+SELECT doc_id FROM mlex WHERE ml_excess_fp < 0"""
+        ).fetchall()
+    }
+    d3_ids = {
+        r[0] for r in con.execute("SELECT doc_id FROM d3").fetchall()
+    }
+    expected = sorted(d3_ids - off)
+    assert got == expected
+    # every composed stage actually fired in both directions
+    d1_n = con.execute("SELECT count(*) FROM d1").fetchone()[0]
+    d2_n = con.execute("SELECT count(*) FROM d2").fetchone()[0]
+    assert d2_n < d1_n, "winnow collapse dropped nothing"
+    assert off, "Moore-Lewis gate dropped nothing"
+    assert d3_ids - off, "Moore-Lewis gate dropped everything"
