@@ -509,12 +509,27 @@ def cdc_cut_cols_from(
     re-derives every boundary bit-for-bit (the greedy walk unrolls as
     plain CTE steps — min-gap selection has no closed window form).
 
-    ONE aggregate walk per output column pair would re-run per column —
-    hosts get both columns from a single fold here because the fold
-    struct is consumed via ``sentence_chunk_cols_from``-style gating on
-    the same expression; embed in a wide projection by staging the
-    GRAM column (the expensive part), the fold itself is O(candidates).
+    This convenience form repeats the fold expression once per output
+    column (a column-tuple builder cannot stage); projection hosts
+    should stage ``cdc_fold_col`` through a bound column and project
+    with ``cdc_cols_from`` — ONE O(n) candidate scan + fold per row
+    (the sentence_chunk_fold_col pattern; what x08 does).
     """
+    fold = cdc_fold_col(grams_col, divisor, rem, min_size)
+    return cdc_cols_from(fold, n_alias, fp_alias)
+
+
+def cdc_fold_col(
+    grams_col,
+    divisor: int = 64,
+    rem: int = 0,
+    min_size: int = 16,
+) -> "F.Column":
+    """The ONE-walk CDC fold struct: ``struct(ok, agg)`` where ``ok``
+    is the has-grams gate and ``agg`` the greedy-walk accumulator
+    (last accepted cut, cut count, comma-prefixed cut-position csv).
+    Stage through a bound column; ``cdc_cols_from`` references it 4×,
+    which keeps CollapseProject from inlining the alias back."""
     from pyspark.sql import Column
 
     if divisor < 2:
@@ -555,15 +570,31 @@ def cdc_cut_cols_from(
             .alias("csv"),
         )
 
-    fold = F.aggregate(cands, init, step)
+    return F.struct(
+        grams.isNotNull().alias("ok"),
+        F.aggregate(cands, init, step).alias("agg"),
+    )
+
+
+def cdc_cols_from(
+    staged,
+    n_alias: str = "n_cdc_chunks",
+    fp_alias: str = "cdc_fp8",
+) -> tuple:
+    """(n_cdc_chunks, cdc_fp8) projected from a BOUND ``cdc_fold_col``
+    column: accepted cuts + 1 (0 for gram-less docs) and the 8-hex md5
+    of the cut-position csv (NULL for gram-less docs)."""
+    from pyspark.sql import Column
+
+    st = staged if isinstance(staged, Column) else F.col(staged)
     n_col = (
-        F.when(grams.isNotNull(), fold["n"] + 1)
+        F.when(st["ok"], st["agg"]["n"] + 1)
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias(n_alias)
     )
     fp_col = F.when(
-        grams.isNotNull(), F.substring(F.md5(fold["csv"]), 1, 8)
+        st["ok"], F.substring(F.md5(st["agg"]["csv"]), 1, 8)
     ).alias(fp_alias)
     return n_col, fp_col
 
