@@ -131,6 +131,10 @@ def curated_ingest_sink(
     blocked_domains: list[str] | None = None,
     neardup_threshold: float | None = None,
     neardup_index_dir: str | None = None,
+    winnow_min_shared: int | None = None,
+    winnow_index_dir: str | None = None,
+    winnow_max_df: int = 1000,
+    winnow_max_per_doc: int | None = 256,
     min_clf_score: float | None = None,
     clf_weights: list[tuple[str, float]] | None = None,
     min_dsir_score: float | None = None,
@@ -169,6 +173,24 @@ def curated_ingest_sink(
     representative through the same banding + agreement verify. Day-N
     cost is proportional to day-N data plus matched candidates — the
     scale contract of the exact-dedup index, extended to near-dups.
+
+    Incremental PARTIAL-overlap near-dup (``winnow_min_shared`` +
+    ``winnow_index_dir`` both set — round 11, the streaming sibling of
+    curate's ``--winnow-min-shared`` gate): each batch computes winnow
+    fingerprints (textstats.winnow_fingerprints — selected rolling-hash
+    minima; ``winnow_max_per_doc`` keeps the smallest N per doc so the
+    PERSISTENT index stays rows×O(N), the MinHash-style sampling rule),
+    collapses within-batch pairs sharing >= ``winnow_min_shared``
+    hashes to the min-id representative, then probes the historical
+    (id, whash) index by hash equi-join and drops batch docs sharing
+    >= the threshold with ANY indexed doc — the long-quote/boilerplate
+    copies whole-set MinHash agreement dilutes away. Hashes in more
+    than ``winnow_max_df`` docs (per side) are census-dropped before
+    any join — the LSH hot-bucket bound, applied to batch AND history
+    independently (history's census is over the index, so a
+    boilerplate hash that became ubiquitous over time stops pairing
+    without rewriting old index rows). Day-N cost: day-N fingerprints
+    plus matched candidates, the exact-dedup index contract.
 
     ``bloom_bits`` (optional): maintain a Bloom bitmap artifact under
     ``{index_dir}/_bloom`` (per-batch partitions, folded by ``bit_or``)
@@ -345,6 +367,72 @@ def curated_ingest_sink(
                 survivors = survivors.join(dupes, id_col, "left_anti")
                 sig = sig.join(dupes, id_col, "left_anti")
 
+        wfp = None
+        if winnow_min_shared is not None and winnow_index_dir is not None:
+            from ..operators.textstats import winnow_fingerprints
+
+            # one fingerprint pass per batch; localCheckpoint because
+            # the index has multiple consumers below (census, both
+            # self-join sides, the history probe, the index write) —
+            # the winnow_neardup_pairs multi-consumer policy
+            wfp = winnow_fingerprints(
+                survivors, id_col, text_col, max_per_doc=winnow_max_per_doc
+            ).localCheckpoint()
+            rare = (
+                wfp.groupBy("whash")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= winnow_max_df)
+                .select("whash")
+            )
+            kept = wfp.join(rare, "whash")
+            a = kept.select(F.col("id").alias("id_a"), "whash")
+            b = kept.select(F.col("id").alias("id_b"), "whash")
+            wpairs = (
+                a.join(b, "whash")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .filter(F.col("n_shared") >= winnow_min_shared)
+            )
+            survivors = dedup_by_pairs(survivors, wpairs, id_col)
+            wfp = wfp.join(
+                survivors.select(F.col(id_col).alias("id")),
+                "id",
+                "left_semi",
+            )
+            widx = _history(spark, winnow_index_dir, batch_id)
+            if widx is not None:
+                # history-side census: a hash ubiquitous ACROSS TIME
+                # stops pairing without rewriting old index rows
+                hrare = (
+                    widx.groupBy("whash")
+                    .agg(F.count(F.lit(1)).alias("_df"))
+                    .filter(F.col("_df") <= winnow_max_df)
+                    .select("whash")
+                )
+                # threshold per (batch doc, HISTORY doc) pair — the
+                # contract is ">= min_shared hashes with ANY indexed
+                # doc", not summed across all of history
+                wdupes = (
+                    wfp.join(
+                        widx.join(hrare, "whash").select(
+                            F.col("id").alias("_hid"), "whash"
+                        ),
+                        "whash",
+                    )
+                    .groupBy("id", "_hid")
+                    .agg(F.count(F.lit(1)).alias("n_shared"))
+                    .filter(F.col("n_shared") >= winnow_min_shared)
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+                survivors = survivors.join(wdupes, id_col, "left_anti")
+                wfp = wfp.join(
+                    wdupes.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_anti",
+                )
+
         if lang is not None or min_quality is not None:
             stats = text_stats(survivors, id_col, text_col)
             cond = F.lit(True)
@@ -514,6 +602,16 @@ def curated_ingest_sink(
                 num_hashes=_NEARDUP_HASHES, bands=_NEARDUP_BANDS,
             ).join(final_sig, id_col).write.mode("overwrite").parquet(
                 f"{neardup_index_dir}/batch_id={batch_id}"
+            )
+        if wfp is not None:
+            # winnow index rows for FINAL survivors only (post-gates):
+            # (id, whash) — probed by hash equi-join, text never stored
+            wfp.join(
+                survivors.select(F.col(id_col).alias("id")),
+                "id",
+                "left_semi",
+            ).write.mode("overwrite").parquet(
+                f"{winnow_index_dir}/batch_id={batch_id}"
             )
 
     return write_batch

@@ -1142,3 +1142,78 @@ def test_curated_ingest_wordpiece_encode_with_pretrained_artifact(
             str(tmp_path / "o2"), str(tmp_path / "i2"),
             unigram_dir="y", wordpiece_dir="z",
         )
+
+
+def test_curated_ingest_incremental_winnow(spark, tmp_path):
+    """Incremental PARTIAL-overlap near-dup (round 11): a later batch's
+    doc embedding a long span copied from an already-ingested doc is
+    dropped by the persistent winnow (id, whash) index probe even
+    though its whole-set similarity is low (the case MinHash agreement
+    dilutes away); within-batch partial overlaps collapse to the
+    min-id representative; genuinely new docs are admitted and their
+    fingerprints extend the index."""
+    import pyspark.sql.types as T
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        run_curated_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    widx = str(tmp_path / "winnowidx")
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    span = (
+        "according to the quarterly filing the company expects revenue "
+        "growth to continue through next year"
+    )
+    base = "markets rallied on tuesday as analysts noted that " + span
+    sibling = span + " while commodity desks reported heavy volume"
+    other = (
+        "completely different prose about mountain weather patterns and "
+        "the migration of birds across the northern hemisphere in autumn"
+    )
+
+    def run_round(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / tag))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        run_curated_ingest(
+            stream, out, idx, ck,
+            winnow_min_shared=5, winnow_index_dir=widx,
+        )
+
+    # within-batch: 5 shares the long span with 1 (34 selected hashes
+    # in common vs the threshold 5; unrelated doc pairs here share <= 3
+    # — common English 5-grams DO collide, which is why the threshold
+    # is a parameter) → min-id 1 survives
+    run_round([(1, base), (2, other), (5, sibling)], "r1")
+    got1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]
+
+    # cross-batch: 7 embeds the INDEXED doc 1's span inside otherwise
+    # new prose → dropped via the hash-index probe; 8 is new → kept
+    fresh = (
+        "a wholly original report on deep sea exploration vessels and "
+        "their autonomous mapping instruments deployed this season"
+    )
+    quoting = (
+        "an otherwise novel wrap-up of the week in trading quoted the "
+        "line that " + span + " which desks had already seen"
+    )
+    run_round([(7, quoting), (8, fresh)], "r2")
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 8]
+    # the index holds fingerprints for exactly the admitted docs
+    widx_ids = {
+        r.id for r in spark.read.parquet(widx).select("id").distinct().collect()
+    }
+    assert widx_ids == {1, 2, 8}
