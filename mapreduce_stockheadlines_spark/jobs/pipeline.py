@@ -37,9 +37,11 @@ operators composed the way a 100 TB pretraining-data job would use them.
                                 --keep-top)
       → chunking               (optional: split long docs into
                                 overlapping fixed-token windows —
-                                --chunk-tokens/--chunk-overlap; or at
+                                --chunk-tokens/--chunk-overlap; at
                                 paragraph/sentence boundaries —
-                                --chunk-paragraphs / --chunk-sentences)
+                                --chunk-paragraphs / --chunk-sentences;
+                                or at content-defined Rabin boundaries —
+                                --chunk-cdc/--cdc-min-size)
       → token accounting       (whitespace + BPE-ish counts per doc)
       → vocabulary encode      (optional: top-V vocab built on survivors,
                                 ordered token-id sequences attached —
@@ -111,6 +113,8 @@ def curate(
     chunk_overlap: int = 16,
     chunk_paragraphs: bool = False,
     chunk_sentences: bool = False,
+    chunk_cdc: bool = False,
+    cdc_min_size: int = 64,
     blocked_domains: DataFrame | None = None,
     strip_boilerplate: bool = False,
     max_dup_window_fraction: float | None = None,
@@ -232,6 +236,16 @@ def curate(
                 "dsir_target_source needs a 'source' column to select "
                 "the target subset"
             )
+    if chunk_cdc and (chunk_paragraphs or chunk_sentences):
+        raise ValueError(
+            "chunk_cdc is mutually exclusive with chunk_paragraphs/"
+            "chunk_sentences — pick one boundary"
+        )
+    if chunk_cdc and chunk_tokens is not None:
+        raise ValueError(
+            "chunk_cdc boundaries are content-defined (cdc_min_size "
+            "chars), not token budgets — drop chunk_tokens"
+        )
     if (chunk_paragraphs or chunk_sentences) and chunk_tokens is None:
         # without the guard the flag is a silent no-op (the chunk stage
         # is keyed on chunk_tokens) — the user asked for boundary
@@ -583,9 +597,17 @@ def curate(
     # 5c. (optional) split long docs into overlapping fixed-token chunks;
     #     chunks inherit the parent's metadata and a composite id
     #     (parent << 20 | chunk index — doc ids stay well below 2^43)
-    if chunk_tokens is not None:
+    if chunk_tokens is not None or chunk_cdc:
         meta = docs.drop("text")
-        if chunk_paragraphs:
+        if chunk_cdc:
+            # content-defined boundaries (Rabin rolling hash + FastCDC
+            # min-size guard): chunks are substrings of the NORMALIZED
+            # text and an edit disturbs only the chunk it lands in —
+            # the dedup-stable splitting for chunk-level dedup keys
+            chunks = PK.cdc_chunks(
+                docs, "doc_id", "text", min_size=cdc_min_size
+            ).withColumnRenamed("id", "parent_doc_id")
+        elif chunk_paragraphs:
             # natural-boundary mode: chunks never cut mid-paragraph
             # (budget-aligned grouping — may overrun by one paragraph;
             # overlap does not apply, paragraphs are whole or absent)
@@ -853,6 +875,13 @@ def main(argv: list[str] | None = None) -> None:
                          "windows")
     ap.add_argument("--chunk-overlap", type=int, default=16,
                     help="token overlap between adjacent chunks")
+    ap.add_argument("--chunk-cdc", action="store_true",
+                    help="content-defined chunking (Rabin rolling-hash "
+                         "boundaries over normalized text; no token "
+                         "budget — boundaries move with content)")
+    ap.add_argument("--cdc-min-size", type=int, default=64,
+                    help="with --chunk-cdc: minimum chunk size in "
+                         "normalized characters")
     ap.add_argument("--blocked-domains", default=None,
                     help="text file of blocked registered domains (one "
                          "per line); docs referencing any are dropped")
@@ -1090,6 +1119,8 @@ def main(argv: list[str] | None = None) -> None:
         chunk_overlap=args.chunk_overlap,
         chunk_paragraphs=args.chunk_paragraphs,
         chunk_sentences=args.chunk_sentences,
+        chunk_cdc=args.chunk_cdc,
+        cdc_min_size=args.cdc_min_size,
         blocked_domains=blocked,
         strip_boilerplate=args.strip_boilerplate,
         max_dup_window_fraction=args.max_dup_window_fraction,

@@ -620,3 +620,117 @@ def cdc_chunk_summary(
     ).select(
         "id", *cdc_cut_cols_from("_wg", divisor, rem, min_size)
     )
+
+
+def cdc_cuts_col(
+    grams_col,
+    divisor: int = 64,
+    rem: int = 0,
+    min_size: int = 16,
+) -> "F.Column":
+    """The accepted CDC cut-position ARRAY (1-based char positions into
+    the normalized text; NULL for gram-less docs) — the array form of
+    ``cdc_fold_col``'s walk, for consumers that need the boundaries
+    themselves (``cdc_chunks``). Stage through a bound column."""
+    from pyspark.sql import Column
+
+    if divisor < 2:
+        raise ValueError(f"cdc: divisor must be >= 2, got {divisor}")
+    if not 0 <= rem < divisor:
+        raise ValueError(f"cdc: need 0 <= rem < divisor, got {rem}")
+    if min_size < 1:
+        raise ValueError(f"cdc: min_size must be >= 1, got {min_size}")
+    grams = (
+        grams_col if isinstance(grams_col, Column) else F.col(grams_col)
+    )
+    cands = F.filter(
+        F.sequence(F.lit(1), F.size(grams)),
+        lambda i: F.element_at(grams, i) % divisor == rem,
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("last"),
+        F.array().cast("array<bigint>").alias("cuts"),
+    )
+
+    def step(acc, c):
+        accept = (c.cast("long") - acc["last"]) >= min_size
+        return F.struct(
+            F.when(accept, c.cast("long")).otherwise(acc["last"]).alias(
+                "last"
+            ),
+            F.when(
+                accept, F.concat(acc["cuts"], F.array(c.cast("long")))
+            )
+            .otherwise(acc["cuts"])
+            .alias("cuts"),
+        )
+
+    return F.aggregate(cands, init, step, lambda acc: acc["cuts"])
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    divisor: int = 64,
+    rem: int = 0,
+    min_size: int = 16,
+) -> DataFrame:
+    """Content-defined chunk ROWS: (id, chunk_id, n_chunk_chars,
+    chunk_text) where chunk boundaries are the ``cdc_cuts_col`` greedy
+    Rabin walk over the winnow-contract rolling hashes — a cut at char
+    position c ends the previous chunk at c-1 and starts the next at c,
+    the tail chunk runs to the end. Chunks are substrings of the
+    WHITESPACE-NORMALIZED LOWERCASED text (the winnow normalization —
+    content-defined boundaries exist for dedup keys, and reflow/case
+    noise would defeat exactly the stability CDC buys). Gram-less docs
+    (shorter than k normalized chars, empty, NULL) produce no chunks —
+    the chunk_documents 'no chunks' contract. Cut consistency with the
+    registry summary is structural: cut_i = 1 + sum(len(chunks[0..i))),
+    pinned in pytest.
+
+    Plan shape: two staging projections (norm, grams, cuts — all bound
+    columns, the winnow staging requirement) + one generate; the
+    explode is posexplode_outer + a generated-attribute filter, NOT a
+    plain posexplode — a plain Generate's inferred size/isnotnull
+    filter would pushdown-inline the whole fused cuts(grams(norm))
+    expression below the staging projects (the winnow_fingerprints
+    lesson), and likewise nothing here filters on a staged column."""
+    from .textstats import _winnow_norm, winnow_gram_col
+
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _winnow_norm(F.col(text_col)).alias("_norm"),
+        )
+        # winnow_gram_col re-normalizes internally; normalization is
+        # idempotent, so gram values over _norm equal grams over text
+        .withColumn("_wg", winnow_gram_col(F.col("_norm"), k))
+        .withColumn("_cuts", cdc_cuts_col("_wg", divisor, rem, min_size))
+    )
+    n = F.length("_norm")
+    starts = F.concat(F.array(F.lit(1).cast("long")), F.col("_cuts"))
+    ends = F.concat(F.col("_cuts"), F.array((n + 1).cast("long")))
+    chunks = F.when(
+        F.col("_cuts").isNotNull(),
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.col("_norm").substr(s, (e - s).cast("int")),
+        ),
+    )
+    return (
+        base.withColumn("_chunks", chunks)
+        .select(
+            "id",
+            F.posexplode_outer("_chunks").alias("chunk_id", "chunk_text"),
+        )
+        .filter(F.col("chunk_text").isNotNull())
+        .select(
+            "id",
+            "chunk_id",
+            F.length("chunk_text").cast("bigint").alias("n_chunk_chars"),
+            "chunk_text",
+        )
+    )

@@ -615,3 +615,54 @@ def test_cdc_edge_contracts_and_x08_columns(spark, sf_dir):
     # projections (the explode_outer/InferFiltersFromGenerate lesson,
     # filter-pushdown flavor) and run the fused O(n^2 k) form.
     assert x08.agg(F.max("n_cdc_chunks")).first()[0] <= 65
+
+
+def test_cdc_chunks_rows_consistent_with_summary(spark, sf_dir):
+    """cdc_chunks (the chunk-ROW form) must agree with the registry
+    summary columns structurally: chunks concatenate back to the
+    normalized text, cut positions recovered from chunk lengths
+    reproduce cdc_fp8 and the row count equals n_cdc_chunks; and the
+    chunk TEXTS match an independent pure-python greedy walk. Gram-less
+    docs produce no rows."""
+    import hashlib
+    import re
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        cdc_chunk_summary,
+        cdc_chunks,
+    )
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    rows = cdc_chunks(docs, "doc_id", "text").collect()
+    summ = {
+        r.id: (r.n_cdc_chunks, r.cdc_fp8)
+        for r in cdc_chunk_summary(docs, "doc_id", "text").collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append((r.chunk_id, r.chunk_text))
+        assert r.n_chunk_chars == len(r.chunk_text) > 0
+    for did, pieces in by_doc.items():
+        pieces.sort()
+        assert [c for c, _ in pieces] == list(range(len(pieces)))
+        norm = re.sub(r"\s+", " ", texts[did].lower()).strip()
+        assert "".join(t for _, t in pieces) == norm
+        # cuts from chunk lengths: cut_i = 1 + len(chunks[0..i])
+        cuts, acc = [], 0
+        for _, t in pieces[:-1]:
+            acc += len(t)
+            cuts.append(acc + 1)
+        csv = "".join(f",{c}" for c in cuts)
+        fp = hashlib.md5(csv.encode()).hexdigest()[:8]
+        assert summ[did] == (len(pieces), fp)
+    # every doc with chunks per the summary produced rows, and only those
+    assert set(by_doc) == {d for d, (n, _) in summ.items() if n > 0}
+
+    # edge contracts: NULL/short docs emit no rows
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abc")], "doc_id long, text string"
+    )
+    assert cdc_chunks(edge, "doc_id", "text").count() == 0

@@ -1787,3 +1787,53 @@ SELECT doc_id FROM mlex WHERE ml_excess_fp < 0"""
     assert d2_n < d1_n, "winnow collapse dropped nothing"
     assert off, "Moore-Lewis gate dropped nothing"
     assert d3_ids - off, "Moore-Lewis gate dropped everything"
+
+
+def test_curate_cdc_chunking_stage(spark):
+    """curate(chunk_cdc=True): survivors split at content-defined
+    boundaries — chunk rows reassemble each parent's NORMALIZED text,
+    composite ids encode (parent, chunk), and the config guards fire
+    (mutually exclusive with the boundary modes; no token budget)."""
+    import re
+
+    import pytest
+
+    rows = [
+        (
+            1,
+            "markets rallied strongly on tuesday as analysts noted the "
+            "quarterly filing shows revenue growth continuing through "
+            "next year while commodity desks reported heavy volume and "
+            "traders repositioned ahead of the federal statement",
+            "s",
+        ),
+        (
+            2,
+            "completely different prose about mountain weather patterns "
+            "and the migration of birds across the northern hemisphere "
+            "in autumn when the passes close early and the valleys "
+            "fill with fog before the first durable snow",
+            "s",
+        ),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.8,
+        chunk_cdc=True, cdc_min_size=32,
+    )
+    pdf = out.toPandas()
+    assert set(pdf.parent_doc_id) == {1, 2}
+    for did, text in [(1, rows[0][1]), (2, rows[1][1])]:
+        sub = pdf[pdf.parent_doc_id == did].sort_values("chunk_id")
+        assert list(sub.chunk_id) == list(range(len(sub)))
+        assert list(sub.doc_id) == [
+            did * (1 << 20) + c for c in sub.chunk_id
+        ]
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        assert "".join(sub.text) == norm
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, chunk_cdc=True, chunk_paragraphs=True, chunk_tokens=8)
+    with pytest.raises(ValueError, match="content-defined"):
+        curate(docs, chunk_cdc=True, chunk_tokens=8)
