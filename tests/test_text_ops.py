@@ -865,3 +865,70 @@ def test_winnow_max_per_doc_cap_semantics(spark):
         TS.winnow_fingerprints(
             df, "doc_id", "text", max_per_doc=0
         ).collect()
+
+
+def test_winnow_and_cdc_unicode_contract(spark):
+    """The winnow/CDC rolling-hash contract holds on FULL Unicode text,
+    not just the ASCII shipped corpus: Spark's ascii()/substr()/length()
+    are codepoint-based (probed: 'é' 233, '中' 20013, '😀' 128512 — one
+    position each, matching DuckDB and python ord()), so fingerprints
+    and boundaries on accented/CJK/emoji text match an independent
+    python reference exactly."""
+    import hashlib
+    import re
+
+    from mapreduce_stockheadlines_spark.operators.packing import (
+        cdc_chunk_summary,
+    )
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        winnow_fingerprint_summary,
+    )
+
+    texts = [
+        (1, "café über naïve — die straße führt zum fluß und zurück"),
+        (2, "市场 在 周二 大幅 上涨 分析师 关注 季度 数据 的 增长 趋势 延续"),
+        (3, "mixed ascii with 😀 emoji and 中文 spans plus ordinary words"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def grams(t, k=5):
+        n = norm(t)
+        return [
+            sum(ord(n[i + j]) * 131 ** (k - 1 - j) for j in range(k))
+            % 1_000_003
+            for i in range(len(n) - k + 1)
+        ]
+
+    def ref_winnow(t, w=4):
+        g = grams(t)
+        sel = sorted(
+            {min(g[i:i + w]) for i in range(max(len(g) - w + 1, 1))}
+        )
+        csv = ",".join(str(x) for x in sel)
+        return (
+            len(sel),
+            hashlib.md5(csv.encode()).hexdigest()[:8],
+        )
+
+    def ref_cdc(t, divisor=64, rem=0, min_size=16):
+        cuts, last = [], 0
+        for pos, h in enumerate(grams(t), start=1):
+            if h % divisor == rem and pos - last >= min_size:
+                cuts.append(pos)
+                last = pos
+        csv = "".join(f",{c}" for c in cuts)
+        return (len(cuts) + 1, hashlib.md5(csv.encode()).hexdigest()[:8])
+
+    got_w = {
+        r.id: (r.n_winnow, r.winnow_fp8)
+        for r in winnow_fingerprint_summary(df, "doc_id", "text").collect()
+    }
+    assert got_w == {d: ref_winnow(t) for d, t in texts}
+    got_c = {
+        r.id: (r.n_cdc_chunks, r.cdc_fp8)
+        for r in cdc_chunk_summary(df, "doc_id", "text").collect()
+    }
+    assert got_c == {d: ref_cdc(t) for d, t in texts}
