@@ -509,92 +509,52 @@ def cdc_cut_cols_from(
     re-derives every boundary bit-for-bit (the greedy walk unrolls as
     plain CTE steps — min-gap selection has no closed window form).
 
-    This convenience form repeats the fold expression once per output
+    This convenience form repeats the walk expression once per output
     column (a column-tuple builder cannot stage); projection hosts
-    should stage ``cdc_fold_col`` through a bound column and project
-    with ``cdc_cols_from`` — ONE O(n) candidate scan + fold per row
+    should stage ``cdc_cuts_col`` through a bound column and project
+    with ``cdc_cols_from`` — ONE O(n) candidate scan + walk per row
     (the sentence_chunk_fold_col pattern; what x08 does).
     """
-    fold = cdc_fold_col(grams_col, divisor, rem, min_size)
-    return cdc_cols_from(fold, n_alias, fp_alias)
-
-
-def cdc_fold_col(
-    grams_col,
-    divisor: int = 64,
-    rem: int = 0,
-    min_size: int = 16,
-) -> "F.Column":
-    """The ONE-walk CDC fold struct: ``struct(ok, agg)`` where ``ok``
-    is the has-grams gate and ``agg`` the greedy-walk accumulator
-    (last accepted cut, cut count, comma-prefixed cut-position csv).
-    Stage through a bound column; ``cdc_cols_from`` references it 4×,
-    which keeps CollapseProject from inlining the alias back."""
-    from pyspark.sql import Column
-
-    if divisor < 2:
-        raise ValueError(f"cdc: divisor must be >= 2, got {divisor}")
-    if not 0 <= rem < divisor:
-        raise ValueError(f"cdc: need 0 <= rem < divisor, got {rem}")
-    if min_size < 1:
-        raise ValueError(f"cdc: min_size must be >= 1, got {min_size}")
-    grams = (
-        grams_col if isinstance(grams_col, Column) else F.col(grams_col)
-    )
-    cands = F.filter(
-        F.sequence(F.lit(1), F.size(grams)),
-        lambda i: F.element_at(grams, i) % divisor == rem,
-    )
-    init = F.struct(
-        F.lit(0).cast("long").alias("last"),
-        F.lit(0).cast("long").alias("n"),
-        F.lit("").alias("csv"),
-    )
-
-    def step(acc, c):
-        accept = (c.cast("long") - acc["last"]) >= min_size
-        return F.struct(
-            F.when(accept, c.cast("long")).otherwise(acc["last"]).alias(
-                "last"
-            ),
-            (
-                acc["n"]
-                + F.when(accept, F.lit(1)).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("n"),
-            F.when(
-                accept, F.concat(acc["csv"], F.lit(","), c.cast("string"))
-            )
-            .otherwise(acc["csv"])
-            .alias("csv"),
-        )
-
-    return F.struct(
-        grams.isNotNull().alias("ok"),
-        F.aggregate(cands, init, step).alias("agg"),
-    )
+    cuts = cdc_cuts_col(grams_col, divisor, rem, min_size)
+    return cdc_cols_from(cuts, n_alias, fp_alias)
 
 
 def cdc_cols_from(
-    staged,
+    staged_cuts,
     n_alias: str = "n_cdc_chunks",
     fp_alias: str = "cdc_fp8",
 ) -> tuple:
-    """(n_cdc_chunks, cdc_fp8) projected from a BOUND ``cdc_fold_col``
-    column: accepted cuts + 1 (0 for gram-less docs) and the 8-hex md5
-    of the cut-position csv (NULL for gram-less docs)."""
+    """(n_cdc_chunks, cdc_fp8) projected from a BOUND ``cdc_cuts_col``
+    column (the cut-position array): accepted cuts + 1 (0 for gram-less
+    docs, whose cuts are NULL) and the 8-hex md5 of the comma-prefixed
+    cut-position csv (NULL for gram-less docs). Deriving both from the
+    one cuts array keeps a SINGLE greedy walk in the whole CDC family
+    (review finding: a second struct-accumulator walk risked silently
+    desynchronizing the chunk rows from the registry digest). The
+    staged column is referenced 4x across the two outputs, which keeps
+    CollapseProject from inlining the alias back."""
     from pyspark.sql import Column
 
-    st = staged if isinstance(staged, Column) else F.col(staged)
+    cuts = (
+        staged_cuts
+        if isinstance(staged_cuts, Column)
+        else F.col(staged_cuts)
+    )
+    csv = F.when(
+        F.size(cuts) > 0,
+        F.concat(
+            F.lit(","),
+            F.concat_ws(",", F.transform(cuts, lambda x: x.cast("string"))),
+        ),
+    ).otherwise(F.lit(""))
     n_col = (
-        F.when(st["ok"], st["agg"]["n"] + 1)
+        F.when(cuts.isNotNull(), F.size(cuts) + 1)
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias(n_alias)
     )
     fp_col = F.when(
-        st["ok"], F.substring(F.md5(st["agg"]["csv"]), 1, 8)
+        cuts.isNotNull(), F.substring(F.md5(csv), 1, 8)
     ).alias(fp_alias)
     return n_col, fp_col
 
@@ -609,16 +569,21 @@ def cdc_chunk_summary(
     min_size: int = 16,
 ) -> DataFrame:
     """(id, n_cdc_chunks, cdc_fp8) — the standalone operator form:
-    stages the rolling-hash gram array through a bound column (the
-    winnow staging requirement — see winnow_gram_col) and projects the
-    CDC summary from it."""
+    stages the rolling-hash gram array AND the cut-position walk
+    through bound columns (the winnow staging requirement — see
+    winnow_gram_col; one greedy walk per row) and projects the summary
+    from the staged cuts."""
     from .textstats import winnow_gram_col
 
-    return df.select(
-        F.col(id_col).alias("id"),
-        winnow_gram_col(text_col, k).alias("_wg"),
-    ).select(
-        "id", *cdc_cut_cols_from("_wg", divisor, rem, min_size)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            winnow_gram_col(text_col, k).alias("_wg"),
+        )
+        .select(
+            "id", cdc_cuts_col("_wg", divisor, rem, min_size).alias("_cuts")
+        )
+        .select("id", *cdc_cols_from("_cuts"))
     )
 
 
@@ -629,9 +594,10 @@ def cdc_cuts_col(
     min_size: int = 16,
 ) -> "F.Column":
     """The accepted CDC cut-position ARRAY (1-based char positions into
-    the normalized text; NULL for gram-less docs) — the array form of
-    ``cdc_fold_col``'s walk, for consumers that need the boundaries
-    themselves (``cdc_chunks``). Stage through a bound column."""
+    the normalized text; NULL for gram-less docs) — THE single greedy
+    walk of the CDC family: ``cdc_cols_from`` derives the registry
+    summary from it and ``cdc_chunks`` slices chunk texts between the
+    positions. Stage through a bound column."""
     from pyspark.sql import Column
 
     if divisor < 2:

@@ -662,15 +662,35 @@ def winnow_neardup_pairs(
     # localCheckpoint by default; reliable_checkpoint=True writes to
     # the configured checkpoint dir for fault tolerance on a cluster.
     fp = fp.checkpoint() if reliable_checkpoint else fp.localCheckpoint()
-    rare = (
+    return winnow_pairs_from_fingerprints(
+        fp, min_shared, winnow_rare_hashes(fp, max_df)
+    )
+
+
+def winnow_rare_hashes(fp: DataFrame, max_df: int) -> DataFrame:
+    """The max_df census over a (id, whash) fingerprint index: the
+    (whash) rows occurring in at most ``max_df`` documents — the only
+    hashes any pairing join may touch (the LSH hot-bucket bound).
+    Bounded by the hash space (≤ ~1e6 rows), so it broadcasts."""
+    return (
         fp.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= max_df)
         .select("whash")
     )
-    fp = fp.join(rare, "whash")
-    a = fp.select(F.col("id").alias("id_a"), "whash")
-    b = fp.select(F.col("id").alias("id_b"), "whash")
+
+
+def winnow_pairs_from_fingerprints(
+    fp: DataFrame, min_shared: int, rare: DataFrame
+) -> DataFrame:
+    """(id_a, id_b, n_shared) pairs from a (preferably checkpointed)
+    (id, whash) fingerprint index and its ``winnow_rare_hashes`` census
+    — the post-fingerprint half of ``winnow_neardup_pairs``, exposed so
+    callers that already hold the index (the streaming ingest) share
+    one implementation of the census-guarded self-join + threshold."""
+    kept = fp.join(rare, "whash")
+    a = kept.select(F.col("id").alias("id_a"), "whash")
+    b = kept.select(F.col("id").alias("id_b"), "whash")
     return (
         a.join(b, "whash")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -729,9 +729,9 @@ def x08_text_stats(
         .withColumn(
             "_schunk", PK.sentence_chunk_fold_col(sent_src, chunk_tokens=16)
         )
-        # the CDC fold stages for the same reason (one greedy walk
+        # the CDC cut walk stages for the same reason (ONE greedy walk
         # serves both registry columns; consumes the _wgrams stage)
-        .withColumn("_cdcf", PK.cdc_fold_col(F.col("_wgrams")))
+        .withColumn("_cdcuts", PK.cdc_cuts_col(F.col("_wgrams")))
     )
     # named column groups (order fixed — this IS the output schema
     # order); the stage-attribution probes below reuse them verbatim
@@ -763,10 +763,10 @@ def x08_text_stats(
     winnow_cols = [*TS.winnow_cols_from(F.col("_wsel"))]
     # round-11 zero-slot promotion: content-defined chunking (Rabin
     # rolling-hash boundaries + FastCDC min-size guard,
-    # packing.cdc_fold_col) — rides the SAME staged _wgrams array the
+    # packing.cdc_cuts_col) — rides the SAME staged _wgrams array the
     # winnow family consumes (one gram pass feeds both operators) and
-    # projects both columns from the ONE staged fold (_cdcf)
-    cdc_cols = [*PK.cdc_cols_from(F.col("_cdcf"))]
+    # projects both columns from the ONE staged cut walk (_cdcuts)
+    cdc_cols = [*PK.cdc_cols_from(F.col("_cdcuts"))]
     # round-8 zero-slot promotion #2: the named Gopher + C4 document-
     # filter rules over the decorated text (_GC_ARMS — every rule
     # dimension exercised; word array/line count built once)

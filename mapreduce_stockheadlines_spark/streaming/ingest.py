@@ -369,7 +369,11 @@ def curated_ingest_sink(
 
         wfp = None
         if winnow_min_shared is not None and winnow_index_dir is not None:
-            from ..operators.textstats import winnow_fingerprints
+            from ..operators.textstats import (
+                winnow_fingerprints,
+                winnow_pairs_from_fingerprints,
+                winnow_rare_hashes,
+            )
 
             # one fingerprint pass per batch; localCheckpoint because
             # the index has multiple consumers below (census, both
@@ -378,21 +382,9 @@ def curated_ingest_sink(
             wfp = winnow_fingerprints(
                 survivors, id_col, text_col, max_per_doc=winnow_max_per_doc
             ).localCheckpoint()
-            rare = (
-                wfp.groupBy("whash")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= winnow_max_df)
-                .select("whash")
-            )
-            kept = wfp.join(rare, "whash")
-            a = kept.select(F.col("id").alias("id_a"), "whash")
-            b = kept.select(F.col("id").alias("id_b"), "whash")
-            wpairs = (
-                a.join(b, "whash")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("n_shared"))
-                .filter(F.col("n_shared") >= winnow_min_shared)
+            rare = winnow_rare_hashes(wfp, winnow_max_df)
+            wpairs = winnow_pairs_from_fingerprints(
+                wfp, winnow_min_shared, rare
             )
             survivors = dedup_by_pairs(survivors, wpairs, id_col)
             wfp = wfp.join(
@@ -402,19 +394,20 @@ def curated_ingest_sink(
             )
             widx = _history(spark, winnow_index_dir, batch_id)
             if widx is not None:
-                # history-side census: a hash ubiquitous ACROSS TIME
-                # stops pairing without rewriting old index rows
-                hrare = (
-                    widx.groupBy("whash")
-                    .agg(F.count(F.lit(1)).alias("_df"))
-                    .filter(F.col("_df") <= winnow_max_df)
-                    .select("whash")
-                )
+                # BOTH sides census before the probe: the batch side
+                # joins its own `rare` (a batch-ubiquitous footer must
+                # not pair the whole batch against history even when
+                # history holds few enough copies to pass ITS census),
+                # and the history side censuses over the index so a
+                # hash ubiquitous ACROSS TIME stops pairing without
+                # rewriting old index rows
+                hrare = winnow_rare_hashes(widx, winnow_max_df)
                 # threshold per (batch doc, HISTORY doc) pair — the
                 # contract is ">= min_shared hashes with ANY indexed
                 # doc", not summed across all of history
                 wdupes = (
-                    wfp.join(
+                    wfp.join(rare, "whash")
+                    .join(
                         widx.join(hrare, "whash").select(
                             F.col("id").alias("_hid"), "whash"
                         ),
