@@ -719,7 +719,13 @@ def x08_text_stats(
         # O(n²·k) per doc (docstring at winnow_gram_col). Both stages
         # are referenced >= 3 times in their consumers' trees, which is
         # what keeps CollapseProject from inlining them back.
-        .withColumn("_wgrams", TS.winnow_gram_col("text"))
+        # the normalized text stages first: the gram lambda references
+        # it per element, so binding it turns a per-element regex chain
+        # into an attribute lookup (measured ~5% of the winnow stage —
+        # the window minima dominate, but the discipline is uniform).
+        # Normalization is idempotent, so gram values are unchanged.
+        .withColumn("_wnorm", TS._winnow_norm(F.col("text")))
+        .withColumn("_wgrams", TS.winnow_gram_col(F.col("_wnorm")))
         .withColumn("_wsel", TS.winnow_sel_col("_wgrams"))
         # char-entropy stages its char array for the same reason
         .withColumn("_wchars", TS.char_array_col("text"))
