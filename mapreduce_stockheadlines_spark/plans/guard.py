@@ -24,6 +24,64 @@ DEFAULT_FORBIDDEN = (
     "BroadcastNestedLoopJoin",
 )
 
+# Wrapper/leaf operators that may legitimately sit between a Filter and
+# the file scan it filters. Anything else (a Project, Generate, Join,
+# Aggregate, Exchange...) between them means the Filter is NOT the
+# pushed-to-the-scan form the HOF lint targets.
+_SCAN_ADJACENT_OPS = (
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "Scan",
+    "BatchScan",
+    "RowDataSourceScan",
+)
+
+# The rendered marker of a higher-order-function lambda in a plan
+# Condition. HOF lambdas never whole-stage-codegen — they evaluate
+# interpreted, per element, re-computing every free subexpression. A
+# FLAT lambda at a scan filter (e.g. x30's token-count gate
+# size(filter(split(text), len > 0)) >= 8) is a cheap linear scan and
+# legitimate; the pathology is a NESTED one — a lambda whose body
+# contains another HOF walks a whole array per element, O(n^2) and
+# worse, which is the signature of Catalyst having inlined a staged
+# expensive column below its staging Project (the round-11 measured
+# pathology: PushDownPredicates + InferFiltersFromGenerate fused the
+# winnow sel(grams(text)) chain into a ~1 min/doc scan Filter; see
+# operators/textstats.winnow_fingerprints).
+_HOF_MARKER = "lambdafunction("
+
+# Opt-in size backstop for scan-level Filter conditions. OFF by
+# default: rendered size alone does not mean per-row expense — x24's
+# planted-URL synthesis inlines ~15 KB of O(1) concat/CASE over doc_id
+# into its scan filters legitimately, while the genuinely quadratic
+# fused-winnow form (3 KB) is caught structurally by the nested-HOF
+# rule. Pass e.g. ``max_scan_filter_chars=2000`` for corpora where no
+# legitimate scan predicate should render large.
+DEFAULT_MAX_SCAN_FILTER_CHARS: int | None = None
+
+
+def _has_nested_hof(cond: str) -> bool:
+    """True when a rendered lambda BODY contains another lambda — the
+    quadratic re-evaluation signature (a per-element body walking an
+    array). Walks balanced parens from each ``lambdafunction(``; an
+    unbalanced render (parens inside a string literal) fails open to
+    end-of-string, which only widens the net."""
+    start = cond.find(_HOF_MARKER)
+    while start != -1:
+        i = start + len(_HOF_MARKER)
+        depth = 1
+        while i < len(cond) and depth > 0:
+            if cond[i] == "(":
+                depth += 1
+            elif cond[i] == ")":
+                depth -= 1
+            i += 1
+        if _HOF_MARKER in cond[start + len(_HOF_MARKER) : i]:
+            return True
+        start = cond.find(_HOF_MARKER, i)
+    return False
+
 
 class PlanGuardError(RuntimeError):
     """A scale anti-pattern was found in the physical plan."""
@@ -36,11 +94,46 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _scan_filter_conditions(plan: str) -> list[tuple[int, str]]:
+    """(node_id, condition) of every Filter that sits DIRECTLY on a file
+    scan — only wrapper ops (ColumnarToRow et al.) between it and the
+    leaf. These are the filters Catalyst produced by pushing a predicate
+    below every staging Project, which is where an inlined staged-HOF
+    expression lands (see the lint rationale at ``_HOF_MARKERS``)."""
+    tree = plan.split("\n\n")[0]
+    lines = [ln for ln in tree.splitlines() if re.search(r"\(\d+\)", ln)]
+    adjacent_ids: list[int] = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"\bFilter\b.*\((\d+)\)", ln)
+        if not m:
+            continue
+        # walk the unary chain below the Filter: wrapper ops only, until
+        # the scan leaf. Any other op => not a scan-level filter.
+        for nxt in lines[i + 1 :]:
+            op = re.sub(r"[*+\-:\s]+", " ", nxt.split("(")[0]).strip()
+            if op.startswith("Scan") or op in ("BatchScan", "RowDataSourceScan"):
+                adjacent_ids.append(int(m.group(1)))
+                break
+            if not any(op.startswith(w) for w in _SCAN_ADJACENT_OPS):
+                break
+    out: list[tuple[int, str]] = []
+    for nid in adjacent_ids:
+        dm = re.search(
+            rf"^\({nid}\) Filter.*?^Condition : (.*?)$",
+            plan,
+            re.M | re.S,
+        )
+        if dm:
+            out.append((nid, dm.group(1)))
+    return out
+
+
 def check_plan(
     df: DataFrame,
     forbid: tuple[str, ...] = DEFAULT_FORBIDDEN,
     max_shuffles: int | None = None,
     require_pushed_filters: bool = False,
+    max_scan_filter_chars: int | None = DEFAULT_MAX_SCAN_FILTER_CHARS,
 ) -> list[str]:
     """Return a list of violations (empty = clean).
 
@@ -52,6 +145,22 @@ def check_plan(
     - ``require_pushed_filters``: every file scan that sits under a
       Filter must carry a non-empty PushedFilters list (a selective
       query reading whole files is a silent 100x).
+    - staged-HOF inlining lint (always on; VERDICT r11 #1): a Filter
+      sitting directly on a file scan whose condition contains a
+      NESTED HOF lambda (a lambda body walking another array — the
+      quadratic re-evaluation shape) is the signature of Catalyst
+      having pushed a predicate on a staged expensive column below its
+      staging Project and inlined the whole expression (two measured
+      ~1 min/doc pathologies in round 11 — InferFiltersFromGenerate on
+      a plain explode, then ordinary filter pushdown). Both fixes are
+      mechanical: explode_outer + filter on the GENERATED attribute,
+      or filter on a downstream aggregate instead of the staged
+      column. Flat scan-level lambdas (x30's token-count gate) and
+      large-but-cheap inlined scalar synthesis (x24) stay clean. The
+      same check runs over every scan's DataFilters list (where the
+      pushed predicate is also recorded). ``max_scan_filter_chars``
+      additionally flags any scan-level condition rendering larger
+      than the given size (opt-in; see DEFAULT_MAX_SCAN_FILTER_CHARS).
     """
     plan = formatted_plan(df)
     violations: list[str] = []
@@ -74,6 +183,32 @@ def check_plan(
             violations.append(
                 "scan under a Filter has an empty PushedFilters list"
             )
+    for nid, cond in _scan_filter_conditions(plan):
+        if _has_nested_hof(cond):
+            violations.append(
+                f"scan-level Filter ({nid}) contains a NESTED HOF "
+                "lambda — a staged expensive expression was "
+                "pushdown-inlined below its staging Project (filter on "
+                "a generated/aggregated value instead of the staged "
+                "column; see textstats.winnow_fingerprints)"
+            )
+        elif (
+            max_scan_filter_chars is not None
+            and len(cond) > max_scan_filter_chars
+        ):
+            violations.append(
+                f"scan-level Filter ({nid}) condition is "
+                f"{len(cond)} chars (max {max_scan_filter_chars}) — "
+                "likely an inlined staged expression"
+            )
+    for dm in re.finditer(r"DataFilters: \[(.*?)\]\n", plan, re.S):
+        if _has_nested_hof(dm.group(1)):
+            violations.append(
+                "scan DataFilters contain a nested HOF lambda — a "
+                "staged expensive expression was pushdown-inlined into "
+                "the scan"
+            )
+            break
     return violations
 
 

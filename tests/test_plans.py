@@ -246,6 +246,50 @@ def test_plan_guard_passes_shipped_queries(spark, sf_dir):
         assert not violations, f"{name}: {violations}"
 
 
+def test_plan_guard_catches_staged_hof_inlining(spark, sf_dir):
+    """VERDICT r11 #1: the staged-HOF pushdown-inlining trap as
+    machinery. A predicate on a staged expensive-HOF column gets pushed
+    by PushDownPredicates below the staging Projects, arriving at the
+    scan as the FUSED sel(grams(text)) form whose per-window lambda
+    re-evaluates the whole gram array per element — O(n^2·k)/doc,
+    interpreted (two measured ~1 min/doc pathologies in round 11).
+    check_plan must flag the fused form by default; the engineered-out
+    staged forms (explode_outer + generated-attribute filter) and
+    cheap FLAT scan-level lambdas (x30's token-count gate) must pass."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.guard import check_plan
+
+    docs = table(spark, sf_dir, "documents")
+    # the trap, deliberately: filter on the staged winnow-selection
+    # column -> Catalyst inlines the whole chain into a scan Filter
+    fused = (
+        docs.withColumn("_wg", TS.winnow_gram_col(F.col("text")))
+        .withColumn("_ws", TS.winnow_sel_col("_wg"))
+        .filter(F.size("_ws") > 0)
+        .select("doc_id", F.size("_ws").alias("n"))
+    )
+    violations = check_plan(fused)
+    assert violations and any("NESTED HOF" in v for v in violations), (
+        violations
+    )
+    # the engineered-out form infers no pushable predicate and stays clean
+    assert check_plan(TS.winnow_fingerprints(docs, "doc_id", "text")) == []
+    # a cheap FLAT lambda at the scan (the x30 shape) is legitimate
+    flat = docs.filter(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        )
+        >= 8
+    ).select("doc_id")
+    assert check_plan(flat) == []
+
+
 def test_plan_guard_shuffle_cap_and_pushdown(spark, sf_dir):
     from mapreduce_stockheadlines_spark.plans.catalog import table
     from mapreduce_stockheadlines_spark.plans.guard import check_plan
