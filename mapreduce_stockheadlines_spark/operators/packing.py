@@ -613,8 +613,13 @@ def cdc_cuts_col(
         F.sequence(F.lit(1), F.size(grams)),
         lambda i: F.element_at(grams, i) % divisor == rem,
     )
+    # ``last`` starts at 1 — the first chunk spans chars [1, cut), so a
+    # cut at c yields a first chunk of c - 1 chars and the acceptance
+    # test c - last >= min_size guards the FIRST chunk to the same
+    # min_size as every later one (round-12 advice fix: the last=0 init
+    # let the first chunk come out one char short of min_size).
     init = F.struct(
-        F.lit(0).cast("long").alias("last"),
+        F.lit(1).cast("long").alias("last"),
         F.array().cast("array<bigint>").alias("cuts"),
     )
 

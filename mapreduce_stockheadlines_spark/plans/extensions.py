@@ -1080,8 +1080,19 @@ def _cdc_sql_ctes(
     plans correlated ones inconsistently), so the walk unrolls — the
     x28 WordPiece recipe. ``max_steps`` bounds accepted cuts per doc;
     docs are <= ~100 words (~700 normalized chars -> <= ~44 cuts at
-    min_size 16) at EVERY SF — corpus-structural, and the pytest guard
-    pins that the deepest step is empty."""
+    min_size 16) at EVERY SF — corpus-structural, and belt-and-braces:
+    the SQL itself raises through ``error()`` when any doc would accept
+    a cut BEYOND the deepest unrolled step (round-12 advice fix — a
+    corpus change producing a >max_steps-cut doc must fail as an
+    explicit overflow, not a downstream hash mismatch; the pytest
+    n_cdc_chunks <= max_steps + 1 pin stays as the independent guard).
+
+    The greedy walk inits at ``cut = 1`` (not 0): the first chunk spans
+    chars [1, cut), so acceptance at c - last >= min_size holds the
+    FIRST chunk to the same floor as every later one
+    (packing.cdc_cuts_col's contract — the round-12 off-by-one fix,
+    changed in lockstep in the Spark fold, this twin, and the python
+    reference)."""
     steps, union = [], []
     for j in range(1, max_steps + 1):
         steps.append(
@@ -1096,13 +1107,21 @@ def _cdc_sql_ctes(
                                     i -> grams[i] % {divisor} = {rem}))
            AS pos
   FROM wgr WHERE grams IS NOT NULL),
-cdcs0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS cut
+cdcs0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS cut
           FROM wgr WHERE grams IS NOT NULL),
 {nl.join(steps)},
+cdcover AS (
+  SELECT count(*) AS n
+  FROM cdccand c JOIN cdcs{max_steps} p USING (doc_id)
+  WHERE c.pos >= p.cut + {min_size}),
 cdcuts AS ({" UNION ALL ".join(union)}),
 cdc AS (
   SELECT g.doc_id,
-         CAST(coalesce(u.nc, 0) + 1 AS BIGINT) AS n_cdc_chunks,
+         CAST(CASE WHEN (SELECT n FROM cdcover) > 0
+              THEN error('cdc oracle: greedy walk overflow - a doc '
+                         || 'accepts more than {max_steps} cuts; raise '
+                         || 'max_steps in _cdc_sql_ctes')
+              ELSE coalesce(u.nc, 0) + 1 END AS BIGINT) AS n_cdc_chunks,
          substr(md5(coalesce(u.csv, '')), 1, 8) AS cdc_fp8
   FROM (SELECT doc_id FROM wgr WHERE grams IS NOT NULL) g
   LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc,

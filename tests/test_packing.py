@@ -540,7 +540,9 @@ def test_cdc_chunk_summary_matches_python_reference(spark, sf_dir):
             % 1_000_003
             for i in range(len(norm) - k + 1)
         ]
-        cuts, last = [], 0
+        # last inits at 1: the first chunk spans [1, cut), so the
+        # min_size floor applies to it exactly like every later chunk
+        cuts, last = [], 1
         for pos, h in enumerate(grams, start=1):
             if h % divisor == rem and pos - last >= min_size:
                 cuts.append(pos)
@@ -615,6 +617,47 @@ def test_cdc_edge_contracts_and_x08_columns(spark, sf_dir):
     # projections (the explode_outer/InferFiltersFromGenerate lesson,
     # filter-pushdown flavor) and run the fused O(n^2 k) form.
     assert x08.agg(F.max("n_cdc_chunks")).first()[0] <= 65
+
+
+def test_cdc_oracle_overflow_guard_fires(sf_dir):
+    """Round-12 advice fix: the DuckDB twin's unrolled greedy walk must
+    raise an EXPLICIT overflow through error() when a doc would accept
+    more cuts than the unroll depth — never silently truncate into a
+    downstream hash mismatch. max_steps=1 over the real corpus (where
+    many docs accept >= 2 cuts) must blow; the shipped depth of 64 must
+    stay quiet (x08's oracle hash-match plus the n_cdc_chunks <= 65
+    aggregate pin cover that side)."""
+    import duckdb
+    import pytest
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _cdc_sql_ctes,
+        _winnow_sql_ctes,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    body = "WITH {w},\n{c}\nSELECT max(n_cdc_chunks) FROM cdc"
+    with pytest.raises(duckdb.Error, match="overflow"):
+        con.sql(
+            body.format(
+                w=_winnow_sql_ctes("documents", "w"),
+                c=_cdc_sql_ctes(max_steps=1),
+            )
+        ).fetchall()
+    # and the same query at a sufficient depth returns without raising
+    assert (
+        con.sql(
+            body.format(
+                w=_winnow_sql_ctes("documents", "w"),
+                c=_cdc_sql_ctes(max_steps=64),
+            )
+        ).fetchall()[0][0]
+        <= 65
+    )
 
 
 def test_cdc_chunks_rows_consistent_with_summary(spark, sf_dir):
