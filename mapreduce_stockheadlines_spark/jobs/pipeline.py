@@ -17,6 +17,11 @@ operators composed the way a 100 TB pretraining-data job would use them.
       → dup-window gate        (optional: drop docs whose cross-doc
                                 duplicated-token-window fraction exceeds
                                 --max-dup-window-fraction)
+      → CDC chunk dedup        (optional: corpus-wide chunk-level dedup
+                                at content-defined boundaries — first
+                                occurrence of each chunk digest
+                                survives, text rebuilt normalized —
+                                --dedup-cdc-chunks/--cdc-min-size)
       → language + quality     (ONE fused stats projection over the RAW
                                 text, optionally with the named Gopher /
                                 C4 rule gates riding the same projection
@@ -115,6 +120,7 @@ def curate(
     chunk_sentences: bool = False,
     chunk_cdc: bool = False,
     cdc_min_size: int = 64,
+    dedup_cdc_chunks: bool = False,
     blocked_domains: DataFrame | None = None,
     strip_boilerplate: bool = False,
     max_dup_window_fraction: float | None = None,
@@ -389,6 +395,25 @@ def curate(
         docs = D.dedup_by_pairs(
             docs, wpairs, "doc_id",
             reliable_checkpoint=reliable_checkpoint,
+        )
+
+    # 2e. (optional) corpus-wide chunk-level dedup at content-defined
+    #     boundaries (dedup.cdc_chunk_dedup — the operation CDC exists
+    #     for: an edited doc re-shares every untouched chunk, so only
+    #     the first occurrence of each chunk digest survives). After the
+    #     doc-level collapses (whole-doc copies are gone, so the chunk
+    #     census sees only genuine partial sharing) and before the
+    #     stats/quality gates so the deduped text is what gets scored
+    #     and token-counted. NOTE: the rebuilt text is the whitespace-
+    #     normalized lowercased form (the cdc_chunks contract — content-
+    #     defined boundaries exist for dedup keys, and reflow/case noise
+    #     would defeat the stability they buy).
+    if dedup_cdc_chunks:
+        ded = D.cdc_chunk_dedup(
+            docs, "doc_id", "text", min_size=cdc_min_size
+        )
+        docs = docs.drop("text").join(
+            ded.select("doc_id", "text"), "doc_id"
         )
 
     # 3+4. language and quality gates from ONE fused stats projection,
@@ -880,8 +905,13 @@ def main(argv: list[str] | None = None) -> None:
                          "boundaries over normalized text; no token "
                          "budget — boundaries move with content)")
     ap.add_argument("--cdc-min-size", type=int, default=64,
-                    help="with --chunk-cdc: minimum chunk size in "
-                         "normalized characters")
+                    help="with --chunk-cdc/--dedup-cdc-chunks: minimum "
+                         "chunk size in normalized characters")
+    ap.add_argument("--dedup-cdc-chunks", action="store_true",
+                    help="corpus-wide chunk-level dedup at content-"
+                         "defined boundaries: drop every re-occurrence "
+                         "of a chunk digest (first (doc_id, chunk_id) "
+                         "survives), rebuild surviving text in order")
     ap.add_argument("--blocked-domains", default=None,
                     help="text file of blocked registered domains (one "
                          "per line); docs referencing any are dropped")
@@ -1121,6 +1151,7 @@ def main(argv: list[str] | None = None) -> None:
         chunk_sentences=args.chunk_sentences,
         chunk_cdc=args.chunk_cdc,
         cdc_min_size=args.cdc_min_size,
+        dedup_cdc_chunks=args.dedup_cdc_chunks,
         blocked_domains=blocked,
         strip_boilerplate=args.strip_boilerplate,
         max_dup_window_fraction=args.max_dup_window_fraction,

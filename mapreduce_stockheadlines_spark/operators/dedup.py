@@ -1081,3 +1081,90 @@ def remove_dup_windows(
             .alias("n_removed_tokens"),
         )
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    divisor: int = 64,
+    rem: int = 0,
+    min_size: int = 16,
+) -> DataFrame:
+    """Corpus-wide chunk-level dedup at content-defined boundaries —
+    the operation CDC chunking exists FOR (see packing.cdc_cuts_col:
+    boundaries move with content, so an edited document re-shares every
+    untouched chunk): every ``cdc_chunks`` chunk whose text digest has
+    been seen before is dropped, the FIRST occurrence under the
+    (id, chunk_id) total order surviving — the storage/training-dedup
+    rule (keep one copy), unlike ``line_dedup``'s boilerplate rule
+    (drop every copy of a repeated line).
+
+    Output: (id, text, n_cdc_chunks, n_chunks_removed) with the
+    surviving chunks of each doc rejoined in original order. Chunks
+    are substrings of the whitespace-normalized lowercased text (the
+    cdc_chunks contract), so the output text is NORMALIZED; docs too
+    short to produce grams pass through with their normalized text and
+    0/0 counts (NULL text -> '' — the line_dedup survival contract), a
+    doc whose every chunk is a re-occurrence comes out with '' text.
+
+    Scale shape: the survivor census aggregates min(struct(id,
+    chunk_id)) per 32-byte digest — map-side partial, one row per
+    DISTINCT chunk, so AQE broadcasts it when small and skew-handles
+    hot digests when not; the probe joins back on the digest; the
+    rebuild is one groupBy(id) with array_sort over (chunk_id, text)
+    structs. Chunk text crosses the wire once per join side, never the
+    whole corpus against itself."""
+    from .packing import cdc_chunks
+    from .textstats import _winnow_norm
+
+    chunks = cdc_chunks(df, id_col, text_col, k, divisor, rem, min_size)
+    digested = chunks.select(
+        "id",
+        "chunk_id",
+        "chunk_text",
+        F.md5(F.col("chunk_text").cast("binary")).alias("_dig"),
+    )
+    first = digested.groupBy("_dig").agg(
+        F.min(F.struct("id", "chunk_id")).alias("_first")
+    )
+    marked = digested.join(first, "_dig").withColumn(
+        "_keep",
+        (F.col("id") == F.col("_first.id"))
+        & (F.col("chunk_id") == F.col("_first.chunk_id")),
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct("chunk_id", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            "",
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cdc_chunks"),
+        F.sum((~F.col("_keep")).cast("int"))
+        .cast("bigint")
+        .alias("n_chunks_removed"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(_winnow_norm(F.col(text_col)), F.lit("")).alias("_norm"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("_kept_text", F.col("_norm")).alias(text_col),
+        F.coalesce("n_cdc_chunks", F.lit(0))
+        .cast("bigint")
+        .alias("n_cdc_chunks"),
+        F.coalesce("n_chunks_removed", F.lit(0))
+        .cast("bigint")
+        .alias("n_chunks_removed"),
+    )

@@ -569,17 +569,24 @@ def cdc_chunk_summary(
     min_size: int = 16,
 ) -> DataFrame:
     """(id, n_cdc_chunks, cdc_fp8) — the standalone operator form:
-    stages the rolling-hash gram array AND the cut-position walk
-    through bound columns (the winnow staging requirement — see
-    winnow_gram_col; one greedy walk per row) and projects the summary
-    from the staged cuts."""
-    from .textstats import winnow_gram_col
+    stages normalization, char codes, the rolling-hash gram array AND
+    the cut-position walk through bound columns (the winnow staging
+    requirement plus the round-12 staged-chars fast path — see
+    winnow_gram_from_chars; one greedy walk per row) and projects the
+    summary from the staged cuts."""
+    from .textstats import (
+        _winnow_norm,
+        winnow_char_col,
+        winnow_gram_from_chars,
+    )
 
     return (
         df.select(
             F.col(id_col).alias("id"),
-            winnow_gram_col(text_col, k).alias("_wg"),
+            _winnow_norm(F.col(text_col)).alias("_wn"),
         )
+        .select("id", winnow_char_col("_wn").alias("_wc"))
+        .select("id", winnow_gram_from_chars("_wc", k).alias("_wg"))
         .select(
             "id", cdc_cuts_col("_wg", divisor, rem, min_size).alias("_cuts")
         )
@@ -668,16 +675,21 @@ def cdc_chunks(
     filter would pushdown-inline the whole fused cuts(grams(norm))
     expression below the staging projects (the winnow_fingerprints
     lesson), and likewise nothing here filters on a staged column."""
-    from .textstats import _winnow_norm, winnow_gram_col
+    from .textstats import (
+        _winnow_norm,
+        winnow_char_col,
+        winnow_gram_from_chars,
+    )
 
     base = (
         df.select(
             F.col(id_col).alias("id"),
             _winnow_norm(F.col(text_col)).alias("_norm"),
         )
-        # winnow_gram_col re-normalizes internally; normalization is
-        # idempotent, so gram values over _norm equal grams over text
-        .withColumn("_wg", winnow_gram_col(F.col("_norm"), k))
+        # staged-chars fast path (round 12): char codes bound once, so
+        # the gram lambda does array lookups, not per-element regex
+        .withColumn("_wc", winnow_char_col(F.col("_norm")))
+        .withColumn("_wg", winnow_gram_from_chars(F.col("_wc"), k))
         .withColumn("_cuts", cdc_cuts_col("_wg", divisor, rem, min_size))
     )
     n = F.length("_norm")

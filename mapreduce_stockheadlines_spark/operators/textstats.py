@@ -483,12 +483,17 @@ def winnow_gram_col(text_col, k: int = 5) -> Column:
     stop yields the bogus [1, 0] index list, and a NULL n slips through
     greatest(), which skips NULLs).
 
-    MUST be materialized as its own column before ``winnow_sel_col``
-    consumes it: a HOF lambda body re-evaluates every free
-    subexpression PER ELEMENT, so nesting this O(n·k) array inside the
-    per-window transform would cost O(n²·k) per document (measured:
-    the fused form spun a 9-minute single-stage burn at sf0.001 that
-    the staged form does in seconds)."""
+    PERFORMANCE (round 12, measured): this one-expression convenience
+    form embeds the NORMALIZATION CHAIN in the lambda body, and a HOF
+    lambda re-evaluates every free subexpression PER ELEMENT — each
+    gram character pays the full trim(regexp_replace(lower(text)))
+    regex over the whole string, O(n²·k) per doc (65 s single-task for
+    5 K 300-char docs). Hosts on any hot path MUST use the staged pair
+    instead: bind ``_winnow_norm`` -> ``winnow_char_col`` ->
+    ``winnow_gram_from_chars`` (2.2 s for the same probe, 29x;
+    bit-identical values, pinned by
+    test_winnow_gram_staged_chars_equivalence). This form remains for
+    one-off/cold-path use and as the semantic reference."""
     if k < 2:
         raise ValueError("winnow: need k >= 2")
     norm = _winnow_norm(text_col)
@@ -499,6 +504,52 @@ def winnow_gram_col(text_col, k: int = 5) -> Column:
         acc = None
         for j, p in enumerate(pows):
             term = F.ascii(norm.substr(i + j, F.lit(1))).cast("long") * p
+            acc = term if acc is None else acc + term
+        return acc % WINNOW_MOD
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+    )
+
+
+def winnow_char_col(norm_col) -> Column:
+    """Char-code array of a BOUND ``_winnow_norm`` column (NULL for
+    NULL/empty normalized text) — the staging step that makes the gram
+    build O(n): each character's code is computed ONCE here (substr on
+    a plain attribute is cheap), so the gram lambda downstream does k
+    array lookups per position instead of k full-string regex
+    re-evaluations (the winnow_gram_col pathology). MUST itself be
+    bound before ``winnow_gram_from_chars`` consumes it — the same
+    per-element re-evaluation rule applies one level up."""
+    col = norm_col if isinstance(norm_col, Column) else F.col(norm_col)
+    return F.when(
+        F.length(col) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+        ),
+    )
+
+
+def winnow_gram_from_chars(chars_col, k: int = 5) -> Column:
+    """The winnow k-gram rolling-hash array from a BOUND
+    ``winnow_char_col`` array — value-identical to ``winnow_gram_col``
+    over the same text (same base-131 polynomial mod 1000003, same
+    NULL-when-shorter-than-k gate; equivalence pytest-pinned) at O(n·k)
+    ARRAY LOOKUPS instead of O(n²·k) regex re-evaluations (29x
+    measured; see winnow_gram_col). The chars argument is referenced
+    k + 1 times in the output tree, which keeps CollapseProject from
+    inlining the staged alias back."""
+    if k < 2:
+        raise ValueError("winnow: need k >= 2")
+    a = chars_col if isinstance(chars_col, Column) else F.col(chars_col)
+    n = F.size(a)
+    pows = [WINNOW_BASE ** (k - 1 - j) for j in range(k)]
+
+    def gram(i):
+        acc = None
+        for j, p in enumerate(pows):
+            term = F.element_at(a, i + j) * p
             acc = term if acc is None else acc + term
         return acc % WINNOW_MOD
 
@@ -551,13 +602,16 @@ def winnow_cols_from(sel_col) -> tuple[Column, Column]:
 def winnow_fingerprint_summary(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:
-    """(id, n_winnow, winnow_fp8) — the staged two-projection
-    composition of the three column builders above."""
+    """(id, n_winnow, winnow_fp8) — the staged composition of the
+    column builders above (norm -> chars -> grams -> selection, every
+    stage a bound column; the round-12 staged-chars fast path)."""
     return (
         df.select(
             F.col(id_col).alias("id"),
-            winnow_gram_col(text_col, k).alias("_wg"),
+            _winnow_norm(F.col(text_col)).alias("_wn"),
         )
+        .select("id", winnow_char_col("_wn").alias("_wc"))
+        .select("id", winnow_gram_from_chars("_wc", k).alias("_wg"))
         .select("id", winnow_sel_col("_wg", w).alias("_ws"))
         .select("id", *winnow_cols_from("_ws"))
     )
@@ -614,8 +668,10 @@ def winnow_fingerprints(
     return (
         df.select(
             F.col(id_col).alias("id"),
-            winnow_gram_col(text_col, k).alias("_wg"),
+            _winnow_norm(F.col(text_col)).alias("_wn"),
         )
+        .select("id", winnow_char_col("_wn").alias("_wc"))
+        .select("id", winnow_gram_from_chars("_wc", k).alias("_wg"))
         .select("id", sel.alias("_ws"))
         .select("id", F.explode_outer("_ws").alias("whash"))
         .filter(F.col("whash").isNotNull())
@@ -661,7 +717,16 @@ def winnow_neardup_pairs(
     # cost, measured; the dedup_by_pairs/x31 multi-consumer policy).
     # localCheckpoint by default; reliable_checkpoint=True writes to
     # the configured checkpoint dir for fault tolerance on a cluster.
-    fp = fp.checkpoint() if reliable_checkpoint else fp.localCheckpoint()
+    # eager=False (round-12 advice fix): the barrier materializes at
+    # the FIRST action, not at plan construction — merely building the
+    # x04 registry query (schema inspection, explain, warm-up) must
+    # not execute the full fingerprint pass, and the reliable variant
+    # must not demand a configured checkpoint dir at build time.
+    fp = (
+        fp.checkpoint(eager=False)
+        if reliable_checkpoint
+        else fp.localCheckpoint(eager=False)
+    )
     return winnow_pairs_from_fingerprints(
         fp, min_shared, winnow_rare_hashes(fp, max_df)
     )

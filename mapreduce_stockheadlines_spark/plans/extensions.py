@@ -714,18 +714,19 @@ def x08_text_stats(
         .withColumn("_lat", latin1)
         .withColumn("_gc", _gc_decorated())
         # winnowing MUST stage through bound columns: a HOF lambda
-        # re-evaluates free subexpressions per element, so the O(n·k)
-        # gram array nested inside the per-window transform costs
-        # O(n²·k) per doc (docstring at winnow_gram_col). Both stages
-        # are referenced >= 3 times in their consumers' trees, which is
-        # what keeps CollapseProject from inlining them back.
-        # the normalized text stages first: the gram lambda references
-        # it per element, so binding it turns a per-element regex chain
-        # into an attribute lookup (measured ~5% of the winnow stage —
-        # the window minima dominate, but the discipline is uniform).
-        # Normalization is idempotent, so gram values are unchanged.
+        # re-evaluates free subexpressions per element, so any chain
+        # nested inside a per-element lambda multiplies by n (docstring
+        # at winnow_gram_col). Every stage is referenced >= 3 times in
+        # its consumer's tree, which keeps CollapseProject from
+        # inlining the aliases back. The round-12 staged-chars fast
+        # path: _wcodes binds each character's code ONCE, so the gram
+        # lambda does k array lookups per position instead of k full-
+        # string regex re-evaluations (the winnow_gram_col form paid
+        # trim(regexp_replace(lower())) per element — a measured 29x
+        # on this exact stage).
         .withColumn("_wnorm", TS._winnow_norm(F.col("text")))
-        .withColumn("_wgrams", TS.winnow_gram_col(F.col("_wnorm")))
+        .withColumn("_wcodes", TS.winnow_char_col(F.col("_wnorm")))
+        .withColumn("_wgrams", TS.winnow_gram_from_chars(F.col("_wcodes")))
         .withColumn("_wsel", TS.winnow_sel_col("_wgrams"))
         # char-entropy stages its char array for the same reason
         .withColumn("_wchars", TS.char_array_col("text"))
@@ -3113,6 +3114,49 @@ ORDER BY s.doc_id
 # but exempt under min_line_chars=3. Output carries an md5 fingerprint
 # of the cleaned text (x12's redacted_fp pattern) rather than the text
 # itself.
+#
+# Round-12 zero-slot promotion: CDC chunk-level dedup
+# (operators/dedup.cdc_chunk_dedup — the operation content-defined
+# chunking exists FOR) rides the same slot as three more columns over a
+# planted EDITED-DOC corpus (_x25_cdc_docs): docs pair up as (2g,
+# 2g+1) on every third group; both members share the same 32-word
+# gid-stamped span, the odd member with one extra word inserted after
+# word 16. Content-defined boundaries realign right after the edit, so
+# the odd member's chunks dedup against the even member's except the
+# edited one — the "an edited document re-shares every untouched
+# chunk" scenario, pinned corpus-wide under the oracle (survivor =
+# min (doc_id, chunk_id) per chunk digest, rebuilt text fingerprinted).
+
+_X25_CDC_WORDS = 32
+_X25_CDC_EDIT_AT = 16  # odd member inserts its edit word after this many
+
+
+def _x25_cdc_docs(docs: DataFrame) -> DataFrame:
+    """The planted edited-pair corpus, synthesized from doc_id alone
+    (the x04 winnow-plant recipe — the group id is stamped into every
+    word so no chunk can collide across groups): even member = the
+    group span verbatim, odd member = the same span with one
+    'edit<doc_id>' word inserted. Restricted to every third group to
+    bound the bench-side gram cost (the oracle replays the same
+    modulo)."""
+    did = F.col("doc_id")
+    gid = F.floor(did / 2).cast("long")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(_X25_CDC_WORDS - 1)),
+        lambda i: F.concat(
+            F.lit("cdcseg"), gid.cast("string"), F.lit("w"), i.cast("string")
+        ),
+    )
+    edited = F.concat(
+        F.slice(words, 1, _X25_CDC_EDIT_AT),
+        F.array(F.concat(F.lit("edit"), did.cast("string"))),
+        F.slice(words, _X25_CDC_EDIT_AT + 1, _X25_CDC_WORDS - _X25_CDC_EDIT_AT),
+    )
+    text = F.concat_ws(
+        " ", F.when(did % 2 == 0, words).otherwise(edited)
+    )
+    return docs.filter(gid % 3 == 0).select("doc_id", text.alias("text"))
+
 
 def x25_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = parallel_table(spark, sf, "documents")
@@ -3130,15 +3174,96 @@ def x25_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         min_line_chars=3,
     )
-    return cleaned.select(
+    # CDC chunk-level dedup over the planted edited-pair corpus — the
+    # chunk-ROW path (posexplode in cdc_chunks) is in this lineage, so
+    # the oracle hash-match pins rows, census, survivor rule and
+    # rebuild end to end (VERDICT r11 #2/#3).
+    cdc = D.cdc_chunk_dedup(_x25_cdc_docs(docs), "doc_id", "text").select(
         "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("text_fp"),
-        "n_lines_removed",
-        F.length("text").cast("int").alias("n_chars_kept"),
-    ).orderBy("doc_id")
+        F.col("n_cdc_chunks").alias("cdc_n_chunks"),
+        F.col("n_chunks_removed").alias("cdc_n_removed"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias(
+            "cdc_kept_fp8"
+        ),
+    )
+    return (
+        cleaned.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("text_fp"),
+            "n_lines_removed",
+            F.length("text").cast("int").alias("n_chars_kept"),
+        )
+        .join(cdc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_fp",
+            "n_lines_removed",
+            "n_chars_kept",
+            "cdc_n_chunks",
+            "cdc_n_removed",
+            "cdc_kept_fp8",
+        )
+        .orderBy("doc_id")
+    )
 
 
-X25_SQL = """
+# The CDC-dedup arm re-derives the whole chunk-dedup pipeline: planted
+# edited-pair corpus -> winnow-contract grams -> unrolled greedy cut
+# walk (shared _cdc_sql_ctes; referencing its `cdc` CTE also arms the
+# overflow guard) -> chunk slicing -> first-occurrence survivor by
+# (doc_id, chunk_id) per chunk digest -> in-order rebuild + 8-hex
+# fingerprint of the rebuilt text.
+def _cdc_chunk_dedup_sql_ctes() -> str:
+    """ccuts/cbounds/cch/cmark/crebuild/cded chain replaying
+    dedup.cdc_chunk_dedup step for step — chunk slicing between the
+    greedy cuts, first-occurrence survivor by (doc_id, chunk_id) per
+    chunk digest, in-order rebuild. Expects ``_winnow_sql_ctes(src,
+    'w')`` and ``_cdc_sql_ctes()`` earlier in the same WITH (the wnrm/
+    wgr/cdcuts/cdc names); shared verbatim by the X25 oracle and the
+    operator's DuckDB pytest pin so the two pins cannot drift."""
+    return """ccuts AS (SELECT doc_id, list_sort(list(cut)) AS cuts
+          FROM cdcuts GROUP BY doc_id),
+cbounds AS (
+  SELECT n.doc_id, n.t,
+         list_concat([CAST(1 AS BIGINT)], coalesce(c.cuts, [])) AS starts,
+         list_concat(coalesce(c.cuts, []),
+                     [CAST(length(n.t) + 1 AS BIGINT)]) AS ends
+  FROM wnrm n
+  JOIN wgr g ON g.doc_id = n.doc_id AND g.grams IS NOT NULL
+  LEFT JOIN ccuts c ON c.doc_id = n.doc_id),
+cch AS (
+  SELECT doc_id, u.i - 1 AS chunk_id,
+         substr(t, CAST(u.s AS INT), CAST(u.e - u.s AS INT)) AS chunk_text
+  FROM cbounds,
+       unnest(list_transform(range(1, len(starts) + 1),
+         j -> struct_pack(i := j,
+                          s := starts[CAST(j AS INT)],
+                          e := ends[CAST(j AS INT)]))) AS tt(u)),
+cmark AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         row_number() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM cch),
+crebuild AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ''
+                             ORDER BY chunk_id), '') AS kept,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM cmark GROUP BY doc_id),
+cded AS (
+  SELECT n.doc_id,
+         coalesce(s.n_cdc_chunks, 0) AS cdc_n_chunks,
+         coalesce(r.n_removed, 0) AS cdc_n_removed,
+         coalesce(r.kept, coalesce(n.t, '')) AS cdc_kept_text,
+         substr(md5(coalesce(r.kept, coalesce(n.t, ''))), 1, 8)
+           AS cdc_kept_fp8
+  FROM wnrm n
+  LEFT JOIN cdc s ON s.doc_id = n.doc_id
+  LEFT JOIN crebuild r ON r.doc_id = n.doc_id)"""
+
+
+X25_SQL = f"""
 WITH aug AS (
   SELECT doc_id,
          'NAV HEADER v' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
@@ -3158,11 +3283,36 @@ out AS (SELECT doc_id,
                                    chr(10) ORDER BY pos), '') AS t2,
                CAST(count(c.line) AS BIGINT) AS n_lines_removed
         FROM lines l LEFT JOIN census c USING (line)
-        GROUP BY doc_id)
-SELECT doc_id, md5(t2) AS text_fp, n_lines_removed,
-       CAST(length(t2) AS INTEGER) AS n_chars_kept
-FROM out ORDER BY doc_id
-"""
+        GROUP BY doc_id),
+cdocs AS (
+  SELECT doc_id,
+         array_to_string(
+           CASE WHEN doc_id % 2 = 0 THEN words
+                ELSE list_concat(list_concat(
+                       words[1:{_X25_CDC_EDIT_AT}],
+                       ['edit' || CAST(doc_id AS VARCHAR)]),
+                       words[{_X25_CDC_EDIT_AT + 1}:{_X25_CDC_WORDS}])
+           END, ' ') AS text
+  FROM (SELECT doc_id,
+               list_transform(range(0, {_X25_CDC_WORDS}),
+                 i -> 'cdcseg' || CAST(doc_id // 2 AS VARCHAR)
+                      || 'w' || CAST(i AS VARCHAR)) AS words
+        FROM documents
+        WHERE (doc_id // 2) % 3 = 0)),
+{{wctes}},
+{{cdcctes}},
+{{dedctes}}
+SELECT o.doc_id, md5(o.t2) AS text_fp, o.n_lines_removed,
+       CAST(o_len AS INTEGER) AS n_chars_kept,
+       c.cdc_n_chunks, c.cdc_n_removed, c.cdc_kept_fp8
+FROM (SELECT *, length(t2) AS o_len FROM out) o
+LEFT JOIN cded c USING (doc_id)
+ORDER BY o.doc_id
+""".format(
+    wctes=_winnow_sql_ctes("cdocs", "w"),
+    cdcctes=_cdc_sql_ctes(),
+    dedctes=_cdc_chunk_dedup_sql_ctes(),
+)
 
 
 # --- x26 linear quality-classifier scoring + lexical relevance panel ---------

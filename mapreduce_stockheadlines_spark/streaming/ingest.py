@@ -95,6 +95,47 @@ def _bloom_history(spark, index_dir: str, batch_id: int, m_bits: int, seen):
     )
 
 
+# winnow_fingerprints' (k, w) — fixed here, but stamped into the index
+# anyway so a future configurable contract is already guarded
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def _winnow_params_check(
+    spark, index_dir: str, k: int, w: int, max_per_doc: int | None
+) -> None:
+    """Versioned-artifact contract for the winnow index (round-12 —
+    VERDICT r11 #5, the bloom m_bits precedent): (k, w, max_per_doc)
+    define which hashes the index rows CONTAIN, so a restart under a
+    different contract would probe an incompatible index silently — a
+    different k/w hashes a disjoint stream (zero recall, no error), a
+    different cap silently changes recall against history. The params
+    are stamped into ``<index_dir>/_params`` on first use and any later
+    mismatch fails the batch loudly. A missing stamp under an existing
+    index (pre-upgrade history) is stamped with the CURRENT config —
+    drift before the stamp existed is undetectable, and raising would
+    brick every pre-upgrade index."""
+    from ..sources.versioned import _fs
+
+    pdir = f"{index_dir}/_params"
+    cap = -1 if max_per_doc is None else int(max_per_doc)
+    fs, jvm = _fs(spark, pdir)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(pdir)):
+        row = spark.read.parquet(pdir).first()
+        have = (row["k"], row["w"], row["max_per_doc"])
+        if have != (k, w, cap):
+            raise ValueError(
+                f"winnow index at {index_dir} was built with "
+                f"(k, w, max_per_doc)={have}, sink configured "
+                f"({k}, {w}, {cap}); the index rows hash a different "
+                "stream — refusing to probe an incompatible index "
+                "(rebuild the index or restore the original config)"
+            )
+        return
+    spark.createDataFrame(
+        [(int(k), int(w), cap)], "k int, w int, max_per_doc int"
+    ).coalesce(1).write.mode("overwrite").parquet(pdir)
+
+
 def _history(spark, index_dir: str, batch_id: int):
     """Read a persistent per-batch-partitioned index EXCLUDING rows the
     current batch id wrote: foreachBatch is at-least-once, and on a
@@ -105,16 +146,17 @@ def _history(spark, index_dir: str, batch_id: int):
     the filter prunes whole partitions, so no historical data is read
     twice.
 
-    Returns ``None`` when the index path does not exist yet (first
-    batch). "No index yet" is detected by a filesystem stat, NOT by
-    catching AnalysisException: a corrupted or schema-drifted index
-    ALSO raises AnalysisException, and swallowing it would silently
-    re-admit the entire deduped history. Corruption must fail the
-    batch loudly."""
-    from ..sources.versioned import _fs
-
-    fs, jvm = _fs(spark, index_dir)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(index_dir)):
+    Returns ``None`` when the index holds no batch partitions yet
+    (first batch). "No index yet" is detected by a directory listing
+    for ``batch_id=`` partitions — NOT a bare path-exists stat (the
+    ``_params`` contract stamp creates the directory before the first
+    batch writes, and hidden ``_``-prefixed artifacts are invisible to
+    the parquet reader, so a stat-then-read would die on schema
+    inference), and NOT by catching AnalysisException: a corrupted or
+    schema-drifted index ALSO raises AnalysisException, and swallowing
+    it would silently re-admit the entire deduped history. Corruption
+    must fail the batch loudly."""
+    if not _batch_ids_on_disk(spark, index_dir):
         return None
     return spark.read.parquet(index_dir).filter(
         F.col("batch_id") < F.lit(batch_id)
@@ -375,6 +417,12 @@ def curated_ingest_sink(
                 winnow_rare_hashes,
             )
 
+            # contract check FIRST (cheap metadata read) — before any
+            # fingerprint work runs under a config the index can't serve
+            _winnow_params_check(
+                spark, winnow_index_dir,
+                _WINNOW_K, _WINNOW_W, winnow_max_per_doc,
+            )
             # one fingerprint pass per batch; localCheckpoint because
             # the index has multiple consumers below (census, both
             # self-join sides, the history probe, the index write) —

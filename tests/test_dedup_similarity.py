@@ -1355,6 +1355,121 @@ def test_line_dedup_null_text_and_metachar_sep(spark):
     assert out[2] == ("", 0)  # doc present, text coalesced to ''
 
 
+def test_cdc_chunk_dedup_edited_doc_scenario(spark):
+    """VERDICT r11 #2 — the operation CDC chunking exists for: an
+    edited document re-shares every untouched chunk. Doc 1 is the base
+    span, doc 2 the same span with one word inserted mid-way, doc 5 an
+    exact copy of doc 1; content-defined boundaries realign after the
+    edit so doc 2's chunks dedup against doc 1's except around the
+    edit, and the exact copy loses every chunk. First occurrence under
+    (id, chunk_id) survives; edge docs pass through normalized."""
+    base = " ".join(f"edseg9w{i}" for i in range(40))
+    words = base.split(" ")
+    edited = " ".join(words[:20] + ["editword"] + words[20:])
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, None), (4, "abc"), (5, base)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in D.cdc_chunk_dedup(df, "doc_id", "text").collect()
+    }
+    # first occurrence survives whole
+    assert out[1].text == base and out[1].n_chunks_removed == 0
+    assert out[1].n_cdc_chunks >= 3  # the span actually chunked
+    # the edited doc re-shares every chunk except the edited one (and
+    # at most one realignment neighbour)
+    assert out[2].n_chunks_removed >= out[2].n_cdc_chunks - 2 >= 1
+    assert "editword" in out[2].text  # the novel content is what's kept
+    # the exact copy loses everything
+    assert out[5].n_chunks_removed == out[5].n_cdc_chunks == out[1].n_cdc_chunks
+    assert out[5].text == ""
+    # chunk-less docs pass through normalized with 0/0
+    assert (out[3].text, out[3].n_cdc_chunks, out[3].n_chunks_removed) == ("", 0, 0)
+    assert (out[4].text, out[4].n_cdc_chunks, out[4].n_chunks_removed) == ("abc", 0, 0)
+
+
+def test_cdc_chunk_dedup_matches_duckdb(spark, sf_dir):
+    """The rebuilt TEXT itself (not just counts) pinned against a
+    DuckDB replay sharing the X25 oracle's exact CTE fragments
+    (_cdc_chunk_dedup_sql_ctes — the two pins cannot drift): real
+    corpus docs plus planted exact copies at doc_id + 1000, so the
+    survivor census carries a real removal signal (every copy chunk
+    drops) on top of the boundary/rebuild path."""
+    import duckdb
+
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        _cdc_chunk_dedup_sql_ctes,
+        _cdc_sql_ctes,
+        _winnow_sql_ctes,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    got = {
+        r.doc_id: (r.text, r.n_cdc_chunks, r.n_chunks_removed)
+        for r in D.cdc_chunk_dedup(both, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW cdocs AS "
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id < 40 "
+        f"UNION ALL "
+        f"SELECT doc_id + 1000, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') WHERE doc_id < 40"
+    )
+    sql = (
+        f"WITH {_winnow_sql_ctes('cdocs', 'w')},\n{_cdc_sql_ctes()},\n"
+        f"{_cdc_chunk_dedup_sql_ctes()}\n"
+        f"SELECT doc_id, cdc_kept_text, cdc_n_chunks, cdc_n_removed "
+        f"FROM cded ORDER BY doc_id"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.sql(sql).fetchall()
+    }
+    assert got == want
+    # the planted copies actually exercised removal: every chunk of a
+    # chunk-producing copy was dropped and its rebuilt text is empty
+    chunked_copies = [d for d in got if d >= 1000 and got[d][1] > 0]
+    assert chunked_copies
+    assert all(
+        got[d][2] == got[d][1] and got[d][0] == "" for d in chunked_copies
+    )
+
+
+def test_x25_cdc_columns_nondegenerate(spark, sf_dir):
+    """Promotion guard for the round-12 x25 zero-slot columns (plus the
+    planted edited-pair semantics: even members never lose a chunk,
+    and the arm's odd members carry the removal signal in aggregate)."""
+    from conftest import assert_column_nondegenerate
+
+    from mapreduce_stockheadlines_spark.plans.extensions import (
+        x25_line_dedup,
+    )
+
+    x25 = x25_line_dedup(spark, sf_dir)
+    for col in ("cdc_n_chunks", "cdc_n_removed", "cdc_kept_fp8"):
+        assert_column_nondegenerate(x25, col, f"at {sf_dir}")
+    arm = x25.filter(F.col("cdc_n_chunks").isNotNull())
+    agg = arm.agg(
+        F.max(F.when(F.col("doc_id") % 2 == 0, F.col("cdc_n_removed"))).alias(
+            "even_max"
+        ),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 1, F.col("cdc_n_removed"))
+        ).alias("odd_sum"),
+    ).first()
+    assert agg.even_max == 0  # first occurrences always survive whole
+    assert agg.odd_sum >= 1  # edited members re-share chunks
+
+
 def test_int8_quantization_roundtrip_and_bounds(spark):
     """Symmetric int8 quantizer: codes within [-127, 127], per-element
     reconstruction error ≤ scale/2, exact roundtrip when values sit on

@@ -1789,6 +1789,42 @@ SELECT doc_id FROM mlex WHERE ml_excess_fp < 0"""
     assert d3_ids - off, "Moore-Lewis gate dropped everything"
 
 
+def test_curate_cdc_chunk_dedup_stage(spark):
+    """curate(dedup_cdc_chunks=True): the stage-2e composition — a doc
+    embedding a long span copied from an earlier doc keeps its original
+    prose but loses the copied span's chunks (partial overlap that the
+    whole-doc near-dup stages deliberately pass), the first doc stays
+    intact (normalized), and the gates downstream score the REBUILT
+    text."""
+    import re
+
+    span = (
+        "the quarterly earnings statement shows revenue growth across "
+        "all business segments with particularly strong performance in "
+        "the cloud division where margins expanded again this year"
+    )
+    original = (
+        "completely different prose about mountain weather patterns and "
+        "the migration of birds across the northern hemisphere in autumn "
+        "when the passes close early and the valleys fill with fog"
+    )
+    docs = spark.createDataFrame(
+        [(1, span, "s"), (2, original + " " + span, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = curate(
+        docs, lang="en", min_quality=0.0, jaccard_threshold=0.9,
+        dedup_cdc_chunks=True, cdc_min_size=32,
+    )
+    got = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    norm = lambda s: re.sub(r"\s+", " ", s.lower()).strip()  # noqa: E731
+    assert got[1] == norm(span)  # first occurrence survives whole
+    # the copier keeps its original prose but lost copied-span chunks
+    assert got[2].startswith(norm(original)[:40])
+    assert len(got[2]) < len(norm(original + " " + span))
+
+
 def test_curate_cdc_chunking_stage(spark):
     """curate(chunk_cdc=True): survivors split at content-defined
     boundaries — chunk rows reassemble each parent's NORMALIZED text,

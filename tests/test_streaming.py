@@ -1217,3 +1217,21 @@ def test_curated_ingest_incremental_winnow(spark, tmp_path):
         r.id for r in spark.read.parquet(widx).select("id").distinct().collect()
     }
     assert widx_ids == {1, 2, 8}
+    # round-12 (VERDICT r11 #5): the index carries its (k, w,
+    # max_per_doc) contract stamp, and a restart under a different
+    # contract must fail LOUDLY before probing — rows hashed under a
+    # different cap/k/w would silently lose recall against history
+    prow = spark.read.parquet(f"{widx}/_params").first()
+    assert (prow.k, prow.w, prow.max_per_doc) == (5, 4, 256)
+    import pytest as _pytest
+
+    spark.createDataFrame([(9, fresh)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "r3"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    with _pytest.raises(Exception, match="incompatible index"):
+        run_curated_ingest(
+            stream, out, idx, str(tmp_path / "ck2"),
+            winnow_min_shared=5, winnow_index_dir=widx,
+            winnow_max_per_doc=8,
+        )

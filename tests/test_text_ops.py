@@ -867,6 +867,50 @@ def test_winnow_max_per_doc_cap_semantics(spark):
         ).collect()
 
 
+def test_winnow_gram_staged_chars_equivalence(spark, sf_dir):
+    """Round-12 staged-chars fast path (29x measured on the x08 winnow
+    stage): the norm -> winnow_char_col -> winnow_gram_from_chars
+    staging must reproduce winnow_gram_col's hash arrays BIT FOR BIT —
+    on real corpus docs and on every edge (NULL, empty, shorter-than-k,
+    exactly-k, unicode). The one-expression form stays the semantic
+    reference; every hot path runs the staged form, and this pin is
+    what lets the two coexist."""
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+    from mapreduce_stockheadlines_spark.plans.catalog import table
+
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    edges = spark.createDataFrame(
+        [
+            (1001, None),
+            (1002, ""),
+            (1003, "   "),
+            (1004, "abc"),
+            (1005, "abcd"),
+            (1006, "abcde"),
+            (1007, "café 中文 😀 MIXED  Case\t\nreflow"),
+        ],
+        "doc_id long, text string",
+    )
+    df = corpus.unionByName(edges)
+    both = (
+        df.withColumn("_wn", TS._winnow_norm(F.col("text")))
+        .withColumn("_wc", TS.winnow_char_col("_wn"))
+        .select(
+            "doc_id",
+            TS.winnow_gram_from_chars("_wc").alias("fast"),
+            TS.winnow_gram_col(F.col("text")).alias("ref"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert r.fast == r.ref, r.doc_id
+
+
 def test_winnow_and_cdc_unicode_contract(spark):
     """The winnow/CDC rolling-hash contract holds on FULL Unicode text,
     not just the ASCII shipped corpus: Spark's ascii()/substr()/length()
