@@ -4,10 +4,11 @@ one row per metric, computed by composing the engine's own operators.
     python -m mapreduce_stockheadlines_spark.jobs.report [--sf-dir DIR]
 
 Metrics: corpus size (docs/chars/tokens), language distribution, quality
-score quartiles, exact- and line-level duplication rates, PII incidence,
-URL/domain presence, classifier-score mean — every number derived from
-the same operator a pipeline gate would use, so the report IS a dry run
-of the curation signals.
+score quartiles, exact- and line-level duplication rates, duplicated-
+span incidence (winnow pair rate), CDC chunk count/size stats, PII
+incidence, URL/domain presence, classifier-score mean — every number
+derived from the same operator a pipeline gate would use, so the report
+IS a dry run of the curation signals.
 
 Shape: each contributing operator is one scan/aggregation over the
 corpus; the final result is a UNION of tiny (metric, value) aggregates —
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import packing as PK
 from ..operators import textstats as TS
 from ..plans.catalog import DEFAULT_SF_DIR, parallel_table
 from ..session import get_spark
@@ -136,6 +138,55 @@ def corpus_report(
         "dup_window_frac_mean",
         F.avg("dup_fraction"),
     )
+    # duplicated-SPAN incidence (round 12 — the report predated the
+    # winnow family): fraction of docs sharing >= 5 selected winnow
+    # fingerprints with at least one other doc, the partial-overlap
+    # signal the --winnow-min-shared collapse acts on. The whole-doc
+    # rates above miss it: a long copied span inside otherwise original
+    # docs moves neither exact_dup_frac nor MinHash similarity.
+    # Census-guarded self-join (max_df default) — never all-pairs.
+    wpairs = TS.winnow_neardup_pairs(docs, id_col, text_col, min_shared=5)
+    winnow_rate = (
+        wpairs.select(F.col("id_a").alias("_pid"))
+        .unionAll(wpairs.select(F.col("id_b").alias("_pid")))
+        .distinct()
+        .agg(
+            F.lit("winnow_pair_doc_frac").alias("metric"),
+            F.round(
+                F.count(F.lit(1)) / F.lit(float(max(total, 1))), 4
+            ).alias("value"),
+        )
+    )
+    # CDC chunk stats (round 12): chunks per chunked doc + chunk-size
+    # quartiles at curate's --dedup-cdc-chunks/--cdc-min-size default
+    # geometry — the numbers that size a chunk-digest dedup index.
+    # One agg over the chunk rows; the explode unpivots all four
+    # metrics out of the single 1-row aggregate (the rule_rates shape).
+    chunks = PK.cdc_chunks(docs, id_col, text_col, min_size=64)
+    cdc_stats = (
+        chunks.agg(
+            (
+                F.count(F.lit(1))
+                / F.greatest(F.count_distinct("id"), F.lit(1))
+            ).alias("m"),
+            F.percentile_approx("n_chunk_chars", 0.25).alias("p25"),
+            F.percentile_approx("n_chunk_chars", 0.5).alias("p50"),
+            F.percentile_approx("n_chunk_chars", 0.75).alias("p75"),
+        ).select(
+            F.explode(
+                F.create_map(
+                    F.lit("cdc_chunks_per_doc_mean"),
+                    F.round(F.col("m"), 4),
+                    F.lit("cdc_chunk_chars_p25"),
+                    F.col("p25").cast("double"),
+                    F.lit("cdc_chunk_chars_p50"),
+                    F.col("p50").cast("double"),
+                    F.lit("cdc_chunk_chars_p75"),
+                    F.col("p75").cast("double"),
+                )
+            ).alias("metric", "value")
+        )
+    )
     # named-rule pass rates (round 8): the fraction of docs the Gopher
     # appendix-A1.1 / deterministic C4 conjunctions would keep — the
     # dataset-card numbers a --gopher-rules / --c4-rules gate acts on.
@@ -173,6 +224,8 @@ def corpus_report(
         .unionAll(urls)
         .unionAll(clf)
         .unionAll(dupwin)
+        .unionAll(winnow_rate)
+        .unionAll(cdc_stats)
         .unionAll(rule_rates)
     )
     if tokenizer_pieces is not None:

@@ -2483,12 +2483,19 @@ def test_round8_promoted_columns_nondegenerate(spark, sf_dir):
     short_pairs = [
         (2 * g, 2 * g + 1) for g in range(n_docs // 2) if g % 3 == 1
     ]
-    assert long_pairs and all(
-        won.get(p, 0) >= 2 for p in long_pairs
-    ), f"planted long-span winnow pairs missing at {sf_dir}"
-    assert any(
-        p not in won for p in short_pairs
-    ), f"no short-span pair was threshold-filtered at {sf_dir}"
+    # planted-pair assertions hold only when the census actually drops
+    # the ubiquitous boilerplate, which needs n_docs comfortably past
+    # the arm's max_df=20 (round-12 advice fix: at a tiny SF the
+    # boilerplate passes the census and the short-pair filter check
+    # would fail spuriously — the registry oracle still pins the full
+    # pair set there, both engines replaying the same census)
+    if n_docs > 2 * 20:
+        assert long_pairs and all(
+            won.get(p, 0) >= 2 for p in long_pairs
+        ), f"planted long-span winnow pairs missing at {sf_dir}"
+        assert any(
+            p not in won for p in short_pairs
+        ), f"no short-span pair was threshold-filtered at {sf_dir}"
     assert (
         x04.filter(F.col("kind") != "winnow")
         .filter(F.col("n_shared").isNotNull())

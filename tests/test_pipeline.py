@@ -499,6 +499,24 @@ def test_corpus_report_values(spark):
     # rule and C4's >= 3 sentence rule
     assert rep["gopher_kept_frac"] == 0.0
     assert rep["c4_kept_frac"] == 0.0
+    # round-12 rows — duplicated-span incidence: the verbatim pair 1/2
+    # shares every winnow fingerprint (>= 5), docs 3/4 share only
+    # incidental common-5-gram hashes (< 5) -> 2 of 4 docs paired
+    assert rep["winnow_pair_doc_frac"] == 0.5
+    # CDC chunk stats at the curate default geometry (min_size=64):
+    # every ~50-char doc is a single whole-doc chunk whose size is its
+    # normalized length
+    assert rep["cdc_chunks_per_doc_mean"] == 1.0
+    norm_lens = sorted(
+        float(len(re.sub(r"\s+", " ", t.lower()).strip())) for _, t in rows
+    )
+    qs = [
+        rep["cdc_chunk_chars_p25"],
+        rep["cdc_chunk_chars_p50"],
+        rep["cdc_chunk_chars_p75"],
+    ]
+    assert qs == sorted(qs)
+    assert all(q in norm_lens for q in qs)
 
 
 def test_gates_pass_unscorable_docs(spark):
