@@ -1126,6 +1126,14 @@ def cdc_chunk_dedup(
         "chunk_text",
         F.md5(F.col("chunk_text").cast("binary")).alias("_dig"),
     )
+    # TWO consumers below (survivor census + probe side) — barrier the
+    # chunk pipeline (norm/chars/grams/cuts/explode) so it runs once,
+    # not once per consumer (the winnow_neardup_pairs policy; lazy so
+    # plan builds stay build-only). A row_number window over _dig would
+    # avoid the self-join entirely but serializes each digest's rows
+    # into one partition — the census+min+join form keeps map-side
+    # partials, which is what absorbs a billion-copy hot chunk.
+    digested = digested.localCheckpoint(eager=False)
     first = digested.groupBy("_dig").agg(
         F.min(F.struct("id", "chunk_id")).alias("_first")
     )

@@ -147,16 +147,37 @@ def _history(spark, index_dir: str, batch_id: int):
     twice.
 
     Returns ``None`` when the index holds no batch partitions yet
-    (first batch). "No index yet" is detected by a directory listing
-    for ``batch_id=`` partitions — NOT a bare path-exists stat (the
-    ``_params`` contract stamp creates the directory before the first
-    batch writes, and hidden ``_``-prefixed artifacts are invisible to
-    the parquet reader, so a stat-then-read would die on schema
-    inference), and NOT by catching AnalysisException: a corrupted or
-    schema-drifted index ALSO raises AnalysisException, and swallowing
-    it would silently re-admit the entire deduped history. Corruption
-    must fail the batch loudly."""
-    if not _batch_ids_on_disk(spark, index_dir):
+    (first batch). "No index yet" is detected by a directory listing —
+    NOT a bare path-exists stat (the ``_params`` contract stamp
+    creates the directory before the first batch writes, and hidden
+    ``_``-prefixed artifacts are invisible to the parquet reader, so a
+    stat-then-read would die on schema inference), and NOT by catching
+    AnalysisException: a corrupted or schema-drifted index ALSO raises
+    AnalysisException, and swallowing it would silently re-admit the
+    entire deduped history. A directory holding any VISIBLE entry that
+    is not a ``batch_id=`` partition is exactly that corruption case
+    and fails the batch loudly."""
+    from ..sources.versioned import _fs
+
+    fs, jvm = _fs(spark, index_dir)
+    p = jvm.org.apache.hadoop.fs.Path(index_dir)
+    if not fs.exists(p):
+        return None
+    batches, foreign = 0, []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            batches += 1
+        elif not name.startswith(("_", ".")):
+            foreign.append(name)
+    if foreign:
+        raise ValueError(
+            f"index at {index_dir} contains non-partition entries "
+            f"{foreign[:5]} — corrupted or foreign data; refusing to "
+            "treat it as an empty index (that would silently re-admit "
+            "deduped history)"
+        )
+    if batches == 0:
         return None
     return spark.read.parquet(index_dir).filter(
         F.col("batch_id") < F.lit(batch_id)
