@@ -144,8 +144,14 @@ def corpus_report(
     # signal the --winnow-min-shared collapse acts on. The whole-doc
     # rates above miss it: a long copied span inside otherwise original
     # docs moves neither exact_dup_frac nor MinHash similarity.
-    # Census-guarded self-join (max_df default) — never all-pairs.
-    wpairs = TS.winnow_neardup_pairs(docs, id_col, text_col, min_shared=5)
+    # Always-on like the dup-window branch (one more curation signal
+    # over the same corpus, staged-chars gram build), but BOUNDED like
+    # the streaming sink: max_per_doc caps the index at 256 smallest
+    # hashes per doc (the uncapped index is the operator's documented
+    # corpus-scale hazard) and the max_df census guards the self-join.
+    wpairs = TS.winnow_neardup_pairs(
+        docs, id_col, text_col, min_shared=5, max_per_doc=256
+    )
     winnow_rate = (
         wpairs.select(F.col("id_a").alias("_pid"))
         .unionAll(wpairs.select(F.col("id_b").alias("_pid")))

@@ -42,14 +42,64 @@ _SCAN_ADJACENT_OPS = (
 # interpreted, per element, re-computing every free subexpression. A
 # FLAT lambda at a scan filter (e.g. x30's token-count gate
 # size(filter(split(text), len > 0)) >= 8) is a cheap linear scan and
-# legitimate; the pathology is a NESTED one — a lambda whose body
-# contains another HOF walks a whole array per element, O(n^2) and
-# worse, which is the signature of Catalyst having inlined a staged
-# expensive column below its staging Project (the round-11 measured
-# pathology: PushDownPredicates + InferFiltersFromGenerate fused the
-# winnow sel(grams(text)) chain into a ~1 min/doc scan Filter; see
-# operators/textstats.winnow_fingerprints).
+# legitimate; the pathology is a lambda whose BODY re-does whole-input
+# work per element — either a NESTED lambda (the body walks another
+# array, O(n^2) and worse: the round-11 fused winnow sel(grams(text))
+# form, ~1 min/doc) or a free string-derivation chain (the round-12
+# staged-chars case: a pushed predicate inlined
+# trim(regexp_replace(lower(text))) into the char-code lambda, the
+# full regex re-run per element — the measured 29x). Both are the
+# signature of Catalyst having inlined a staged expensive column below
+# its staging Project; see operators/textstats.winnow_fingerprints and
+# winnow_gram_col.
 _HOF_MARKER = "lambdafunction("
+
+# Whole-input derivation calls that have no business INSIDE a lambda
+# body at a scan filter UNLESS they operate on the lambda variable:
+# applied to a FREE input (an attribute chain), each re-runs over that
+# whole input per element — the inlined-staging shape. Element-scoped
+# uses (x24 regex-normalizes each extracted URL:
+# regexp_replace(lambda x, ...)) are legitimate and recognized by the
+# call's argument extent referencing ``lambda ``. transform/aggregate/
+# filter nested inside a lambda render their own lambdafunction( and
+# are caught by the nested rule; this list catches the lambda-free
+# re-derivations.
+_EXPENSIVE_IN_LAMBDA = (
+    "regexp_replace(",
+    "regexp_extract",
+    "split(",
+    "sequence(",
+    "from_json(",
+)
+
+
+def _paren_extent(s: str, open_idx: int) -> str:
+    """The balanced-paren span starting at ``s[open_idx] == '('``;
+    fails open to end-of-string on unbalanced renders."""
+    depth, i = 1, open_idx + 1
+    while i < len(s) and depth > 0:
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        i += 1
+    return s[open_idx:i]
+
+
+def _free_expensive_call(body: str) -> str | None:
+    """The first expensive-call marker in a lambda body whose argument
+    extent does NOT reference the lambda variable — a whole-input
+    re-derivation per element — or None."""
+    for marker in _EXPENSIVE_IN_LAMBDA:
+        start = body.find(marker)
+        while start != -1:
+            op = body.find("(", start + len(marker) - 1)
+            if op == -1:
+                break
+            if "lambda " not in _paren_extent(body, op):
+                return marker.rstrip("(")
+            start = body.find(marker, op + 1)
+    return None
 
 # Opt-in size backstop for scan-level Filter conditions. OFF by
 # default: rendered size alone does not mean per-row expense — x24's
@@ -61,11 +111,13 @@ _HOF_MARKER = "lambdafunction("
 DEFAULT_MAX_SCAN_FILTER_CHARS: int | None = None
 
 
-def _has_nested_hof(cond: str) -> bool:
-    """True when a rendered lambda BODY contains another lambda — the
-    quadratic re-evaluation signature (a per-element body walking an
-    array). Walks balanced parens from each ``lambdafunction(``; an
-    unbalanced render (parens inside a string literal) fails open to
+def _expensive_lambda_body(cond: str) -> str | None:
+    """The quadratic re-evaluation signature, or None: a rendered
+    lambda BODY that contains either another lambda (per-element array
+    walk) or a whole-input derivation call (per-element regex/split
+    chain over a free input — the inlined-staging shape). Walks
+    balanced parens from each ``lambdafunction(``; an unbalanced
+    render (parens inside a string literal) fails open to
     end-of-string, which only widens the net."""
     start = cond.find(_HOF_MARKER)
     while start != -1:
@@ -77,10 +129,17 @@ def _has_nested_hof(cond: str) -> bool:
             elif cond[i] == ")":
                 depth -= 1
             i += 1
-        if _HOF_MARKER in cond[start + len(_HOF_MARKER) : i]:
-            return True
+        body = cond[start + len(_HOF_MARKER) : i]
+        if _HOF_MARKER in body:
+            return "a NESTED HOF lambda (per-element array walk)"
+        hit = _free_expensive_call(body)
+        if hit is not None:
+            return (
+                f"a lambda body re-deriving '{hit}' over a free input "
+                "per element (inlined staged chain)"
+            )
         start = cond.find(_HOF_MARKER, i)
-    return False
+    return None
 
 
 class PlanGuardError(RuntimeError):
@@ -184,13 +243,14 @@ def check_plan(
                 "scan under a Filter has an empty PushedFilters list"
             )
     for nid, cond in _scan_filter_conditions(plan):
-        if _has_nested_hof(cond):
+        why = _expensive_lambda_body(cond)
+        if why is not None:
             violations.append(
-                f"scan-level Filter ({nid}) contains a NESTED HOF "
-                "lambda — a staged expensive expression was "
-                "pushdown-inlined below its staging Project (filter on "
-                "a generated/aggregated value instead of the staged "
-                "column; see textstats.winnow_fingerprints)"
+                f"scan-level Filter ({nid}) contains {why} — a staged "
+                "expensive expression was pushdown-inlined below its "
+                "staging Project (filter on a generated/aggregated "
+                "value instead of the staged column; see "
+                "textstats.winnow_fingerprints)"
             )
         elif (
             max_scan_filter_chars is not None
@@ -201,14 +261,23 @@ def check_plan(
                 f"{len(cond)} chars (max {max_scan_filter_chars}) — "
                 "likely an inlined staged expression"
             )
-    for dm in re.finditer(r"DataFilters: \[(.*?)\]\n", plan, re.S):
-        if _has_nested_hof(dm.group(1)):
-            violations.append(
-                "scan DataFilters contain a nested HOF lambda — a "
-                "staged expensive expression was pushdown-inlined into "
-                "the scan"
-            )
-            break
+    # DataFilters render on ONE line and are truncated to
+    # spark.sql.maxMetadataStringLength (default 100 chars), so this
+    # arm is best-effort: a long fused expression may be cut before
+    # its lambda appears (the untruncated Condition arm above is the
+    # primary check; a never-terminated multi-line regex here used to
+    # capture unrelated plan lines — round-12 review finding).
+    for ln in plan.splitlines():
+        stripped = ln.strip()
+        if stripped.startswith("DataFilters:"):
+            why = _expensive_lambda_body(stripped)
+            if why is not None:
+                violations.append(
+                    f"scan DataFilters contain {why} — a staged "
+                    "expensive expression was pushdown-inlined into "
+                    "the scan"
+                )
+                break
     return violations
 
 

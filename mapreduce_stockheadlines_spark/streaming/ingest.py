@@ -113,27 +113,47 @@ def _winnow_params_check(
     mismatch fails the batch loudly. A missing stamp under an existing
     index (pre-upgrade history) is stamped with the CURRENT config —
     drift before the stamp existed is undetectable, and raising would
-    brick every pre-upgrade index."""
+    brick every pre-upgrade index. An EMPTY or uncommitted stamp dir
+    (a crash mid-write leaves only hidden _temporary/_SUCCESS debris,
+    or a committed-but-rowless dataset) carries no contract
+    information and is re-stamped the same way — self-heal, never
+    brick (round-12 review finding: the naive exists-then-read path
+    died on schema inference forever after one interrupted write)."""
     from ..sources.versioned import _fs
 
     pdir = f"{index_dir}/_params"
     cap = -1 if max_per_doc is None else int(max_per_doc)
     fs, jvm = _fs(spark, pdir)
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(pdir)):
-        row = spark.read.parquet(pdir).first()
-        have = (row["k"], row["w"], row["max_per_doc"])
-        if have != (k, w, cap):
-            raise ValueError(
-                f"winnow index at {index_dir} was built with "
-                f"(k, w, max_per_doc)={have}, sink configured "
-                f"({k}, {w}, {cap}); the index rows hash a different "
-                "stream — refusing to probe an incompatible index "
-                "(rebuild the index or restore the original config)"
-            )
+
+    def _stamp():
+        spark.createDataFrame(
+            [(int(k), int(w), cap)], "k int, w int, max_per_doc int"
+        ).coalesce(1).write.mode("overwrite").parquet(pdir)
+
+    p = jvm.org.apache.hadoop.fs.Path(pdir)
+    if not fs.exists(p):
+        _stamp()
         return
-    spark.createDataFrame(
-        [(int(k), int(w), cap)], "k int, w int, max_per_doc int"
-    ).coalesce(1).write.mode("overwrite").parquet(pdir)
+    has_data = any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(p)
+    )
+    if not has_data:
+        _stamp()
+        return
+    row = spark.read.parquet(pdir).first()
+    if row is None:
+        _stamp()
+        return
+    have = (row["k"], row["w"], row["max_per_doc"])
+    if have != (k, w, cap):
+        raise ValueError(
+            f"winnow index at {index_dir} was built with "
+            f"(k, w, max_per_doc)={have}, sink configured "
+            f"({k}, {w}, {cap}); the index rows hash a different "
+            "stream — refusing to probe an incompatible index "
+            "(rebuild the index or restore the original config)"
+        )
 
 
 def _history(spark, index_dir: str, batch_id: int):

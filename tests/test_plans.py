@@ -272,9 +272,24 @@ def test_plan_guard_catches_staged_hof_inlining(spark, sf_dir):
         .select("doc_id", F.size("_ws").alias("n"))
     )
     violations = check_plan(fused)
-    assert violations and any("NESTED HOF" in v for v in violations), (
+    # the first rendered lambda in the fused chain may classify as
+    # nested-HOF or as a free-input re-derivation depending on render
+    # order — either way the trap must be called out as inlining
+    assert violations and any("pushdown-inlined" in v for v in violations), (
         violations
     )
+    # the FLAT variant of the same trap (round-12 review finding): a
+    # predicate on the staged char-code column inlines the whole
+    # normalization regex chain into a single flat lambda — no nested
+    # lambda, but the chain re-runs per element (the measured 29x)
+    flat_fused = (
+        docs.withColumn("_wn", TS._winnow_norm(F.col("text")))
+        .withColumn("_wc", TS.winnow_char_col("_wn"))
+        .filter(F.size("_wc") > 0)
+        .select("doc_id", F.size("_wc").alias("n"))
+    )
+    fv = check_plan(flat_fused)
+    assert fv and any("re-deriving" in v for v in fv), fv
     # the engineered-out form infers no pushable predicate and stays clean
     assert check_plan(TS.winnow_fingerprints(docs, "doc_id", "text")) == []
     # a cheap FLAT lambda at the scan (the x30 shape) is legitimate

@@ -837,6 +837,38 @@ def test_media_ingest_phash_index(spark, tmp_path):
     assert sorted(set(r.id for r in idx.collect())) == [1, 11]
 
 
+def test_winnow_params_stamp_self_heals(spark, tmp_path):
+    """The (k, w, cap) stamp contract end to end: first use stamps,
+    matching config passes, mismatch raises, and an INTERRUPTED stamp
+    write (dir exists, no committed data files) self-heals by
+    re-stamping instead of bricking every restart (round-12 review
+    finding)."""
+    import pathlib
+    import shutil
+
+    import pytest
+
+    from mapreduce_stockheadlines_spark.streaming.ingest import (
+        _winnow_params_check,
+    )
+
+    d = str(tmp_path / "widx")
+    _winnow_params_check(spark, d, 5, 4, 256)  # first use stamps
+    _winnow_params_check(spark, d, 5, 4, 256)  # same config passes
+    with pytest.raises(ValueError, match="incompatible index"):
+        _winnow_params_check(spark, d, 5, 4, 8)
+    # simulate the crash-mid-write state: directory present, no
+    # committed part files (only hidden debris at most)
+    for f in pathlib.Path(d, "_params").iterdir():
+        if f.is_file():
+            f.unlink()
+        else:
+            shutil.rmtree(f)
+    _winnow_params_check(spark, d, 5, 4, 8)  # re-stamps, no raise
+    with pytest.raises(ValueError, match="incompatible index"):
+        _winnow_params_check(spark, d, 5, 4, 256)
+
+
 def test_curated_ingest_corrupted_index_fails_loudly(spark, tmp_path):
     """An index dir that EXISTS but cannot be read as parquet (corrupted
     / schema-drifted) must fail the batch, not silently be treated as
