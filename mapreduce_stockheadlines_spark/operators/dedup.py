@@ -330,13 +330,38 @@ def signature_agreement(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows each; docs sharing any band key become a
     candidate pair. The band key is a digest, so the self-join shuffles
-    fixed-width keys; output is distinct (id_a < id_b) pairs."""
+    fixed-width keys; output is distinct (id_a < id_b) pairs.
+
+    ``max_bucket_size`` (round 12 — the winnow family's max_df bound
+    brought to the MinHash side): buckets holding more than this many
+    docs are dropped BEFORE the self-join by one census aggregation —
+    the over-full bucket is exactly the key whose pair fan-out goes
+    quadratic, and a bucket the whole corpus falls into carries no
+    pair-discriminating signal (its members still pair through their
+    other, selective bands). None (the default, and the registry
+    oracle's contract) keeps every bucket."""
     stacked = signature_bands(sig, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"lsh: max_bucket_size must be >= 2, got {max_bucket_size}"
+            )
+        small = (
+            stacked.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        stacked = stacked.join(small, "bucket")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

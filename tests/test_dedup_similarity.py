@@ -1355,6 +1355,38 @@ def test_line_dedup_null_text_and_metachar_sep(spark):
     assert out[2] == ("", 0)  # doc present, text coalesced to ''
 
 
+def test_lsh_max_bucket_size_drops_hot_buckets_only(spark):
+    """The round-12 hot-bucket bound on the MinHash band join (the
+    winnow max_df analogue): a bucket the whole corpus shares is
+    dropped before the self-join, while pairs that also collide in a
+    selective bucket survive. Planted: 20 identical 'hot' docs (every
+    band over-full at cap 5) plus one near-identical pair of distinct
+    docs (selective buckets, size 2)."""
+    hot = [(i, "the market is strong and the outlook is good") for i in range(20)]
+    pair = [
+        (100, "completely different prose about mountain weather zz"),
+        (101, "completely different prose about mountain weather zz"),
+    ]
+    df = spark.createDataFrame(hot + pair, ["doc_id", "text"])
+    sig = D.minhash_signature(df, "doc_id", "text", num_hashes=8)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(sig, "doc_id").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(
+            sig, "doc_id", max_bucket_size=5
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # the 20-doc hot clique (190 pairs) is censored out
+    assert all(a >= 100 for a, _ in capped)
+    assert any(a < 100 for a, _ in uncapped)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        D.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=1)
+
+
 def test_cdc_chunk_dedup_edited_doc_scenario(spark):
     """VERDICT r11 #2 — the operation CDC chunking exists for: an
     edited document re-shares every untouched chunk. Doc 1 is the base
