@@ -875,3 +875,86 @@ def test_gif_roundtrip_any_shape_palette_interlace(
     out = M._decode_gif(M._encode_gif(px, interlace=interlace))
     assert out.shape == (h, w, 3)
     assert (out == px).all(), (h, w, n_colors, interlace)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef .\nÉ中", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_winnow_gram_staged_equals_reference_any_text(spark, texts):
+    """Round-12 staged-chars fast path, property form: the norm ->
+    chars -> grams staging reproduces the one-expression reference
+    gram array for ANY text — whitespace runs, sub-k lengths, empties,
+    non-ASCII — not just the corpus fixtures."""
+    from mapreduce_stockheadlines_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = (
+        df.withColumn("_wn", TS._winnow_norm(F.col("text")))
+        .withColumn("_wc", TS.winnow_char_col("_wn"))
+        .select(
+            TS.winnow_gram_from_chars("_wc").alias("fast"),
+            TS.winnow_gram_col(F.col("text")).alias("ref"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.fast == r.ref
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ef.", min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_cdc_chunk_dedup_invariants(spark, texts):
+    """cdc_chunk_dedup invariants for ANY corpus: every input id comes
+    back exactly once; removals never exceed chunk counts; a doc
+    losing nothing reproduces its normalized text; and appending exact
+    COPIES at higher ids (a) never changes any original's output (the
+    min-(id, chunk_id) survivor rule is order-stable) and (b) strips a
+    chunk-producing copy to empty text with every chunk removed."""
+    import re
+
+    from mapreduce_stockheadlines_spark.operators.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    base = list(enumerate(texts))
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    solo = {
+        r.doc_id: (r.text, r.n_cdc_chunks, r.n_chunks_removed)
+        for r in cdc_chunk_dedup(df, "doc_id", "text", min_size=4).collect()
+    }
+    assert set(solo) == {i for i, _ in base}
+    for i, t in base:
+        out, n, rm = solo[i]
+        assert 0 <= rm <= n
+        norm = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        if rm == 0:
+            assert out == norm
+        assert len(out) <= len(norm)
+
+    both = df.unionByName(
+        df.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    dup = {
+        r.doc_id: (r.text, r.n_cdc_chunks, r.n_chunks_removed)
+        for r in cdc_chunk_dedup(
+            both, "doc_id", "text", min_size=4
+        ).collect()
+    }
+    for i, _ in base:
+        assert dup[i] == solo[i]  # originals unchanged by later copies
+        out, n, rm = dup[i + 1000]
+        if n > 0:
+            assert (out, rm) == ("", n)
