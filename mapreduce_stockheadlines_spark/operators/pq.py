@@ -367,7 +367,8 @@ def ivfpq_train(
     ksub: int = 16,
     pq_iters: int = 2,
     quantize_dp: int = 7,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_residuals: bool = False,
+) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, DataFrame]:
     """Train the two-level IVFPQ index (Jégou et al. §V / Faiss
     ``IndexIVFPQ``): a coarse spherical-k-means quantizer over the
     L2-normalized corpus (``similarity.kmeans_centroids``, the shared
@@ -375,11 +376,21 @@ def ivfpq_train(
     ``x_norm - coarse[cell(x)]`` — residual encoding is what makes the
     fine quantizer spend its bits on within-cell structure instead of
     re-describing the cell location. Returns
-    ``(coarse (n_centroids, dim), codebooks (m, ksub, dim/m))``.
+    ``(coarse (n_centroids, dim), codebooks (m, ksub, dim/m))``, plus
+    the materialized residual frame when ``return_residuals=True``.
 
     Cost shape: coarse training is one corpus pass per Lloyd round;
-    residual PQ training adds one assignment+subtract projection feeding
-    ``pq_train``'s one-pass-per-round loop. Centroids/codebooks only
+    residual PQ training adds ONE assignment+subtract projection,
+    materialized (localCheckpoint) before ``pq_train``'s
+    one-pass-per-round loop — the residual projection has
+    ``pq_iters + 1`` consumers (the init collect and every Lloyd
+    round), so without the barrier each re-ran the broadcast-Arrow
+    assignment pass over the corpus (measured in round 12: the
+    un-materialized form re-derived residuals 3x inside x27's
+    ivfpq stage — the multi-consumer lesson of x18/x31, applied
+    here). ``return_residuals=True`` hands the same checkpointed
+    frame to callers that need per-row (cell, residual) columns, so
+    they do not re-derive it a fourth time. Centroids/codebooks only
     ever move driver->executor as broadcasts; the corpus never
     shuffles."""
     from .similarity import kmeans_centroids
@@ -389,11 +400,15 @@ def ivfpq_train(
         corpus, id_col, vec_col, k=n_centroids, n_iters=coarse_iters,
         quantize_dp=quantize_dp,
     )
-    residuals = _ivfpq_residuals(corpus, coarse, id_col, vec_col)
+    residuals = _ivfpq_residuals(
+        corpus, coarse, id_col, vec_col
+    ).localCheckpoint()
     codebooks = pq_train(
         residuals, id_col, "residual", m=m, ksub=ksub, n_iters=pq_iters,
         quantize_dp=quantize_dp,
     )
+    if return_residuals:
+        return coarse, codebooks, residuals
     return coarse, codebooks
 
 
