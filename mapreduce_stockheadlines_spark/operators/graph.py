@@ -199,7 +199,7 @@ def hits(
     dst_col: str = "dst",
     reliable_checkpoint: bool = False,
     quantize_dp: int | None = None,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) — PageRank's
     bidirectional sibling: a good AUTHORITY is linked from good hubs,
@@ -227,7 +227,13 @@ def hits(
     node-sized score table folded back via constant-key broadcast
     equi-joins (pagerank's dangling-mass pattern — no driver collect
     per round). Lineage truncates every ``checkpoint_interval`` rounds
-    (pagerank's re-expansion argument)."""
+    (pagerank's re-expansion argument) — default 1, NOT pagerank's 2:
+    a HITS round is two chained phases that each reference the node
+    table and a one-row total, so the per-round fan-out is ~4x where
+    pagerank's is 2x, and the re-expansion overtakes the saved
+    checkpoint jobs immediately (round-12 measure at sf0.1: interval
+    1 = 3.0 s, 2 = 4.4 s, 3 = 9.5 s, 5 = minutes of pure driver
+    plan-tree rendering)."""
     if n_iters < 1:
         raise ValueError("hits: n_iters must be >= 1")
     if checkpoint_interval < 1:

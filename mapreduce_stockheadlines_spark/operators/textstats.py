@@ -1208,6 +1208,7 @@ def filter_blocked_domains(
     id_col: str,
     text_col: str,
     blocklist: DataFrame,
+    domains: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every document referencing ANY blocked registered domain.
 
@@ -1217,16 +1218,31 @@ def filter_blocked_domains(
     blocklist, anti-join the matching doc ids back. The blocked-id set
     is corpus-derived and therefore NOT forced broadcast — one blocked
     popular domain could make it huge; AQE picks broadcast when it is
-    actually small, and the fallback is a plain key-hash anti-join."""
+    actually small, and the fallback is a plain key-hash anti-join.
+
+    ``domains``: an optional pre-derived (id, domains array) frame —
+    ``url_stats`` output (its ``domains`` column is the same distinct
+    registered-domain set, sorted; order is irrelevant to the explode).
+    Pass it when the caller already ran the URL→host→PSL extraction so
+    this filter does not re-run the whole regex pipeline over the
+    corpus (the ``tf=``/``grams=`` shared-derivation pattern; round-12
+    measure: x24's plan re-derived the extraction once per consumer)."""
     dom_col = blocklist.columns[0]
-    edges = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(extract_url_hosts(text_col), registered_domain)
-            )
-        ).alias("_domain"),
-    )
+    if domains is not None:
+        edges = domains.select(
+            F.col(id_col), F.explode("domains").alias("_domain")
+        )
+    else:
+        edges = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        extract_url_hosts(text_col), registered_domain
+                    )
+                )
+            ).alias("_domain"),
+        )
     blocked_ids = edges.join(
         F.broadcast(blocklist.withColumnRenamed(dom_col, "_domain")),
         "_domain",
@@ -1347,7 +1363,7 @@ def train_classifier(
     l2: float = 0.0,
     min_df: int = 2,
     quantize_dp: int | None = 12,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Train the (token, weight) table ``classifier_score`` consumes —
     the TRAINING half of the CCNet/DCLM quality-filter stage (fastText
@@ -1375,9 +1391,12 @@ def train_classifier(
     lineage truncated every ``checkpoint_interval`` rounds (each round
     references the weight table twice — once for scores, once in the
     update join — so un-truncated plans double per round exactly like
-    PageRank's; measured at 6 rounds, interval 2 beats 3/4/6 by
-    25-35% — the 2^interval re-expansion overtakes the saved
-    checkpoint jobs fast).
+    PageRank's; the 2^interval re-expansion overtakes the saved
+    checkpoint jobs fast. Re-measured in round 12 on Spark 4.1.2 at 6
+    rounds/sf0.1: interval 1 beats 2 (6.5 vs 7.7-10.6 s across
+    orderings) — plan processing per job grew enough that the extra
+    checkpoint jobs are cheaper than the doubled plans, so 1 is now
+    the default).
 
     ``quantize_dp``: round weights to this many decimals each round.
     Distributed (and cross-library) float sums reorder run-to-run at

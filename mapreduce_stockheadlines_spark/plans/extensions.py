@@ -2892,9 +2892,19 @@ def x24_url_curation(
     blocklist = spark.createDataFrame(
         [(d,) for d in _X24_BLOCKLIST], ["domain"]
     )
+    # url_stats (the URL regex + host + PSL registered-domain pipeline)
+    # has THREE consumers in this query — the output columns, the
+    # domain-cap input, and (via domains=) the blocklist filter.
+    # Round-12 measured BOTH shapes: a localCheckpoint barrier made the
+    # query SLOWER at bench scale (5.8 → 7.5 s — the three lazy
+    # subtrees evaluate concurrently inside the one execute job, while
+    # a barrier serializes a full materialization in front of it), so
+    # the lazy form stays; filter_blocked_domains still takes the
+    # derived domains= so a caller that HAS materialized stats (the
+    # curate pipeline) skips the re-extraction.
     stats = TS.url_stats(aug_docs, "doc_id", "text")
     kept = TS.filter_blocked_domains(
-        aug_docs, "doc_id", "text", blocklist
+        aug_docs, "doc_id", "text", blocklist, domains=stats
     ).select("doc_id", F.lit(1).alias("kept"))
     frontier = docs.select("doc_id", _x24_frontier_url(did).alias("furl"))
     surv = TS.dedup_urls(frontier, "furl", "doc_id").select(
