@@ -192,6 +192,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec: np.ndarray | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as its m nearest-subspace-centroid indices:
     ``(id, pq_codes array<int>, pq_rmse double)`` where ``pq_rmse`` is
@@ -201,7 +202,14 @@ def pq_encode(
     vector's reconstruction as a SUM OF FIXED-POINT LUT ENTRIES —
     round(||q_j - cb[j][code_j]||^2 * 10^4) per subspace, summed as
     integers so the result is order-free and exactly re-derivable.
-    One broadcast-codebook Arrow pass, no shuffle."""
+    One broadcast-codebook Arrow pass, no shuffle.
+
+    ``keep_cols``: input columns passed through the Arrow batch
+    unchanged (appended after the encode columns). Saves the id-keyed
+    join a caller would otherwise need to re-attach per-row metadata
+    that already sits on the input (round 12: x27 re-scanned the
+    residual frame just to join ``cell`` back). Only primitive-typed
+    columns (the schema is derived from the input's)."""
     spark = corpus.sparkSession
     corpus = _nonempty_vecs(corpus, vec_col)
     cb = np.asarray(codebooks, dtype="float64")
@@ -214,8 +222,15 @@ def pq_encode(
         ).astype(np.int64)  # (m, ksub)
     bc = spark.sparkContext.broadcast((cb, lut_fp))
     with_adc = lut_fp is not None
-    schema = "vid long, pq_codes array<int>, pq_rmse double" + (
-        ", adc_fp long" if with_adc else ""
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in corpus.schema
+        if f.name in keep_cols
+    )
+    schema = (
+        "vid long, pq_codes array<int>, pq_rmse double"
+        + (", adc_fp long" if with_adc else "")
+        + keep_schema
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -247,12 +262,15 @@ def pq_encode(
                 out["adc_fp"] = lut[np.arange(mm2)[None, :], codes].sum(
                     axis=1
                 )
+            for kc in keep_cols:
+                out[kc] = pdf[kc]
             yield pd.DataFrame(out)
 
     return (
         corpus.select(
             F.col(id_col).cast("long").alias("vid"),
             as_double(vec_col).alias("cv"),
+            *keep_cols,
         )
         .mapInPandas(encode, schema)
         .withColumnRenamed("vid", id_col)

@@ -3743,7 +3743,7 @@ def x27_quantize_embeddings(
         t0 = _time.time()
         # return_residuals: the trainer materializes the residual
         # projection ONCE (localCheckpoint inside ivfpq_train) and its
-        # pq_train rounds, rcells and renc all consume that one frame —
+        # pq_train rounds and renc all consume that one frame —
         # the baseline re-derived the broadcast-Arrow residual pass
         # 3x inside the trainer and a 4th time here (round-12 measure:
         # this stage was 4.1 of x27's 12.8 s)
@@ -3751,13 +3751,16 @@ def x27_quantize_embeddings(
             emb, n_centroids=4, coarse_iters=2, m=4, ksub=4, pq_iters=2,
             quantize_dp=7, return_residuals=True,
         )
-        rcells = res.select(
-            "vec_id", F.col("cell").cast("int").alias("ivf_cell")
-        )
+        # keep_cols passes `cell` through the encode batch, so the
+        # per-row cell and the residual codes come from ONE scan of the
+        # checkpointed residual frame instead of two subtrees joined
+        # on vec_id (round-12 execute-plan trim)
         renc = PQO.pq_encode(
-            res, rcb, id_col="vec_id", vec_col="residual"
+            res, rcb, id_col="vec_id", vec_col="residual",
+            keep_cols=("cell",),
         ).select(
             "vec_id",
+            F.col("cell").cast("int").alias("ivf_cell"),
             F.concat_ws(
                 ",", F.transform("pq_codes", lambda c: c.cast("string"))
             ).alias("ivfpq_codes_csv"),
@@ -3780,7 +3783,7 @@ def x27_quantize_embeddings(
             F.col("rank").alias("ivfpq_rank"),
         )
         _mark(_stage_secs, "ivfpq_train_serve", t0)
-        return rcells, renc, probed, serv
+        return renc, probed, serv
 
     def _pca_stage():
         t0 = _time.time()
@@ -3803,7 +3806,7 @@ def x27_quantize_embeddings(
         _mark(_stage_secs, "pca_moments", t0)
         return pm
 
-    (pqe, om), oenc, mrl, (rcells, renc, probed, serv), pm = _overlap(
+    (pqe, om), oenc, mrl, (renc, probed, serv), pm = _overlap(
         _pq_stage, _opq_stage, _mrl_stage, _ivfpq_stage, _pca_stage
     )
     return (
@@ -3825,7 +3828,6 @@ def x27_quantize_embeddings(
         .join(pqe, "vec_id")
         .join(oenc, "vec_id")
         .join(mrl, "vec_id")
-        .join(rcells, "vec_id")
         .join(renc, "vec_id")
         .withColumn(
             "ivf_probed", F.col("ivf_cell").isin(probed).cast("int")
