@@ -604,6 +604,16 @@ def dsir_log_ratios(
         # target corpus, absent from raw) still count toward the
         # normalizer even though no raw doc can probe them
         tt = tgtc.agg(F.sum("_tc")).collect()[0][0] or 0
+    return _dsir_ratio_table(rawc, tr, tt, alpha, n_buckets)
+
+
+def _dsir_ratio_table(
+    census: DataFrame, tr: int, tt: int, alpha: float, n_buckets: int
+) -> DataFrame:
+    """THE log-ratio formula, in one place (shared by ``dsir_log_ratios``
+    and ``dsir_fit_scores`` so the smoothing/quantization contract
+    cannot drift): per bucket of a (_rc, _tc) census,
+    ``round(1e6 * (ln((tc+a)/(tt+a·b)) - ln((rc+a)/(tr+a·b))))``."""
     a, b = float(alpha), float(n_buckets)
     ratio = F.log(
         (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + F.lit(a))
@@ -611,11 +621,38 @@ def dsir_log_ratios(
     ) - F.log(
         (F.col("_rc").cast("double") + F.lit(a)) / F.lit(float(tr) + a * b)
     )
-    return rawc.select(
+    return census.select(
         "bucket",
         F.round(ratio * F.lit(float(_DSIR_FP)), 0)
         .cast("bigint")
         .alias("ratio_fp"),
+    )
+
+
+def _dsir_score_from_stream(
+    feats: DataFrame, ratios: DataFrame, id_col: str
+) -> DataFrame:
+    """THE scoring fold, in one place (shared by ``dsir_scores`` and
+    ``dsir_fit_scores`` so the mean/rounding contract cannot drift):
+    broadcast-join the bounded ratio table onto an (id, bucket)
+    occurrence stream, exact BIGINT sum per doc, one division, 4dp."""
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("ratio_fp").alias("_sfp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.col("_sfp").cast("double")
+                / F.col("n_features")
+                / F.lit(float(_DSIR_FP)),
+                4,
+            ).alias("dsir_score"),
+            "n_features",
+        )
     )
 
 
@@ -635,24 +672,62 @@ def dsir_scores(
     engines bit-for-bit. One broadcast join (ratio table <= n_buckets
     rows) + one groupBy(id) whose shuffle carries a row per doc."""
     feats = dsir_features(raw_df, id_col, text_col, n_buckets, salt)
-    return (
-        feats.join(F.broadcast(ratios), "bucket")
-        .groupBy(id_col)
+    return _dsir_score_from_stream(feats, ratios, id_col)
+
+
+def dsir_fit_scores(
+    raw_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    *,
+    target_filter: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """``dsir_log_ratios(target_filter=)`` + ``dsir_scores`` over ONE
+    staged feature stream; returns ``(ratios, scored)``.
+
+    The two-call composition explodes + tokenizes + hashes the full
+    corpus TWICE for the same (id, bucket) occurrence stream — once to
+    fold the bucket censuses, once to probe the ratio table. Here the
+    stream is materialized once (localCheckpoint — a within-query
+    barrier, narrow int rows, never the text) and both stages read it:
+    the fit aggregates it, the probe joins it (guide §2.4 remove
+    redundant passes — the x08 staged-chars recipe applied across the
+    fit/score boundary). At corpus scale that halves the dominant
+    tokenize/explode CPU for identical output: both stages consume the
+    same occurrence rows, so ratios and scores are bit-equal to the
+    two-call path (pinned in tests).
+
+    ``target_filter`` only (the fused-census branch): a separate
+    ``target_df`` tokenizes a different corpus, so there is no shared
+    stream to stage — use the two-call composition there."""
+    stream = _dsir_feature_stream(
+        raw_df,
+        {id_col: F.col(id_col), "_t": target_filter},
+        text_col,
+        n_buckets,
+        salt,
+    ).localCheckpoint()
+    # census + totals: same arithmetic as dsir_log_ratios' fused branch
+    # (counts are integers, so WHERE they are folded from cannot change
+    # them); the census is bounded by n_buckets rows
+    census = (
+        stream.groupBy("bucket")
         .agg(
-            F.sum("ratio_fp").alias("_sfp"),
-            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.count(F.lit(1)).alias("_rc"),
+            F.count_if(F.col("_t")).alias("_tc"),
         )
-        .select(
-            id_col,
-            F.round(
-                F.col("_sfp").cast("double")
-                / F.col("n_features")
-                / F.lit(float(_DSIR_FP)),
-                4,
-            ).alias("dsir_score"),
-            "n_features",
-        )
+        .localCheckpoint()
     )
+    totals = census.agg(F.sum("_rc"), F.sum("_tc")).collect()[0]
+    tr, tt = totals[0] or 0, totals[1] or 0
+    ratios = _dsir_ratio_table(census, tr, tt, alpha, n_buckets)
+    scored = _dsir_score_from_stream(
+        stream.select(id_col, "bucket"), ratios, id_col
+    )
+    return ratios, scored
 
 
 def gumbel_key(

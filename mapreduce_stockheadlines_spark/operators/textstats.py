@@ -1182,10 +1182,19 @@ def registered_domain(host: Column) -> Column:
     )
 
 
-def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def url_stats(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-doc URL signals: n_urls, distinct registered domains
     referenced, and url_char_ratio (URL bytes / doc bytes — link-farm
-    pages score high). One codegen projection, zero shuffle."""
+    pages score high). One codegen projection, zero shuffle.
+
+    ``keep_cols``: input columns passed through unchanged (appended
+    after the stats columns) — saves the id-keyed join a caller would
+    otherwise need to re-attach row metadata that already sits on the
+    input (the ``pq_encode(keep_cols=)`` pattern; round 13: x24's
+    domain cap re-derived the whole extraction just to pair ``domains``
+    with ``n_chars``)."""
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
     hosts = extract_url_hosts(text_col)
     url_len = F.aggregate(
@@ -1200,6 +1209,44 @@ def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(
             url_len / F.greatest(F.length(text_col), F.lit(1)), 4
         ).alias("url_char_ratio"),
+        *keep_cols,
+    )
+
+
+def references_blocked_domain(
+    blocklist: DataFrame,
+    domains_col: Column | str = "domains",
+    max_blocklist_rows: int = 65536,
+) -> Column:
+    """Row-wise "this doc references a blocked registered domain" probe
+    over a pre-derived domain-set column — the EXPRESSION form of
+    ``filter_blocked_domains`` for plans that already carry the
+    ``url_stats`` domains array: the blocklist is collected (bounded —
+    it plays the stop-word side-table role, the same smallness contract
+    that lets the join form broadcast it; a bigger list fails loudly
+    here and should use the join form) and the probe compiles to
+    ``exists(domains, d -> d IN set)`` — no join, no second derivation
+    of the domain sets (guide §2.4; round 13: x24's blocklist consumer
+    re-ran the URL→host→PSL extraction per lazy subtree). InSet lookup,
+    not a literal CASE chain, so the expression tree stays flat (the
+    LSH literal-expansion lesson). NULL/empty domain arrays (no URLs)
+    return False — absence of evidence is not a block, matching the
+    join form's survivors."""
+    dom_col = blocklist.columns[0]
+    rows = blocklist.select(dom_col).limit(max_blocklist_rows + 1).collect()
+    if len(rows) > max_blocklist_rows:
+        raise ValueError(
+            f"references_blocked_domain: blocklist exceeds "
+            f"max_blocklist_rows={max_blocklist_rows}; it is collected "
+            "into an InSet expression — use filter_blocked_domains "
+            "(broadcast-join form) for blocklists this large."
+        )
+    blocked = [r[0] for r in rows if r[0] is not None]
+    dc = F.col(domains_col) if isinstance(domains_col, str) else domains_col
+    if not blocked:
+        return F.lit(False)
+    return F.coalesce(
+        F.exists(dc, lambda d: d.isin(*blocked)), F.lit(False)
     )
 
 
@@ -1556,6 +1603,7 @@ def domain_frequency_cap(
     domain_col: str,
     cap: int,
     order_col: str | None = None,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per domain — the FineWeb-style
     guard against a single template-heavy site flooding the corpus
@@ -1575,6 +1623,17 @@ def domain_frequency_cap(
     30%-hot domain ships O(partitions x cap) rows to the shuffle, never
     its full row set. The NULL-domain leg is a narrow filter unioned
     back, no shuffle at all.
+
+    ``flag_col``: return EVERY row with a boolean survive/capped flag
+    instead of filtering — the membership-column form for queries that
+    keep all rows and carry the decision (round 13: x24 previously ran
+    the filter form on a copy of its frame and joined the survivors
+    back by doc id, paying one more corpus-keyed shuffle AND a second
+    evaluation of the frame's lineage; the flag form decides in place
+    with the same rank contract). Note the flag form cannot use the
+    WindowGroupLimit rewrite (no filter — all rows survive), so its
+    exchange carries every non-NULL-domain row: prefer the filter form
+    when the survivors are all you need.
     """
     if cap < 1:
         raise ValueError("domain_frequency_cap: cap must be >= 1")
@@ -1585,10 +1644,14 @@ def domain_frequency_cap(
         order = [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
     w = Window.partitionBy(domain_col).orderBy(*order)
     dom_null = df.filter(F.col(domain_col).isNull())
-    capped = (
-        df.filter(F.col(domain_col).isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.lit(cap))
-        .drop("_rn")
+    ranked = df.filter(F.col(domain_col).isNotNull()).withColumn(
+        "_rn", F.row_number().over(w)
     )
+    if flag_col is not None:
+        return ranked.withColumn(
+            flag_col, F.col("_rn") <= F.lit(cap)
+        ).drop("_rn").unionByName(
+            dom_null.withColumn(flag_col, F.lit(True))
+        )
+    capped = ranked.filter(F.col("_rn") <= F.lit(cap)).drop("_rn")
     return capped.unionByName(dom_null)

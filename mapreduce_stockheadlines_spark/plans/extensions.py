@@ -2888,38 +2888,45 @@ def x24_url_curation(
             F.lit("")
         ),
     )
-    aug_docs = docs.select("doc_id", aug.alias("text"))
     blocklist = spark.createDataFrame(
         [(d,) for d in _X24_BLOCKLIST], ["domain"]
     )
+    # ONE extraction subtree (round 13 — VERDICT r12 #4, guide §2.4).
     # url_stats (the URL regex + host + PSL registered-domain pipeline)
     # has THREE consumers in this query — the output columns, the
-    # domain-cap input, and (via domains=) the blocklist filter.
-    # Round-12 measured BOTH shapes: a localCheckpoint barrier made the
-    # query SLOWER at bench scale (5.8 → 7.5 s — the three lazy
-    # subtrees evaluate concurrently inside the one execute job, while
-    # a barrier serializes a full materialization in front of it), so
-    # the lazy form stays; filter_blocked_domains still takes the
-    # derived domains= so a caller that HAS materialized stats (the
-    # curate pipeline) skips the re-extraction.
-    stats = TS.url_stats(aug_docs, "doc_id", "text")
-    kept = TS.filter_blocked_domains(
-        aug_docs, "doc_id", "text", blocklist, domains=stats
-    ).select("doc_id", F.lit(1).alias("kept"))
+    # domain-cap input, and the blocklist filter. Round 12 measured a
+    # localCheckpoint barrier (SLOWER: 5.8 → 7.5 s — it serializes a
+    # full materialization in front of the one execute job) and kept
+    # the lazy form, which evaluated the extraction once PER consumer
+    # (wall-neutral on an idle local box, 3x corpus regex CPU at 100
+    # TB). Round 13 removes the duplication structurally instead:
+    # n_chars rides the one extraction projection (keep_cols=), the
+    # blocklist probe is a row-wise exists over the SAME domains column
+    # (references_blocked_domain — the blocklist is collected; it is
+    # the stop-word-table role), and the domain cap comes back as a
+    # window flag in place (domain_frequency_cap flag_col=) instead of
+    # a filtered copy joined back on doc_id. Net: extraction subtrees
+    # 3 → 1 AND two corpus-keyed join shuffles removed.
+    stats = TS.url_stats(
+        docs.select("doc_id", "n_chars", aug.alias("text")),
+        "doc_id", "text", keep_cols=("n_chars",),
+    )
+    flagged = stats.withColumn(
+        "kept",
+        (~TS.references_blocked_domain(blocklist, "domains")).cast("int"),
+    ).withColumn("dom", F.get(F.col("domains"), 0))
+    # per-domain frequency cap over each doc's PRIMARY domain (min of its
+    # sorted registered-domain set — deterministic in both engines),
+    # best-first by n_chars: the FineWeb-style mega-site guard, same
+    # rank contract as the filter form, decided in place.
+    flagged = TS.domain_frequency_cap(
+        flagged, "doc_id", "dom", cap=7, order_col="n_chars",
+        flag_col="domain_capped",
+    )
     frontier = docs.select("doc_id", _x24_frontier_url(did).alias("furl"))
     surv = TS.dedup_urls(frontier, "furl", "doc_id").select(
         "doc_id", F.lit(1).alias("frontier_kept")
     )
-    # per-domain frequency cap over each doc's PRIMARY domain (min of its
-    # sorted registered-domain set — deterministic in both engines),
-    # best-first by n_chars: the FineWeb-style mega-site guard. Capped
-    # survivors come back as a flag so the query stays one row per doc.
-    cap_in = stats.select("doc_id", F.get(F.col("domains"), 0).alias("dom")).join(
-        docs.select("doc_id", "n_chars"), "doc_id"
-    )
-    cap_surv = TS.domain_frequency_cap(
-        cap_in, "doc_id", "dom", cap=7, order_col="n_chars"
-    ).select("doc_id", F.lit(1).alias("domain_capped"))
     # robots.txt crawl-politeness (round-9 zero-slot promotion): every
     # doc's frontier URL on its newshub domain is filtered through the
     # REAL parse_robots → filter_robots_disallowed path against planted
@@ -2952,37 +2959,40 @@ def x24_url_curation(
     ).select("doc_id", F.lit(1).alias("robots_allowed"))
     if _stage_secs is not None:
         # bench attribution pass (VERDICT r10 #2) — component sub-plan
-        # walls; overlap caveat on _probe
+        # walls; overlap caveat on _probe. The blocklist/domain-cap
+        # flags now live on the one flagged frame (keys kept: the
+        # blocklist/domain_cap probes time the flag sub-plans).
         _probe(_stage_secs, "url_stats", stats)
-        _probe(_stage_secs, "blocklist", kept)
+        _probe(_stage_secs, "blocklist", flagged.select("doc_id", "kept"))
         _probe(_stage_secs, "frontier_dedup", surv)
-        _probe(_stage_secs, "domain_cap", cap_surv)
+        _probe(
+            _stage_secs, "domain_cap",
+            flagged.select("doc_id", "domain_capped"),
+        )
         _probe(_stage_secs, "robots", rallow)
     return (
-        stats.join(kept, "doc_id", "left")
+        flagged
         # canonical_url is a pure codegen projection of doc_id (via the
         # planted furl) — recomputed inline, NOT joined: only the
-        # survivor flag (a genuine groupBy-canonical product) needs a
+        # survivor flags of the frontier/robots legs (genuine groupBy-
+        # canonical products over DIFFERENT derivations) still need a
         # doc-keyed join back
         .withColumn(
             "canonical_url", TS.canonical_url(_x24_frontier_url(F.col("doc_id")))
         )
         .join(surv, "doc_id", "left")
-        .join(cap_surv, "doc_id", "left")
         .join(rallow, "doc_id", "left")
         .select(
             "doc_id",
             "n_urls",
             F.concat_ws(",", "domains").alias("domains_csv"),
             "url_char_ratio",
-            F.coalesce("kept", F.lit(0)).cast("int").alias("kept"),
+            "kept",
             "canonical_url",
             F.coalesce("frontier_kept", F.lit(0))
             .cast("int")
             .alias("frontier_kept"),
-            F.coalesce("domain_capped", F.lit(0))
-            .cast("int")
-            .alias("domain_capped"),
+            F.col("domain_capped").cast("int").alias("domain_capped"),
             F.coalesce("robots_allowed", F.lit(0))
             .cast("int")
             .alias("robots_allowed"),
@@ -5645,15 +5655,19 @@ def x32_sampling(
     def _dsir_stage():
         t0 = _time.time()
         raw = docs.filter(F.col("text").isNotNull())
-        ratios = SP.dsir_log_ratios(
-            raw, None, "doc_id", "text", n_buckets=4096,
+        # fused fit+score (round 13, guide §2.4 / VERDICT r12 #3): the
+        # ratio fit and the probe share ONE staged (id, bucket) feature
+        # stream instead of each re-running the corpus tokenize+explode
+        # — scores are bit-equal to the two-call composition (pinned in
+        # test_sampling), halving the dominant explode CPU at scale
+        _ratios, scored = SP.dsir_fit_scores(
+            raw, "doc_id", "text", n_buckets=4096,
             target_filter=F.col("source") == "src0",
         )
-        # scored is tiny (one row per doc) but its lineage re-explodes
-        # the corpus; localCheckpoint so count/min-max/histogram/
+        # scored is tiny (one row per doc) but its lineage re-probes
+        # the staged stream; localCheckpoint so count/min-max/histogram/
         # filter/join all reuse one materialization (the x31 pattern)
-        scored = SP.dsir_scores(raw, ratios, "doc_id", "text",
-                                n_buckets=4096).localCheckpoint()
+        scored = scored.localCheckpoint()
         # floor at 1 (both sides — the oracle uses greatest(n//3, 1)):
         # with fewer than 3 scored docs an unfloored n_keep of 0 would
         # make dsir_resample raise while the SQL quietly returns

@@ -543,6 +543,35 @@ def test_dsir_scores_rank_target_like_docs(spark):
     assert again == by_id
 
 
+def test_dsir_fit_scores_matches_two_call_composition(spark, sf_dir):
+    """The fused single-stream path (round 13: one staged feature
+    stream shared by fit and probe — guide §2.4) must produce
+    bit-identical ratios AND scores to the two-call composition it
+    replaces in x32; the equality is the license for the optimization."""
+    from mapreduce_stockheadlines_spark.operators.sampling import (
+        dsir_fit_scores,
+    )
+
+    dsir_log_ratios, _, dsir_scores = _dsir_modules()
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("text").isNotNull())
+    tf = F.col("source") == "src0"
+    nb = 4096
+    ratios0 = dsir_log_ratios(
+        raw, None, "doc_id", "text", n_buckets=nb, target_filter=tf
+    )
+    scored0 = dsir_scores(raw, ratios0, "doc_id", "text", n_buckets=nb)
+    ratios1, scored1 = dsir_fit_scores(
+        raw, "doc_id", "text", n_buckets=nb, target_filter=tf
+    )
+    assert sorted(map(tuple, ratios1.collect())) == sorted(
+        map(tuple, ratios0.collect())
+    )
+    assert sorted(map(tuple, scored1.collect())) == sorted(
+        map(tuple, scored0.collect())
+    )
+
+
 def test_dsir_scores_match_duckdb(spark, sf_dir):
     """Full cross-engine pin: DuckDB re-derives features, censuses,
     fixed-point log-ratio table, and per-doc scores from the same

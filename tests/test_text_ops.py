@@ -592,6 +592,98 @@ def test_domain_frequency_cap(spark):
         domain_frequency_cap(df, "doc_id", "dom", cap=0)
 
 
+def test_domain_frequency_cap_flag_mode_matches_filter_mode(spark):
+    """flag_col= (round 13, the in-place membership form x24 uses) must
+    flag exactly the filter form's survivors — same rank contract,
+    NULL-domain rows always True — and keep every input row once."""
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        domain_frequency_cap,
+    )
+
+    rows = [
+        (1, "a.com", 10),
+        (2, "a.com", 30),
+        (3, "a.com", 20),
+        (4, "a.com", 30),
+        (5, "b.com", 1),
+        (6, None, 99),
+        (7, None, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, score long")
+    survivors = sorted(
+        r.doc_id
+        for r in domain_frequency_cap(
+            df, "doc_id", "dom", cap=2, order_col="score"
+        ).collect()
+    )
+    flagged = domain_frequency_cap(
+        df, "doc_id", "dom", cap=2, order_col="score", flag_col="ok"
+    ).collect()
+    assert sorted(r.doc_id for r in flagged) == [1, 2, 3, 4, 5, 6, 7]
+    assert sorted(r.doc_id for r in flagged if r.ok) == survivors
+
+
+def test_references_blocked_domain_matches_join_form(spark):
+    """The expression probe (round 13, x24's one-extraction shape) must
+    flag exactly the docs filter_blocked_domains drops: NULL/empty
+    domain sets are never blocked, membership is exact (no substring
+    false positives), and an oversized blocklist fails loudly."""
+    import pytest
+
+    from mapreduce_stockheadlines_spark.operators.textstats import (
+        filter_blocked_domains,
+        references_blocked_domain,
+        url_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "see https://a.news.example.com/x and http://spam.biz/p"),
+            (1, "no links at all"),
+            (2, "fine https://ok.org/a"),
+            (3, None),
+            (4, "sub http://notspam.biz/x"),  # exact match only
+        ],
+        "doc_id long, text string",
+    )
+    block = spark.createDataFrame([("spam.biz",)], ["domain"])
+    stats = url_stats(df, "doc_id", "text")
+    flagged = stats.withColumn(
+        "blocked", references_blocked_domain(block, "domains")
+    )
+    got = {r.doc_id: r.blocked for r in flagged.collect()}
+    survivors = {
+        r.doc_id
+        for r in filter_blocked_domains(
+            df, "doc_id", "text", block
+        ).collect()
+    }
+    assert got == {i: (i not in survivors) for i in range(5)}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: False}
+
+    with pytest.raises(ValueError, match="max_blocklist_rows"):
+        references_blocked_domain(block, "domains", max_blocklist_rows=0)
+
+
+def test_url_stats_keep_cols_passthrough(spark):
+    """keep_cols= rides input columns through the one extraction
+    projection unchanged (the pq_encode passthrough pattern)."""
+    from mapreduce_stockheadlines_spark.operators.textstats import url_stats
+
+    df = spark.createDataFrame(
+        [(0, "x https://a.example.com/p", 7), (1, "plain", 9)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {
+        r.doc_id: r
+        for r in url_stats(
+            df, "doc_id", "text", keep_cols=("n_chars",)
+        ).collect()
+    }
+    assert (out[0].n_chars, out[1].n_chars) == (7, 9)
+    assert out[0].domains == ["example.com"]
+
+
 def test_gopher_rules_hand_values(spark):
     """gopher_rules_cols against hand-computed values for every rule
     dimension (Rae et al. 2021 appendix A1.1 thresholds)."""
