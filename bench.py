@@ -132,6 +132,23 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _free_session_state(spark) -> None:
+    """Unpersist every RDD block left behind by the previous query's
+    localCheckpoints (round 13 — VERDICT r12 #5): checkpoint blocks are
+    otherwise only freed when GC happens to collect the Python/JVM
+    references, so a long bench run accumulates dead blocks and later
+    queries pay their memory pressure (measured r12: x27 execute 3.7 s
+    timed vs 9.2 s in the attribution pass at the end of the run).
+    Runs BETWEEN queries, never inside a timed region — each timed run
+    still computes everything from the parquet inputs; this only stops
+    query N's garbage from taxing query N+1. Methodology (timed region,
+    query set, best-of-3) unchanged."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        jmap.get(rid).unpersist(False)
+
+
 def _run_noop(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     ALL_QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
@@ -201,6 +218,7 @@ def main() -> None:
         dt = round(best, 3)
         timings[name] = dt
         total += dt
+        _free_session_state(spark)
 
     # per-stage attribution pass for the fat x-queries (single run —
     # these are attribution hints for cross-round adjudication, not
@@ -213,6 +231,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         stages["execute"] = round(time.time() - t0, 3)
         stage_secs[name] = stages
+        _free_session_state(spark)
 
     # drift control, last bracket + the Spark-independent DuckDB probe
     control_last = _time_controls(spark, sf_dir)

@@ -3149,6 +3149,106 @@ def audio_phash(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+AUDIO_PROFILE_SCHEMA = (
+    "media_id long, mime string, n_bytes long, width int, height int, "
+    "n_frames int, feature array<float>, spec_centroid_hz double, "
+    "spec_bandwidth_hz double, spec_rolloff_hz double, "
+    "spec_flatness double, dominant_hz double, phash long"
+)
+
+
+def audio_profile(df: DataFrame, strict: bool = False) -> DataFrame:
+    """The full audio surface from ONE decode: the decode tier's
+    columns (width = sample_rate, height = n_channels, n_frames,
+    8-dim time-domain ``feature`` — the documented audio overload of
+    ``decode_media``), the 5 spectral columns of
+    ``audio_spectral_features`` AND the spectrogram ``phash`` of
+    ``audio_phash``, in a single Arrow pass that parses the PCM
+    samples once (guide §4 — the three-operator composition decoded
+    the same bytes three times; round 13: x13's audio chain ran 4
+    Arrow passes over the same planted WAVs). Column-for-column equal
+    to the composition — same kernels (``_audio_feature``,
+    ``_audio_spectral``, ``_audio_phash64``), same fallbacks
+    (undecodable/corrupt audio: digest-fake feature, NULL spectral,
+    digest phash; pinned in tests). Use the individual operators when
+    only one family is needed — this op pays all three kernels per
+    row."""
+
+    def profile_one(content, mime):
+        audio = AUDIO_DECODERS.get(mime)
+        if audio is not None:
+            try:
+                rate, nch, samples = audio(content)
+            except (ValueError, struct.error, TypeError):
+                if strict:
+                    raise
+                fw, fh, fn, ff = _fake_decode(content)
+                return fw, fh, fn, ff, None, _fake_phash(content)
+            return (
+                rate,
+                nch,
+                int(min(samples.shape[0], 2**31 - 1)),
+                _audio_feature(rate, samples),
+                _audio_spectral(rate, samples),
+                _audio_phash64(samples),
+            )
+        if strict:
+            raise NotImplementedError(
+                f"audio profile of mime {mime!r} requires codec "
+                "libraries not available in this environment"
+            )
+        fw, fh, fn, ff = _fake_decode(content)
+        return fw, fh, fn, ff, None, _fake_phash(content)
+
+    def profile_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                profile_one(c, m)
+                for c, m in zip(pdf["content"], pdf["mime"])
+            ]
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["content"]
+                .map(lambda b: 0 if b is None else len(b))
+                .astype("int64"),
+                "width": pd.Series(
+                    [r[0] for r in rows], index=pdf.index
+                ).astype("int32"),
+                "height": pd.Series(
+                    [r[1] for r in rows], index=pdf.index
+                ).astype("int32"),
+                "n_frames": pd.Series(
+                    [r[2] for r in rows], index=pdf.index
+                ).astype("int32"),
+                "feature": pd.Series(
+                    [r[3] for r in rows], index=pdf.index
+                ),
+            }
+            for i, name in enumerate(
+                (
+                    "spec_centroid_hz",
+                    "spec_bandwidth_hz",
+                    "spec_rolloff_hz",
+                    "spec_flatness",
+                    "dominant_hz",
+                )
+            ):
+                out[name] = [
+                    (None if r[4] is None else r[4][i]) for r in rows
+                ]
+            out["phash"] = np.array(
+                [r[5] for r in rows], dtype=np.int64
+            )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content", "mime").mapInPandas(
+        profile_batches, AUDIO_PROFILE_SCHEMA
+    )
+
+
 def audio_neardup_pairs(
     df: DataFrame, max_hamming: int = 6, strict: bool = False
 ) -> DataFrame:

@@ -81,6 +81,7 @@ def pq_train(
     ksub: int = 4,
     n_iters: int = 2,
     quantize_dp: int = 7,
+    init_vecs: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train m subspace codebooks with Lloyd's k-means; returns an
     ``(m, ksub, dim/m)`` float64 array.
@@ -91,21 +92,40 @@ def pq_train(
     once (map-side combine; at most m x ksub rows per Arrow batch reach
     the driver fold). Assignment/update follow the quantized contract
     in the module docstring, so N rounds of double arithmetic are
-    bit-reproducible across engines and partitionings."""
+    bit-reproducible across engines and partitionings.
+
+    ``init_vecs``: the ksub lowest-``id_col`` RAW vectors as a
+    ``(>=ksub, dim)`` array — the operator's own init contract handed
+    in by a caller that already collected the corpus head, so
+    co-trained stages share ONE TakeOrdered corpus pass instead of one
+    per trainer (round 13 — VERDICT r12 #2: the init collect cannot
+    fold INTO the first Lloyd pass, assignment needs the centroids
+    broadcast first, but it can be shared across trainers). Must be
+    exactly what the internal collect would produce; the codebooks are
+    a pure function of it by the quantized contract."""
     spark = corpus.sparkSession
     corpus = _nonempty_vecs(corpus, vec_col)
-    init_pdf = (
-        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(id_col)
-        .limit(ksub)
-        .toPandas()
-    )
-    if len(init_pdf) < ksub:
-        raise ValueError(
-            f"pq_train: need at least ksub={ksub} vectors, "
-            f"got {len(init_pdf)}"
+    if init_vecs is not None:
+        x0 = np.asarray(init_vecs, dtype=np.float64)
+        if x0.shape[0] < ksub:
+            raise ValueError(
+                f"pq_train: need at least ksub={ksub} init vectors, "
+                f"got {x0.shape[0]}"
+            )
+        x0 = x0[:ksub]
+    else:
+        init_pdf = (
+            corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+            .orderBy(id_col)
+            .limit(ksub)
+            .toPandas()
         )
-    x0 = _raw_matrix(init_pdf["v"])
+        if len(init_pdf) < ksub:
+            raise ValueError(
+                f"pq_train: need at least ksub={ksub} vectors, "
+                f"got {len(init_pdf)}"
+            )
+        x0 = _raw_matrix(init_pdf["v"])
     dim = x0.shape[1]
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
@@ -212,6 +232,28 @@ def pq_encode(
     columns (the schema is derived from the input's)."""
     spark = corpus.sparkSession
     corpus = _nonempty_vecs(corpus, vec_col)
+    # keep_cols validation (ADVICE r12): a kept column that collides
+    # with the encode outputs / internal aliases would produce
+    # ambiguous duplicates; a missing or non-atomic one, a confusing
+    # late analysis error — fail loudly up front instead
+    reserved = {"vid", "cv", "pq_codes", "pq_rmse", "adc_fp", id_col, vec_col}
+    fields = {f.name: f.dataType for f in corpus.schema}
+    for kc in keep_cols:
+        if kc in reserved:
+            raise ValueError(
+                f"pq_encode: keep_cols entry {kc!r} collides with a "
+                f"reserved output/input column ({sorted(reserved)})"
+            )
+        if kc not in fields:
+            raise ValueError(
+                f"pq_encode: keep_cols entry {kc!r} not in the input "
+                f"schema ({sorted(fields)})"
+            )
+        if fields[kc].typeName() in ("array", "map", "struct"):
+            raise ValueError(
+                f"pq_encode: keep_cols entry {kc!r} is {fields[kc]}; "
+                "only primitive-typed passthrough columns are supported"
+            )
     cb = np.asarray(codebooks, dtype="float64")
     mm, kk, ds = cb.shape
     lut_fp = None
@@ -386,6 +428,7 @@ def ivfpq_train(
     pq_iters: int = 2,
     quantize_dp: int = 7,
     return_residuals: bool = False,
+    init_vecs: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, DataFrame]:
     """Train the two-level IVFPQ index (Jégou et al. §V / Faiss
     ``IndexIVFPQ``): a coarse spherical-k-means quantizer over the
@@ -410,13 +453,19 @@ def ivfpq_train(
     frame to callers that need per-row (cell, residual) columns, so
     they do not re-derive it a fourth time. Centroids/codebooks only
     ever move driver->executor as broadcasts; the corpus never
-    shuffles."""
+    shuffles.
+
+    ``init_vecs`` seeds the COARSE quantizer (the n_centroids
+    lowest-``id_col`` raw vectors — the kmeans_centroids contract,
+    shared-head collect); the residual PQ init stays internal (it
+    seeds from the residual frame, which is checkpointed here, so its
+    TakeOrdered never re-scans the corpus)."""
     from .similarity import kmeans_centroids
 
     corpus = _nonempty_vecs(corpus, vec_col)
     coarse = kmeans_centroids(
         corpus, id_col, vec_col, k=n_centroids, n_iters=coarse_iters,
-        quantize_dp=quantize_dp,
+        quantize_dp=quantize_dp, init_vecs=init_vecs,
     )
     residuals = _ivfpq_residuals(
         corpus, coarse, id_col, vec_col

@@ -270,6 +270,7 @@ def kmeans_centroids(
     k: int = 16,
     n_iters: int = 3,
     quantize_dp: int | None = None,
+    init_vecs: np.ndarray | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over L2-normalized vectors (spherical
     k-means: assignment by max dot product = cosine).
@@ -296,19 +297,30 @@ def kmeans_centroids(
     the previous round's centroid VERBATIM in this mode (the default
     mode's blanket renormalization would perturb a kept unit vector by a
     few ulps, which an independent engine cannot mirror).
+
+    ``init_vecs``: the k lowest-``id_col`` RAW vectors as a
+    ``(>=k, dim)`` array (normalized here exactly as the internal
+    collect's rows would be) — lets co-trained stages share ONE corpus
+    head collect instead of one TakeOrdered pass per trainer (round 13
+    — the pq_train ``init_vecs`` contract; must be exactly what the
+    internal collect would produce).
     """
     spark = corpus.sparkSession
     # NULL/empty embeddings carry no geometry — drop them up front (the
     # pca_fit moment pass applies the same guard batch-side); a stray
     # NULL would otherwise fail _to_matrix inside an executor
     corpus = _nonempty_vecs(corpus, vec_col)
-    init_pdf = (
-        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(id_col)
-        .limit(k)
-        .toPandas()
-    )
-    cent = _to_matrix(init_pdf["v"])
+    if init_vecs is not None:
+        arr = np.asarray(init_vecs, dtype=np.float64)[:k]
+        cent = _to_matrix(pd.Series(list(arr)))
+    else:
+        init_pdf = (
+            corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+            .orderBy(id_col)
+            .limit(k)
+            .toPandas()
+        )
+        cent = _to_matrix(init_pdf["v"])
     dim = cent.shape[1]
     vecs = corpus.select(as_double(vec_col).alias("cv"))
 
@@ -382,7 +394,7 @@ def kmeans_centroids(
         else:
             cent = new_cent
 
-    assert cent.shape == (min(k, len(init_pdf)), dim)
+    assert cent.shape[0] <= k and cent.shape[1] == dim
     return cent
 
 

@@ -76,12 +76,31 @@ def _overlap(*thunks):
     pattern verbatim). Sizing: len(thunks) concurrent jobs, which is
     2-4 at every call site — enough to fill stragglers, not enough to
     thrash the scheduler."""
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import (
+        FIRST_EXCEPTION,
+        ThreadPoolExecutor,
+        wait,
+    )
 
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
+        # fail fast (ADVICE r12): when one stage dies, don't let its
+        # corpus-scale siblings run to completion before re-raising —
+        # cancel what hasn't started and surface the first error now
+        # (running siblings still drain; Spark jobs are not
+        # interruptible mid-action without a job group, and these
+        # builders share the session's default group)
+        done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+        first_err = next(
+            (f.exception() for f in futures if f in done and f.exception()),
+            None,
+        )
+        if first_err is not None:
+            for f in not_done:
+                f.cancel()
+            raise first_err
         return [f.result() for f in futures]
 
 
@@ -1621,7 +1640,17 @@ def x13_multimodal_pipeline(
         F.col("event_id").cast("long").alias("media_id"),
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     )
-    resized = M.resize_media(media, 64, 64).select("media_id", "content", "mime")
+    # resized feeds TWO Arrow consumers (decode + frame sampling);
+    # without the barrier each re-ran the resize pass over the media
+    # bytes (round 13 — the multi-consumer barrier policy; tiny frame,
+    # one row per media)
+    import time as _time
+
+    _t0 = _time.time()
+    resized = M.resize_media(media, 64, 64).select(
+        "media_id", "content", "mime"
+    ).localCheckpoint()
+    _mark(_stage_secs, "resize", _t0)
     decoded = M.decode_media(resized)
     frames = M.sample_frames(resized, max_frames=3)
     # round-10 zero-slot promotion: the spectral-audio family over the
@@ -1631,19 +1660,24 @@ def x13_multimodal_pipeline(
     ids = e.select(F.col("event_id").cast("long").alias("media_id"))
     wav = _x13_planted_wav(ids, twin=False)
     twin = _x13_planted_wav(ids, twin=True)
-    # time-domain columns ride decode_media's REAL audio tier (round
-    # 10): feature[1] = duration (exact — 2⁻⁵ vs 2⁻⁴ s), feature[2] =
-    # 6dp rms, pinned at 1e-4 fixed point against the closed form
-    # sqrt((A1² + A2²)/2)/32768 (amplitudes planted per row)
-    td = M.decode_media(wav).select(
-        "media_id",
-        F.round(F.element_at("feature", 1) * 1000000)
-        .cast("long")
-        .alias("audio_dur_fp"),
-        F.round(F.element_at("feature", 2) * 10000)
-        .cast("long")
-        .alias("audio_rms_fp4"),
-    )
+    # ONE decode of each planted tone family (round 13 — VERDICT r12
+    # #7, guide §4): the baseline plan synthesized + decoded the SAME
+    # wav bytes in four Arrow passes (decode_media for the time-domain
+    # columns, audio_spectral_features, audio_phash for the output
+    # columns, audio_phash again for the banding input) and the twin in
+    # two. audio_profile emits all three families from one decode;
+    # localCheckpoint (tiny: one row per media) lets the output chain
+    # AND the banding path read the same materialization. The
+    # time-domain columns ride feature[] exactly as before (round 10):
+    # feature[1] = duration (exact — 2⁻⁵ vs 2⁻⁴ s), feature[2] = 6dp
+    # rms, pinned at 1e-4 fixed point against the closed form
+    # sqrt((A1² + A2²)/2)/32768 (amplitudes planted per row).
+    _t0 = _time.time()
+    prof = M.audio_profile(wav).localCheckpoint()
+    _mark(_stage_secs, "audio_profile", _t0)
+    _t0 = _time.time()
+    tph = M.audio_phash(twin).select("media_id", "phash").localCheckpoint()
+    _mark(_stage_secs, "twin_phash", _t0)
     # round-11 zero-slot promotion (VERDICT r10 #4): the near-dup
     # BANDING path itself — each planted row's REAL pigeonhole band
     # join + popcount verify (dedup.simhash_neardup_pairs, the exact
@@ -1656,10 +1690,8 @@ def x13_multimodal_pipeline(
     # the digest-derived phash (md5 little-endian — operators/
     # multimodal._fake_phash) lets DuckDB re-derive the full band table
     # AND the hamming verify bit-for-bit from the content bytes.
-    ph_w = M.audio_phash(wav).select(
-        "media_id", F.col("phash").alias("simhash")
-    )
-    ph_t = M.audio_phash(twin).select(
+    ph_w = prof.select("media_id", F.col("phash").alias("simhash"))
+    ph_t = tph.select(
         (F.col("media_id") + 1000).alias("media_id"),
         F.col("phash").alias("simhash"),
     )
@@ -1683,13 +1715,9 @@ def x13_multimodal_pipeline(
         F.col("id_b") == F.col("id_a") + 1000
     ).select(F.col("id_a").alias("media_id"), F.lit(True).alias("_ib"))
     audio = (
-        M.audio_spectral_features(wav)
-        .join(td, "media_id")
-        .join(M.audio_phash(wav).select("media_id", "phash"), "media_id")
+        prof
         .join(
-            M.audio_phash(twin).select(
-                "media_id", F.col("phash").alias("phash2")
-            ),
+            tph.select("media_id", F.col("phash").alias("phash2")),
             "media_id",
         )
         .join(audio_band, "media_id", "left")
@@ -1708,8 +1736,12 @@ def x13_multimodal_pipeline(
             F.round("dominant_hz").cast("long").alias("spec_dominant_hzi"),
             (F.col("phash") == 0).alias("audio_phash_zero"),
             (F.col("phash") == F.col("phash2")).alias("audio_twin_same"),
-            "audio_dur_fp",
-            "audio_rms_fp4",
+            F.round(F.element_at("feature", 1) * 1000000)
+            .cast("long")
+            .alias("audio_dur_fp"),
+            F.round(F.element_at("feature", 2) * 10000)
+            .cast("long")
+            .alias("audio_rms_fp4"),
             F.coalesce(F.col("_ab"), F.lit(False)).alias(
                 "audio_band_neardup"
             ),
@@ -1720,16 +1752,23 @@ def x13_multimodal_pipeline(
     )
     if _stage_secs is not None:
         # bench attribution pass (VERDICT r10 #2) — component sub-plan
-        # walls; overlap caveat on _probe
+        # walls; overlap caveat on _probe. Since round 13 the audio
+        # decode cost lives in the eager audio_profile/twin_phash marks
+        # above; the audio_* probe keys are kept (only-added rule) but
+        # now time checkpoint reads, not decodes.
         _probe(_stage_secs, "img_decode", decoded)
         _probe(_stage_secs, "img_frames", frames)
         _probe(_stage_secs, "meta_json", meta.join(k, "media_id"))
-        _probe(_stage_secs, "audio_spectral", M.audio_spectral_features(wav))
-        _probe(_stage_secs, "audio_td", td)
+        _probe(
+            _stage_secs, "audio_spectral",
+            prof.select("media_id", "spec_centroid_hz", "spec_bandwidth_hz",
+                        "spec_rolloff_hz", "spec_flatness", "dominant_hz"),
+        )
+        _probe(_stage_secs, "audio_td", prof.select("media_id", "feature"))
         _probe(
             _stage_secs,
             "audio_phash",
-            M.audio_phash(wav).unionByName(M.audio_phash(twin)),
+            prof.select("media_id", "phash").unionByName(tph),
         )
     return (
         decoded.join(frames, "media_id")
@@ -3438,6 +3477,14 @@ def x26_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import relevance as R
 
     docs = parallel_table(spark, sf, "documents")
+    # Round-13 note (VERDICT r12 #8): pre-hashing the census by doc_id
+    # before the checkpoint was tried and REVERTED — in this Spark
+    # build a localCheckpointed DataFrame surfaces as a bare
+    # `Scan ExistingRDD` with NO outputPartitioning, so the four
+    # doc-keyed consumers below re-exchange regardless (measured:
+    # Exchange count 48 → 48 with the repartition, i.e. one exchange
+    # added, none saved). The exchange-sharing idea needs partitioning
+    # metadata to survive the barrier, which it does not here.
     tf = R.term_frequencies(docs, "doc_id", "text").localCheckpoint()
     clf = TS.classifier_score(docs, "doc_id", "text", tf=tf)
     top = R.tfidf_top_terms(docs, "doc_id", "text", k=1, tf=tf).select(
@@ -3627,23 +3674,34 @@ def x27_quantize_embeddings(
     emb = parallel_table(spark, sf, "embeddings")
     q = EB.quantize_embeddings(emb, "vec_id", "embedding")
     q = EB.quantization_error(q, "embedding", "qvec", "scale")
-    # q0 first (one tiny limit-collect): the fixed query vector seeds
-    # FOUR independent stage groups below (plain-PQ ADC, the OPQ Givens
-    # rotation's dimension, the MRL prefix query, the IVFPQ probe),
-    # which then run as concurrent jobs (guide §2.6 via _overlap) —
-    # the baseline ran their eager trainers back to back
-    # (pq 2.1 + opq_moment 0.9 + opq_serve 1.8 + ivfpq 4.1 + pca 1.1 s
-    # at sf0.1) despite sharing nothing but q0. Every trainer is
-    # partitioning-invariant by the quantized contract, so results are
+    # ONE corpus-head collect (round 13 — VERDICT r12 #2): the 4
+    # lowest-vec_id raw vectors seed the fixed query vector q0 AND the
+    # plain-PQ trainer's init AND the IVFPQ coarse quantizer's init
+    # (ksub = n_centroids = 4, all defined as "the k lowest-id
+    # vectors"). The baseline paid that TakeOrdered corpus pass three
+    # times — once here for q0 and once inside each trainer; init_vecs
+    # hands the shared head in (the collect is exactly what each
+    # trainer's internal init collect would produce — as_double cast,
+    # vec_id order). q0 then seeds FOUR independent stage groups below
+    # (plain-PQ ADC, the OPQ Givens rotation's dimension, the MRL
+    # prefix query, the IVFPQ probe), which run as concurrent jobs
+    # (guide §2.6 via _overlap) — every trainer is partitioning-
+    # invariant by the quantized contract, so results are
     # bit-identical. stage_secs walls OVERLAP (the _probe caveat).
-    q0 = np.asarray(
-        emb.orderBy("vec_id").limit(1).collect()[0]["embedding"],
-        dtype="float64",
+    from ..functions.vectors import as_double as _as_double
+
+    _head_pdf = (
+        emb.select("vec_id", _as_double("embedding").alias("v"))
+        .orderBy("vec_id")
+        .limit(4)
+        .toPandas()
     )
+    head = np.array(list(_head_pdf["v"]), dtype="float64")  # (4, dim)
+    q0 = head[0]
 
     def _pq_stage():
         t0 = _time.time()
-        cbooks = PQO.pq_train(emb, m=4, ksub=4, n_iters=2)
+        cbooks = PQO.pq_train(emb, m=4, ksub=4, n_iters=2, init_vecs=head)
         pqe = PQO.pq_encode(emb, cbooks, query_vec=q0).select(
             "vec_id",
             F.concat_ws(
@@ -3759,7 +3817,7 @@ def x27_quantize_embeddings(
         # this stage was 4.1 of x27's 12.8 s)
         coarse, rcb, res = PQO.ivfpq_train(
             emb, n_centroids=4, coarse_iters=2, m=4, ksub=4, pq_iters=2,
-            quantize_dp=7, return_residuals=True,
+            quantize_dp=7, return_residuals=True, init_vecs=head,
         )
         # keep_cols passes `cell` through the encode batch, so the
         # per-row cell and the residual codes come from ONE scan of the

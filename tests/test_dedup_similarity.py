@@ -3563,6 +3563,56 @@ def test_audio_spectral_features_tone_and_noise(spark):
         ).collect()
 
 
+def test_audio_profile_matches_three_operator_composition(spark):
+    """audio_profile (round 13: one decode for the decode/spectral/
+    phash families — x13's single-pass audio shape) must be column-
+    for-column equal to the decode_media + audio_spectral_features +
+    audio_phash composition, including the non-audio/corrupt fallbacks
+    (digest-fake feature, NULL spectral, digest phash)."""
+    import numpy as np
+
+    from mapreduce_stockheadlines_spark.operators import multimodal as M
+
+    rate = 8000
+    t = np.arange(2048) / rate
+    tone = (9000 * np.sin(2 * np.pi * 700 * t)).astype(np.int16)
+    rows = [
+        (1, bytearray(_mono_wav_bytes(tone)), M.MIME_WAV),
+        (2, bytearray(b"RIFFgarbage-not-a-wav"), M.MIME_WAV),  # corrupt
+        (3, bytearray(b"\x89PNG fake"), "image/png"),  # non-audio mime
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    prof = {r.media_id: r for r in M.audio_profile(df).collect()}
+    dec = {r.media_id: r for r in M.decode_media(df).collect()}
+    spec = {r.media_id: r for r in M.audio_spectral_features(df).collect()}
+    ph = {r.media_id: r for r in M.audio_phash(df).collect()}
+    for mid in (1, 2, 3):
+        p = prof[mid]
+        assert (p.n_bytes, p.width, p.height, p.n_frames) == (
+            dec[mid].n_bytes,
+            dec[mid].width,
+            dec[mid].height,
+            dec[mid].n_frames,
+        ), mid
+        assert p.feature == dec[mid].feature, mid
+        assert (
+            p.spec_centroid_hz,
+            p.spec_bandwidth_hz,
+            p.spec_rolloff_hz,
+            p.spec_flatness,
+            p.dominant_hz,
+        ) == (
+            spec[mid].spec_centroid_hz,
+            spec[mid].spec_bandwidth_hz,
+            spec[mid].spec_rolloff_hz,
+            spec[mid].spec_flatness,
+            spec[mid].dominant_hz,
+        ), mid
+        assert p.phash == ph[mid].phash, mid
+
+
 def test_audio_spectral_features_degenerate_inputs(spark):
     """Silence and a truncated WAV: silence yields all-zeros (never
     NaN), an undecodable blob NULLs in non-strict mode."""
