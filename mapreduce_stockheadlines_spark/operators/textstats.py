@@ -1630,10 +1630,15 @@ def domain_frequency_cap(
     the filter form on a copy of its frame and joined the survivors
     back by doc id, paying one more corpus-keyed shuffle AND a second
     evaluation of the frame's lineage; the flag form decides in place
-    with the same rank contract). Note the flag form cannot use the
-    WindowGroupLimit rewrite (no filter — all rows survive), so its
-    exchange carries every non-NULL-domain row: prefer the filter form
-    when the survivors are all you need.
+    with the same rank contract). The flag form is ONE window leg, no
+    union: NULL-domain rows (always-survivors) are salted into
+    singleton window partitions by (domain, id-if-null) instead of
+    being split into a second leg — a filter+union here would duplicate
+    the input's whole lineage per leg, re-running an expensive upstream
+    derivation (measured on x24: the URL extraction subtree appeared
+    twice). Note the flag form cannot use the WindowGroupLimit rewrite
+    (no filter — all rows survive), so its exchange carries every row:
+    prefer the filter form when the survivors are all you need.
     """
     if cap < 1:
         raise ValueError("domain_frequency_cap: cap must be >= 1")
@@ -1642,16 +1647,21 @@ def domain_frequency_cap(
     order = [F.col(id_col).asc()]
     if order_col is not None:
         order = [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
+    if flag_col is not None:
+        null_salt = F.when(
+            F.col(domain_col).isNull(), F.col(id_col)
+        ).otherwise(F.lit(0))
+        wf = Window.partitionBy(F.col(domain_col), null_salt).orderBy(*order)
+        return df.withColumn("_rn", F.row_number().over(wf)).withColumn(
+            flag_col,
+            F.col(domain_col).isNull() | (F.col("_rn") <= F.lit(cap)),
+        ).drop("_rn")
     w = Window.partitionBy(domain_col).orderBy(*order)
     dom_null = df.filter(F.col(domain_col).isNull())
-    ranked = df.filter(F.col(domain_col).isNotNull()).withColumn(
-        "_rn", F.row_number().over(w)
+    capped = (
+        df.filter(F.col(domain_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(cap))
+        .drop("_rn")
     )
-    if flag_col is not None:
-        return ranked.withColumn(
-            flag_col, F.col("_rn") <= F.lit(cap)
-        ).drop("_rn").unionByName(
-            dom_null.withColumn(flag_col, F.lit(True))
-        )
-    capped = ranked.filter(F.col("_rn") <= F.lit(cap)).drop("_rn")
     return capped.unionByName(dom_null)
